@@ -1,0 +1,204 @@
+"""Extraction operators: neurons, neuron_classes, report.
+
+Reference behavior (SURVEY §3.1 step 4): the extraction DAG is
+``simulations → neurons → neuron_classes → windows → report``
+(``/root/reference/src/blueetl/repository.py:293-338``). Each step here is a
+lazy DataFrame transformation; Spark's scheduler replaces the reference's
+joblib fan-out + SHM-parquet shuffle.
+
+Scale notes:
+
+- **Neurons** are classified in a *single scan* of the nodes table: each
+  neuron-class query compiles to a predicate, all predicates are evaluated
+  per row into an array of matching class names, then exploded. One pass at
+  100 TB instead of one filtered scan per class (the reference filters the
+  cached cells DataFrame once per class, ``extract/neurons.py:122-145``).
+  Overlapping classes still duplicate the row — exactly the reference's
+  union semantics.
+- **Sampling** (``limit``): the reference uses
+  ``np.random.choice(replace=False)`` under a global seed
+  (``extract/neurons.py:82-83``). Distributed equivalent: rank by
+  ``rand(seed)`` per class and keep ``rank <= limit`` — an exact-size
+  uniform sample with a different RNG stream (documented divergence,
+  SURVEY §7 hard-parts).
+- **Report** slicing joins events → neurons (shuffle hash/SMJ on gid; the
+  neurons side is broadcast when small) → windows (broadcast interval join).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from blueetl_spark import schemas
+from blueetl_spark.functions.qdsl import Query, compile_query
+
+NeuronClassesConfig = dict[str, dict[str, Any]]
+# per-class config keys: query (q-DSL), limit (int|None), population, node_set
+
+
+def extract_neurons(
+    nodes: DataFrame,
+    neuron_classes_config: NeuronClassesConfig,
+    gid_col: str = "node_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Classify nodes into neuron classes → ``neurons`` table.
+
+    ``nodes`` must carry ``circuit_id`` plus whatever property columns the
+    class queries reference. Output: ``[circuit_id, neuron_class, gid,
+    neuron_class_index]`` sorted, with ``neuron_class_index`` a dense
+    0..n-1 numbering of gids within (circuit_id, neuron_class)
+    (reference ``extract/neurons.py:99-145``).
+    """
+    names = list(neuron_classes_config)
+    preds = [
+        F.when(compile_query(cfg.get("query") or {}), F.lit(name))
+        for name, cfg in neuron_classes_config.items()
+    ]
+    tagged = (
+        nodes.withColumn("__classes", F.array(*preds))
+        .withColumn(
+            "__classes", F.filter(F.col("__classes"), lambda x: x.isNotNull())
+        )
+        .filter(F.size("__classes") > 0)
+        .withColumn("neuron_class", F.explode("__classes"))
+        .select("circuit_id", "neuron_class", F.col(gid_col).alias("gid"))
+    )
+    limits = {
+        name: cfg["limit"]
+        for name, cfg in neuron_classes_config.items()
+        if cfg.get("limit") is not None
+    }
+    if limits:
+        limit_expr = F.create_map(
+            *[x for name, lim in limits.items() for x in (F.lit(name), F.lit(int(lim)))]
+        )
+        sample_w = Window.partitionBy("circuit_id", "neuron_class").orderBy(
+            F.rand(seed), "gid"
+        )
+        tagged = (
+            tagged.withColumn("__limit", limit_expr[F.col("neuron_class")])
+            .withColumn("__rn", F.row_number().over(sample_w))
+            .filter(F.col("__limit").isNull() | (F.col("__rn") <= F.col("__limit")))
+            .drop("__limit", "__rn")
+        )
+    index_w = Window.partitionBy("circuit_id", "neuron_class").orderBy("gid")
+    out = (
+        tagged.withColumn("neuron_class_index", F.row_number().over(index_w) - 1)
+        .orderBy("circuit_id", "neuron_class", "gid")
+    )
+    _ = names  # preserve config order for future canonicalization needs
+    return schemas.ensure_schema(out, schemas.NEURONS_SCHEMA)
+
+
+def extract_neuron_classes(
+    neurons: DataFrame,
+    neuron_classes_config: NeuronClassesConfig,
+    collect_gids: bool = False,
+) -> DataFrame:
+    """Per-(circuit, class) summary: count + config metadata
+    (reference ``extract/neuron_classes.py:25-72``).
+
+    ``gids`` (the full sorted gid array) is only collected when asked —
+    at scale it is an O(class size) array per row.
+    """
+    aggs = [F.count("gid").alias("count")]
+    if collect_gids:
+        aggs.append(F.array_sort(F.collect_list("gid")).alias("gids"))
+    counted = neurons.groupBy("circuit_id", "neuron_class").agg(*aggs)
+    if not collect_gids:
+        counted = counted.withColumn("gids", F.lit(None).cast("array<bigint>"))
+    meta_rows = [
+        (
+            name,
+            cfg.get("limit"),
+            cfg.get("population"),
+            cfg.get("node_set"),
+            json.dumps(cfg.get("query") or {}, sort_keys=True),
+        )
+        for name, cfg in neuron_classes_config.items()
+    ]
+    meta = counted.sparkSession.createDataFrame(
+        meta_rows,
+        "neuron_class string, limit bigint, population string, "
+        "node_set string, query string",
+    )
+    out = counted.join(F.broadcast(meta), "neuron_class", "left").select(
+        "circuit_id",
+        "neuron_class",
+        "count",
+        "limit",
+        "population",
+        "node_set",
+        "gids",
+        "query",
+    )
+    return schemas.ensure_schema(out, schemas.NEURON_CLASSES_SCHEMA).orderBy(
+        "circuit_id", "neuron_class"
+    )
+
+
+def extract_report(
+    events: DataFrame,
+    neurons: DataFrame,
+    windows: DataFrame,
+    simulations: DataFrame | None = None,
+    time_col: str = "time",
+    gid_col: str = "gid",
+    value_cols: list[str] | None = None,
+    broadcast_neurons: bool | None = None,
+) -> DataFrame:
+    """Windowed, class-annotated event table (= the reference's ``report``).
+
+    ``events``: raw event rows ``[simulation_id?, time, gid, value?...]``.
+    If ``simulation_id`` is missing and ``simulations`` has exactly one row,
+    it is stamped on. Joins: events ⋈ neurons on (circuit_id, gid) — inner,
+    so unclassified gids drop out — then the broadcast interval join against
+    windows with time re-based (reference ``extract/spikes.py:19-29``,
+    output schema ``report.py:44-58``).
+    """
+    from blueetl_spark.operators.windows import slice_events, time_bounds_filter
+
+    if "simulation_id" not in events.columns:
+        if simulations is None:
+            raise ValueError("events lack simulation_id and no simulations given")
+        sims = simulations.select("simulation_id").collect()
+        if len(sims) != 1:
+            raise ValueError("cannot infer simulation_id for multi-run campaign")
+        events = events.withColumn(
+            "simulation_id", F.lit(sims[0].simulation_id).cast("smallint")
+        )
+    if "circuit_id" not in events.columns:
+        if simulations is not None:
+            sim_circuit = simulations.select("simulation_id", "circuit_id").distinct()
+            events = events.join(F.broadcast(sim_circuit), "simulation_id")
+        else:
+            events = events.withColumn("circuit_id", F.lit(0).cast("smallint"))
+
+    # Push the global time envelope down to the scan before any join.
+    events = events.filter(time_bounds_filter(windows, time_col))
+
+    n = neurons.select(
+        "circuit_id", F.col("gid"), "neuron_class", "neuron_class_index"
+    )
+    if broadcast_neurons is None:
+        broadcast_neurons = True  # class-filtered neuron lists are small vs events
+    right = F.broadcast(n) if broadcast_neurons else n
+    ev = events.withColumnRenamed(gid_col, "gid") if gid_col != "gid" else events
+    classified = ev.join(right, ["circuit_id", "gid"], "inner")
+
+    sliced = slice_events(classified, windows, time_col=time_col)
+    cols = [
+        F.col(time_col).alias("time"),
+        "gid",
+        "window",
+        "trial",
+        "simulation_id",
+        "circuit_id",
+        "neuron_class",
+    ] + [F.col(c) for c in (value_cols or [])]
+    return sliced.select(*cols)

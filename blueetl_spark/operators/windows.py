@@ -1,0 +1,169 @@
+"""Time-window materialization and event slicing.
+
+The reference materializes a windows table from config — one row per
+(simulation, window, trial) with ``offset = initial_offset + dynamic_offset
++ step_offset`` (``/root/reference/src/blueetl/extract/windows.py:165-269``)
+— then slices each report's events to ``offset + t_start <= time <
+offset + t_stop`` and re-bases ``time -= offset``
+(``extract/spikes.py:22-29``, ``extract/report.py:44-58``). An event landing
+in several overlapping trials is duplicated into each.
+
+Spark-first design:
+
+- Window definitions are config-sized (a handful of rows per simulation), so
+  trial expansion happens driver-side into a plain list of rows →
+  ``createDataFrame`` crossed with the (tiny) distinct simulation list.
+- Slicing is an **interval join**: equality on ``simulation_id`` plus two
+  range predicates. The windows side is always broadcast, so at 100 TB the
+  plan is a broadcast hash join on the equi key with the range conditions
+  as join filters — no shuffle of the event table, no cartesian blowup, and
+  the time-range predicate is additionally usable for parquet row-group
+  pruning when pushed ahead of the join via :func:`time_bounds_filter`.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blueetl_spark import schemas
+
+WindowsConfig = dict[str, dict[str, Any]]
+
+
+def _expand_window(name: str, cfg: dict[str, Any]) -> list[dict[str, Any]]:
+    """Expand one window config into per-trial rows (driver-side; tiny)."""
+    t_start, t_stop = map(float, cfg["bounds"])
+    initial_offset = float(cfg.get("initial_offset", 0.0))
+    n_trials = int(cfg.get("n_trials", 1))
+    steps_list = cfg.get("trial_steps_list")
+    step_value = float(cfg.get("trial_steps_value", 0.0))
+    if steps_list is not None:
+        step_offsets = [float(s) for s in steps_list]
+    else:
+        step_offsets = [step_value * i for i in range(max(n_trials, 1))]
+    rows = []
+    for trial, step_offset in enumerate(step_offsets):
+        rows.append(
+            {
+                "window": name,
+                "trial": trial,
+                "initial_offset": initial_offset,
+                "step_offset": step_offset,
+                "t_start": t_start,
+                "t_stop": t_stop,
+                "t_step": float(cfg.get("t_step", 0.0)),
+                "duration": t_stop - t_start,
+                "window_type": str(cfg.get("window_type", "")),
+            }
+        )
+    return rows
+
+
+def materialize_windows(
+    spark: SparkSession,
+    windows_config: WindowsConfig,
+    simulations: DataFrame,
+    dynamic_offsets: dict[int, float] | None = None,
+) -> DataFrame:
+    """Build the windows table: one row per (simulation, window, trial).
+
+    ``dynamic_offsets`` maps simulation_id → extra offset (the output of
+    onset detection, reference ``extract/windows.py:78-111``); omitted
+    simulations get 0.
+    """
+    defs: list[dict[str, Any]] = []
+    for name, cfg in windows_config.items():
+        defs.extend(_expand_window(name, cfg))
+    sims = simulations.select("simulation_id", "circuit_id").distinct()
+    if dynamic_offsets:
+        dyn = spark.createDataFrame(
+            [(int(k), float(v)) for k, v in dynamic_offsets.items()],
+            "simulation_id smallint, dynamic_offset double",
+        )
+        sims = sims.join(F.broadcast(dyn), "simulation_id", "left").na.fill(
+            {"dynamic_offset": 0.0}
+        )
+    else:
+        sims = sims.withColumn("dynamic_offset", F.lit(0.0))
+    defs_df = spark.createDataFrame(
+        defs,
+        "window string, trial smallint, initial_offset double, "
+        "step_offset double, t_start double, t_stop double, t_step double, "
+        "duration double, window_type string",
+    )
+    out = (
+        sims.crossJoin(F.broadcast(defs_df))
+        .withColumn(
+            "offset",
+            F.col("initial_offset") + F.col("dynamic_offset") + F.col("step_offset"),
+        )
+        .select(
+            "simulation_id",
+            "circuit_id",
+            "window",
+            "trial",
+            "offset",
+            "t_start",
+            "t_stop",
+            "t_step",
+            "duration",
+            "window_type",
+        )
+    )
+    return schemas.ensure_schema(out, schemas.WINDOWS_SCHEMA)
+
+
+def time_bounds_filter(windows: DataFrame, time_col: str = "time"):
+    """Global [min, max) time predicate across all windows — push this onto
+    the event scan *before* the interval join so parquet row-group stats can
+    prune. Collects two scalars from the (tiny) windows table."""
+    row = windows.agg(
+        F.min(F.col("offset") + F.col("t_start")).alias("lo"),
+        F.max(F.col("offset") + F.col("t_stop")).alias("hi"),
+    ).first()
+    if row is None or row.lo is None:
+        return F.lit(False)
+    return (F.col(time_col) >= F.lit(row.lo)) & (F.col(time_col) < F.lit(row.hi))
+
+
+def slice_events(
+    events: DataFrame,
+    windows: DataFrame,
+    time_col: str = "time",
+    join_keys: list[str] | None = None,
+    rebase: bool = True,
+    keep_window_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign events to every (window, trial) whose interval contains them.
+
+    Equi-join on ``join_keys`` (auto: the intersection of
+    ``{simulation_id, circuit_id}`` with the event columns) plus the range
+    predicate; the windows side is broadcast. Returns the event columns with
+    ``window``, ``trial`` appended and ``time`` re-based to the window frame
+    (original time minus offset) when ``rebase``.
+    """
+    if join_keys is None:
+        join_keys = [c for c in ("simulation_id", "circuit_id") if c in events.columns]
+    keep = ["window", "trial"] + (keep_window_cols or [])
+    w = windows.select(
+        *join_keys,
+        *keep,
+        F.col("offset").alias("__offset"),
+        (F.col("offset") + F.col("t_start")).alias("__lo"),
+        (F.col("offset") + F.col("t_stop")).alias("__hi"),
+    )
+    t = F.col(time_col)
+    cond = (t >= F.col("__lo")) & (t < F.col("__hi"))
+    for k in join_keys:
+        cond = cond & (events[k] == w[k])
+    joined = events.alias("e").join(F.broadcast(w).alias("w"), cond, "inner")
+    event_cols = [F.col(f"e.{c}") for c in events.columns if c != time_col]
+    time_expr = (t - F.col("__offset")) if rebase else t
+    return joined.select(
+        time_expr.alias(time_col),
+        *event_cols,
+        *[F.col(f"w.{c}") for c in keep],
+    )

@@ -1,0 +1,124 @@
+"""Simulation-campaign source: config → ``simulations`` DataFrame.
+
+The reference loads a campaign from YAML/JSON (blueetl or xarray layout,
+``/root/reference/src/blueetl/campaign/config.py:164-271``) into one row per
+simulation run with its condition parameters, skipping runs with an empty
+``simulation_path``, and dedupes circuits so each distinct circuit gets one
+``circuit_id`` (``extract/simulations.py:61-112``).
+
+Config stays driver-side (it is tiny — one dict per run); only the resulting
+table becomes a DataFrame.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from blueetl_spark import schemas
+
+
+class SimulationCampaign:
+    """A list of simulation runs + their campaign condition parameters."""
+
+    def __init__(
+        self,
+        data: list[dict[str, Any]],
+        name: str = "",
+        attrs: dict[str, Any] | None = None,
+    ) -> None:
+        self.data = data
+        self.name = name
+        self.attrs = attrs or {}
+
+    # -- loading ------------------------------------------------------------
+    @classmethod
+    def load(cls, path: str | Path) -> "SimulationCampaign":
+        path = Path(path)
+        text = path.read_text()
+        if path.suffix in (".yaml", ".yml"):
+            import yaml
+
+            obj = yaml.safe_load(text)
+        else:
+            obj = json.loads(text)
+        return cls.from_dict(obj)
+
+    @classmethod
+    def from_dict(cls, obj: dict[str, Any]) -> "SimulationCampaign":
+        if "data" in obj:  # blueetl layout: explicit row list
+            return cls(list(obj["data"]), obj.get("name", ""), obj.get("attrs"))
+        # xarray-like layout: coords product ("product") or zipped ("coupled")
+        coords: dict[str, list[Any]] = obj["coords"]
+        paths: list[str] = obj["paths"]
+        coupled = obj.get("coupled", False)
+        if coupled:
+            rows = [dict(zip(coords, vals)) for vals in zip(*coords.values())]
+        else:
+            rows = [
+                dict(zip(coords, vals))
+                for vals in itertools.product(*coords.values())
+            ]
+        if len(rows) != len(paths):
+            raise ValueError(
+                f"coords expand to {len(rows)} runs but {len(paths)} paths given"
+            )
+        for row, p in zip(rows, paths):
+            row["simulation_path"] = p
+        return cls(rows, obj.get("name", ""), obj.get("attrs"))
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"name": self.name, "attrs": self.attrs, "data": self.data}
+
+    @property
+    def condition_names(self) -> list[str]:
+        names: list[str] = []
+        for row in self.data:
+            for k in row:
+                if k != "simulation_path" and k not in names:
+                    names.append(k)
+        return names
+
+    # -- extraction ---------------------------------------------------------
+    def to_simulations_df(
+        self,
+        spark: SparkSession,
+        circuit_key: str = "circuit_config",
+    ) -> DataFrame:
+        """Build the ``simulations`` table.
+
+        ``simulation_id`` = position in the campaign (skipped runs keep the
+        numbering of the reference: ids are assigned *after* dropping empty
+        paths, densely). ``circuit_id`` = dense id per distinct circuit
+        config value (``circuit_key`` condition or campaign attr; a campaign
+        with no circuit info gets a single circuit 0).
+        """
+        rows = []
+        circuit_ids: dict[Any, int] = {}
+        sim_id = 0
+        for row in self.data:
+            path = row.get("simulation_path", "")
+            if not path:
+                continue
+            circuit_val = row.get(circuit_key, self.attrs.get(circuit_key, ""))
+            if circuit_val not in circuit_ids:
+                circuit_ids[circuit_val] = len(circuit_ids)
+            out = {
+                "simulation_id": sim_id,
+                "circuit_id": circuit_ids[circuit_val],
+                "simulation_path": str(path),
+            }
+            for k, v in row.items():
+                if k != "simulation_path":
+                    out[k] = v
+            rows.append(out)
+            sim_id += 1
+        df = spark.createDataFrame(rows)
+        df = schemas.ensure_schema(
+            df, schemas.SIMULATIONS_SCHEMA, allow_extra_columns=True
+        )
+        return df

@@ -1,0 +1,145 @@
+"""Neurons / neuron_classes / report extraction tests on synthetic
+blueetl-shaped fixtures (FIXTURES.md), pandas-cross-checked."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from blueetl_spark.operators.extraction import (
+    extract_neuron_classes,
+    extract_neurons,
+    extract_report,
+)
+from blueetl_spark.operators.windows import materialize_windows
+
+CLASSES = {
+    "EXC": {"query": {"synapse_class": ["EXC"]}},
+    "INH": {"query": {"synapse_class": ["INH"]}},
+    "Rt_EXC": {"query": {"layer": "Rt", "synapse_class": "EXC"}},
+    "OR_class": {"query": [{"layer": "Rt"}, {"layer": "VPL"}]},
+}
+
+
+@pytest.fixture(scope="module")
+def nodes_pdf():
+    rng = np.random.default_rng(0)
+    n = 400
+    return pd.DataFrame(
+        {
+            "circuit_id": np.zeros(n, dtype="int16"),
+            "node_id": np.arange(n, dtype="int64"),
+            "layer": rng.choice(["Rt", "VPL", "Other"], n),
+            "synapse_class": rng.choice(["EXC", "INH"], n),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def nodes(spark, nodes_pdf):
+    return spark.createDataFrame(nodes_pdf).cache()
+
+
+@pytest.fixture(scope="module")
+def neurons(nodes):
+    return extract_neurons(nodes, CLASSES).cache()
+
+
+def test_neurons_match_pandas(neurons, nodes_pdf):
+    got = neurons.toPandas()
+    for name, cfg in CLASSES.items():
+        qq = cfg["query"]
+        if isinstance(qq, list):
+            mask = pd.Series(False, index=nodes_pdf.index)
+            for d in qq:
+                m = pd.Series(True, index=nodes_pdf.index)
+                for k, v in d.items():
+                    m &= nodes_pdf[k].isin(v if isinstance(v, list) else [v])
+                mask |= m
+        else:
+            mask = pd.Series(True, index=nodes_pdf.index)
+            for k, v in qq.items():
+                mask &= nodes_pdf[k].isin(v if isinstance(v, list) else [v])
+        exp_gids = sorted(nodes_pdf.node_id[mask])
+        cls = got[got.neuron_class == name].sort_values("gid")
+        assert list(cls.gid) == exp_gids, name
+        # dense 0..n-1 index in gid order
+        assert list(cls.neuron_class_index) == list(range(len(exp_gids))), name
+
+
+def test_neurons_limit_sampling(nodes):
+    classes = {"EXC": {"query": {"synapse_class": "EXC"}, "limit": 10}}
+    n1 = extract_neurons(nodes, classes, seed=1).toPandas()
+    n2 = extract_neurons(nodes, classes, seed=1).toPandas()
+    n3 = extract_neurons(nodes, classes, seed=2).toPandas()
+    assert len(n1) == 10
+    assert list(n1.gid) == list(n2.gid)  # same seed → same sample
+    assert list(n1.gid) != list(n3.gid)  # different seed → different sample
+    assert list(n1.neuron_class_index) == list(range(10))
+    assert list(n1.gid) == sorted(n1.gid)
+
+
+def test_neuron_classes_summary(neurons):
+    nc = extract_neuron_classes(neurons, CLASSES, collect_gids=True).toPandas()
+    counts = neurons.toPandas().groupby("neuron_class").size()
+    for row in nc.itertuples():
+        assert row.count == counts[row.neuron_class]
+        assert len(row.gids) == row.count
+        assert json.loads(row.query) == (
+            CLASSES[row.neuron_class]["query"]
+            if not isinstance(CLASSES[row.neuron_class]["query"], list)
+            else CLASSES[row.neuron_class]["query"]
+        )
+
+
+def test_report_end_to_end(spark, nodes, neurons):
+    sims = spark.createDataFrame(
+        [(0, 0, "/sim0"), (1, 0, "/sim1")],
+        "simulation_id smallint, circuit_id smallint, simulation_path string",
+    )
+    windows = materialize_windows(
+        spark,
+        {"w1": {"bounds": [0.0, 100.0]}, "w2": {"bounds": [50.0, 150.0]}},
+        sims,
+    )
+    rng = np.random.default_rng(3)
+    n = 5000
+    spikes_pdf = pd.DataFrame(
+        {
+            "simulation_id": rng.integers(0, 2, n).astype("int16"),
+            "gid": rng.integers(0, 500, n).astype("int64"),  # some gids unclassified
+            "time": rng.uniform(0, 200, n),
+        }
+    )
+    spikes = spark.createDataFrame(spikes_pdf)
+    report = extract_report(spikes, neurons, windows, simulations=sims)
+    got = report.toPandas()
+    assert set(got.columns) == {
+        "time", "gid", "window", "trial", "simulation_id", "circuit_id",
+        "neuron_class",
+    }
+    # every row's original time within window bounds, rebased
+    assert ((got.time >= 0) & (got.time < 150)).all()
+    # gids limited to classified ones (node_id < 400)
+    assert got.gid.max() < 400
+    # row count cross-check for one (class, window)
+    neurons_pdf = pd.concat(
+        [spikes_pdf.merge(c, left_on="gid", right_on="gid") for c in []]
+        or [pd.DataFrame()]
+    )
+    exc_gids = set(
+        r.gid for r in extract_neurons(nodes, {"EXC": CLASSES["EXC"]}).collect()
+    )
+    exp = spikes_pdf[
+        spikes_pdf.gid.isin(exc_gids)
+        & (spikes_pdf.time >= 0)
+        & (spikes_pdf.time < 100)
+        & (spikes_pdf.simulation_id == 0)
+    ]
+    got_sub = got[
+        (got.neuron_class == "EXC") & (got.window == "w1") & (got.simulation_id == 0)
+    ]
+    assert len(got_sub) == len(exp)
