@@ -1,0 +1,377 @@
+"""Grouped feature engine + built-in feature library.
+
+The reference's analytics layer is a grouped-UDTF contract: a user function
+runs once per group of the merged neurons ⋈ windows ⋈ report frame and
+returns feature DataFrames, fanned out over joblib subprocesses and
+re-concatenated via SHM parquet parts
+(``/root/reference/src/blueetl/features.py:392-470``, ``parallel.py:63-100``).
+In Spark the whole fan-out is ``groupBy(keys).applyInPandas`` — the shuffle
+*is* the exchange — and the built-in features (reference
+``external/bnac/calculate_features.py``, ``external/bluecv/gid.py``) are
+re-expressed as pure DataFrame aggregations so they stay inside
+whole-stage codegen instead of Python.
+
+Scale notes:
+
+- Every feature here is a map-side-combinable aggregation over the report
+  (one shuffle per groupBy on the same key family); window metadata
+  (duration, bounds, trial counts) and class counts ride along via
+  **broadcast** joins of the tiny windows / neuron_classes tables — the
+  reference's ``repo`` handle inside UDFs becomes these broadcasts
+  (SURVEY §2.9 delta b).
+- Ragged per-gid spike-time lists use ``ArrayType(Double)`` with
+  ``sort_array`` — deterministic, and ISI statistics then run with
+  higher-order functions (no Python).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GROUP_KEYS = ["simulation_id", "circuit_id", "neuron_class", "window"]
+
+
+def _window_meta(windows: DataFrame) -> DataFrame:
+    """Per-(simulation, window): duration, t_start, t_stop, n_trials.
+
+    Trials of a window share bounds (validated at extraction), so ``first``
+    is exact.
+    """
+    return windows.groupBy("simulation_id", "window").agg(
+        F.first("t_start").alias("t_start"),
+        F.first("t_stop").alias("t_stop"),
+        F.first("duration").alias("duration"),
+        F.countDistinct("trial").alias("n_trials"),
+    )
+
+
+def by_gid_and_trial(report: DataFrame) -> DataFrame:
+    """Per (group key, gid, trial): spike count, first spike, sorted times.
+
+    Mirrors ``external/bnac/calculate_features.py:21-27`` (A3).
+    """
+    return report.groupBy(*GROUP_KEYS, "gid", "trial").agg(
+        F.count("time").alias("count"),
+        F.min("time").alias("first"),
+        F.sort_array(F.collect_list("time")).alias("times"),
+    )
+
+
+def by_gid(report: DataFrame, windows: DataFrame) -> DataFrame:
+    """Per (group key, gid): trial-averaged counts / rates / first-spike.
+
+    ``mean_firing_rates_per_second = mean_count × 1000 / duration`` (times
+    are in ms in the reference; A14), averaged over *all* trials including
+    silent ones — hence the division by ``n_trials`` from window metadata,
+    not by the number of trials with spikes.
+    """
+    per_trial = report.groupBy(*GROUP_KEYS, "gid", "trial").agg(
+        F.count("time").alias("count"), F.min("time").alias("first")
+    )
+    meta = _window_meta(windows)
+    return (
+        per_trial.groupBy(*GROUP_KEYS, "gid")
+        .agg(
+            F.sum("count").alias("total_count"),
+            F.mean("first").alias("mean_first"),
+        )
+        .join(F.broadcast(meta), ["simulation_id", "window"])
+        .select(
+            *GROUP_KEYS,
+            "gid",
+            (F.col("mean_first") - F.col("t_start")).alias(
+                "first_spike_time_means_cort_zeroed"
+            ),
+            (F.col("total_count") / F.col("n_trials")).alias("mean_spike_counts"),
+            (
+                F.col("total_count") / F.col("n_trials") * 1000.0 / F.col("duration")
+            ).alias("mean_firing_rates_per_second"),
+        )
+    )
+
+
+def by_neuron_class_and_trial(report: DataFrame, neuron_counts: DataFrame) -> DataFrame:
+    """Per (group key, trial): mean spike count per neuron.
+
+    ``neuron_counts``: (circuit_id, neuron_class, count) — broadcast; silent
+    neurons count toward the denominator (reference divides by class size,
+    ``bnac/calculate_features.py:28-45``).
+    """
+    per_trial = report.groupBy(*GROUP_KEYS, "trial").agg(
+        F.count("time").alias("n_spikes")
+    )
+    return per_trial.join(
+        F.broadcast(neuron_counts), ["circuit_id", "neuron_class"]
+    ).select(
+        *GROUP_KEYS,
+        "trial",
+        (F.col("n_spikes") / F.col("count")).alias(
+            "mean_of_spike_counts_for_each_trial"
+        ),
+    )
+
+
+def by_neuron_class(
+    report: DataFrame, windows: DataFrame, neuron_counts: DataFrame
+) -> DataFrame:
+    """Per group key: population means/stds of the per-gid features (A4).
+
+    Silent neurons (zero spikes in a window) contribute zeros to the
+    population mean, exactly like the reference's ``fillna(0)`` on the
+    per-gid table — implemented by scaling the sum by the class size
+    instead of densifying: mean = sum(x)/N, std over N values with the
+    missing ones = 0.
+    """
+    g = by_gid(report, windows)
+    n = F.broadcast(neuron_counts.withColumnRenamed("count", "n_neurons"))
+    agg = (
+        g.groupBy(*GROUP_KEYS)
+        .agg(
+            F.sum("mean_spike_counts").alias("sum_counts"),
+            F.sum("mean_firing_rates_per_second").alias("sum_rates"),
+            F.sum(F.col("mean_firing_rates_per_second") ** 2).alias("sum_rates_sq"),
+            F.count("gid").alias("n_active"),
+        )
+        .join(n, ["circuit_id", "neuron_class"])
+    )
+    mean_rate = F.col("sum_rates") / F.col("n_neurons")
+    # population variance over all N neurons, silent ones contributing 0
+    var_rate = F.col("sum_rates_sq") / F.col("n_neurons") - mean_rate**2
+    return agg.select(
+        *GROUP_KEYS,
+        (F.col("sum_counts") / F.col("n_neurons")).alias("mean_of_mean_spike_counts"),
+        mean_rate.alias("mean_of_mean_firing_rates_per_second"),
+        F.sqrt(F.greatest(var_rate, F.lit(0.0))).alias(
+            "std_of_mean_firing_rates_per_second"
+        ),
+    )
+
+
+def histogram(
+    report: DataFrame,
+    windows: DataFrame,
+    neuron_counts: DataFrame,
+    bin_size: float = 1.0,
+    densify: bool = True,
+) -> DataFrame:
+    """Per (group key, bin): spike counts binned over the window span (A11,
+    A13 PSTH when ``bin_size`` varies), normalized per (neuron × trial).
+
+    ``bin = floor((time - t_start) / bin_size)``, clamped so ``time ==
+    t_stop`` lands in the last bin (numpy.histogram right-edge semantics).
+    Densification (zero bins) joins against a per-window ``sequence`` —
+    generated from the tiny windows table, then broadcast.
+    """
+    meta = _window_meta(windows)
+    binned = (
+        report.join(F.broadcast(meta), ["simulation_id", "window"])
+        .withColumn("n_bins", F.ceil(F.col("duration") / F.lit(bin_size)).cast("long"))
+        .withColumn(
+            "bin",
+            F.least(
+                F.floor((F.col("time") - F.col("t_start")) / F.lit(bin_size)),
+                F.col("n_bins") - 1,
+            ).cast("long"),
+        )
+        .groupBy(*GROUP_KEYS, "bin")
+        .agg(F.count("time").alias("hist"))
+    )
+    if densify:
+        # all (group, bin) slots: distinct groups × per-window bin range
+        slots = (
+            report.select(*GROUP_KEYS)
+            .distinct()
+            .join(F.broadcast(meta), ["simulation_id", "window"])
+            .withColumn(
+                "bin",
+                F.explode(
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        F.ceil(F.col("duration") / F.lit(bin_size)).cast("long") - 1,
+                    )
+                ),
+            )
+            .select(*GROUP_KEYS, "bin")
+        )
+        binned = slots.join(binned, [*GROUP_KEYS, "bin"], "left").na.fill({"hist": 0})
+    out = (
+        binned.join(F.broadcast(meta), ["simulation_id", "window"])
+        .join(
+            F.broadcast(neuron_counts.withColumnRenamed("count", "n_neurons")),
+            ["circuit_id", "neuron_class"],
+        )
+        .select(
+            *GROUP_KEYS,
+            "bin",
+            F.col("hist").cast("double").alias("hist"),
+            (F.col("hist") / (F.col("n_neurons") * F.col("n_trials"))).alias(
+                "hist_normalized"
+            ),
+        )
+    )
+    return out
+
+
+def gaussian_filter1d_np(x, sigma: float, truncate: float = 4.0):
+    """1-D Gaussian filter, numpy-only (scipy is not in the runtime image).
+
+    Semantics match ``scipy.ndimage.gaussian_filter1d(..., mode='reflect')``:
+    kernel truncated at ``truncate × sigma``, normalized to sum 1, reflect
+    boundary (edge value not repeated twice).
+    """
+    import numpy as np
+
+    radius = int(truncate * sigma + 0.5)
+    grid = np.arange(-radius, radius + 1, dtype=float)
+    kernel = np.exp(-0.5 * (grid / sigma) ** 2)
+    kernel /= kernel.sum()
+    x = np.asarray(x, dtype=float)
+    if len(x) == 0:
+        return x
+    # scipy 'reflect' = numpy 'symmetric': [c b a | a b c d | d c b]
+    padded = np.pad(x, (radius, radius), mode="symmetric")
+    return np.convolve(padded, kernel, mode="valid")
+
+
+def gaussian_smooth_histogram(
+    hist: DataFrame, sigma: float = 3.0, value_col: str = "hist_normalized"
+) -> DataFrame:
+    """Gaussian-smooth each group's histogram (A12).
+
+    The per-group histogram is small (window duration / bin size rows), so
+    this runs as ``applyInPandas`` with scipy/numpy per group — the Arrow
+    batch is the whole (tiny) group; the heavy table never leaves the JVM
+    except for these columns.
+    """
+    cols = [*GROUP_KEYS, "bin", value_col]
+    schema = ", ".join(
+        [
+            "simulation_id smallint",
+            "circuit_id smallint",
+            "neuron_class string",
+            "window string",
+            "bin bigint",
+            f"{value_col} double",
+            "smoothed double",
+        ]
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bin")
+        pdf["smoothed"] = gaussian_filter1d_np(pdf[value_col].to_numpy(float), sigma)
+        return pdf
+
+    return hist.select(cols).groupBy(*GROUP_KEYS).applyInPandas(smooth, schema)
+
+
+def isi_stats(report: DataFrame) -> DataFrame:
+    """Inter-spike-interval statistics per (group key, gid): mean ISI, CV,
+    and LV (local variation), all JVM-side (A15).
+
+    ISIs come from ``lag`` over time within (group, gid, trial); CV =
+    std/mean; LV = mean of ``3 (Δi − Δi+1)² / (Δi + Δi+1)²`` over adjacent
+    ISI pairs (Shinomoto's local variation, computed with a second lag).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*GROUP_KEYS, "gid", "trial").orderBy("time")
+    isi = (
+        report.withColumn("prev_time", F.lag("time").over(w))
+        .withColumn("isi", F.col("time") - F.col("prev_time"))
+        .filter(F.col("isi").isNotNull())
+    )
+    w2 = W.partitionBy(*GROUP_KEYS, "gid", "trial").orderBy("time")
+    lv_terms = (
+        isi.withColumn("next_isi", F.lead("isi").over(w2))
+        .filter(F.col("next_isi").isNotNull())
+        .withColumn(
+            "lv_term",
+            3.0
+            * (F.col("isi") - F.col("next_isi")) ** 2
+            / (F.col("isi") + F.col("next_isi")) ** 2,
+        )
+    )
+    base = isi.groupBy(*GROUP_KEYS, "gid").agg(
+        F.mean("isi").alias("mean_isi"),
+        F.stddev_pop("isi").alias("std_isi"),
+        F.count("isi").alias("n_isi"),
+    )
+    lv = lv_terms.groupBy(*GROUP_KEYS, "gid").agg(F.mean("lv_term").alias("lv"))
+    return (
+        base.join(lv, [*GROUP_KEYS, "gid"], "left")
+        .withColumn(
+            "cv",
+            F.when(F.col("mean_isi") > 0, F.col("std_isi") / F.col("mean_isi")),
+        )
+        .select(*GROUP_KEYS, "gid", "mean_isi", "cv", "lv", "n_isi")
+    )
+
+
+def latency(report: DataFrame, windows: DataFrame) -> DataFrame:
+    """First-spike latency per (group key, trial): min(time) − t_start (A16)."""
+    meta = _window_meta(windows)
+    return (
+        report.groupBy(*GROUP_KEYS, "trial")
+        .agg(F.min("time").alias("first_spike"))
+        .join(F.broadcast(meta), ["simulation_id", "window"])
+        .select(
+            *GROUP_KEYS,
+            "trial",
+            (F.col("first_spike") - F.col("t_start")).alias("latency"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped user-function engine (the applyInPandas extension point)
+# ---------------------------------------------------------------------------
+
+FeatureFn = Callable[[pd.DataFrame, dict[str, Any]], pd.DataFrame]
+
+_REGISTRY: dict[str, FeatureFn] = {}
+
+
+def register_feature(name: str) -> Callable[[FeatureFn], FeatureFn]:
+    """Register a grouped feature function by name (the reference's
+    ``import_by_string`` dotted-path lookup becomes an explicit registry)."""
+
+    def deco(fn: FeatureFn) -> FeatureFn:
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def get_feature(name: str) -> FeatureFn:
+    return _REGISTRY[name]
+
+
+def apply_feature(
+    df: DataFrame,
+    groupby: list[str],
+    fn: str | FeatureFn,
+    schema: str,
+    params: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Run a user feature function per group via ``applyInPandas``.
+
+    Contract: ``fn(pdf, params) -> pandas.DataFrame``; the group-key columns
+    are re-attached to the output if the function dropped them (the
+    reference prepends key columns at position 0, ``features.py:434-439``).
+    """
+    fn_ = get_feature(fn) if isinstance(fn, str) else fn
+    params = params or {}
+
+    def runner(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = fn_(pdf, params)
+        for col, val in zip(groupby, key):
+            if col not in out.columns:
+                out.insert(0, col, val)
+        return out[[c.strip().split(" ")[0] for c in schema.split(",")]]
+
+    return df.groupBy(*groupby).applyInPandas(runner, schema)
