@@ -1,0 +1,214 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of doing this on Spark):
+
+- **Exact**: hash-groupBy on a normalized fingerprint — one shuffle on the
+  16-byte digest, map-side combine, no text movement after the hash.
+- **Exact Jaccard** (small/medium N or post-LSH verification): explode
+  shingles → self-join on shingle → per-pair intersection counts → Jaccard
+  via inclusion-exclusion. Quadratic only within shingle buckets.
+- **MinHash+LSH** (the 100 TB path): k permutation-style hashes via
+  ``xxhash64(shingle, seed_i)``, signature = per-seed min, band into b
+  groups of r, bucket-join on (band, band-hash) so only same-bucket pairs
+  are compared, then verify candidates with exact Jaccard. Everything
+  JVM-side; no UDFs.
+- **SimHash**: 64-bit, per-bit majority vote over shingle hashes, Hamming
+  distance ≤ k for candidates; implemented with bitwise expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from blueetl_spark.operators.text import fingerprint, shingles
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group by normalized-text fingerprint; keep the min id as canonical.
+
+    Returns (fingerprint, keep_id, n_dups) per distinct content.
+    """
+    fp = fingerprint(df, text_col, id_col)
+    return fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("keep_id"), F.count(id_col).alias("n_dups")
+    )
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded distinct shingle sets."""
+    return (
+        df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity ≥ threshold (id_a < id_b).
+
+    Inclusion-exclusion: |A∩B| from the shingle self-join, |A∪B| =
+    |A|+|B|−|A∩B|. The self-join key is the shingle, so cost concentrates
+    in frequent shingles — at scale, run :func:`minhash_lsh_candidates`
+    first and feed only candidate pairs here.
+    """
+    s = shingle_sets(df, text_col, id_col, n).cache()
+    sizes = s.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a = s.select(F.col(id_col).alias("id_a"), "shingle")
+    b = s.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signatures as an array<bigint> of per-seed minima.
+
+    ``xxhash64(shingle, seed)`` plays the role of the i-th random
+    permutation; the signature element i is the min over the document's
+    shingles. One explode + one groupBy — fully JVM-side.
+    """
+    s = shingle_sets(df, text_col, id_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = s.groupBy(id_col).agg(*mins)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH over MinHash signatures.
+
+    Signature split into ``bands`` bands of ``num_hashes // bands`` rows;
+    docs sharing any band hash land in one bucket → equi-join on
+    (band, band_hash). Returns distinct (id_a, id_b) candidates with the
+    estimated signature similarity (fraction of matching hashes).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes).cache()
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("signature")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.band_hash")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda m: m,
+                )
+            )
+            / F.lit(num_hashes),
+        )
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per document, JVM-side.
+
+    Per shingle: h = xxhash64(shingle). Per bit position: +1 if set else −1,
+    summed over shingles; the sign of each sum gives the output bit.
+    Implemented as 64 conditional sums over the exploded shingle table —
+    one shuffle, map-side combined.
+    """
+    s = shingle_sets(df, text_col, id_col, n).withColumn(
+        "h", F.xxhash64(F.col("shingle"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = s.groupBy(id_col).agg(*bit_sums)
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming_distance(col_a, col_b):
+    """Popcount of XOR — Hamming distance between two 64-bit simhashes."""
+    return F.bit_count(col_a.bitwiseXOR(col_b))

@@ -1,0 +1,212 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+- :func:`knn_bruteforce` — exact top-k cosine via a join + higher-order
+  functions (``zip_with``/``aggregate``), all JVM-side. The baseline, and
+  exact for verification. Cost O(|Q|·|C|) — fine when the query side is
+  small or as the within-bucket step below.
+- :func:`knn_lsh` — random-hyperplane LSH: sign-bit sketches bucket the
+  corpus; queries probe their own bucket (+ optional multi-probe), then
+  brute-force within the bucket. The 100 TB path: the corpus is hashed
+  once (one scan), the join is an equi-join on the bucket key, and AQE
+  handles bucket skew.
+- :func:`knn_ivf` — IVF-style: k-means-ish centroids sampled from the data
+  (deterministic seed), vectors assigned to nearest centroid (broadcast),
+  queries probe ``n_probe`` nearest centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("__norm", _norm(F.col(vec_col)))
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k by
+    (cosine desc, neighbor_id) — the id tie-break makes ranks
+    deterministic. Self-matches (same id) are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn("__qn", _norm(F.col("__qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", _norm(F.col("__cv")))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (driver-side, tiny)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def sketch(df: DataFrame, planes: list[list[float]], vec_col: str = "embedding"):
+    """Sign-bit sketch of each vector against the given hyperplanes → long."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_arr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = _dot(F.col(vec_col), plane_arr)
+        bucket = bucket.bitwiseOR(
+            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return df.withColumn("__bucket", bucket)
+
+
+def knn_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine via random-hyperplane bucketing.
+
+    Same output schema as :func:`knn_bruteforce`; recall < 1 by design
+    (single-probe). The corpus-side sketch is one scan; the candidate join
+    is an equi-join on the bucket key instead of a cross join.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    q = sketch(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        planes,
+        "__qv",
+    ).withColumn("__qn", _norm(F.col("__qv")))
+    c = sketch(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        planes,
+        "__cv",
+    ).withColumn("__cn", _norm(F.col("__cv")))
+    scored = (
+        q.join(c, "__bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat ANN: corpus partitioned by nearest sampled centroid; each
+    query probes its ``n_probe`` nearest centroids' cells.
+
+    Centroids are a deterministic sample of the corpus (seeded) — a cheap
+    stand-in for trained k-means that keeps the whole operator
+    deterministic; swap in Spark ML KMeans offline for production quality.
+    """
+    cents = [
+        (i, row[vec_col])
+        for i, row in enumerate(
+            corpus.select(vec_col)
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+            .limit(n_centroids)
+            .collect()
+        )
+    ]
+
+    def nearest_centroids(vec, n: int):
+        sims = F.array(
+            *[
+                F.struct(
+                    _dot(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("d"),
+                    F.lit(ci).alias("c"),
+                )
+                for ci, cvec in cents
+            ]
+        )
+        top = F.slice(F.reverse(F.array_sort(sims)), 1, n)
+        return F.transform(top, lambda s: s["c"])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cell", nearest_centroids(F.col("__cv"), 1)[0]).withColumn(
+        "__cn", _norm(F.col("__cv"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn(
+        "__cell", F.explode(nearest_centroids(F.col("__qv"), n_probe))
+    ).withColumn("__qn", _norm(F.col("__qv")))
+    scored = (
+        q.join(c, "__cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,99 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+codegen'd): tokenization via ``split``, shingling via ``transform`` over a
+``sequence`` of offsets, ratios via ``regexp_count`` — no Python UDFs.
+Designed for the ``documents`` table (``doc_id, text, lang, source,
+n_chars``) but parameterized on column names.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small English stopword list for the n-gram/stopword language heuristic.
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this",
+)
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text (empty string → [''])."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array of strings (JVM-side).
+
+    ``transform(sequence(1, len-n+1), i -> concat_ws(' ', slice(toks, i, n)))``.
+    Documents shorter than ``n`` tokens yield a single shingle of all tokens
+    (so no document silently disappears from dedup).
+    """
+    toks = tokens(col)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality signals (length, punctuation/digit/stopword
+    ratios, mean word length) — the building blocks of quality filtering.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(text_col)
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(
+        F.filter(tokens(text_col), lambda x: F.array_contains(stop_arr, F.lower(x)))
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (F.regexp_count(t, F.lit(r"[.,!?;:]")) / n_chars).alias("punct_ratio"),
+        (F.regexp_count(t, F.lit(r"[0-9]")) / n_chars).alias("digit_ratio"),
+        (n_stop / n_tokens).alias("stopword_ratio"),
+        ((n_chars - n_tokens + 1) / n_tokens).alias("mean_word_len"),
+    )
+
+
+def language_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Stopword-ratio language-ID heuristic: score = fraction of tokens that
+    are English stopwords; ``is_en`` when above threshold.
+
+    A production pipeline would use fastText/CLD3 via a Pandas UDF — this
+    n-gram-free heuristic is the fully-JVM baseline.
+    """
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    toks = tokens(text_col)
+    score = F.size(
+        F.filter(toks, lambda x: F.array_contains(stop_arr, F.lower(x)))
+    ) / F.size(toks)
+    return df.select(
+        F.col(id_col),
+        score.alias("en_score"),
+        (score > threshold).alias("is_en"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic document fingerprint: md5 of case/whitespace-normalized
+    text. The exact-dedup key (normalization catches trivial near-dups)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))

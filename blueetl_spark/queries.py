@@ -1,0 +1,822 @@
+"""Registered queries + DuckDB oracle SQL — the driver's correctness gate.
+
+Every entry exercises one or more operators from SURVEY §2 through the
+public library API, paired with an ANSI/DuckDB SQL statement computing the
+same result on the same parquet tables. Column names and types are aligned
+on both sides (driver hashes values after sorting columns by name).
+
+Determinism rules used throughout:
+
+- Event time is **integer milliseconds** since 2024-01-01 UTC, computed as
+  ``epoch_ns // 1e6`` on both sides (the events table stores TIMESTAMP_NS),
+  then cast to double. Integer-valued doubles hash identically.
+- Aggregated money amounts go through DECIMAL(18,2)/(8,2) so sums are exact
+  on both engines; single multiplications/divisions of exact inputs are
+  bit-deterministic in IEEE double, so per-row derived doubles are safe.
+- Multi-term double sums (population stds, cosines) are rounded to 6
+  decimals on both sides.
+- MinHash/SimHash/LSH use ``xxhash64`` which DuckDB lacks → registered
+  without oracle SQL (driver falls back to a rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blueetl_spark.functions.qdsl import q, query_to_sql
+from blueetl_spark.operators import dedup, features, similarity, text
+from blueetl_spark.operators.extraction import (
+    extract_neuron_classes,
+    extract_neurons,
+    extract_report,
+)
+from blueetl_spark.operators.windows import _expand_window, materialize_windows
+from blueetl_spark.sources import tables
+from blueetl_spark.sources.campaign import SimulationCampaign
+
+# ---------------------------------------------------------------------------
+# Shared constants (Spark impls and SQL oracles both derive from these)
+# ---------------------------------------------------------------------------
+
+T0_MS = 1_704_067_200_000  # 2024-01-01T00:00:00Z in epoch milliseconds
+DAY_MS = 86_400_000.0
+
+EVENTS_WINDOWS = {
+    "d1": {"bounds": [0.0, DAY_MS]},
+    "wk": {"bounds": [0.0, 7 * DAY_MS], "n_trials": 4, "trial_steps_value": 7 * DAY_MS},
+}
+ALL_WINDOW = {"all": {"bounds": [0.0, 31 * DAY_MS]}}
+
+QDSL_FILTER = {"event_type": ["click", "purchase"], "value": {"gt": 100.0}}
+QDSL_OR_REGEX = [{"event_type": {"regex": "^p"}}, {"value": {"le": 10.0}}]
+
+HIST_BIN_MS = 3_600_000.0  # hourly bins
+JACCARD_NGRAM = 3
+JACCARD_THRESHOLD = 0.2
+KNN_K = 5
+KNN_QUERY_MAX_ID = 8
+
+_EN_STOP_SQL = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
+
+
+def _windows_values_sql(config: dict) -> str:
+    """Render the driver-side window expansion as a SQL VALUES list —
+    guarantees the oracle uses byte-identical window definitions."""
+    rows = []
+    for name, cfg in config.items():
+        for r in _expand_window(name, cfg):
+            offset = r["initial_offset"] + r["step_offset"]
+            rows.append(
+                f"('{r['window']}', {r['trial']}, {offset!r}, "
+                f"{r['t_start']!r}, {r['t_stop']!r}, {r['duration']!r})"
+            )
+    return (
+        'w("window", trial, "offset", t_start, t_stop, duration) AS (VALUES '
+        + ", ".join(rows)
+        + ")"
+    )
+
+
+# Shared SQL CTE: normalized events with integer-ms time and parity classes.
+_E_CTE = (
+    "e AS (SELECT event_id, user_id AS gid, "
+    f"CAST(epoch_ns(ts)//1000000 - {T0_MS} AS DOUBLE) AS \"time\", "
+    "event_type, value, "
+    "CASE WHEN user_id % 2 = 0 THEN 'EXC' ELSE 'INH' END AS neuron_class "
+    "FROM events)"
+)
+
+# SQL token list shared by the text queries.
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+def _events_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with time = integer ms since T0 (double), gid, class."""
+    ev = tables.load(spark, sf_dir, "events")
+    ts = F.col("ts")
+    if dict(ev.dtypes)["ts"] != "bigint":  # pragma: no cover - env dependent
+        ts = F.unix_millis(F.col("ts")) * F.lit(1_000_000)
+    return ev.select(
+        F.col("event_id"),
+        F.col("user_id").alias("gid"),
+        (F.expr("ts div 1000000") - F.lit(T0_MS)).cast("double").alias("time"),
+        F.col("event_type"),
+        F.col("value"),
+        F.when(F.col("user_id") % 2 == 0, "EXC").otherwise("INH").alias("neuron_class"),
+    )
+
+
+def _single_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SimulationCampaign.from_dict(
+        {"data": [{"simulation_path": sf_dir, "seed": 42}]}
+    ).to_simulations_df(spark)
+
+
+def _nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_norm(spark, sf_dir)
+    return (
+        ev.select("gid")
+        .distinct()
+        .withColumn("circuit_id", F.lit(0).cast("smallint"))
+        .withColumn(
+            "synapse_class", F.when(F.col("gid") % 2 == 0, "EXC").otherwise("INH")
+        )
+        .withColumnRenamed("gid", "node_id")
+    )
+
+
+_CLASSES = {
+    "EXC": {"query": {"synapse_class": "EXC"}},
+    "INH": {"query": {"synapse_class": "INH"}},
+}
+
+
+def _report(spark: SparkSession, sf_dir: str, windows_config: dict) -> tuple:
+    """Full extraction pipeline on the events table; returns
+    (report, windows, neuron_counts)."""
+    sims = _single_sim(spark, sf_dir)
+    ev = _events_norm(spark, sf_dir).withColumn(
+        "simulation_id", F.lit(0).cast("smallint")
+    ).drop("neuron_class")
+    neurons = extract_neurons(_nodes(spark, sf_dir), _CLASSES)
+    windows = materialize_windows(spark, windows_config, sims)
+    report = extract_report(ev, neurons, windows, simulations=sims)
+    counts = extract_neuron_classes(neurons, _CLASSES).select(
+        "circuit_id", "neuron_class", "count"
+    )
+    return report, windows, counts
+
+
+# ---------------------------------------------------------------------------
+# Group A — blueetl pipeline semantics on the events table
+# ---------------------------------------------------------------------------
+
+
+def q_qdsl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P3/P7: q-DSL conjunction with isin + comparison."""
+    ev = _events_norm(spark, sf_dir)
+    return q(ev, QDSL_FILTER).select(
+        "event_id", F.col("gid").cast("long").alias("gid"), "event_type", "value"
+    )
+
+
+SQL_QDSL_FILTER = f"""
+WITH {_E_CTE}
+SELECT event_id, gid, event_type, value FROM e
+WHERE {query_to_sql(QDSL_FILTER)}
+"""
+
+
+def q_qdsl_or_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6: OR of dicts, one with an unanchored regex."""
+    ev = _events_norm(spark, sf_dir)
+    return q(ev, QDSL_OR_REGEX).select("event_id", "event_type", "value")
+
+
+SQL_QDSL_OR_REGEX = f"""
+WITH {_E_CTE}
+SELECT event_id, event_type, value FROM e
+WHERE {query_to_sql(QDSL_OR_REGEX)}
+"""
+
+
+def q_windows_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: config → (window, trial) rows with offsets/bounds."""
+    sims = _single_sim(spark, sf_dir)
+    w = materialize_windows(spark, EVENTS_WINDOWS, sims)
+    return w.select(
+        "window",
+        F.col("trial").cast("long").alias("trial"),
+        "offset",
+        "t_start",
+        "t_stop",
+        "duration",
+    )
+
+
+SQL_WINDOWS_MATERIALIZE = f"""
+WITH {_windows_values_sql(EVENTS_WINDOWS)}
+SELECT "window", CAST(trial AS BIGINT) AS trial, "offset", t_start, t_stop, duration
+FROM w
+"""
+
+
+def q_report_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/W2: interval-join slicing + class annotation (the report table)."""
+    report, _, _ = _report(spark, sf_dir, EVENTS_WINDOWS)
+    return report.select(
+        "time",
+        F.col("gid").cast("long").alias("gid"),
+        "window",
+        F.col("trial").cast("long").alias("trial"),
+        "neuron_class",
+    )
+
+
+SQL_REPORT_EXTRACT = f"""
+WITH {_E_CTE}, {_windows_values_sql(EVENTS_WINDOWS)}
+SELECT e."time" - w."offset" AS "time", e.gid, w."window",
+       CAST(w.trial AS BIGINT) AS trial, e.neuron_class
+FROM e JOIN w
+  ON e."time" >= w."offset" + w.t_start AND e."time" < w."offset" + w.t_stop
+"""
+
+
+def q_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: per (window, trial, class) event counts + per-second rates."""
+    report, windows, _ = _report(spark, sf_dir, EVENTS_WINDOWS)
+    meta = windows.groupBy("window").agg(F.first("duration").alias("duration"))
+    return (
+        report.groupBy("window", "trial", "neuron_class")
+        .agg(F.count("*").alias("n_events"))
+        .join(F.broadcast(meta), "window")
+        .select(
+            "window",
+            F.col("trial").cast("long").alias("trial"),
+            "neuron_class",
+            "n_events",
+            F.round(F.col("n_events") * 1000.0 / F.col("duration"), 9).alias(
+                "rate_per_s"
+            ),
+        )
+    )
+
+
+SQL_EVENT_RATES = f"""
+WITH {_E_CTE}, {_windows_values_sql(EVENTS_WINDOWS)}
+SELECT w."window", CAST(w.trial AS BIGINT) AS trial, e.neuron_class,
+       COUNT(*) AS n_events,
+       ROUND(COUNT(*) * 1000.0 / w.duration, 9) AS rate_per_s
+FROM e JOIN w
+  ON e."time" >= w."offset" + w.t_start AND e."time" < w."offset" + w.t_stop
+GROUP BY w."window", w.trial, e.neuron_class, w.duration
+"""
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: densified hourly histogram over the 'wk' windows, normalized
+    per (neuron × trial)."""
+    wk_only = {"wk": EVENTS_WINDOWS["wk"]}
+    report, windows, counts = _report(spark, sf_dir, wk_only)
+    h = features.histogram(report, windows, counts, bin_size=HIST_BIN_MS)
+    return h.select(
+        "neuron_class",
+        "window",
+        "bin",
+        "hist",
+        F.round("hist_normalized", 9).alias("hist_normalized"),
+    )
+
+
+SQL_HISTOGRAM = f"""
+WITH {_E_CTE}, {_windows_values_sql({"wk": EVENTS_WINDOWS["wk"]})},
+nc AS (SELECT neuron_class, COUNT(DISTINCT gid) AS n_neurons FROM e GROUP BY 1),
+nt AS (SELECT "window", COUNT(*) AS n_trials FROM w GROUP BY 1),
+sliced AS (
+  SELECT e."time" - w."offset" AS t, w."window", w.t_start, w.duration,
+         e.neuron_class
+  FROM e JOIN w
+    ON e."time" >= w."offset" + w.t_start AND e."time" < w."offset" + w.t_stop
+),
+slots AS (
+  SELECT DISTINCT s.neuron_class, s."window", r.range AS bin,
+         s.t_start, s.duration
+  FROM sliced s, range({int(7 * DAY_MS / HIST_BIN_MS)}) r
+),
+counts AS (
+  SELECT neuron_class, "window",
+         LEAST(CAST(floor((t - t_start) / {HIST_BIN_MS!r}) AS BIGINT),
+               CAST(ceil(duration / {HIST_BIN_MS!r}) AS BIGINT) - 1) AS bin,
+         COUNT(*) AS n
+  FROM sliced GROUP BY 1, 2, 3
+)
+SELECT sl.neuron_class, sl."window", sl.bin,
+       CAST(COALESCE(c.n, 0) AS DOUBLE) AS hist,
+       ROUND(COALESCE(c.n, 0) / (nc.n_neurons * nt.n_trials), 9)
+         AS hist_normalized
+FROM slots sl
+LEFT JOIN counts c
+  ON sl.neuron_class = c.neuron_class AND sl."window" = c."window"
+     AND sl.bin = c.bin
+JOIN nc ON nc.neuron_class = sl.neuron_class
+JOIN nt ON nt."window" = sl."window"
+"""
+
+
+def q_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: first-event latency per (window, trial, class)."""
+    report, windows, _ = _report(spark, sf_dir, EVENTS_WINDOWS)
+    meta = windows.groupBy("window").agg(F.first("t_start").alias("t_start"))
+    return (
+        report.groupBy("window", "trial", "neuron_class")
+        .agg(F.min("time").alias("first_time"))
+        .join(F.broadcast(meta), "window")
+        .select(
+            "window",
+            F.col("trial").cast("long").alias("trial"),
+            "neuron_class",
+            (F.col("first_time") - F.col("t_start")).alias("latency"),
+        )
+    )
+
+
+SQL_LATENCY = f"""
+WITH {_E_CTE}, {_windows_values_sql(EVENTS_WINDOWS)}
+SELECT w."window", CAST(w.trial AS BIGINT) AS trial, e.neuron_class,
+       MIN(e."time" - w."offset") - w.t_start AS latency
+FROM e JOIN w
+  ON e."time" >= w."offset" + w.t_start AND e."time" < w."offset" + w.t_stop
+GROUP BY w."window", w.trial, e.neuron_class, w.t_start
+"""
+
+
+def q_isi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: per-gid inter-event intervals — mean and CV (std/mean)."""
+    report, _, _ = _report(spark, sf_dir, ALL_WINDOW)
+    s = features.isi_stats(report)
+    return s.select(
+        F.col("gid").cast("long").alias("gid"),
+        F.col("n_isi"),
+        F.round("mean_isi", 6).alias("mean_isi"),
+        F.round("cv", 6).alias("cv"),
+    )
+
+
+SQL_ISI_STATS = f"""
+WITH {_E_CTE},
+isi AS (
+  SELECT gid, "time" - lag("time") OVER (PARTITION BY gid ORDER BY "time", event_id)
+         AS d
+  FROM e WHERE "time" >= 0 AND "time" < {31 * DAY_MS!r}
+)
+SELECT gid, COUNT(d) AS n_isi,
+       ROUND(AVG(d), 6) AS mean_isi,
+       ROUND(stddev_pop(d) / AVG(d), 6) AS cv
+FROM isi WHERE d IS NOT NULL GROUP BY gid
+"""
+
+
+def q_feature_by_gid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A14 composition: per-gid trial-averaged counts and rates."""
+    report, windows, _ = _report(spark, sf_dir, EVENTS_WINDOWS)
+    g = features.by_gid(report, windows)
+    return g.select(
+        "neuron_class",
+        "window",
+        F.col("gid").cast("long").alias("gid"),
+        "mean_spike_counts",
+        F.round("mean_firing_rates_per_second", 9).alias("rate_per_s"),
+    )
+
+
+SQL_FEATURE_BY_GID = f"""
+WITH {_E_CTE}, {_windows_values_sql(EVENTS_WINDOWS)},
+nt AS (SELECT "window", COUNT(*) AS n_trials FROM w GROUP BY 1),
+sliced AS (
+  SELECT e.gid, e.neuron_class, w."window", w.duration
+  FROM e JOIN w
+    ON e."time" >= w."offset" + w.t_start AND e."time" < w."offset" + w.t_stop
+)
+SELECT s.neuron_class, s."window", s.gid,
+       COUNT(*) / nt.n_trials AS mean_spike_counts,
+       ROUND(COUNT(*) / nt.n_trials * 1000.0 / s.duration, 9) AS rate_per_s
+FROM sliced s JOIN nt ON nt."window" = s."window"
+GROUP BY s.neuron_class, s."window", s.gid, nt.n_trials, s.duration
+"""
+
+
+# ---------------------------------------------------------------------------
+# Group B — relational operators on the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A10 family: grouped multi-aggregate with decimal-exact sums."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_dec = F.col("l_discount").cast("decimal(8,2)")
+    return (
+        li.filter(F.col("l_shipdate") < F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(price_dec).cast("double").alias("sum_base_price"),
+            F.sum(price_dec * (F.lit(1).cast("decimal(8,2)") - disc_dec))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))))
+            AS DOUBLE) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J6: broadcast join chain orders ⋈ customer ⋈ nation ⋈ region."""
+    orders = tables.load(spark, sf_dir, "orders")
+    customer = tables.load(spark, sf_dir, "customer")
+    nation = tables.load(spark, sf_dir, "nation")
+    region = tables.load(spark, sf_dir, "region")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT r_name AS region, n_name AS nation,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: anti join."""
+    customer = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_segment_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: semi join + grouped count."""
+    customer = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_SEGMENT_ACTIVE_CUSTOMERS = """
+SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1-ish global top-k with deterministic tie-break."""
+    orders = tables.load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_orders_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5-style SQL window: first 2 orders per customer by date."""
+    from pyspark.sql import Window
+
+    orders = tables.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("order_ms"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+SQL_ORDERS_TOPK_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS order_ms,
+       CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 2
+"""
+
+
+def q_customer_class_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: dense 0..n-1 numbering within a group (neuron_class_index)."""
+    from pyspark.sql import Window
+
+    customer = tables.load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    return customer.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "c_custkey",
+        (F.row_number().over(w) - 1).cast("long").alias("class_index"),
+    )
+
+
+SQL_CUSTOMER_CLASS_INDEX = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_custkey,
+       CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) - 1
+            AS BIGINT) AS class_index
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# Group C — documents: dedup + text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs)
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       MIN(doc_id) AS keep_id, COUNT(doc_id) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        text.token_count("text").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(text.shingles("text", JACCARD_NGRAM)))
+        .cast("long")
+        .alias("n_shingles"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id, length(text) AS n_chars,
+       len({_TOKS}) AS n_tokens,
+       len(list_distinct(list_transform(
+         range(1, greatest(len({_TOKS}) - {JACCARD_NGRAM - 1}, 1) + 1),
+         i -> array_to_string(({_TOKS})[i:i+{JACCARD_NGRAM - 1}], ' '))))
+         AS n_shingles
+FROM documents
+"""
+
+
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    qf = text.quality_features(docs)
+    return qf.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("punct_ratio", 9).alias("punct_ratio"),
+        F.round("digit_ratio", 9).alias("digit_ratio"),
+        F.round("stopword_ratio", 9).alias("stopword_ratio"),
+    )
+
+
+SQL_QUALITY_FEATURES = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       len({_TOKS}) AS n_tokens,
+       ROUND(len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / length(text), 9)
+         AS punct_ratio,
+       ROUND(len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text), 9)
+         AS digit_ratio,
+       ROUND(len(list_filter({_TOKS},
+                 x -> list_contains([{_EN_STOP_SQL}], lower(x)))) * 1.0
+             / len({_TOKS}), 9) AS stopword_ratio
+FROM documents
+"""
+
+
+def q_language_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    ls = text.language_score(docs)
+    return ls.select("doc_id", F.round("en_score", 9).alias("en_score"), "is_en")
+
+
+SQL_LANGUAGE_SCORE = f"""
+SELECT doc_id,
+       ROUND(len(list_filter({_TOKS},
+                 x -> list_contains([{_EN_STOP_SQL}], lower(x)))) * 1.0
+             / len({_TOKS}), 9) AS en_score,
+       (len(list_filter({_TOKS},
+            x -> list_contains([{_EN_STOP_SQL}], lower(x)))) * 1.0
+        / len({_TOKS})) > 0.1 AS is_en
+FROM documents
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (the LSH verification kernel)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, n=JACCARD_NGRAM, threshold=JACCARD_THRESHOLD
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+SQL_JACCARD_PAIRS = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len({_TOKS}) - {JACCARD_NGRAM - 1}, 1) + 1),
+    i -> array_to_string(({_TOKS})[i:i+{JACCARD_NGRAM - 1}], ' ')))) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_common * 1.0 / (sa.set_size + sb.set_size - n_common), 9)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common * 1.0 / (sa.set_size + sb.set_size - n_common)
+      >= {JACCARD_THRESHOLD!r}
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (xxhash64-based; no SQL oracle —
+    driver runs the rows-only check)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(docs, n=JACCARD_NGRAM)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (no SQL oracle)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup.simhash(docs, n=JACCARD_NGRAM)
+
+
+# ---------------------------------------------------------------------------
+# Group D — embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    norm = similarity._norm(F.col("embedding"))
+    return emb.select("vec_id", F.round(norm, 6).alias("l2_norm"))
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id,
+       ROUND(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+FROM embeddings
+"""
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    out = similarity.knn_bruteforce(queries_df, emb, k=KNN_K)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_KNN_BRUTEFORCE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {KNN_QUERY_MAX_ID}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(range(1, len(qv) + 1),
+           i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         AS cosine
+  FROM q, c WHERE query_id <> neighbor_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {KNN_K}
+"""
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (approximate; no SQL oracle)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    return similarity.knn_lsh(queries_df, emb, k=KNN_K)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "qdsl_filter": q_qdsl_filter,
+    "qdsl_or_regex": q_qdsl_or_regex,
+    "windows_materialize": q_windows_materialize,
+    "report_extract": q_report_extract,
+    "event_rates": q_event_rates,
+    "histogram": q_histogram,
+    "latency": q_latency,
+    "isi_stats": q_isi_stats,
+    "feature_by_gid": q_feature_by_gid,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "customers_without_orders": q_customers_without_orders,
+    "segment_active_customers": q_segment_active_customers,
+    "top_orders": q_top_orders,
+    "orders_topk_per_customer": q_orders_topk_per_customer,
+    "customer_class_index": q_customer_class_index,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "quality_features": q_quality_features,
+    "language_score": q_language_score,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "embedding_norms": q_embedding_norms,
+    "knn_bruteforce": q_knn_bruteforce,
+    "knn_lsh": q_knn_lsh,
+}
+
+ORACLES: dict[str, str] = {
+    "qdsl_filter": SQL_QDSL_FILTER,
+    "qdsl_or_regex": SQL_QDSL_OR_REGEX,
+    "windows_materialize": SQL_WINDOWS_MATERIALIZE,
+    "report_extract": SQL_REPORT_EXTRACT,
+    "event_rates": SQL_EVENT_RATES,
+    "histogram": SQL_HISTOGRAM,
+    "latency": SQL_LATENCY,
+    "isi_stats": SQL_ISI_STATS,
+    "feature_by_gid": SQL_FEATURE_BY_GID,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "segment_active_customers": SQL_SEGMENT_ACTIVE_CUSTOMERS,
+    "top_orders": SQL_TOP_ORDERS,
+    "orders_topk_per_customer": SQL_ORDERS_TOPK_PER_CUSTOMER,
+    "customer_class_index": SQL_CUSTOMER_CLASS_INDEX,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality_features": SQL_QUALITY_FEATURES,
+    "language_score": SQL_LANGUAGE_SCORE,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "embedding_norms": SQL_EMBEDDING_NORMS,
+    "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+}
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """End-to-end blueetl pipeline on sf0.001: extraction → report →
+    per-class population features."""
+    sf_dir = "/root/testdata/sf0.001"
+    report, windows, counts = _report(spark, sf_dir, EVENTS_WINDOWS)
+    return features.by_neuron_class(report, windows, counts)
