@@ -1,0 +1,406 @@
+"""Config-driven analysis pipeline: the ``blueetl run`` equivalent.
+
+A user of the reference drives everything from a YAML config (version 4,
+``/root/reference/src/blueetl/config/analysis_model.py``): campaign +
+per-analysis extraction (neuron classes, windows, report type) + a list of
+feature configs. This module re-expresses that surface on Spark:
+
+- :class:`Analyzer` — one analysis: lazy extraction DAG
+  (simulations → neurons → neuron_classes → windows → report) with
+  checksum caching per step, feature calculation through the registry,
+  in-memory ``apply_filter`` re-filtering (reference ``repository.py`` +
+  ``features.py``).
+- :class:`MultiAnalyzer` — dict of Analyzers from one config
+  (``analysis.py:206-218``).
+- ``params_product`` / ``params_zip`` feature-config expansion
+  (``utils.py:227-258``, ``config/analysis.py:132-170``).
+
+Inputs are DataFrames (``nodes``, ``events``) supplied by the caller or an
+adapter callable — the SONATA file adapters of the reference are out of
+scope while inputs are Parquet (SURVEY §4 conclusion); any loader that
+yields the right columns plugs in.
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import cached_property
+from pathlib import Path
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blueetl_spark.functions.qdsl import Query, compile_query
+from blueetl_spark.operators.extraction import (
+    extract_neuron_classes,
+    extract_neurons,
+    extract_report,
+)
+from blueetl_spark.operators.windows import materialize_windows
+from blueetl_spark.plans.cache import CacheManager, CachedPipeline, checksum
+from blueetl_spark.schemas import validate_windows
+from blueetl_spark.sources.campaign import SimulationCampaign
+
+
+def params_product(params: dict[str, Any]) -> list[dict[str, Any]]:
+    """Cartesian expansion of list-valued keys (suffix ``__0``-style ids are
+    the caller's concern; we return plain dicts in deterministic order)."""
+    keys = [k for k, v in params.items() if isinstance(v, list)]
+    if not keys:
+        return [dict(params)]
+    out = []
+    for combo in itertools.product(*[params[k] for k in keys]):
+        d = dict(params)
+        d.update(dict(zip(keys, combo)))
+        out.append(d)
+    return out
+
+
+def params_zip(params: dict[str, Any]) -> list[dict[str, Any]]:
+    """Zip expansion: list-valued keys must share length; row i takes the
+    i-th value of each."""
+    keys = [k for k, v in params.items() if isinstance(v, list)]
+    if not keys:
+        return [dict(params)]
+    lengths = {len(params[k]) for k in keys}
+    if len(lengths) != 1:
+        raise ValueError(f"params_zip lists must share length, got {lengths}")
+    out = []
+    for i in range(lengths.pop()):
+        d = dict(params)
+        d.update({k: params[k][i] for k in keys})
+        out.append(d)
+    return out
+
+
+def expand_features_configs(configs: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """Expand ``params_product`` / ``params_zip`` keys of each feature config
+    into concrete configs with a ``params_id`` suffix (U5/F7)."""
+    out = []
+    for cfg in configs:
+        base_params = cfg.get("params", {})
+        variants: list[dict[str, Any]] = [base_params]
+        if "params_product" in cfg:
+            variants = [
+                {**base_params, **v} for v in params_product(cfg["params_product"])
+            ]
+        if "params_zip" in cfg:
+            variants = [
+                {**v, **z}
+                for v in variants
+                for z in params_zip(cfg["params_zip"])
+            ]
+        for i, params in enumerate(variants):
+            c = {k: v for k, v in cfg.items() if k not in ("params_product", "params_zip")}
+            c["params"] = params
+            if len(variants) > 1:
+                c["suffix"] = f"_{i}"
+                c["params_id"] = i
+            out.append(c)
+    return out
+
+
+class Analyzer:
+    """One analysis: extraction DAG + features, with per-step caching."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        config: dict[str, Any],
+        campaign: SimulationCampaign,
+        nodes: DataFrame,
+        events: DataFrame,
+        cache_path: str | Path | None = None,
+        simulations_filter: Query = None,
+    ) -> None:
+        self.spark = spark
+        self.name = name
+        self.config = config
+        self.campaign = campaign
+        self.nodes = nodes
+        self.events = events
+        self.simulations_filter = simulations_filter
+        extraction = config["extraction"]
+        configs = {
+            "simulations": {"campaign": campaign.to_dict()},
+            "neurons": {
+                "neuron_classes": extraction["neuron_classes"],
+                "limit": extraction.get("limit"),
+                "seed": extraction.get("seed", 0),
+            },
+            "neuron_classes": {"neuron_classes": extraction["neuron_classes"]},
+            "windows": {"windows": extraction["windows"]},
+            "report": {"report": extraction.get("report", {"type": "spikes"})},
+        }
+        if cache_path is not None:
+            self._cache = CacheManager(spark, Path(cache_path) / name)
+            self._pipeline = CachedPipeline(self._cache, configs, simulations_filter)
+            self._pipeline.plan_invalidation()
+        else:
+            self._cache = None
+            self._pipeline = None
+
+    # -- extraction DAG ------------------------------------------------------
+    def _get(self, name: str, compute: Callable[[], DataFrame]) -> DataFrame:
+        if self._pipeline is not None:
+            return self._pipeline.get_or_compute(name, compute)
+        return compute()
+
+    @cached_property
+    def simulations(self) -> DataFrame:
+        def compute() -> DataFrame:
+            df = self.campaign.to_simulations_df(self.spark)
+            if self.simulations_filter:
+                df = df.filter(compile_query(self.simulations_filter))
+            return df
+
+        return self._get("simulations", compute)
+
+    @cached_property
+    def neurons(self) -> DataFrame:
+        ex = self.config["extraction"]
+        classes = {
+            name: {**cfg, "limit": cfg.get("limit", ex.get("limit"))}
+            for name, cfg in ex["neuron_classes"].items()
+        }
+
+        def compute() -> DataFrame:
+            return extract_neurons(
+                self.nodes, classes, seed=ex.get("seed", 0)
+            )
+
+        return self._get("neurons", compute)
+
+    @cached_property
+    def neuron_classes(self) -> DataFrame:
+        ex = self.config["extraction"]
+
+        def compute() -> DataFrame:
+            return extract_neuron_classes(self.neurons, ex["neuron_classes"])
+
+        return self._get("neuron_classes", compute)
+
+    @cached_property
+    def windows(self) -> DataFrame:
+        ex = self.config["extraction"]
+
+        def compute() -> DataFrame:
+            w = materialize_windows(
+                self.spark, ex["windows"], self.simulations,
+                dynamic_offsets=self._dynamic_offsets(ex["windows"]),
+            )
+            validate_windows(w)
+            return w
+
+        return self._get("windows", compute)
+
+    @cached_property
+    def report(self) -> DataFrame:
+        def compute() -> DataFrame:
+            return extract_report(
+                self.events, self.neurons, self.windows,
+                simulations=self.simulations,
+                value_cols=self._value_cols(),
+            )
+
+        return self._get("report", compute)
+
+    def _value_cols(self) -> list[str]:
+        rtype = self.config["extraction"].get("report", {}).get("type", "spikes")
+        return {"spikes": [], "soma": ["value"], "compartment": ["section", "value"]}[
+            rtype
+        ]
+
+    def _dynamic_offsets(self, windows_config: dict) -> dict[int, float] | None:
+        """Onset detection (A22): windows with ``trial_steps: {function:
+        'onset', ...}`` get a per-simulation dynamic offset computed from a
+        pre-window spike histogram (driver-side; the histogram is tiny)."""
+        specs = {
+            n: c["trial_steps"]
+            for n, c in windows_config.items()
+            if isinstance(c.get("trial_steps"), dict)
+        }
+        if not specs:
+            return None
+        from blueetl_spark.operators.onset import detect_onsets
+
+        # one spec per analysis supported (reference: per-window; rare)
+        spec = next(iter(specs.values()))
+        return detect_onsets(self.events, self.simulations, spec)
+
+    def extract(self) -> dict[str, DataFrame]:
+        return {
+            "simulations": self.simulations,
+            "neurons": self.neurons,
+            "neuron_classes": self.neuron_classes,
+            "windows": self.windows,
+            "report": self.report,
+        }
+
+    # -- features ------------------------------------------------------------
+    def calculate_features(self) -> dict[str, DataFrame]:
+        """Run every feature config; returns name → DataFrame (with params
+        suffix when expanded). Built-in Spark-native features are addressed
+        by ``function: blueetl_spark.features.<name>``."""
+        from blueetl_spark.operators import features as feat
+
+        out: dict[str, DataFrame] = {}
+        counts = self.neuron_classes.select("circuit_id", "neuron_class", "count")
+        for cfg in expand_features_configs(self.config.get("features", [])):
+            fname = cfg["function"]
+            suffix = cfg.get("suffix", "")
+            params = cfg.get("params", {})
+            key = cfg.get("name", fname.rsplit(".", 1)[-1]) + suffix
+            if fname == "blueetl_spark.features.by_gid":
+                df = feat.by_gid(self.report, self.windows)
+            elif fname == "blueetl_spark.features.by_gid_and_trial":
+                df = feat.by_gid_and_trial(self.report)
+            elif fname == "blueetl_spark.features.by_neuron_class":
+                df = feat.by_neuron_class(self.report, self.windows, counts)
+            elif fname == "blueetl_spark.features.by_neuron_class_and_trial":
+                df = feat.by_neuron_class_and_trial(self.report, counts)
+            elif fname == "blueetl_spark.features.histogram":
+                df = feat.histogram(
+                    self.report, self.windows, counts,
+                    bin_size=float(params.get("bin_size", 1.0)),
+                )
+            elif fname == "blueetl_spark.features.isi_stats":
+                df = feat.isi_stats(self.report)
+            elif fname == "blueetl_spark.features.latency":
+                df = feat.latency(self.report, self.windows)
+            else:
+                # registry lookup → applyInPandas UDTF path (§2.9)
+                df = feat.apply_feature(
+                    self.report,
+                    cfg.get("groupby", feat.GROUP_KEYS),
+                    fname,
+                    cfg["schema"],
+                    params=params,
+                )
+            if params and cfg.get("params_id") is not None:
+                df = df.withColumn("params_id", F.lit(cfg["params_id"]))
+            if self._cache is not None:
+                cs = checksum({"cfg": cfg})
+                name = f"features_{key}"
+                hit = self._cache.fetch(name, cs, self.simulations_filter)
+                df = hit if hit is not None else df
+                if hit is None:
+                    self._cache.dump(name, df, cs, self.simulations_filter)
+                    df = self._cache.load(name)
+            out[key] = df
+        return out
+
+    # -- in-memory refiltering (reference apply_filter) ----------------------
+    def apply_filter(self, simulations_filter: Query) -> "FilteredAnalyzer":
+        ids = [
+            r.simulation_id
+            for r in self.simulations.filter(
+                compile_query(simulations_filter)
+            ).collect()
+        ]
+        return FilteredAnalyzer(self, ids)
+
+
+class FilteredAnalyzer:
+    """Read-only view of an Analyzer restricted to a simulation-id set —
+    every table filtered in memory, nothing recomputed or re-cached
+    (reference ``FilteredRepository``, ``repository.py:392-418``)."""
+
+    def __init__(self, base: Analyzer, simulation_ids: list[int]):
+        self._base = base
+        self._ids = simulation_ids
+
+    def _filtered(self, df: DataFrame) -> DataFrame:
+        if "simulation_id" not in df.columns:
+            return df
+        return df.filter(F.col("simulation_id").isin(self._ids))
+
+    @property
+    def simulations(self) -> DataFrame:
+        return self._filtered(self._base.simulations)
+
+    @property
+    def neurons(self) -> DataFrame:
+        return self._base.neurons
+
+    @property
+    def neuron_classes(self) -> DataFrame:
+        return self._base.neuron_classes
+
+    @property
+    def windows(self) -> DataFrame:
+        return self._filtered(self._base.windows)
+
+    @property
+    def report(self) -> DataFrame:
+        return self._filtered(self._base.report)
+
+    def calculate_features(self) -> dict[str, DataFrame]:
+        return {
+            k: self._filtered(v)
+            for k, v in self._base.calculate_features().items()
+        }
+
+
+class MultiAnalyzer:
+    """All analyses of one config; mirrors ``MultiAnalyzer``/``run_from_file``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: dict[str, Any],
+        nodes: DataFrame,
+        events: DataFrame | dict[str, DataFrame],
+        cache_path: str | Path | None = None,
+    ) -> None:
+        self.spark = spark
+        self.config = config
+        camp_cfg = config["simulation_campaign"]
+        campaign = (
+            SimulationCampaign.load(camp_cfg)
+            if isinstance(camp_cfg, (str, Path))
+            else SimulationCampaign.from_dict(camp_cfg)
+        )
+        cache_path = cache_path or config.get("cache", {}).get("path")
+        self.analyzers: dict[str, Analyzer] = {}
+        for name, acfg in config["analysis"].items():
+            ev = events[name] if isinstance(events, dict) else events
+            self.analyzers[name] = Analyzer(
+                spark, name, acfg, campaign, nodes, ev,
+                cache_path=cache_path,
+                simulations_filter=config.get("simulations_filter"),
+            )
+
+    def __getattr__(self, name: str) -> Analyzer:
+        try:
+            return self.analyzers[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+    def extract(self) -> None:
+        for a in self.analyzers.values():
+            a.extract()
+
+    def calculate_features(self) -> dict[str, dict[str, DataFrame]]:
+        return {n: a.calculate_features() for n, a in self.analyzers.items()}
+
+
+def run_from_config(
+    spark: SparkSession,
+    config: dict[str, Any] | str | Path,
+    nodes: DataFrame,
+    events: DataFrame | dict[str, DataFrame],
+    cache_path: str | Path | None = None,
+) -> MultiAnalyzer:
+    """Load config (dict or YAML path), build the MultiAnalyzer, extract
+    everything and compute features (the ``blueetl run`` entry point)."""
+    if isinstance(config, (str, Path)):
+        import yaml
+
+        config = yaml.safe_load(Path(config).read_text())
+    ma = MultiAnalyzer(spark, config, nodes, events, cache_path=cache_path)
+    ma.extract()
+    ma.calculate_features()
+    return ma
