@@ -164,8 +164,12 @@ def histogram(
 
     ``bin = floor((time - t_start) / bin_size)``, clamped so ``time ==
     t_stop`` lands in the last bin (numpy.histogram right-edge semantics).
-    Densification (zero bins) joins against a per-window ``sequence`` —
-    generated from the tiny windows table, then broadcast.
+
+    Densification (zero bins) is single-pass: the sparse per-group counts
+    are rolled up into one map per group (a second, tiny, map-side-combined
+    shuffle), then a dense ``sequence`` of bins is exploded against the map
+    — the report subtree is scanned exactly once, instead of once for
+    counts and once for the slot list.
     """
     meta = _window_meta(windows)
     binned = (
@@ -182,10 +186,13 @@ def histogram(
         .agg(F.count("time").alias("hist"))
     )
     if densify:
-        # all (group, bin) slots: distinct groups × per-window bin range
-        slots = (
-            report.select(*GROUP_KEYS)
-            .distinct()
+        binned = (
+            binned.groupBy(*GROUP_KEYS)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col("bin"), F.col("hist")))
+                ).alias("__m")
+            )
             .join(F.broadcast(meta), ["simulation_id", "window"])
             .withColumn(
                 "bin",
@@ -196,25 +203,28 @@ def histogram(
                     )
                 ),
             )
-            .select(*GROUP_KEYS, "bin")
+            .select(
+                *GROUP_KEYS,
+                "bin",
+                F.coalesce(F.col("__m").getItem(F.col("bin")), F.lit(0)).alias("hist"),
+                "n_trials",
+            )
         )
-        binned = slots.join(binned, [*GROUP_KEYS, "bin"], "left").na.fill({"hist": 0})
-    out = (
-        binned.join(F.broadcast(meta), ["simulation_id", "window"])
-        .join(
-            F.broadcast(neuron_counts.withColumnRenamed("count", "n_neurons")),
-            ["circuit_id", "neuron_class"],
+    else:
+        binned = binned.join(F.broadcast(meta), ["simulation_id", "window"]).select(
+            *GROUP_KEYS, "bin", "hist", "n_trials"
         )
-        .select(
-            *GROUP_KEYS,
-            "bin",
-            F.col("hist").cast("double").alias("hist"),
-            (F.col("hist") / (F.col("n_neurons") * F.col("n_trials"))).alias(
-                "hist_normalized"
-            ),
-        )
+    return binned.join(
+        F.broadcast(neuron_counts.withColumnRenamed("count", "n_neurons")),
+        ["circuit_id", "neuron_class"],
+    ).select(
+        *GROUP_KEYS,
+        "bin",
+        F.col("hist").cast("double").alias("hist"),
+        (F.col("hist") / (F.col("n_neurons") * F.col("n_trials"))).alias(
+            "hist_normalized"
+        ),
     )
-    return out
 
 
 def gaussian_filter1d_np(x, sigma: float, truncate: float = 4.0):
@@ -275,35 +285,36 @@ def isi_stats(report: DataFrame) -> DataFrame:
 
     ISIs come from ``lag`` over time within (group, gid, trial); CV =
     std/mean; LV = mean of ``3 (Δi − Δi+1)² / (Δi + Δi+1)²`` over adjacent
-    ISI pairs (Shinomoto's local variation, computed with a second lag).
+    ISI pairs (Shinomoto's local variation).
+
+    Single window pass: ``isi = time − lag(time)`` and ``next_isi =
+    lead(time) − time`` come from the same window spec, so both the base
+    statistics and the LV terms aggregate in one shuffle — no self-join,
+    no recomputation of the report subtree.
     """
     from pyspark.sql import Window as W
 
     w = W.partitionBy(*GROUP_KEYS, "gid", "trial").orderBy("time")
-    isi = (
-        report.withColumn("prev_time", F.lag("time").over(w))
-        .withColumn("isi", F.col("time") - F.col("prev_time"))
-        .filter(F.col("isi").isNotNull())
+    isi = F.col("time") - F.lag("time").over(w)
+    next_isi = F.lead("time").over(w) - F.col("time")
+    terms = report.select(
+        *GROUP_KEYS,
+        "gid",
+        isi.alias("isi"),
+        F.when(
+            isi.isNotNull() & next_isi.isNotNull(),
+            3.0 * (isi - next_isi) ** 2 / (isi + next_isi) ** 2,
+        ).alias("lv_term"),
     )
-    w2 = W.partitionBy(*GROUP_KEYS, "gid", "trial").orderBy("time")
-    lv_terms = (
-        isi.withColumn("next_isi", F.lead("isi").over(w2))
-        .filter(F.col("next_isi").isNotNull())
-        .withColumn(
-            "lv_term",
-            3.0
-            * (F.col("isi") - F.col("next_isi")) ** 2
-            / (F.col("isi") + F.col("next_isi")) ** 2,
-        )
-    )
-    base = isi.groupBy(*GROUP_KEYS, "gid").agg(
-        F.mean("isi").alias("mean_isi"),
-        F.stddev_pop("isi").alias("std_isi"),
-        F.count("isi").alias("n_isi"),
-    )
-    lv = lv_terms.groupBy(*GROUP_KEYS, "gid").agg(F.mean("lv_term").alias("lv"))
     return (
-        base.join(lv, [*GROUP_KEYS, "gid"], "left")
+        terms.groupBy(*GROUP_KEYS, "gid")
+        .agg(
+            F.mean("isi").alias("mean_isi"),
+            F.stddev_pop("isi").alias("std_isi"),
+            F.count("isi").alias("n_isi"),
+            F.mean("lv_term").alias("lv"),
+        )
+        .filter(F.col("n_isi") > 0)
         .withColumn(
             "cv",
             F.when(F.col("mean_isi") > 0, F.col("std_isi") / F.col("mean_isi")),

@@ -32,15 +32,24 @@ def token_count(col: Column | str) -> Column:
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as an array of strings (JVM-side).
 
-    ``transform(sequence(1, len-n+1), i -> concat_ws(' ', slice(toks, i, n)))``.
-    Documents shorter than ``n`` tokens yield a single shingle of all tokens
-    (so no document silently disappears from dedup).
+    Formulated as ``arrays_zip`` of the ``n`` shifted token arrays, then a
+    ``transform`` that concatenates each zipped struct. ``arrays_zip``
+    evaluates its children once per row, so the underlying ``split`` runs
+    ``n`` times per document — NOT once per shingle position, which is what
+    the naive ``transform(sequence(i), slice(toks, i, n))`` costs (lambda
+    bodies in higher-order functions are re-evaluated per element,
+    including any expression they close over: O(tokens²) per document).
+
+    Documents shorter than ``n`` tokens yield a single shingle of all
+    tokens (so no document silently disappears from dedup).
     """
     toks = tokens(col)
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    shifted = [F.slice(toks, j + 1, count) for j in range(n)]
+    zipped = F.arrays_zip(*shifted)
+    fields = [f"{j}" for j in range(n)]
     return F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        zipped, lambda s: F.concat_ws(" ", *[s.getField(f) for f in fields])
     )
 
 

@@ -113,20 +113,37 @@ def materialize_windows(
             "window_type",
         )
     )
-    return schemas.ensure_schema(out, schemas.WINDOWS_SCHEMA)
+    out = schemas.ensure_schema(out, schemas.WINDOWS_SCHEMA)
+    # The global time envelope is fully determined by driver-side config, so
+    # stash it on the DataFrame: time_bounds_filter can then build the scan
+    # predicate without running a Spark job at plan-construction time.
+    dyn = list((dynamic_offsets or {}).values()) or [0.0]
+    static = [d["initial_offset"] + d["step_offset"] for d in defs]
+    out._blueetl_time_bounds = (
+        min(s + min(dyn + [0.0]) + d["t_start"] for s, d in zip(static, defs)),
+        max(s + max(dyn + [0.0]) + d["t_stop"] for s, d in zip(static, defs)),
+    )
+    return out
 
 
 def time_bounds_filter(windows: DataFrame, time_col: str = "time"):
     """Global [min, max) time predicate across all windows — push this onto
     the event scan *before* the interval join so parquet row-group stats can
-    prune. Collects two scalars from the (tiny) windows table."""
-    row = windows.agg(
-        F.min(F.col("offset") + F.col("t_start")).alias("lo"),
-        F.max(F.col("offset") + F.col("t_stop")).alias("hi"),
-    ).first()
-    if row is None or row.lo is None:
-        return F.lit(False)
-    return (F.col(time_col) >= F.lit(row.lo)) & (F.col(time_col) < F.lit(row.hi))
+    prune.
+
+    Windows built by :func:`materialize_windows` carry driver-computed
+    bounds, so no Spark job runs here; arbitrary windows DataFrames fall
+    back to collecting two scalars (one tiny job)."""
+    bounds = getattr(windows, "_blueetl_time_bounds", None)
+    if bounds is None:
+        row = windows.agg(
+            F.min(F.col("offset") + F.col("t_start")).alias("lo"),
+            F.max(F.col("offset") + F.col("t_stop")).alias("hi"),
+        ).first()
+        if row is None or row.lo is None:
+            return F.lit(False)
+        bounds = (row.lo, row.hi)
+    return (F.col(time_col) >= F.lit(bounds[0])) & (F.col(time_col) < F.lit(bounds[1]))
 
 
 def slice_events(
