@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from blueetl_spark.functions.qdsl import q, query_to_sql
-from blueetl_spark.operators import dedup, features, similarity, text
+from blueetl_spark.operators import dedup, features, signal, similarity, text
 from blueetl_spark.operators.extraction import (
     extract_neuron_classes,
     extract_neurons,
@@ -386,6 +386,110 @@ SELECT s.neuron_class, s."window", s.gid,
 FROM sliced s JOIN nt ON nt."window" = s."window"
 GROUP BY s.neuron_class, s."window", s.gid, nt.n_trials, s.duration
 """
+
+
+CORR_GID_MAX = 100
+CORR_BIN = DAY_MS
+CORR_NBINS = 31
+
+
+def q_correlation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19: pairwise binned spike-train correlation, JVM-side sparse sums."""
+    report, windows, _ = _report(spark, sf_dir, ALL_WINDOW)
+    out = signal.pairwise_correlation(
+        report.filter(F.col("gid") < CORR_GID_MAX), windows, bin_size=CORR_BIN
+    )
+    return out.filter(F.col("corr").isNotNull()).select(
+        "neuron_class",
+        F.col("gid_a").cast("long").alias("gid_a"),
+        F.col("gid_b").cast("long").alias("gid_b"),
+        F.round("corr", 6).alias("corr"),
+    )
+
+
+SQL_CORRELATION_PAIRS = f"""
+WITH {_E_CTE},
+b AS (
+  SELECT neuron_class, gid,
+         LEAST(CAST(floor("time" / {CORR_BIN!r}) AS BIGINT), {CORR_NBINS - 1})
+           AS bin,
+         COUNT(*) AS n
+  FROM e
+  WHERE "time" >= 0 AND "time" < {31 * DAY_MS!r} AND gid < {CORR_GID_MAX}
+  GROUP BY 1, 2, 3
+),
+s AS (SELECT neuron_class, gid, SUM(n) AS sx, SUM(n*n) AS sxx FROM b GROUP BY 1, 2),
+x AS (
+  SELECT a.neuron_class, a.gid AS gid_a, c.gid AS gid_b, SUM(a.n * c.n) AS sxy
+  FROM b a JOIN b c
+    ON a.neuron_class = c.neuron_class AND a.bin = c.bin AND a.gid < c.gid
+  GROUP BY 1, 2, 3
+)
+SELECT x.neuron_class, gid_a, gid_b,
+       ROUND(({CORR_NBINS} * sxy - sa.sx * sb.sx)
+             / sqrt(({CORR_NBINS} * sa.sxx - sa.sx * sa.sx)
+                    * ({CORR_NBINS} * sb.sxx - sb.sx * sb.sx)), 6) AS corr
+FROM x
+JOIN s sa ON sa.neuron_class = x.neuron_class AND sa.gid = gid_a
+JOIN s sb ON sb.neuron_class = x.neuron_class AND sb.gid = gid_b
+WHERE ({CORR_NBINS} * sa.sxx - sa.sx * sa.sx) > 0
+  AND ({CORR_NBINS} * sb.sxx - sb.sx * sb.sx) > 0
+"""
+
+
+def q_complexity_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20: population-synchrony PDF over daily bins."""
+    report, windows, _ = _report(spark, sf_dir, ALL_WINDOW)
+    out = signal.complexity_pdf(report, windows, bin_size=CORR_BIN)
+    return out.select(
+        "neuron_class",
+        "complexity",
+        "n_occurrences",
+        F.round("probability", 9).alias("probability"),
+    )
+
+
+SQL_COMPLEXITY_PDF = f"""
+WITH {_E_CTE},
+b AS (
+  SELECT neuron_class,
+         LEAST(CAST(floor("time" / {CORR_BIN!r}) AS BIGINT), {CORR_NBINS - 1})
+           AS bin,
+         COUNT(DISTINCT gid) AS cx
+  FROM e WHERE "time" >= 0 AND "time" < {31 * DAY_MS!r}
+  GROUP BY 1, 2
+),
+occ AS (SELECT neuron_class, cx, COUNT(*) AS n_occurrences FROM b GROUP BY 1, 2),
+zeros AS (
+  SELECT neuron_class, CAST(0 AS BIGINT) AS cx,
+         {CORR_NBINS} - COUNT(*) AS n_occurrences
+  FROM b GROUP BY 1 HAVING {CORR_NBINS} - COUNT(*) > 0
+),
+u AS (SELECT * FROM occ UNION ALL SELECT * FROM zeros)
+SELECT neuron_class, cx AS complexity, n_occurrences,
+       ROUND(n_occurrences * 1.0 / {CORR_NBINS}, 9) AS probability
+FROM u
+"""
+
+
+def q_psd_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18: Welch PSD of each class PSTH (FFT — no SQL oracle)."""
+    report, windows, _ = _report(spark, sf_dir, ALL_WINDOW)
+    return signal.psd_welch(
+        report, windows, bin_size=HIST_BIN_MS, nperseg=128
+    ).select("neuron_class", "window", "freq", "psd")
+
+
+def q_spike_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21: van Rossum + Victor-Purpura per gid pair (DP — no SQL oracle)."""
+    report, windows, _ = _report(spark, sf_dir, ALL_WINDOW)
+    gids = list(range(0, 8))
+    pairs = spark.createDataFrame(
+        [(a, b) for a in gids for b in gids if a < b], "gid_a bigint, gid_b bigint"
+    )
+    return signal.spike_train_distances(
+        report, pairs, tau=DAY_MS, q=1.0 / DAY_MS
+    ).select("neuron_class", "gid_a", "gid_b", "van_rossum", "victor_purpura")
 
 
 # ---------------------------------------------------------------------------
@@ -768,6 +872,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latency": q_latency,
     "isi_stats": q_isi_stats,
     "feature_by_gid": q_feature_by_gid,
+    "correlation_pairs": q_correlation_pairs,
+    "complexity_pdf": q_complexity_pdf,
+    "psd_welch": q_psd_welch,
+    "spike_distances": q_spike_distances,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "customers_without_orders": q_customers_without_orders,
@@ -797,6 +905,8 @@ ORACLES: dict[str, str] = {
     "latency": SQL_LATENCY,
     "isi_stats": SQL_ISI_STATS,
     "feature_by_gid": SQL_FEATURE_BY_GID,
+    "correlation_pairs": SQL_CORRELATION_PAIRS,
+    "complexity_pdf": SQL_COMPLEXITY_PDF,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
