@@ -1,0 +1,146 @@
+"""Pluggable table stores: Parquet (distributed), Feather (driver-side),
+HDF (stubbed — no h5 library in this runtime).
+
+Reference design: one store object per cache directory with
+``dump/load/checksum/delete`` (``/root/reference/src/blueetl/store/base.py:
+16-67``; parquet ``store/parquet.py:89-114``, feather ``store/feather.py:
+51-73``, hdf ``store/hdf.py:19-48``). The reference also hand-unifies
+schemas across part files (``store/parquet.py:18-65``) — Spark's
+``mergeSchema`` option replaces that wholesale.
+
+Scale notes: Parquet is the only store that stays distributed (a directory
+of parts written by executors — at 100 TB this is the one to use, with the
+partition columns of the table's grain). Feather is a *driver-side*
+convenience for small repo tables (windows, neuron_classes): the DataFrame
+is collected through Arrow, never use it for the report. Both write
+zstd-compressed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class BaseStore:
+    """dump/load/checksum/delete for one directory of named tables."""
+
+    EXT = ""
+
+    def __init__(self, base_path: str | Path) -> None:
+        self.base_path = Path(base_path)
+        self.base_path.mkdir(parents=True, exist_ok=True)
+
+    def path_for(self, name: str) -> Path:
+        return self.base_path / f"{name}{self.EXT}"
+
+    def exists(self, name: str) -> bool:
+        return self.path_for(name).exists()
+
+    def delete(self, name: str) -> None:
+        p = self.path_for(name)
+        if p.is_dir():
+            shutil.rmtree(p)
+        elif p.exists():
+            p.unlink()
+
+    def checksum(self, name: str) -> str | None:
+        """blake2b over the file bytes (file stores) or over the sorted
+        (relative-path, size, mtime) list (directory stores) — cheap enough
+        to run per access, stable across identical dumps."""
+        p = self.path_for(name)
+        if not p.exists():
+            return None
+        h = hashlib.blake2b(digest_size=16)
+        if p.is_file():
+            with open(p, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+        else:
+            for f in sorted(p.rglob("*")):
+                if f.is_file() and not f.name.startswith("."):
+                    st = f.stat()
+                    h.update(str(f.relative_to(p)).encode())
+                    h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+        return h.hexdigest()
+
+    def dump(self, df: DataFrame, name: str) -> None:
+        raise NotImplementedError
+
+    def load(self, spark: SparkSession, name: str) -> DataFrame:
+        raise NotImplementedError
+
+
+class ParquetStore(BaseStore):
+    """Distributed parquet directory per table (zstd, schema-merging reads)."""
+
+    EXT = ".parquet"
+
+    def dump(self, df: DataFrame, name: str) -> None:
+        df.write.mode("overwrite").option("compression", "zstd").parquet(
+            str(self.path_for(name))
+        )
+
+    def load(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.option("mergeSchema", "true").parquet(
+            str(self.path_for(name))
+        )
+
+
+class FeatherStore(BaseStore):
+    """Driver-side Arrow/Feather file per table — small tables only.
+
+    The reference needs an index→column shim for feather
+    (``store/feather.py:16-50``); Spark DataFrames have no index, so the
+    round-trip is plain.
+    """
+
+    EXT = ".feather"
+
+    def dump(self, df: DataFrame, name: str) -> None:
+        import pyarrow.feather as feather
+
+        table = df.toArrow()
+        feather.write_feather(table, str(self.path_for(name)), compression="zstd")
+
+    def load(self, spark: SparkSession, name: str) -> DataFrame:
+        import pyarrow.feather as feather
+
+        table = feather.read_table(str(self.path_for(name)))
+        return spark.createDataFrame(table.to_pandas())
+
+
+class HDFStore(BaseStore):
+    """HDF5 store — STUB: no h5 library is available in this runtime image.
+
+    Kept so configs naming ``store: hdf`` fail with a clear message rather
+    than a missing-attribute error; swap in h5py/pytables in environments
+    that have them.
+    """
+
+    EXT = ".h5"
+
+    def dump(self, df: DataFrame, name: str) -> None:
+        raise NotImplementedError(
+            "HDF store requires pytables/h5py, which are not installed; "
+            "use 'parquet' (distributed) or 'feather' (driver-side) instead"
+        )
+
+    def load(self, spark: SparkSession, name: str) -> DataFrame:
+        raise NotImplementedError(
+            "HDF store requires pytables/h5py, which are not installed; "
+            "use 'parquet' (distributed) or 'feather' (driver-side) instead"
+        )
+
+
+STORES = {"parquet": ParquetStore, "feather": FeatherStore, "hdf": HDFStore}
+
+
+def get_store(kind: str, base_path: str | Path) -> BaseStore:
+    try:
+        return STORES[kind](base_path)
+    except KeyError:
+        raise ValueError(f"unknown store kind {kind!r}; one of {sorted(STORES)}")

@@ -50,6 +50,8 @@ class SimulationCampaign:
 
     @classmethod
     def from_dict(cls, obj: dict[str, Any]) -> "SimulationCampaign":
+        if "dims" in obj and "coords" in obj:  # xr.DataArray.to_dict() layout
+            return cls.from_xarray_dict(obj)
         if "data" in obj:  # blueetl layout: explicit row list
             return cls(list(obj["data"]), obj.get("name", ""), obj.get("attrs"))
         # xarray-like layout: coords product ("product") or zipped ("coupled")
@@ -73,6 +75,86 @@ class SimulationCampaign:
 
     def to_dict(self) -> dict[str, Any]:
         return {"name": self.name, "attrs": self.attrs, "data": self.data}
+
+    # -- xarray round-trip (S2) ---------------------------------------------
+    # The on-disk "xarray format" is exactly ``xr.DataArray.to_dict()``
+    # (reference ``campaign/config.py:208-271``): product layouts store the
+    # conditions as dims with an N-d nested path array; coupled layouts
+    # store one synthetic dim with per-condition coord arrays and a flat
+    # path list, remembered via ``attrs["__coupled__"]``. Parsed directly —
+    # the xarray library is not required (nor present in this runtime).
+
+    @classmethod
+    def from_xarray_dict(cls, d: dict[str, Any]) -> "SimulationCampaign":
+        attrs = dict(d.get("attrs") or {})
+        dims = list(d.get("dims") or [])
+        coords = {k: list(v["data"]) for k, v in (d.get("coords") or {}).items()}
+        data = d.get("data") or []
+        coupled = attrs.get("__coupled__") or (
+            len(dims) == 1 and dims[0] not in coords and len(coords) >= 1
+        )
+        rows: list[dict[str, Any]] = []
+        if coupled:
+            cond_names = [c for c in coords if c not in dims]
+            for i, path in enumerate(data):
+                row = {c: coords[c][i] for c in cond_names}
+                row["simulation_path"] = "" if path is None else str(path)
+                rows.append(row)
+        else:
+            import numpy as np
+
+            arr = np.array(data, dtype=object)
+            if arr.shape != tuple(len(coords[dim]) for dim in dims):
+                raise ValueError(
+                    f"data shape {arr.shape} does not match coords "
+                    f"{[len(coords[d]) for d in dims]}"
+                )
+            for idx in itertools.product(*(range(len(coords[d])) for d in dims)):
+                path = arr[idx]
+                row = {dim: coords[dim][i] for dim, i in zip(dims, idx)}
+                row["simulation_path"] = "" if path is None else str(path)
+                rows.append(row)
+        return cls(rows, str(d.get("name") or ""), attrs)
+
+    def to_xarray_dict(self) -> dict[str, Any]:
+        attrs = dict(self.attrs)
+        coupled = attrs.get("__coupled__")
+        names = self.condition_names
+        if coupled:
+            return {
+                "name": self.name,
+                "attrs": attrs,
+                "dims": [coupled],
+                "coords": {
+                    c: {"dims": [coupled], "data": [r.get(c) for r in self.data]}
+                    for c in names
+                },
+                "data": [r.get("simulation_path", "") for r in self.data],
+            }
+        values = {c: sorted({r[c] for r in self.data}) for c in names}
+        index = {c: {v: i for i, v in enumerate(values[c])} for c in names}
+
+        def nest(depth: int, prefix: tuple[int, ...]) -> Any:
+            if depth == len(names):
+                return lookup.get(prefix, "")
+            return [
+                nest(depth + 1, prefix + (i,))
+                for i in range(len(values[names[depth]]))
+            ]
+
+        lookup = {
+            tuple(index[c][r[c]] for c in names): r.get("simulation_path", "")
+            for r in self.data
+        }
+        return {
+            "name": self.name,
+            "attrs": attrs,
+            "dims": names,
+            "coords": {
+                c: {"dims": [c], "data": values[c]} for c in names
+            },
+            "data": nest(0, ()),
+        }
 
     @property
     def condition_names(self) -> list[str]:

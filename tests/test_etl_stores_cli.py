@@ -1,0 +1,217 @@
+"""Tests: etl helpers (J2/A7/U1/U5/O4), stores (S7/S8), xarray round-trip
+(S2), spikes converter (S10), CLI validate-config."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from blueetl_spark.functions import etl
+from blueetl_spark.plans import stores
+from blueetl_spark.sources.campaign import SimulationCampaign
+
+
+# -- etl helpers -------------------------------------------------------------
+
+
+def test_distinct_groups_across_frames(spark):
+    neurons = spark.createDataFrame(
+        [(0, "EXC", 1), (0, "EXC", 2), (0, "INH", 3)],
+        "circuit_id int, neuron_class string, gid long",
+    )
+    windows = spark.createDataFrame(
+        [(0, 0, "w1"), (0, 0, "w2"), (1, 0, "w1")],
+        "simulation_id int, circuit_id int, window string",
+    )
+    got = etl.distinct_groups(
+        [windows, neurons], ["simulation_id", "circuit_id", "neuron_class", "window"]
+    ).toPandas()
+    # windows has (0,w1),(0,w2),(1,w1); each crossed with the circuit's
+    # 2 classes via the left-join chain on circuit_id
+    assert len(got) == 6
+    assert set(zip(got.simulation_id, got.neuron_class, got.window)) == {
+        (0, "EXC", "w1"), (0, "EXC", "w2"), (0, "INH", "w1"),
+        (0, "INH", "w2"), (1, "EXC", "w1"), (1, "INH", "w1"),
+    }
+    assert got.duplicated().sum() == 0
+    assert list(got.columns) == [
+        "simulation_id", "circuit_id", "neuron_class", "window",
+    ]
+
+
+def test_distinct_groups_missing_column_raises(spark):
+    df = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(ValueError, match="not found"):
+        etl.distinct_groups([df], ["a", "zz"])
+
+
+def test_first_and_one(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "b")], "id int, s string")
+    assert etl.first(df, s="b").id in (2, 3)
+    assert etl.one(df, id=2).s == "b"
+    with pytest.raises(ValueError, match="found 2"):
+        etl.one(df, s="b")
+    with pytest.raises(ValueError, match="found 0"):
+        etl.one(df, s="zzz")
+
+
+def test_smart_concat_and_concat_features(spark):
+    a = spark.createDataFrame([(1, 10.0)], "gid int, rate double")
+    b = spark.createDataFrame([(2, 0.5)], "gid int, cv double")
+    u = etl.smart_concat([a, b]).toPandas().sort_values("gid")
+    assert set(u.columns) == {"gid", "rate", "cv"}
+    assert u.cv.isna().tolist() == [True, False]
+
+    cf = etl.concat_features(
+        [a, a], [{"params.latency.onset": 1.0}, {"params.latency.onset": 2.0}]
+    ).toPandas()
+    assert sorted(cf.params_id) == [0, 1]
+    assert sorted(cf.onset) == [1.0, 2.0]
+
+
+def test_condition_codes(spark):
+    df = spark.createDataFrame(
+        [(1.0, "x"), (2.0, "y"), (1.0, "y")], "ca double, seed string"
+    )
+    got = etl.condition_codes(df, ["ca", "seed"]).toPandas()
+    assert set(zip(got.ca, got.ca_code)) == {(1.0, 0), (2.0, 1)}
+    assert set(zip(got.seed, got.seed_code)) == {("x", 0), ("y", 1)}
+
+
+def test_groupby_except(spark):
+    df = spark.createDataFrame([(0, "w", 1), (0, "w", 2)], "sim int, w string, gid int")
+    out = etl.groupby_except(df, ["sim", "w", "gid"], ["gid"]).count().toPandas()
+    assert len(out) == 1 and out["count"][0] == 2
+
+
+# -- stores ------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("kind", ["parquet", "feather"])
+def test_store_round_trip(spark, tmp_path, kind):
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 2.0]), (2, "b", [])],
+        "gid long, s string, times array<double>",
+    )
+    store = stores.get_store(kind, tmp_path / kind)
+    assert not store.exists("t")
+    assert store.checksum("t") is None
+    store.dump(df, "t")
+    assert store.exists("t")
+    c1 = store.checksum("t")
+    assert c1
+    back = store.load(spark, "t").orderBy("gid").toPandas()
+    assert back.gid.tolist() == [1, 2]
+    assert back.s.tolist() == ["a", "b"]
+    assert [list(x) for x in back.times] == [[1.0, 2.0], []]
+    store.delete("t")
+    assert not store.exists("t")
+
+
+def test_hdf_store_is_clearly_stubbed(spark, tmp_path):
+    store = stores.get_store("hdf", tmp_path)
+    df = spark.range(1)
+    with pytest.raises(NotImplementedError, match="parquet"):
+        store.dump(df, "t")
+    with pytest.raises(ValueError, match="unknown store"):
+        stores.get_store("nope", tmp_path)
+
+
+# -- xarray campaign round-trip ---------------------------------------------
+
+
+def test_xarray_dict_product_layout():
+    d = {
+        "name": "c",
+        "attrs": {"k": "v"},
+        "dims": ["ca", "seed"],
+        "coords": {
+            "ca": {"dims": ["ca"], "data": [1.0, 2.0]},
+            "seed": {"dims": ["seed"], "data": [3, 4]},
+        },
+        "data": [["p/0", "p/1"], ["p/2", None]],
+    }
+    c = SimulationCampaign.from_dict(d)
+    assert [r["simulation_path"] for r in c.data] == ["p/0", "p/1", "p/2", ""]
+    assert c.data[2] == {"ca": 2.0, "seed": 3, "simulation_path": "p/2"}
+    back = c.to_xarray_dict()
+    assert back["dims"] == ["ca", "seed"]
+    assert back["data"] == [["p/0", "p/1"], ["p/2", ""]]
+    assert SimulationCampaign.from_dict(back).data == c.data
+
+
+def test_xarray_dict_coupled_layout():
+    d = {
+        "name": "c",
+        "attrs": {"__coupled__": "coupled"},
+        "dims": ["coupled"],
+        "coords": {
+            "ca": {"dims": ["coupled"], "data": [1.0, 2.0]},
+            "seed": {"dims": ["coupled"], "data": [7, 8]},
+        },
+        "data": ["p/0", "p/1"],
+    }
+    c = SimulationCampaign.from_dict(d)
+    assert c.data == [
+        {"ca": 1.0, "seed": 7, "simulation_path": "p/0"},
+        {"ca": 2.0, "seed": 8, "simulation_path": "p/1"},
+    ]
+    back = c.to_xarray_dict()
+    assert back["dims"] == ["coupled"]
+    assert SimulationCampaign.from_dict(back).data == c.data
+
+
+# -- convert-spikes ----------------------------------------------------------
+
+
+def test_convert_spikes_bundle(spark, tmp_path):
+    from blueetl_spark.sources.convert_spikes import convert_spikes
+
+    csv = tmp_path / "spikes.csv"
+    csv.write_text(
+        "timestamps,node_ids\n10.5,0\n11.0,2\n12.25,1\n13.0,2\n"
+    )
+    out = tmp_path / "bundle"
+    stats = convert_spikes(spark, csv, out)
+    assert stats["rows"] == 4
+    assert stats["unique_ids"] == 3
+    assert stats["max_id"] == 2
+    assert stats["max_timestamp"] == 13.0
+    spikes = spark.read.parquet(str(out / "simulation" / "spikes.parquet"))
+    assert spikes.count() == 4
+    nodes = spark.read.parquet(str(out / "circuit" / "nodes.parquet"))
+    assert nodes.count() == 3  # gids 0..max_id
+    campaign = json.loads((out / "simulation_campaign_config.json").read_text())
+    c = SimulationCampaign.from_dict(campaign)
+    assert len(c.data) == 1
+    analysis = json.loads((out / "analysis_config.json").read_text())
+    assert analysis["analysis"]["spikes"]["extraction"]["windows"]["full"][
+        "bounds"
+    ] == [0.0, 13.0]
+
+
+# -- CLI ---------------------------------------------------------------------
+
+
+def test_cli_validate_config(tmp_path, capsys):
+    from blueetl_spark.__main__ import main
+
+    good = tmp_path / "good.json"
+    good.write_text(json.dumps({
+        "analysis": {"spikes": {"extraction": {
+            "windows": {"w": {"bounds": [0, 10]}},
+            "neuron_classes": {"all": {"query": {}}},
+        }, "features": [{"groupby": ["simulation_id"]}]}}
+    }))
+    assert main(["validate-config", str(good)]) == 0
+    assert "valid" in capsys.readouterr().out
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({
+        "analysis": {"spikes": {"extraction": {
+            "windows": {"w": {"bounds": [10]}},
+        }}}
+    }))
+    assert main(["validate-config", str(bad)]) == 1
+    err = capsys.readouterr().err
+    assert "bounds" in err and "neuron_classes" in err
