@@ -212,3 +212,48 @@ def simhash(
 def hamming_distance(col_a, col_b):
     """Popcount of XOR — Hamming distance between two 64-bit simhashes."""
     return F.bit_count(col_a.bitwiseXOR(col_b))
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "bruteforce",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    cosine ≥ threshold and id_a < id_b.
+
+    ``method="bruteforce"`` scores all pairs — exact, O(n²), the
+    verification oracle. ``method="lsh"`` buckets vectors by
+    random-hyperplane sign sketch first and only scores within-bucket
+    pairs — the 100 TB path (one scan to sketch, equi-join on the bucket
+    key, AQE handles bucket skew); recall < 1 by construction since a
+    near-dup pair split across buckets is never scored.
+    """
+    from blueetl_spark.operators import similarity
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if method == "lsh":
+        dim = len(df.select(vec_col).first()[0])
+        planes = similarity._hyperplanes(dim, n_planes, seed)
+        a = similarity.sketch(a, planes, "__va")
+        b = similarity.sketch(b, planes, "__vb")
+        joined = a.join(b, "__bucket")
+    elif method == "bruteforce":
+        joined = a.crossJoin(b)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    na = similarity._norm(F.col("__va"))
+    nb = similarity._norm(F.col("__vb"))
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", similarity._dot(F.col("__va"), F.col("__vb")) / (na * nb)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

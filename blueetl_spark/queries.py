@@ -798,6 +798,108 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(docs, n=JACCARD_NGRAM)
 
 
+def q_soma_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/A10: soma-report path — a *valued* report (events carry ``value``)
+    sliced by windows, then mean/min/max per (window, trial, class)."""
+    sims = _single_sim(spark, sf_dir)
+    ev = (
+        _events_norm(spark, sf_dir)
+        .withColumn("simulation_id", F.lit(0).cast("smallint"))
+        .drop("neuron_class")
+    )
+    neurons = extract_neurons(_nodes(spark, sf_dir), _CLASSES)
+    windows = materialize_windows(spark, EVENTS_WINDOWS, sims)
+    report = extract_report(
+        ev, neurons, windows, simulations=sims, value_cols=["value"]
+    )
+    return (
+        report.groupBy("window", "trial", "neuron_class")
+        .agg(
+            F.round(F.avg("value"), 6).alias("mean_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "window",
+            F.col("trial").cast("long").alias("trial"),
+            "neuron_class",
+            "mean_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+SQL_SOMA_MEAN_VALUE = f"""
+WITH {_E_CTE}, {_windows_values_sql(EVENTS_WINDOWS)}
+SELECT w."window", CAST(w.trial AS BIGINT) AS trial, e.neuron_class,
+       ROUND(AVG(e.value), 6) AS mean_value,
+       MIN(e.value) AS min_value, MAX(e.value) AS max_value
+FROM e JOIN w
+  ON e."time" >= w."offset" + w.t_start AND e."time" < w."offset" + w.t_stop
+GROUP BY w."window", w.trial, e.neuron_class
+"""
+
+
+def q_smoothed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: Gaussian-smoothed normalized histogram (applyInPandas over the
+    tiny per-group histograms; convolution — no SQL oracle)."""
+    wk_only = {"wk": EVENTS_WINDOWS["wk"]}
+    report, windows, counts = _report(spark, sf_dir, wk_only)
+    h = features.histogram(report, windows, counts, bin_size=HIST_BIN_MS)
+    s = features.gaussian_smooth_histogram(h, sigma=3.0)
+    return s.select(
+        "neuron_class", "window", "bin", F.round("smoothed", 9).alias("smoothed")
+    )
+
+
+def q_group_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: distinct group-key combinations across windows + neurons without
+    the full merge."""
+    from blueetl_spark.functions.etl import distinct_groups
+
+    sims = _single_sim(spark, sf_dir)
+    neurons = extract_neurons(_nodes(spark, sf_dir), _CLASSES)
+    windows = materialize_windows(spark, EVENTS_WINDOWS, sims)
+    g = distinct_groups(
+        [windows, neurons], ["simulation_id", "circuit_id", "neuron_class", "window"]
+    )
+    return g.select(
+        F.col("simulation_id").cast("long").alias("simulation_id"),
+        F.col("circuit_id").cast("long").alias("circuit_id"),
+        "neuron_class",
+        "window",
+    )
+
+
+SQL_GROUP_LIST = f"""
+WITH {_E_CTE}, {_windows_values_sql(EVENTS_WINDOWS)}
+SELECT DISTINCT CAST(0 AS BIGINT) AS simulation_id, CAST(0 AS BIGINT) AS circuit_id,
+       nc.neuron_class, w."window"
+FROM (SELECT DISTINCT neuron_class FROM e) nc, (SELECT DISTINCT "window" FROM w) w
+"""
+
+
+def q_condition_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: dense categorical codes for condition-like columns."""
+    from blueetl_spark.functions.etl import condition_codes
+
+    customer = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return condition_codes(customer, ["c_mktsegment"]).select(
+        "c_custkey", "c_mktsegment", F.col("c_mktsegment_code").cast("long").alias("c_mktsegment_code")
+    )
+
+
+SQL_CONDITION_CODES = """
+SELECT c_custkey, c_mktsegment,
+       CAST(dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS BIGINT)
+         AS c_mktsegment_code
+FROM customer
+"""
+
+
 # ---------------------------------------------------------------------------
 # Group D — embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -858,6 +960,44 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_lsh(queries_df, emb, k=KNN_K)
 
 
+EMB_DUP_THRESHOLD = 0.3
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact bruteforce — the oracle-checked
+    baseline; the LSH-bucketed variant is the scale path)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    out = dedup.embedding_near_dup(emb, threshold=EMB_DUP_THRESHOLD)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_DEDUP_EMBEDDING = f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (a.nrm * b.nrm), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (a.nrm * b.nrm) >= {EMB_DUP_THRESHOLD!r}
+"""
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup (approximate; no SQL oracle)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    out = dedup.embedding_near_dup(
+        emb, threshold=EMB_DUP_THRESHOLD, method="lsh", n_planes=4
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -883,7 +1023,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders": q_top_orders,
     "orders_topk_per_customer": q_orders_topk_per_customer,
     "customer_class_index": q_customer_class_index,
+    "soma_mean_value": q_soma_mean_value,
+    "smoothed_histogram": q_smoothed_histogram,
+    "group_list": q_group_list,
+    "condition_codes": q_condition_codes,
     "dedup_exact": q_dedup_exact,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "token_stats": q_token_stats,
     "quality_features": q_quality_features,
     "language_score": q_language_score,
@@ -914,7 +1060,11 @@ ORACLES: dict[str, str] = {
     "top_orders": SQL_TOP_ORDERS,
     "orders_topk_per_customer": SQL_ORDERS_TOPK_PER_CUSTOMER,
     "customer_class_index": SQL_CUSTOMER_CLASS_INDEX,
+    "soma_mean_value": SQL_SOMA_MEAN_VALUE,
+    "group_list": SQL_GROUP_LIST,
+    "condition_codes": SQL_CONDITION_CODES,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "token_stats": SQL_TOKEN_STATS,
     "quality_features": SQL_QUALITY_FEATURES,
     "language_score": SQL_LANGUAGE_SCORE,
