@@ -45,6 +45,7 @@ def extract_neurons(
     neuron_classes_config: NeuronClassesConfig,
     gid_col: str = "node_id",
     seed: int = 0,
+    node_sets=None,
 ) -> DataFrame:
     """Classify nodes into neuron classes → ``neurons`` table.
 
@@ -53,10 +54,28 @@ def extract_neurons(
     neuron_class_index]`` sorted, with ``neuron_class_index`` a dense
     0..n-1 numbering of gids within (circuit_id, neuron_class)
     (reference ``extract/neurons.py:99-145``).
+
+    A class config's ``node_set`` name (resolved through ``node_sets``, a
+    :class:`blueetl_spark.sources.node_sets.NodeSets`) ANDs the set's
+    predicate with the class query — the reference restricts the cells
+    scan to the node_set before querying (``extract/neurons.py:52-57``);
+    here both collapse into the same single-scan predicate.
     """
     names = list(neuron_classes_config)
+
+    def class_pred(cfg: dict[str, Any]):
+        pred = compile_query(cfg.get("query") or {})
+        ns_name = cfg.get("node_set")
+        if ns_name:
+            if node_sets is None:
+                raise ValueError(
+                    f"class requires node_set {ns_name!r} but no node_sets given"
+                )
+            pred = node_sets.to_predicate(ns_name) & pred
+        return pred
+
     preds = [
-        F.when(compile_query(cfg.get("query") or {}), F.lit(name))
+        F.when(class_pred(cfg), F.lit(name))
         for name, cfg in neuron_classes_config.items()
     ]
     tagged = (

@@ -126,6 +126,44 @@ def materialize_windows(
     return out
 
 
+def validate_windows(windows: DataFrame) -> None:
+    """Semantic checks on the windows table (A5/A6, reference
+    ``extract/windows.py:130-144``):
+
+    1. all trials of a (simulation, window) share t_start/t_stop/duration;
+    2. trial ids are exactly 0..n−1 per (simulation, window).
+
+    One aggregation job over the (config-sized) windows table; raises
+    ``ValueError`` naming the offending windows.
+    """
+    bad = (
+        windows.groupBy("simulation_id", "window")
+        .agg(
+            F.countDistinct("t_start").alias("n_start"),
+            F.countDistinct("t_stop").alias("n_stop"),
+            F.countDistinct("duration").alias("n_dur"),
+            F.count("trial").alias("n_trials"),
+            F.countDistinct("trial").alias("n_distinct_trials"),
+            F.min("trial").alias("min_trial"),
+            F.max("trial").alias("max_trial"),
+        )
+        .filter(
+            (F.col("n_start") > 1)
+            | (F.col("n_stop") > 1)
+            | (F.col("n_dur") > 1)
+            | (F.col("min_trial") != 0)
+            | (F.col("max_trial") != F.col("n_trials") - 1)
+            | (F.col("n_distinct_trials") != F.col("n_trials"))
+        )
+        .collect()
+    )
+    if bad:
+        details = ", ".join(
+            f"(sim={r.simulation_id}, window={r.window})" for r in bad
+        )
+        raise ValueError(f"inconsistent windows: {details}")
+
+
 def time_bounds_filter(windows: DataFrame, time_col: str = "time"):
     """Global [min, max) time predicate across all windows — push this onto
     the event scan *before* the interval join so parquet row-group stats can

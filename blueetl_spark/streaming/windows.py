@@ -78,6 +78,78 @@ def session_windows(
     )
 
 
+def stateful_spike_counter(
+    events: DataFrame,
+    rate_threshold: float = 10.0,
+    watermark: str = "60 seconds",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-gid
+    running spike count + burst flag.
+
+    State per gid: (total_count, first_ts, last_ts). Each micro-batch
+    folds its rows into the state and emits one row per updated gid with
+    the running totals and whether the gid's lifetime rate exceeds
+    ``rate_threshold`` events/s. State has no timeout — a production
+    deployment bounding state size would set a TTL via
+    ``GroupStateTimeout.EventTimeTimeout`` + the watermark.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("gid", T.LongType(), False),
+            T.StructField("total_count", T.LongType(), False),
+            T.StructField("first_ts", T.TimestampType(), True),
+            T.StructField("last_ts", T.TimestampType(), True),
+            T.StructField("is_burst", T.BooleanType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("total_count", T.LongType(), False),
+            T.StructField("first_ts_us", T.LongType(), False),
+            T.StructField("last_ts_us", T.LongType(), False),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd  # noqa: PLC0415 - executor-side import
+
+        (gid,) = key
+        count, first_us, last_us = (
+            state.get if state.exists else (0, None, None)
+        )
+        for pdf in pdfs:
+            ts_us = pdf["ts"].astype("int64") // 1000
+            count += len(pdf)
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((count, first_us, last_us))
+        span_s = max((last_us - first_us) / 1e6, 1e-9)
+        yield pd.DataFrame(
+            {
+                "gid": [gid],
+                "total_count": [count],
+                "first_ts": [pd.Timestamp(first_us, unit="us")],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+                "is_burst": [count / span_s > rate_threshold],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("gid")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming query to completion against the currently-available
     files and return the collected result (test/smoke harness)."""
