@@ -93,9 +93,21 @@ _E_CTE = (
 _TOKS = "string_split_regex(trim(text), '\\s+')"
 
 
-def _events_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events with time = integer ms since T0 (double), gid, class."""
+def _events_norm(
+    spark: SparkSession, sf_dir: str, time_range: tuple[float, float] | None = None
+) -> DataFrame:
+    """Events with time = integer ms since T0 (double), gid, class.
+
+    ``time_range`` (ms since T0, half-open) is applied to the **raw ts
+    column** before any projection: predicates on the stored column reach
+    the parquet scan (``PushedFilters``) and prune row groups, which a
+    filter on the derived ``time`` arithmetic can never do.
+    """
     ev = tables.load(spark, sf_dir, "events")
+    if time_range is not None and dict(ev.dtypes)["ts"] == "bigint":
+        lo_ns = int((time_range[0] + T0_MS) * 1_000_000)
+        hi_ns = int((time_range[1] + T0_MS) * 1_000_000)
+        ev = ev.filter((F.col("ts") >= lo_ns) & (F.col("ts") < hi_ns))
     ts = F.col("ts")
     if dict(ev.dtypes)["ts"] != "bigint":  # pragma: no cover - env dependent
         ts = F.unix_millis(F.col("ts")) * F.lit(1_000_000)
@@ -138,11 +150,11 @@ def _report(spark: SparkSession, sf_dir: str, windows_config: dict) -> tuple:
     """Full extraction pipeline on the events table; returns
     (report, windows, neuron_counts)."""
     sims = _single_sim(spark, sf_dir)
-    ev = _events_norm(spark, sf_dir).withColumn(
-        "simulation_id", F.lit(0).cast("smallint")
-    ).drop("neuron_class")
-    neurons = extract_neurons(_nodes(spark, sf_dir), _CLASSES)
     windows = materialize_windows(spark, windows_config, sims)
+    ev = _events_norm(
+        spark, sf_dir, time_range=windows._blueetl_time_bounds
+    ).withColumn("simulation_id", F.lit(0).cast("smallint")).drop("neuron_class")
+    neurons = extract_neurons(_nodes(spark, sf_dir), _CLASSES)
     report = extract_report(ev, neurons, windows, simulations=sims)
     counts = extract_neuron_classes(neurons, _CLASSES).select(
         "circuit_id", "neuron_class", "count"
