@@ -21,10 +21,15 @@ HEADLINE = [
     "histogram",
     "feature_by_gid",
     "isi_stats",
+    "correlation_pairs",
+    "complexity_pdf",
+    "psd_welch",
+    "soma_mean_value",
     "pricing_summary",
     "revenue_by_nation",
     "orders_topk_per_customer",
     "dedup_exact",
+    "dedup_embedding",
     "token_stats",
     "jaccard_pairs",
     "minhash_lsh",
