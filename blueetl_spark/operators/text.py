@@ -29,6 +29,24 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-style pre-tokenization pattern (GPT-2-like, POSIX-compatible subset):
+# contraction suffixes, letter runs (with optional leading space), digit
+# runs, punctuation runs, whitespace. This is the *pre*-tokenizer — the
+# merge table of a real BPE is model-specific; counting these units tracks
+# real token counts within a few percent for English text.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish regex tokenization → array of token strings (JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    return F.size(bpe_tokens(col))
+
+
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as an array of strings (JVM-side).
 
@@ -106,3 +124,33 @@ def fingerprint(
     text. The exact-dedup key (normalization catches trivial near-dups)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def winnowing_fingerprints(col: Column | str, n: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprints (rolling-hash selection): hash every
+    word ``n``-gram, then keep the minimum hash of each sliding window of
+    ``w`` consecutive hashes (distinct, sorted).
+
+    Guarantees of the scheme: any shared run of ≥ ``w + n − 1`` tokens
+    between two documents yields at least one shared fingerprint, so
+    fingerprint overlap is a plagiarism/near-dup candidate signal at a
+    fraction of the full shingle set's size.
+
+    JVM-side and linear: the window minimum is an elementwise ``least``
+    over the ``w`` shifted copies of the hash array (``arrays_zip``
+    evaluates each shift once — the same pattern as :func:`shingles`, and
+    the same O(tokens²) trap if written as a lambda over ``slice``).
+    """
+    sh = shingles(col, n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    count = F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(1))
+    shifted = [F.slice(hashes, j + 1, count) for j in range(w)]
+    zipped = F.arrays_zip(*shifted)
+    fields = [f"{j}" for j in range(w)]
+    mins = F.transform(
+        zipped,
+        lambda s: F.least(*[s.getField(f) for f in fields])
+        if w > 1
+        else s.getField("0"),
+    )
+    return F.array_sort(F.array_distinct(mins))

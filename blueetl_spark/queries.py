@@ -718,6 +718,43 @@ FROM documents
 """
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (pre-tokenizer units, JVM-side)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(text.bpe_tokens("text")))
+        .cast("long")
+        .alias("n_distinct_bpe_tokens"),
+    )
+
+
+_BPE_SQL = text.BPE_PATTERN.replace("'", "''")
+
+SQL_BPE_TOKEN_STATS = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '{_BPE_SQL}')))
+         AS n_distinct_bpe_tokens
+FROM documents
+"""
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (xxhash64 — no SQL oracle);
+    returns per-doc fingerprint counts plus the selection ratio."""
+    docs = tables.load(spark, sf_dir, "documents")
+    fp = text.winnowing_fingerprints("text", n=JACCARD_NGRAM, w=4)
+    return docs.select(
+        "doc_id",
+        F.size(fp).cast("long").alias("n_fingerprints"),
+        F.size(F.array_distinct(text.shingles("text", JACCARD_NGRAM)))
+        .cast("long")
+        .alias("n_shingles"),
+    )
+
+
 def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     qf = text.quality_features(docs)
@@ -1043,6 +1080,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "token_stats": q_token_stats,
+    "bpe_token_stats": q_bpe_token_stats,
+    "winnowing": q_winnowing,
     "quality_features": q_quality_features,
     "language_score": q_language_score,
     "jaccard_pairs": q_jaccard_pairs,
@@ -1078,6 +1117,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "token_stats": SQL_TOKEN_STATS,
+    "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "quality_features": SQL_QUALITY_FEATURES,
     "language_score": SQL_LANGUAGE_SCORE,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
