@@ -1009,6 +1009,41 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_lsh(queries_df, emb, k=KNN_K)
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: seeded-sample centroids, n_probe cells (approximate;
+    no SQL oracle)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    return similarity.knn_ivf(queries_df, emb, k=KNN_K, n_centroids=16, n_probe=4)
+
+
+def q_dynamic_onset_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22 + W1: detect per-simulation onsets from the event histogram and
+    materialize windows shifted by the detected dynamic offset
+    (driver-coordinated sequential dependency; no SQL oracle — the
+    Gaussian smoothing is a convolution)."""
+    from blueetl_spark.operators.onset import detect_onsets
+
+    sims = _single_sim(spark, sf_dir)
+    ev = _events_norm(spark, sf_dir).withColumn(
+        "simulation_id", F.lit(0).cast("smallint")
+    )
+    offsets = detect_onsets(
+        ev,
+        sims,
+        {"bounds": [0.0, 31 * DAY_MS], "bin_size": DAY_MS, "sigma": 1.0,
+         "std_multiple": 1.0},
+    )
+    w = materialize_windows(spark, EVENTS_WINDOWS, sims, dynamic_offsets=offsets)
+    return w.select(
+        "window",
+        F.col("trial").cast("long").alias("trial"),
+        "offset",
+        "t_start",
+        "t_stop",
+    )
+
+
 EMB_DUP_THRESHOLD = 0.3
 
 
@@ -1090,6 +1125,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norms": q_embedding_norms,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
+    "dynamic_onset_windows": q_dynamic_onset_windows,
 }
 
 ORACLES: dict[str, str] = {
