@@ -167,8 +167,15 @@ class Analyzer:
         }
 
         def compute() -> DataFrame:
+            node_sets = None
+            if ex.get("node_sets_file") or ex.get("node_sets_file_extra"):
+                from blueetl_spark.sources.node_sets import NodeSets
+
+                node_sets = NodeSets.from_file(ex.get("node_sets_file"))
+                if ex.get("node_sets_file_extra"):  # sim-level overlay (|=)
+                    node_sets.update(NodeSets.from_file(ex["node_sets_file_extra"]))
             return extract_neurons(
-                self.nodes, classes, seed=ex.get("seed", 0)
+                self.nodes, classes, seed=ex.get("seed", 0), node_sets=node_sets
             )
 
         return self._get("neurons", compute)

@@ -134,7 +134,9 @@ def validate_windows(windows: DataFrame) -> None:
     2. trial ids are exactly 0..n−1 per (simulation, window).
 
     One aggregation job over the (config-sized) windows table; raises
-    ``ValueError`` naming the offending windows.
+    :class:`blueetl_spark.schemas.SchemaError` naming the offending
+    windows. (Canonical implementation — ``schemas.validate_windows``
+    delegates here.)
     """
     bad = (
         windows.groupBy("simulation_id", "window")
@@ -161,7 +163,7 @@ def validate_windows(windows: DataFrame) -> None:
         details = ", ".join(
             f"(sim={r.simulation_id}, window={r.window})" for r in bad
         )
-        raise ValueError(f"inconsistent windows: {details}")
+        raise schemas.SchemaError(f"inconsistent windows: {details}")
 
 
 def time_bounds_filter(windows: DataFrame, time_col: str = "time"):

@@ -142,35 +142,10 @@ def ensure_schema(
 
 
 def validate_windows(windows: DataFrame) -> None:
-    """Semantic checks on the windows table (reference
-    ``extract/windows.py:130-144``): every (simulation, window) shares
-    t_start/t_stop/duration across trials, and trial ids are exactly 0..n-1.
+    """Semantic checks on the windows table (A5/A6) — delegates to the
+    canonical single-aggregation implementation in
+    :func:`blueetl_spark.operators.windows.validate_windows` (late import:
+    operators.windows imports this module at load time)."""
+    from blueetl_spark.operators.windows import validate_windows as _validate
 
-    Runs as two small aggregations — windows tables are tiny (config-derived)
-    so the collect is safe at any data scale.
-    """
-    bad_bounds = (
-        windows.groupBy("simulation_id", "window")
-        .agg(
-            F.countDistinct("t_start").alias("n_start"),
-            F.countDistinct("t_stop").alias("n_stop"),
-            F.countDistinct("duration").alias("n_dur"),
-        )
-        .filter((F.col("n_start") > 1) | (F.col("n_stop") > 1) | (F.col("n_dur") > 1))
-        .count()
-    )
-    if bad_bounds:
-        raise SchemaError("inconsistent t_start/t_stop/duration across trials")
-    bad_trials = (
-        windows.groupBy("simulation_id", "window")
-        .agg(F.count("trial").alias("n"), F.min("trial").alias("lo"),
-             F.max("trial").alias("hi"), F.countDistinct("trial").alias("nd"))
-        .filter(
-            (F.col("lo") != 0)
-            | (F.col("hi") != F.col("n") - 1)
-            | (F.col("nd") != F.col("n"))
-        )
-        .count()
-    )
-    if bad_trials:
-        raise SchemaError("trial ids are not exactly 0..n-1 per (simulation, window)")
+    _validate(windows)
