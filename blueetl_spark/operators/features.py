@@ -206,7 +206,7 @@ def histogram(
             .select(
                 *GROUP_KEYS,
                 "bin",
-                F.coalesce(F.col("__m").getItem(F.col("bin")), F.lit(0)).alias("hist"),
+                F.coalesce(F.col("__m")[F.col("bin")], F.lit(0)).alias("hist"),
                 "n_trials",
             )
         )

@@ -400,6 +400,84 @@ GROUP BY s.neuron_class, s."window", s.gid, nt.n_trials, s.duration
 """
 
 
+def q_multi_sim_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/W1 across a real multi-run campaign: events split into two
+    virtual simulations by event-id parity, each with its own window rows;
+    per-(simulation, window, trial, class) rates."""
+    campaign = SimulationCampaign.from_dict(
+        {"data": [
+            {"simulation_path": f"{sf_dir}#0", "seed": 0},
+            {"simulation_path": f"{sf_dir}#1", "seed": 1},
+        ]}
+    )
+    sims = campaign.to_simulations_df(spark)
+    ev = _events_norm(spark, sf_dir).withColumn(
+        "simulation_id", (F.col("event_id") % 2).cast("smallint")
+    ).drop("neuron_class")
+    neurons = extract_neurons(_nodes(spark, sf_dir), _CLASSES)
+    windows = materialize_windows(spark, EVENTS_WINDOWS, sims)
+    report = extract_report(ev, neurons, windows, simulations=sims)
+    meta = windows.groupBy("window").agg(F.first("duration").alias("duration")).distinct()
+    return (
+        report.groupBy("simulation_id", "window", "trial", "neuron_class")
+        .agg(F.count("*").alias("n_events"))
+        .join(F.broadcast(meta), "window")
+        .select(
+            F.col("simulation_id").cast("long").alias("simulation_id"),
+            "window",
+            F.col("trial").cast("long").alias("trial"),
+            "neuron_class",
+            "n_events",
+            F.round(F.col("n_events") * 1000.0 / F.col("duration"), 9).alias(
+                "rate_per_s"
+            ),
+        )
+    )
+
+
+SQL_MULTI_SIM_RATES = f"""
+WITH {_E_CTE}, {_windows_values_sql(EVENTS_WINDOWS)}
+SELECT CAST(e.event_id % 2 AS BIGINT) AS simulation_id, w."window",
+       CAST(w.trial AS BIGINT) AS trial, e.neuron_class,
+       COUNT(*) AS n_events,
+       ROUND(COUNT(*) * 1000.0 / w.duration, 9) AS rate_per_s
+FROM e JOIN w
+  ON e."time" >= w."offset" + w.t_start AND e."time" < w."offset" + w.t_stop
+GROUP BY 1, w."window", w.trial, e.neuron_class, w.duration
+"""
+
+
+def q_compartment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 compartment path: report rows carry (section, value); aggregate
+    per (window, class, section). ``event_type`` plays the section label."""
+    sims = _single_sim(spark, sf_dir)
+    windows = materialize_windows(spark, {"d1": EVENTS_WINDOWS["d1"]}, sims)
+    ev = (
+        _events_norm(spark, sf_dir, time_range=windows._blueetl_time_bounds)
+        .withColumn("simulation_id", F.lit(0).cast("smallint"))
+        .withColumnRenamed("event_type", "section")
+        .drop("neuron_class")
+    )
+    neurons = extract_neurons(_nodes(spark, sf_dir), _CLASSES)
+    report = extract_report(
+        ev, neurons, windows, simulations=sims, value_cols=["section", "value"]
+    )
+    return (
+        report.groupBy("window", "neuron_class", "section")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("mean_value"))
+    )
+
+
+SQL_COMPARTMENT_REPORT = f"""
+WITH {_E_CTE}, {_windows_values_sql({"d1": EVENTS_WINDOWS["d1"]})}
+SELECT w."window", e.neuron_class, e.event_type AS section,
+       COUNT(*) AS n, ROUND(AVG(e.value), 6) AS mean_value
+FROM e JOIN w
+  ON e."time" >= w."offset" + w.t_start AND e."time" < w."offset" + w.t_stop
+GROUP BY 1, 2, 3
+"""
+
+
 CORR_GID_MAX = 100
 CORR_BIN = DAY_MS
 CORR_NBINS = 31
@@ -1107,6 +1185,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders": q_top_orders,
     "orders_topk_per_customer": q_orders_topk_per_customer,
     "customer_class_index": q_customer_class_index,
+    "multi_sim_rates": q_multi_sim_rates,
+    "compartment_report": q_compartment_report,
     "soma_mean_value": q_soma_mean_value,
     "smoothed_histogram": q_smoothed_histogram,
     "group_list": q_group_list,
@@ -1148,6 +1228,8 @@ ORACLES: dict[str, str] = {
     "top_orders": SQL_TOP_ORDERS,
     "orders_topk_per_customer": SQL_ORDERS_TOPK_PER_CUSTOMER,
     "customer_class_index": SQL_CUSTOMER_CLASS_INDEX,
+    "multi_sim_rates": SQL_MULTI_SIM_RATES,
+    "compartment_report": SQL_COMPARTMENT_REPORT,
     "soma_mean_value": SQL_SOMA_MEAN_VALUE,
     "group_list": SQL_GROUP_LIST,
     "condition_codes": SQL_CONDITION_CODES,

@@ -1,0 +1,79 @@
+"""Physical-plan regression guards (the properties PLANS.md documents).
+
+These assert on `.explain` output so a future refactor that silently
+drops predicate pushdown, broadcasts, or single-pass shapes fails CI —
+the failure modes that don't change results, only 100 TB behavior.
+"""
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(df) -> str:
+    jdf = df._jdf
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jdf.queryExecution().explainString(mode)
+
+
+def test_report_extract_pushes_ts_bounds_to_scan(spark):
+    from blueetl_spark import queries as Q
+
+    plan = _formatted_plan(Q.q_report_extract(spark, SF))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any(
+        "GreaterThanOrEqual(ts" in l and "LessThan(ts" in l for l in pushed
+    ), f"time envelope not pushed to parquet scan:\n{pushed}"
+
+
+def test_report_extract_broadcasts_windows_not_events(spark):
+    from blueetl_spark import queries as Q
+
+    plan = _formatted_plan(Q.q_report_extract(spark, SF))
+    # the interval join must be a broadcast hash join whose range condition
+    # references the window bounds — never a shuffle of the event table
+    assert re.search(r"BroadcastHashJoin[\s\S]*__lo", plan)
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_prunes_and_pushes(spark):
+    from blueetl_spark import queries as Q
+
+    plan = _formatted_plan(Q.q_pricing_summary(spark, SF))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }, cols
+    assert "LessThan(l_shipdate" in plan
+
+
+def test_histogram_scans_events_once(spark):
+    from blueetl_spark import queries as Q
+
+    plan = _formatted_plan(Q.q_histogram(spark, SF))
+    # single-pass densify: exactly one events.parquet scan carrying the
+    # pushed ts bounds (the second events scan builds the gid->class map)
+    bounded_scans = [
+        l for l in plan.splitlines()
+        if "PushedFilters" in l and "GreaterThanOrEqual(ts" in l
+    ]
+    assert len(bounded_scans) == 1, bounded_scans
+
+
+def test_dedup_exact_single_shuffle(spark):
+    from blueetl_spark import queries as Q
+
+    plan = _formatted_plan(Q.q_dedup_exact(spark, SF))
+    exchanges = [
+        l for l in plan.splitlines()
+        if re.match(r"\(\d+\) Exchange", l.strip())
+    ]
+    assert len(exchanges) == 1, exchanges
