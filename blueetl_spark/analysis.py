@@ -371,6 +371,7 @@ class MultiAnalyzer:
             else SimulationCampaign.from_dict(camp_cfg)
         )
         cache_path = cache_path or config.get("cache", {}).get("path")
+        self._resolve_window_references(config["analysis"])
         self.analyzers: dict[str, Analyzer] = {}
         for name, acfg in config["analysis"].items():
             ev = events[name] if isinstance(events, dict) else events
@@ -379,6 +380,44 @@ class MultiAnalyzer:
                 cache_path=cache_path,
                 simulations_filter=config.get("simulations_filter"),
             )
+
+    @staticmethod
+    def _resolve_window_references(analyses: dict[str, Any]) -> None:
+        """W3: a window configured as the string
+        ``"<analysis>.extraction.windows.<name>"`` is replaced by a copy of
+        the referenced definition (reference ``extract/windows.py:146-163``
+        + ``Resolver``). Driver-side, pre-Analyzer; the per-step config
+        checksum then covers the *resolved* content, giving the same
+        cache-invalidation behavior as the reference's checksum suffix.
+        Chained references resolve transitively; cycles raise.
+        """
+        import copy
+
+        def resolve(ref: str, seen: tuple[str, ...]) -> dict[str, Any]:
+            if ref in seen:
+                raise ValueError(
+                    f"circular window reference: {' -> '.join(seen + (ref,))}"
+                )
+            parts = ref.split(".")
+            if len(parts) != 4 or parts[1] != "extraction" or parts[2] != "windows":
+                raise ValueError(
+                    f"bad window reference {ref!r}; expected "
+                    "'<analysis>.extraction.windows.<window>'"
+                )
+            a, _, _, w = parts
+            try:
+                target = analyses[a]["extraction"]["windows"][w]
+            except KeyError:
+                raise ValueError(f"window reference {ref!r} not found") from None
+            if isinstance(target, str):
+                target = resolve(target, seen + (ref,))
+            return copy.deepcopy(target)
+
+        for acfg in analyses.values():
+            windows = acfg.get("extraction", {}).get("windows", {})
+            for wname, wcfg in list(windows.items()):
+                if isinstance(wcfg, str):
+                    windows[wname] = resolve(wcfg, ())
 
     def __getattr__(self, name: str) -> Analyzer:
         try:

@@ -188,17 +188,20 @@ def _constraint_implies(c1: dict[str, Any], c2: dict[str, Any]) -> bool:
     """True if constraint c1 provably selects a subset of c2 (same column)."""
     v1, v2 = _values_of(c1), _values_of(c2)
     if v2 is not None:
-        # c2 is a finite set: need c1 to be a finite subset of it.
+        # c2 constrains to a finite set: need c1 to be a finite subset.
         if v1 is None:
             return False
         if not set(map(_hashable, v1)) <= set(map(_hashable, v2)):
             return False
-    elif v1 is not None:
-        # c1 finite, c2 is ops-only: every v1 value must satisfy c2's ops.
-        if not all(_satisfies_ops(v, c2) for v in v1):
+    if v1 is not None:
+        # c1 finite: every value must ALSO satisfy c2's non-finite ops —
+        # even when c2 had eq/isin (e.g. c2 = {eq: 2, ne: 2} is empty, so
+        # {isin: [2]} must NOT imply it).
+        ops_only = {op: b for op, b in c2.items() if op not in ("eq", "isin")}
+        if ops_only and not all(_satisfies_ops(v, ops_only) for v in v1):
             return False
-    # Range/regex/ne implication for non-finite c1.
-    if v1 is None:
+    else:
+        # Range/regex/ne implication for non-finite c1.
         for op, val in c2.items():
             if op in ("eq", "isin"):
                 continue  # handled above

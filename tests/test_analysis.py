@@ -174,3 +174,52 @@ def test_dynamic_onset_offsets(spark, data):
     w = ma.spikes.windows.toPandas()
     w3 = w[w.window == "w3"]
     assert (w3.offset > 0).all()  # onset found past the silent prefix
+
+
+def test_cross_analysis_window_reference(spark, data):
+    """W3: a string window ref resolves to the sibling analysis' definition."""
+    from blueetl_spark.analysis import MultiAnalyzer
+
+    nodes, events = data
+    config = {
+        "simulation_campaign": {"data": [{"simulation_path": "sim0"}]},
+        "analysis": {
+            "spikes": {
+                "extraction": {
+                    "neuron_classes": {"all": {"query": {}}},
+                    "windows": {"w1": {"bounds": [0.0, 50.0], "n_trials": 2,
+                                       "trial_steps_value": 50.0}},
+                },
+            },
+            "soma": {
+                "extraction": {
+                    "neuron_classes": {"all": {"query": {}}},
+                    "windows": {"w1": "spikes.extraction.windows.w1"},
+                    "report": {"type": "soma"},
+                },
+            },
+        },
+    }
+    ma = MultiAnalyzer(spark, config, nodes, events)
+    got = ma.soma.windows.orderBy("trial").toPandas()
+    assert got.trial.tolist() == [0, 1]
+    assert got.t_stop.tolist() == [50.0, 50.0]
+    assert got.offset.tolist() == [0.0, 50.0]
+
+
+def test_circular_window_reference_raises(spark, data):
+    from blueetl_spark.analysis import MultiAnalyzer
+    import pytest as _pytest
+
+    nodes, events = data
+    config = {
+        "simulation_campaign": {"data": [{"simulation_path": "sim0"}]},
+        "analysis": {
+            "a": {"extraction": {"neuron_classes": {"all": {"query": {}}},
+                                  "windows": {"w": "b.extraction.windows.w"}}},
+            "b": {"extraction": {"neuron_classes": {"all": {"query": {}}},
+                                  "windows": {"w": "a.extraction.windows.w"}}},
+        },
+    }
+    with _pytest.raises(ValueError, match="circular"):
+        MultiAnalyzer(spark, config, nodes, events)

@@ -79,7 +79,7 @@ def test_compiled_query_matches_python_semantics(data, query):
     assert got == expected, query
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=300, deadline=None)
 @given(f1=query_strategy(), f2=query_strategy())
 def test_is_subfilter_soundness(f1, f2):
     """If is_subfilter says f1 ⊆ f2, then the row sets (evaluated in pure
