@@ -1,0 +1,47 @@
+"""Salted-join correctness: results must equal the plain join, with the
+hot key spread across salt buckets."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from blueetl_spark.functions.skew import salted_join, skew_ratio, top_keys
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 90% of rows share key 0
+    big = spark.range(1000).select(
+        F.when(F.col("id") < 900, 0).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(50)], "k long, label string"
+    )
+    return big, small
+
+
+def test_salted_join_matches_plain_join(skewed):
+    big, small = skewed
+    plain = big.join(small, "k").select("k", "payload", "label").toPandas()
+    salted = salted_join(big, small, "k").select("k", "payload", "label").toPandas()
+    key = ["k", "payload", "label"]
+    assert sorted(map(tuple, salted[key].values.tolist())) == sorted(
+        map(tuple, plain[key].values.tolist())
+    )
+
+
+def test_salted_join_left_outer(skewed):
+    big, small = skewed
+    small_half = small.filter(F.col("k") < 25)
+    plain = big.join(small_half, "k", "left").toPandas()
+    salted = salted_join(big, small_half, "k", how="left").toPandas()
+    assert len(salted) == len(plain)
+    assert salted.label.isna().sum() == plain.label.isna().sum()
+
+
+def test_skew_diagnostics(skewed):
+    big, _ = skewed
+    assert skew_ratio(big, "k") > 10  # 900 rows on one key vs ~2-20 elsewhere
+    hot = top_keys(big, "k", n=1).first()
+    # 900 rows from the when-branch plus ids 900 and 950 (900 % 50 == 0)
+    assert hot.k == 0 and hot["count"] == 902
