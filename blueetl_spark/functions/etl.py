@@ -116,3 +116,19 @@ def condition_codes(df: DataFrame, cols: list[str]) -> DataFrame:
 def groupby_except(df: DataFrame, all_keys: list[str], exclude: list[str]):
     """Group by the complement of ``exclude`` within ``all_keys`` (A9)."""
     return df.groupBy(*[k for k in all_keys if k not in exclude])
+
+
+def iter_rows(df: DataFrame):
+    """Row iterator without materializing the whole table on the driver
+    (O5 ``etl.iter``): streams one partition at a time."""
+    return df.toLocalIterator()
+
+
+def groupby_iter(df: DataFrame, keys: list[str]):
+    """Yield ``(key_tuple, pandas.DataFrame)`` per group, driver-side (O5
+    ``etl.groupby_iter``). Each group is fetched with a filter on the key —
+    intended for *small* group counts (plots, exports); distributed
+    per-group computation belongs in ``applyInPandas``."""
+    for row in distinct_groups([df], keys).toLocalIterator():
+        key = tuple(row[k] for k in keys)
+        yield key, q(df, dict(zip(keys, key))).toPandas()

@@ -54,3 +54,44 @@ def test_session_windows_stream(spark, stream_dir):
     # gid 1: events at 1, 12, 14 → one session (gaps < 10s keep it open)
     if len(g1):
         assert g1.n_events.max() >= 2
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two micro-batches: the second carries an event older than the
+    watermark horizon; the closed window's append output must not include
+    it, and on-time windows emit exactly once."""
+    import pyspark.sql.functions as F
+    from blueetl_spark.streaming import windows as sw
+
+    path = tmp_path / "late"
+    base = 1700000000
+    # batch 1: events in windows [0,10) and [10,20), plus one far-future
+    # event at +100s that advances the watermark past the first windows
+    b1 = spark.createDataFrame(
+        [(base + 1, 1), (base + 5, 2), (base + 12, 3), (base + 100, 9)],
+        "sec long, gid long",
+    ).select(
+        F.timestamp_seconds(F.col("sec")).alias("ts"), "gid",
+        F.lit("L5").alias("neuron_class"), F.lit(1.0).alias("value"),
+    )
+    b1.write.mode("append").parquet(str(path))
+    stream = sw.read_event_stream(spark, str(path))
+    rates = sw.windowed_rates(stream, window="10 seconds", watermark="5 seconds")
+    q = (rates.writeStream.outputMode("append").format("memory")
+         .queryName("late_rates").start())
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event for the already-closed [0,10) window
+        b2 = spark.createDataFrame([(base + 2, 7)], "sec long, gid long").select(
+            F.timestamp_seconds(F.col("sec")).alias("ts"), "gid",
+            F.lit("L5").alias("neuron_class"), F.lit(1.0).alias("value"),
+        )
+        b2.write.mode("append").parquet(str(path))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM late_rates").toPandas()
+    first_window = out[out.n_events > 0].sort_values("t_start").iloc[0]
+    # the [0,10) window emitted with its 2 on-time events; the late event
+    # from batch 2 (would make 3) was dropped by the watermark
+    assert first_window.n_events == 2
