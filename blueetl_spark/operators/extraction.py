@@ -93,18 +93,7 @@ def extract_neurons(
         if cfg.get("limit") is not None
     }
     if limits:
-        limit_expr = F.create_map(
-            *[x for name, lim in limits.items() for x in (F.lit(name), F.lit(int(lim)))]
-        )
-        sample_w = Window.partitionBy("circuit_id", "neuron_class").orderBy(
-            F.rand(seed), "gid"
-        )
-        tagged = (
-            tagged.withColumn("__limit", limit_expr[F.col("neuron_class")])
-            .withColumn("__rn", F.row_number().over(sample_w))
-            .filter(F.col("__limit").isNull() | (F.col("__rn") <= F.col("__limit")))
-            .drop("__limit", "__rn")
-        )
+        tagged = _sample_limits(tagged, limits, seed)
     index_w = Window.partitionBy("circuit_id", "neuron_class").orderBy("gid")
     out = (
         tagged.withColumn("neuron_class_index", F.row_number().over(index_w) - 1)
@@ -112,6 +101,100 @@ def extract_neurons(
     )
     _ = names  # preserve config order for future canonicalization needs
     return schemas.ensure_schema(out, schemas.NEURONS_SCHEMA)
+
+
+def _sample_limits(
+    tagged: DataFrame,
+    limits: dict[str, int],
+    seed: int,
+    oversample: float = 2.0,
+) -> DataFrame:
+    """Exact-size uniform sample per (circuit, class) with a bounded sort.
+
+    The naive approach — ``row_number() over (partition by class order by
+    rand)`` on *all* rows — funnels every class through one task's sort:
+    fine at 10⁵ gids, a straggler at 10⁹. Two-phase version:
+
+    1. Bernoulli pre-filter with p ≈ oversample·limit/count (class counts
+       from one aggregate, collected — there are only a handful of
+       classes), so the rank window sees ~oversample·limit rows per class
+       instead of the whole class.
+    2. Exact ``row_number ≤ limit`` on the survivors, ordered by a second
+       independent ``rand`` — uniform because phase 1 is symmetric across
+       rows.
+
+    If a class undersamples (survivors < limit — Chernoff-rare at 2×
+    oversampling but possible), that class falls back to the full-window
+    path, preserving exactness. Classes without a limit pass through
+    untouched.
+    """
+    limit_expr = F.create_map(
+        *[x for name, lim in limits.items() for x in (F.lit(name), F.lit(int(lim)))]
+    )
+    counts = {
+        (r.circuit_id, r.neuron_class): r.n
+        for r in tagged.filter(F.col("neuron_class").isin(list(limits)))
+        .groupBy("circuit_id", "neuron_class")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    p_rows = [
+        (int(cid), cls, min(1.0, oversample * limits[cls] / n) if n else 1.0)
+        for (cid, cls), n in counts.items()
+    ]
+    sample_w = Window.partitionBy("circuit_id", "neuron_class").orderBy(
+        F.rand(seed + 1), "gid"
+    )
+    if not p_rows:
+        return tagged
+    p_map = F.create_map(
+        *[
+            x
+            for cid, cls, p in p_rows
+            for x in (F.concat_ws("|", F.lit(str(cid)), F.lit(cls)), F.lit(p))
+        ]
+    )
+    key = F.concat_ws("|", F.col("circuit_id").cast("string"), F.col("neuron_class"))
+    pre = tagged.withColumn("__p", p_map[key]).filter(
+        F.col("__p").isNull() | (F.rand(seed) < F.col("__p"))
+    )
+    ranked = (
+        pre.withColumn("__limit", limit_expr[F.col("neuron_class")])
+        .withColumn("__rn", F.row_number().over(sample_w))
+        .filter(F.col("__limit").isNull() | (F.col("__rn") <= F.col("__limit")))
+        .drop("__p", "__limit", "__rn")
+    )
+    # exactness check: any undersampled (circuit, class) redoes the full path
+    short = [
+        (cid, cls)
+        for (cid, cls), n in counts.items()
+        if min(1.0, oversample * limits[cls] / n if n else 1.0) < 1.0
+    ]
+    if short:
+        got = {
+            (r.circuit_id, r.neuron_class): r.n
+            for r in ranked.groupBy("circuit_id", "neuron_class")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        redo = [
+            k for k in short if got.get(k, 0) < min(limits[k[1]], counts[k])
+        ]
+        if redo:  # pragma: no cover - Chernoff-rare at 2x oversampling
+            redo_pred = F.lit(False)
+            for cid, cls in redo:
+                redo_pred = redo_pred | (
+                    (F.col("circuit_id") == cid) & (F.col("neuron_class") == cls)
+                )
+            full = (
+                tagged.filter(redo_pred)
+                .withColumn("__limit", limit_expr[F.col("neuron_class")])
+                .withColumn("__rn", F.row_number().over(sample_w))
+                .filter(F.col("__rn") <= F.col("__limit"))
+                .drop("__limit", "__rn")
+            )
+            ranked = ranked.filter(~redo_pred).unionByName(full)
+    return ranked
 
 
 def extract_neuron_classes(

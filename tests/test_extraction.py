@@ -143,3 +143,31 @@ def test_report_end_to_end(spark, nodes, neurons):
         (got.neuron_class == "EXC") & (got.window == "w1") & (got.simulation_id == 0)
     ]
     assert len(got_sub) == len(exp)
+
+
+def test_two_phase_sampling_exact_and_deterministic(spark):
+    """The bounded-sort sample path: exact size per class, deterministic
+    under a fixed seed, uniform-ish across the gid range."""
+    import pyspark.sql.functions as F
+    from blueetl_spark.operators.extraction import extract_neurons
+
+    nodes = spark.range(20000).select(
+        F.col("id").alias("node_id"),
+        F.lit(0).cast("smallint").alias("circuit_id"),
+        F.when(F.col("id") % 2 == 0, "EXC").otherwise("INH").alias("synapse_class"),
+    )
+    classes = {
+        "EXC": {"query": {"synapse_class": "EXC"}, "limit": 100},
+        "INH": {"query": {"synapse_class": "INH"}},  # no limit
+    }
+    out1 = extract_neurons(nodes, classes, seed=7).toPandas()
+    out2 = extract_neurons(nodes, classes, seed=7).toPandas()
+    exc1 = out1[out1.neuron_class == "EXC"]
+    assert len(exc1) == 100                      # exact size
+    assert (exc1.gid % 2 == 0).all()             # right class
+    assert len(out1[out1.neuron_class == "INH"]) == 10000  # untouched
+    assert sorted(exc1.gid) == sorted(out2[out2.neuron_class == "EXC"].gid)
+    # dense re-index after sampling
+    assert sorted(exc1.neuron_class_index) == list(range(100))
+    # spread: samples shouldn't all come from one end of the range
+    assert exc1.gid.min() < 5000 and exc1.gid.max() > 15000
