@@ -879,6 +879,62 @@ FROM documents
 """
 
 
+QF_MIN_TOKENS = 17
+QF_MAX_PUNCT = 0.08
+QF_MIN_STOP = 0.05
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data curation flow, composed end-to-end:
+    quality gates (length, punctuation) ∧ language-ID ∧ exact-dedup
+    keep-list → per-doc verdict with the failure reason. One scan computes
+    every text signal; the dedup keep-list joins back on doc_id."""
+    docs = tables.load(spark, sf_dir, "documents")
+    qf = text.quality_features(docs).alias("qf")
+    keep_ids = dedup.dedup_exact(docs).select(
+        F.col("keep_id").alias("doc_id"), F.lit(True).alias("is_canonical")
+    )
+    out = (
+        qf.join(F.broadcast(keep_ids), "doc_id", "left")
+        .na.fill({"is_canonical": False})
+        .select(
+            "doc_id",
+            F.when(~F.col("is_canonical"), "duplicate")
+            .when(F.col("n_tokens") < QF_MIN_TOKENS, "too_short")
+            .when(F.col("punct_ratio") > QF_MAX_PUNCT, "punct")
+            .when(F.col("stopword_ratio") < QF_MIN_STOP, "language")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+    )
+    return out
+
+
+SQL_CURATION_PIPELINE = f"""
+WITH keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+),
+qf AS (
+  SELECT doc_id,
+         len({_TOKS}) AS n_tokens,
+         len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / length(text)
+           AS punct_ratio,
+         len(list_filter({_TOKS},
+             x -> list_contains([{_EN_STOP_SQL}], lower(x)))) * 1.0
+           / len({_TOKS}) AS stopword_ratio
+  FROM documents
+)
+SELECT qf.doc_id,
+       CASE WHEN keep.doc_id IS NULL THEN 'duplicate'
+            WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short'
+            WHEN punct_ratio > {QF_MAX_PUNCT!r} THEN 'punct'
+            WHEN stopword_ratio < {QF_MIN_STOP!r} THEN 'language'
+            ELSE 'keep' END AS verdict
+FROM qf LEFT JOIN keep ON qf.doc_id = keep.doc_id
+"""
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (the LSH verification kernel)."""
     docs = tables.load(spark, sf_dir, "documents")
@@ -1199,6 +1255,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnowing": q_winnowing,
     "quality_features": q_quality_features,
     "language_score": q_language_score,
+    "curation_pipeline": q_curation_pipeline,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
@@ -1239,6 +1296,7 @@ ORACLES: dict[str, str] = {
     "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "quality_features": SQL_QUALITY_FEATURES,
     "language_score": SQL_LANGUAGE_SCORE,
+    "curation_pipeline": SQL_CURATION_PIPELINE,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
