@@ -28,8 +28,10 @@ HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
     "orders_topk_per_customer",
+    "multi_sim_rates",
     "dedup_exact",
     "dedup_embedding",
+    "curation_pipeline",
     "token_stats",
     "jaccard_pairs",
     "minhash_lsh",
