@@ -64,7 +64,10 @@ def binned_counts(
 
 
 def pairwise_correlation(
-    report: DataFrame, windows: DataFrame, bin_size: float
+    report: DataFrame,
+    windows: DataFrame,
+    bin_size: float,
+    persist_binned: bool = True,
 ) -> DataFrame:
     """Pearson correlation of binned spike trains for every gid pair within
     a group (A19) — fully JVM-side, no pivot, no Python.
@@ -81,8 +84,17 @@ def pairwise_correlation(
     no per-group matrix is ever materialized.
 
     Output: (group keys, gid_a, gid_b, corr), gid_a < gid_b.
+
+    ``persist_binned`` caches the post-aggregation binned counts (size =
+    active gids × occupied bins — orders of magnitude below the event
+    table), because the plan references them three times (per-gid sums +
+    both sides of the pair join); without it the event scan and first
+    shuffle run three times. Caller may ``.unpersist()`` via the
+    ``_binned`` attribute on the result.
     """
     b = binned_counts(report, windows, bin_size, per_gid=True)
+    if persist_binned:
+        b = b.persist()
     meta = _window_meta(windows).withColumn(
         "n_bins", F.ceil(F.col("duration") / F.lit(bin_size)).cast("long")
     )
@@ -116,7 +128,7 @@ def pairwise_correlation(
     num = F.col("n_bins") * F.col("sxy") - F.col("sx_a") * F.col("sx_b")
     var_a = F.col("n_bins") * F.col("sxx_a") - F.col("sx_a") ** 2
     var_b = F.col("n_bins") * F.col("sxx_b") - F.col("sx_b") ** 2
-    return (
+    out = (
         sxy.join(sa, [*GROUP_KEYS, "gid_a"])
         .join(sb, [*GROUP_KEYS, "gid_b"])
         .join(F.broadcast(meta.select("simulation_id", "window", "n_bins")),
@@ -129,6 +141,8 @@ def pairwise_correlation(
         )
         .select(*GROUP_KEYS, "gid_a", "gid_b", "corr")
     )
+    out._binned = b
+    return out
 
 
 def complexity_pdf(
