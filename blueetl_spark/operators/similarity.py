@@ -143,6 +143,26 @@ def knn_lsh(
     )
 
 
+def train_centroids_kmeans(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Train IVF centroids with Spark ML KMeans (distributed Lloyd's) —
+    the offline index-build step of a production IVF. Returns plain
+    Python centroid vectors (driver-side, tiny)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    return [c.tolist() for c in model.clusterCenters()]
+
+
 def knn_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -152,23 +172,28 @@ def knn_ivf(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF-flat ANN: corpus partitioned by nearest sampled centroid; each
+    """IVF-flat ANN: corpus partitioned by nearest centroid cell; each
     query probes its ``n_probe`` nearest centroids' cells.
 
-    Centroids are a deterministic sample of the corpus (seeded) — a cheap
-    stand-in for trained k-means that keeps the whole operator
-    deterministic; swap in Spark ML KMeans offline for production quality.
+    ``centroids`` accepts a trained codebook (see
+    :func:`train_centroids_kmeans`); the default is a deterministic seeded
+    sample of the corpus — cheaper and fully reproducible, at some recall
+    cost vs trained centroids.
     """
-    cents = [
-        (i, row[vec_col])
-        for i, row in enumerate(
-            corpus.select(vec_col)
-            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-            .limit(n_centroids)
-            .collect()
-        )
-    ]
+    if centroids is not None:
+        cents = list(enumerate(centroids))
+    else:
+        cents = [
+            (i, row[vec_col])
+            for i, row in enumerate(
+                corpus.select(vec_col)
+                .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+                .limit(n_centroids)
+                .collect()
+            )
+        ]
 
     def nearest_centroids(vec, n: int):
         sims = F.array(

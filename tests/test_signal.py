@@ -134,3 +134,33 @@ def test_spike_train_distances(spark, report, windows):
         b = np.sort(pdf[pdf.gid == r.gid_b].time.to_numpy())
         assert r.van_rossum == pytest.approx(signal._van_rossum(a, b, 5.0))
         assert r.victor_purpura == pytest.approx(signal._victor_purpura(a, b, 0.1))
+
+
+def test_knn_ivf_with_kmeans_centroids(spark):
+    """IVF with Spark-ML-trained centroids: output contract holds and
+    recall vs bruteforce is reasonable on clustered data."""
+    import numpy as np
+    from blueetl_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    # 3 well-separated clusters in 8-d
+    centers = rng.standard_normal((3, 8)) * 10
+    vecs = [
+        (i, (centers[i % 3] + rng.standard_normal(8) * 0.5).astype(float).tolist())
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = sim.train_centroids_kmeans(emb, n_centroids=3, seed=1)
+    assert len(cents) == 3 and len(cents[0]) == 8
+
+    queries = emb.filter("vec_id < 6")
+    ivf = sim.knn_ivf(queries, emb, k=5, centroids=cents, n_probe=1)
+    bf = sim.knn_bruteforce(queries, emb, k=5)
+    ivf_p, bf_p = ivf.toPandas(), bf.toPandas()
+    assert set(ivf_p.columns) == {"query_id", "neighbor_id", "cosine", "rank"}
+    # same-cluster neighbors dominate -> single-probe recall should be high
+    hits = len(
+        set(zip(ivf_p.query_id, ivf_p.neighbor_id))
+        & set(zip(bf_p.query_id, bf_p.neighbor_id))
+    )
+    assert hits / len(bf_p) > 0.8, hits

@@ -95,3 +95,47 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the [0,10) window emitted with its 2 on-time events; the late event
     # from batch 2 (would make 3) was dropped by the watermark
     assert first_window.n_events == 2
+
+
+def test_stream_batch_parity_on_testdata(spark, tmp_path):
+    """The streaming windowed_rates over the real events table (replayed
+    as a file stream) must agree with the equivalent batch aggregation —
+    complete output mode so every window is emitted regardless of
+    watermark progress."""
+    import pyspark.sql.functions as F
+    from blueetl_spark.streaming import windows as sw
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(
+            F.timestamp_seconds(F.expr("ts div 1000000000")).alias("ts"),
+            F.col("user_id").alias("gid"),
+            F.when(F.col("user_id") % 2 == 0, "EXC").otherwise("INH").alias(
+                "neuron_class"
+            ),
+            "value",
+        )
+    )
+    path = tmp_path / "replay"
+    ev.write.parquet(str(path))
+
+    stream = sw.read_event_stream(spark, str(path))
+    streamed = sw.run_to_memory(
+        sw.windowed_rates(stream, window="1 day", watermark="1 hour"),
+        "parity_rates",
+        output_mode="complete",
+    ).toPandas()
+
+    batch = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "neuron_class")
+        .agg(F.count("*").alias("n_events"), F.avg("value").alias("mean_value"))
+        .select(
+            F.col("w.start").alias("t_start"), "neuron_class", "n_events",
+            F.col("mean_value"),
+        )
+        .toPandas()
+    )
+    key = ["t_start", "neuron_class"]
+    s = streamed[key + ["n_events"]].sort_values(key, ignore_index=True)
+    b = batch[key + ["n_events"]].sort_values(key, ignore_index=True)
+    assert s.equals(b), (len(s), len(b))
