@@ -215,3 +215,51 @@ def test_cli_validate_config(tmp_path, capsys):
     assert main(["validate-config", str(bad)]) == 1
     err = capsys.readouterr().err
     assert "bounds" in err and "neuron_classes" in err
+
+
+def test_cli_run_end_to_end(spark, tmp_path):
+    """`python -m blueetl_spark run` writes every repo + feature table."""
+    import pyspark.sql.functions as F
+    from blueetl_spark.__main__ import main
+
+    ev = spark.range(500).select(
+        (F.col("id") % 2).cast("smallint").alias("simulation_id"),
+        # decorrelate gid parity from simulation parity
+        (F.expr("id div 2") % 20).alias("gid"),
+        (F.rand(3) * 100).alias("time"),
+    )
+    nodes = spark.range(20).select(
+        F.col("id").alias("node_id"),
+        F.lit(0).cast("smallint").alias("circuit_id"),
+        F.when(F.col("id") % 2 == 0, "EXC").otherwise("INH").alias("synapse_class"),
+    )
+    ev.write.parquet(str(tmp_path / "events"))
+    nodes.write.parquet(str(tmp_path / "nodes"))
+    cfg = tmp_path / "config.json"
+    cfg.write_text(json.dumps({
+        "simulation_campaign": {"data": [
+            {"simulation_path": "/sim0"}, {"simulation_path": "/sim1"},
+        ]},
+        "analysis": {"spikes": {
+            "extraction": {
+                "neuron_classes": {"EXC": {"query": {"synapse_class": "EXC"}},
+                                   "INH": {"query": {"synapse_class": "INH"}}},
+                "windows": {"w1": {"bounds": [0.0, 100.0]}},
+            },
+            "features": [{"function": "blueetl_spark.features.by_neuron_class"}],
+        }},
+    }))
+    rc = main([
+        "run", str(cfg),
+        "--nodes", str(tmp_path / "nodes"),
+        "--events", str(tmp_path / "events"),
+        "--output", str(tmp_path / "out"),
+    ])
+    assert rc == 0
+    out = tmp_path / "out" / "spikes"
+    for t in ["simulations", "neurons", "neuron_classes", "windows", "report"]:
+        df = spark.read.parquet(str(out / "repo" / f"{t}.parquet"))
+        assert df.count() > 0, t
+    feats = spark.read.parquet(str(out / "features" / "by_neuron_class.parquet"))
+    # 2 sims x 2 classes x 1 window
+    assert feats.count() == 4
