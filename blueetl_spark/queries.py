@@ -1024,16 +1024,83 @@ GROUP BY w."window", w.trial, e.neuron_class
 """
 
 
+SMOOTH_SIGMA = 3.0
+
+
 def q_smoothed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12: Gaussian-smoothed normalized histogram (applyInPandas over the
-    tiny per-group histograms; convolution — no SQL oracle)."""
+    tiny per-group histograms)."""
     wk_only = {"wk": EVENTS_WINDOWS["wk"]}
     report, windows, counts = _report(spark, sf_dir, wk_only)
     h = features.histogram(report, windows, counts, bin_size=HIST_BIN_MS)
-    s = features.gaussian_smooth_histogram(h, sigma=3.0)
+    s = features.gaussian_smooth_histogram(h, sigma=SMOOTH_SIGMA)
     return s.select(
         "neuron_class", "window", "bin", F.round("smoothed", 9).alias("smoothed")
     )
+
+
+def _gauss_kernel_values_sql(sigma: float) -> str:
+    """The same truncated/normalized Gaussian kernel the Spark side uses
+    (features.gaussian_filter1d_np), rendered as a SQL VALUES list of
+    (offset, weight) — full-precision reprs so both engines convolve with
+    bit-identical weights."""
+    import numpy as np
+
+    radius = int(4.0 * sigma + 0.5)
+    grid = np.arange(-radius, radius + 1, dtype=float)
+    kernel = np.exp(-0.5 * (grid / sigma) ** 2)
+    kernel /= kernel.sum()
+    rows = ", ".join(f"({o}, {w!r})" for o, w in zip(range(-radius, radius + 1), kernel))
+    return f'kern("off", w) AS (VALUES {rows})'
+
+
+# reflect-padded convolution: index bin+off mapped back into [0, n) via
+# numpy 'symmetric' reflection (edge value repeated once)
+SQL_SMOOTHED_HISTOGRAM = f"""
+WITH {_E_CTE}, {_windows_values_sql({"wk": EVENTS_WINDOWS["wk"]})},
+{_gauss_kernel_values_sql(SMOOTH_SIGMA)},
+nc AS (SELECT neuron_class, COUNT(DISTINCT gid) AS n_neurons FROM e GROUP BY 1),
+nt AS (SELECT "window", COUNT(*) AS n_trials FROM w GROUP BY 1),
+sliced AS (
+  SELECT e."time" - w."offset" AS t, w."window", w.t_start, w.duration,
+         e.neuron_class
+  FROM e JOIN w
+    ON e."time" >= w."offset" + w.t_start AND e."time" < w."offset" + w.t_stop
+),
+counts AS (
+  SELECT neuron_class, "window",
+         LEAST(CAST(floor((t - t_start) / {HIST_BIN_MS!r}) AS BIGINT),
+               CAST(ceil(duration / {HIST_BIN_MS!r}) AS BIGINT) - 1) AS bin,
+         COUNT(*) AS n
+  FROM sliced GROUP BY 1, 2, 3
+),
+slots AS (
+  SELECT g.neuron_class, g."window", r.bin
+  FROM (SELECT DISTINCT neuron_class, "window" FROM counts) g
+  CROSS JOIN (SELECT range AS bin FROM range({int(7 * DAY_MS / HIST_BIN_MS)})) r
+),
+dense AS (
+  SELECT s.neuron_class, s."window", s.bin,
+         COALESCE(c.n, 0) / (nc.n_neurons * nt.n_trials) AS hn
+  FROM slots s
+  LEFT JOIN counts c ON c.neuron_class = s.neuron_class
+       AND c."window" = s."window" AND c.bin = s.bin
+  JOIN nc ON nc.neuron_class = s.neuron_class
+  JOIN nt ON nt."window" = s."window"
+)
+SELECT d.neuron_class, d."window", d.bin,
+       ROUND(SUM(kern.w * src.hn), 9) AS smoothed
+FROM dense d
+JOIN kern ON TRUE
+JOIN dense src
+  ON src.neuron_class = d.neuron_class AND src."window" = d."window"
+ AND src.bin = CASE
+      WHEN d.bin + kern."off" < 0 THEN -(d.bin + kern."off") - 1
+      WHEN d.bin + kern."off" >= {int(7 * DAY_MS / HIST_BIN_MS)}
+        THEN 2 * {int(7 * DAY_MS / HIST_BIN_MS)} - (d.bin + kern."off") - 1
+      ELSE d.bin + kern."off" END
+GROUP BY 1, 2, 3
+"""
 
 
 def q_group_list(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1288,6 +1355,7 @@ ORACLES: dict[str, str] = {
     "multi_sim_rates": SQL_MULTI_SIM_RATES,
     "compartment_report": SQL_COMPARTMENT_REPORT,
     "soma_mean_value": SQL_SOMA_MEAN_VALUE,
+    "smoothed_histogram": SQL_SMOOTHED_HISTOGRAM,
     "group_list": SQL_GROUP_LIST,
     "condition_codes": SQL_CONDITION_CODES,
     "dedup_exact": SQL_DEDUP_EXACT,
