@@ -571,7 +571,9 @@ def q_psd_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_spike_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A21: van Rossum + Victor-Purpura per gid pair (DP — no SQL oracle)."""
+    """A21: van Rossum + Victor-Purpura per gid pair (VP's dynamic program
+    is not SQL-expressible — rows-only; see ``van_rossum`` for the
+    oracle-gated half)."""
     report, windows, _ = _report(spark, sf_dir, ALL_WINDOW)
     gids = list(range(0, 8))
     pairs = spark.createDataFrame(
@@ -580,6 +582,61 @@ def q_spike_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return signal.spike_train_distances(
         report, pairs, tau=DAY_MS, q=1.0 / DAY_MS
     ).select("neuron_class", "gid_a", "gid_b", "van_rossum", "victor_purpura")
+
+
+VR_GIDS = list(range(0, 8))
+
+
+def q_van_rossum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 (oracle half): van Rossum distance — its closed form is three
+    pairwise exp-kernel sums, so DuckDB can verify it exactly."""
+    report, windows, _ = _report(spark, sf_dir, ALL_WINDOW)
+    pairs = spark.createDataFrame(
+        [(a, b) for a in VR_GIDS for b in VR_GIDS if a < b],
+        "gid_a bigint, gid_b bigint",
+    )
+    out = signal.spike_train_distances(report, pairs, tau=DAY_MS, q=1.0 / DAY_MS)
+    return out.select(
+        "neuron_class", "gid_a", "gid_b",
+        F.round("van_rossum", 6).alias("van_rossum"),
+    )
+
+
+SQL_VAN_ROSSUM = f"""
+WITH {_E_CTE},
+t AS (
+  SELECT gid, neuron_class, "time" FROM e
+  WHERE "time" >= 0 AND "time" < {31 * DAY_MS!r} AND gid < {max(VR_GIDS) + 1}
+),
+pairs AS (
+  SELECT a.gid AS gid_a, b.gid AS gid_b, a.neuron_class
+  FROM (SELECT DISTINCT gid, neuron_class FROM t) a
+  JOIN (SELECT DISTINCT gid, neuron_class FROM t) b
+    ON a.neuron_class = b.neuron_class AND a.gid < b.gid
+),
+kab AS (
+  SELECT p.gid_a, p.gid_b,
+         SUM(exp(-abs(ta."time" - tb."time") / {DAY_MS!r})) AS s
+  FROM pairs p
+  JOIN t ta ON ta.gid = p.gid_a
+  JOIN t tb ON tb.gid = p.gid_b
+  GROUP BY 1, 2
+),
+kself AS (
+  SELECT x.gid, SUM(exp(-abs(ta."time" - tb."time") / {DAY_MS!r})) AS s
+  FROM (SELECT DISTINCT gid FROM t) x
+  JOIN t ta ON ta.gid = x.gid
+  JOIN t tb ON tb.gid = x.gid
+  GROUP BY 1
+)
+SELECT p.neuron_class, p.gid_a, p.gid_b,
+       ROUND(sqrt(greatest(0.5 * ka.s + 0.5 * kb.s - kab.s, 0)), 6)
+         AS van_rossum
+FROM pairs p
+JOIN kab ON kab.gid_a = p.gid_a AND kab.gid_b = p.gid_b
+JOIN kself ka ON ka.gid = p.gid_a
+JOIN kself kb ON kb.gid = p.gid_b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1245,6 +1302,49 @@ def q_dynamic_onset_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ONSET_SIGMA = 1.0
+ONSET_K = 1.0
+ONSET_NBINS = 31
+ONSET_NPRE = 15  # max(int(31 * pre_fraction 0.5), 1)
+
+SQL_DYNAMIC_ONSET_WINDOWS = f"""
+WITH {_E_CTE}, {_windows_values_sql(EVENTS_WINDOWS)},
+{_gauss_kernel_values_sql(ONSET_SIGMA)},
+hist AS (
+  SELECT CAST(floor("time" / {DAY_MS!r}) AS BIGINT) AS bin, COUNT(*) AS n
+  FROM e WHERE "time" >= 0 AND "time" < {31 * DAY_MS!r}
+  GROUP BY 1
+),
+dense AS (
+  SELECT r.range AS bin, CAST(COALESCE(h.n, 0) AS DOUBLE) AS n
+  FROM range({ONSET_NBINS}) r LEFT JOIN hist h ON h.bin = r.range
+),
+smooth AS (
+  SELECT d.bin, SUM(kern.w * src.n) AS s
+  FROM dense d
+  JOIN kern ON TRUE
+  JOIN dense src
+    ON src.bin = CASE
+        WHEN d.bin + kern."off" < 0 THEN -(d.bin + kern."off") - 1
+        WHEN d.bin + kern."off" >= {ONSET_NBINS}
+          THEN 2 * {ONSET_NBINS} - (d.bin + kern."off") - 1
+        ELSE d.bin + kern."off" END
+  GROUP BY 1
+),
+thr AS (
+  SELECT AVG(s) + {ONSET_K!r} * stddev_pop(s) AS t
+  FROM smooth WHERE bin < {ONSET_NPRE}
+),
+onset AS (
+  SELECT COALESCE(MIN(bin), 0) * {DAY_MS!r} AS dyn
+  FROM smooth, thr WHERE s > thr.t
+)
+SELECT w."window", CAST(w.trial AS BIGINT) AS trial,
+       w."offset" + onset.dyn AS "offset", w.t_start, w.t_stop
+FROM w, onset
+"""
+
+
 EMB_DUP_THRESHOLD = 0.3
 
 
@@ -1301,6 +1401,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "complexity_pdf": q_complexity_pdf,
     "psd_welch": q_psd_welch,
     "spike_distances": q_spike_distances,
+    "van_rossum": q_van_rossum,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "customers_without_orders": q_customers_without_orders,
@@ -1344,6 +1445,8 @@ ORACLES: dict[str, str] = {
     "isi_stats": SQL_ISI_STATS,
     "feature_by_gid": SQL_FEATURE_BY_GID,
     "correlation_pairs": SQL_CORRELATION_PAIRS,
+    "van_rossum": SQL_VAN_ROSSUM,
+    "dynamic_onset_windows": SQL_DYNAMIC_ONSET_WINDOWS,
     "complexity_pdf": SQL_COMPLEXITY_PDF,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
