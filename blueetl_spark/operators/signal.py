@@ -168,11 +168,14 @@ def complexity_pdf(
         F.ceil(F.col("duration") / F.lit(bin_size)).cast("long")
         * F.col("n_trials"),
     )
-    per_bin = per_bin.drop("trial")
     occupied = per_bin.groupBy(*GROUP_KEYS, "complexity").agg(
         F.count("*").alias("n_occurrences")
     )
-    totals = per_bin.groupBy(*GROUP_KEYS).agg(F.count("*").alias("n_nonzero"))
+    # occupied-bin total per group — derived from the (tiny) occupied
+    # aggregate, NOT from per_bin, so the per-bin subtree is scanned once
+    totals = occupied.groupBy(*GROUP_KEYS).agg(
+        F.sum("n_occurrences").alias("n_nonzero")
+    )
     zero_rows = (
         totals.join(
             F.broadcast(meta.select("simulation_id", "window", "n_bins")),
