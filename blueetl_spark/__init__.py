@@ -24,3 +24,12 @@ Public surface:
 """
 
 __version__ = "0.1.0"
+
+from blueetl_spark.functions.qdsl import (  # noqa: E402
+    compile_query,
+    is_subfilter,
+    q,
+)
+from blueetl_spark.session import get_spark  # noqa: E402
+
+__all__ = ["compile_query", "get_spark", "is_subfilter", "q", "__version__"]
