@@ -228,6 +228,7 @@ def embedding_near_dup(
     method: str = "bruteforce",
     n_planes: int = 8,
     seed: int = 42,
+    n_tables: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     cosine ≥ threshold and id_a < id_b.
@@ -248,17 +249,29 @@ def embedding_near_dup(
     from blueetl_spark.operators import similarity
 
     if method == "lsh":
-        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
         dim = len(df.select(vec_col).first()[0])
-        planes = similarity._hyperplanes(dim, n_planes, seed)
-        a = similarity.sketch(a, planes, "__va")
-        b = similarity.sketch(b, planes, "__vb")
+        a = similarity.sketch_tables(
+            df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")),
+            dim, n_planes, n_tables, seed, "__va",
+        )
+        b = similarity.sketch_tables(
+            df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")),
+            dim, n_planes, n_tables, seed, "__vb",
+        )
+        cand = (
+            a.select("id_a", "__table", "__bucket")
+            .join(b.select("id_b", "__table", "__bucket"), ["__table", "__bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()  # a pair bucketed together in several tables scores once
+        )
+        va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
         na = similarity._norm(F.col("__va"))
         nb = similarity._norm(F.col("__vb"))
         return (
-            a.join(b, "__bucket")
-            .filter(F.col("id_a") < F.col("id_b"))
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
             .withColumn(
                 "cosine", similarity._dot(F.col("__va"), F.col("__vb")) / (na * nb)
             )

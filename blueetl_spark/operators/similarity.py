@@ -98,6 +98,44 @@ def sketch(df: DataFrame, planes: list[list[float]], vec_col: str = "embedding")
     return df.withColumn("__bucket", bucket)
 
 
+def sketch_tables(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    vec_col: str,
+) -> DataFrame:
+    """(table, bucket) membership rows for multi-table hyperplane LSH.
+
+    OR-amplification: ``n_tables`` independent sketches; two vectors are
+    candidates when ANY table buckets them together. For per-plane match
+    probability p (= 1 − θ/π), candidate recall is ``1 − (1 − pᵏ)ᴸ`` —
+    the knob that turns one low-recall table into a tunable structure.
+    One scan computes every table's sketch (an array of structs exploded),
+    so the cost of more tables is candidate volume, not extra scans.
+    """
+    entries = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 7919 * t)
+        bucket = F.lit(0).cast("long")
+        for i, plane in enumerate(planes):
+            plane_arr = F.array(*[F.lit(float(x)) for x in plane])
+            bucket = bucket.bitwiseOR(
+                F.when(
+                    _dot(F.col(vec_col), plane_arr) >= 0,
+                    F.shiftleft(F.lit(1).cast("long"), i),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        entries.append(
+            F.struct(F.lit(t).alias("__table"), bucket.alias("__bucket"))
+        )
+    return df.withColumn("__tb", F.explode(F.array(*entries))).select(
+        "*", F.col("__tb.__table").alias("__table"),
+        F.col("__tb.__bucket").alias("__bucket"),
+    ).drop("__tb")
+
+
 def knn_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -107,27 +145,40 @@ def knn_lsh(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k cosine via random-hyperplane bucketing.
+    """Approximate top-k cosine via multi-table random-hyperplane bucketing.
 
-    Same output schema as :func:`knn_bruteforce`; recall < 1 by design
-    (single-probe). The corpus-side sketch is one scan; the candidate join
-    is an equi-join on the bucket key instead of a cross join.
+    Same output schema as :func:`knn_bruteforce`. Candidates are the union
+    over ``n_tables`` independent bucketings (OR-amplification), deduped
+    before scoring so each (query, neighbor) pair is scored once. The
+    corpus-side sketches are one scan; the candidate join is an equi-join
+    on (table, bucket) instead of a cross join.
     """
-    planes = _hyperplanes(dim, n_planes, seed)
-    q = sketch(
+    q = sketch_tables(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
-        planes,
-        "__qv",
-    ).withColumn("__qn", _norm(F.col("__qv")))
-    c = sketch(
+        dim, n_planes, n_tables, seed, "__qv",
+    )
+    c = sketch_tables(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
-        planes,
-        "__cv",
+        dim, n_planes, n_tables, seed, "__cv",
+    )
+    cand = (
+        q.select("query_id", "__table", "__bucket")
+        .join(c.select("neighbor_id", "__table", "__bucket"), ["__table", "__bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn("__qn", _norm(F.col("__qv")))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     ).withColumn("__cn", _norm(F.col("__cv")))
     scored = (
-        q.join(c, "__bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
         .withColumn(
             "cosine",
             _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),

@@ -1,0 +1,81 @@
+"""Recall report for the approximate operators: each LSH/IVF method vs its
+exact counterpart on the driver-provided tables.
+
+Usage: python tools/recall_report.py [sf_dir]
+Prints one JSON line per method: candidate/result counts, recall, and the
+work-reduction factor (pairs scored vs exact).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    import pyspark.sql.functions as F
+
+    from blueetl_spark.operators import dedup, similarity
+    from blueetl_spark.queries import (
+        EMB_DUP_THRESHOLD,
+        JACCARD_NGRAM,
+        JACCARD_THRESHOLD,
+        KNN_K,
+        KNN_QUERY_MAX_ID,
+    )
+    from blueetl_spark.session import get_spark
+    from blueetl_spark.sources import tables
+
+    spark = get_spark(app_name="recall")
+    docs = tables.load(spark, sf_dir, "documents")
+    emb = tables.load(spark, sf_dir, "embeddings")
+
+    def pairs(df, a="id_a", b="id_b"):
+        return {(r[a], r[b]) for r in df.select(a, b).collect()}
+
+    # MinHash-LSH vs exact Jaccard
+    true_j = pairs(dedup.jaccard_pairs(docs, n=JACCARD_NGRAM, threshold=JACCARD_THRESHOLD))
+    cand = pairs(dedup.minhash_lsh_candidates(docs, n=JACCARD_NGRAM))
+    n_docs = docs.count()
+    print(json.dumps({
+        "method": "minhash_lsh", "true_pairs": len(true_j),
+        "candidates": len(cand),
+        "recall": round(len(true_j & cand) / max(len(true_j), 1), 4),
+        "pair_reduction": round(n_docs * (n_docs - 1) / 2 / max(len(cand), 1), 1),
+    }))
+
+    # Embedding LSH vs exact cosine near-dup
+    true_e = pairs(dedup.embedding_near_dup(emb, threshold=EMB_DUP_THRESHOLD))
+    got_e = pairs(dedup.embedding_near_dup(
+        emb, threshold=EMB_DUP_THRESHOLD, method="lsh", n_planes=4))
+    print(json.dumps({
+        "method": "embedding_lsh_4planes", "true_pairs": len(true_e),
+        "found": len(got_e),
+        "recall": round(len(true_e & got_e) / max(len(true_e), 1), 4),
+    }))
+
+    # ANN: LSH and IVF top-k vs bruteforce
+    queries_df = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    bf = pairs(similarity.knn_bruteforce(queries_df, emb, k=KNN_K),
+               "query_id", "neighbor_id")
+    for name, df in [
+        ("knn_lsh", similarity.knn_lsh(queries_df, emb, k=KNN_K)),
+        ("knn_ivf_sampled", similarity.knn_ivf(queries_df, emb, k=KNN_K)),
+        ("knn_ivf_kmeans", similarity.knn_ivf(
+            queries_df, emb, k=KNN_K,
+            centroids=similarity.train_centroids_kmeans(emb, n_centroids=16))),
+    ]:
+        got = pairs(df, "query_id", "neighbor_id")
+        print(json.dumps({
+            "method": name, "true_topk": len(bf), "found": len(got),
+            "recall": round(len(bf & got) / max(len(bf), 1), 4),
+        }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
