@@ -171,3 +171,49 @@ def test_two_phase_sampling_exact_and_deterministic(spark):
     assert sorted(exc1.neuron_class_index) == list(range(100))
     # spread: samples shouldn't all come from one end of the range
     assert exc1.gid.min() < 5000 and exc1.gid.max() > 15000
+
+
+def test_campaign_skips_empty_paths_and_dedupes_circuits(spark):
+    """Reference semantics: runs with empty simulation_path are excluded
+    and ids stay dense; distinct circuit configs get distinct circuit_ids
+    (extract/simulations.py:22-27,61-112)."""
+    from blueetl_spark.sources.campaign import SimulationCampaign
+
+    c = SimulationCampaign.from_dict({"data": [
+        {"simulation_path": "/sim0", "seed": 1, "circuit_config": "/circA"},
+        {"simulation_path": "", "seed": 2, "circuit_config": "/circA"},
+        {"simulation_path": "/sim2", "seed": 3, "circuit_config": "/circB"},
+    ]})
+    got = c.to_simulations_df(spark).toPandas().sort_values("simulation_id")
+    assert got.simulation_id.tolist() == [0, 1]       # dense after skip
+    assert got.simulation_path.tolist() == ["/sim0", "/sim2"]
+    assert got.circuit_id.tolist() == [0, 1]          # per distinct circuit
+    assert got.seed.tolist() == [1, 3]
+
+
+def test_multi_table_lsh_superset_of_single_table(spark):
+    """OR-amplification: candidates with L tables contain the single-table
+    candidates, and the output has no duplicate pairs."""
+    import numpy as np
+    from blueetl_spark.operators import dedup
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16))
+    rows = []
+    for i, b in enumerate(base):
+        rows.append((2 * i, b.astype(float).tolist()))
+        rows.append((2 * i + 1, (b + rng.standard_normal(16) * 0.05).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    one = dedup.embedding_near_dup(
+        emb, threshold=0.9, method="lsh", n_planes=6, n_tables=1
+    ).toPandas()
+    many = dedup.embedding_near_dup(
+        emb, threshold=0.9, method="lsh", n_planes=6, n_tables=6
+    ).toPandas()
+    p1 = set(zip(one.id_a, one.id_b))
+    pn = set(zip(many.id_a, many.id_b))
+    assert p1 <= pn
+    assert len(pn) > len(p1)  # amplification finds more true pairs here
+    assert not many.duplicated(["id_a", "id_b"]).any()
+    exact = dedup.embedding_near_dup(emb, threshold=0.9).toPandas()
+    assert pn <= set(zip(exact.id_a, exact.id_b))  # no false positives
