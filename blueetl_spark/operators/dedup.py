@@ -185,17 +185,31 @@ def simhash(
     id_col: str = "doc_id",
     n: int = 3,
     bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document, JVM-side.
+    """SimHash per document, JVM-side.
 
-    Per shingle: h = xxhash64(shingle). Per bit position: +1 if set else −1,
-    summed over shingles; the sign of each sum gives the output bit.
-    Implemented as 64 conditional sums over the exploded shingle table —
-    one shuffle, map-side combined.
+    Per shingle: a base hash. Per bit position: +1 if set else −1, summed
+    over shingles; the sign of each sum gives the output bit. Implemented
+    as ``bits`` conditional sums over the exploded shingle table — one
+    shuffle, map-side combined.
+
+    ``hash_fn="xxhash64"`` (default, fastest) or ``"md5"`` — the first 15
+    hex chars of md5 as a 60-bit integer, chosen because DuckDB computes
+    the identical value, which makes the md5 variant oracle-verifiable
+    (use ``bits<=60`` with it).
     """
-    s = shingle_sets(df, text_col, id_col, n).withColumn(
-        "h", F.xxhash64(F.col("shingle"))
-    )
+    s = shingle_sets(df, text_col, id_col, n)
+    if hash_fn == "xxhash64":
+        s = s.withColumn("h", F.xxhash64(F.col("shingle")))
+    elif hash_fn == "md5":
+        if bits > 60:
+            raise ValueError("md5 variant supports at most 60 bits")
+        s = s.withColumn(
+            "h", F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+        )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(

@@ -1033,9 +1033,51 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (no SQL oracle)."""
+    """64-bit SimHash per document (xxhash64 base — no SQL oracle; the
+    md5 variant below is the oracle-gated twin)."""
     docs = tables.load(spark, sf_dir, "documents")
     return dedup.simhash(docs, n=JACCARD_NGRAM)
+
+
+SIMHASH_MD5_BITS = 60
+
+
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash with an md5 base hash — bit-identical in DuckDB, so
+    the full bit-vote pipeline is oracle-verified."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup.simhash(
+        docs, n=JACCARD_NGRAM, bits=SIMHASH_MD5_BITS, hash_fn="md5"
+    )
+
+
+def _simhash_md5_sql() -> str:
+    shingle = (
+        f"unnest(list_distinct(list_transform("
+        f"range(1, greatest(len({_TOKS}) - {JACCARD_NGRAM - 1}, 1) + 1), "
+        f"i -> array_to_string(({_TOKS})[i:i+{JACCARD_NGRAM - 1}], ' '))))"
+    )
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_MD5_BITS)
+    )
+    sim = " | ".join(
+        f"(CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(SIMHASH_MD5_BITS)
+    )
+    return f"""
+WITH sh AS (SELECT doc_id, {shingle} AS shingle FROM documents),
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS h
+  FROM sh
+),
+votes AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {sim} AS simhash FROM votes
+"""
+
+
+SQL_SIMHASH_MD5 = _simhash_md5_sql()
 
 
 def q_soma_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1427,6 +1469,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
+    "simhash_md5": q_simhash_md5,
     "embedding_norms": q_embedding_norms,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
@@ -1468,6 +1511,7 @@ ORACLES: dict[str, str] = {
     "quality_features": SQL_QUALITY_FEATURES,
     "language_score": SQL_LANGUAGE_SCORE,
     "curation_pipeline": SQL_CURATION_PIPELINE,
+    "simhash_md5": SQL_SIMHASH_MD5,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
