@@ -112,28 +112,42 @@ def sketch_tables(
     candidates when ANY table buckets them together. For per-plane match
     probability p (= 1 − θ/π), candidate recall is ``1 − (1 − pᵏ)ᴸ`` —
     the knob that turns one low-recall table into a tunable structure.
-    One scan computes every table's sketch (an array of structs exploded),
-    so the cost of more tables is candidate volume, not extra scans.
+
+    Implemented as one Arrow-batched ``mapInPandas`` pass: all
+    ``n_tables × n_planes`` dot products per vector are a single numpy
+    ``V @ P.T`` (the plane matrix rides inside the closure — it is
+    config-sized). The expression-tree alternative (a literal per plane
+    coefficient) costs thousands of Catalyst nodes and interpreted
+    per-element lambda evaluation; the matrix kernel is both faster and
+    cheaper to plan. Output: input columns + (__table, __bucket) rows.
     """
-    entries = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 7919 * t)
-        bucket = F.lit(0).cast("long")
-        for i, plane in enumerate(planes):
-            plane_arr = F.array(*[F.lit(float(x)) for x in plane])
-            bucket = bucket.bitwiseOR(
-                F.when(
-                    _dot(F.col(vec_col), plane_arr) >= 0,
-                    F.shiftleft(F.lit(1).cast("long"), i),
-                ).otherwise(F.lit(0).cast("long"))
-            )
-        entries.append(
-            F.struct(F.lit(t).alias("__table"), bucket.alias("__bucket"))
-        )
-    return df.withColumn("__tb", F.explode(F.array(*entries))).select(
-        "*", F.col("__tb.__table").alias("__table"),
-        F.col("__tb.__bucket").alias("__bucket"),
-    ).drop("__tb")
+    import numpy as np
+    import pandas as pd
+
+    planes = np.stack(
+        [
+            np.asarray(_hyperplanes(dim, n_planes, seed + 7919 * t))
+            for t in range(n_tables)
+        ]
+    )  # (n_tables, n_planes, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))  # bucket bit weights
+    in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    out_schema = f"{in_fields}, __table int, __bucket long"
+
+    def op(batches):
+        for pdf in batches:
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out = []
+            for t in range(planes.shape[0]):
+                signs = (v @ planes[t].T) >= 0  # (rows, n_planes)
+                buckets = (signs * weights).sum(axis=1)
+                part = pdf.copy()
+                part["__table"] = t
+                part["__bucket"] = buckets
+                out.append(part)
+            yield pd.concat(out, ignore_index=True)
+
+    return df.mapInPandas(op, out_schema)
 
 
 def knn_lsh(
