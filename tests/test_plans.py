@@ -77,3 +77,13 @@ def test_dedup_exact_single_shuffle(spark):
         if re.match(r"\(\d+\) Exchange", l.strip())
     ]
     assert len(exchanges) == 1, exchanges
+
+
+def test_knn_lsh_joins_on_bucket_not_cross(spark):
+    from blueetl_spark import queries as Q
+
+    plan = _formatted_plan(Q.QUERIES["knn_lsh"](spark, SF))
+    # the candidate join must be an equi-join on (table, bucket); the only
+    # acceptable broadcast-nested-loop is none at all here
+    assert "__bucket" in plan
+    assert "BroadcastNestedLoopJoin" not in plan.split("== Physical Plan ==")[-1]
