@@ -301,28 +301,43 @@ class Analyzer:
 
     # -- in-memory refiltering (reference apply_filter) ----------------------
     def apply_filter(self, simulations_filter: Query) -> "FilteredAnalyzer":
-        ids = [
-            r.simulation_id
-            for r in self.simulations.filter(
-                compile_query(simulations_filter)
-            ).collect()
-        ]
-        return FilteredAnalyzer(self, ids)
+        rows = self.simulations.filter(
+            compile_query(simulations_filter)
+        ).select("simulation_id", "circuit_id").collect()
+        return FilteredAnalyzer(
+            self,
+            [r.simulation_id for r in rows],
+            sorted({r.circuit_id for r in rows}),
+        )
 
 
 class FilteredAnalyzer:
-    """Read-only view of an Analyzer restricted to a simulation-id set —
-    every table filtered in memory, nothing recomputed or re-cached
-    (reference ``FilteredRepository``, ``repository.py:392-418``)."""
+    """Read-only view of an Analyzer restricted to the simulations matching
+    a filter — every table filtered in memory, nothing recomputed or
+    re-cached (reference ``FilteredRepository``, ``repository.py:392-418``).
 
-    def __init__(self, base: Analyzer, simulation_ids: list[int]):
+    Both the surviving ``simulation_id`` set and the circuits they use are
+    pushed: circuit-grained tables (neurons, neuron_classes) shrink too
+    (reference pushes ``{circuit_id: ids}`` through every cached frame,
+    ``repository.py:96-120``).
+    """
+
+    def __init__(
+        self,
+        base: Analyzer,
+        simulation_ids: list[int],
+        circuit_ids: list[int] | None = None,
+    ):
         self._base = base
         self._ids = simulation_ids
+        self._circuit_ids = circuit_ids
 
     def _filtered(self, df: DataFrame) -> DataFrame:
-        if "simulation_id" not in df.columns:
-            return df
-        return df.filter(F.col("simulation_id").isin(self._ids))
+        if "simulation_id" in df.columns:
+            df = df.filter(F.col("simulation_id").isin(self._ids))
+        elif self._circuit_ids is not None and "circuit_id" in df.columns:
+            df = df.filter(F.col("circuit_id").isin(self._circuit_ids))
+        return df
 
     @property
     def simulations(self) -> DataFrame:
@@ -330,11 +345,11 @@ class FilteredAnalyzer:
 
     @property
     def neurons(self) -> DataFrame:
-        return self._base.neurons
+        return self._filtered(self._base.neurons)
 
     @property
     def neuron_classes(self) -> DataFrame:
-        return self._base.neuron_classes
+        return self._filtered(self._base.neuron_classes)
 
     @property
     def windows(self) -> DataFrame:

@@ -223,3 +223,35 @@ def test_circular_window_reference_raises(spark, data):
     }
     with _pytest.raises(ValueError, match="circular"):
         MultiAnalyzer(spark, config, nodes, events)
+
+
+def test_apply_filter_pushes_circuit_ids(spark, data):
+    """FilteredAnalyzer narrows circuit-grained tables to the circuits the
+    surviving simulations use (reference repository.py:96-120)."""
+    nodes, events = data
+    # two circuits: sims 0 -> circuit A, 1 -> circuit B
+    cfg = {
+        "simulation_campaign": {"data": [
+            {"simulation_path": "/sim0", "circuit_config": "/cA"},
+            {"simulation_path": "/sim1", "circuit_config": "/cB"},
+        ]},
+        "analysis": {"spikes": {"extraction": {
+            "neuron_classes": {"all": {"query": {}}},
+            "windows": {"w1": {"bounds": [0.0, 50.0]}},
+        }}},
+    }
+    import pyspark.sql.functions as F
+    from blueetl_spark.analysis import MultiAnalyzer
+
+    # nodes for both circuits
+    nodes2 = nodes.union(
+        nodes.withColumn("circuit_id", F.lit(1).cast("smallint"))
+    )
+    ma = MultiAnalyzer(spark, cfg, nodes2, events)
+    a = ma.spikes
+    assert a.neurons.select("circuit_id").distinct().count() == 2
+    filtered = a.apply_filter({"simulation_id": [0]})
+    assert filtered.simulations.count() == 1
+    assert filtered.neurons.select("circuit_id").distinct().collect()[0][0] == 0
+    assert filtered.neuron_classes.select("circuit_id").distinct().count() == 1
+    assert filtered.report.select("simulation_id").distinct().count() == 1
