@@ -126,6 +126,52 @@ def fingerprint(
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
 
 
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus TF-IDF per (doc, token): tf = in-doc count, df = documents
+    containing the token, ``tfidf = tf · ln(N / df)``.
+
+    Shape: one explode + a per-(doc, token) count (map-side combined),
+    a token-level document-frequency aggregate joined back on the token,
+    and the corpus size as a scalar subquery — two data shuffles total.
+    ``top_k`` keeps each document's k highest-scoring tokens (window
+    ranked, deterministic token tie-break).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n")).select("n")
+    out = (
+        tf.join(docfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            "tf",
+            "df",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("tfidf"),
+        )
+    )
+    if top_k is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("tfidf").desc(), F.col("token")
+        )
+        out = (
+            out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .drop("rank")
+        )
+    return out
+
+
 def winnowing_fingerprints(col: Column | str, n: int = 5, w: int = 4) -> Column:
     """Winnowing document fingerprints (rolling-hash selection): hash every
     word ``n``-gram, then keep the minimum hash of each sliding window of

@@ -876,6 +876,54 @@ FROM documents
 """
 
 
+TFIDF_TOP_K = 5
+
+
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF, top-k tokens per document.
+
+    Ranked on the *rounded* score: mathematically-equal scores computed
+    differently (e.g. ``2·ln 2`` vs ``ln 4``) can differ by 1 ulp between
+    engines, which would make the raw-value rank order engine-dependent;
+    rounding first forces both engines into the token tie-break.
+    """
+    from pyspark.sql import Window
+
+    docs = tables.load(spark, sf_dir, "documents")
+    out = text.tf_idf(docs).withColumn("tfidf", F.round("tfidf", 9))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "token", "tf", "df", "tfidf")
+    )
+
+
+SQL_TF_IDF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+  WHERE token <> '' GROUP BY 1, 2
+),
+docfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, docfreq.df,
+         ROUND(tf.tf * ln(n.n * 1.0 / docfreq.df), 9) AS tfidf
+  FROM tf JOIN docfreq USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, df, tfidf
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints (xxhash64 — no SQL oracle);
     returns per-doc fingerprint counts plus the selection ratio."""
@@ -1463,6 +1511,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "bpe_token_stats": q_bpe_token_stats,
     "winnowing": q_winnowing,
+    "tf_idf": q_tf_idf,
     "quality_features": q_quality_features,
     "language_score": q_language_score,
     "curation_pipeline": q_curation_pipeline,
@@ -1508,6 +1557,7 @@ ORACLES: dict[str, str] = {
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "token_stats": SQL_TOKEN_STATS,
     "bpe_token_stats": SQL_BPE_TOKEN_STATS,
+    "tf_idf": SQL_TF_IDF,
     "quality_features": SQL_QUALITY_FEATURES,
     "language_score": SQL_LANGUAGE_SCORE,
     "curation_pipeline": SQL_CURATION_PIPELINE,

@@ -1,4 +1,5 @@
 """BPE tokenizer and winnowing fingerprints."""
+import pytest
 
 
 # -- BPE-ish tokens and winnowing (appended) ---------------------------------
@@ -47,3 +48,23 @@ def test_winnowing_short_doc(spark):
     df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
     out = df.select(T.winnowing_fingerprints("text", n=3, w=4).alias("fp")).first()
     assert len(out.fp) == 1  # single shingle -> single fingerprint
+
+
+def test_tf_idf_values(spark):
+    from blueetl_spark.operators import text as T
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry cherry date")],
+        "doc_id long, text string",
+    )
+    out = T.tf_idf(df).toPandas()
+    row = out[(out.doc_id == 1) & (out.token == "apple")].iloc[0]
+    assert row.tf == 2 and row.df == 1
+    assert row.tfidf == pytest.approx(2 * math.log(3 / 1))
+    banana = out[(out.doc_id == 1) & (out.token == "banana")].iloc[0]
+    assert banana.df == 2
+    assert banana.tfidf == pytest.approx(math.log(3 / 2))
+    top1 = T.tf_idf(df, top_k=1).toPandas()
+    assert len(top1) == 3  # one row per doc
+    assert top1[top1.doc_id == 1].token.iloc[0] == "apple"
