@@ -85,30 +85,49 @@ def jaccard_pairs(
     return out
 
 
+def md5_60(col):
+    """First 15 hex chars of md5 as a 60-bit bigint — DuckDB computes the
+    identical value (``CAST('0x'||substring(md5(x),1,15) AS BIGINT)``),
+    which makes md5-based sketches oracle-verifiable."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures as an array<bigint> of per-permutation minima.
 
     The variable-length shingle string is hashed ONCE per row; the i-th
-    "random permutation" is ``xxhash64(fingerprint, i)`` over that fixed
-    8-byte fingerprint — far cheaper than the naive formulation that runs
-    all ``num_hashes`` hash functions over the full string (and, unlike a
-    multiply-add universal hash, safe under Spark's ANSI overflow
-    checking, which rejects long wraparound). One explode + one
-    map-side-combined groupBy — fully JVM-side.
+    "random permutation" re-hashes that fixed-width fingerprint — far
+    cheaper than the naive formulation that runs all ``num_hashes`` hash
+    functions over the full string (and, unlike a multiply-add universal
+    hash, safe under Spark's ANSI overflow checking, which rejects long
+    wraparound). One explode + one map-side-combined groupBy — fully
+    JVM-side.
+
+    ``hash_fn="xxhash64"`` (default, fastest): permutation i is
+    ``xxhash64(h, i)``. ``hash_fn="md5"``: base and permutations via
+    :func:`md5_60` (permutation i hashes ``concat(h, ':', i)``), chosen
+    because DuckDB computes identical values, so the full pipeline is
+    oracle-verifiable.
     """
-    s = shingle_sets(df, text_col, id_col, n).withColumn(
-        "__h", F.xxhash64(F.col("shingle"))
-    )
-    mins = [
-        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    s = shingle_sets(df, text_col, id_col, n)
+    if hash_fn == "xxhash64":
+        s = s.withColumn("__h", F.xxhash64(F.col("shingle")))
+        perm = lambda i: F.xxhash64(F.col("__h"), F.lit(i))  # noqa: E731
+    elif hash_fn == "md5":
+        s = s.withColumn("__h", md5_60(F.col("shingle")))
+        perm = lambda i: md5_60(  # noqa: E731
+            F.concat(F.col("__h").cast("string"), F.lit(f":{i}"))
+        )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    mins = [F.min(perm(i)).alias(f"h{i}") for i in range(num_hashes)]
     sig = s.groupBy(id_col).agg(*mins)
     return sig.select(
         F.col(id_col),
@@ -123,6 +142,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over MinHash signatures.
 
@@ -130,9 +150,22 @@ def minhash_lsh_candidates(
     docs sharing any band hash land in one bucket → equi-join on
     (band, band_hash). Returns distinct (id_a, id_b) candidates with the
     estimated signature similarity (fraction of matching hashes).
+
+    ``hash_fn="md5"`` makes every stage (base hash, permutations, band
+    bucket key) DuckDB-reproducible, so the full candidate set is
+    oracle-verifiable; ``"xxhash64"`` is the faster Spark-only default.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes).cache()
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn).cache()
+
+    def band_hash(b):
+        cols = [
+            F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)
+        ]
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws(":", *[c.cast("string") for c in cols]))
+        return F.xxhash64(*cols).cast("string")
+
     banded = sig.select(
         F.col(id_col),
         F.explode(
@@ -140,12 +173,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("signature")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("band_hash"),
+                        band_hash(b).alias("band_hash"),
                     )
                     for b in range(bands)
                 ]

@@ -1080,6 +1080,80 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(docs, n=JACCARD_NGRAM)
 
 
+MINHASH_MD5_HASHES = 16
+MINHASH_MD5_BANDS = 4
+
+
+def q_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates with an md5-based hash family — every stage
+    (shingle hash, 16 permutations, band bucket keys, bucket join,
+    signature-similarity estimate) is bit-identical in DuckDB, so the full
+    LSH pipeline is oracle-verified (the xxhash64 twin above is the faster
+    Spark-only scale path)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(
+        docs,
+        n=JACCARD_NGRAM,
+        num_hashes=MINHASH_MD5_HASHES,
+        bands=MINHASH_MD5_BANDS,
+        hash_fn="md5",
+    )
+    return cand.select("id_a", "id_b", "est_jaccard")
+
+
+def _minhash_lsh_md5_sql() -> str:
+    k, bands = MINHASH_MD5_HASHES, MINHASH_MD5_BANDS
+    rpb = k // bands
+    shingle = (
+        f"unnest(list_distinct(list_transform("
+        f"range(1, greatest(len({_TOKS}) - {JACCARD_NGRAM - 1}, 1) + 1), "
+        f"i -> array_to_string(({_TOKS})[i:i+{JACCARD_NGRAM - 1}], ' '))))"
+    )
+
+    def md5_60(expr: str) -> str:
+        return f"CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+    mins = ", ".join(
+        "MIN({e}) AS h{i}".format(
+            e=md5_60("concat(CAST(h AS VARCHAR), ':%d')" % i), i=i
+        )
+        for i in range(k)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS band_hash FROM sig".format(
+            b=b,
+            key="concat("
+            + ", ':', ".join(
+                f"CAST(h{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            )
+            + ")",
+        )
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+WITH sh AS (SELECT doc_id, {shingle} AS shingle FROM documents),
+hashed AS (SELECT doc_id, {md5_60('shingle')} AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+banded AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ({matches}) / {k}.0 AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b
+"""
+
+
+SQL_MINHASH_LSH_MD5 = _minhash_lsh_md5_sql()
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (xxhash64 base — no SQL oracle; the
     md5 variant below is the oracle-gated twin)."""
@@ -1517,6 +1591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline": q_curation_pipeline,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh": q_minhash_lsh,
+    "minhash_lsh_md5": q_minhash_lsh_md5,
     "simhash": q_simhash,
     "simhash_md5": q_simhash_md5,
     "embedding_norms": q_embedding_norms,
@@ -1562,6 +1637,7 @@ ORACLES: dict[str, str] = {
     "language_score": SQL_LANGUAGE_SCORE,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "simhash_md5": SQL_SIMHASH_MD5,
+    "minhash_lsh_md5": SQL_MINHASH_LSH_MD5,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,

@@ -1,0 +1,71 @@
+"""MinHash+LSH unit tests (both hash families).
+
+The md5 family is additionally hash-verified against DuckDB end-to-end by
+the ``minhash_lsh_md5`` oracle entry; these tests pin the invariants that
+must hold for ANY hash family.
+"""
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),  # exact duplicate of 1
+        (3, base + " with a small tail appended here"),  # near-dup of 1
+        (4, "completely different content about spark sql catalyst tungsten"),
+        (5, "unrelated text mentioning parquet arrow pandas numpy duckdb"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_exact_duplicates_are_candidates_with_sim_one(docs, hash_fn):
+    from blueetl_spark.operators import dedup
+
+    cand = dedup.minhash_lsh_candidates(
+        docs, num_hashes=16, bands=4, hash_fn=hash_fn
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.est_jaccard for r in cand}
+    # identical docs share every band bucket and every signature entry
+    assert pairs[(1, 2)] == 1.0
+    # estimates are valid fractions of num_hashes
+    assert all(0.0 <= v <= 1.0 for v in pairs.values())
+    # a disjoint-content pair should not have similarity 1
+    assert pairs.get((4, 5), 0.0) < 1.0
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_signatures_shape_and_determinism(docs, hash_fn):
+    from blueetl_spark.operators import dedup
+
+    sig1 = dedup.minhash_signatures(docs, num_hashes=8, hash_fn=hash_fn)
+    sig2 = dedup.minhash_signatures(docs, num_hashes=8, hash_fn=hash_fn)
+    a = {r.doc_id: r.signature for r in sig1.collect()}
+    b = {r.doc_id: r.signature for r in sig2.collect()}
+    assert a == b  # deterministic, no RNG
+    assert all(len(v) == 8 for v in a.values())
+    assert a[1] == a[2]  # identical text -> identical signature
+
+
+def test_md5_60_matches_duckdb():
+    """The bigint base hash must agree with DuckDB for the oracle to hold."""
+    import duckdb
+
+    from blueetl_spark.operators.dedup import md5_60
+    from blueetl_spark.session import get_spark
+
+    spark = get_spark(app_name="blueetl_spark_tests")
+    got = (
+        spark.range(1)
+        .select(md5_60(F.lit("hello world")).alias("h"))
+        .first()
+        .h
+    )
+    want = duckdb.sql(
+        "SELECT CAST(concat('0x', substring(md5('hello world'), 1, 15)) "
+        "AS BIGINT) AS h"
+    ).fetchone()[0]
+    assert got == want
