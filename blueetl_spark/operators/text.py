@@ -172,7 +172,9 @@ def tf_idf(
     return out
 
 
-def winnowing_fingerprints(col: Column | str, n: int = 5, w: int = 4) -> Column:
+def winnowing_fingerprints(
+    col: Column | str, n: int = 5, w: int = 4, hash_fn: str = "xxhash64"
+) -> Column:
     """Winnowing document fingerprints (rolling-hash selection): hash every
     word ``n``-gram, then keep the minimum hash of each sliding window of
     ``w`` consecutive hashes (distinct, sorted).
@@ -188,7 +190,16 @@ def winnowing_fingerprints(col: Column | str, n: int = 5, w: int = 4) -> Column:
     the same O(tokens²) trap if written as a lambda over ``slice``).
     """
     sh = shingles(col, n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    if hash_fn == "xxhash64":
+        hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    elif hash_fn == "md5":
+        # DuckDB-reproducible 60-bit hash -> the selection is oracle-checkable
+        hashes = F.transform(
+            sh,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     count = F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(1))
     shifted = [F.slice(hashes, j + 1, count) for j in range(w)]
     zipped = F.arrays_zip(*shifted)

@@ -938,6 +938,48 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_W = 4
+
+
+def q_winnowing_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints with the md5 hash family, exploded to
+    (doc_id, fp) rows — the window-min selection itself is reproduced in
+    SQL with a frame-bounded MIN, so the fingerprint scheme is fully
+    oracle-verified (the xxhash64 twin stays the fast Spark-only path)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    fp = text.winnowing_fingerprints(
+        "text", n=JACCARD_NGRAM, w=WINNOW_W, hash_fn="md5"
+    )
+    return docs.select("doc_id", F.explode(fp).alias("fp"))
+
+
+SQL_WINNOWING_MD5 = f"""
+WITH sh AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+         CAST(concat('0x', substring(md5(
+             array_to_string(({_TOKS})[t.i:t.i+{JACCARD_NGRAM - 1}], ' ')
+         ), 1, 15)) AS BIGINT) AS h
+  FROM documents,
+       UNNEST(range(1, greatest(len({_TOKS}) - {JACCARD_NGRAM - 1}, 1) + 1))
+         AS t(i)
+),
+counts AS (
+  SELECT doc_id, greatest(COUNT(*) - {WINNOW_W - 1}, 1) AS n_windows
+  FROM sh GROUP BY 1
+),
+wins AS (
+  SELECT doc_id, i,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW
+                      AND {WINNOW_W - 1} FOLLOWING) AS wmin
+  FROM sh
+)
+SELECT DISTINCT wins.doc_id, wmin AS fp
+FROM wins JOIN counts ON counts.doc_id = wins.doc_id
+WHERE i <= n_windows
+"""
+
+
 def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     qf = text.quality_features(docs)
@@ -1390,6 +1432,36 @@ FROM embeddings
 """
 
 
+EMB_DIM = 64  # embeddings.parquet is array<float>[64] at every SF
+
+
+def _emb_lsh_bucket_rows_sql(n_planes: int, n_tables: int, seed: int) -> str:
+    """UNION-ALL CTE body reproducing ``similarity.sketch_tables`` in SQL:
+    per table, bucket = sign-bit sketch against the same seeded numpy
+    hyperplanes, inlined as literals (repr round-trips float64 exactly)."""
+    from blueetl_spark.operators.similarity import _hyperplanes
+
+    def plane_dot(plane: list[float]) -> str:
+        lits = ", ".join(repr(float(x)) for x in plane)
+        return (
+            f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{lits}])[i]))"
+        )
+
+    return " UNION ALL ".join(
+        "SELECT vec_id, {t} AS tbl, ({bits}) AS bucket FROM embeddings".format(
+            t=t,
+            bits=" + ".join(
+                f"(CASE WHEN {plane_dot(plane)} >= 0 THEN {1 << k} ELSE 0 END)"
+                for k, plane in enumerate(
+                    _hyperplanes(EMB_DIM, n_planes, seed + 7919 * t)
+                )
+            ),
+        )
+        for t in range(n_tables)
+    )
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
@@ -1424,11 +1496,71 @@ FROM r WHERE rank <= {KNN_K}
 """
 
 
+KNN_LSH_PLANES = 8
+KNN_LSH_TABLES = 4
+KNN_LSH_SEED = 42
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN (approximate; no SQL oracle)."""
+    """Hyperplane-LSH ANN. Deterministic seeded hyperplanes let the SQL
+    oracle reproduce the exact candidate sets (sketch → OR-amplified
+    bucket join → rank), so the approximate index itself is verified,
+    not just its bruteforce baseline."""
     emb = tables.load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
-    return similarity.knn_lsh(queries_df, emb, k=KNN_K)
+    out = similarity.knn_lsh(
+        queries_df,
+        emb,
+        k=KNN_K,
+        n_planes=KNN_LSH_PLANES,
+        seed=KNN_LSH_SEED,
+        n_tables=KNN_LSH_TABLES,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _knn_lsh_sql() -> str:
+    table_rows = _emb_lsh_bucket_rows_sql(
+        KNN_LSH_PLANES, KNN_LSH_TABLES, KNN_LSH_SEED
+    )
+    pair_dot = (
+        f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+        f"i -> CAST(va.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE)))"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+b AS ({table_rows}),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM b qb JOIN b cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+  WHERE qb.vec_id < {KNN_QUERY_MAX_ID} AND qb.vec_id <> cb.vec_id
+),
+s AS (
+  SELECT query_id, neighbor_id, {pair_dot} / (va.nrm * vb.nrm) AS cosine
+  FROM cand
+  JOIN v va ON va.vec_id = query_id
+  JOIN v vb ON vb.vec_id = neighbor_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {KNN_K}
+"""
+
+
+SQL_KNN_LSH = _knn_lsh_sql()
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1538,13 +1670,59 @@ WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
 """
 
 
+EMB_LSH_PLANES = 4
+EMB_LSH_TABLES = 4
+EMB_LSH_SEED = 42
+
+
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed embedding near-dup (approximate; no SQL oracle)."""
+    """LSH-bucketed embedding near-dup. The hyperplanes are deterministic
+    (seeded numpy), so the whole pipeline — sign-bit sketch per table,
+    OR-amplified bucket join, cosine filter — is reproduced in SQL with the
+    plane coefficients inlined as literals, making the approximate path
+    itself oracle-verified (not just its bruteforce baseline)."""
     emb = tables.load(spark, sf_dir, "embeddings")
     out = dedup.embedding_near_dup(
-        emb, threshold=EMB_DUP_THRESHOLD, method="lsh", n_planes=4
+        emb,
+        threshold=EMB_DUP_THRESHOLD,
+        method="lsh",
+        n_planes=EMB_LSH_PLANES,
+        seed=EMB_LSH_SEED,
+        n_tables=EMB_LSH_TABLES,
     )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _dedup_embedding_lsh_sql() -> str:
+    table_rows = _emb_lsh_bucket_rows_sql(
+        EMB_LSH_PLANES, EMB_LSH_TABLES, EMB_LSH_SEED
+    )
+    pair_dot = (
+        f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+        f"i -> CAST(va.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE)))"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+b AS ({table_rows}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+                   AND a.vec_id < c.vec_id
+)
+SELECT id_a, id_b, ROUND({pair_dot} / (va.nrm * vb.nrm), 6) AS cosine
+FROM cand
+JOIN v va ON va.vec_id = id_a
+JOIN v vb ON vb.vec_id = id_b
+WHERE {pair_dot} / (va.nrm * vb.nrm) >= {EMB_DUP_THRESHOLD!r}
+"""
+
+
+SQL_DEDUP_EMBEDDING_LSH = _dedup_embedding_lsh_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1585,6 +1763,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "bpe_token_stats": q_bpe_token_stats,
     "winnowing": q_winnowing,
+    "winnowing_md5": q_winnowing_md5,
     "tf_idf": q_tf_idf,
     "quality_features": q_quality_features,
     "language_score": q_language_score,
@@ -1630,6 +1809,7 @@ ORACLES: dict[str, str] = {
     "condition_codes": SQL_CONDITION_CODES,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "dedup_embedding_lsh": SQL_DEDUP_EMBEDDING_LSH,
     "token_stats": SQL_TOKEN_STATS,
     "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "tf_idf": SQL_TF_IDF,
@@ -1638,9 +1818,11 @@ ORACLES: dict[str, str] = {
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "simhash_md5": SQL_SIMHASH_MD5,
     "minhash_lsh_md5": SQL_MINHASH_LSH_MD5,
+    "winnowing_md5": SQL_WINNOWING_MD5,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+    "knn_lsh": SQL_KNN_LSH,
 }
 
 
