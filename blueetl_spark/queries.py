@@ -562,12 +562,106 @@ FROM u
 """
 
 
+_PSD_NPERSEG = 128
+_PSD_STEP = _PSD_NPERSEG // 2
+_PSD_NBINS = int(31 * DAY_MS / HIST_BIN_MS)  # 744 hourly bins
+_PSD_NSEG = (_PSD_NBINS - _PSD_NPERSEG) // _PSD_STEP + 1  # 10
+
+
 def q_psd_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A18: Welch PSD of each class PSTH (FFT — no SQL oracle)."""
+    """A18: Welch PSD of each class PSTH. Fully oracle-verified: the SQL
+    twin recomputes the same Hann-windowed, detrended, 50%-overlap
+    periodogram average with a naive O(n²) DFT (cos/sin sums). FFT vs
+    naive DFT differ at ~1e-14 relative, so the gate compares mantissa
+    (8 significant digits) + exponent rather than absolute rounding."""
     report, windows, _ = _report(spark, sf_dir, ALL_WINDOW)
-    return signal.psd_welch(
-        report, windows, bin_size=HIST_BIN_MS, nperseg=128
-    ).select("neuron_class", "window", "freq", "psd")
+    out = signal.psd_welch(
+        report, windows, bin_size=HIST_BIN_MS, nperseg=_PSD_NPERSEG
+    )
+    exp = F.floor(F.log10(F.abs(F.col("psd")))).cast("long")
+    return (
+        out.withColumn(
+            "psd_exp",
+            F.when(F.col("psd") == 0, F.lit(0).cast("long")).otherwise(exp),
+        )
+        .withColumn(
+            "psd_mantissa",
+            F.when(F.col("psd") == 0, F.lit(0.0)).otherwise(
+                F.round(
+                    F.col("psd") / F.pow(F.lit(10.0), F.col("psd_exp")), 8
+                )
+            ),
+        )
+        .select("neuron_class", "window", "freq", "psd_exp", "psd_mantissa")
+    )
+
+
+def _psd_welch_sql() -> str:
+    import numpy as np
+
+    fs = 1000.0 / HIST_BIN_MS
+    hann = np.hanning(_PSD_NPERSEG)
+    scale = 1.0 / (fs * float((hann * hann).sum()))
+    freqs = np.fft.rfftfreq(_PSD_NPERSEG, d=1.0 / fs)
+    # literal tables: repr round-trips float64, so the SQL sees the exact
+    # same window coefficients / frequency grid as the numpy kernel
+    hann_vals = ", ".join(f"({i}, {float(v)!r})" for i, v in enumerate(hann))
+    freq_vals = ", ".join(f"({k}, {float(v)!r})" for k, v in enumerate(freqs))
+    nyq = _PSD_NPERSEG // 2
+    return f"""
+WITH {_E_CTE},
+hist AS (
+  SELECT neuron_class,
+         LEAST(CAST(floor("time" / {HIST_BIN_MS!r}) AS BIGINT),
+               {_PSD_NBINS - 1}) AS bin,
+         COUNT(*) AS n
+  FROM e WHERE "time" >= 0 AND "time" < {31 * DAY_MS!r}
+  GROUP BY 1, 2
+),
+classes AS (SELECT DISTINCT neuron_class FROM hist),
+x AS (
+  SELECT c.neuron_class, r.range AS idx, CAST(COALESCE(h.n, 0) AS DOUBLE) AS v
+  FROM classes c CROSS JOIN range({_PSD_NBINS}) r
+  LEFT JOIN hist h ON h.neuron_class = c.neuron_class AND h.bin = r.range
+),
+hann(n, w) AS (VALUES {hann_vals}),
+freqs(k, freq) AS (VALUES {freq_vals}),
+segval AS (
+  SELECT x.neuron_class, s.range AS seg, hann.n, x.v, hann.w
+  FROM range({_PSD_NSEG}) s
+  CROSS JOIN hann
+  JOIN x ON x.idx = s.range * {_PSD_STEP} + hann.n
+),
+segmean AS (SELECT neuron_class, seg, AVG(v) AS mu FROM segval GROUP BY 1, 2),
+wv AS (
+  SELECT sv.neuron_class, sv.seg, sv.n, (sv.v - sm.mu) * sv.w AS y
+  FROM segval sv
+  JOIN segmean sm ON sm.neuron_class = sv.neuron_class AND sm.seg = sv.seg
+),
+spec AS (
+  SELECT neuron_class, seg, k.range AS k,
+         SUM(y * cos(2 * pi() * k.range * n / {_PSD_NPERSEG}.0)) AS re,
+         SUM(y * sin(2 * pi() * k.range * n / {_PSD_NPERSEG}.0)) AS im
+  FROM wv CROSS JOIN range({nyq + 1}) k
+  GROUP BY 1, 2, 3
+),
+p AS (
+  SELECT neuron_class, k,
+         AVG((re * re + im * im) * {scale!r})
+           * (CASE WHEN k = 0 OR k = {nyq} THEN 1 ELSE 2 END) AS psd
+  FROM spec GROUP BY 1, 2
+)
+SELECT p.neuron_class, 'all' AS "window", freqs.freq AS freq,
+       CASE WHEN psd = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(log10(abs(psd))) AS BIGINT) END AS psd_exp,
+       CASE WHEN psd = 0 THEN 0.0
+            ELSE ROUND(psd / POWER(10.0, floor(log10(abs(psd)))), 8) END
+         AS psd_mantissa
+FROM p JOIN freqs ON freqs.k = p.k
+"""
+
+
+SQL_PSD_WELCH = _psd_welch_sql()
 
 
 def q_spike_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1794,6 +1888,7 @@ ORACLES: dict[str, str] = {
     "van_rossum": SQL_VAN_ROSSUM,
     "dynamic_onset_windows": SQL_DYNAMIC_ONSET_WINDOWS,
     "complexity_pdf": SQL_COMPLEXITY_PDF,
+    "psd_welch": SQL_PSD_WELCH,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
