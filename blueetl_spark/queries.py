@@ -1665,6 +1665,88 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivf(queries_df, emb, k=KNN_K, n_centroids=16, n_probe=4)
 
 
+IVF_FIXED_CENTROIDS = 16
+IVF_FIXED_PROBE = 4
+
+
+def q_knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN with a table-derived codebook (centroids = the first
+    16 corpus vectors) — assignment by max dot product, n_probe cells,
+    rank by cosine. Because the codebook comes from the data, the whole
+    index — cell assignment, probing, candidate scoring — is reproduced
+    in SQL and oracle-verified; the KMeans-trained variant keeps the
+    rows-only gate."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cents = [
+        r.embedding
+        for r in emb.filter(F.col("vec_id") < IVF_FIXED_CENTROIDS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    queries_df = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    out = similarity.knn_ivf(
+        queries_df,
+        emb,
+        k=KNN_K,
+        n_centroids=IVF_FIXED_CENTROIDS,
+        n_probe=IVF_FIXED_PROBE,
+        centroids=cents,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _knn_ivf_fixed_sql() -> str:
+    cdot = (
+        f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+        f"i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+    )
+    pair_dot = (
+        f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+        f"i -> CAST(va.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE)))"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+cd AS (
+  SELECT v.vec_id, c.vec_id AS cid,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {cdot} DESC, c.vec_id DESC) AS rn
+  FROM v CROSS JOIN
+       (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id < {IVF_FIXED_CENTROIDS}) c
+),
+cell AS (SELECT vec_id, cid FROM cd WHERE rn = 1),
+probe AS (SELECT vec_id, cid FROM cd
+          WHERE rn <= {IVF_FIXED_PROBE} AND vec_id < {KNN_QUERY_MAX_ID}),
+s AS (
+  SELECT p.vec_id AS query_id, cc.vec_id AS neighbor_id,
+         {pair_dot} / (va.nrm * vb.nrm) AS cosine
+  FROM probe p
+  JOIN cell cc ON cc.cid = p.cid AND cc.vec_id <> p.vec_id
+  JOIN v va ON va.vec_id = p.vec_id
+  JOIN v vb ON vb.vec_id = cc.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {KNN_K}
+"""
+
+
+SQL_KNN_IVF_FIXED = _knn_ivf_fixed_sql()
+
+
 def q_dynamic_onset_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A22 + W1: detect per-simulation onsets from the event histogram and
     materialize windows shifted by the detected dynamic offset
@@ -1871,6 +1953,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "knn_ivf_fixed": q_knn_ivf_fixed,
     "dynamic_onset_windows": q_dynamic_onset_windows,
 }
 
@@ -1918,6 +2001,7 @@ ORACLES: dict[str, str] = {
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "knn_lsh": SQL_KNN_LSH,
+    "knn_ivf_fixed": SQL_KNN_IVF_FIXED,
 }
 
 
