@@ -32,6 +32,7 @@ from pathlib import Path
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from blueetl_spark.functions.qdsl import Query, compile_query, is_subfilter
 
@@ -43,6 +44,18 @@ DEPENDENCY_ORDER = [
     "windows",
     "report",
 ]
+
+
+def _query_keys(query: Query) -> set[str]:
+    """All column names a q-DSL query constrains (union across OR branches)."""
+    if not query:
+        return set()
+    if isinstance(query, dict):
+        return set(query)
+    out: set[str] = set()
+    for d in query:
+        out |= set(d)
+    return out
 
 
 def checksum(obj: Any) -> str:
@@ -103,9 +116,14 @@ class CacheManager:
         data = self._data_path(name)
         tmp = self.path / f".{name}.parquet.tmp-{os.getpid()}"
         df.write.mode("overwrite").parquet(str(tmp))
+        # Publish without a missing-path window: move the old dataset aside
+        # (atomic), swap the new one in (atomic), then delete the old copy.
+        old = self.path / f".{name}.parquet.old-{os.getpid()}"
         if data.exists():
-            shutil.rmtree(data)
+            os.replace(data, old)
         os.replace(tmp, data)  # atomic publish
+        if old.exists():
+            shutil.rmtree(old)
         meta = {
             "version": 1,
             "checksum": config_checksum,
@@ -154,6 +172,14 @@ class CacheManager:
         filter is applied on top of the cached parquet (refilter instead of
         recompute, reference ``cache.py:352-410``). A *broader* filter
         returns None (must recompute).
+
+        Filters over campaign coordinates (e.g. ``{"seed": 1}``) reference
+        columns that exist only on the simulations table; for downstream
+        frames the filter is resolved against the cached simulations table
+        and re-expressed as a ``filter_columns`` id filter (reference
+        ``repository.py:140-204``). When that resolution is impossible
+        (no cached simulations, no shared id column) fetch returns None so
+        the caller recomputes — never a silently under-filtered frame.
         """
         meta = self.get_meta(name)
         if meta is None or meta["checksum"] != config_checksum:
@@ -164,13 +190,43 @@ class CacheManager:
         requested = simulations_filter or {}
         if requested == cached_filter:
             return self.load(name)
-        if is_subfilter(requested, cached_filter):
-            df = self.load(name)
-            applicable = {
-                k: v for k, v in requested.items() if k in df.columns
-            } if isinstance(requested, dict) else requested
-            return df.filter(compile_query(applicable))
-        return None
+        if not is_subfilter(requested, cached_filter):
+            return None
+        df = self.load(name)
+        if _query_keys(requested) <= set(df.columns):
+            return df.filter(compile_query(requested))
+        resolved = self._resolve_via_simulations(requested, filter_columns, df.columns)
+        if resolved is None:
+            return None  # can't refilter soundly → force recompute
+        key, values = resolved
+        return df.filter(F.col(key).isin(values))
+
+    def _resolve_via_simulations(
+        self,
+        requested: Query,
+        filter_columns: tuple[str, ...],
+        frame_columns: list[str],
+    ) -> tuple[str, list[Any]] | None:
+        """Surviving-id filter for a frame lacking some requested columns.
+
+        Applies ``requested`` to the cached simulations table (where campaign
+        coordinate columns live) and returns ``(id_column, ids)`` to filter
+        the frame with. The id set is campaign-sized (tens to thousands), so
+        an ``isin`` literal keeps the refilter pushdown-friendly. Returns
+        None when resolution is unsound/impossible.
+        """
+        sims_path = self._data_path("simulations")
+        if not sims_path.exists():
+            return None
+        sims = self.spark.read.parquet(str(sims_path))
+        if not _query_keys(requested) <= set(sims.columns):
+            return None
+        keys = [c for c in filter_columns if c in sims.columns and c in frame_columns]
+        if not keys:
+            return None
+        key = keys[0]
+        rows = sims.filter(compile_query(requested)).select(key).distinct().collect()
+        return key, [r[0] for r in rows]
 
 
 class CachedPipeline:

@@ -42,6 +42,35 @@ def test_fetch_subfilter_refilters(spark, cache):
     assert cache.fetch("report", checksum({"a": 2}), {}) is None
 
 
+def test_fetch_coordinate_filter_resolves_via_simulations(spark, cache):
+    """A filter over campaign coordinates (columns only on the simulations
+    table) must refilter downstream frames by surviving simulation_ids —
+    never silently drop the missing key (reference repository.py:140-204)."""
+    cs = checksum({"a": 1})
+    sims = spark.createDataFrame(
+        [(1, 0.1), (2, 0.1), (3, 0.2)], "simulation_id int, seed double"
+    )
+    cache.dump("simulations", sims, cs, simulations_filter={})
+    cache.dump("report", _df(spark, [1, 2, 3]), cs, simulations_filter={})
+    # report has no `seed` column; filter must resolve through simulations
+    got = cache.fetch("report", cs, {"seed": 0.1})
+    assert got is not None
+    assert sorted(r.simulation_id for r in got.collect()) == [1, 2]
+    # mixed coordinate + id filter also resolves (AND semantics)
+    got2 = cache.fetch("report", cs, {"seed": 0.1, "simulation_id": [2, 3]})
+    assert got2 is not None
+    assert sorted(r.simulation_id for r in got2.collect()) == [2]
+
+
+def test_fetch_coordinate_filter_without_simulations_recomputes(spark, cache):
+    """If the coordinate filter can't be resolved (no cached simulations),
+    fetch must return None — an under-filtered frame would be silent data
+    corruption."""
+    cs = checksum({"a": 1})
+    cache.dump("report", _df(spark, [1, 2, 3]), cs, simulations_filter={})
+    assert cache.fetch("report", cs, {"seed": 0.1}) is None
+
+
 def test_invalidate_from_chain(spark, cache):
     cs = checksum({})
     for name in ["simulations", "neurons", "windows", "report"]:
