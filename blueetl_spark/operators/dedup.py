@@ -271,6 +271,7 @@ def embedding_near_dup(
     n_planes: int = 8,
     seed: int = 42,
     n_tables: int = 4,
+    max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     cosine ≥ threshold and id_a < id_b.
@@ -282,7 +283,10 @@ def embedding_near_dup(
     interpreted higher-order-function evaluations, and no n²-row join is
     ever materialized (only the ≥ threshold survivors are emitted). This
     is the right shape whenever one side fits in a broadcast (~10⁶ × 64
-    f64 ≈ 0.5 GB); beyond that, ``method="lsh"`` buckets vectors by
+    f64 ≈ 0.5 GB) — enforced by ``max_broadcast_rows``: the collect is
+    capped, and a corpus past the cap raises with a pointer at the scale
+    path instead of silently flooding the driver. Beyond the cap,
+    ``method="lsh"`` buckets vectors by
     random-hyperplane sign sketch and only scores within-bucket pairs —
     one scan to sketch, an equi-join on the bucket key, AQE-handled
     skew; recall < 1 by construction since a near-dup pair split across
@@ -326,7 +330,18 @@ def embedding_near_dup(
     import numpy as np
     import pandas as pd
 
-    corpus = df.select(id_col, vec_col).toPandas()
+    # Size-gated collect: never pull more than the cap + 1 rows to the
+    # driver, and fail with a actionable error instead of OOMing it.
+    corpus = df.select(id_col, vec_col).limit(max_broadcast_rows + 1).toPandas()
+    if len(corpus) > max_broadcast_rows:
+        raise ValueError(
+            "embedding_near_dup(method='bruteforce') broadcasts the whole "
+            f"corpus to every executor, and this corpus exceeds "
+            f"max_broadcast_rows={max_broadcast_rows}. Use method='lsh' "
+            "(bucketed equi-join, the scale path), or raise "
+            "max_broadcast_rows explicitly if the matrix genuinely fits "
+            "in driver and executor memory."
+        )
     ids = corpus[id_col].to_numpy()
     mat = np.stack(corpus[vec_col].to_numpy()).astype(np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
@@ -334,15 +349,27 @@ def embedding_near_dup(
 
     def score(batches):
         b_ids, b_mat = bc.value
+        m = b_mat.shape[0]
+        # chunk the left side so the cosine block stays ~64 MB and reuses
+        # one preallocated buffer (a fresh rows x corpus allocation per
+        # batch is first-touch page-fault bound — see PLANS.md, IVF
+        # section — and at 10^6 corpus rows would be tens of GB)
+        chunk = max(1, (64 << 20) // (8 * m))
+        buf = np.empty((chunk, m))
         for pdf in batches:
-            a_ids = pdf[id_col].to_numpy()
-            a_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
-            cos = a_mat @ b_mat.T
-            ai, bi = np.nonzero((cos >= threshold) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {"id_a": a_ids[ai], "id_b": b_ids[bi], "cosine": cos[ai, bi]}
-            )
+            all_ids = pdf[id_col].to_numpy()
+            all_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            all_mat /= np.linalg.norm(all_mat, axis=1, keepdims=True)
+            for s in range(0, len(all_mat), chunk):
+                a_ids = all_ids[s : s + chunk]
+                cos = buf[: len(a_ids)]
+                np.matmul(all_mat[s : s + chunk], b_mat.T, out=cos)
+                ai, bi = np.nonzero(
+                    (cos >= threshold) & (a_ids[:, None] < b_ids[None, :])
+                )
+                yield pd.DataFrame(
+                    {"id_a": a_ids[ai], "id_b": b_ids[bi], "cosine": cos[ai, bi]}
+                )
 
     return df.select(id_col, vec_col).mapInPandas(
         score, "id_a bigint, id_b bigint, cosine double"

@@ -69,3 +69,19 @@ def test_md5_60_matches_duckdb():
         "AS BIGINT) AS h"
     ).fetchone()[0]
     assert got == want
+
+
+def test_bruteforce_near_dup_size_gate(spark):
+    """The bruteforce path must refuse to collect a corpus past the cap
+    (it broadcasts the whole matrix) and point at method='lsh' instead."""
+    from blueetl_spark.operators import dedup
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="method='lsh'"):
+        dedup.embedding_near_dup(vecs, max_broadcast_rows=5)
+    # under the cap the same corpus scores fine
+    out = dedup.embedding_near_dup(vecs, threshold=0.999, max_broadcast_rows=10)
+    assert out.count() > 0
