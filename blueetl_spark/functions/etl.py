@@ -98,18 +98,28 @@ def concat_features(
 
 def condition_codes(df: DataFrame, cols: list[str]) -> DataFrame:
     """Dense integer codes per condition column (A7: ``cat.codes`` /
-    ``nunique`` on campaign conditions) — ``dense_rank() − 1`` over the
-    value ordering, appended as ``<col>_code``.
+    ``nunique`` on campaign conditions) — the value's rank in the sorted
+    distinct-value order, appended as ``<col>_code``.
 
-    The unpartitioned window funnels the table through one task: fine for
-    its intended input (the config-sized ``simulations`` table), wrong for
-    big tables — use a join against ``values.distinct()+row_number`` there.
+    Scale shape: the only total order is over the **distinct values** of
+    each column (a code table is semantically small — its size IS the
+    cardinality), numbered with ``row_number`` in one bounded task, then
+    broadcast-joined back null-safely. The full table never funnels
+    through a single-partition window, unlike the naive
+    ``dense_rank().over(Window.orderBy(col))`` form.
     """
     for c in cols:
-        df = df.withColumn(
-            f"{c}_code",
-            F.dense_rank().over(Window.orderBy(F.col(c))) - 1,
+        codes = (
+            df.select(F.col(c).alias("__cc_val"))
+            .distinct()
+            .withColumn(
+                f"{c}_code",
+                F.row_number().over(Window.orderBy(F.col("__cc_val"))) - 1,
+            )
         )
+        df = df.join(
+            F.broadcast(codes), F.col(c).eqNullSafe(F.col("__cc_val")), "left"
+        ).drop("__cc_val")
     return df
 
 

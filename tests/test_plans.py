@@ -87,3 +87,18 @@ def test_knn_lsh_joins_on_bucket_not_cross(spark):
     # acceptable broadcast-nested-loop is none at all here
     assert "__bucket" in plan
     assert "BroadcastNestedLoopJoin" not in plan.split("== Physical Plan ==")[-1]
+
+
+def test_condition_codes_no_full_table_single_partition_sort(spark):
+    """A7 scale shape: only the distinct code table is globally sorted;
+    the full table reaches the codes via a broadcast join, never a
+    single-partition window."""
+    from blueetl_spark import queries as Q
+
+    plan = _formatted_plan(Q.q_condition_codes(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # every single-partition exchange must sit under a distinct aggregate
+    # (the code table), not take the raw customer scan
+    sp = plan.count("Exchange SinglePartition")
+    assert sp <= 1, plan
+    assert "HashAggregate" in plan
