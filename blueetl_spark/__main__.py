@@ -6,7 +6,10 @@ Commands:
 
 - ``run CONFIG``: load an analysis config (YAML/JSON), run extraction +
   features against parquet inputs, write every table under ``--output``.
-- ``validate-config CONFIG``: structural validation, exit 1 on errors.
+- ``validate-config CONFIG``: jsonschema validation (every violation
+  listed with its path) + semantic checks, exit 1 on errors.
+- ``migrate-config CONFIG OUTPUT``: upgrade a v1/v2/v3 config to v4
+  (reference ``apps/migrate.py``).
 - ``convert-spikes CSV OUTPUT_DIR``: build a runnable synthetic campaign
   bundle from a bare spikes CSV.
 - ``query SF_DIR NAME``: run one registered query and show N rows
@@ -60,41 +63,47 @@ def cmd_run(args: argparse.Namespace) -> int:
 
 
 def cmd_validate_config(args: argparse.Namespace) -> int:
+    from blueetl_spark.validation import ValidationError, validate_config
+
     config = _load_config(args.config)
     errors: list[str] = []
-    analyses = config.get("analysis")
-    if not isinstance(analyses, dict) or not analyses:
-        errors.append("missing or empty 'analysis' mapping")
-    for name, a in (analyses or {}).items():
-        ex = a.get("extraction") if isinstance(a, dict) else None
-        if not isinstance(ex, dict):
-            errors.append(f"analysis {name!r}: missing 'extraction'")
+    try:
+        validate_config(config)
+    except ValidationError as exc:
+        errors = exc.errors
+    # semantic checks the schema can't express
+    for name, a in (config.get("analysis") or {}).items():
+        if not isinstance(a, dict) or not isinstance(a.get("extraction"), dict):
             continue
-        windows = ex.get("windows")
-        if not isinstance(windows, dict) or not windows:
-            errors.append(f"analysis {name!r}: missing 'extraction.windows'")
-        else:
-            for wname, w in windows.items():
-                if isinstance(w, str):
-                    continue  # cross-analysis window reference (W3)
+        for wname, w in (a["extraction"].get("windows") or {}).items():
+            if isinstance(w, dict):
                 bounds = w.get("bounds")
-                if (
-                    not isinstance(bounds, (list, tuple))
-                    or len(bounds) != 2
-                    or bounds[0] > bounds[1]
+                if isinstance(bounds, (list, tuple)) and len(bounds) == 2 and (
+                    bounds[0] > bounds[1]
                 ):
                     errors.append(
-                        f"analysis {name!r}: window {wname!r} needs bounds [lo, hi]"
+                        f"analysis {name!r}: window {wname!r} bounds must be [lo, hi]"
                     )
-        if not isinstance(ex.get("neuron_classes"), dict):
-            errors.append(f"analysis {name!r}: missing 'extraction.neuron_classes'")
-        for i, fc in enumerate(a.get("features") or []):
-            if "groupby" not in fc:
-                errors.append(f"analysis {name!r}: features[{i}] missing 'groupby'")
     for e in errors:
         print(f"ERROR: {e}", file=sys.stderr)
     print("invalid" if errors else "valid")
     return 1 if errors else 0
+
+
+def cmd_migrate_config(args: argparse.Namespace) -> int:
+    from blueetl_spark.migrate import migrate_config
+
+    config = _load_config(args.config)
+    migrated = migrate_config(config, sort=not args.no_sort)
+    out = Path(args.output)
+    if args.output.endswith((".yaml", ".yml")):
+        import yaml
+
+        out.write_text(yaml.safe_dump(migrated, sort_keys=False))
+    else:
+        out.write_text(json.dumps(migrated, indent=2))
+    print(f"migrated config written to {out}")
+    return 0
 
 
 def cmd_convert_spikes(args: argparse.Namespace) -> int:
@@ -136,6 +145,14 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("validate-config", help="validate an analysis config")
     v.add_argument("config")
     v.set_defaults(fn=cmd_validate_config)
+
+    m = sub.add_parser(
+        "migrate-config", help="upgrade a v1/v2/v3 analysis config to v4"
+    )
+    m.add_argument("config")
+    m.add_argument("output")
+    m.add_argument("--no-sort", action="store_true", help="keep root key order")
+    m.set_defaults(fn=cmd_migrate_config)
 
     c = sub.add_parser("convert-spikes", help="CSV spikes -> synthetic campaign")
     c.add_argument("csv")

@@ -198,16 +198,21 @@ def test_cli_validate_config(tmp_path, capsys):
 
     good = tmp_path / "good.json"
     good.write_text(json.dumps({
+        "version": 4,
+        "simulation_campaign": {"data": [{"simulation_path": "/s", "seed": 1}]},
         "analysis": {"spikes": {"extraction": {
             "windows": {"w": {"bounds": [0, 10]}},
             "neuron_classes": {"all": {"query": {}}},
-        }, "features": [{"groupby": ["simulation_id"]}]}}
+        }, "features": [{"function": "blueetl_spark.features.by_gid",
+                         "groupby": ["simulation_id"]}]}}
     }))
     assert main(["validate-config", str(good)]) == 0
     assert "valid" in capsys.readouterr().out
 
     bad = tmp_path / "bad.json"
     bad.write_text(json.dumps({
+        "version": 4,
+        "simulation_campaign": "/c.json",
         "analysis": {"spikes": {"extraction": {
             "windows": {"w": {"bounds": [10]}},
         }}}
