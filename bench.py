@@ -73,18 +73,53 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    prev = _load_prev_round(os.path.dirname(os.path.abspath(__file__)), sf)
+    if prev:
+        vs_prev = {
+            q: round(timings[q] / prev[q], 2)
+            for q in timings
+            if prev.get(q)
+        }
+        out["vs_prev"] = vs_prev
+        regressions = sorted(
+            (q for q, r in vs_prev.items() if r > 1.5), key=vs_prev.get, reverse=True
         )
-    )
+        out["regressions"] = regressions
+        for q in regressions:
+            print(
+                f"# REGRESSION {q}: {prev[q]}s -> {timings[q]}s "
+                f"({vs_prev[q]}x)",
+                file=sys.stderr,
+            )
+    print(json.dumps(out))
     spark.stop()
+
+
+def _load_prev_round(repo_dir: str, sf: float | None) -> dict[str, float] | None:
+    """Per-query timings from the newest recorded BENCH_r*.json at the same
+    SF, for the vs_prev regression map. Best-of-2 damps most box noise, but
+    one-off ratios still happen — rerun before believing a regression."""
+    import glob
+
+    for path in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")), reverse=True):
+        try:
+            rec = json.load(open(path))
+            parsed = rec.get("parsed") or {}
+            if sf is not None and rec.get("sf") not in (None, sf):
+                continue
+            queries = parsed.get("queries")
+            if queries:
+                return queries
+        except (OSError, ValueError):
+            continue
+    return None
 
 
 if __name__ == "__main__":
