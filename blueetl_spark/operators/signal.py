@@ -310,6 +310,7 @@ def spike_train_distances(
     pairs: DataFrame,
     tau: float = 10.0,
     q: float = 0.1,
+    max_spikes: int | None = None,
 ) -> DataFrame:
     """van Rossum + Victor-Purpura distances for requested gid pairs (A21).
 
@@ -318,10 +319,15 @@ def spike_train_distances(
     class sample. Trains are gathered per (group, gid) with
     ``sort_array(collect_list(time))`` (JVM), the pair join is broadcast
     when small, and only the DP/kernel math runs in Python per pair.
+
+    ``max_spikes`` truncates each sorted train to its first N spikes —
+    bounds the O(n·m) DP per pair, and is what makes the
+    ``spike_distances_fixed`` oracle twin cheap to recompute in SQL.
     """
-    trains = report.groupBy(*GROUP_KEYS, "gid").agg(
-        F.sort_array(F.collect_list("time")).alias("times")
-    )
+    times_expr = F.sort_array(F.collect_list("time"))
+    if max_spikes is not None:
+        times_expr = F.slice(times_expr, 1, max_spikes)
+    trains = report.groupBy(*GROUP_KEYS, "gid").agg(times_expr.alias("times"))
     ta = trains.select(
         *GROUP_KEYS, F.col("gid").alias("gid_a"), F.col("times").alias("times_a")
     )

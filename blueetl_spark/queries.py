@@ -678,6 +678,82 @@ def q_spike_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("neuron_class", "gid_a", "gid_b", "van_rossum", "victor_purpura")
 
 
+VP_MAX_SPIKES = 32
+
+
+def q_spike_distances_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 (oracle half 2): Victor-Purpura on trains truncated to the first
+    ``VP_MAX_SPIKES`` sorted spikes. The truncation bounds the DP so the
+    DuckDB twin can replay it exactly as a recursive CTE (one DP row per
+    recursion step, the row carried as a list) — the full-train variant
+    stays rows-only in ``spike_distances``."""
+    report, windows, _ = _report(spark, sf_dir, ALL_WINDOW)
+    gids = list(range(0, 8))
+    pairs = spark.createDataFrame(
+        [(a, b) for a in gids for b in gids if a < b], "gid_a bigint, gid_b bigint"
+    )
+    return signal.spike_train_distances(
+        report, pairs, tau=DAY_MS, q=1.0 / DAY_MS, max_spikes=VP_MAX_SPIKES
+    ).select(
+        "neuron_class", "gid_a", "gid_b",
+        F.round("victor_purpura", 6).alias("victor_purpura"),
+    )
+
+
+def _spike_distances_fixed_sql() -> str:
+    """Victor-Purpura DP as a DuckDB recursive CTE.
+
+    Each recursion step advances one spike of train A and rebuilds the
+    whole DP row (carried as a DOUBLE[]). The within-row left-to-right
+    dependency ``cur[j] = min(base[j], cur[j-1]+1)`` is unrolled to
+    ``cur[j] = j + min_k<=j(base[k] - k)`` (insertions cost exactly 1), so
+    the row is expressible with pure list lambdas — no sequential scan
+    primitive needed. O(m³) lambda evaluations per pair, bounded by the
+    32-spike truncation.
+    """
+    q = 1.0 / DAY_MS
+    k = VP_MAX_SPIKES
+    return f"""
+WITH RECURSIVE {_E_CTE},
+t AS (
+  SELECT gid, neuron_class, "time" FROM e
+  WHERE "time" >= 0 AND "time" < {31 * DAY_MS!r} AND gid < 8
+),
+trains AS (
+  SELECT gid, neuron_class, (list_sort(list("time")))[1:{k}] AS times
+  FROM t GROUP BY gid, neuron_class
+),
+pairs AS (
+  SELECT a.neuron_class, a.gid AS gid_a, b.gid AS gid_b,
+         a.times AS ta, b.times AS tb
+  FROM trains a
+  JOIN trains b ON a.neuron_class = b.neuron_class AND a.gid < b.gid
+),
+dp AS (
+  SELECT neuron_class, gid_a, gid_b, ta, tb, 0 AS i,
+         list_transform(generate_series(0, len(tb)), j -> j::DOUBLE) AS row
+  FROM pairs
+  UNION ALL
+  SELECT neuron_class, gid_a, gid_b, ta, tb, i + 1,
+         list_transform(generate_series(0, len(tb)), j -> j + list_min(
+           (list_transform(
+              list_transform(generate_series(0, len(tb)), m ->
+                CASE WHEN m = 0 THEN (i + 1)::DOUBLE
+                     ELSE least(row[m+1] + 1.0,
+                                row[m] + {q!r} * abs(ta[i+1] - tb[m]))
+                END),
+              (x, m1) -> x - (m1 - 1)))[1:j+1]))
+  FROM dp WHERE i < len(ta)
+)
+SELECT neuron_class, gid_a, gid_b,
+       ROUND(row[len(tb) + 1], 6) AS victor_purpura
+FROM dp WHERE i = len(ta)
+"""
+
+
+SQL_SPIKE_DISTANCES_FIXED = _spike_distances_fixed_sql()
+
+
 VR_GIDS = list(range(0, 8))
 
 
@@ -1919,6 +1995,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "complexity_pdf": q_complexity_pdf,
     "psd_welch": q_psd_welch,
     "spike_distances": q_spike_distances,
+    "spike_distances_fixed": q_spike_distances_fixed,
     "van_rossum": q_van_rossum,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1969,6 +2046,7 @@ ORACLES: dict[str, str] = {
     "feature_by_gid": SQL_FEATURE_BY_GID,
     "correlation_pairs": SQL_CORRELATION_PAIRS,
     "van_rossum": SQL_VAN_ROSSUM,
+    "spike_distances_fixed": SQL_SPIKE_DISTANCES_FIXED,
     "dynamic_onset_windows": SQL_DYNAMIC_ONSET_WINDOWS,
     "complexity_pdf": SQL_COMPLEXITY_PDF,
     "psd_welch": SQL_PSD_WELCH,
