@@ -1,5 +1,5 @@
 """Pluggable table stores: Parquet (distributed), Feather (driver-side),
-HDF (stubbed — no h5 library in this runtime).
+HDF (driver-side, requires pytables — probed at use, clear error without).
 
 Reference design: one store object per cache directory with
 ``dump/load/checksum/delete`` (``/root/reference/src/blueetl/store/base.py:
@@ -113,27 +113,45 @@ class FeatherStore(BaseStore):
         return spark.createDataFrame(table.to_pandas())
 
 
-class HDFStore(BaseStore):
-    """HDF5 store — STUB: no h5 library is available in this runtime image.
+def _have_pytables() -> bool:
+    try:
+        import tables  # noqa: F401  (pandas' HDF backend)
 
-    Kept so configs naming ``store: hdf`` fail with a clear message rather
-    than a missing-attribute error; swap in h5py/pytables in environments
-    that have them.
+        return True
+    except ImportError:
+        return False
+
+
+class HDFStore(BaseStore):
+    """Driver-side HDF5 file per table, via pandas ``to_hdf``/``read_hdf``
+    — the same backend and key layout as the reference
+    (``store/hdf.py:19-48``), gated behind an import probe: environments
+    without pytables get a clear error naming the alternatives instead of
+    a bare ImportError.
+
+    Like Feather, this is a small-table convenience: the DataFrame is
+    collected to the driver. The distributed store is Parquet.
     """
 
     EXT = ".h5"
 
+    _MISSING = (
+        "HDF store requires pytables (pandas' HDF backend), which is not "
+        "installed; use 'parquet' (distributed) or 'feather' (driver-side) "
+        "instead"
+    )
+
     def dump(self, df: DataFrame, name: str) -> None:
-        raise NotImplementedError(
-            "HDF store requires pytables/h5py, which are not installed; "
-            "use 'parquet' (distributed) or 'feather' (driver-side) instead"
-        )
+        if not _have_pytables():
+            raise NotImplementedError(self._MISSING)
+        df.toPandas().to_hdf(str(self.path_for(name)), key=name, mode="w")
 
     def load(self, spark: SparkSession, name: str) -> DataFrame:
-        raise NotImplementedError(
-            "HDF store requires pytables/h5py, which are not installed; "
-            "use 'parquet' (distributed) or 'feather' (driver-side) instead"
-        )
+        if not _have_pytables():
+            raise NotImplementedError(self._MISSING)
+        import pandas as pd
+
+        return spark.createDataFrame(pd.read_hdf(str(self.path_for(name)), key=name))
 
 
 STORES = {"parquet": ParquetStore, "feather": FeatherStore, "hdf": HDFStore}

@@ -108,11 +108,23 @@ def test_store_round_trip(spark, tmp_path, kind):
     assert not store.exists("t")
 
 
-def test_hdf_store_is_clearly_stubbed(spark, tmp_path):
+def test_hdf_store_roundtrip_or_clear_error(spark, tmp_path):
+    """With pytables: dump/load round-trips. Without: both ends raise the
+    actionable error naming the alternative stores."""
+    from blueetl_spark.plans.stores import _have_pytables
+
     store = stores.get_store("hdf", tmp_path)
-    df = spark.range(1)
-    with pytest.raises(NotImplementedError, match="parquet"):
+    df = spark.range(3).selectExpr("id", "cast(id * 1.5 as double) AS v")
+    if _have_pytables():
         store.dump(df, "t")
+        back = store.load(spark, "t").orderBy("id").toPandas()
+        assert back.v.tolist() == [0.0, 1.5, 3.0]
+        assert store.checksum("t")
+    else:
+        with pytest.raises(NotImplementedError, match="parquet"):
+            store.dump(df, "t")
+        with pytest.raises(NotImplementedError, match="feather"):
+            store.load(spark, "t")
     with pytest.raises(ValueError, match="unknown store"):
         stores.get_store("nope", tmp_path)
 
