@@ -41,7 +41,9 @@ def _compile_op(col: Column, op: str, value: Any) -> Column:
     if op == "eq":
         return col == F.lit(value)
     if op == "ne":
-        return col != F.lit(value)
+        # null-safe: pandas `col != v` keeps NaN rows, so `ne` must keep
+        # NULL rows too — plain `!=` evaluates to NULL and drops them
+        return ~col.eqNullSafe(F.lit(value))
     if op == "le":
         return col <= F.lit(value)
     if op == "lt":
@@ -137,10 +139,13 @@ def query_to_sql(query: Query) -> str:
     def constraint(name: str, c: Any) -> str:
         if isinstance(c, dict):
             parts = []
-            sql_ops = {"eq": "=", "ne": "<>", "le": "<=", "lt": "<", "ge": ">=", "gt": ">"}
+            sql_ops = {"eq": "=", "le": "<=", "lt": "<", "ge": ">=", "gt": ">"}
             for op, v in c.items():
                 if op in sql_ops:
                     parts.append(f"{name} {sql_ops[op]} {lit(v)}")
+                elif op == "ne":
+                    # null-safe, matching the Spark compilation (NULL rows kept)
+                    parts.append(f"{name} IS DISTINCT FROM {lit(v)}")
                 elif op == "isin":
                     parts.append(f"{name} IN ({', '.join(lit(x) for x in v)})")
                 elif op == "regex":

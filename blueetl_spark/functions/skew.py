@@ -30,8 +30,19 @@ def salted_join(
     replicated ``salt``× — use only when ``small`` is too big to
     broadcast outright but ``salt × |small|`` still shuffles cheaply.
 
-    The salt columns are internal and dropped from the result.
+    The salt columns are internal and dropped from the result. Only join
+    types that never *emit* unmatched small-side rows are allowed: with
+    ``right``/``full`` each unmatched small-side row would surface once
+    per exploded salt value — ``salt`` duplicates of a row that should
+    appear once.
     """
+    safe = {"inner", "left", "left_outer", "leftouter", "left_semi",
+            "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched small-side "
+            f"rows would be duplicated once per salt value; use one of {sorted(safe)}"
+        )
     salted_big = big.withColumn(
         "__salt", (F.rand(seed=0) * salt).cast("int")
     )

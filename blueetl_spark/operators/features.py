@@ -302,7 +302,9 @@ def isi_stats(report: DataFrame) -> DataFrame:
         "gid",
         isi.alias("isi"),
         F.when(
-            isi.isNotNull() & next_isi.isNotNull(),
+            # the sum>0 guard drops degenerate zero-ISI pairs (duplicate
+            # spike timestamps), where the LV term is 0/0
+            isi.isNotNull() & next_isi.isNotNull() & ((isi + next_isi) > 0),
             3.0 * (isi - next_isi) ** 2 / (isi + next_isi) ** 2,
         ).alias("lv_term"),
     )

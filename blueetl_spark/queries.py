@@ -354,20 +354,30 @@ def q_isi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_isi"),
         F.round("mean_isi", 6).alias("mean_isi"),
         F.round("cv", 6).alias("cv"),
+        F.round("lv", 6).alias("lv"),
     )
 
 
 SQL_ISI_STATS = f"""
 WITH {_E_CTE},
 isi AS (
-  SELECT gid, "time" - lag("time") OVER (PARTITION BY gid ORDER BY "time", event_id)
+  SELECT gid, "time", event_id,
+         "time" - lag("time") OVER (PARTITION BY gid ORDER BY "time", event_id)
          AS d
   FROM e WHERE "time" >= 0 AND "time" < {31 * DAY_MS!r}
+),
+terms AS (
+  SELECT gid, d,
+         lead(d) OVER (PARTITION BY gid ORDER BY "time", event_id) AS nd
+  FROM isi
 )
 SELECT gid, COUNT(d) AS n_isi,
        ROUND(AVG(d), 6) AS mean_isi,
-       ROUND(stddev_pop(d) / AVG(d), 6) AS cv
-FROM isi WHERE d IS NOT NULL GROUP BY gid
+       ROUND(stddev_pop(d) / AVG(d), 6) AS cv,
+       ROUND(AVG(CASE WHEN d IS NOT NULL AND nd IS NOT NULL AND d + nd > 0
+                      THEN 3.0 * (d - nd) * (d - nd) / ((d + nd) * (d + nd))
+                 END), 6) AS lv
+FROM terms GROUP BY gid HAVING COUNT(d) > 0
 """
 
 

@@ -123,3 +123,25 @@ def test_is_subfilter_strict():
     assert is_subfilter({"a": 1}, {"a": 1}, strict=False)
     assert not is_subfilter({"a": 1}, {"a": 1}, strict=True)
     assert is_subfilter({"a": 1, "b": 2}, {"a": 1}, strict=True)
+
+
+def test_ne_keeps_null_rows(spark):
+    """Pandas `col != v` keeps NaN rows, so q-DSL `ne` must keep NULL rows
+    (null-safe inequality) — in both the Spark and the SQL compilation."""
+    import duckdb
+
+    from blueetl_spark.functions.qdsl import compile_query, query_to_sql
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id long, s string"
+    )
+    got = sorted(
+        r.id for r in df.filter(compile_query({"s": {"ne": "a"}})).collect()
+    )
+    assert got == [2, 3]
+    sql = query_to_sql({"s": {"ne": "a"}})
+    rows = duckdb.sql(
+        f"SELECT id FROM (VALUES (1, 'a'), (2, NULL), (3, 'b')) t(id, s) "
+        f"WHERE {sql} ORDER BY id"
+    ).fetchall()
+    assert [r[0] for r in rows] == [2, 3]

@@ -45,3 +45,11 @@ def test_skew_diagnostics(skewed):
     hot = top_keys(big, "k", n=1).first()
     # 900 rows from the when-branch plus ids 900 and 950 (900 % 50 == 0)
     assert hot.k == 0 and hot["count"] == 902
+
+
+def test_salted_join_rejects_outer_joins(skewed):
+    big, small = skewed
+    with pytest.raises(ValueError, match="salt value"):
+        salted_join(big, small, "k", how="full")
+    with pytest.raises(ValueError, match="salt value"):
+        salted_join(big, small, "k", how="right")
