@@ -1,0 +1,173 @@
+"""SONATA h5 adapter — driver-side ingest for raw SONATA circuits/reports.
+
+Reads the public SONATA layouts (AllenInstitute/sonata spec):
+
+- nodes file: ``/nodes/<population>/<group>/<attribute>`` datasets (one
+  column per attribute; the common single-group ``0`` layout), plus the
+  per-node ``node_type_id`` dataset for the id range.
+- spikes file: ``/spikes/<population>/{timestamps,node_ids}`` (current
+  spec) or the legacy flat ``/spikes/{timestamps,gids}`` pair.
+
+Scale position: h5 is a single-file, driver-read format — there is no
+parallel scan, no pushdown, no column pruning across executors. This
+adapter is therefore an **ingest step**: read once on the driver (bounded
+by driver memory), then :meth:`SonataAdapter.to_parquet` writes the
+analysis-contract parquet that the distributed pipeline scans. For data
+that doesn't fit one driver, convert upstream (SONATA → parquet is an
+embarrassingly parallel per-population copy).
+
+The h5 library is injectable (``h5=``): the default probes for ``h5py``
+and raises an actionable error when absent (this runtime image has no h5
+library), while tests exercise the full parsing logic with a dict-backed
+fake — the same gating pattern as the multimodal codecs.
+
+Reference parity: ``adapters/impl/bluepysnap/*`` wrap a snap circuit into
+nodes/spikes interfaces; here the products are DataFrames in the analysis
+contract (see ``adapters/base.py``).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blueetl_spark.adapters.base import AdapterError, BaseAdapter
+
+_MISSING_H5 = (
+    "SONATA adapter requires h5py, which is not installed; either install "
+    "h5py, or convert the SONATA files to parquet upstream and use "
+    "ParquetAdapter (the distributed scale path)"
+)
+
+
+def _default_h5():
+    try:
+        import h5py
+
+        return h5py
+    except ImportError as exc:  # pragma: no cover - env dependent
+        raise AdapterError(_MISSING_H5) from exc
+
+
+def _as_column(values: Any) -> Any:
+    """h5 string datasets arrive as bytes; decode for Spark."""
+    import numpy as np
+
+    arr = np.asarray(values)
+    if arr.dtype.kind in ("S", "O"):
+        return [v.decode() if isinstance(v, bytes) else v for v in arr]
+    return arr
+
+
+class SonataAdapter(BaseAdapter):
+    """nodes/events from SONATA ``nodes.h5`` + spikes ``out.h5`` files."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        nodes_path: str | Path | None,
+        spikes_path: str | Path | None,
+        population: str | None = None,
+        h5: Any = None,
+    ) -> None:
+        self.spark = spark
+        self.nodes_path = Path(nodes_path) if nodes_path else None
+        self.spikes_path = Path(spikes_path) if spikes_path else None
+        self.population = population
+        self._h5 = h5
+
+    @property
+    def h5(self):
+        if self._h5 is None:
+            self._h5 = _default_h5()
+        return self._h5
+
+    def exists(self) -> bool:
+        return bool(
+            self.nodes_path
+            and self.nodes_path.exists()
+            and self.spikes_path
+            and self.spikes_path.exists()
+        )
+
+    # -- parsing --------------------------------------------------------------
+    def _pick_population(self, group) -> str:
+        pops = list(group.keys())
+        if self.population is not None:
+            if self.population not in pops:
+                raise AdapterError(
+                    f"population {self.population!r} not found; available: {pops}"
+                )
+            return self.population
+        if len(pops) != 1:
+            raise AdapterError(
+                f"multiple populations {pops}; pass population= to choose one"
+            )
+        return pops[0]
+
+    def nodes(self) -> DataFrame:
+        import pandas as pd
+
+        if self.nodes_path is None or not self.nodes_path.exists():
+            raise AdapterError(f"missing nodes file {self.nodes_path}")
+        with self.h5.File(str(self.nodes_path), "r") as f:
+            if "nodes" not in f.keys():
+                raise AdapterError(f"{self.nodes_path}: no /nodes group")
+            root = f["nodes"]
+            pop = self._pick_population(root)
+            g = root[pop]
+            n = len(_as_column(g["node_type_id"]))
+            cols: dict[str, Any] = {"node_id": range(n)}
+            # single-group layout: /nodes/<pop>/0/<attribute>
+            if "0" in g.keys():
+                grp = g["0"]
+                for attr in grp.keys():
+                    if attr == "@library":  # enum indirection: not supported
+                        continue
+                    col = _as_column(grp[attr])
+                    if len(col) == n:
+                        cols[attr] = col
+            pdf = pd.DataFrame(cols)
+        df = self.spark.createDataFrame(pdf)
+        return df.withColumn("circuit_id", F.lit(0).cast("smallint"))
+
+    def events(self) -> DataFrame:
+        import pandas as pd
+
+        if self.spikes_path is None or not self.spikes_path.exists():
+            raise AdapterError(f"missing spikes file {self.spikes_path}")
+        with self.h5.File(str(self.spikes_path), "r") as f:
+            if "spikes" not in f.keys():
+                raise AdapterError(f"{self.spikes_path}: no /spikes group")
+            g = f["spikes"]
+            keys = set(g.keys())
+            if {"timestamps", "gids"} <= keys:  # legacy flat layout
+                times, gids = g["timestamps"], g["gids"]
+            elif {"timestamps", "node_ids"} <= keys:
+                times, gids = g["timestamps"], g["node_ids"]
+            else:  # per-population group
+                pop = self._pick_population(g)
+                times, gids = g[pop]["timestamps"], g[pop]["node_ids"]
+            pdf = pd.DataFrame(
+                {
+                    "gid": _as_column(gids).astype("int64"),
+                    "time": _as_column(times).astype("float64"),
+                }
+            )
+        df = self.spark.createDataFrame(pdf)
+        return df.withColumn("simulation_id", F.lit(0).cast("smallint"))
+
+    # -- ingest ---------------------------------------------------------------
+    def to_parquet(self, out_dir: str | Path) -> dict[str, int]:
+        """One-time SONATA → parquet conversion into the analysis contract;
+        returns row counts. The written directory is a valid
+        :class:`~blueetl_spark.adapters.parquet.ParquetAdapter` source."""
+        out = Path(out_dir)
+        counts = {}
+        for name, df in (("nodes", self.nodes()), ("events", self.events())):
+            df.write.mode("overwrite").parquet(str(out / f"{name}.parquet"))
+            counts[name] = df.count()
+        return counts

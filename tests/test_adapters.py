@@ -1,0 +1,183 @@
+"""Adapter layer: parquet (scale path) + SONATA h5 (ingest path).
+
+The SONATA parsing is exercised with a dict-backed fake h5 module so the
+layout logic is genuinely tested in images without h5py; the real h5py
+plugs into the same seam.
+"""
+
+import numpy as np
+import pytest
+
+from blueetl_spark.adapters import (
+    AdapterError,
+    ParquetAdapter,
+    SonataAdapter,
+)
+
+
+# -- fake h5: the minimal surface the adapter touches ------------------------
+class _FakeDataset:
+    def __init__(self, values):
+        self._v = np.asarray(values)
+
+    def __array__(self, dtype=None):
+        return self._v if dtype is None else self._v.astype(dtype)
+
+    def __len__(self):
+        return len(self._v)
+
+
+class _FakeGroup(dict):
+    def keys(self):
+        return list(super().keys())
+
+
+class _FakeFile:
+    def __init__(self, tree):
+        self._tree = tree
+
+    def __enter__(self):
+        return self._tree
+
+    def __exit__(self, *exc):
+        return False
+
+
+class _FakeH5:
+    def __init__(self, tree):
+        self._tree = tree
+
+    def File(self, path, mode):
+        return _FakeFile(self._tree)
+
+
+def _wrap(obj):
+    if isinstance(obj, dict):
+        return _FakeGroup({k: _wrap(v) for k, v in obj.items()})
+    return _FakeDataset(obj)
+
+
+NODES_TREE = _wrap(
+    {
+        "nodes": {
+            "popA": {
+                "node_type_id": [100, 100, 101, 101],
+                "0": {
+                    "synapse_class": [b"EXC", b"INH", b"EXC", b"INH"],
+                    "layer": [1, 1, 2, 2],
+                    "@library": {"ignored": [1]},
+                },
+            }
+        }
+    }
+)
+
+SPIKES_POP_TREE = _wrap(
+    {
+        "spikes": {
+            "popA": {
+                "timestamps": [5.0, 1.5, 9.25],
+                "node_ids": [2, 0, 3],
+            }
+        }
+    }
+)
+
+SPIKES_LEGACY_TREE = _wrap(
+    {"spikes": {"timestamps": [2.0, 4.0], "gids": [1, 1]}}
+)
+
+
+def _sonata(spark, tmp_path, tree_nodes=None, tree_spikes=None):
+    # touch real files so exists() and the path checks pass
+    np_, sp_ = tmp_path / "nodes.h5", tmp_path / "spikes.h5"
+    np_.write_bytes(b"")
+    sp_.write_bytes(b"")
+    fake = _FakeH5(tree_nodes if tree_nodes is not None else tree_spikes)
+    return SonataAdapter(spark, np_, sp_, h5=fake)
+
+
+def test_sonata_nodes_single_group_layout(spark, tmp_path):
+    a = _sonata(spark, tmp_path, tree_nodes=NODES_TREE)
+    pdf = a.nodes().orderBy("node_id").toPandas()
+    assert pdf.node_id.tolist() == [0, 1, 2, 3]
+    assert pdf.synapse_class.tolist() == ["EXC", "INH", "EXC", "INH"]
+    assert pdf.layer.tolist() == [1, 1, 2, 2]
+    assert "@library" not in pdf.columns
+    assert pdf.circuit_id.unique().tolist() == [0]
+
+
+def test_sonata_spikes_population_layout(spark, tmp_path):
+    a = _sonata(spark, tmp_path, tree_spikes=SPIKES_POP_TREE)
+    pdf = a.events().orderBy("time").toPandas()
+    assert pdf.gid.tolist() == [0, 2, 3]
+    assert pdf.time.tolist() == [1.5, 5.0, 9.25]
+    assert pdf.simulation_id.unique().tolist() == [0]
+
+
+def test_sonata_spikes_legacy_layout(spark, tmp_path):
+    a = _sonata(spark, tmp_path, tree_spikes=SPIKES_LEGACY_TREE)
+    pdf = a.events().toPandas()
+    assert pdf.gid.tolist() == [1, 1]
+
+
+def test_sonata_population_selection_errors(spark, tmp_path):
+    two_pops = _wrap(
+        {
+            "nodes": {
+                "a": {"node_type_id": [1], "0": {"x": [0.0]}},
+                "b": {"node_type_id": [2], "0": {"x": [1.0]}},
+            }
+        }
+    )
+    a = _sonata(spark, tmp_path, tree_nodes=two_pops)
+    with pytest.raises(AdapterError, match="multiple populations"):
+        a.nodes()
+    a.population = "nope"
+    with pytest.raises(AdapterError, match="not found"):
+        a.nodes()
+    a.population = "b"
+    assert a.nodes().count() == 1
+
+
+def test_sonata_missing_h5py_is_actionable(spark, tmp_path):
+    (tmp_path / "n.h5").write_bytes(b"")
+    (tmp_path / "s.h5").write_bytes(b"")
+    a = SonataAdapter(spark, tmp_path / "n.h5", tmp_path / "s.h5")
+    try:
+        import h5py  # noqa: F401
+
+        pytest.skip("h5py present; error branch not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(AdapterError, match="ParquetAdapter"):
+        a.nodes()
+
+
+def test_sonata_to_parquet_feeds_parquet_adapter(spark, tmp_path):
+    a = _sonata(spark, tmp_path, tree_nodes=NODES_TREE)
+    a2 = _sonata(spark, tmp_path, tree_spikes=SPIKES_POP_TREE)
+    a.spikes_path = a2.spikes_path
+    # combine: nodes from NODES_TREE, spikes from SPIKES_POP_TREE
+    combined_tree = _wrap({})
+    combined_tree.update(NODES_TREE)
+    combined_tree.update(SPIKES_POP_TREE)
+    a._h5 = _FakeH5(combined_tree)
+    out = tmp_path / "converted"
+    counts = a.to_parquet(out)
+    assert counts == {"nodes": 4, "events": 3}
+    p = ParquetAdapter(spark, out)
+    assert p.exists()
+    assert p.nodes().count() == 4
+    assert sorted(p.events().columns) >= ["gid", "simulation_id", "time"]
+
+
+def test_parquet_adapter_on_testdata(spark):
+    """The driver testdata dir satisfies the adapter contract after renames
+    (user_id -> gid)."""
+    p = ParquetAdapter(spark, "/root/testdata/sf0.001")
+    assert not p.exists()  # no nodes.parquet there
+    ev = p.events()
+    assert "gid" in ev.columns and "simulation_id" in ev.columns
+    with pytest.raises(AdapterError, match="missing"):
+        p.nodes()
