@@ -374,3 +374,84 @@ def embedding_near_dup(
     return df.select(id_col, vec_col).mapInPandas(
         score, "id_a bigint, id_b bigint, cosine double"
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate clusters from candidate pairs: (id, component) where the
+    component label is the smallest id reachable through the pair graph.
+
+    This is the step a real dedup pipeline needs after pair generation
+    (LSH/SimHash/Jaccard emit *pairs*; keeping one doc per duplicate
+    *group* needs the transitive closure). Hash-min label propagation:
+    every node starts labeled with itself; each round joins labels across
+    the symmetrized edge list and keeps the per-node minimum, until a
+    round changes nothing. Rounds = graph diameter — near-dup graphs are
+    overwhelmingly tiny star/clique clusters (diameter ≤ ~3), so this
+    converges in a couple of rounds; each round is one equi-join + one
+    map-side-combinable min-aggregate on (id), both shuffle-partitioned
+    by id. For adversarially long chain graphs at extreme scale, swap in
+    the O(log n)-round large-star/small-star variant — the API contract
+    (id → min reachable id) is the same.
+
+    ``nodes`` (optional) adds isolated documents as their own singleton
+    components; without it only ids appearing in ``pairs`` are labeled.
+    Checkpoint-free: each round's labels are a narrow (id, label) table
+    persisted and explicitly unpersisted after the next round, so the
+    lineage chain never exceeds one join depth.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct()
+    if nodes is not None:
+        labels = labels.union(nodes.select(F.col(id_col).alias("id"))).distinct()
+    labels = labels.withColumn("component", F.col("id")).persist()
+    labels.count()
+    for _ in range(max_iter):
+        # candidate labels seen across one hop (including own label)
+        propagated = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+            .union(labels.select("id", "component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            propagated.join(
+                labels.withColumnRenamed("component", "old"), "id"
+            )
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = propagated
+        if changed == 0:
+            break
+    return labels
+
+
+def keep_canonical(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Filter ``docs`` to one canonical row per duplicate component (the
+    smallest id wins); documents in no pair survive untouched. The
+    components table is component-count-sized and broadcast back."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(F.broadcast(losers), id_col, "left_anti")

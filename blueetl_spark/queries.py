@@ -1295,6 +1295,66 @@ WHERE n_common * 1.0 / (sa.set_size + sb.set_size - n_common)
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: exact-Jaccard near-dup pairs → transitive
+    closure (hash-min label propagation); every document labeled with the
+    smallest doc_id reachable through the pair graph (singletons label
+    themselves)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, n=JACCARD_NGRAM, threshold=JACCARD_THRESHOLD)
+    comp = dedup.connected_components(pairs, nodes=docs)
+    return comp.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE jp AS ({SQL_JACCARD_PAIRS}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jp
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM jp
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM documents
+  UNION
+  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+"""
+
+
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One canonical document per duplicate component (smallest id wins);
+    documents with no near-dup pair survive untouched."""
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, n=JACCARD_NGRAM, threshold=JACCARD_THRESHOLD)
+    kept = dedup.keep_canonical(pairs, docs)
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+SQL_DEDUP_KEEP_CANONICAL = f"""
+WITH RECURSIVE jp AS ({SQL_JACCARD_PAIRS}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jp
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM jp
+),
+reach AS (
+  SELECT id_a AS id, id_a AS r FROM jp
+  UNION SELECT id_b, id_b FROM jp
+  UNION
+  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r
+),
+losers AS (
+  SELECT id FROM reach GROUP BY id HAVING id != MIN(r)
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM losers)
+"""
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (xxhash64-based; no SQL oracle —
     driver runs the rows-only check)."""
@@ -2032,6 +2092,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_score": q_language_score,
     "curation_pipeline": q_curation_pipeline,
     "jaccard_pairs": q_jaccard_pairs,
+    "dedup_components": q_dedup_components,
+    "dedup_keep_canonical": q_dedup_keep_canonical,
     "minhash_lsh": q_minhash_lsh,
     "minhash_lsh_md5": q_minhash_lsh_md5,
     "simhash": q_simhash,
@@ -2086,6 +2148,8 @@ ORACLES: dict[str, str] = {
     "minhash_lsh_md5": SQL_MINHASH_LSH_MD5,
     "winnowing_md5": SQL_WINNOWING_MD5,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
+    "dedup_keep_canonical": SQL_DEDUP_KEEP_CANONICAL,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "knn_lsh": SQL_KNN_LSH,

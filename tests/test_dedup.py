@@ -85,3 +85,29 @@ def test_bruteforce_near_dup_size_gate(spark):
     # under the cap the same corpus scores fine
     out = dedup.embedding_near_dup(vecs, threshold=0.999, max_broadcast_rows=10)
     assert out.count() > 0
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 5-node chain needs multiple propagation rounds (diameter 4);
+    singletons from `nodes` label themselves."""
+    from blueetl_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 99]],
+                                  "doc_id long")
+    comp = dedup.connected_components(pairs, nodes=nodes).toPandas()
+    got = dict(zip(comp.id, comp.component))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_keep_canonical_drops_non_minimal_members(spark):
+    from blueetl_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in dedup.keep_canonical(pairs, docs).collect())
+    assert kept == [0, 1, 2, 4]
