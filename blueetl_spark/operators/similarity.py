@@ -403,3 +403,106 @@ def knn_ivf(
         .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> dict:
+    """Build and persist an IVF index: ``codebook.parquet`` (centroid_id,
+    vector) + ``assignments.parquet`` partitioned by cell.
+
+    The cell partitioning is the point: a probe of ``n_probe`` cells at
+    search time prunes to those directories at the *file listing* level —
+    the corpus is never rescanned, which is the entire IVF bargain at
+    10^9+ vectors. Build cost is one assignment pass (numpy kernel) plus
+    one partitioned write; the codebook is config-sized.
+
+    Returns {"n_centroids": …, "n_vectors": …}.
+    """
+    from pathlib import Path
+
+    spark = corpus.sparkSession
+    if centroids is not None:
+        cents = [list(map(float, c)) for c in centroids]
+    else:
+        cents = [
+            list(map(float, row[vec_col]))
+            for row in corpus.select(vec_col)
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+            .limit(n_centroids)
+            .collect()
+        ]
+    base = Path(index_path)
+    codebook = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "centroid_id int, vector array<double>",
+    )
+    codebook.coalesce(1).write.mode("overwrite").parquet(str(base / "codebook.parquet"))
+    assigned = (
+        assign_cells(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+            ),
+            cents, "__cv", n=1,
+        )
+        .withColumn("cell", F.col("__cells")[0])
+        .drop("__cells")
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        str(base / "assignments.parquet")
+    )
+    n = spark.read.parquet(str(base / "assignments.parquet")).count()
+    return {"n_centroids": len(cents), "n_vectors": n}
+
+
+def search_ivf_index(
+    spark,
+    queries: DataFrame,
+    index_path: str,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine search against a persisted IVF index.
+
+    The codebook (config-sized) is collected to assign query cells; the
+    distinct probed cells become an ``isin`` partition filter on the
+    assignments scan, so only the probed cells' files are listed and read
+    (PartitionFilters — asserted in tests). Output contract matches
+    :func:`knn_ivf`: (query_id, neighbor_id, cosine, rank).
+    """
+    from pathlib import Path
+
+    base = Path(index_path)
+    cb_rows = (
+        spark.read.parquet(str(base / "codebook.parquet"))
+        .orderBy("centroid_id")
+        .collect()
+    )
+    cents = [list(map(float, r.vector)) for r in cb_rows]
+    q = assign_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        cents, "__qv", n=n_probe,
+    ).withColumn("cell", F.explode("__cells")).drop("__cells")
+    probed = sorted({r.cell for r in q.select("cell").distinct().collect()})
+    c = spark.read.parquet(str(base / "assignments.parquet")).filter(
+        F.col("cell").isin(probed)
+    )
+    scored = score_pairs(
+        q.join(c, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

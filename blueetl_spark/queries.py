@@ -1846,6 +1846,34 @@ def q_knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index IVF: build (codebook + cell-partitioned
+    assignments under /tmp) then search — same codebook and parameters as
+    ``knn_ivf_fixed``, so the same SQL oracle gates the whole index
+    lifecycle including the partition-pruned scan."""
+    import tempfile
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cents = [
+        r.embedding
+        for r in emb.filter(F.col("vec_id") < IVF_FIXED_CENTROIDS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    index_path = tempfile.mkdtemp(prefix="ivf_index_")
+    similarity.build_ivf_index(emb, index_path, centroids=cents)
+    queries_df = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    out = similarity.search_ivf_index(
+        spark, queries_df, index_path, k=KNN_K, n_probe=IVF_FIXED_PROBE
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _knn_ivf_fixed_sql() -> str:
     cdot = (
         f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
@@ -2103,6 +2131,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_fixed": q_knn_ivf_fixed,
+    "knn_ivf_indexed": q_knn_ivf_indexed,
     "dynamic_onset_windows": q_dynamic_onset_windows,
 }
 
@@ -2154,6 +2183,7 @@ ORACLES: dict[str, str] = {
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "knn_lsh": SQL_KNN_LSH,
     "knn_ivf_fixed": SQL_KNN_IVF_FIXED,
+    "knn_ivf_indexed": SQL_KNN_IVF_FIXED,
 }
 
 

@@ -102,3 +102,28 @@ def test_condition_codes_no_full_table_single_partition_sort(spark):
     sp = plan.count("Exchange SinglePartition")
     assert sp <= 1, plan
     assert "HashAggregate" in plan
+
+
+def test_ivf_index_search_prunes_cell_partitions(spark, tmp_path):
+    """search_ivf_index must read only the probed cells' partitions: the
+    assignments scan carries a PartitionFilters entry on `cell`."""
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators import similarity as sim
+    from blueetl_spark.sources import tables
+
+    emb = tables.load(spark, SF, "embeddings")
+    cents = [
+        r.embedding
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    idx = str(tmp_path / "ivf")
+    info = sim.build_ivf_index(emb, idx, centroids=cents)
+    assert info["n_centroids"] == 8 and info["n_vectors"] == emb.count()
+    out = sim.search_ivf_index(
+        spark, emb.filter(F.col("vec_id") < 3), idx, k=3, n_probe=2
+    )
+    plan = _formatted_plan(out)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("cell" in l and "IN" in l.upper() for l in pf), plan
+    assert out.count() > 0
