@@ -117,13 +117,20 @@ def language_score(
     )
 
 
+def normalized_text(text_col: str) -> Column:
+    """Case/whitespace-normalized text — the exact-dedup canonical form,
+    shared by the batch fingerprint and the streaming dedup key."""
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Deterministic document fingerprint: md5 of case/whitespace-normalized
     text. The exact-dedup key (normalization catches trivial near-dups)."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+    return df.select(
+        F.col(id_col), F.md5(normalized_text(text_col)).alias("fingerprint")
+    )
 
 
 def tf_idf(

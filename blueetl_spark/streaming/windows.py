@@ -164,3 +164,35 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def streaming_dedup_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    event_time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each content fingerprint
+    passes, later duplicates are dropped.
+
+    The batch ``dedup_exact`` groups the whole corpus; a stream can't — so
+    the same normalized-text fingerprint feeds
+    ``dropDuplicatesWithinWatermark``, whose state store keeps one entry
+    per fingerprint and the watermark bounds state size: a duplicate
+    arriving within the watermark horizon of its original is dropped,
+    state older than the horizon is evicted (the standard
+    state-bounded trade: an exact global guarantee needs unbounded state;
+    choose the horizon to cover the real duplicate inter-arrival window).
+    All JVM-side — the fingerprint is the same md5-of-normalized-text
+    expression the batch path uses.
+    """
+    from blueetl_spark.operators.text import normalized_text
+
+    fp = F.md5(normalized_text(text_col))
+    return (
+        docs.withColumn("__fingerprint", fp)
+        .withWatermark(event_time_col, watermark)
+        .dropDuplicatesWithinWatermark(["__fingerprint"])
+        .drop("__fingerprint")
+    )

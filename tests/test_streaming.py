@@ -139,3 +139,45 @@ def test_stream_batch_parity_on_testdata(spark, tmp_path):
     s = streamed[key + ["n_events"]].sort_values(key, ignore_index=True)
     b = batch[key + ["n_events"]].sort_values(key, ignore_index=True)
     assert s.equals(b), (len(s), len(b))
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """First occurrence of each normalized content passes; duplicates
+    within the watermark horizon are dropped. Parity with the batch
+    fingerprint: survivors = one doc per distinct fingerprint."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from blueetl_spark.streaming import windows as sw
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "ts": [base + pd.Timedelta(seconds=i) for i in range(6)],
+            "doc_id": list(range(6)),
+            "text": [
+                "hello world", "Hello   WORLD", "unique one",
+                "hello world", "another doc", "Another    Doc",
+            ],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src / "p0"))
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    stream = sw.read_event_stream(spark, str(src / "p0"), schema=schema)
+    out = sw.streaming_dedup_exact(stream, watermark="10 minutes")
+    got = sw.run_to_memory(out, "dedup_stream").toPandas()
+    # 3 distinct fingerprints -> 3 survivors, one per content class
+    assert len(got) == 3
+    from blueetl_spark.operators.text import fingerprint
+
+    batch_fps = fingerprint(spark.createDataFrame(pdf)).toPandas()
+    assert got.doc_id.nunique() == batch_fps.fingerprint.nunique()
