@@ -42,19 +42,33 @@ def cmd_run(args: argparse.Namespace) -> int:
     nodes = spark.read.parquet(args.nodes)
     events = spark.read.parquet(args.events)
     ma = MultiAnalyzer(
-        spark, config, nodes, events, cache_path=args.cache or None
+        spark, config, nodes, events,
+        cache_path=args.cache or None,
+        clear_cache=args.clear_cache or None,
+        readonly_cache=args.readonly_cache or None,
+        seed=args.seed,
     )
-    ma.extract()
-    features = ma.calculate_features()
+    if not args.no_extract:
+        ma.extract()
+    features = {} if args.no_calculate else ma.calculate_features()
     out = Path(args.output)
     for analysis_name in config.get("analysis", {}):
         a = getattr(ma, analysis_name)
-        for table_name in ("simulations", "neurons", "neuron_classes", "windows", "report"):
+        tables_ = () if args.no_extract else (
+            "simulations", "neurons", "neuron_classes", "windows", "report"
+        )
+        for table_name in tables_:
             df = getattr(a, table_name)
+            if args.show:
+                print(f"== {analysis_name}.{table_name}")
+                df.show(10, truncate=False)
             df.write.mode("overwrite").parquet(
                 str(out / analysis_name / "repo" / f"{table_name}.parquet")
             )
         for fname, fdf in features.get(analysis_name, {}).items():
+            if args.show:
+                print(f"== {analysis_name}.features.{fname}")
+                fdf.show(10, truncate=False)
             fdf.write.mode("overwrite").parquet(
                 str(out / analysis_name / "features" / f"{fname}.parquet")
             )
@@ -140,6 +154,15 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--events", required=True, help="events parquet path")
     r.add_argument("--output", required=True, help="output directory")
     r.add_argument("--cache", default="", help="cache directory (optional)")
+    r.add_argument("--seed", type=int, default=None, help="extraction seed override")
+    r.add_argument("--no-extract", action="store_true", help="skip extraction stage")
+    r.add_argument("--no-calculate", action="store_true", help="skip feature stage")
+    r.add_argument("--show", action="store_true", help="print each table's head")
+    r.add_argument("--clear-cache", action="store_true", help="delete cache first")
+    r.add_argument(
+        "--readonly-cache", action="store_true",
+        help="use existing cache; error on any write",
+    )
     r.set_defaults(fn=cmd_run)
 
     v = sub.add_parser("validate-config", help="validate an analysis config")

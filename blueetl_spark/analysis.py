@@ -114,6 +114,7 @@ class Analyzer:
         events: DataFrame,
         cache_path: str | Path | None = None,
         simulations_filter: Query = None,
+        cache_readonly: bool = False,
     ) -> None:
         self.spark = spark
         self.name = name
@@ -135,7 +136,9 @@ class Analyzer:
             "report": {"report": extraction.get("report", {"type": "spikes"})},
         }
         if cache_path is not None:
-            self._cache = CacheManager(spark, Path(cache_path) / name)
+            self._cache = CacheManager(
+                spark, Path(cache_path) / name, readonly=cache_readonly
+            )
             self._pipeline = CachedPipeline(self._cache, configs, simulations_filter)
             self._pipeline.plan_invalidation()
         else:
@@ -376,6 +379,9 @@ class MultiAnalyzer:
         nodes: DataFrame,
         events: DataFrame | dict[str, DataFrame],
         cache_path: str | Path | None = None,
+        clear_cache: bool | None = None,
+        readonly_cache: bool | None = None,
+        seed: int | None = None,
     ) -> None:
         self.spark = spark
         self.config = config
@@ -385,15 +391,30 @@ class MultiAnalyzer:
             if isinstance(camp_cfg, (str, Path))
             else SimulationCampaign.from_dict(camp_cfg)
         )
-        cache_path = cache_path or config.get("cache", {}).get("path")
+        cache_cfg = config.get("cache", {})
+        cache_path = cache_path or cache_cfg.get("path")
+        if clear_cache is None:
+            clear_cache = bool(cache_cfg.get("clear", False))
+        if readonly_cache is None:
+            readonly_cache = bool(cache_cfg.get("readonly", False))
+        if clear_cache and cache_path is not None:
+            import shutil
+
+            shutil.rmtree(cache_path, ignore_errors=True)
         self._resolve_window_references(config["analysis"])
         self.analyzers: dict[str, Analyzer] = {}
         for name, acfg in config["analysis"].items():
             ev = events[name] if isinstance(events, dict) else events
+            if seed is not None:
+                acfg = {
+                    **acfg,
+                    "extraction": {**acfg["extraction"], "seed": seed},
+                }
             self.analyzers[name] = Analyzer(
                 spark, name, acfg, campaign, nodes, ev,
                 cache_path=cache_path,
                 simulations_filter=config.get("simulations_filter"),
+                cache_readonly=readonly_cache,
             )
 
     @staticmethod
@@ -454,14 +475,29 @@ def run_from_config(
     nodes: DataFrame,
     events: DataFrame | dict[str, DataFrame],
     cache_path: str | Path | None = None,
+    extract: bool = True,
+    calculate: bool = True,
+    clear_cache: bool | None = None,
+    readonly_cache: bool | None = None,
+    seed: int | None = None,
 ) -> MultiAnalyzer:
     """Load config (dict or YAML path), build the MultiAnalyzer, extract
-    everything and compute features (the ``blueetl run`` entry point)."""
+    everything and compute features (the ``blueetl run`` entry point;
+    stage toggles and cache flags mirror the reference CLI,
+    ``apps/run.py:13-33``)."""
     if isinstance(config, (str, Path)):
         import yaml
 
         config = yaml.safe_load(Path(config).read_text())
-    ma = MultiAnalyzer(spark, config, nodes, events, cache_path=cache_path)
-    ma.extract()
-    ma.calculate_features()
+    ma = MultiAnalyzer(
+        spark, config, nodes, events,
+        cache_path=cache_path,
+        clear_cache=clear_cache,
+        readonly_cache=readonly_cache,
+        seed=seed,
+    )
+    if extract:
+        ma.extract()
+    if calculate:
+        ma.calculate_features()
     return ma

@@ -280,3 +280,59 @@ def test_cli_run_end_to_end(spark, tmp_path):
     feats = spark.read.parquet(str(out / "features" / "by_neuron_class.parquet"))
     # 2 sims x 2 classes x 1 window
     assert feats.count() == 4
+
+
+def test_cli_run_stage_and_cache_flags(spark, tmp_path, capsys):
+    """Reference-parity run flags: --no-calculate skips features,
+    --clear-cache wipes a stale cache, --readonly-cache forbids writes."""
+    import pyspark.sql.functions as F
+    from blueetl_spark.__main__ import main
+
+    ev = spark.range(200).select(
+        F.lit(0).cast("smallint").alias("simulation_id"),
+        (F.col("id") % 10).alias("gid"),
+        (F.rand(5) * 50).alias("time"),
+    )
+    nodes = spark.range(10).select(
+        F.col("id").alias("node_id"),
+        F.lit(0).cast("smallint").alias("circuit_id"),
+        F.lit("EXC").alias("synapse_class"),
+    )
+    ev.write.parquet(str(tmp_path / "events"))
+    nodes.write.parquet(str(tmp_path / "nodes"))
+    cfg = tmp_path / "config.json"
+    cfg.write_text(json.dumps({
+        "simulation_campaign": {"data": [{"simulation_path": "/sim0"}]},
+        "analysis": {"spikes": {
+            "extraction": {
+                "neuron_classes": {"EXC": {"query": {"synapse_class": "EXC"}}},
+                "windows": {"w1": {"bounds": [0.0, 50.0]}},
+            },
+            "features": [{"function": "blueetl_spark.features.by_gid"}],
+        }},
+    }))
+    base = ["run", str(cfg), "--nodes", str(tmp_path / "nodes"),
+            "--events", str(tmp_path / "events")]
+    cache = tmp_path / "cache"
+    # warm the repo cache only, skipping features
+    rc = main(base + ["--output", str(tmp_path / "o1"),
+                      "--cache", str(cache), "--no-calculate"])
+    assert rc == 0
+    assert not (tmp_path / "o1" / "spikes" / "features").exists()
+    assert (cache / "spikes" / "report.meta.json").exists()
+    # readonly + uncached features = refuse to write (reference semantics:
+    # use the existing cache if possible, or raise)
+    with pytest.raises(PermissionError, match="readonly"):
+        main(base + ["--output", str(tmp_path / "o2"),
+                     "--cache", str(cache), "--readonly-cache"])
+    # warm features too, then readonly succeeds entirely from cache
+    rc = main(base + ["--output", str(tmp_path / "o2"), "--cache", str(cache)])
+    assert rc == 0
+    rc = main(base + ["--output", str(tmp_path / "o3"),
+                      "--cache", str(cache), "--readonly-cache"])
+    assert rc == 0
+    # clear-cache wipes and rebuilds
+    rc = main(base + ["--output", str(tmp_path / "o4"),
+                      "--cache", str(cache), "--clear-cache"])
+    assert rc == 0
+    assert (cache / "spikes" / "report.meta.json").exists()
