@@ -38,6 +38,9 @@ HEADLINE = [
     "simhash",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_ivf_fixed",
+    "dedup_components",
+    "tf_idf",
 ]
 
 

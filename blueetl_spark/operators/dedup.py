@@ -389,54 +389,70 @@ def connected_components(
 
     This is the step a real dedup pipeline needs after pair generation
     (LSH/SimHash/Jaccard emit *pairs*; keeping one doc per duplicate
-    *group* needs the transitive closure). Hash-min label propagation:
-    every node starts labeled with itself; each round joins labels across
-    the symmetrized edge list and keeps the per-node minimum, until a
-    round changes nothing. Rounds = graph diameter — near-dup graphs are
-    overwhelmingly tiny star/clique clusters (diameter ≤ ~3), so this
-    converges in a couple of rounds; each round is one equi-join + one
-    map-side-combinable min-aggregate on (id), both shuffle-partitioned
-    by id. For adversarially long chain graphs at extreme scale, swap in
-    the O(log n)-round large-star/small-star variant — the API contract
-    (id → min reachable id) is the same.
+    *group* needs the transitive closure). Hash-min label propagation
+    **with pointer jumping**: every node starts labeled with itself; each
+    round a node takes the minimum of (a) its neighbors' labels across
+    the symmetrized edge list and (b) its current label's own label
+    (``label(label(v))`` — path halving). Edge propagation alone needs
+    O(diameter) rounds, which an adversarial chain graph turns into
+    thousands; the jump term contracts label chains geometrically, giving
+    O(log n) rounds on any graph. Each round is two equi-joins + one
+    map-side-combinable min-aggregate, all shuffle-partitioned by id.
 
     ``nodes`` (optional) adds isolated documents as their own singleton
     components; without it only ids appearing in ``pairs`` are labeled.
-    Checkpoint-free: each round's labels are a narrow (id, label) table
-    persisted and explicitly unpersisted after the next round, so the
-    lineage chain never exceeds one join depth.
+    Memory/lineage discipline for the iteration: each round's labels are
+    ``persist``-ed and the previous round explicitly ``unpersist``-ed
+    (bounded block-store footprint), and every few rounds the plan is cut
+    with an eager ``localCheckpoint`` — iterative self-referential plans
+    otherwise grow one join depth per round and overflow the plan tree
+    long before the data is a problem.
     """
+    import gc
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .persist()
     )
     labels = edges.select(F.col("src").alias("id")).distinct()
     if nodes is not None:
         labels = labels.union(nodes.select(F.col(id_col).alias("id"))).distinct()
-    labels = labels.withColumn("component", F.col("id")).persist()
-    labels.count()
-    for _ in range(max_iter):
-        # candidate labels seen across one hop (including own label)
-        propagated = (
-            edges.join(labels, edges.src == labels.id)
-            .select(F.col("dst").alias("id"), "component")
+    labels = labels.withColumn("component", F.col("id")).localCheckpoint()
+    for i in range(max_iter):
+        propagated = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), "component"
+        )
+        jumped = labels.join(
+            labels.select(
+                F.col("id").alias("component"),
+                F.col("component").alias("__cc_jump"),
+            ),
+            "component",
+        ).select("id", F.col("__cc_jump").alias("component"))
+        new_labels = (
+            propagated.union(jumped)
             .union(labels.select("id", "component"))
             .groupBy("id")
             .agg(F.min("component").alias("component"))
             .persist()
         )
         changed = (
-            propagated.join(
-                labels.withColumnRenamed("component", "old"), "id"
-            )
+            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
             .filter(F.col("component") != F.col("old"))
             .count()
         )
+        if (i + 1) % 6 == 0:  # cut lineage; re-persist from the cut plan
+            cut = new_labels.localCheckpoint()
+            new_labels.unpersist()
+            new_labels = cut
+            gc.collect()  # let ContextCleaner drop orphaned checkpoint blocks
         labels.unpersist()
-        labels = propagated
+        labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels
 
 
