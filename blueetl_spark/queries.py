@@ -104,17 +104,23 @@ def _events_norm(
     filter on the derived ``time`` arithmetic can never do.
     """
     ev = tables.load(spark, sf_dir, "events")
-    if time_range is not None and dict(ev.dtypes)["ts"] == "bigint":
-        lo_ns = int((time_range[0] + T0_MS) * 1_000_000)
-        hi_ns = int((time_range[1] + T0_MS) * 1_000_000)
-        ev = ev.filter((F.col("ts") >= lo_ns) & (F.col("ts") < hi_ns))
-    ts = F.col("ts")
-    if dict(ev.dtypes)["ts"] != "bigint":  # pragma: no cover - env dependent
-        ts = F.unix_millis(F.col("ts")) * F.lit(1_000_000)
+    ts_type = dict(ev.dtypes)["ts"]
+    if time_range is not None:
+        if ts_type == "bigint":
+            lo = F.lit(int((time_range[0] + T0_MS) * 1_000_000))
+            hi = F.lit(int((time_range[1] + T0_MS) * 1_000_000))
+        else:
+            lo = _ts_literal(time_range[0] + T0_MS, ts_type)
+            hi = _ts_literal(time_range[1] + T0_MS, ts_type)
+        ev = ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+    if ts_type == "bigint":  # nanos-as-long encoding
+        ms = F.expr("ts div 1000000")
+    else:  # timestamp[us]; session TZ is UTC so NTZ wall time == epoch
+        ms = F.expr("unix_micros(cast(ts as timestamp)) div 1000")
     return ev.select(
         F.col("event_id"),
         F.col("user_id").alias("gid"),
-        (F.expr("ts div 1000000") - F.lit(T0_MS)).cast("double").alias("time"),
+        (ms - F.lit(T0_MS)).cast("double").alias("time"),
         F.col("event_type"),
         F.col("value"),
         F.when(F.col("user_id") % 2 == 0, "EXC").otherwise("INH").alias("neuron_class"),

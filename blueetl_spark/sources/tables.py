@@ -1,9 +1,12 @@
 """Readers for the driver-provided star-schema tables (TESTDATA.md).
 
-``load(spark, sf_dir, name)`` reads one table; ``events`` gets its
-nanosecond-long ``ts`` (see session factory note) normalized to an epoch
-**seconds** double column ``ts_sec`` so time arithmetic matches DuckDB's
-``epoch(ts)``.
+``load(spark, sf_dir, name)`` reads one table; ``events`` gets its ``ts``
+normalized to an epoch **seconds** double column ``ts_sec`` so time
+arithmetic matches DuckDB's ``epoch(ts)``. The generator has shipped two
+physical encodings of ``ts`` — parquet TIMESTAMP(NANOS) (read as nanos
+longs via the ``nanosAsLong`` session flag) and TIMESTAMP(MICROS) (read
+as timestamp/timestamp_ntz) — both are handled; the session timezone is
+UTC so NTZ wall time equals the epoch.
 """
 
 from __future__ import annotations
@@ -33,8 +36,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":  # nanosAsLong path
             df = df.withColumn("ts_sec", (F.col("ts") / F.lit(1e9)).cast("double"))
-        else:
-            df = df.withColumn("ts_sec", F.col("ts").cast("double"))
+        else:  # timestamp / timestamp_ntz (TIMESTAMP_NTZ can't cast to double)
+            df = df.withColumn(
+                "ts_sec",
+                (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)).cast(
+                    "double"
+                ),
+            )
     return df
 
 
