@@ -464,10 +464,15 @@ def keep_canonical(
     id_b: str = "id_b",
 ) -> DataFrame:
     """Filter ``docs`` to one canonical row per duplicate component (the
-    smallest id wins); documents in no pair survive untouched. The
-    components table is component-count-sized and broadcast back."""
+    smallest id wins); documents in no pair survive untouched.
+
+    The losers set is O(duplicate documents) — at a 20-50% dup rate on a
+    100 TB corpus that is billions of rows, so no broadcast hint is forced
+    on the anti join: AQE picks broadcast when the side is actually small
+    and falls back to a shuffled hash join otherwise.
+    """
     comp = connected_components(pairs, id_a=id_a, id_b=id_b)
     losers = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
-    return docs.join(F.broadcast(losers), id_col, "left_anti")
+    return docs.join(losers, id_col, "left_anti")

@@ -93,6 +93,17 @@ _E_CTE = (
 _TOKS = "string_split_regex(trim(text), '\\s+')"
 
 
+def _ts_literal(ms: float, ts_type: str):
+    """Literal for a raw timestamp-typed ``ts`` column at integer epoch-ms.
+
+    Bounds are integer milliseconds, so ``timestamp_micros`` is exact; the
+    cast to the column's own type (timestamp / timestamp_ntz) keeps the
+    comparison a plain column-vs-literal predicate that parquet scan
+    pushdown understands (session TZ is UTC, so NTZ wall time == epoch).
+    """
+    return F.timestamp_micros(F.lit(int(ms * 1000))).cast(ts_type)
+
+
 def _events_norm(
     spark: SparkSession, sf_dir: str, time_range: tuple[float, float] | None = None
 ) -> DataFrame:
@@ -427,11 +438,14 @@ def q_multi_sim_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]}
     )
     sims = campaign.to_simulations_df(spark)
-    ev = _events_norm(spark, sf_dir).withColumn(
+    windows = materialize_windows(spark, EVENTS_WINDOWS, sims)
+    # windows' union envelope on the raw ts column → parquet row-group pruning
+    ev = _events_norm(
+        spark, sf_dir, time_range=windows._blueetl_time_bounds
+    ).withColumn(
         "simulation_id", (F.col("event_id") % 2).cast("smallint")
     ).drop("neuron_class")
     neurons = extract_neurons(_nodes(spark, sf_dir), _CLASSES)
-    windows = materialize_windows(spark, EVENTS_WINDOWS, sims)
     report = extract_report(ev, neurons, windows, simulations=sims)
     meta = windows.groupBy("window").agg(F.first("duration").alias("duration")).distinct()
     return (
@@ -1494,13 +1508,15 @@ def q_soma_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/A10: soma-report path — a *valued* report (events carry ``value``)
     sliced by windows, then mean/min/max per (window, trial, class)."""
     sims = _single_sim(spark, sf_dir)
+    windows = materialize_windows(spark, EVENTS_WINDOWS, sims)
+    # push the windows' union time envelope to the raw-ts parquet scan;
+    # the interval join re-applies exact per-window bounds afterwards
     ev = (
-        _events_norm(spark, sf_dir)
+        _events_norm(spark, sf_dir, time_range=windows._blueetl_time_bounds)
         .withColumn("simulation_id", F.lit(0).cast("smallint"))
         .drop("neuron_class")
     )
     neurons = extract_neurons(_nodes(spark, sf_dir), _CLASSES)
-    windows = materialize_windows(spark, EVENTS_WINDOWS, sims)
     report = extract_report(
         ev, neurons, windows, simulations=sims, value_cols=["value"]
     )
@@ -2119,7 +2135,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "token_stats": q_token_stats,
     "bpe_token_stats": q_bpe_token_stats,
-    "winnowing": q_winnowing,
     "winnowing_md5": q_winnowing_md5,
     "tf_idf": q_tf_idf,
     "quality_features": q_quality_features,
@@ -2128,17 +2143,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_pairs": q_jaccard_pairs,
     "dedup_components": q_dedup_components,
     "dedup_keep_canonical": q_dedup_keep_canonical,
-    "minhash_lsh": q_minhash_lsh,
     "minhash_lsh_md5": q_minhash_lsh_md5,
-    "simhash": q_simhash,
     "simhash_md5": q_simhash_md5,
     "embedding_norms": q_embedding_norms,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
-    "knn_ivf": q_knn_ivf,
     "knn_ivf_fixed": q_knn_ivf_fixed,
     "knn_ivf_indexed": q_knn_ivf_indexed,
     "dynamic_onset_windows": q_dynamic_onset_windows,
+    # ---- no-oracle (xxhash64) twins last: every oracled query must sit
+    # ---- inside the driver's graded window (it grades in registry order)
+    "winnowing": q_winnowing,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "knn_ivf": q_knn_ivf,
 }
 
 ORACLES: dict[str, str] = {

@@ -111,3 +111,18 @@ def test_keep_canonical_drops_non_minimal_members(spark):
     pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
     kept = sorted(r.doc_id for r in dedup.keep_canonical(pairs, docs).collect())
     assert kept == [0, 1, 2, 4]
+
+
+def test_keep_canonical_no_forced_broadcast(spark):
+    """The losers set is O(duplicate docs) — unbounded at scale — so the
+    anti join must carry no broadcast hint; AQE decides the strategy."""
+    from blueetl_spark.operators import dedup
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(5)], "doc_id long, text string"
+    )
+    out = dedup.keep_canonical(pairs, docs)
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical, logical
+    assert len(out.toPandas()) == 3  # 1 canonical of {1,2,3} + docs 0,4

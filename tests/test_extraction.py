@@ -217,3 +217,59 @@ def test_multi_table_lsh_superset_of_single_table(spark):
     assert not many.duplicated(["id_a", "id_b"]).any()
     exact = dedup.embedding_near_dup(emb, threshold=0.9).toPandas()
     assert pn <= set(zip(exact.id_a, exact.id_b))  # no false positives
+
+
+@pytest.fixture(scope="module")
+def ts_encoding_dirs(tmp_path_factory):
+    """The same 8 logical events written under both physical ts encodings
+    the generator has shipped: TIMESTAMP(NANOS) (read as bigint via the
+    nanosAsLong session flag) and timestamp[us]."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+    ms_offsets = [0, 1, 999, 43_200_000, 86_399_999, 86_400_000,
+                  100_000_000, 600_000_000]
+    base = {
+        "event_id": pa.array(range(len(ms_offsets)), pa.int64()),
+        "user_id": pa.array([i % 3 for i in range(len(ms_offsets))], pa.int64()),
+        "event_type": pa.array(["click"] * len(ms_offsets)),
+        "value": pa.array([float(i) for i in range(len(ms_offsets))]),
+    }
+    dirs = {}
+    for unit in ("ns", "us"):
+        scale = 1_000_000 if unit == "ns" else 1_000
+        ts = pa.array([t0_us // 1_000 * scale + m * scale for m in ms_offsets],
+                      pa.timestamp(unit))
+        d = tmp_path_factory.mktemp(f"enc_{unit}")
+        pq.write_table(pa.table({**base, "ts": ts}), str(d / "events.parquet"),
+                       store_schema=False)
+        dirs[unit] = str(d)
+    return dirs, ms_offsets
+
+
+@pytest.mark.parametrize("unit", ["ns", "us"])
+def test_events_norm_cross_encoding(spark, ts_encoding_dirs, unit):
+    """_events_norm yields identical integer-ms times for both physical
+    encodings, with and without a time_range envelope; with an envelope
+    the predicate reaches the parquet scan (PushedFilters on raw ts)."""
+    from blueetl_spark import queries as Q
+    from tests.test_plans import _formatted_plan
+
+    dirs, ms_offsets = ts_encoding_dirs
+    expect_type = "bigint" if unit == "ns" else None
+    ev = Q._events_norm(spark, dirs[unit])
+    if expect_type:  # confirm the fixture actually exercises that branch
+        from blueetl_spark.sources import tables
+        assert dict(tables.load(spark, dirs[unit], "events").dtypes)["ts"] == expect_type
+    got = sorted(r.time for r in ev.collect())
+    assert got == sorted(float(m) for m in ms_offsets)
+
+    bounded = Q._events_norm(spark, dirs[unit], time_range=(1.0, 86_400_000.0))
+    got = sorted(r.time for r in bounded.collect())
+    assert got == [1.0, 999.0, 43_200_000.0, 86_399_999.0]
+    plan = _formatted_plan(bounded)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any(
+        "GreaterThanOrEqual(ts" in l and "LessThan(ts" in l for l in pushed
+    ), plan

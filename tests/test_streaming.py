@@ -103,12 +103,14 @@ def test_stream_batch_parity_on_testdata(spark, tmp_path):
     complete output mode so every window is emitted regardless of
     watermark progress."""
     import pyspark.sql.functions as F
+    from blueetl_spark.sources import tables
     from blueetl_spark.streaming import windows as sw
 
+    # ingest via tables.load so ts_sec handles both physical ts encodings
     ev = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        tables.load(spark, "/root/testdata/sf0.001", "events")
         .select(
-            F.timestamp_seconds(F.expr("ts div 1000000000")).alias("ts"),
+            F.timestamp_seconds(F.col("ts_sec").cast("long")).alias("ts"),
             F.col("user_id").alias("gid"),
             F.when(F.col("user_id") % 2 == 0, "EXC").otherwise("INH").alias(
                 "neuron_class"
