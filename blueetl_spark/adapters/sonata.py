@@ -52,6 +52,20 @@ def _default_h5():
         raise AdapterError(_MISSING_H5) from exc
 
 
+def np_int64(values: Any):
+    """Executor-side dataset-slice → int64 ndarray (module-level so the
+    mapInPandas closure pickles by reference)."""
+    import numpy as np
+
+    return np.asarray(values).astype("int64")
+
+
+def np_float64(values: Any):
+    import numpy as np
+
+    return np.asarray(values).astype("float64")
+
+
 def _as_column(values: Any) -> Any:
     """h5 string datasets arrive as bytes; decode for Spark."""
     import numpy as np
@@ -159,6 +173,68 @@ class SonataAdapter(BaseAdapter):
             )
         df = self.spark.createDataFrame(pdf)
         return df.withColumn("simulation_id", F.lit(0).cast("smallint"))
+
+    # -- distributed ingest ---------------------------------------------------
+    def events_distributed(
+        self,
+        chunk_rows: int = 4_000_000,
+        h5_open: Any = None,
+    ) -> DataFrame:
+        """Spikes read on the **executors**: the driver opens the file once
+        for metadata only (layout + dataset length), then ``mapInPandas``
+        over a chunk-descriptor table range-reads ``[start, stop)`` slices
+        worker-side. Multi-TB spike stores never serialize through the
+        driver, and chunks land directly on the executors that shuffle
+        them onward.
+
+        ``h5_open`` is the file opener shipped to executors — it must be
+        picklable by reference (a module-level callable). Defaults to
+        ``h5py.File``; tests use :class:`blueetl_spark.adapters.h5stub.File`.
+        Requires a shared filesystem (the cluster-HDF5 deployment model;
+        reference reads the same paths via bluepysnap on one node).
+        """
+        import pandas as pd
+
+        if self.spikes_path is None or not self.spikes_path.exists():
+            raise AdapterError(f"missing spikes file {self.spikes_path}")
+        if h5_open is None:
+            h5_open = _default_h5().File
+        path = str(self.spikes_path)
+        # driver: metadata-only probe (group path + row count, no data read)
+        with h5_open(path, "r") as f:
+            g = f["spikes"]
+            keys = set(g.keys())
+            if {"timestamps", "gids"} <= keys:  # legacy flat layout
+                base, gname = "spikes", "gids"
+            elif {"timestamps", "node_ids"} <= keys:
+                base, gname = "spikes", "node_ids"
+            else:
+                pop = self._pick_population(g)
+                base, gname = f"spikes/{pop}", "node_ids"
+            n = len(f[f"{base}/timestamps"])
+        bounds = [
+            (s, min(s + chunk_rows, n)) for s in range(0, max(n, 1), chunk_rows)
+        ]
+        desc = self.spark.createDataFrame(
+            [(path, base, gname, s, e) for s, e in bounds],
+            "path string, base string, gname string, start long, stop long",
+        ).repartition(len(bounds))
+
+        def read_chunks(batches):
+            for pdf in batches:
+                for r in pdf.itertuples():
+                    with h5_open(r.path, "r") as f:
+                        yield pd.DataFrame(
+                            {
+                                "gid": np_int64(f[f"{r.base}/{r.gname}"][r.start:r.stop]),
+                                "time": np_float64(
+                                    f[f"{r.base}/timestamps"][r.start:r.stop]
+                                ),
+                            }
+                        )
+
+        out = desc.mapInPandas(read_chunks, schema="gid long, time double")
+        return out.withColumn("simulation_id", F.lit(0).cast("smallint"))
 
     # -- ingest ---------------------------------------------------------------
     def to_parquet(self, out_dir: str | Path) -> dict[str, int]:

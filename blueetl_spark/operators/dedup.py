@@ -420,6 +420,7 @@ def connected_components(
     if nodes is not None:
         labels = labels.union(nodes.select(F.col(id_col).alias("id"))).distinct()
     labels = labels.withColumn("component", F.col("id")).localCheckpoint()
+    prev_sum = None
     for i in range(max_iter):
         propagated = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), "component"
@@ -438,11 +439,15 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .persist()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
+        # Labels are monotonically non-increasing (the min always includes
+        # the node's current label), so the label sum is a convergence
+        # witness: unchanged sum ⟺ fixed point. One map-side-combined
+        # aggregate on the frame we must materialize anyway — no extra
+        # join-the-two-generations job per round. decimal(38,0) keeps the
+        # sum exact at any id range / node count.
+        label_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
         if (i + 1) % 6 == 0:  # cut lineage; re-persist from the cut plan
             cut = new_labels.localCheckpoint()
             new_labels.unpersist()
@@ -450,8 +455,9 @@ def connected_components(
             gc.collect()  # let ContextCleaner drop orphaned checkpoint blocks
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     edges.unpersist()
     return labels
 

@@ -156,6 +156,31 @@ class SimulationCampaign:
             "data": nest(0, ()),
         }
 
+    @classmethod
+    def from_xarray(cls, obj: Any) -> "SimulationCampaign":
+        """Load from a real ``xr.DataArray`` (or anything exposing
+        ``.to_dict()`` in that layout) — the reference's native campaign
+        object (``campaign/config.py:208-271``). Duck-typed, so the
+        xarray dependency stays optional."""
+        return cls.from_xarray_dict(obj.to_dict())
+
+    def to_xarray(self, xr: Any = None) -> Any:
+        """Materialize the campaign as a real ``xr.DataArray``.
+
+        ``xr`` is injectable for tests; the default probes for the
+        xarray package and raises an actionable error when absent (the
+        dict layout, :meth:`to_xarray_dict`, carries the same semantics
+        without the dependency)."""
+        if xr is None:
+            try:
+                import xarray as xr  # noqa: F811
+            except ImportError as exc:  # pragma: no cover - env dependent
+                raise ImportError(
+                    "to_xarray requires the optional xarray package; use "
+                    "to_xarray_dict() for the dependency-free dict layout"
+                ) from exc
+        return xr.DataArray.from_dict(self.to_xarray_dict())
+
     @property
     def condition_names(self) -> list[str]:
         names: list[str] = []

@@ -181,3 +181,52 @@ def test_parquet_adapter_on_testdata(spark):
     assert "gid" in ev.columns and "simulation_id" in ev.columns
     with pytest.raises(AdapterError, match="missing"):
         p.nodes()
+
+
+# -- distributed ingest: executor-side range reads via the npz stub ----------
+def _write_spikes_npz(path, n=10_000, seed=7, layout="pop"):
+    rng = np.random.default_rng(seed)
+    times = np.sort(rng.uniform(0, 1000, n))
+    gids = rng.integers(0, 500, n)
+    if layout == "pop":
+        np.savez(path, **{"spikes/popA/timestamps": times,
+                          "spikes/popA/node_ids": gids})
+    else:
+        np.savez(path, **{"spikes/timestamps": times, "spikes/gids": gids})
+    return times, gids
+
+
+def test_h5stub_surface(tmp_path):
+    from blueetl_spark.adapters import h5stub
+
+    p = tmp_path / "s.npz"
+    times, gids = _write_spikes_npz(p, n=100)
+    with h5stub.File(str(p)) as f:
+        g = f["spikes"]
+        assert g.keys() == ["popA"]
+        ds = f["spikes/popA/timestamps"]
+        assert len(ds) == 100
+        assert (ds[10:20] == times[10:20]).all()
+        assert f["spikes"]["popA"]["node_ids"][:5].tolist() == gids[:5].tolist()
+
+
+@pytest.mark.parametrize("layout", ["pop", "legacy"])
+def test_sonata_events_distributed_parity(spark, tmp_path, layout):
+    """Executor-side chunked reads return exactly the rows of the
+    driver-side path, across both SONATA spike layouts, with multiple
+    chunks exercised (n >> chunk_rows)."""
+    from blueetl_spark.adapters import h5stub
+    from blueetl_spark.adapters.sonata import SonataAdapter
+
+    p = tmp_path / "spikes.npz"
+    times, gids = _write_spikes_npz(p, n=10_000, layout=layout)
+    a = SonataAdapter(spark, None, p)
+    out = a.events_distributed(chunk_rows=1500, h5_open=h5stub.File)
+    pdf = out.orderBy("time", "gid").toPandas()
+    assert len(pdf) == 10_000
+    order = np.lexsort((gids, times))
+    assert (pdf.gid.to_numpy() == gids[order]).all()
+    assert (pdf.time.to_numpy() == times[order]).all()
+    assert pdf.simulation_id.unique().tolist() == [0]
+    # chunk table: ceil(10000/1500) = 7 partitions feed the read
+    assert out.rdd.getNumPartitions() == 7

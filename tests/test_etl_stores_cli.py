@@ -336,3 +336,44 @@ def test_cli_run_stage_and_cache_flags(spark, tmp_path, capsys):
                       "--cache", str(cache), "--clear-cache"])
     assert rc == 0
     assert (cache / "spikes" / "report.meta.json").exists()
+
+
+def test_campaign_real_xarray_interop():
+    """from_xarray accepts any DataArray-shaped object (duck-typed via
+    to_dict); to_xarray builds one through an injectable xarray module —
+    the real package, when installed, plugs into the same seam."""
+
+    class _FakeDataArray:
+        last_from_dict = None
+
+        def __init__(self, d):
+            self._d = d
+
+        def to_dict(self):
+            return self._d
+
+        @classmethod
+        def from_dict(cls, d):
+            cls.last_from_dict = d
+            return cls(d)
+
+    class _FakeXr:
+        DataArray = _FakeDataArray
+
+    d = {
+        "name": "c",
+        "attrs": {"k": "v"},
+        "dims": ["ca", "seed"],
+        "coords": {
+            "ca": {"dims": ["ca"], "data": [1.0, 2.0]},
+            "seed": {"dims": ["seed"], "data": [3, 4]},
+        },
+        "data": [["p/0", "p/1"], ["p/2", None]],
+    }
+    c = SimulationCampaign.from_xarray(_FakeDataArray(d))
+    assert [r["simulation_path"] for r in c.data] == ["p/0", "p/1", "p/2", ""]
+    arr = c.to_xarray(xr=_FakeXr)
+    assert isinstance(arr, _FakeDataArray)
+    assert _FakeDataArray.last_from_dict["dims"] == ["ca", "seed"]
+    # full round trip through the object layer
+    assert SimulationCampaign.from_xarray(arr).data == c.data
