@@ -41,6 +41,9 @@ HEADLINE = [
     "knn_ivf_fixed",
     "dedup_components",
     "tf_idf",
+    "asof_purchase",
+    "sessionization",
+    "value_quantiles",
 ]
 
 

@@ -1,0 +1,156 @@
+"""Ordered-time operators: as-of join, sessionization, group quantiles.
+
+Beyond-reference additions in the reference's own domain (event/time
+analytics): the reference slices events into *fixed* windows
+(``extract/spikes.py:22-29``); these cover the ordered-in-time queries a
+pipeline needs next — "latest state at the time of each event" (as-of),
+"activity bursts" (sessions), "distribution summaries" (quantiles).
+
+Scale design:
+
+- **As-of join**: Spark has no native as-of join, and the naive range
+  join (``l.time >= r.time`` + greatest-per-key) explodes to the full
+  left×right-history cross product within each key before aggregating
+  it back down. Implemented instead as **union + ordered window**: tag
+  right rows 0 / left rows 1, union by name, then one window partitioned
+  by the ``by`` keys ordered by (time, tag) carries the latest right
+  payload forward with ``last(struct, ignorenulls=True)``. Exactly one
+  shuffle, output size = left size, no intermediate blow-up. Ties
+  (equal time) resolve to the right row (inclusive ``>=`` — the same
+  default as DuckDB/pandas as-of semantics).
+- **Sessionize**: gaps-and-islands — a lag-window marks session starts,
+  a running sum numbers them, a groupBy folds each session to one row.
+  Two shuffles (window on ``by``; fold on ``by + session``). The
+  streaming twin is ``streaming/windows.py::session_windows``.
+- **Quantiles**: ``F.percentile`` — exact, linear-interpolation, one
+  map-side-combined aggregate; identical semantics to DuckDB's
+  ``quantile_cont`` so results are oracle-verifiable bit-for-bit after
+  rounding. For 100 TB use ``approx_percentile`` (t-digest-style sketch,
+  mergeable, bounded memory) — same call shape, documented trade.
+
+Skew note: both window operators partition by the ``by`` keys; a single
+hyperactive key serializes through one task. The mitigation is the same
+as for any keyed window — pre-split hot keys (salt + merge) or bound
+per-key history upstream; the operators keep the declarative shape so
+AQE handles moderate skew.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "time",
+    by: Sequence[str] = ("gid",),
+    tolerance: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row, attach the latest right row with
+    ``right.on <= left.on`` within the same ``by`` group (backward
+    as-of, inclusive). Right payload columns are suffixed; left rows
+    with no prior right row keep nulls.
+
+    ``tolerance`` (same unit as ``on``) nulls matches older than
+    ``left.on - tolerance``, like pandas ``merge_asof(tolerance=...)``.
+    """
+    by = list(by)
+    payload = [c for c in right.columns if c not in (*by, on)]
+    r = right.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__tag"),
+        F.struct(
+            F.col(on).alias(f"{on}{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+        ).alias("__r"),
+    )
+    l = left.select(
+        "*",
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("__t", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = l.unionByName(r.select(*by, "__t", "__tag", "__r"), allowMissingColumns=True)
+    matched = matched.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    out = matched.filter(F.col("__tag") == 1)
+    if tolerance is not None:
+        out = out.withColumn(
+            "__m",
+            F.when(
+                F.col(f"__m.{on}{suffix}") >= F.col("__t") - F.lit(tolerance),
+                F.col("__m"),
+            ),
+        )
+    return out.select(
+        *left.columns,
+        F.col(f"__m.{on}{suffix}").alias(f"{on}{suffix}"),
+        *[F.col(f"__m.{c}{suffix}").alias(f"{c}{suffix}") for c in payload],
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: float,
+    by: Sequence[str] = ("gid",),
+    time_col: str = "time",
+) -> DataFrame:
+    """Fold each ``by`` group's event stream into sessions separated by
+    silences longer than ``gap``: (by…, session, t_start, t_end,
+    n_events, duration). ``session`` numbers a group's sessions from 1
+    in time order — the batch twin of the streaming session window.
+    """
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(time_col)
+    new_session = (
+        F.col(time_col) - F.lag(time_col).over(w) > F.lit(gap)
+    ) | F.lag(time_col).over(w).isNull()
+    numbered = events.withColumn(
+        "session",
+        F.sum(new_session.cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return numbered.groupBy(*by, "session").agg(
+        F.min(time_col).alias("t_start"),
+        F.max(time_col).alias("t_end"),
+        F.count("*").alias("n_events"),
+        (F.max(time_col) - F.min(time_col)).alias("duration"),
+    )
+
+
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group value quantiles: (keys…, n, q_<p> …).
+
+    ``exact=True`` uses ``percentile`` (full sort within the aggregate —
+    fine up to the point where one group's values overflow a task;
+    semantics identical to DuckDB ``quantile_cont``). ``exact=False``
+    switches to ``approx_percentile``, the mergeable-sketch path that
+    holds constant memory per group at any scale (accuracy 1/10000).
+    """
+    fn = (
+        (lambda c, p: F.percentile(c, F.lit(p)))
+        if exact
+        else (lambda c, p: F.approx_percentile(c, F.lit(p), F.lit(10000)))
+    )
+    aggs = [
+        fn(F.col(value_col), p).alias(f"q_{str(p).replace('.', '_')}")
+        for p in probs
+    ]
+    return df.groupBy(*keys).agg(F.count("*").alias("n"), *aggs)

@@ -1,0 +1,95 @@
+"""Ordered-time operators: as-of join, sessionization, group quantiles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from blueetl_spark.operators import timeseries as ts
+
+
+@pytest.fixture(scope="module")
+def left_right(spark):
+    left = spark.createDataFrame(
+        [(1, 1.0, "a"), (1, 5.0, "b"), (1, 9.0, "c"), (2, 3.0, "d"), (3, 2.0, "e")],
+        "gid long, time double, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 0.5, 10.0), (1, 5.0, 11.0), (1, 7.0, 12.0), (2, 4.0, 13.0)],
+        "gid long, time double, v double",
+    )
+    return left, right
+
+
+def test_asof_join_backward_inclusive(spark, left_right):
+    left, right = left_right
+    out = ts.asof_join(left, right, on="time", by=["gid"]).orderBy("gid", "time")
+    rows = [(r.gid, r.time, r.time_asof, r.v_asof) for r in out.collect()]
+    assert rows == [
+        (1, 1.0, 0.5, 10.0),
+        (1, 5.0, 5.0, 11.0),   # tie resolves to the right row (inclusive)
+        (1, 9.0, 7.0, 12.0),
+        (2, 3.0, None, None),  # right exists but only in the future
+        (3, 2.0, None, None),  # no right rows for this key at all
+    ]
+
+
+def test_asof_join_tolerance(spark, left_right):
+    left, right = left_right
+    out = ts.asof_join(left, right, on="time", by=["gid"], tolerance=1.0)
+    got = {(r.gid, r.time): r.time_asof for r in out.collect()}
+    assert got[(1, 5.0)] == 5.0      # gap 0 <= 1
+    assert got[(1, 1.0)] == 0.5      # gap 0.5 <= 1
+    assert got[(1, 9.0)] is None     # gap 2 > 1 nulled out
+
+
+def test_asof_join_single_shuffle_no_blowup(spark, left_right):
+    """The whole point vs a range join: one hash exchange on the by keys,
+    no nested-loop/cartesian pair explosion anywhere in the plan."""
+    import re
+
+    from tests.test_plans import _formatted_plan
+
+    left, right = left_right
+    plan = _formatted_plan(ts.asof_join(left, right, on="time", by=["gid"]))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" not in phys
+    assert "CartesianProduct" not in phys
+    exchanges = [
+        l for l in phys.splitlines() if re.match(r"\(\d+\) Exchange", l.strip())
+    ]
+    assert len(exchanges) == 1, exchanges
+
+
+def test_sessionize(spark):
+    ev = spark.createDataFrame(
+        [(1, t) for t in (0.0, 1.0, 2.0, 10.0, 11.0)] + [(2, 5.0)],
+        "gid long, time double",
+    )
+    out = ts.sessionize(ev, gap=3.0, by=["gid"]).orderBy("gid", "session")
+    rows = [
+        (r.gid, r.session, r.t_start, r.t_end, r.n_events, r.duration)
+        for r in out.collect()
+    ]
+    assert rows == [
+        (1, 1, 0.0, 2.0, 3, 2.0),
+        (1, 2, 10.0, 11.0, 2, 1.0),
+        (2, 1, 5.0, 5.0, 1, 0.0),
+    ]
+
+
+def test_group_quantiles_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    vals = rng.uniform(0, 100, 501)
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "k string, value double"
+    )
+    out = ts.group_quantiles(df, "value", ["k"], probs=(0.5, 0.9)).collect()[0]
+    assert out.n == 501
+    assert out.q_0_5 == pytest.approx(np.percentile(vals, 50), abs=1e-9)
+    assert out.q_0_9 == pytest.approx(np.percentile(vals, 90), abs=1e-9)
+    approx = ts.group_quantiles(
+        df, "value", ["k"], probs=(0.5,), exact=False
+    ).collect()[0]
+    assert approx.q_0_5 == pytest.approx(np.percentile(vals, 50), rel=0.02)
