@@ -99,6 +99,112 @@ def asof_join(
     )
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    bucket_width: float,
+    on: str = "time",
+    by: Sequence[str] = ("gid",),
+    tolerance: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """:func:`asof_join` with intra-key parallelism for skewed keys.
+
+    The plain as-of join partitions by the ``by`` keys, so one
+    hyperactive key's entire history serializes through a single task.
+    This variant splits time into ``bucket_width`` slices and runs the
+    ordered window per (key, bucket) — a hot key's work spreads over
+    ``history / bucket_width`` tasks:
+
+    1. *Local pass*: union-window within (by, bucket) → latest right row
+       at-or-before each left row **within its own bucket**.
+    2. *Carry-in*: per (by, bucket), the bucket's latest right payload
+       (one ``max_by`` row per occupied bucket — key×bucket sized, tiny
+       relative to the data), then a per-key window over the bucket
+       *spine* takes the latest payload from any **strictly earlier**
+       bucket.
+    3. *Merge*: ``coalesce(local, carry_in)`` — latest-in-bucket wins,
+       else the newest payload from a previous bucket.
+
+    Three shuffles of the big tables instead of one; worth it exactly
+    when per-key history is too deep for a single task. Semantics are
+    identical to :func:`asof_join` (inclusive backward, tolerance
+    nulls stale matches) — pinned by a parity test on random data.
+    """
+    by = list(by)
+    payload = [c for c in right.columns if c not in (*by, on)]
+    bucket = lambda c: F.floor(F.col(c) / F.lit(bucket_width))  # noqa: E731
+
+    r_struct = F.struct(
+        F.col(on).alias(f"{on}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+    )
+    r = right.select(
+        *by,
+        bucket(on).alias("__b"),
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__tag"),
+        r_struct.alias("__r"),
+    )
+    l = left.select(
+        "*",
+        bucket(on).alias("__b"),
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+    )
+    w_local = (
+        Window.partitionBy(*by, "__b")
+        .orderBy("__t", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = (
+        l.unionByName(r.select(*by, "__b", "__t", "__tag", "__r"),
+                      allowMissingColumns=True)
+        .withColumn("__m", F.last("__r", ignorenulls=True).over(w_local))
+        .filter(F.col("__tag") == 1)
+    )
+
+    # carry-in: latest right payload per occupied (by, bucket)…
+    bucket_last = r.groupBy(*by, "__b").agg(
+        F.max_by("__r", "__t").alias("__r_last")
+    )
+    # …joined onto the spine of every bucket either side touches, then the
+    # newest payload from any strictly earlier bucket via an exclusive
+    # window (small table: one row per key×bucket).
+    spine = (
+        l.select(*by, "__b").distinct()
+        .unionByName(r.select(*by, "__b").distinct())
+        .distinct()
+    )
+    w_carry = (
+        Window.partitionBy(*by)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        spine.join(bucket_last, [*by, "__b"], "left")
+        .withColumn("__carry", F.last("__r_last", ignorenulls=True).over(w_carry))
+        .select(*by, "__b", "__carry")
+    )
+    out = local.join(carry, [*by, "__b"], "left").withColumn(
+        "__m", F.coalesce("__m", "__carry")
+    )
+    if tolerance is not None:
+        out = out.withColumn(
+            "__m",
+            F.when(
+                F.col(f"__m.{on}{suffix}") >= F.col("__t") - F.lit(tolerance),
+                F.col("__m"),
+            ),
+        )
+    return out.select(
+        *left.columns,
+        F.col(f"__m.{on}{suffix}").alias(f"{on}{suffix}"),
+        *[F.col(f"__m.{c}{suffix}").alias(f"{c}{suffix}") for c in payload],
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap: float,

@@ -93,3 +93,30 @@ def test_group_quantiles_matches_numpy(spark):
         df, "value", ["k"], probs=(0.5,), exact=False
     ).collect()[0]
     assert approx.q_0_5 == pytest.approx(np.percentile(vals, 50), rel=0.02)
+
+
+def test_asof_join_bucketed_parity_random(spark):
+    """The skew-parallel bucketed variant must agree with the plain
+    as-of join exactly, across bucket widths (within-bucket matches,
+    carry-ins over empty buckets, tolerance interplay)."""
+    rng = np.random.default_rng(5)
+    left = spark.createDataFrame(
+        [(int(g), float(t)) for g, t in
+         zip(rng.integers(0, 8, 400), rng.uniform(0, 100, 400))],
+        "gid long, time double",
+    )
+    right = spark.createDataFrame(
+        [(int(g), float(t), float(v)) for g, t, v in
+         zip(rng.integers(0, 8, 60), rng.uniform(0, 100, 60),
+             rng.uniform(0, 1, 60))],
+        "gid long, time double, v double",
+    )
+    for tol in (None, 10.0):
+        plain = ts.asof_join(left, right, by=["gid"], tolerance=tol).toPandas()
+        key = ["gid", "time"]
+        plain = plain.sort_values(key, ignore_index=True)
+        for width in (5.0, 33.0, 1000.0):  # many buckets … one bucket
+            b = ts.asof_join_bucketed(
+                left, right, bucket_width=width, by=["gid"], tolerance=tol
+            ).toPandas().sort_values(key, ignore_index=True)
+            assert b.equals(plain), (width, tol)
