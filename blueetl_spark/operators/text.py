@@ -218,3 +218,61 @@ def winnowing_fingerprints(
         else s.getField("0"),
     )
     return F.array_sort(F.array_distinct(mins))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-token-window chunks with optional
+    overlap — the context-window packing step of a training-data
+    pipeline: (id, chunk_id, n_tokens, chunk_text), chunk_id from 0 in
+    document order.
+
+    Stride = ``chunk_tokens - overlap``; the final chunk is the only one
+    allowed shorter than ``chunk_tokens``, and a chunk fully contained
+    in its predecessor is never emitted (no trailing duplicate when the
+    stride overshoots). Whole pipeline is built-ins — tokenize once into
+    a materialized array column (NOT inside the per-chunk lambda: that's
+    the O(tokens²) trap PLANS.md documents for shingles), then one
+    ``sequence`` explode. Embarrassingly parallel: no shuffle, output
+    partitioning inherits the scan.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = "__chunk_toks"
+    out = (
+        df.withColumn(toks, tokens(text_col))
+        .withColumn(
+            "chunk_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.ceil(
+                            (F.size(toks) - F.lit(chunk_tokens))
+                            / F.lit(stride)
+                        ),
+                        F.lit(0),
+                    ).cast("int"),
+                )
+            ),
+        )
+        .withColumn("__start", F.col("chunk_id") * F.lit(stride))
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.least(
+                F.size(toks) - F.col("__start"), F.lit(chunk_tokens)
+            ).cast("long").alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col(toks), F.col("__start") + 1, F.lit(chunk_tokens)),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+    return out

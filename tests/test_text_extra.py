@@ -68,3 +68,61 @@ def test_tf_idf_values(spark):
     top1 = T.tf_idf(df, top_k=1).toPandas()
     assert len(top1) == 3  # one row per doc
     assert top1[top1.doc_id == 1].token.iloc[0] == "apple"
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from blueetl_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    # chunk=4, overlap=0 -> doc1: [0:4][4:8][8:10]
+    out = chunk_documents(df, chunk_tokens=4).orderBy("doc_id", "chunk_id")
+    got = [(r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text) for r in out.collect()]
+    assert got == [
+        (1, 0, 4, "w0 w1 w2 w3"),
+        (1, 1, 4, "w4 w5 w6 w7"),
+        (1, 2, 2, "w8 w9"),
+        (2, 0, 3, "a b c"),
+        (3, 0, 1, "solo"),
+    ]
+    # chunk=4, overlap=2 -> stride 2: starts 0,2,4,6 (6+4 covers token 10)
+    ov = chunk_documents(df.filter("doc_id=1"), chunk_tokens=4, overlap=2)
+    texts = [r.chunk_text for r in ov.orderBy("chunk_id").collect()]
+    assert texts == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9",
+    ]
+    # every token appears in some chunk; no chunk fully inside another
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_reconstructs_corpus(spark):
+    """overlap=0 chunking partitions every document exactly."""
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators.text import chunk_documents
+    from blueetl_spark.sources import tables
+
+    docs = tables.load(spark, "/root/testdata/sf0.001", "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32)
+    rebuilt = chunks.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                lambda s: s.chunk_text,
+            ),
+            " ",
+        ).alias("rebuilt")
+    )
+    joined = rebuilt.join(
+        docs.select(
+            "doc_id",
+            F.array_join(F.split(F.trim("text"), r"\s+"), " ").alias("norm"),
+        ),
+        "doc_id",
+    )
+    bad = joined.filter(F.col("rebuilt") != F.col("norm")).count()
+    assert bad == 0

@@ -120,3 +120,70 @@ def test_asof_join_bucketed_parity_random(spark):
                 left, right, bucket_width=width, by=["gid"], tolerance=tol
             ).toPandas().sort_values(key, ignore_index=True)
             assert b.equals(plain), (width, tol)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property test: asof_join ≡ pandas merge_asof(direction='backward')
+    per key, over generated histories (ties, empty keys, tolerance)."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    row = st.tuples(st.integers(0, 3), st.integers(0, 50))
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        lrows=st.lists(row, min_size=1, max_size=25),
+        rrows=st.lists(row, min_size=0, max_size=15),
+        tol=st.sampled_from([None, 5.0]),
+    )
+    def run(lrows, rrows, tol):
+        lpdf = pd.DataFrame(
+            {"gid": [g for g, _ in lrows], "time": [float(t) for _, t in lrows]}
+        )
+        rpdf = (
+            pd.DataFrame(
+                {
+                    "gid": [g for g, _ in rrows],
+                    "time": [float(t) for _, t in rrows],
+                    "v": [float(g * 100 + t) for g, t in rrows],
+                }
+            )
+            # dedupe (gid, time): both engines would otherwise pick an
+            # arbitrary row among exact ties
+            .groupby(["gid", "time"], as_index=False)
+            .agg(v=("v", "max"))
+            .astype({"gid": "int64", "time": "float64", "v": "float64"})
+        )
+        left = spark.createDataFrame(lpdf.astype({"gid": "int64"}))
+        right = (
+            spark.createDataFrame(rpdf.astype({"gid": "int64"}))
+            if len(rpdf)
+            else spark.createDataFrame([], "gid long, time double, v double")
+        )
+        got = (
+            ts.asof_join(left, right, on="time", by=["gid"], tolerance=tol)
+            .toPandas()
+            .sort_values(["gid", "time"], ignore_index=True)
+        )
+        want = pd.merge_asof(
+            lpdf.sort_values("time", kind="stable"),
+            rpdf.sort_values("time", kind="stable").rename(
+                columns={"time": "time_asof", "v": "v_asof"}
+            ),
+            left_on="time",
+            right_on="time_asof",
+            by="gid",
+            direction="backward",
+            tolerance=tol,
+        ).sort_values(["gid", "time"], ignore_index=True)
+        pd.testing.assert_frame_equal(
+            got[["gid", "time", "time_asof", "v_asof"]],
+            want[["gid", "time", "time_asof", "v_asof"]],
+        )
+
+    run()
