@@ -280,6 +280,24 @@ class Analyzer:
                 df = feat.isi_stats(self.report)
             elif fname == "blueetl_spark.features.latency":
                 df = feat.latency(self.report, self.windows)
+            elif fname == "blueetl_spark.features.sessionize":
+                from blueetl_spark.operators import timeseries as ts
+
+                df = ts.sessionize(
+                    self.report,
+                    gap=float(params["gap"]),
+                    by=params.get("by", ["simulation_id", "window", "gid"]),
+                )
+            elif fname == "blueetl_spark.features.quantiles":
+                from blueetl_spark.operators import timeseries as ts
+
+                df = ts.group_quantiles(
+                    self.report,
+                    params.get("value_col", "time"),
+                    params.get("by", ["simulation_id", "window", "neuron_class"]),
+                    probs=tuple(params.get("probs", (0.5, 0.9, 0.99))),
+                    exact=bool(params.get("exact", True)),
+                )
             else:
                 # registry lookup → applyInPandas UDTF path (§2.9)
                 df = feat.apply_feature(

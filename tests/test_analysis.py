@@ -255,3 +255,29 @@ def test_apply_filter_pushes_circuit_ids(spark, data):
     assert filtered.neurons.select("circuit_id").distinct().collect()[0][0] == 0
     assert filtered.neuron_classes.select("circuit_id").distinct().count() == 1
     assert filtered.report.select("simulation_id").distinct().count() == 1
+
+
+def test_config_driven_timeseries_features(spark, data, tmp_path):
+    """sessionize / quantiles reachable from the features config like any
+    built-in feature (dispatch + params plumbing)."""
+    import copy
+
+    from blueetl_spark.analysis import run_from_config
+
+    nodes, events = data
+    cfg = copy.deepcopy(CONFIG)
+    cfg["analysis"]["spikes"]["features"] = [
+        {"function": "blueetl_spark.features.sessionize",
+         "name": "sessions", "params": {"gap": 5.0}},
+        {"function": "blueetl_spark.features.quantiles",
+         "name": "spike_time_q", "params": {"probs": [0.5, 0.9]}},
+    ]
+    a = run_from_config(spark, cfg, nodes, events).spikes
+    feats = a.calculate_features()
+    sess = feats["sessions"].toPandas()
+    assert {"gid", "session", "t_start", "t_end", "n_events",
+            "duration"} <= set(sess.columns)
+    assert (sess.n_events >= 1).all() and (sess.duration >= 0).all()
+    q = feats["spike_time_q"].toPandas()
+    assert {"neuron_class", "n", "q_0_5", "q_0_9"} <= set(q.columns)
+    assert (q.q_0_5 <= q.q_0_9).all()
