@@ -276,3 +276,58 @@ def chunk_documents(
         )
     )
     return out
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    sort_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
+) -> DataFrame:
+    """Greedy sequential packing of token chunks into fixed-budget packs
+    (the batch-construction step after :func:`chunk_documents`): input
+    columns + ``pack_id`` (globally unique), ``pack_tokens`` (the pack's
+    running total).
+
+    Scale contract: packs are formed **within a partition** — first-fit
+    over the partition's rows in ``sort_cols`` order, implemented as one
+    Arrow-batched ``mapInPandas`` pass holding O(1) state (running pack
+    total), with ``pack_id = partition_id << 40 | local``. No shuffle
+    beyond the deterministic ``sortWithinPartitions``; cross-partition
+    packing would serialize the corpus through one task for a ~half-pack
+    saving per partition. A chunk alone larger than ``budget`` gets its
+    own pack (callers chunk with ``chunk_tokens <= budget`` to avoid
+    this).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark import TaskContext
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    out_schema = chunks.schema.add("pack_id", "long").add("pack_tokens", "long")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        local = 0
+        running = 0
+        started = False
+        for pdf in batches:
+            ids, totals = [], []
+            for n in pdf[token_col].astype("int64"):
+                if started and running + n > budget:
+                    local += 1
+                    running = 0
+                started = True
+                running += int(n)
+                ids.append((pid << 40) | local)
+                totals.append(running)
+            pdf = pdf.copy()
+            pdf["pack_id"] = pd.array(ids, dtype="int64")
+            pdf["pack_tokens"] = pd.array(totals, dtype="int64")
+            yield pdf
+
+    return chunks.sortWithinPartitions(*sort_cols).mapInPandas(
+        op, schema=out_schema
+    )

@@ -126,3 +126,36 @@ def test_chunk_documents_reconstructs_corpus(spark):
     )
     bad = joined.filter(F.col("rebuilt") != F.col("norm")).count()
     assert bad == 0
+
+
+def test_pack_chunks_greedy_budget(spark):
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators.text import chunk_documents, pack_chunks
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(5 + (i * 7) % 23)))
+         for i in range(40)],
+        "doc_id long, text string",
+    ).coalesce(2)
+    chunks = chunk_documents(docs, chunk_tokens=8)
+    packed = pack_chunks(chunks, budget=20)
+    pdf = packed.toPandas()
+    # every chunk present exactly once
+    assert len(pdf) == chunks.count()
+    # per-pack totals never exceed the budget (all chunks are <= 8 <= 20)
+    sums = pdf.groupby("pack_id").n_tokens.sum()
+    assert (sums <= 20).all()
+    # greedy: adding the NEXT pack's first chunk would overflow — check via
+    # running totals: the last row of each pack has pack_tokens == sum
+    last = pdf.groupby("pack_id").tail(1).set_index("pack_id")
+    assert (last.pack_tokens == sums).all()
+    # packs are reasonably full (greedy over 5-8 token chunks at budget 20)
+    assert sums.mean() >= 12
+    # oversize chunk -> its own pack
+    big = spark.createDataFrame(
+        [(0, 0, 30, "x " * 30), (0, 1, 5, "y")],
+        "doc_id long, chunk_id long, n_tokens long, chunk_text string",
+    ).coalesce(1)
+    got = pack_chunks(big, budget=10).toPandas().sort_values("chunk_id")
+    assert got.pack_id.nunique() == 2
