@@ -383,6 +383,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    assume_distinct_pairs: bool = False,
 ) -> DataFrame:
     """Duplicate clusters from candidate pairs: (id, component) where the
     component label is the smallest id reachable through the pair graph.
@@ -407,15 +408,21 @@ def connected_components(
     with an eager ``localCheckpoint`` — iterative self-referential plans
     otherwise grow one join depth per round and overflow the plan tree
     long before the data is a problem.
+
+    ``assume_distinct_pairs=True`` skips the edge-dedup shuffle — correct
+    whenever the pair source already emits unique (id_a < id_b) pairs
+    (every generator in this package does); duplicate edges only cost
+    redundant min-agg input, they never change the result, but the
+    skipped ``distinct`` is one full shuffle of the edge list.
     """
     import gc
 
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .persist()
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
+    if not assume_distinct_pairs:
+        edges = edges.distinct()
+    edges = edges.persist()
     labels = edges.select(F.col("src").alias("id")).distinct()
     if nodes is not None:
         labels = labels.union(nodes.select(F.col(id_col).alias("id"))).distinct()
@@ -468,6 +475,7 @@ def keep_canonical(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    assume_distinct_pairs: bool = False,
 ) -> DataFrame:
     """Filter ``docs`` to one canonical row per duplicate component (the
     smallest id wins); documents in no pair survive untouched.
@@ -477,7 +485,9 @@ def keep_canonical(
     on the anti join: AQE picks broadcast when the side is actually small
     and falls back to a shuffled hash join otherwise.
     """
-    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    comp = connected_components(
+        pairs, id_a=id_a, id_b=id_b, assume_distinct_pairs=assume_distinct_pairs
+    )
     losers = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )

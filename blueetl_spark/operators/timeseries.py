@@ -20,8 +20,11 @@ Scale design:
   default as DuckDB/pandas as-of semantics).
 - **Sessionize**: gaps-and-islands — a lag-window marks session starts,
   a running sum numbers them, a groupBy folds each session to one row.
-  Two shuffles (window on ``by``; fold on ``by + session``). The
-  streaming twin is ``streaming/windows.py::session_windows``.
+  ONE shuffle total: the fold groups on ``by + session``, and the
+  window's hash partitioning on ``by`` (a subset of the grouping keys)
+  already satisfies that distribution, so Catalyst elides the second
+  exchange (pinned by a plan test). The streaming twin is
+  ``streaming/windows.py::session_windows``.
 - **Quantiles**: ``F.percentile`` — exact, linear-interpolation, one
   map-side-combined aggregate; identical semantics to DuckDB's
   ``quantile_cont`` so results are oracle-verifiable bit-for-bit after

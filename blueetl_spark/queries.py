@@ -1336,7 +1336,8 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves)."""
     docs = tables.load(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(docs, n=JACCARD_NGRAM, threshold=JACCARD_THRESHOLD)
-    comp = dedup.connected_components(pairs, nodes=docs)
+    # jaccard_pairs emits unique (id_a < id_b) pairs: skip the edge-dedup shuffle
+    comp = dedup.connected_components(pairs, nodes=docs, assume_distinct_pairs=True)
     return comp.select(
         F.col("id").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
@@ -1364,7 +1365,7 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents with no near-dup pair survive untouched."""
     docs = tables.load(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(docs, n=JACCARD_NGRAM, threshold=JACCARD_THRESHOLD)
-    kept = dedup.keep_canonical(pairs, docs)
+    kept = dedup.keep_canonical(pairs, docs, assume_distinct_pairs=True)
     return kept.select(F.col("doc_id").cast("long").alias("doc_id"))
 
 

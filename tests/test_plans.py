@@ -127,3 +127,20 @@ def test_ivf_index_search_prunes_cell_partitions(spark, tmp_path):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("cell" in l and "IN" in l.upper() for l in pf), plan
     assert out.count() > 0
+
+
+def test_sessionization_single_shuffle_pruned_scan(spark):
+    """Gaps-and-islands runs with ONE exchange (the session fold on
+    by+session reuses the window's partitioning on by) and the scan is
+    pruned to the two columns the query touches."""
+    from blueetl_spark import queries as Q
+
+    plan = _formatted_plan(Q.q_sessionization(spark, SF))
+    exchanges = {
+        l.strip() for l in plan.splitlines()
+        if re.match(r"\(\d+\) Exchange", l.strip())
+    }
+    assert len(exchanges) == 1, exchanges
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"ts", "user_id"}, cols
