@@ -196,3 +196,41 @@ def streaming_dedup_exact(
         .dropDuplicatesWithinWatermark(["__fingerprint"])
         .drop("__fingerprint")
     )
+
+
+def stream_stream_enrich(
+    events: DataFrame,
+    reference: DataFrame,
+    by: str = "gid",
+    lookback: str = "10 minutes",
+    watermark: str = "10 minutes",
+    ref_prefix: str = "ref_",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each event enriched with
+    every ``reference`` event for the same key from the trailing
+    ``lookback`` window (``ref.ts ∈ (ev.ts − lookback, ev.ts]`` — the
+    streaming relative of the batch as-of/interval join).
+
+    Both sides carry the ``watermark``; with the time-range condition
+    Spark bounds the join state to watermark + lookback per side and
+    evicts older rows — the state never grows with stream length
+    (the 100 TB/day requirement for any continuous join). Inner join:
+    events with no reference row in the window are dropped (use the
+    batch as-of join for left-outer backfill semantics).
+    """
+    ref = reference.select(
+        F.col(by).alias(f"{ref_prefix}{by}"),
+        F.col("ts").alias(f"{ref_prefix}ts"),
+        *[
+            F.col(c).alias(f"{ref_prefix}{c}")
+            for c in reference.columns
+            if c not in (by, "ts")
+        ],
+    ).withWatermark(f"{ref_prefix}ts", watermark)
+    ev = events.withWatermark("ts", watermark)
+    cond = (
+        (F.col(by) == F.col(f"{ref_prefix}{by}"))
+        & (F.col(f"{ref_prefix}ts") <= F.col("ts"))
+        & (F.col(f"{ref_prefix}ts") > F.col("ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return ev.join(ref, cond, "inner").drop(f"{ref_prefix}{by}")

@@ -183,3 +183,50 @@ def test_streaming_dedup_exact(spark, tmp_path):
 
     batch_fps = fingerprint(spark.createDataFrame(pdf)).toPandas()
     assert got.doc_id.nunique() == batch_fps.fingerprint.nunique()
+
+
+def test_stream_stream_enrich_interval_join(spark, tmp_path):
+    """Stream-stream join with a trailing lookback: each click joins the
+    same gid's purchases from the previous 60 s only; state is bounded
+    by watermark + lookback (plan carries both watermarks)."""
+    import pandas as pd
+
+    from blueetl_spark.streaming import windows as sw
+
+    base = pd.Timestamp("2024-01-01")
+
+    def ts(s):
+        return base + pd.Timedelta(seconds=s)
+
+    clicks_dir, buys_dir = tmp_path / "clicks", tmp_path / "buys"
+    clicks = pd.DataFrame(
+        {
+            "ts": [ts(10), ts(70), ts(200)],
+            "gid": [1, 1, 1],
+            "neuron_class": ["c"] * 3,
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    buys = pd.DataFrame(
+        {
+            "ts": [ts(5), ts(65), ts(199)],
+            "gid": [1, 1, 1],
+            "neuron_class": ["b"] * 3,
+            "value": [10.0, 20.0, 30.0],
+        }
+    )
+    spark.createDataFrame(clicks).write.parquet(str(clicks_dir))
+    spark.createDataFrame(buys).write.parquet(str(buys_dir))
+
+    ev = sw.read_event_stream(spark, str(clicks_dir))
+    ref = sw.read_event_stream(spark, str(buys_dir))
+    joined = sw.stream_stream_enrich(
+        ev, ref, lookback="60 seconds", watermark="5 minutes"
+    )
+    out = sw.run_to_memory(joined, "enrich_out").toPandas()
+    got = sorted(
+        (r.value, r.ref_value) for _, r in out.iterrows()
+    )
+    # click@10 <- buy@5 (5s back); click@70 <- buy@65 (and buy@5 is 65s
+    # back -> outside lookback); click@200 <- buy@199
+    assert got == [(1.0, 10.0), (2.0, 20.0), (3.0, 30.0)]
