@@ -69,7 +69,7 @@ def main() -> None:
     # Best-of-3 per query: the box this runs on shows sporadic multi-second
     # scheduler stalls (load >2 with no local processes — a shared host);
     # min-of-n measures the query's achievable wall time.
-    # Caches are cleared BETWEEN queries (not between the two reps): several
+    # Caches are cleared BETWEEN queries (not between reps): several
     # operators persist within-query intermediates (shingle sets, MinHash
     # signatures) whose blocks otherwise pile up across the run and tax the
     # later queries' storage memory — each query must be timed from the

@@ -188,8 +188,11 @@ class SonataAdapter(BaseAdapter):
         them onward.
 
         ``h5_open`` is the file opener shipped to executors — it must be
-        picklable by reference (a module-level callable). Defaults to
-        ``h5py.File``; tests use :class:`blueetl_spark.adapters.h5stub.File`.
+        picklable across the worker boundary (a module-level callable
+        pickles by reference; ``h5py.File`` in production,
+        :class:`blueetl_spark.adapters.h5stub.File` in tests). Defaults
+        to this adapter's injected ``h5`` module's ``File`` (the same
+        seam :meth:`events` uses), falling back to h5py.
         Requires a shared filesystem (the cluster-HDF5 deployment model;
         reference reads the same paths via bluepysnap on one node).
         """
@@ -198,10 +201,12 @@ class SonataAdapter(BaseAdapter):
         if self.spikes_path is None or not self.spikes_path.exists():
             raise AdapterError(f"missing spikes file {self.spikes_path}")
         if h5_open is None:
-            h5_open = _default_h5().File
+            h5_open = self.h5.File
         path = str(self.spikes_path)
         # driver: metadata-only probe (group path + row count, no data read)
         with h5_open(path, "r") as f:
+            if "spikes" not in f.keys():
+                raise AdapterError(f"{self.spikes_path}: no /spikes group")
             g = f["spikes"]
             keys = set(g.keys())
             if {"timestamps", "gids"} <= keys:  # legacy flat layout

@@ -427,6 +427,19 @@ def connected_components(
     if nodes is not None:
         labels = labels.union(nodes.select(F.col(id_col).alias("id"))).distinct()
     labels = labels.withColumn("component", F.col("id")).localCheckpoint()
+    # Convergence witness. Labels are monotonically non-increasing (the
+    # min always includes the node's current label), so for integral /
+    # decimal ids the exact label sum (decimal(38,0) — no overflow at any
+    # id range) is unchanged ⟺ fixed point: one map-side-combined
+    # aggregate on the frame the loop must materialize anyway. For any
+    # other id type (string hashes, floats) the cast would crash under
+    # ANSI — or worse, go all-NULL and fake instant convergence with it
+    # off — so those fall back to the join-the-two-generations changed
+    # count, paying one extra shuffle join per round.
+    id_type = dict(labels.dtypes)["component"]
+    summable = id_type in ("tinyint", "smallint", "int", "bigint") or (
+        id_type.startswith("decimal")
+    )
     prev_sum = None
     for i in range(max_iter):
         propagated = edges.join(labels, edges.src == labels.id).select(
@@ -446,15 +459,21 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .persist()
         )
-        # Labels are monotonically non-increasing (the min always includes
-        # the node's current label), so the label sum is a convergence
-        # witness: unchanged sum ⟺ fixed point. One map-side-combined
-        # aggregate on the frame we must materialize anyway — no extra
-        # join-the-two-generations job per round. decimal(38,0) keeps the
-        # sum exact at any id range / node count.
-        label_sum = new_labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).collect()[0][0]
+        if summable:
+            label_sum = new_labels.agg(
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            ).collect()[0][0]
+            converged = label_sum == prev_sum and i > 0
+            prev_sum = label_sum
+        else:
+            converged = (
+                new_labels.join(
+                    labels.withColumnRenamed("component", "__old"), "id"
+                )
+                .filter(F.col("component") != F.col("__old"))
+                .count()
+                == 0
+            )
         if (i + 1) % 6 == 0:  # cut lineage; re-persist from the cut plan
             cut = new_labels.localCheckpoint()
             new_labels.unpersist()
@@ -462,9 +481,8 @@ def connected_components(
             gc.collect()  # let ContextCleaner drop orphaned checkpoint blocks
         labels.unpersist()
         labels = new_labels
-        if label_sum == prev_sum:
+        if converged:
             break
-        prev_sum = label_sum
     edges.unpersist()
     return labels
 

@@ -246,7 +246,11 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     toks = "__chunk_toks"
     out = (
-        df.withColumn(toks, tokens(text_col))
+        # NULL text tokenizes like empty text (one empty chunk) — a plain
+        # explode over a NULL sequence would silently DROP the document,
+        # breaking downstream corpus accounting (same invariant as
+        # shingles: no document disappears).
+        df.withColumn(toks, tokens(F.coalesce(F.col(text_col), F.lit(""))))
         .withColumn(
             "chunk_id",
             F.explode(

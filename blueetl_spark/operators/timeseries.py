@@ -46,6 +46,50 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _asof_tag_sides(left, right, on, by, suffix, bucket_expr=None):
+    """Shared prep for both as-of variants: suffixed right-payload struct,
+    tagged (right=0 before left=1 at equal times → inclusive backward)
+    union inputs, optionally carrying a time-bucket column."""
+    payload = [c for c in right.columns if c not in (*by, on)]
+    extra = [bucket_expr(on).alias("__b")] if bucket_expr is not None else []
+    r = right.select(
+        *by,
+        *extra,
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__tag"),
+        F.struct(
+            F.col(on).alias(f"{on}{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+        ).alias("__r"),
+    )
+    l = left.select(
+        "*",
+        *extra,
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+    )
+    return l, r, payload
+
+
+def _asof_finalize(out, left_cols, on, payload, suffix, tolerance):
+    """Shared tail: tolerance nulls stale matches, then unpack the match
+    struct into suffixed columns next to the original left columns."""
+    if tolerance is not None:
+        out = out.withColumn(
+            "__m",
+            F.when(
+                F.col(f"__m.{on}{suffix}") >= F.col("__t") - F.lit(tolerance),
+                F.col("__m"),
+            ),
+        )
+    return out.select(
+        *left_cols,
+        F.col(f"__m.{on}{suffix}").alias(f"{on}{suffix}"),
+        *[F.col(f"__m.{c}{suffix}").alias(f"{c}{suffix}") for c in payload],
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -63,22 +107,7 @@ def asof_join(
     ``left.on - tolerance``, like pandas ``merge_asof(tolerance=...)``.
     """
     by = list(by)
-    payload = [c for c in right.columns if c not in (*by, on)]
-    r = right.select(
-        *by,
-        F.col(on).alias("__t"),
-        F.lit(0).alias("__tag"),
-        F.struct(
-            F.col(on).alias(f"{on}{suffix}"),
-            *[F.col(c).alias(f"{c}{suffix}") for c in payload],
-        ).alias("__r"),
-    )
-    l = left.select(
-        "*",
-        F.col(on).alias("__t"),
-        F.lit(1).alias("__tag"),
-        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
-    )
+    l, r, payload = _asof_tag_sides(left, right, on, by, suffix)
     w = (
         Window.partitionBy(*by)
         .orderBy("__t", "__tag")
@@ -87,19 +116,7 @@ def asof_join(
     matched = l.unionByName(r.select(*by, "__t", "__tag", "__r"), allowMissingColumns=True)
     matched = matched.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
     out = matched.filter(F.col("__tag") == 1)
-    if tolerance is not None:
-        out = out.withColumn(
-            "__m",
-            F.when(
-                F.col(f"__m.{on}{suffix}") >= F.col("__t") - F.lit(tolerance),
-                F.col("__m"),
-            ),
-        )
-    return out.select(
-        *left.columns,
-        F.col(f"__m.{on}{suffix}").alias(f"{on}{suffix}"),
-        *[F.col(f"__m.{c}{suffix}").alias(f"{c}{suffix}") for c in payload],
-    )
+    return _asof_finalize(out, left.columns, on, payload, suffix, tolerance)
 
 
 def asof_join_bucketed(
@@ -135,27 +152,8 @@ def asof_join_bucketed(
     nulls stale matches) — pinned by a parity test on random data.
     """
     by = list(by)
-    payload = [c for c in right.columns if c not in (*by, on)]
     bucket = lambda c: F.floor(F.col(c) / F.lit(bucket_width))  # noqa: E731
-
-    r_struct = F.struct(
-        F.col(on).alias(f"{on}{suffix}"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
-    )
-    r = right.select(
-        *by,
-        bucket(on).alias("__b"),
-        F.col(on).alias("__t"),
-        F.lit(0).alias("__tag"),
-        r_struct.alias("__r"),
-    )
-    l = left.select(
-        "*",
-        bucket(on).alias("__b"),
-        F.col(on).alias("__t"),
-        F.lit(1).alias("__tag"),
-        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
-    )
+    l, r, payload = _asof_tag_sides(left, right, on, by, suffix, bucket_expr=bucket)
     w_local = (
         Window.partitionBy(*by, "__b")
         .orderBy("__t", "__tag")
@@ -193,19 +191,7 @@ def asof_join_bucketed(
     out = local.join(carry, [*by, "__b"], "left").withColumn(
         "__m", F.coalesce("__m", "__carry")
     )
-    if tolerance is not None:
-        out = out.withColumn(
-            "__m",
-            F.when(
-                F.col(f"__m.{on}{suffix}") >= F.col("__t") - F.lit(tolerance),
-                F.col("__m"),
-            ),
-        )
-    return out.select(
-        *left.columns,
-        F.col(f"__m.{on}{suffix}").alias(f"{on}{suffix}"),
-        *[F.col(f"__m.{c}{suffix}").alias(f"{c}{suffix}") for c in payload],
-    )
+    return _asof_finalize(out, left.columns, on, payload, suffix, tolerance)
 
 
 def sessionize(

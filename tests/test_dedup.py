@@ -126,3 +126,18 @@ def test_keep_canonical_no_forced_broadcast(spark):
     logical = out._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in logical, logical
     assert len(out.toPandas()) == 3  # 1 canonical of {1,2,3} + docs 0,4
+
+
+def test_connected_components_string_ids(spark):
+    """Non-numeric ids take the join-based convergence path (the decimal
+    label-sum witness would crash under ANSI, or silently stop early
+    with it off) — a 5-hop string chain must fully contract."""
+    from blueetl_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [("e", "d"), ("d", "c"), ("c", "b"), ("b", "a"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    comp = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert {comp[k] for k in "abcde"} == {"a"}
+    assert comp["x"] == comp["y"] == "x"

@@ -159,3 +159,14 @@ def test_pack_chunks_greedy_budget(spark):
     ).coalesce(1)
     got = pack_chunks(big, budget=10).toPandas().sort_values("chunk_id")
     assert got.pack_id.nunique() == 2
+
+
+def test_chunk_documents_null_text_not_dropped(spark):
+    from blueetl_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b")], "doc_id long, text string"
+    )
+    got = chunk_documents(df, chunk_tokens=4).orderBy("doc_id").collect()
+    assert [r.doc_id for r in got] == [1, 2]  # null-text doc still present
+    assert got[0].chunk_text == ""
