@@ -155,15 +155,21 @@ def _sample_limits(
         ]
     )
     key = F.concat_ws("|", F.col("circuit_id").cast("string"), F.col("neuron_class"))
-    pre = tagged.withColumn("__p", p_map[key]).filter(
-        F.col("__p").isNull() | (F.rand(seed) < F.col("__p"))
+    # Only limited classes enter the rank window: an unlimited class in the
+    # window's partitioning would funnel its full row set through one
+    # task's sort — the exact straggler the two-phase design avoids.
+    is_limited = F.col("neuron_class").isin(list(limits))
+    pre = (
+        tagged.filter(is_limited)
+        .withColumn("__p", p_map[key])
+        .filter(F.col("__p").isNull() | (F.rand(seed) < F.col("__p")))
     )
     ranked = (
         pre.withColumn("__limit", limit_expr[F.col("neuron_class")])
         .withColumn("__rn", F.row_number().over(sample_w))
-        .filter(F.col("__limit").isNull() | (F.col("__rn") <= F.col("__limit")))
+        .filter(F.col("__rn") <= F.col("__limit"))
         .drop("__p", "__limit", "__rn")
-    )
+    ).unionByName(tagged.filter(~is_limited))
     # exactness check: any undersampled (circuit, class) redoes the full path
     short = [
         (cid, cls)
@@ -284,9 +290,10 @@ def extract_report(
     # Push the global time envelope down to the scan before any join.
     events = events.filter(time_bounds_filter(windows, time_col))
 
-    n = neurons.select(
-        "circuit_id", F.col("gid"), "neuron_class", "neuron_class_index"
-    )
+    # neuron_class_index is NOT carried into the events join: the report
+    # projection never outputs it, and every extra byte on the build side
+    # rides through the widest join in the pipeline.
+    n = neurons.select("circuit_id", F.col("gid"), "neuron_class")
     if broadcast_neurons is None:
         broadcast_neurons = True  # class-filtered neuron lists are small vs events
     right = F.broadcast(n) if broadcast_neurons else n

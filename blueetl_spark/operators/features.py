@@ -135,7 +135,6 @@ def by_neuron_class(
             F.sum("mean_spike_counts").alias("sum_counts"),
             F.sum("mean_firing_rates_per_second").alias("sum_rates"),
             F.sum(F.col("mean_firing_rates_per_second") ** 2).alias("sum_rates_sq"),
-            F.count("gid").alias("n_active"),
         )
         .join(n, ["circuit_id", "neuron_class"])
     )
@@ -380,11 +379,20 @@ def apply_feature(
     fn_ = get_feature(fn) if isinstance(fn, str) else fn
     params = params or {}
 
+    # Parse output column names with Spark's own DDL parser — a naive
+    # split(",") breaks on any type containing a comma (map<string,double>,
+    # decimal(10,2), struct<...>).
+    from pyspark.sql import types as T
+
+    out_cols = (
+        T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    ).fieldNames()
+
     def runner(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         out = fn_(pdf, params)
         for col, val in zip(groupby, key):
             if col not in out.columns:
                 out.insert(0, col, val)
-        return out[[c.strip().split(" ")[0] for c in schema.split(",")]]
+        return out[list(out_cols)]
 
     return df.groupBy(*groupby).applyInPandas(runner, schema)

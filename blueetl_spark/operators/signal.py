@@ -128,9 +128,17 @@ def pairwise_correlation(
     num = F.col("n_bins") * F.col("sxy") - F.col("sx_a") * F.col("sx_b")
     var_a = F.col("n_bins") * F.col("sxx_a") - F.col("sx_a") ** 2
     var_b = F.col("n_bins") * F.col("sxx_b") - F.col("sx_b") ** 2
+    # Pair universe from the per-gid sums table, NOT from sxy: two trains
+    # whose occupied bins are disjoint have no (group, bin) join row, but
+    # their correlation is well-defined (and negative: sxy = 0) — an
+    # inner base would silently drop exactly the most anti-correlated
+    # pairs. The cross join within a group is the output's own
+    # cardinality (all-pairs is inherently O(active gids²) per group).
     out = (
-        sxy.join(sa, [*GROUP_KEYS, "gid_a"])
-        .join(sb, [*GROUP_KEYS, "gid_b"])
+        sa.join(sb, [*GROUP_KEYS])
+        .filter(F.col("gid_a") < F.col("gid_b"))
+        .join(sxy, [*GROUP_KEYS, "gid_a", "gid_b"], "left")
+        .withColumn("sxy", F.coalesce(F.col("sxy"), F.lit(0)))
         .join(F.broadcast(meta.select("simulation_id", "window", "n_bins")),
               ["simulation_id", "window"])
         .withColumn(
@@ -211,7 +219,7 @@ def _welch_psd(x: np.ndarray, fs: float, nperseg: int) -> tuple[np.ndarray, np.n
     if nperseg < 2:
         freqs = np.fft.rfftfreq(max(nperseg, 1), d=1.0 / fs)
         return freqs, np.zeros_like(freqs)
-    step = nperseg // 2
+    step = nperseg - nperseg // 2  # scipy: nperseg - noverlap (exact for odd)
     window = np.hanning(nperseg)
     scale = 1.0 / (fs * (window * window).sum())
     n_seg = max((len(x) - nperseg) // step + 1, 1)
@@ -323,19 +331,44 @@ def spike_train_distances(
     ``max_spikes`` truncates each sorted train to its first N spikes —
     bounds the O(n·m) DP per pair, and is what makes the
     ``spike_distances_fixed`` oracle twin cheap to recompute in SQL.
+
+    Pair universe: a pair is evaluated in every window of a (simulation,
+    circuit, class) where **both gids belong** — membership inferred as
+    "fired in at least one of the group's windows" (the operator has no
+    membership table). A gid silent in one window but active in another
+    gets the defined empty-train distances there (VP = other train's
+    length, vR = √(k(a,a)/2)) instead of silently vanishing; gids from
+    different classes are never paired (no cross-class junk rows).
     """
     times_expr = F.sort_array(F.collect_list("time"))
     if max_spikes is not None:
         times_expr = F.slice(times_expr, 1, max_spikes)
     trains = report.groupBy(*GROUP_KEYS, "gid").agg(times_expr.alias("times"))
+    class_keys = [k for k in GROUP_KEYS if k != "window"]
+    member = trains.select(*class_keys, "gid").distinct()
+    wins = trains.select(*GROUP_KEYS).distinct()
+    univ = (
+        wins.join(
+            member.select(*class_keys, F.col("gid").alias("gid_a")), class_keys
+        )
+        .join(F.broadcast(pairs), ["gid_a"])
+        .join(
+            member.select(*class_keys, F.col("gid").alias("gid_b")),
+            [*class_keys, "gid_b"],
+        )
+    )
     ta = trains.select(
         *GROUP_KEYS, F.col("gid").alias("gid_a"), F.col("times").alias("times_a")
     )
     tb = trains.select(
         *GROUP_KEYS, F.col("gid").alias("gid_b"), F.col("times").alias("times_b")
     )
-    joined = ta.join(F.broadcast(pairs), ["gid_a"]).join(
-        tb, [*GROUP_KEYS, "gid_b"]
+    empty = F.array().cast("array<double>")
+    joined = (
+        univ.join(ta, [*GROUP_KEYS, "gid_a"], "left")
+        .join(tb, [*GROUP_KEYS, "gid_b"], "left")
+        .withColumn("times_a", F.coalesce("times_a", empty))
+        .withColumn("times_b", F.coalesce("times_b", empty))
     )
     schema = (
         "simulation_id smallint, circuit_id smallint, neuron_class string, "

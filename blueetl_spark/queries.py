@@ -552,13 +552,14 @@ x AS (
     ON a.neuron_class = c.neuron_class AND a.bin = c.bin AND a.gid < c.gid
   GROUP BY 1, 2, 3
 )
-SELECT x.neuron_class, gid_a, gid_b,
-       ROUND(({CORR_NBINS} * sxy - sa.sx * sb.sx)
+SELECT sa.neuron_class, sa.gid AS gid_a, sb.gid AS gid_b,
+       ROUND(({CORR_NBINS} * COALESCE(x.sxy, 0) - sa.sx * sb.sx)
              / sqrt(({CORR_NBINS} * sa.sxx - sa.sx * sa.sx)
                     * ({CORR_NBINS} * sb.sxx - sb.sx * sb.sx)), 6) AS corr
-FROM x
-JOIN s sa ON sa.neuron_class = x.neuron_class AND sa.gid = gid_a
-JOIN s sb ON sb.neuron_class = x.neuron_class AND sb.gid = gid_b
+FROM s sa
+JOIN s sb ON sb.neuron_class = sa.neuron_class AND sa.gid < sb.gid
+LEFT JOIN x ON x.neuron_class = sa.neuron_class
+           AND x.gid_a = sa.gid AND x.gid_b = sb.gid
 WHERE ({CORR_NBINS} * sa.sxx - sa.sx * sa.sx) > 0
   AND ({CORR_NBINS} * sb.sxx - sb.sx * sb.sx) > 0
 """

@@ -164,3 +164,58 @@ def test_knn_ivf_with_kmeans_centroids(spark):
         & set(zip(bf_p.query_id, bf_p.neighbor_id))
     )
     assert hits / len(bf_p) > 0.8, hits
+
+
+def test_correlation_includes_disjoint_bin_pairs(spark):
+    """Two trains that never co-occupy a bin must still get their
+    (negative) correlation — the pair universe comes from the sums
+    table, not the bin self-join."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators import signal
+
+    rows = []
+    for t in (0.0, 10.0, 20.0):      # gid 1: bins 0-2
+        rows.append((0, 0, "A", 1, t))
+    for t in (30.0, 40.0, 50.0):     # gid 2: bins 3-5
+        rows.append((0, 0, "A", 2, t))
+    report = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[
+            "simulation_id", "circuit_id", "neuron_class", "gid", "time",
+        ])
+    ).withColumn("window", F.lit("w")).withColumn("trial", F.lit(0))
+    windows = spark.createDataFrame(
+        [(0, "w", 0, 0.0, 0.0, 60.0, 60.0)],
+        "simulation_id long, window string, trial long, offset double, "
+        "t_start double, t_stop double, duration double",
+    )
+    out = signal.pairwise_correlation(report, windows, bin_size=10.0).toPandas()
+    assert len(out) == 1
+    assert out["corr"].iloc[0] < 0  # disjoint occupancy -> anti-correlated
+
+
+def test_spike_distances_window_silent_member(spark):
+    """A gid silent in one window but active in another stays in the pair
+    universe with empty-train distances (VP = other train's length)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators import signal
+
+    rows = [
+        # w1: both gids fire; w2: only gid 1 fires
+        (0, 0, "A", 1, "w1", 1.0), (0, 0, "A", 2, "w1", 2.0),
+        (0, 0, "A", 1, "w2", 5.0),
+    ]
+    report = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[
+            "simulation_id", "circuit_id", "neuron_class", "gid", "window",
+            "time",
+        ])
+    ).withColumn("trial", F.lit(0))
+    pairs = spark.createDataFrame([(1, 2)], "gid_a long, gid_b long")
+    out = signal.spike_train_distances(report, pairs, tau=1.0, q=1.0).toPandas()
+    byw = out.set_index("window")
+    assert set(byw.index) == {"w1", "w2"}
+    assert byw.loc["w2"].victor_purpura == 1.0  # empty vs 1-spike train
