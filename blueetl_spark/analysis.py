@@ -270,7 +270,9 @@ class Analyzer:
             elif fname == "blueetl_spark.features.by_neuron_class":
                 df = feat.by_neuron_class(self.report, self.windows, counts)
             elif fname == "blueetl_spark.features.by_neuron_class_and_trial":
-                df = feat.by_neuron_class_and_trial(self.report, counts)
+                df = feat.by_neuron_class_and_trial(
+                    self.report, counts, windows=self.windows
+                )
             elif fname == "blueetl_spark.features.histogram":
                 df = feat.histogram(
                     self.report, self.windows, counts,

@@ -95,18 +95,39 @@ def by_gid(report: DataFrame, windows: DataFrame) -> DataFrame:
     )
 
 
-def by_neuron_class_and_trial(report: DataFrame, neuron_counts: DataFrame) -> DataFrame:
+def by_neuron_class_and_trial(
+    report: DataFrame,
+    neuron_counts: DataFrame,
+    windows: DataFrame | None = None,
+) -> DataFrame:
     """Per (group key, trial): mean spike count per neuron.
 
     ``neuron_counts``: (circuit_id, neuron_class, count) — broadcast; silent
-    neurons count toward the denominator (reference divides by class size,
-    ``bnac/calculate_features.py:28-45``).
+    neurons count toward the denominator (reference divides by class size:
+    its report carries NaN-time rows for every member, so ``fillna(0)``
+    makes silent gids 0s — ``bnac/calculate_features.py:28-45``).
+
+    ``windows`` (optional): when given, trials with ZERO events for a
+    class still emit their 0-mean row — the reference's NaN-row report
+    yields one for every (trial, class); an events-only aggregation
+    cannot, so the (window, trial) spine is rebuilt from the broadcast
+    windows table crossed with the class list and left-joined.
     """
     per_trial = report.groupBy(*GROUP_KEYS, "trial").agg(
         F.count("time").alias("n_spikes")
     )
+    counts_b = F.broadcast(neuron_counts)
+    if windows is not None:
+        spine = (
+            windows.select("simulation_id", "window", "trial")
+            .distinct()
+            .join(counts_b.select("circuit_id", "neuron_class"), how="cross")
+        )
+        per_trial = spine.join(
+            per_trial, [*GROUP_KEYS, "trial"], "left"
+        ).withColumn("n_spikes", F.coalesce("n_spikes", F.lit(0)))
     return per_trial.join(
-        F.broadcast(neuron_counts), ["circuit_id", "neuron_class"]
+        counts_b, ["circuit_id", "neuron_class"]
     ).select(
         *GROUP_KEYS,
         "trial",

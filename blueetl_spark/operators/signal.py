@@ -83,6 +83,12 @@ def pairwise_correlation(
     scale the join key (group, bin) spreads pairs across the cluster;
     no per-group matrix is ever materialized.
 
+    Multi-trial windows: trials are POOLED into the window's ``n_bins``
+    bins (each gid's vector is its trial-summed PSTH), with B = n_bins —
+    i.e. this correlates trial-averaged responses. To correlate trials
+    as separate segments, pre-split the window into per-trial windows
+    (``binned_counts(per_trial=True)`` carries the key).
+
     Output: (group keys, gid_a, gid_b, corr), gid_a < gid_b.
 
     ``persist_binned`` caches the post-aggregation binned counts (size =

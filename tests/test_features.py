@@ -216,3 +216,41 @@ def test_apply_feature_registry(data, spark):
         assert row.mean_time == pytest.approx(
             exp[(row.simulation_id, row.circuit_id, row.neuron_class, row.window)]
         )
+
+
+def test_by_neuron_class_and_trial_densifies_silent_trials(spark):
+    """A class silent in one trial still emits its 0-mean row when the
+    windows spine is provided (reference parity: its NaN-row report
+    yields a row per (trial, class))."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators import features as feat
+
+    report = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "simulation_id": [0, 0],
+                "circuit_id": [0, 0],
+                "neuron_class": ["A", "A"],
+                "window": ["w", "w"],
+                "trial": [0, 1],          # trial 2 silent
+                "gid": [1, 2],
+                "time": [1.0, 2.0],
+            }
+        )
+    )
+    counts = spark.createDataFrame(
+        [(0, "A", 4)], "circuit_id long, neuron_class string, count long"
+    )
+    windows = spark.createDataFrame(
+        [(0, "w", t, 0.0, 0.0, 10.0, 10.0) for t in (0, 1, 2)],
+        "simulation_id long, window string, trial long, offset double, "
+        "t_start double, t_stop double, duration double",
+    )
+    out = feat.by_neuron_class_and_trial(report, counts, windows=windows).toPandas()
+    got = out.set_index("trial").mean_of_spike_counts_for_each_trial
+    assert got.loc[2] == 0.0 and len(out) == 3
+    # without the spine: silent trial omitted (legacy events-only shape)
+    legacy = feat.by_neuron_class_and_trial(report, counts).toPandas()
+    assert len(legacy) == 2
