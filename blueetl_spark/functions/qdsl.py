@@ -147,14 +147,22 @@ def query_to_sql(query: Query) -> str:
                     # null-safe, matching the Spark compilation (NULL rows kept)
                     parts.append(f"{name} IS DISTINCT FROM {lit(v)}")
                 elif op == "isin":
-                    parts.append(f"{name} IN ({', '.join(lit(x) for x in v)})")
+                    # empty membership: Spark's col.isin([]) is valid and
+                    # selects nothing; "IN ()" is a SQL syntax error
+                    parts.append(
+                        f"{name} IN ({', '.join(lit(x) for x in v)})"
+                        if v
+                        else "FALSE"
+                    )
                 elif op == "regex":
                     parts.append(f"regexp_matches({name}, {lit(v)})")
                 else:
                     raise ValueError(f"unknown operator {op!r}")
             return "(" + " AND ".join(parts) + ")" if parts else "TRUE"
         if isinstance(c, (list, tuple, set)):
-            return f"{name} IN ({', '.join(lit(x) for x in c)})"
+            return (
+                f"{name} IN ({', '.join(lit(x) for x in c)})" if c else "FALSE"
+            )
         return f"{name} = {lit(c)}"
 
     if query is None or query == {} or query == []:
@@ -181,7 +189,16 @@ def _canonical(constraint: Any) -> dict[str, Any]:
 
 
 def _values_of(c: dict[str, Any]) -> list[Any] | None:
-    """Finite value set selected by eq/isin constraints, if any."""
+    """Finite value set selected by eq/isin constraints, if any.
+
+    eq and isin may coexist; the selected set is their INTERSECTION —
+    returning just the eq value would treat the contradictory
+    ``{eq: 2, isin: [3]}`` (empty set) as "all rows = 2", making
+    ``is_subfilter`` claim an implication into an empty filter.
+    """
+    if "eq" in c and "isin" in c:
+        eq_h = _hashable(c["eq"])
+        return [v for v in c["isin"] if _hashable(v) == eq_h]
     if "eq" in c:
         return [c["eq"]]
     if "isin" in c:

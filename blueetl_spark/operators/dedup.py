@@ -82,6 +82,10 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # expose the cached shingle table so long-lived callers can release the
+    # executor blocks after consuming the result (same contract as
+    # pairwise_correlation._binned)
+    out._shingles = s
     return out
 
 
@@ -190,7 +194,7 @@ def minhash_lsh_candidates(
     )
     sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
-    return (
+    out = (
         cand.join(sig_a, "id_a")
         .join(sig_b, "id_b")
         .withColumn(
@@ -205,6 +209,9 @@ def minhash_lsh_candidates(
         )
         .select("id_a", "id_b", "est_jaccard")
     )
+    # cached-signature handle for callers that loop (unpersist after use)
+    out._signatures = sig
+    return out
 
 
 def simhash(
@@ -294,8 +301,13 @@ def embedding_near_dup(
     """
     from blueetl_spark.operators import similarity
 
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
     if method == "lsh":
-        dim = len(df.select(vec_col).first()[0])
+        probe = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        if probe is None:  # no embeddings at all -> no pairs
+            return df.sparkSession.createDataFrame([], out_schema)
+        dim = len(probe[0])
         a = similarity.sketch_tables(
             df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")),
             dim, n_planes, n_tables, seed, "__va",
@@ -342,6 +354,8 @@ def embedding_near_dup(
             "max_broadcast_rows explicitly if the matrix genuinely fits "
             "in driver and executor memory."
         )
+    if len(corpus) == 0:  # empty corpus -> no pairs, not np.stack ValueError
+        return df.sparkSession.createDataFrame([], out_schema)
     ids = corpus[id_col].to_numpy()
     mat = np.stack(corpus[vec_col].to_numpy()).astype(np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
@@ -371,9 +385,10 @@ def embedding_near_dup(
                     {"id_a": a_ids[ai], "id_b": b_ids[bi], "cosine": cos[ai, bi]}
                 )
 
-    return df.select(id_col, vec_col).mapInPandas(
-        score, "id_a bigint, id_b bigint, cosine double"
-    )
+    # output ids keep the input id column's type (string/int ids work the
+    # same as on the lsh path — a hardcoded bigint would crash the Arrow
+    # conversion for non-integral id columns)
+    return df.select(id_col, vec_col).mapInPandas(score, out_schema)
 
 
 def connected_components(

@@ -190,9 +190,11 @@ def knn_lsh(
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
-    scored = score_pairs(
-        cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
-    )
+    # no forced broadcast of the query side: nothing bounds its size (this
+    # is sold as the scale path) and a hint overrides the size threshold —
+    # AQE broadcasts small query batches on its own and falls back to a
+    # shuffled join for large ones instead of OOMing the driver
+    scored = score_pairs(cand.join(qv, "query_id").join(cv, "neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -397,10 +399,12 @@ def knn_ivf(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
+    # no pair dedup needed: the corpus is assigned to exactly one cell
+    # (n=1) and a query's probed cells are distinct, so a (query, neighbor)
+    # pair reaches the window at most once
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
@@ -487,10 +491,20 @@ def search_ivf_index(
         .collect()
     )
     cents = [list(map(float, r.vector)) for r in cb_rows]
-    q = assign_cells(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
-        cents, "__qv", n=n_probe,
-    ).withColumn("cell", F.explode("__cells")).drop("__cells")
+    q = (
+        assign_cells(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+            ),
+            cents, "__qv", n=n_probe,
+        )
+        .withColumn("cell", F.explode("__cells"))
+        .drop("__cells")
+        # persist: the assignment kernel (numpy matmul over queries x
+        # codebook) otherwise runs twice — once for the probed-cells
+        # collect below and again inside the join
+        .persist()
+    )
     probed = sorted({r.cell for r in q.select("cell").distinct().collect()})
     c = spark.read.parquet(str(base / "assignments.parquet")).filter(
         F.col("cell").isin(probed)

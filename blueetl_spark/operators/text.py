@@ -88,8 +88,14 @@ def quality_features(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        (F.regexp_count(t, F.lit(r"[.,!?;:]")) / n_chars).alias("punct_ratio"),
-        (F.regexp_count(t, F.lit(r"[0-9]")) / n_chars).alias("digit_ratio"),
+        # try_divide: empty text (n_chars = 0) yields NULL ratios instead of
+        # killing the whole corpus job under ANSI's DIVIDE_BY_ZERO
+        F.try_divide(F.regexp_count(t, F.lit(r"[.,!?;:]")), n_chars).alias(
+            "punct_ratio"
+        ),
+        F.try_divide(F.regexp_count(t, F.lit(r"[0-9]")), n_chars).alias(
+            "digit_ratio"
+        ),
         (n_stop / n_tokens).alias("stopword_ratio"),
         ((n_chars - n_tokens + 1) / n_tokens).alias("mean_word_len"),
     )
@@ -310,7 +316,16 @@ def pack_chunks(
 
     if budget <= 0:
         raise ValueError("budget must be positive")
-    out_schema = chunks.schema.add("pack_id", "long").add("pack_tokens", "long")
+    # copy before .add(): DataFrame.schema is a cached property and
+    # StructType.add mutates in place — extending it directly corrupts the
+    # caller's DataFrame schema and breaks a second pack_chunks call
+    from pyspark.sql import types as T
+
+    out_schema = (
+        T.StructType(list(chunks.schema.fields))
+        .add("pack_id", "long")
+        .add("pack_tokens", "long")
+    )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pid = TaskContext.get().partitionId()

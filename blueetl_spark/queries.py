@@ -1212,10 +1212,12 @@ SQL_QUALITY_FEATURES = f"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
        len({_TOKS}) AS n_tokens,
-       ROUND(len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / length(text), 9)
-         AS punct_ratio,
-       ROUND(len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text), 9)
-         AS digit_ratio,
+       CASE WHEN length(text) > 0 THEN
+         ROUND(len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / length(text), 9)
+       END AS punct_ratio,
+       CASE WHEN length(text) > 0 THEN
+         ROUND(len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text), 9)
+       END AS digit_ratio,
        ROUND(len(list_filter({_TOKS},
                  x -> list_contains([{_EN_STOP_SQL}], lower(x)))) * 1.0
              / len({_TOKS}), 9) AS stopword_ratio

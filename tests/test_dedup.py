@@ -141,3 +141,26 @@ def test_connected_components_string_ids(spark):
     comp = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
     assert {comp[k] for k in "abcde"} == {"a"}
     assert comp["x"] == comp["y"] == "x"
+
+
+def test_embedding_near_dup_string_ids_and_empty(spark):
+    """Bruteforce output ids keep the input id type, and both paths
+    short-circuit an empty corpus instead of crashing."""
+    from blueetl_spark.operators import dedup
+
+    emb = spark.createDataFrame(
+        [("x", [1.0, 0.0]), ("y", [1.0, 0.001]), ("z", [0.0, 1.0])],
+        "name string, embedding array<double>",
+    )
+    out = dedup.embedding_near_dup(
+        emb, threshold=0.99, id_col="name", vec_col="embedding"
+    ).toPandas()
+    assert set(zip(out.id_a, out.id_b)) == {("x", "y")}
+    empty = spark.createDataFrame([], "name string, embedding array<double>")
+    for method in ("bruteforce", "lsh"):
+        assert (
+            dedup.embedding_near_dup(
+                empty, id_col="name", vec_col="embedding", method=method
+            ).count()
+            == 0
+        )

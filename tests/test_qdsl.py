@@ -145,3 +145,23 @@ def test_ne_keeps_null_rows(spark):
         f"WHERE {sql} ORDER BY id"
     ).fetchall()
     assert [r[0] for r in rows] == [2, 3]
+
+
+def test_is_subfilter_contradictory_eq_isin():
+    """{eq: 2, isin: [3]} selects nothing; implication into it must be
+    False for any non-empty filter (the eq/isin INTERSECTION is the
+    selected set)."""
+    from blueetl_spark.functions.qdsl import is_subfilter
+
+    assert not is_subfilter({"a": {"eq": 2}}, {"a": {"eq": 2, "isin": [3]}})
+    assert is_subfilter({"a": {"eq": 2}}, {"a": {"eq": 2, "isin": [2, 3]}})
+    # the empty-set filter itself implies anything
+    assert is_subfilter({"a": {"eq": 2, "isin": [3]}}, {"a": {"eq": 5}})
+
+
+def test_query_to_sql_empty_isin():
+    from blueetl_spark.functions.qdsl import query_to_sql
+
+    assert "FALSE" in query_to_sql({"a": {"isin": []}})
+    assert "IN ()" not in query_to_sql({"a": {"isin": []}})
+    assert "FALSE" in query_to_sql({"a": []})

@@ -170,3 +170,27 @@ def test_chunk_documents_null_text_not_dropped(spark):
     got = chunk_documents(df, chunk_tokens=4).orderBy("doc_id").collect()
     assert [r.doc_id for r in got] == [1, 2]  # null-text doc still present
     assert got[0].chunk_text == ""
+
+
+def test_quality_features_empty_text_survives_ansi(spark):
+    from blueetl_spark.operators.text import quality_features
+
+    df = spark.createDataFrame([(1, ""), (2, "hi there")],
+                               "doc_id long, text string")
+    out = quality_features(df).orderBy("doc_id").toPandas()
+    assert len(out) == 2                      # no DIVIDE_BY_ZERO abort
+    assert out.punct_ratio.isna()[0]          # empty doc -> NULL ratios
+    assert out.punct_ratio.notna()[1]
+
+
+def test_pack_chunks_does_not_mutate_caller_schema(spark):
+    from blueetl_spark.operators.text import chunk_documents, pack_chunks
+
+    docs = spark.createDataFrame([(1, "a b c d e f")],
+                                 "doc_id long, text string")
+    chunks = chunk_documents(docs, chunk_tokens=2)
+    before = [f.name for f in chunks.schema.fields]
+    pack_chunks(chunks, budget=4).count()
+    assert [f.name for f in chunks.schema.fields] == before
+    # a second call with a different budget must work
+    assert pack_chunks(chunks, budget=2).count() == 3
