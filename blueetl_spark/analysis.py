@@ -43,6 +43,19 @@ from blueetl_spark.schemas import validate_windows
 from blueetl_spark.sources.campaign import SimulationCampaign
 
 
+def _file_digest(path: str | None) -> str | None:
+    """Content digest of a config-referenced input file (cache keying);
+    None for unset, a sentinel for missing (the compute() will raise)."""
+    if not path:
+        return None
+    import hashlib
+
+    p = Path(path)
+    if not p.is_file():
+        return f"missing:{path}"
+    return hashlib.md5(p.read_bytes()).hexdigest()
+
+
 def params_product(params: dict[str, Any]) -> list[dict[str, Any]]:
     """Cartesian expansion of list-valued keys (suffix ``__0``-style ids are
     the caller's concern; we return plain dicts in deterministic order)."""
@@ -130,6 +143,13 @@ class Analyzer:
                 "neuron_classes": extraction["neuron_classes"],
                 "limit": extraction.get("limit"),
                 "seed": extraction.get("seed", 0),
+                # node-set files are inputs to the neurons computation: key
+                # the cache on their CONTENT so editing a file (not just
+                # repointing the config) invalidates stale neurons
+                "node_sets": [
+                    _file_digest(extraction.get(k))
+                    for k in ("node_sets_file", "node_sets_file_extra")
+                ],
             },
             "neuron_classes": {"neuron_classes": extraction["neuron_classes"]},
             "windows": {"windows": extraction["windows"]},
@@ -197,9 +217,16 @@ class Analyzer:
         ex = self.config["extraction"]
 
         def compute() -> DataFrame:
+            dyn_names = [
+                n for n, c in ex["windows"].items()
+                if isinstance(c.get("trial_steps"), dict)
+            ]
             w = materialize_windows(
                 self.spark, ex["windows"], self.simulations,
                 dynamic_offsets=self._dynamic_offsets(ex["windows"]),
+                # reference parity: only trial_steps windows shift; a fixed
+                # window next to an onset window keeps its static offset
+                dynamic_windows=dyn_names or None,
             )
             validate_windows(w)
             return w
@@ -263,6 +290,15 @@ class Analyzer:
             suffix = cfg.get("suffix", "")
             params = cfg.get("params", {})
             key = cfg.get("name", fname.rsplit(".", 1)[-1]) + suffix
+            # cache first: a hit must not pay for plan construction (which
+            # resolves report/windows and opens their inputs)
+            cs = checksum({"cfg": cfg}) if self._cache is not None else None
+            name = f"features_{key}"
+            if self._cache is not None:
+                hit = self._cache.fetch(name, cs, self.simulations_filter)
+                if hit is not None:
+                    out[key] = hit
+                    continue
             if fname == "blueetl_spark.features.by_gid":
                 df = feat.by_gid(self.report, self.windows)
             elif fname == "blueetl_spark.features.by_gid_and_trial":
@@ -312,13 +348,8 @@ class Analyzer:
             if params and cfg.get("params_id") is not None:
                 df = df.withColumn("params_id", F.lit(cfg["params_id"]))
             if self._cache is not None:
-                cs = checksum({"cfg": cfg})
-                name = f"features_{key}"
-                hit = self._cache.fetch(name, cs, self.simulations_filter)
-                df = hit if hit is not None else df
-                if hit is None:
-                    self._cache.dump(name, df, cs, self.simulations_filter)
-                    df = self._cache.load(name)
+                self._cache.dump(name, df, cs, self.simulations_filter)
+                df = self._cache.load(name)
             out[key] = df
         return out
 

@@ -67,12 +67,18 @@ def materialize_windows(
     windows_config: WindowsConfig,
     simulations: DataFrame,
     dynamic_offsets: dict[int, float] | None = None,
+    dynamic_windows: list[str] | None = None,
 ) -> DataFrame:
     """Build the windows table: one row per (simulation, window, trial).
 
     ``dynamic_offsets`` maps simulation_id → extra offset (the output of
     onset detection, reference ``extract/windows.py:78-111``); omitted
-    simulations get 0.
+    simulations get 0. ``dynamic_windows`` names the windows the offset
+    applies to — the reference sets ``dynamic_offset = 0`` for windows
+    without a ``trial_steps`` config (``extract/windows.py:181-209``), so
+    a fixed window next to an onset window must NOT shift. ``None``
+    applies the offset to every window (single-window configs / the
+    standalone onset query).
     """
     defs: list[dict[str, Any]] = []
     for name, cfg in windows_config.items():
@@ -94,11 +100,18 @@ def materialize_windows(
         "step_offset double, t_start double, t_stop double, t_step double, "
         "duration double, window_type string",
     )
+    applies = (
+        F.lit(True)
+        if dynamic_windows is None
+        else F.col("window").isin(list(dynamic_windows))
+    )
     out = (
         sims.crossJoin(F.broadcast(defs_df))
         .withColumn(
             "offset",
-            F.col("initial_offset") + F.col("dynamic_offset") + F.col("step_offset"),
+            F.col("initial_offset")
+            + F.when(applies, F.col("dynamic_offset")).otherwise(0.0)
+            + F.col("step_offset"),
         )
         .select(
             "simulation_id",
@@ -119,9 +132,21 @@ def materialize_windows(
     # predicate without running a Spark job at plan-construction time.
     dyn = list((dynamic_offsets or {}).values()) or [0.0]
     static = [d["initial_offset"] + d["step_offset"] for d in defs]
+
+    def _dyn_for(d: dict) -> list[float]:
+        if dynamic_windows is not None and d["window"] not in dynamic_windows:
+            return [0.0]
+        return dyn
+
     out._blueetl_time_bounds = (
-        min(s + min(dyn + [0.0]) + d["t_start"] for s, d in zip(static, defs)),
-        max(s + max(dyn + [0.0]) + d["t_stop"] for s, d in zip(static, defs)),
+        min(
+            s + min(_dyn_for(d) + [0.0]) + d["t_start"]
+            for s, d in zip(static, defs)
+        ),
+        max(
+            s + max(_dyn_for(d) + [0.0]) + d["t_stop"]
+            for s, d in zip(static, defs)
+        ),
     )
     return out
 

@@ -114,6 +114,13 @@ class CacheManager:
         if self.readonly:
             raise PermissionError(f"cache at {self.path} is readonly")
         data = self._data_path(name)
+        # reap residue from crashed dumps of ANY pid (a crash between the
+        # two renames below leaves full-size .old-/.tmp- copies that no
+        # later process would otherwise ever delete)
+        for stale in self.path.glob(f".{name}.parquet.tmp-*"):
+            shutil.rmtree(stale, ignore_errors=True)
+        for stale in self.path.glob(f".{name}.parquet.old-*"):
+            shutil.rmtree(stale, ignore_errors=True)
         tmp = self.path / f".{name}.parquet.tmp-{os.getpid()}"
         df.write.mode("overwrite").parquet(str(tmp))
         # Publish without a missing-path window: move the old dataset aside

@@ -48,9 +48,12 @@ class BaseStore:
             p.unlink()
 
     def checksum(self, name: str) -> str | None:
-        """blake2b over the file bytes (file stores) or over the sorted
-        (relative-path, size, mtime) list (directory stores) — cheap enough
-        to run per access, stable across identical dumps."""
+        """blake2b identity of the CURRENT MATERIALIZATION: file bytes for
+        single-file stores; the sorted (relative-path, size, mtime) list
+        for directory stores. File stores are stable across identical
+        dumps; directory stores are NOT (Spark names part files randomly
+        and mtimes change), so use this to detect "was the dataset
+        rewritten since I last looked", not "is the content equal"."""
         p = self.path_for(name)
         if not p.exists():
             return None
@@ -110,7 +113,9 @@ class FeatherStore(BaseStore):
         import pyarrow.feather as feather
 
         table = feather.read_table(str(self.path_for(name)))
-        return spark.createDataFrame(table.to_pandas())
+        # hand Spark the Arrow table directly: the to_pandas() detour turns
+        # nullable int64 into float64 (NaN for null) and loses > 2^53 values
+        return spark.createDataFrame(table)
 
 
 def _have_pytables() -> bool:

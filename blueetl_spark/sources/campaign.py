@@ -198,16 +198,17 @@ class SimulationCampaign:
     ) -> DataFrame:
         """Build the ``simulations`` table.
 
-        ``simulation_id`` = position in the campaign (skipped runs keep the
-        numbering of the reference: ids are assigned *after* dropping empty
-        paths, densely). ``circuit_id`` = dense id per distinct circuit
-        config value (``circuit_key`` condition or campaign attr; a campaign
-        with no circuit info gets a single circuit 0).
+        ``simulation_id`` = position in the campaign, assigned BEFORE
+        dropping empty-path runs — skipped runs leave gaps, exactly like
+        the reference, which enumerates every row and only then filters,
+        preserving the id in a column (``extract/simulations.py:40-52,
+        150-152``). ``circuit_id`` = dense id per distinct circuit config
+        value (``circuit_key`` condition or campaign attr; a campaign with
+        no circuit info gets a single circuit 0).
         """
         rows = []
         circuit_ids: dict[Any, int] = {}
-        sim_id = 0
-        for row in self.data:
+        for sim_id, row in enumerate(self.data):
             path = row.get("simulation_path", "")
             if not path:
                 continue
@@ -223,7 +224,9 @@ class SimulationCampaign:
                 if k != "simulation_path":
                     out[k] = v
             rows.append(out)
-            sim_id += 1
+        if not rows:  # all runs skipped: a typed empty table, not an
+            # un-inferable createDataFrame([]) ValueError
+            return spark.createDataFrame([], schemas.SIMULATIONS_SCHEMA)
         df = spark.createDataFrame(rows)
         df = schemas.ensure_schema(
             df, schemas.SIMULATIONS_SCHEMA, allow_extra_columns=True

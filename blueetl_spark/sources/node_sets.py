@@ -71,6 +71,11 @@ class NodeSets:
                     raise ValueError(f"compound node set members must be names: {ref!r}")
                 if ref in seen:
                     raise ValueError(f"circular node set reference: {' -> '.join(seen + (ref,))}")
+                if ref not in self.content:
+                    raise KeyError(
+                        f"node set {ref!r} (referenced by {seen[-1]!r}) not "
+                        f"defined; available: {sorted(self.content)}"
+                    )
                 sub = self._resolve(self.content[ref], seen + (ref,))
                 parts.extend(sub if isinstance(sub, list) else [sub])
             return parts

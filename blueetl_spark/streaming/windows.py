@@ -126,14 +126,17 @@ def stateful_spike_counter(
             first_us = lo if first_us is None else min(first_us, lo)
             last_us = hi if last_us is None else max(last_us, hi)
         state.update((count, first_us, last_us))
-        span_s = max((last_us - first_us) / 1e6, 1e-9)
+        # a burst needs an observed span: with first == last (single event,
+        # or all events on one timestamp) the rate is undefined — a tiny
+        # span floor would flag EVERY gid's first event as a burst
+        span_s = (last_us - first_us) / 1e6
         yield pd.DataFrame(
             {
                 "gid": [gid],
                 "total_count": [count],
                 "first_ts": [pd.Timestamp(first_us, unit="us")],
                 "last_ts": [pd.Timestamp(last_us, unit="us")],
-                "is_burst": [count / span_s > rate_threshold],
+                "is_burst": [span_s > 0 and count / span_s > rate_threshold],
             }
         )
 

@@ -185,7 +185,8 @@ def test_campaign_skips_empty_paths_and_dedupes_circuits(spark):
         {"simulation_path": "/sim2", "seed": 3, "circuit_config": "/circB"},
     ]})
     got = c.to_simulations_df(spark).toPandas().sort_values("simulation_id")
-    assert got.simulation_id.tolist() == [0, 1]       # dense after skip
+    # reference parity: ids assigned BEFORE dropping empty paths -> gapped
+    assert got.simulation_id.tolist() == [0, 2]
     assert got.simulation_path.tolist() == ["/sim0", "/sim2"]
     assert got.circuit_id.tolist() == [0, 1]          # per distinct circuit
     assert got.seed.tolist() == [1, 3]
