@@ -1,0 +1,85 @@
+"""Deterministic corpus sampling for training-data mixtures.
+
+A training run samples each source/domain/language at its own rate to hit
+a target mixture (e.g. 3× Wikipedia, 0.5× CommonCrawl). Doing that with
+``df.sample`` ties the result to partition layout and RNG state; these
+operators instead gate each row on a **hash of its id**, so the decision
+is a pure per-row function — reproducible across runs, cluster sizes,
+partitionings, and engines (the md5 variant is bit-for-bit replayable in
+DuckDB/Trino for auditing). No shuffle: sampling is a filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Denominator of the hash bucket space. 2**20 keeps the md5-prefix
+# arithmetic exact in any engine's 64-bit integers while giving ~1e-6
+# rate resolution.
+BUCKETS = 1 << 20
+
+
+def hash_bucket(key: Column | str, seed: str = "", method: str = "xxhash64") -> Column:
+    """Uniform bucket in [0, BUCKETS) from a row key.
+
+    ``xxhash64`` is the fast JVM path; ``md5`` (first 15 hex chars → int,
+    i.e. the top 60 bits) is the engine-portable path — the same
+    expression written in DuckDB reproduces it exactly, which is what
+    makes a sample *auditable* after the fact.
+    """
+    k = F.concat(F.lit(seed), (F.col(key) if isinstance(key, str) else key).cast("string"))
+    if method == "xxhash64":
+        h = F.xxhash64(k)
+    elif method == "md5":
+        h = F.conv(F.substring(F.md5(k), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return F.pmod(h, F.lit(BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+    seed: str = "",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Keep each row iff ``hash(seed ‖ key) mod BUCKETS < rate · BUCKETS``.
+
+    Deterministic Bernoulli(rate) sampling keyed on the row id: the same
+    (key, seed) always makes the same decision, and disjoint seeds give
+    independent samples (held-out splits are ``seed="val"`` vs
+    ``seed="test"``). Pure filter — no shuffle, predicate stays in the
+    scan stage.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    return df.filter(hash_bucket(key_col, seed, method) < int(rate * BUCKETS))
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "",
+    method: str = "xxhash64",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-group deterministic sampling: group ``g`` is kept at
+    ``rates[g]`` (groups absent from ``rates`` at ``default_rate``) — the
+    mixture-weighting step of corpus assembly.
+
+    The rate table becomes a CASE expression, not a join: mixtures have
+    tens of groups, so the lookup belongs in the row's own filter
+    predicate where Catalyst can push it into the scan (and skip whole
+    partitions when the data is partitioned by ``group_col``).
+    """
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {g!r} must be in [0, 1]")
+    thr: Column = F.lit(int(default_rate * BUCKETS))
+    for g, r in sorted(rates.items()):
+        thr = F.when(F.col(group_col) == g, F.lit(int(r * BUCKETS))).otherwise(thr)
+    return df.filter(hash_bucket(key_col, seed, method) < thr)

@@ -350,3 +350,146 @@ def pack_chunks(
     return chunks.sortWithinPartitions(*sort_cols).mapInPandas(
         op, schema=out_schema
     )
+
+
+def _max_multiplicity(arr: Column) -> Column:
+    """Highest multiplicity of any element in ``arr`` (0 for empty arrays).
+
+    Sort, then fold a (prev, run, best) struct over the array — a linear
+    JVM-side pass per row. The lambda closes over nothing (the O(n²)
+    re-evaluation trap documented on :func:`shingles` does not apply: the
+    fold's per-element work is the comparison itself). ``prev`` starts as
+    NULL so a legitimate empty-string first element never extends the
+    sentinel's run.
+    """
+    s = F.array_sort(arr)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(s, init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3, 5),
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    §A1.1 "repetition removal"), per document and per n-gram order ``n``:
+
+    - ``dup_frac_{n}`` — fraction of n-gram *occurrences* that are repeats
+      of an earlier occurrence: ``(total - distinct) / total``.
+    - ``top_frac_{n}`` — fraction of the document's tokens covered by the
+      most frequent n-gram: ``max_multiplicity · n / n_tokens``.
+
+    Both are NULL when the document is shorter than ``n`` tokens.
+
+    Scale shape: **no shuffle at all** — every signal is a per-row
+    expression over the token array (``array_distinct`` for the distinct
+    count, a sorted-fold for the max multiplicity), so the operator is
+    embarrassingly parallel and inherits the scan's partitioning. This is
+    the 100 TB-friendly alternative to explode + groupBy(doc, ngram),
+    which would shuffle one row per n-gram occurrence.
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    cols = [F.col(id_col), n_tok.cast("long").alias("n_tokens")]
+    for n in ns:
+        g = n_tok - F.lit(n - 1)  # n-gram occurrences when n_tok >= n
+        sh = shingles(text_col, n)
+        dup = F.when(
+            g > 0, F.round((g - F.size(F.array_distinct(sh))) / g, 9)
+        )
+        top = F.when(
+            g > 0, F.round(_max_multiplicity(sh) * F.lit(n) / n_tok, 9)
+        )
+        cols.append(dup.alias(f"dup_frac_{n}"))
+        cols.append(top.alias(f"top_frac_{n}"))
+    return df.select(*cols)
+
+
+def ngram_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    broadcast_eval: bool = True,
+    hashed: bool = False,
+) -> DataFrame:
+    """Train/eval decontamination: per train document, the number of
+    distinct word ``n``-grams it shares with the eval corpus, plus a
+    ``contaminated`` flag (≥1 shared n-gram) — the benchmark-leakage
+    check every training-data pipeline runs before export.
+
+    Scale shape: the eval corpus's distinct n-gram set is the small side
+    (benchmarks are MBs, the corpus is TBs) — ``broadcast_eval=True``
+    broadcasts it so the per-train-doc probe is a map-side semi join with
+    no shuffle of the big side; the per-doc count then aggregates on
+    ``id_col`` (map-side combined). With ``broadcast_eval=False`` the join
+    shuffles on the n-gram key. ``hashed=True`` joins on ``xxhash64`` of
+    the n-gram instead of the string — an 8-byte shuffle/broadcast key for
+    when even the eval set's raw shingles are large (collisions only ever
+    *add* a false shared count at ~2⁻⁶⁴ per candidate).
+
+    Every train document appears in the output (zero-share docs included):
+    dropping clean documents would corrupt downstream corpus accounting.
+    The probe is a LEFT join so zero-share docs never leave the stream —
+    counting misses as 0 in the per-doc aggregate costs one shuffle
+    (``id_col``), where an inner-join-then-rejoin base would cost two.
+    Every doc survives the explode because :func:`shingles` pads short
+    documents instead of emitting an empty array.
+    """
+    ng = F.explode(F.array_distinct(shingles(text_col, n))).alias("__ng")
+    ev = eval_df.select(ng).distinct()
+    tr = train.select(F.col(id_col), ng)
+    if hashed:
+        ev = ev.select(F.xxhash64("__ng").alias("__ng"))
+        tr = tr.select(id_col, F.xxhash64("__ng").alias("__ng"))
+    ev = ev.withColumn("__hit", F.lit(1))
+    hits = tr.join(F.broadcast(ev) if broadcast_eval else ev, "__ng", "left")
+    return (
+        hits.groupBy(id_col)
+        .agg(F.sum(F.coalesce("__hit", F.lit(0))).alias("n_shared"))
+        .select(
+            F.col(id_col),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            (F.col("n_shared") > 0).alias("contaminated"),
+        )
+    )
+
+
+def token_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary statistics per token: ``tf`` (total occurrences)
+    and ``df`` (documents containing it) — the heavy-hitters / vocabulary
+    profile of a corpus.
+
+    Shape: one explode, then two *cascaded* groupBys — (doc, token) counts
+    first, token-level sums second. Both are map-side combinable, so the
+    token-key shuffle carries one row per (doc, distinct-token) rather
+    than one per occurrence, and no expensive ``countDistinct`` is needed
+    for the document frequency (it falls out as ``count(*)`` of the first
+    aggregate). Token keys are fine-grained → no skew concern beyond
+    stopwords, which AQE's skew handling covers.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    per_doc = toks.groupBy(id_col, "token").agg(F.count("*").alias("c"))
+    return per_doc.groupBy("token").agg(
+        F.sum("c").alias("tf"), F.count("*").alias("df")
+    )

@@ -1,0 +1,170 @@
+"""Unit tests for corpus-curation operators: repetition signals,
+train/eval decontamination, vocabulary profile, deterministic sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blueetl_spark.operators import sampling, text
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "a b a b c"),
+        (1, "x"),
+        (2, ""),
+        (3, "a b a b a b"),
+        (4, "p q r s t u"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_hand_checked(spark, docs):
+    out = {
+        r["doc_id"]: r
+        for r in text.repetition_stats(docs, ns=(2, 3, 5)).collect()
+    }
+    # "a b a b c": 2-grams [ab, ba, ab, bc] -> 4 total, 3 distinct,
+    # max multiplicity 2
+    r = out[0]
+    assert r["n_tokens"] == 5
+    assert r["dup_frac_2"] == pytest.approx(0.25)
+    assert r["top_frac_2"] == pytest.approx(2 * 2 / 5)
+    assert r["dup_frac_3"] == 0.0
+    assert r["top_frac_3"] == pytest.approx(3 / 5)
+    assert r["dup_frac_5"] == 0.0
+    assert r["top_frac_5"] == 1.0
+    # single-token and empty docs: all n >= 2 signals NULL
+    for d in (1, 2):
+        for n in (2, 3, 5):
+            assert out[d][f"dup_frac_{n}"] is None
+            assert out[d][f"top_frac_{n}"] is None
+    # "a b a b a b": 5 bigram occurrences, 2 distinct -> dup 0.6;
+    # "a b" x3 -> top 3*2/6 = 1.0
+    assert out[3]["dup_frac_2"] == pytest.approx(0.6)
+    assert out[3]["top_frac_2"] == pytest.approx(1.0)
+    # all-distinct doc
+    assert out[4]["dup_frac_2"] == 0.0
+    assert out[4]["top_frac_2"] == pytest.approx(2 / 6)
+
+
+def test_repetition_stats_is_shuffle_free(spark, docs):
+    plan = text.repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_max_multiplicity_empty_string_element(spark):
+    # an empty-string token must not extend the NULL sentinel's run
+    df = spark.createDataFrame([(0, ["", "a"])], "id long, arr array<string>")
+    got = df.select(
+        text._max_multiplicity(F.col("arr")).alias("m")
+    ).head()["m"]
+    assert got == 1
+
+
+@pytest.mark.parametrize("hashed", [False, True])
+@pytest.mark.parametrize("broadcast_eval", [False, True])
+def test_ngram_overlap(spark, hashed, broadcast_eval):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares "quick brown fox"
+            (2, "totally different words here"),
+            (3, "quick brown fox quick brown fox"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "a quick brown fox ran")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.ngram_overlap(
+            train, ev, n=3, hashed=hashed, broadcast_eval=broadcast_eval
+        ).collect()
+    }
+    assert len(out) == 3  # zero-share docs are kept
+    assert out[1]["n_shared"] == 1 and out[1]["contaminated"]
+    assert out[2]["n_shared"] == 0 and not out[2]["contaminated"]
+    # distinct n-grams: the repeated shared trigram counts once
+    assert out[3]["n_shared"] == 1
+
+
+def test_token_frequencies(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    got = {
+        r["token"]: (r["tf"], r["df"])
+        for r in text.token_frequencies(df).collect()
+    }
+    assert got == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
+
+
+@pytest.mark.parametrize("method", ["xxhash64", "md5"])
+def test_hash_sample_deterministic_and_seed_disjoint(spark, method):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a1 = {r["doc_id"] for r in sampling.hash_sample(df, 0.5, method=method).collect()}
+    a2 = {r["doc_id"] for r in sampling.hash_sample(df, 0.5, method=method).collect()}
+    assert a1 == a2  # pure function of the key
+    assert 0.4 < len(a1) / 2000 < 0.6
+    b = {
+        r["doc_id"]
+        for r in sampling.hash_sample(df, 0.5, seed="other", method=method).collect()
+    }
+    assert b != a1  # different seed, different (independent) sample
+    # a rate-r sample is a subset of a rate-r' sample for r < r' (same
+    # bucket per key, monotone threshold)
+    small = {r["doc_id"] for r in sampling.hash_sample(df, 0.2, method=method).collect()}
+    assert small <= a1
+
+
+def test_mixture_sample_rates_and_validation(spark):
+    df = spark.createDataFrame(
+        [(i, "keep" if i % 2 else "drop") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    out = sampling.mixture_sample(
+        df, {"keep": 1.0, "drop": 0.0}, group_col="source"
+    ).collect()
+    assert len(out) == 500
+    assert all(r["source"] == "keep" for r in out)
+    # unknown groups fall to default_rate
+    out2 = sampling.mixture_sample(
+        df, {"keep": 1.0}, group_col="source", default_rate=1.0
+    )
+    assert out2.count() == 1000
+    with pytest.raises(ValueError):
+        sampling.mixture_sample(df, {"keep": 1.5}, group_col="source")
+    with pytest.raises(ValueError):
+        sampling.hash_sample(df, -0.1)
+
+
+def test_sampling_is_shuffle_free(spark):
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    plan = (
+        sampling.hash_sample(df, 0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_ngram_overlap_broadcast_single_shuffle(spark):
+    train = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(99, "w5 w6 w7")], "doc_id long, text string")
+    out = text.ngram_overlap(train, ev, n=3, broadcast_eval=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the corpus side must see exactly one hash shuffle (the per-doc
+    # aggregate); the only other exchange is the eval-corpus-sized
+    # distinct feeding the broadcast, and the probe itself is a
+    # broadcast join, never a sort-merge
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
