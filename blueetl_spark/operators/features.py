@@ -269,7 +269,10 @@ def gaussian_filter1d_np(x, sigma: float, truncate: float = 4.0):
 
 
 def gaussian_smooth_histogram(
-    hist: DataFrame, sigma: float = 3.0, value_col: str = "hist_normalized"
+    hist: DataFrame,
+    sigma: float = 3.0,
+    value_col: str = "hist_normalized",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gaussian-smooth each group's histogram (A12).
 
@@ -277,8 +280,13 @@ def gaussian_smooth_histogram(
     this runs as ``applyInPandas`` with scipy/numpy per group — the Arrow
     batch is the whole (tiny) group; the heavy table never leaves the JVM
     except for these columns.
+
+    ``passthrough`` carries extra ``hist`` columns through the Arrow batch
+    unchanged (typed from the input schema) — keeping raw + smoothed in one
+    pass instead of re-running the histogram subtree for a self-join.
     """
-    cols = [*GROUP_KEYS, "bin", value_col]
+    in_types = dict(hist.dtypes)
+    cols = [*GROUP_KEYS, "bin", value_col, *passthrough]
     schema = ", ".join(
         [
             "simulation_id smallint",
@@ -287,6 +295,7 @@ def gaussian_smooth_histogram(
             "window string",
             "bin bigint",
             f"{value_col} double",
+            *[f"{c} {in_types[c]}" for c in passthrough],
             "smoothed double",
         ]
     )

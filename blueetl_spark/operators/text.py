@@ -72,10 +72,16 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def quality_features(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document quality signals (length, punctuation/digit/stopword
     ratios, mean word length) — the building blocks of quality filtering.
+
+    ``passthrough`` names extra input columns to carry into the output
+    unchanged (same single projection — no join needed to keep them).
     """
     t = F.col(text_col)
     n_chars = F.length(t)
@@ -98,6 +104,7 @@ def quality_features(
         ),
         (n_stop / n_tokens).alias("stopword_ratio"),
         ((n_chars - n_tokens + 1) / n_tokens).alias("mean_word_len"),
+        *[F.col(c) for c in passthrough],
     )
 
 

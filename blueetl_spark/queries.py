@@ -192,29 +192,34 @@ def _report(spark: SparkSession, sf_dir: str, windows_config: dict) -> tuple:
 
 
 def q_qdsl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1/P2/P3/P7: q-DSL conjunction with isin + comparison."""
+    """P1/P2/P3/P7 + P5/P6/U4 in one gate: the conjunctive isin+comparison
+    filter and the OR-of-dicts regex filter, unioned with a ``pred`` tag
+    so both q-DSL code paths share a single graded query (the driver caps
+    grading at 50 queries)."""
     ev = _events_norm(spark, sf_dir)
-    return q(ev, QDSL_FILTER).select(
-        "event_id", F.col("gid").cast("long").alias("gid"), "event_type", "value"
+    base = q(ev, QDSL_FILTER).select(
+        F.lit("base").alias("pred"),
+        "event_id",
+        F.col("gid").cast("long").alias("gid"),
+        "event_type",
+        "value",
     )
+    orre = q(ev, QDSL_OR_REGEX).select(
+        F.lit("or_regex").alias("pred"),
+        "event_id",
+        F.col("gid").cast("long").alias("gid"),
+        "event_type",
+        "value",
+    )
+    return base.unionByName(orre)
 
 
 SQL_QDSL_FILTER = f"""
 WITH {_E_CTE}
-SELECT event_id, gid, event_type, value FROM e
+SELECT 'base' AS pred, event_id, gid, event_type, value FROM e
 WHERE {query_to_sql(QDSL_FILTER)}
-"""
-
-
-def q_qdsl_or_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5/P6: OR of dicts, one with an unanchored regex."""
-    ev = _events_norm(spark, sf_dir)
-    return q(ev, QDSL_OR_REGEX).select("event_id", "event_type", "value")
-
-
-SQL_QDSL_OR_REGEX = f"""
-WITH {_E_CTE}
-SELECT event_id, event_type, value FROM e
+UNION ALL
+SELECT 'or_regex' AS pred, event_id, gid, event_type, value FROM e
 WHERE {query_to_sql(QDSL_OR_REGEX)}
 """
 
@@ -293,21 +298,27 @@ GROUP BY w."window", w.trial, e.neuron_class, w.duration
 
 
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A11: densified hourly histogram over the 'wk' windows, normalized
-    per (neuron × trial)."""
+    """A11 + A12/A13 in one gate: densified hourly histogram over the 'wk'
+    windows, normalized per (neuron × trial), plus the Gaussian-smoothed
+    variant joined back on (group, bin). The smoothing runs over the tiny
+    per-group dense histograms (applyInPandas), so folding it in here adds
+    negligible cost while freeing a slot in the driver's 50-query grading
+    window."""
     wk_only = {"wk": EVENTS_WINDOWS["wk"]}
     report, windows, counts = _report(spark, sf_dir, wk_only)
     h = features.histogram(report, windows, counts, bin_size=HIST_BIN_MS)
-    return h.select(
+    s = features.gaussian_smooth_histogram(h, sigma=SMOOTH_SIGMA, passthrough=("hist",))
+    return s.select(
         "neuron_class",
         "window",
         "bin",
         "hist",
         F.round("hist_normalized", 9).alias("hist_normalized"),
+        F.round("smoothed", 9).alias("smoothed"),
     )
 
 
-SQL_HISTOGRAM = f"""
+_HIST_BODY = f"""
 WITH {_E_CTE}, {_windows_values_sql({"wk": EVENTS_WINDOWS["wk"]})},
 nc AS (SELECT neuron_class, COUNT(DISTINCT gid) AS n_neurons FROM e GROUP BY 1),
 nt AS (SELECT "window", COUNT(*) AS n_trials FROM w GROUP BY 1),
@@ -340,6 +351,9 @@ LEFT JOIN counts c
 JOIN nc ON nc.neuron_class = sl.neuron_class
 JOIN nt ON nt."window" = sl."window"
 """
+
+# SQL_HISTOGRAM (joined with the smoothed twin) is assembled after
+# _SMOOTH_BODY is defined below.
 
 
 def q_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,22 +734,28 @@ VP_MAX_SPIKES = 32
 
 
 def q_spike_distances_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A21 (oracle half 2): Victor-Purpura on trains truncated to the first
-    ``VP_MAX_SPIKES`` sorted spikes. The truncation bounds the DP so the
-    DuckDB twin can replay it exactly as a recursive CTE (one DP row per
-    recursion step, the row carried as a list) — the full-train variant
-    stays rows-only in ``spike_distances``."""
+    """A21, both oracled halves in one gate: van Rossum on the full trains
+    (closed-form exp-kernel sums — SQL-expressible directly) joined with
+    Victor-Purpura on trains truncated to the first ``VP_MAX_SPIKES``
+    sorted spikes (truncation bounds the DP so the DuckDB twin can replay
+    it as a recursive CTE). The untruncated-VP variant stays rows-only in
+    ``spike_distances``."""
     report, windows, _ = _report(spark, sf_dir, ALL_WINDOW)
     gids = list(range(0, 8))
     pairs = spark.createDataFrame(
         [(a, b) for a in gids for b in gids if a < b], "gid_a bigint, gid_b bigint"
     )
-    return signal.spike_train_distances(
+    vr = signal.spike_train_distances(report, pairs, tau=DAY_MS, q=1.0 / DAY_MS).select(
+        "neuron_class", "gid_a", "gid_b",
+        F.round("van_rossum", 6).alias("van_rossum"),
+    )
+    vp = signal.spike_train_distances(
         report, pairs, tau=DAY_MS, q=1.0 / DAY_MS, max_spikes=VP_MAX_SPIKES
     ).select(
         "neuron_class", "gid_a", "gid_b",
         F.round("victor_purpura", 6).alias("victor_purpura"),
     )
+    return vr.join(vp, on=["neuron_class", "gid_a", "gid_b"])
 
 
 def _spike_distances_fixed_sql() -> str:
@@ -789,28 +809,13 @@ FROM dp WHERE i = len(ta)
 """
 
 
-SQL_SPIKE_DISTANCES_FIXED = _spike_distances_fixed_sql()
+_VP_BODY = _spike_distances_fixed_sql()
 
 
 VR_GIDS = list(range(0, 8))
 
 
-def q_van_rossum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A21 (oracle half): van Rossum distance — its closed form is three
-    pairwise exp-kernel sums, so DuckDB can verify it exactly."""
-    report, windows, _ = _report(spark, sf_dir, ALL_WINDOW)
-    pairs = spark.createDataFrame(
-        [(a, b) for a in VR_GIDS for b in VR_GIDS if a < b],
-        "gid_a bigint, gid_b bigint",
-    )
-    out = signal.spike_train_distances(report, pairs, tau=DAY_MS, q=1.0 / DAY_MS)
-    return out.select(
-        "neuron_class", "gid_a", "gid_b",
-        F.round("van_rossum", 6).alias("van_rossum"),
-    )
-
-
-SQL_VAN_ROSSUM = f"""
+_VR_BODY = f"""
 WITH {_E_CTE},
 t AS (
   SELECT gid, neuron_class, "time" FROM e
@@ -844,6 +849,15 @@ FROM pairs p
 JOIN kab ON kab.gid_a = p.gid_a AND kab.gid_b = p.gid_b
 JOIN kself ka ON ka.gid = p.gid_a
 JOIN kself kb ON kb.gid = p.gid_b
+"""
+
+
+SQL_SPIKE_DISTANCES_FIXED = f"""
+SELECT vr.neuron_class, vr.gid_a, vr.gid_b, vr.van_rossum, vp.victor_purpura
+FROM ({_VR_BODY}) vr
+JOIN ({_VP_BODY}) vp
+  ON vp.neuron_class = vr.neuron_class
+ AND vp.gid_a = vr.gid_a AND vp.gid_b = vr.gid_b
 """
 
 
@@ -1068,27 +1082,7 @@ FROM documents
 """
 
 
-def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish regex tokenization (pre-tokenizer units, JVM-side)."""
-    docs = tables.load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        text.bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
-        F.size(F.array_distinct(text.bpe_tokens("text")))
-        .cast("long")
-        .alias("n_distinct_bpe_tokens"),
-    )
-
-
 _BPE_SQL = text.BPE_PATTERN.replace("'", "''")
-
-SQL_BPE_TOKEN_STATS = f"""
-SELECT doc_id,
-       len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_tokens,
-       len(list_distinct(regexp_extract_all(text, '{_BPE_SQL}')))
-         AS n_distinct_bpe_tokens
-FROM documents
-"""
 
 
 TFIDF_TOP_K = 5
@@ -1196,8 +1190,20 @@ WHERE i <= n_windows
 
 
 def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = tables.load(spark, sf_dir, "documents")
-    qf = text.quality_features(docs)
+    """Per-document quality signals, plus the BPE-ish regex tokenizer
+    counts (pre-tokenizer units, JVM-side) folded into the same gate —
+    identical per-doc grain, one graded slot."""
+    docs = tables.load(spark, sf_dir, "documents").withColumns(
+        {
+            "n_bpe_tokens": text.bpe_token_count("text").cast("long"),
+            "n_distinct_bpe_tokens": F.size(
+                F.array_distinct(text.bpe_tokens("text"))
+            ).cast("long"),
+        }
+    )
+    qf = text.quality_features(
+        docs, passthrough=("n_bpe_tokens", "n_distinct_bpe_tokens")
+    )
     return qf.select(
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
@@ -1205,6 +1211,8 @@ def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("punct_ratio", 9).alias("punct_ratio"),
         F.round("digit_ratio", 9).alias("digit_ratio"),
         F.round("stopword_ratio", 9).alias("stopword_ratio"),
+        "n_bpe_tokens",
+        "n_distinct_bpe_tokens",
     )
 
 
@@ -1220,7 +1228,10 @@ SELECT doc_id,
        END AS digit_ratio,
        ROUND(len(list_filter({_TOKS},
                  x -> list_contains([{_EN_STOP_SQL}], lower(x)))) * 1.0
-             / len({_TOKS}), 9) AS stopword_ratio
+             / len({_TOKS}), 9) AS stopword_ratio,
+       len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '{_BPE_SQL}')))
+         AS n_distinct_bpe_tokens
 FROM documents
 """
 
@@ -1570,18 +1581,6 @@ GROUP BY w."window", w.trial, e.neuron_class
 SMOOTH_SIGMA = 3.0
 
 
-def q_smoothed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12: Gaussian-smoothed normalized histogram (applyInPandas over the
-    tiny per-group histograms)."""
-    wk_only = {"wk": EVENTS_WINDOWS["wk"]}
-    report, windows, counts = _report(spark, sf_dir, wk_only)
-    h = features.histogram(report, windows, counts, bin_size=HIST_BIN_MS)
-    s = features.gaussian_smooth_histogram(h, sigma=SMOOTH_SIGMA)
-    return s.select(
-        "neuron_class", "window", "bin", F.round("smoothed", 9).alias("smoothed")
-    )
-
-
 def _gauss_kernel_values_sql(sigma: float) -> str:
     """The same truncated/normalized Gaussian kernel the Spark side uses
     (features.gaussian_filter1d_np), rendered as a SQL VALUES list of
@@ -1599,7 +1598,7 @@ def _gauss_kernel_values_sql(sigma: float) -> str:
 
 # reflect-padded convolution: index bin+off mapped back into [0, n) via
 # numpy 'symmetric' reflection (edge value repeated once)
-SQL_SMOOTHED_HISTOGRAM = f"""
+_SMOOTH_BODY = f"""
 WITH {_E_CTE}, {_windows_values_sql({"wk": EVENTS_WINDOWS["wk"]})},
 {_gauss_kernel_values_sql(SMOOTH_SIGMA)},
 nc AS (SELECT neuron_class, COUNT(DISTINCT gid) AS n_neurons FROM e GROUP BY 1),
@@ -1643,6 +1642,15 @@ JOIN dense src
         THEN 2 * {int(7 * DAY_MS / HIST_BIN_MS)} - (d.bin + kern."off") - 1
       ELSE d.bin + kern."off" END
 GROUP BY 1, 2, 3
+"""
+
+SQL_HISTOGRAM = f"""
+SELECT h.neuron_class, h."window", h.bin, h.hist, h.hist_normalized,
+       s.smoothed
+FROM ({_HIST_BODY}) h
+JOIN ({_SMOOTH_BODY}) s
+  ON s.neuron_class = h.neuron_class AND s."window" = h."window"
+ AND s.bin = h.bin
 """
 
 
@@ -2365,7 +2373,6 @@ WHERE CAST(concat('0x', substring(md5(concat('{MIX_SEED}',
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qdsl_filter": q_qdsl_filter,
-    "qdsl_or_regex": q_qdsl_or_regex,
     "windows_materialize": q_windows_materialize,
     "report_extract": q_report_extract,
     "event_rates": q_event_rates,
@@ -2377,7 +2384,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "complexity_pdf": q_complexity_pdf,
     "psd_welch": q_psd_welch,
     "spike_distances_fixed": q_spike_distances_fixed,
-    "van_rossum": q_van_rossum,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "segment_active_customers": q_segment_active_customers,
@@ -2387,14 +2393,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_sim_rates": q_multi_sim_rates,
     "compartment_report": q_compartment_report,
     "soma_mean_value": q_soma_mean_value,
-    "smoothed_histogram": q_smoothed_histogram,
     "group_list": q_group_list,
     "condition_codes": q_condition_codes,
     "dedup_exact": q_dedup_exact,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "token_stats": q_token_stats,
-    "bpe_token_stats": q_bpe_token_stats,
     "winnowing_md5": q_winnowing_md5,
     "tf_idf": q_tf_idf,
     "quality_features": q_quality_features,
@@ -2414,9 +2418,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase": q_asof_purchase,
     "sessionization": q_sessionization,
     "value_quantiles": q_value_quantiles,
-    # ---- oracled but outside the driver's 50-row graded window (it grades
-    # ---- in registry order); tests/test_oracle_parity.py runs the same
-    # ---- Spark-vs-DuckDB comparison for these in CI
+    # ---- four near-duplicate gates were merged (or-regex into qdsl_filter,
+    # ---- smoothed into histogram, bpe stats into quality_features,
+    # ---- van_rossum into spike_distances_fixed) so all 50 oracled queries
+    # ---- fit the driver's 50-row graded window (it grades in registry order)
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
     "vocab": q_vocab,
@@ -2432,7 +2437,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "qdsl_filter": SQL_QDSL_FILTER,
-    "qdsl_or_regex": SQL_QDSL_OR_REGEX,
     "windows_materialize": SQL_WINDOWS_MATERIALIZE,
     "report_extract": SQL_REPORT_EXTRACT,
     "event_rates": SQL_EVENT_RATES,
@@ -2441,7 +2445,6 @@ ORACLES: dict[str, str] = {
     "isi_stats": SQL_ISI_STATS,
     "feature_by_gid": SQL_FEATURE_BY_GID,
     "correlation_pairs": SQL_CORRELATION_PAIRS,
-    "van_rossum": SQL_VAN_ROSSUM,
     "spike_distances_fixed": SQL_SPIKE_DISTANCES_FIXED,
     "dynamic_onset_windows": SQL_DYNAMIC_ONSET_WINDOWS,
     "complexity_pdf": SQL_COMPLEXITY_PDF,
@@ -2455,14 +2458,12 @@ ORACLES: dict[str, str] = {
     "multi_sim_rates": SQL_MULTI_SIM_RATES,
     "compartment_report": SQL_COMPARTMENT_REPORT,
     "soma_mean_value": SQL_SOMA_MEAN_VALUE,
-    "smoothed_histogram": SQL_SMOOTHED_HISTOGRAM,
     "group_list": SQL_GROUP_LIST,
     "condition_codes": SQL_CONDITION_CODES,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "dedup_embedding_lsh": SQL_DEDUP_EMBEDDING_LSH,
     "token_stats": SQL_TOKEN_STATS,
-    "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "tf_idf": SQL_TF_IDF,
     "quality_features": SQL_QUALITY_FEATURES,
     "language_score": SQL_LANGUAGE_SCORE,
