@@ -1,0 +1,273 @@
+"""Product quantization (PQ) — the memory half of billion-scale ANN.
+
+The reference (BlueBrain/blueetl) has no similarity search at all; this
+extends the engine's ANN stack (``operators/similarity.py``: bruteforce /
+LSH / IVF) with the standard compression path. A ``dim`` float32 vector
+(``dim * 4`` bytes) is split into ``n_subspaces`` contiguous sub-vectors,
+each quantized to the nearest of ``n_codes`` learned sub-centroids — the
+whole vector becomes ``n_subspaces`` small integers (8 bytes at the
+canonical 8×256 configuration vs 256 bytes for dim=64 float32, a 32×
+reduction). Search uses asymmetric distance computation (ADC): the query
+stays un-quantized; per query a ``n_subspaces × n_codes`` lookup table of
+exact sub-distances is built once, and each corpus vector's approximate
+distance is ``n_subspaces`` table lookups — no decompression, ever.
+
+Scale shape (the reason PQ exists):
+
+- **Corpus memory**: 10⁹ × dim-64 float32 = 256 GB won't sit in executor
+  memory; 10⁹ × 8-byte codes = 8 GB does. Encoding is one Arrow-batched
+  ``mapInPandas`` pass (numpy argmin per subspace); codes ride shuffles
+  and the IVF cell layout in place of payload vectors.
+- **Search cost**: LUT build is O(|Q|·n_subspaces·n_codes) tiny driver
+  work shipped in the task closure; the scan is O(rows·n_subspaces)
+  int-gather adds — no per-pair float dot products. Each partition emits
+  only its local top-k per query, so the final shuffle carries
+  O(|Q|·k·n_partitions) candidate rows, never the corpus.
+- **Composition**: for 10⁹+ corpora, encode the cell-partitioned
+  assignments of :func:`similarity.build_ivf_index` and run ADC only over
+  probed cells (IVF-PQ). The two operators compose because both keep the
+  corpus distributed and the small side (codebooks, LUTs) in closures.
+
+Determinism: training is seeded (deterministic sample + Lloyd's with
+fixed init); encoding breaks argmin ties toward the smallest code id;
+search ranks on distances rounded to 6 decimals with a neighbor-id
+tie-break — the same discipline the oracle-gated queries use elsewhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_codebooks(codebooks) -> list[np.ndarray]:
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    if len({cb.shape for cb in cbs}) != 1:
+        raise ValueError("all subspace codebooks must share one (K, d_sub) shape")
+    return cbs
+
+
+def subvector_codebooks(
+    corpus: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Data-derived codebooks without training: sub-vectors of the first
+    ``n_codes`` corpus vectors (by id). Lower recall than k-means training
+    but fully reproducible from the table alone — which lets a plain-SQL
+    twin rebuild the identical index end-to-end (same pattern as the
+    fixed-centroid IVF gate)."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .filter(F.col(id_col) < n_codes)
+        .orderBy(id_col)
+        .collect()
+    )
+    v = np.asarray([list(map(float, r[vec_col])) for r in rows])
+    dsub = v.shape[1] // n_subspaces
+    return [
+        v[:, m * dsub : (m + 1) * dsub].tolist() for m in range(n_subspaces)
+    ]
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_size: int = 65536,
+    max_iter: int = 20,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks with Lloyd's k-means on a seeded
+    sample (driver-side numpy — the industry-standard shape: PQ training
+    needs only a corpus sample, so the collect is bounded by
+    ``sample_size`` regardless of corpus size; the full corpus is touched
+    only by the distributed :func:`pq_encode` pass).
+
+    Deterministic: sample order is ``xxhash64(id, seed)``, init is greedy
+    farthest-point (maximin) over the sample with first-index tie-breaks,
+    and ties in assignment go to the smallest code — same run, same
+    codebooks, every time.
+    """
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(sample_size)
+        .collect()
+    )
+    v = np.asarray([list(map(float, r[vec_col])) for r in sample])
+    dim = v.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    dsub = dim // n_subspaces
+    out = []
+    for m in range(n_subspaces):
+        sub = v[:, m * dsub : (m + 1) * dsub]
+        uniq = np.unique(sub, axis=0)
+        k = min(n_codes, len(uniq))
+        # greedy farthest-point (maximin) init: spreads seeds across the
+        # sample's support — first-k init collapses multiple true modes
+        # onto one code whenever the first rows cluster together
+        chosen = [0]
+        d_near = ((uniq - uniq[0]) ** 2).sum(axis=1)
+        while len(chosen) < k:
+            nxt = int(np.argmax(d_near))  # argmax-first = smallest index tie-break
+            chosen.append(nxt)
+            d_near = np.minimum(d_near, ((uniq - uniq[nxt]) ** 2).sum(axis=1))
+        cb = uniq[chosen].copy()
+        for _ in range(max_iter):
+            d = -2.0 * (sub @ cb.T) + (cb**2).sum(axis=1)[None, :]
+            assign = np.argmin(d, axis=1)
+            new = np.vstack(
+                [
+                    sub[assign == j].mean(axis=0) if (assign == j).any() else cb[j]
+                    for j in range(k)
+                ]
+            )
+            if np.allclose(new, cb, rtol=0, atol=1e-12):
+                break
+            cb = new
+        out.append(cb.tolist())
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+    drop_vec: bool = False,
+) -> DataFrame:
+    """Quantize ``vec_col`` to per-subspace nearest-code ids (one
+    Arrow-batched ``mapInPandas`` pass; the per-batch work is
+    ``n_subspaces`` small matmuls against closure-resident codebooks).
+
+    ``drop_vec=True`` projects the float vector away in the same pass —
+    at 10⁹ rows the encoded table is what ships to the index, and the
+    payload must not ride the shuffle.
+
+    Ties break toward the smallest code id (numpy argmin-first), matching
+    the SQL twin's first-position-of-min semantics.
+    """
+    cbs = _as_codebooks(codebooks)
+    n_sub, dsub = len(cbs), cbs[0].shape[1]
+    sq_norms = [(cb**2).sum(axis=1) for cb in cbs]
+    out_fields = [
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema
+        if not (drop_vec and f.name == vec_col)
+    ]
+    out_schema = ", ".join([*out_fields, f"{out_col} array<smallint>"])
+
+    def op(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(v), n_sub), dtype=np.int16)
+            for m in range(n_sub):
+                sub = v[:, m * dsub : (m + 1) * dsub]
+                # |x - c|² up to the constant |x|²: argmin is unchanged
+                d = -2.0 * (sub @ cbs[m].T) + sq_norms[m][None, :]
+                codes[:, m] = np.argmin(d, axis=1).astype(np.int16)
+            out = pdf.drop(columns=[vec_col]) if drop_vec else pdf.copy()
+            out[out_col] = [row.tolist() for row in codes]
+            yield out
+
+    return df.mapInPandas(op, out_schema)
+
+
+def adc_search(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Approximate k-NN by asymmetric distance over PQ codes.
+
+    Output: ``(query_id, neighbor_id, adc, rank)`` — ``adc`` is the
+    approximate squared L2 distance (rounded to 6 decimals; on
+    unit-normalized vectors its ordering is the cosine ordering, since
+    ``|q−x|² = 2 − 2·cos`` there), rank 1..k ascending with a
+    neighbor-id tie-break. Self-matches are excluded.
+
+    The query side is collected to build the LUTs and must be small —
+    enforced by ``max_queries`` with an actionable error, the same
+    broadcast-size discipline as ``dedup.embedding_near_dup``. The corpus
+    side stays fully distributed: each partition scans codes once,
+    gathers from the LUT, and emits only its local top-k per query, so
+    the downstream exchange carries candidates, not the corpus.
+    """
+    cbs = _as_codebooks(codebooks)
+    n_sub, dsub = len(cbs), cbs[0].shape[1]
+
+    qpdf = queries.select(id_col, vec_col).limit(max_queries + 1).toPandas()
+    if len(qpdf) > max_queries:
+        raise ValueError(
+            f"adc_search collects the query side to build LUTs; got more "
+            f"than max_queries={max_queries} rows. Split the query set, or "
+            f"raise max_queries explicitly if the LUTs genuinely fit "
+            f"(each is n_subspaces × n_codes doubles)."
+        )
+    qids = qpdf[id_col].to_numpy()
+    qv = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    # luts[qi, m, code] = |q_sub − codebook[m][code]|², exact
+    luts = np.stack(
+        [
+            ((qv[:, m * dsub : (m + 1) * dsub, None] - cbs[m].T[None, :, :]) ** 2).sum(
+                axis=1
+            )
+            for m in range(n_sub)
+        ],
+        axis=1,
+    )
+    n_q = len(qids)
+    out_schema = "query_id long, neighbor_id long, adc double"
+
+    def op(batches):
+        import pandas as pd  # noqa: PLC0415 - executor-side import
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf[code_col].to_numpy()).astype(np.int64)
+            nids = pdf[id_col].to_numpy()
+            acc = np.zeros((n_q, len(codes)))
+            for m in range(n_sub):
+                acc += luts[:, m, :][:, codes[:, m]]
+            acc[qids[:, None] == nids[None, :]] = np.inf  # self-matches out
+            # prune on the ROUNDED distance and keep boundary ties
+            # inclusively: every candidate the global (rounded, id) sort
+            # could rank within k must survive local pruning, or the
+            # result would depend on partition placement
+            acc = np.round(acc, 6)
+            kk = min(k, acc.shape[1])
+            thresh = np.partition(acc, kk - 1, axis=1)[:, kk - 1]
+            qi, ni = np.nonzero(acc <= thresh[:, None])
+            adc = acc[qi, ni]
+            keep = np.isfinite(adc)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[qi[keep]],
+                    "neighbor_id": nids[ni[keep]],
+                    "adc": adc[keep],
+                }
+            )
+
+    candidates = corpus_codes.select(
+        F.col(id_col).cast("long").alias(id_col), code_col
+    ).mapInPandas(op, out_schema)
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

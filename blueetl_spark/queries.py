@@ -1869,36 +1869,12 @@ def q_knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank by cosine. Because the codebook comes from the data, the whole
     index — cell assignment, probing, candidate scoring — is reproduced
     in SQL and oracle-verified; the KMeans-trained variant keeps the
-    rows-only gate."""
-    emb = tables.load(spark, sf_dir, "embeddings")
-    cents = [
-        r.embedding
-        for r in emb.filter(F.col("vec_id") < IVF_FIXED_CENTROIDS)
-        .orderBy("vec_id")
-        .collect()
-    ]
-    queries_df = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
-    out = similarity.knn_ivf(
-        queries_df,
-        emb,
-        k=KNN_K,
-        n_centroids=IVF_FIXED_CENTROIDS,
-        n_probe=IVF_FIXED_PROBE,
-        centroids=cents,
-    )
-    return out.select(
-        "query_id",
-        "neighbor_id",
-        F.round("cosine", 6).alias("cosine"),
-        F.col("rank").cast("long").alias("rank"),
-    )
+    rows-only gate.
 
-
-def q_knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted-index IVF: build (codebook + cell-partitioned
-    assignments under /tmp) then search — same codebook and parameters as
-    ``knn_ivf_fixed``, so the same SQL oracle gates the whole index
-    lifecycle including the partition-pruned scan."""
+    Both execution paths share this gate (tagged by ``path``): the
+    in-query index ('flat') and the persisted index built under /tmp then
+    searched back through its cell-partitioned parquet layout
+    ('indexed') — identical results by construction, one graded slot."""
     import tempfile
 
     emb = tables.load(spark, sf_dir, "embeddings")
@@ -1908,21 +1884,31 @@ def q_knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     ]
+    queries_df = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    flat = similarity.knn_ivf(
+        queries_df,
+        emb,
+        k=KNN_K,
+        n_centroids=IVF_FIXED_CENTROIDS,
+        n_probe=IVF_FIXED_PROBE,
+        centroids=cents,
+    )
     index_path = tempfile.mkdtemp(prefix="ivf_index_")
     similarity.build_ivf_index(emb, index_path, centroids=cents)
-    queries_df = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
-    out = similarity.search_ivf_index(
+    indexed = similarity.search_ivf_index(
         spark, queries_df, index_path, k=KNN_K, n_probe=IVF_FIXED_PROBE
     )
-    return out.select(
+    cols = lambda tag, df: df.select(  # noqa: E731
+        F.lit(tag).alias("path"),
         "query_id",
         "neighbor_id",
         F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
     )
+    return cols("flat", flat).unionByName(cols("indexed", indexed))
 
 
-def _knn_ivf_fixed_sql() -> str:
+def _knn_ivf_fixed_body() -> str:
     cdot = (
         f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
         f"i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
@@ -1966,7 +1952,85 @@ FROM r WHERE rank <= {KNN_K}
 """
 
 
-SQL_KNN_IVF_FIXED = _knn_ivf_fixed_sql()
+_IVF_BODY = _knn_ivf_fixed_body()
+
+SQL_KNN_IVF_FIXED = f"""
+SELECT 'flat' AS path, * FROM ({_IVF_BODY})
+UNION ALL
+SELECT 'indexed' AS path, * FROM ({_IVF_BODY})
+"""
+
+
+PQ_SUBSPACES = 8
+PQ_CODES = 16
+
+
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/pq.py): data-derived codebooks
+    (sub-vectors of the first ``PQ_CODES`` corpus vectors — SQL-
+    reproducible, same pattern as the fixed-centroid IVF gate), one
+    distributed encode pass, then asymmetric-distance top-k. The
+    k-means-trained variant is covered by tests/test_pq.py and the recall
+    report; this gate oracle-verifies encode + ADC end-to-end."""
+    from blueetl_spark.operators import pq as pqm
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cbs = pqm.subvector_codebooks(
+        emb, n_subspaces=PQ_SUBSPACES, n_codes=PQ_CODES
+    )
+    codes = pqm.pq_encode(emb, cbs, drop_vec=True)
+    queries_df = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    out = pqm.adc_search(queries_df, codes, cbs, k=KNN_K)
+    return out.select(
+        "query_id", "neighbor_id", "adc", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _knn_pq_sql() -> str:
+    dsub = EMB_DIM // PQ_SUBSPACES
+    sq = (
+        f"list_sum(list_transform(range(1, {dsub} + 1), i -> "
+        f"(CAST(v.embedding[cb.m * {dsub} + i] AS DOUBLE) - cb.sub[i]) ^ 2))"
+    )
+    qsq = sq.replace("v.embedding", "q.embedding")
+    return f"""
+WITH cb AS (
+  SELECT m.m, c.vec_id AS code,
+         list_transform(c.embedding[m.m * {dsub} + 1 : (m.m + 1) * {dsub}],
+                        x -> CAST(x AS DOUBLE)) AS sub
+  FROM (SELECT range AS m FROM range({PQ_SUBSPACES})) m
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id < {PQ_CODES}) c
+),
+v AS (SELECT vec_id, embedding FROM embeddings),
+enc AS (
+  SELECT v.vec_id, cb.m, cb.code,
+         row_number() OVER (PARTITION BY v.vec_id, cb.m
+                            ORDER BY {sq}, cb.code) AS rn
+  FROM v CROSS JOIN cb
+),
+codes AS (SELECT vec_id, m, code FROM enc WHERE rn = 1),
+q AS (SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id < {KNN_QUERY_MAX_ID}),
+lut AS (
+  SELECT q.vec_id AS query_id, cb.m, cb.code, {qsq} AS d
+  FROM q CROSS JOIN cb
+),
+s AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, ROUND(SUM(l.d), 6) AS adc
+  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, adc, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {KNN_K}
+"""
+
+
+SQL_KNN_PQ = _knn_pq_sql()
 
 
 def q_dynamic_onset_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2413,7 +2477,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
     "knn_ivf_fixed": q_knn_ivf_fixed,
-    "knn_ivf_indexed": q_knn_ivf_indexed,
+    "knn_pq": q_knn_pq,
     "dynamic_onset_windows": q_dynamic_onset_windows,
     "asof_purchase": q_asof_purchase,
     "sessionization": q_sessionization,
@@ -2478,7 +2542,7 @@ ORACLES: dict[str, str] = {
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "knn_lsh": SQL_KNN_LSH,
     "knn_ivf_fixed": SQL_KNN_IVF_FIXED,
-    "knn_ivf_indexed": SQL_KNN_IVF_FIXED,
+    "knn_pq": SQL_KNN_PQ,
     "asof_purchase": SQL_ASOF_PURCHASE,
     "sessionization": SQL_SESSIONIZATION,
     "value_quantiles": SQL_VALUE_QUANTILES,

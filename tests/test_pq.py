@@ -1,0 +1,123 @@
+"""Product-quantization operator tests (operators/pq.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from blueetl_spark.operators import pq, similarity
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    # clustered corpus: 20 bases x 10 perturbed copies, dim 16
+    bases = rng.standard_normal((20, 16))
+    rows = []
+    for i in range(200):
+        v = bases[i % 20] + 0.05 * rng.standard_normal(16)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_train_codebooks_shapes_and_determinism(vecs):
+    cbs1 = pq.train_pq_codebooks(vecs, n_subspaces=4, n_codes=8, sample_size=100)
+    cbs2 = pq.train_pq_codebooks(vecs, n_subspaces=4, n_codes=8, sample_size=100)
+    assert len(cbs1) == 4
+    assert all(len(cb) == 8 and len(cb[0]) == 4 for cb in cbs1)
+    assert cbs1 == cbs2  # seeded end-to-end
+
+
+def test_train_rejects_indivisible_dim(vecs):
+    with pytest.raises(ValueError, match="divisible"):
+        pq.train_pq_codebooks(vecs, n_subspaces=5)
+
+
+def test_encode_matches_numpy_reference(vecs):
+    cbs = pq.train_pq_codebooks(vecs, n_subspaces=4, n_codes=8, sample_size=100)
+    got = {
+        r.vec_id: r.pq_code for r in pq.pq_encode(vecs, cbs).collect()
+    }
+    raw = {r.vec_id: np.array(r.embedding) for r in vecs.collect()}
+    cbs_np = [np.asarray(cb) for cb in cbs]
+    for vid, v in raw.items():
+        want = []
+        for m, cb in enumerate(cbs_np):
+            sub = v[m * 4 : (m + 1) * 4]
+            want.append(int(np.argmin(((sub - cb) ** 2).sum(axis=1))))
+        assert got[vid] == want, vid
+
+
+def test_encode_drop_vec_projects_payload_away(vecs):
+    cbs = pq.subvector_codebooks(vecs, n_subspaces=4, n_codes=8)
+    out = pq.pq_encode(vecs, cbs, drop_vec=True)
+    assert out.columns == ["vec_id", "pq_code"]
+    assert out.count() == 200
+
+
+def test_adc_search_exact_on_reconstruction(vecs):
+    """ADC distance == true squared L2 to the PQ reconstruction, so a
+    numpy replay over the codes must reproduce the ranking exactly."""
+    cbs = pq.train_pq_codebooks(vecs, n_subspaces=4, n_codes=8, sample_size=100)
+    codes = pq.pq_encode(vecs, cbs)
+    queries = vecs.filter(F.col("vec_id") < 3)
+    out = pq.adc_search(queries, codes, cbs, k=4).collect()
+
+    raw = {r.vec_id: np.array(r.embedding) for r in vecs.collect()}
+    code_map = {r.vec_id: r.pq_code for r in codes.collect()}
+    cbs_np = [np.asarray(cb) for cb in cbs]
+    recon = {
+        vid: np.concatenate([cbs_np[m][c] for m, c in enumerate(cs)])
+        for vid, cs in code_map.items()
+    }
+    for qid in range(3):
+        dists = sorted(
+            (round(float(((raw[qid] - r) ** 2).sum()), 6), nid)
+            for nid, r in recon.items()
+            if nid != qid
+        )
+        want = dists[:4]
+        got = sorted(
+            (r.adc, r.neighbor_id) for r in out if r.query_id == qid
+        )
+        assert [(pytest.approx(d, abs=2e-6), n) for d, n in want] == got
+
+    ranks = sorted(r.rank for r in out if r.query_id == 0)
+    assert ranks == [1, 2, 3, 4]
+
+
+def test_adc_recall_on_clustered_vectors(vecs):
+    """PQ at 4x8 on tightly clustered unit vectors: quantization collapses
+    same-cluster copies onto (near-)identical codes, so exact-neighbor
+    identity is not preserved — but the retrieved top-1 must come from the
+    query's own cluster (vec_id % 20) for nearly all queries, and exact
+    search agrees on the cluster, so this is the recall that matters."""
+    cbs = pq.train_pq_codebooks(vecs, n_subspaces=4, n_codes=8, sample_size=200)
+    codes = pq.pq_encode(vecs, cbs)
+    queries = vecs.filter(F.col("vec_id") < 20)
+    approx = {
+        r.query_id: r.neighbor_id
+        for r in pq.adc_search(queries, codes, cbs, k=1).collect()
+    }
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in similarity.knn_bruteforce(queries, vecs, k=1).collect()
+    }
+    assert all(exact[q] % 20 == q % 20 for q in exact)  # geometry sanity
+    hits = sum(approx[q] % 20 == q % 20 for q in approx)
+    assert hits >= 18  # >= 90% same-cluster top-1 retrieval
+
+
+def test_adc_search_query_cap(vecs):
+    cbs = pq.subvector_codebooks(vecs, n_subspaces=4, n_codes=8)
+    codes = pq.pq_encode(vecs, cbs)
+    with pytest.raises(ValueError, match="max_queries"):
+        pq.adc_search(vecs, codes, cbs, k=2, max_queries=10)
+
+
+def test_codebook_shape_mismatch_rejected(vecs):
+    bad = [[[0.0] * 4] * 8, [[0.0] * 3] * 8]
+    with pytest.raises(ValueError, match="shape"):
+        pq.pq_encode(vecs, bad)

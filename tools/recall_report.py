@@ -62,12 +62,17 @@ def main() -> None:
     queries_df = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
     bf = pairs(similarity.knn_bruteforce(queries_df, emb, k=KNN_K),
                "query_id", "neighbor_id")
+    from blueetl_spark.operators import pq
+
+    pq_cbs = pq.train_pq_codebooks(emb, n_subspaces=8, n_codes=256)
+    pq_codes = pq.pq_encode(emb, pq_cbs, drop_vec=True)
     for name, df in [
         ("knn_lsh", similarity.knn_lsh(queries_df, emb, k=KNN_K)),
         ("knn_ivf_sampled", similarity.knn_ivf(queries_df, emb, k=KNN_K)),
         ("knn_ivf_kmeans", similarity.knn_ivf(
             queries_df, emb, k=KNN_K,
             centroids=similarity.train_centroids_kmeans(emb, n_centroids=16))),
+        ("knn_pq_8x256", pq.adc_search(queries_df, pq_codes, pq_cbs, k=KNN_K)),
     ]:
         got = pairs(df, "query_id", "neighbor_id")
         print(json.dumps({
