@@ -101,6 +101,12 @@ def train_pq_codebooks(
         .collect()
     )
     v = np.asarray([list(map(float, r[vec_col])) for r in sample])
+    return _train_codebooks_np(v, n_subspaces, n_codes, max_iter)
+
+
+def _train_codebooks_np(
+    v: np.ndarray, n_subspaces: int, n_codes: int, max_iter: int = 20
+) -> list[list[list[float]]]:
     dim = v.shape[1]
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
@@ -266,6 +272,251 @@ def adc_search(
     candidates = corpus_codes.select(
         F.col(id_col).cast("long").alias(id_col), code_col
     ).mapInPandas(op, out_schema)
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: cell-partitioned codes + residual encoding + pruned ADC search
+# ---------------------------------------------------------------------------
+
+
+def _encode_residuals(v: np.ndarray, cbs: list[np.ndarray]) -> np.ndarray:
+    n_sub, dsub = len(cbs), cbs[0].shape[1]
+    codes = np.empty((len(v), n_sub), dtype=np.int16)
+    for m in range(n_sub):
+        sub = v[:, m * dsub : (m + 1) * dsub]
+        d = -2.0 * (sub @ cbs[m].T) + (cbs[m] ** 2).sum(axis=1)[None, :]
+        codes[:, m] = np.argmin(d, axis=1).astype(np.int16)
+    return codes
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_subspaces: int = 8,
+    n_codes: int = 256,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    pq_codebooks=None,
+) -> dict:
+    """Build and persist an IVF-PQ index: coarse cells from
+    :func:`similarity.assign_cells`, **residual** PQ codes within each
+    cell (``x − centroid[cell]`` quantized, the production IVF-PQ
+    encoding — residuals cluster much tighter than raw vectors, so the
+    same code budget buys less distortion), written as
+    ``codes.parquet`` partitioned by cell.
+
+    This is the 10⁹-vector composition: the directory layout prunes the
+    scan to probed cells at file-listing level (same bargain as
+    :func:`similarity.build_ivf_index`), and what's inside each cell is
+    8-byte codes instead of float payloads — the scan after pruning is
+    ~32× lighter too. PQ codebooks train on a bounded sample of
+    residuals; both codebooks persist beside the codes.
+    """
+    from pathlib import Path
+
+    from blueetl_spark.operators.similarity import assign_cells
+
+    spark = corpus.sparkSession
+    if centroids is not None:
+        cents = [list(map(float, c)) for c in centroids]
+    else:
+        cents = [
+            list(map(float, row[vec_col]))
+            for row in corpus.select(vec_col)
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+            .limit(n_centroids)
+            .collect()
+        ]
+    cent_np = np.asarray(cents)
+    base = Path(index_path)
+
+    assigned = (
+        assign_cells(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+            cents,
+            vec_col,
+            n=1,
+        )
+        .withColumn("cell", F.col("__cells")[0])
+        .drop("__cells")
+    )
+
+    if pq_codebooks is None:
+        # bounded sample of residuals for codebook training
+        spdf = (
+            assigned.orderBy(F.xxhash64(F.col("neighbor_id"), F.lit(seed)))
+            .limit(65536)
+            .select(vec_col, "cell")
+            .toPandas()
+        )
+        sv = np.stack(spdf[vec_col].to_numpy()).astype(np.float64)
+        res = sv - cent_np[spdf["cell"].to_numpy()]
+        cbs = _train_codebooks_np(res, n_subspaces, n_codes)
+    else:
+        cbs = [[list(map(float, c)) for c in cb] for cb in pq_codebooks]
+    cbs_np = _as_codebooks(cbs)
+
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "centroid_id int, vector array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(str(base / "ivf_codebook.parquet"))
+    spark.createDataFrame(
+        [(m, j, c) for m, cb in enumerate(cbs) for j, c in enumerate(cb)],
+        "subspace int, code int, vector array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(str(base / "pq_codebooks.parquet"))
+
+    id_type = dict(corpus.dtypes)[id_col]
+    out_schema = f"neighbor_id {id_type}, cell int, pq_code array<smallint>"
+
+    def op(batches):
+        import pandas as pd  # noqa: PLC0415 - executor-side import
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            res = v - cent_np[pdf["cell"].to_numpy()]
+            codes = _encode_residuals(res, cbs_np)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cell": pdf["cell"].to_numpy(),
+                    "pq_code": [row.tolist() for row in codes],
+                }
+            )
+
+    assigned.mapInPandas(op, out_schema).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(str(base / "codes.parquet"))
+    n = spark.read.parquet(str(base / "codes.parquet")).count()
+    return {"n_centroids": len(cents), "n_subspaces": n_subspaces, "n_vectors": n}
+
+
+def search_ivf_pq_index(
+    spark,
+    queries: DataFrame,
+    index_path: str,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Top-k ADC search against a persisted IVF-PQ index.
+
+    Per (query, probed cell) the LUT is built from the query's **residual
+    against that cell's centroid** (matching the residual encoding); the
+    codes scan carries an ``isin`` partition filter so only probed cells'
+    files are listed and read. Each scan task emits its local
+    rounded-tie-inclusive top-k per query; the global window finishes the
+    ranking — candidates shuffle, never the corpus.
+
+    Output: (query_id, neighbor_id, adc, rank) — adc ascending approximate
+    squared L2, rounded to 6 decimals, neighbor-id tie-break.
+    """
+    from pathlib import Path
+
+    from blueetl_spark.operators.similarity import assign_cells
+
+    base = Path(index_path)
+    cents = [
+        list(map(float, r.vector))
+        for r in spark.read.parquet(str(base / "ivf_codebook.parquet"))
+        .orderBy("centroid_id")
+        .collect()
+    ]
+    cent_np = np.asarray(cents)
+    cb_rows = (
+        spark.read.parquet(str(base / "pq_codebooks.parquet"))
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    n_sub = max(r.subspace for r in cb_rows) + 1
+    cbs_np = [
+        np.asarray([list(map(float, r.vector)) for r in cb_rows if r.subspace == m])
+        for m in range(n_sub)
+    ]
+    dsub = cbs_np[0].shape[1]
+
+    qpdf = (
+        assign_cells(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+            cents,
+            vec_col,
+            n=n_probe,
+        )
+        .limit(max_queries + 1)
+        .toPandas()
+    )
+    if len(qpdf) > max_queries:
+        raise ValueError(
+            f"search_ivf_pq_index collects the query side to build LUTs; "
+            f"got more than max_queries={max_queries} rows. Split the query "
+            f"set or raise max_queries explicitly."
+        )
+    qids = qpdf["query_id"].to_numpy()
+    qv = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    probes = [list(c) for c in qpdf["__cells"]]
+    probed = sorted({c for cs in probes for c in cs})
+    # cell -> (query row indices, per-query LUT (M, K)) for that cell
+    cell_plan: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for cell in probed:
+        rows = np.array([i for i, cs in enumerate(probes) if cell in cs])
+        res = qv[rows] - cent_np[cell][None, :]
+        lut = np.stack(
+            [
+                (
+                    (res[:, m * dsub : (m + 1) * dsub, None] - cbs_np[m].T[None, :, :])
+                    ** 2
+                ).sum(axis=1)
+                for m in range(n_sub)
+            ],
+            axis=1,
+        )
+        cell_plan[cell] = (rows, lut)
+
+    codes_df = spark.read.parquet(str(base / "codes.parquet")).filter(
+        F.col("cell").isin([int(c) for c in probed])
+    )
+    out_schema = "query_id long, neighbor_id long, adc double"
+
+    def op(batches):
+        import pandas as pd  # noqa: PLC0415 - executor-side import
+
+        for pdf in batches:
+            for cell, grp in pdf.groupby("cell"):
+                plan = cell_plan.get(int(cell))
+                if plan is None:
+                    continue
+                qrows, lut = plan
+                codes = np.stack(grp["pq_code"].to_numpy()).astype(np.int64)
+                nids = grp["neighbor_id"].to_numpy()
+                acc = np.zeros((len(qrows), len(codes)))
+                for m in range(n_sub):
+                    acc += lut[:, m, :][:, codes[:, m]]
+                acc[qids[qrows][:, None] == nids[None, :]] = np.inf
+                acc = np.round(acc, 6)
+                kk = min(k, acc.shape[1])
+                thresh = np.partition(acc, kk - 1, axis=1)[:, kk - 1]
+                qi, ni = np.nonzero(acc <= thresh[:, None])
+                adc = acc[qi, ni]
+                keep = np.isfinite(adc)
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[qrows[qi[keep]]],
+                        "neighbor_id": nids[ni[keep]],
+                        "adc": adc[keep],
+                    }
+                )
+
+    candidates = codes_df.mapInPandas(op, out_schema)
     w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
     return (
         candidates.withColumn("rank", F.row_number().over(w))

@@ -121,3 +121,37 @@ def test_codebook_shape_mismatch_rejected(vecs):
     bad = [[[0.0] * 4] * 8, [[0.0] * 3] * 8]
     with pytest.raises(ValueError, match="shape"):
         pq.pq_encode(vecs, bad)
+
+
+def test_ivf_pq_index_roundtrip(vecs, spark, tmp_path):
+    """Build + search: deterministic across runs, partition-pruned scan,
+    and same-cluster retrieval through the residual-encoded index."""
+    path = str(tmp_path / "ivfpq")
+    info = pq.build_ivf_pq_index(
+        vecs, path, n_centroids=8, n_subspaces=4, n_codes=16
+    )
+    assert info == {"n_centroids": 8, "n_subspaces": 4, "n_vectors": 200}
+
+    queries = vecs.filter(F.col("vec_id") < 20)
+    out = pq.search_ivf_pq_index(spark, queries, path, k=3, n_probe=3)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    rows1 = sorted(map(tuple, out.collect()))
+    rows2 = sorted(
+        map(tuple, pq.search_ivf_pq_index(spark, queries, path, k=3, n_probe=3).collect())
+    )
+    assert rows1 == rows2  # deterministic
+    top1 = {r.query_id: r.neighbor_id for r in out.collect() if r.rank == 1}
+    hits = sum(n % 20 == q % 20 for q, n in top1.items())
+    assert hits >= 16  # residual PQ + 3-probe on easy cluster geometry
+
+
+def test_ivf_pq_search_query_cap(vecs, spark, tmp_path):
+    path = str(tmp_path / "ivfpq_cap")
+    pq.build_ivf_pq_index(vecs, path, n_centroids=4, n_subspaces=4, n_codes=8)
+    with pytest.raises(ValueError, match="max_queries"):
+        pq.search_ivf_pq_index(spark, vecs, path, k=2, max_queries=10)
