@@ -1,0 +1,80 @@
+"""Z-order layout tests: the written files must have tight bounding
+boxes in EVERY clustered dimension (that is the entire point), which a
+linear sort cannot provide for the second column."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blueetl_spark.plans import layout
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    # 256x256 uniform grid -> 65,536 rows, two independent dimensions
+    return spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+
+
+def _hit_fraction(bounds, col, lo, hi):
+    rows = bounds.collect()
+    hit = [
+        r for r in rows if r[f"{col}_max"] >= lo and r[f"{col}_min"] <= hi
+    ]
+    return len(hit) / len(rows)
+
+
+def test_zorder_prunes_on_both_columns(grid, spark, tmp_path):
+    zpath = str(tmp_path / "z")
+    layout.zorder_write(grid, zpath, ["x", "y"], n_files=64)
+    bounds = layout.file_bounds(spark.read, zpath, ["x", "y"])
+    # a 1/16-wide point-range on either dimension touches few files
+    assert _hit_fraction(bounds, "x", 0, 15) <= 0.35
+    assert _hit_fraction(bounds, "y", 0, 15) <= 0.35
+    # and nothing was lost or duplicated
+    assert spark.read.parquet(zpath).count() == 256 * 256
+
+
+def test_linear_sort_fails_second_column(grid, spark, tmp_path):
+    lpath = str(tmp_path / "linear")
+    (
+        grid.repartitionByRange(64, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    bounds = layout.file_bounds(spark.read, lpath, ["x", "y"])
+    # linear sort: great on x, useless on y — every file spans all of y
+    assert _hit_fraction(bounds, "x", 0, 15) <= 0.35
+    assert _hit_fraction(bounds, "y", 0, 15) >= 0.9
+
+
+def test_zorder_key_is_order_preserving_per_dimension(grid):
+    """Fixing one dimension, the key must be monotonic in the other —
+    the linear-scaling rank must not reorder values."""
+    sub = grid.filter(F.col("y") == 0).select(
+        "x", layout.zorder_key(grid, ["x", "y"], bits=8).alias("z")
+    )
+    rows = sub.orderBy("x").collect()
+    zs = [r.z for r in rows]
+    assert zs == sorted(zs)
+
+
+def test_zorder_key_validations(grid):
+    with pytest.raises(ValueError, match="2-6"):
+        layout.zorder_key(grid, ["x"])
+    with pytest.raises(ValueError, match="budget"):
+        layout.zorder_key(grid, ["x", "y"], bits=40)
+
+
+def test_constant_column_degrades_gracefully(spark, tmp_path):
+    df = spark.range(100).select(
+        F.lit(7).alias("c"), F.col("id").alias("v")
+    )
+    path = str(tmp_path / "const")
+    layout.zorder_write(df, path, ["c", "v"], n_files=4)
+    assert spark.read.parquet(path).count() == 100
