@@ -39,6 +39,7 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf_fixed",
+    "knn_pq",
     "dedup_components",
     "tf_idf",
     "asof_purchase",
