@@ -38,18 +38,28 @@ def dedup_exact(
 
 
 def shingle_sets(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    ids_unique: bool = True,
 ) -> DataFrame:
     """(id, shingle) exploded distinct shingle sets.
 
-    Distinctness is per document, so it is enforced **row-locally**
-    (``array_distinct`` before the explode) — a global ``.distinct()``
-    would shuffle the entire exploded shingle table just to dedup within
-    each row's own output."""
-    return df.select(
+    With one row per document (``ids_unique=True``, the corpus-table
+    contract every caller in this package satisfies) distinctness is per
+    row, so it is enforced **row-locally** (``array_distinct`` before the
+    explode) — a global ``.distinct()`` would shuffle the entire exploded
+    shingle table just to dedup within each row's own output. For inputs
+    where one ``id_col`` value spans multiple rows (e.g. pre-chunked
+    documents), pass ``ids_unique=False`` to keep the global dedup —
+    without it, duplicate (id, shingle) pairs would inflate Jaccard
+    set/intersection counts into multiset counts."""
+    out = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
     )
+    return out if ids_unique else out.distinct()
 
 
 def jaccard_pairs(

@@ -67,6 +67,10 @@ def subvector_codebooks(
         .collect()
     )
     v = np.asarray([list(map(float, r[vec_col])) for r in rows])
+    if v.shape[1] % n_subspaces:
+        raise ValueError(
+            f"dim {v.shape[1]} not divisible by n_subspaces {n_subspaces}"
+        )
     dsub = v.shape[1] // n_subspaces
     return [
         v[:, m * dsub : (m + 1) * dsub].tolist() for m in range(n_subspaces)
@@ -129,11 +133,15 @@ def _train_codebooks_np(
         for _ in range(max_iter):
             d = -2.0 * (sub @ cb.T) + (cb**2).sum(axis=1)[None, :]
             assign = np.argmin(d, axis=1)
-            new = np.vstack(
-                [
-                    sub[assign == j].mean(axis=0) if (assign == j).any() else cb[j]
-                    for j in range(k)
-                ]
+            # vectorized per-code means (a python loop of k boolean masks
+            # costs O(k * n) per iteration and dominated training time)
+            sums = np.zeros((k, sub.shape[1]))
+            np.add.at(sums, assign, sub)
+            counts = np.bincount(assign, minlength=k)
+            new = np.where(
+                counts[:, None] > 0,
+                sums / np.maximum(counts, 1)[:, None],
+                cb,
             )
             if np.allclose(new, cb, rtol=0, atol=1e-12):
                 break
@@ -161,8 +169,6 @@ def pq_encode(
     the SQL twin's first-position-of-min semantics.
     """
     cbs = _as_codebooks(codebooks)
-    n_sub, dsub = len(cbs), cbs[0].shape[1]
-    sq_norms = [(cb**2).sum(axis=1) for cb in cbs]
     out_fields = [
         f"{f.name} {f.dataType.simpleString()}"
         for f in df.schema
@@ -175,12 +181,7 @@ def pq_encode(
             if len(pdf) == 0:
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            codes = np.empty((len(v), n_sub), dtype=np.int16)
-            for m in range(n_sub):
-                sub = v[:, m * dsub : (m + 1) * dsub]
-                # |x - c|² up to the constant |x|²: argmin is unchanged
-                d = -2.0 * (sub @ cbs[m].T) + sq_norms[m][None, :]
-                codes[:, m] = np.argmin(d, axis=1).astype(np.int16)
+            codes = _encode_np(v, cbs)
             out = pdf.drop(columns=[vec_col]) if drop_vec else pdf.copy()
             out[out_col] = [row.tolist() for row in codes]
             yield out
@@ -223,6 +224,10 @@ def adc_search(
             f"than max_queries={max_queries} rows. Split the query set, or "
             f"raise max_queries explicitly if the LUTs genuinely fit "
             f"(each is n_subspaces × n_codes doubles)."
+        )
+    if len(qpdf) == 0:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, adc double, rank int"
         )
     qids = qpdf[id_col].to_numpy()
     qv = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
@@ -284,7 +289,9 @@ def adc_search(
 # ---------------------------------------------------------------------------
 
 
-def _encode_residuals(v: np.ndarray, cbs: list[np.ndarray]) -> np.ndarray:
+def _encode_np(v: np.ndarray, cbs: list[np.ndarray]) -> np.ndarray:
+    """Nearest-code id per subspace (argmin-first tie-break; shared by the
+    raw-vector and residual encode paths)."""
     n_sub, dsub = len(cbs), cbs[0].shape[1]
     codes = np.empty((len(v), n_sub), dtype=np.int16)
     for m in range(n_sub):
@@ -347,6 +354,11 @@ def build_ivf_pq_index(
         )
         .withColumn("cell", F.col("__cells")[0])
         .drop("__cells")
+        # persist: the assignment matmul over the whole corpus is the
+        # build's most expensive stage and feeds BOTH the residual
+        # training sample and the encode+write — without this it runs
+        # twice end to end
+        .persist()
     )
 
     if pq_codebooks is None:
@@ -383,7 +395,7 @@ def build_ivf_pq_index(
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             res = v - cent_np[pdf["cell"].to_numpy()]
-            codes = _encode_residuals(res, cbs_np)
+            codes = _encode_np(res, cbs_np)
             yield pd.DataFrame(
                 {
                     "neighbor_id": pdf["neighbor_id"].to_numpy(),
@@ -392,9 +404,19 @@ def build_ivf_pq_index(
                 }
             )
 
-    assigned.mapInPandas(op, out_schema).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(str(base / "codes.parquet"))
+    # repartition by cell before the partitioned write: each cell then
+    # lives in exactly one task, so the write emits one file per cell
+    # instead of (n_tasks × n_cells) shards — at 1024 cells × 32 tasks
+    # the shard explosion dominated both the write and every later
+    # probe's file listing
+    (
+        assigned.mapInPandas(op, out_schema)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(str(base / "codes.parquet"))
+    )
+    assigned.unpersist()
     n = spark.read.parquet(str(base / "codes.parquet")).count()
     return {"n_centroids": len(cents), "n_subspaces": n_subspaces, "n_vectors": n}
 
@@ -460,6 +482,10 @@ def search_ivf_pq_index(
             f"search_ivf_pq_index collects the query side to build LUTs; "
             f"got more than max_queries={max_queries} rows. Split the query "
             f"set or raise max_queries explicitly."
+        )
+    if len(qpdf) == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, adc double, rank int"
         )
     qids = qpdf["query_id"].to_numpy()
     qv = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)

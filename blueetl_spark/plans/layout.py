@@ -41,39 +41,119 @@ from pyspark.sql import functions as F
 MAX_KEY_BITS = 63  # signed-long key; conv(..., 2, -10) semantics
 
 
-def _to_rank(df: DataFrame, col: str, bits: int) -> Column:
-    """Order-preserving map of a numeric column onto [0, 2^bits)."""
-    lo, hi = df.agg(
-        F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
-    ).first()
-    if lo is None or hi is None or hi == lo:
-        return F.lit(0).cast("long")
-    span = hi - lo
+_NUMERIC_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
+    "date", "timestamp",
+)
+
+QUANTILE_MAX_BITS = 12  # boundary list is driver-side: 2^bits doubles
+
+
+def _check_numeric(df: DataFrame, cols: list[str]) -> None:
+    types = dict(df.dtypes)
+    for c in cols:
+        if c not in types:
+            raise ValueError(f"unknown column {c!r}")
+        if not types[c].startswith(_NUMERIC_PREFIXES):
+            raise ValueError(
+                f"zorder column {c!r} has type {types[c]} — the rank map "
+                f"needs a numeric/temporal column (a silent cast-to-NULL "
+                f"would quietly disable pruning on this dimension)"
+            )
+
+
+def _rank_columns(
+    df: DataFrame, cols: list[str], bits: int, mode: str
+) -> list[Column]:
+    """Order-preserving maps of each column onto [0, 2^bits).
+
+    ``linear`` scales between min and max — right for roughly uniform
+    columns, and the cheapest. ``quantile`` buckets by approximate
+    equi-depth boundaries instead: on skewed columns (ids with hot
+    ranges, heavy-tailed values) linear scaling collapses most rows into
+    a few rank values and the curve degenerates to a linear sort on the
+    other columns. All columns' statistics come from ONE pass over the
+    input (a single multi-aggregate / one multi-column ``approxQuantile``
+    call) — per-column driver actions would re-scan a 100 TB input once
+    per clustered dimension.
+    """
+    _check_numeric(df, cols)
+    if mode == "quantile":
+        n_buckets = 1 << bits
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        all_cuts = df.stat.approxQuantile(
+            cols, probs, 0.25 / n_buckets
+        )  # one job for every column
+        ranks = []
+        for c, cuts in zip(cols, all_cuts):
+            col = F.col(c).cast("double")
+            # strictly increasing boundaries; duplicates (heavy hitters)
+            # merge. Rescale to fill the full bit width — merged
+            # boundaries would otherwise leave the high bits constantly 0
+            # and the interleave degenerates (integer scaling preserves
+            # order).
+            uniq = sorted({x for x in cuts if x is not None})
+            if not uniq:
+                ranks.append(F.lit(0).cast("long"))
+                continue
+            arr = F.array(*[F.lit(float(x)) for x in uniq])
+            scale = (1 << bits) // (len(uniq) + 1)
+            rank = F.size(F.filter(arr, lambda b: b <= col)).cast("long")
+            ranks.append(rank * F.lit(max(scale, 1)).cast("long"))
+        return ranks
+    if mode != "linear":
+        raise ValueError(f"unknown rank mode {mode!r}")
+    aggs = []
+    for c in cols:
+        col = F.col(c).cast("double")
+        aggs += [F.min(col), F.max(col)]
+    stats = df.agg(*aggs).first()  # one job for every column
     top = (1 << bits) - 1
-    return F.least(
-        F.lit(top).cast("long"),
-        F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(span) * (top + 1)),
-    ).cast("long")
+    ranks = []
+    for i, c in enumerate(cols):
+        lo, hi = stats[2 * i], stats[2 * i + 1]
+        if lo is None or hi is None or hi == lo:
+            ranks.append(F.lit(0).cast("long"))
+            continue
+        span = hi - lo
+        ranks.append(
+            F.least(
+                F.lit(top).cast("long"),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * (top + 1)
+                ),
+            ).cast("long")
+        )
+    return ranks
 
 
 def zorder_key(
-    df: DataFrame, cols: list[str], bits: int | None = None
+    df: DataFrame, cols: list[str], bits: int | None = None, mode: str = "linear"
 ) -> Column:
     """Morton key column interleaving ``cols`` (MSB-first, round-robin).
 
     ``bits`` is the per-column rank width; default spends the whole
-    63-bit budget evenly (2 cols → 31 bits each, 3 → 21, 4 → 15).
+    63-bit budget evenly (2 cols → 31 bits each, 3 → 21, 4 → 15), capped
+    at 12 in quantile mode (boundary list is driver-side).
+    ``mode`` picks the rank map per column — see :func:`_to_rank`.
     """
     if not 2 <= len(cols) <= 6:
         raise ValueError("zorder_key interleaves 2-6 columns")
     if bits is None:
         bits = MAX_KEY_BITS // len(cols)
+        if mode == "quantile":
+            bits = min(bits, QUANTILE_MAX_BITS)
     if bits * len(cols) > MAX_KEY_BITS:
         raise ValueError(
             f"{len(cols)} cols x {bits} bits = {bits * len(cols)} exceeds the "
             f"{MAX_KEY_BITS}-bit key budget"
         )
-    ranks = [_to_rank(df, c, bits) for c in cols]
+    if mode == "quantile" and bits > QUANTILE_MAX_BITS:
+        raise ValueError(
+            f"quantile mode caps bits at {QUANTILE_MAX_BITS} (the boundary "
+            f"list is driver-side, 2^bits doubles per column); got {bits}"
+        )
+    ranks = _rank_columns(df, cols, bits, mode)
     chars = []
     for i in range(bits - 1, -1, -1):  # MSB first
         for r in ranks:
@@ -88,6 +168,7 @@ def zorder_write(
     cols: list[str],
     n_files: int = 64,
     bits: int | None = None,
+    mode: str = "linear",
 ) -> None:
     """Write ``df`` as parquet laid out along the Z-curve of ``cols``.
 
@@ -100,7 +181,7 @@ def zorder_write(
     Sizing: ``n_files`` plays the role of target file count — at scale
     pick it so files land at a few hundred MB, same rule as compaction.
     """
-    key = zorder_key(df, cols, bits)
+    key = zorder_key(df, cols, bits, mode)
     (
         df.withColumn("__z", key)
         .repartitionByRange(n_files, "__z")

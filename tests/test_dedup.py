@@ -164,3 +164,18 @@ def test_embedding_near_dup_string_ids_and_empty(spark):
             ).count()
             == 0
         )
+
+
+def test_shingle_sets_multi_row_docs(spark):
+    """One doc_id across several rows (chunked corpus): ids_unique=False
+    must dedup (id, shingle) globally so Jaccard stays a set measure."""
+    from blueetl_spark.operators.dedup import shingle_sets
+
+    chunked = spark.createDataFrame(
+        [(1, "a b c d"), (1, "a b c d"), (2, "a b c x")],
+        "doc_id long, text string",
+    )
+    rows = shingle_sets(chunked, n=3, ids_unique=False).collect()
+    pairs = [(r.doc_id, r.shingle) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    assert sum(1 for d, _ in pairs if d == 1) == 2  # 'a b c', 'b c d' once each

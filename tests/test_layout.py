@@ -64,11 +64,55 @@ def test_zorder_key_is_order_preserving_per_dimension(grid):
     assert zs == sorted(zs)
 
 
-def test_zorder_key_validations(grid):
+def test_zorder_key_validations(grid, spark):
     with pytest.raises(ValueError, match="2-6"):
         layout.zorder_key(grid, ["x"])
     with pytest.raises(ValueError, match="budget"):
         layout.zorder_key(grid, ["x", "y"], bits=40)
+    # explicit bits must not bypass the quantile driver-side cap
+    with pytest.raises(ValueError, match="quantile mode caps"):
+        layout.zorder_key(grid, ["x", "y"], bits=20, mode="quantile")
+    # non-numeric columns fail loudly instead of silently rank-0
+    strs = spark.createDataFrame([("a", 1), ("b", 2)], "s string, v long")
+    with pytest.raises(ValueError, match="numeric"):
+        layout.zorder_key(strs, ["s", "v"])
+
+
+def test_single_stats_pass(grid):
+    """All columns' bounds come from one driver action (one multi-agg /
+    one multi-column approxQuantile), not one scan per column."""
+    calls = []
+    orig = type(grid).agg
+
+    def counting_agg(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(type(grid), "agg", counting_agg):
+        layout.zorder_key(grid, ["x", "y"], bits=8)
+    assert sum(calls) == 1
+
+
+def test_quantile_mode_handles_skew(spark, tmp_path):
+    """Heavy-tailed column: linear ranks collapse 99% of rows into one
+    rank value (the curve degenerates); equi-depth quantile ranks keep
+    pruning alive on the skewed dimension."""
+    # 10k rows: v is ~uniform, s is heavy-tailed (99% in [0,100), 1% huge)
+    df = spark.range(10_000).select(
+        F.col("id").alias("v"),
+        F.when(F.col("id") % 100 == 0, F.col("id") * 1000)
+        .otherwise(F.col("id") % 100)
+        .alias("s"),
+    )
+    qpath = str(tmp_path / "zq")
+    layout.zorder_write(df, qpath, ["s", "v"], n_files=16, mode="quantile")
+    bounds = layout.file_bounds(spark.read, qpath, ["s", "v"])
+    # a predicate inside the dense region of s must still prune
+    assert _hit_fraction(bounds, "s", 10, 20) <= 0.6
+    assert _hit_fraction(bounds, "v", 0, 999) <= 0.6
+    assert spark.read.parquet(qpath).count() == 10_000
 
 
 def test_constant_column_degrades_gracefully(spark, tmp_path):

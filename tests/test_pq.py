@@ -117,6 +117,19 @@ def test_adc_search_query_cap(vecs):
         pq.adc_search(vecs, codes, cbs, k=2, max_queries=10)
 
 
+def test_adc_search_empty_queries(vecs):
+    cbs = pq.subvector_codebooks(vecs, n_subspaces=4, n_codes=8)
+    codes = pq.pq_encode(vecs, cbs)
+    out = pq.adc_search(vecs.filter(F.col("vec_id") < 0), codes, cbs, k=2)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "adc", "rank"]
+
+
+def test_subvector_codebooks_reject_indivisible_dim(vecs):
+    with pytest.raises(ValueError, match="divisible"):
+        pq.subvector_codebooks(vecs, n_subspaces=5)
+
+
 def test_codebook_shape_mismatch_rejected(vecs):
     bad = [[[0.0] * 4] * 8, [[0.0] * 3] * 8]
     with pytest.raises(ValueError, match="shape"):
