@@ -111,12 +111,15 @@ def quality_features(
 def language_score(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     threshold: float = 0.1,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Stopword-ratio language-ID heuristic: score = fraction of tokens that
     are English stopwords; ``is_en`` when above threshold.
 
     A production pipeline would use fastText/CLD3 via a Pandas UDF — this
-    n-gram-free heuristic is the fully-JVM baseline.
+    n-gram-free heuristic is the fully-JVM baseline. ``passthrough``
+    carries extra input columns through unchanged (single projection —
+    lets callers chain per-doc operators without a self-join).
     """
     stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
     toks = tokens(text_col)
@@ -127,6 +130,7 @@ def language_score(
         F.col(id_col),
         score.alias("en_score"),
         (score > threshold).alias("is_en"),
+        *[F.col(c) for c in passthrough],
     )
 
 

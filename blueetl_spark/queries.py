@@ -1191,8 +1191,9 @@ WHERE i <= n_windows
 
 def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality signals, plus the BPE-ish regex tokenizer
-    counts (pre-tokenizer units, JVM-side) folded into the same gate —
-    identical per-doc grain, one graded slot."""
+    counts (pre-tokenizer units, JVM-side) and the language-ID score
+    (``text.language_score``) folded into the same gate — identical
+    per-doc grain, one graded slot."""
     docs = tables.load(spark, sf_dir, "documents").withColumns(
         {
             "n_bpe_tokens": text.bpe_token_count("text").cast("long"),
@@ -1201,8 +1202,12 @@ def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         }
     )
+    ls = text.language_score(
+        docs, passthrough=("text", "n_bpe_tokens", "n_distinct_bpe_tokens")
+    )
     qf = text.quality_features(
-        docs, passthrough=("n_bpe_tokens", "n_distinct_bpe_tokens")
+        ls,
+        passthrough=("n_bpe_tokens", "n_distinct_bpe_tokens", "en_score", "is_en"),
     )
     return qf.select(
         "doc_id",
@@ -1213,6 +1218,8 @@ def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("stopword_ratio", 9).alias("stopword_ratio"),
         "n_bpe_tokens",
         "n_distinct_bpe_tokens",
+        F.round("en_score", 9).alias("en_score"),
+        "is_en",
     )
 
 
@@ -1231,19 +1238,7 @@ SELECT doc_id,
              / len({_TOKS}), 9) AS stopword_ratio,
        len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_tokens,
        len(list_distinct(regexp_extract_all(text, '{_BPE_SQL}')))
-         AS n_distinct_bpe_tokens
-FROM documents
-"""
-
-
-def q_language_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = tables.load(spark, sf_dir, "documents")
-    ls = text.language_score(docs)
-    return ls.select("doc_id", F.round("en_score", 9).alias("en_score"), "is_en")
-
-
-SQL_LANGUAGE_SCORE = f"""
-SELECT doc_id,
+         AS n_distinct_bpe_tokens,
        ROUND(len(list_filter({_TOKS},
                  x -> list_contains([{_EN_STOP_SQL}], lower(x)))) * 1.0
              / len({_TOKS}), 9) AS en_score,
@@ -2294,6 +2289,71 @@ FROM e GROUP BY 1
 """
 
 
+RESAMPLE_STEP = 3_600_000.0  # hourly grid
+RESAMPLE_GID_MAX = 16
+
+
+def q_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with linear interpolation
+    (``timeseries.resample``): each gid's event values (duplicates at one
+    timestamp pre-averaged, so the series is a function of time) onto an
+    hourly grid over the first day. Grid generation, ffill carry and
+    interpolation all resolve in one keyed exchange — no join against the
+    grid."""
+    ev = _events_norm(spark, sf_dir, time_range=(0.0, DAY_MS)).filter(
+        F.col("gid") < RESAMPLE_GID_MAX
+    )
+    series = ev.groupBy("gid", "time").agg(F.avg("value").alias("value"))
+    out = timeseries.resample(
+        series, step=RESAMPLE_STEP, by=("gid",), method="linear"
+    )
+    return out.select(
+        F.col("gid").cast("long").alias("gid"),
+        "time",
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_RESAMPLE_EVENTS = f"""
+WITH {_E_CTE},
+obs AS (
+  SELECT gid, "time" AS t, AVG(value) AS v FROM e
+  WHERE "time" >= 0 AND "time" < {DAY_MS!r} AND gid < {RESAMPLE_GID_MAX}
+  GROUP BY 1, 2
+),
+b AS (
+  SELECT gid, CAST(ceil(MIN(t) / {RESAMPLE_STEP!r}) AS BIGINT) AS i0,
+         CAST(floor(MAX(t) / {RESAMPLE_STEP!r}) AS BIGINT) AS i1
+  FROM obs GROUP BY 1
+),
+grid AS (
+  -- DuckDB's generate_series cannot take lateral column bounds; the day
+  -- has at most {int(DAY_MS / RESAMPLE_STEP)} + 1 grid slots, so a fixed
+  -- range filtered per gid is equivalent
+  SELECT b.gid, CAST((b.i0 + r.range) * {RESAMPLE_STEP!r} AS DOUBLE) AS t
+  FROM b CROSS JOIN range({int(DAY_MS / RESAMPLE_STEP) + 1}) r
+  WHERE b.i0 + r.range <= b.i1
+),
+p AS (
+  SELECT g.gid, g.t, MAX(o.t) AS pt FROM grid g
+  JOIN obs o ON o.gid = g.gid AND o.t <= g.t GROUP BY 1, 2
+),
+n AS (
+  SELECT g.gid, g.t, MIN(o.t) AS nt FROM grid g
+  JOIN obs o ON o.gid = g.gid AND o.t >= g.t GROUP BY 1, 2
+)
+SELECT g.gid, g.t AS "time",
+       ROUND(CASE WHEN n.nt = p.pt THEN vp.v
+                  ELSE vp.v + (vn.v - vp.v) * (g.t - p.pt) / (n.nt - p.pt)
+             END, 6) AS value
+FROM grid g
+JOIN p ON p.gid = g.gid AND p.t = g.t
+JOIN n ON n.gid = g.gid AND n.t = g.t
+JOIN obs vp ON vp.gid = g.gid AND vp.t = p.pt
+JOIN obs vn ON vn.gid = g.gid AND vn.t = n.nt
+"""
+
+
 # ---------------------------------------------------------------------------
 # Corpus curation: repetition signals, decontamination, vocabulary profile,
 # deterministic mixture sampling
@@ -2466,7 +2526,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnowing_md5": q_winnowing_md5,
     "tf_idf": q_tf_idf,
     "quality_features": q_quality_features,
-    "language_score": q_language_score,
+    "resample_events": q_resample_events,
     "curation_pipeline": q_curation_pipeline,
     "jaccard_pairs": q_jaccard_pairs,
     "dedup_components": q_dedup_components,
@@ -2530,7 +2590,7 @@ ORACLES: dict[str, str] = {
     "token_stats": SQL_TOKEN_STATS,
     "tf_idf": SQL_TF_IDF,
     "quality_features": SQL_QUALITY_FEATURES,
-    "language_score": SQL_LANGUAGE_SCORE,
+    "resample_events": SQL_RESAMPLE_EVENTS,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "simhash_md5": SQL_SIMHASH_MD5,
     "minhash_lsh_md5": SQL_MINHASH_LSH_MD5,
