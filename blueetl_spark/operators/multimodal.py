@@ -113,6 +113,65 @@ def sample_audio_frames(
     )
 
 
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("timestamp_s", T.DoubleType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_video_frames(
+    media: DataFrame,
+    n_frames: int = 4,
+    decode: Callable[[bytes, int], list[tuple[float, bytes]]] | None = None,
+) -> DataFrame:
+    """Sample ``n_frames`` frames per video payload (UDTF-style: one
+    output row per frame, carrying the frame bytes + its timestamp).
+
+    ``decode(payload, n)`` must return ``[(timestamp_s, frame_bytes)]`` —
+    a real deployment passes a PyAV/ffmpeg-backed callable; the default
+    deterministic fake derives stable frames from the payload so the
+    plumbing (schema, per-frame fan-out, binary column handling, batch
+    iteration) is exercised end-to-end without codecs in the container.
+
+    Scale notes: frames stay ``binary`` and are emitted row-per-frame so
+    downstream feature extraction parallelizes past the per-video grain;
+    the input payload is dropped in the same pass (a 100 GB/hour video
+    column must never ride a shuffle), and Arrow batch memory stays
+    bounded by ``maxRecordsPerBatch`` × frame size.
+    """
+
+    def fake_decode(payload: bytes, n: int) -> list[tuple[float, bytes]]:
+        digest = hashlib.blake2b(payload, digest_size=16).digest()
+        dur = 1.0 + digest[0] / 8.0  # fake duration, 1-33 s
+        return [
+            (
+                round(i * dur / n, 6),
+                hashlib.blake2b(payload + bytes([i]), digest_size=32).digest(),
+            )
+            for i in range(n)
+        ]
+
+    dec = decode or fake_decode
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i, (ts, frame) in enumerate(dec(payload, n_frames)):
+                    rows.append((int(mid), i, float(ts), frame))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_index", "timestamp_s", "frame"]
+            )
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        op, VIDEO_FRAMES_SCHEMA
+    )
+
+
 def resize_images(
     media: DataFrame,
     width: int,
