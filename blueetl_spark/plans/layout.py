@@ -192,6 +192,71 @@ def zorder_write(
     )
 
 
+def compact(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 256 << 20,
+    zorder_cols: list[str] | None = None,
+    mode: str = "linear",
+) -> dict:
+    """Rewrite a parquet directory into files near ``target_file_bytes``.
+
+    Small-file sprawl is the chronic failure mode of incremental writes
+    (every micro-batch / task / cell adds shards): listing cost grows
+    linearly with file count, row-group stats fragment, and scan tasks
+    go sub-MB. Compaction is the standing repair: one pass that sizes
+    output files from the measured input bytes. With ``zorder_cols`` the
+    rewrite also re-clusters along the Z-curve (compaction is the
+    natural moment to fix layout — the data is being rewritten anyway).
+
+    ``out_path`` must differ from ``path``: Spark cannot overwrite a
+    directory it is reading, and the swap-into-place step belongs to the
+    table format / catalog layer (Delta/Iceberg do it transactionally).
+
+    Returns {"in_files", "in_bytes", "out_files"}.
+    """
+    if out_path == path:
+        raise ValueError(
+            "compact cannot rewrite in place — Spark would overwrite its "
+            "own input mid-scan; write to out_path and swap at the "
+            "catalog/table-format layer"
+        )
+    jvm = spark._jvm
+
+    def data_files(p: str) -> tuple[int, int]:
+        """(count, bytes) of data files (markers like _SUCCESS excluded),
+        recursing into partition directories."""
+        hpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        it = fs.listFiles(hpath, True)
+        n = b = 0
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            n += 1
+            b += st.getLen()
+        return n, b
+
+    in_files, in_bytes = data_files(path)
+    n_files = max(1, int(in_bytes // target_file_bytes) + (
+        1 if in_bytes % target_file_bytes else 0
+    ))
+    df = spark.read.parquet(path)
+    if zorder_cols:
+        zorder_write(df, out_path, zorder_cols, n_files=n_files, mode=mode)
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    out_files, _ = data_files(out_path)
+    return {
+        "in_files": in_files,
+        "in_bytes": in_bytes,
+        "out_files": out_files,
+    }
+
+
 def file_bounds(df_reader, path: str, cols: list[str]) -> DataFrame:
     """Per-file min-max of ``cols`` for a parquet directory — the layout
     quality metric (how tight each file's bounding box is). Used by the

@@ -122,3 +122,35 @@ def test_constant_column_degrades_gracefully(spark, tmp_path):
     path = str(tmp_path / "const")
     layout.zorder_write(df, path, ["c", "v"], n_files=4)
     assert spark.read.parquet(path).count() == 100
+
+
+def test_compact_small_files(spark, tmp_path):
+    src = str(tmp_path / "shards")
+    out = str(tmp_path / "compacted")
+    # 64 tiny files
+    spark.range(10_000).select(
+        F.col("id").alias("x"), (F.col("id") % 7).alias("y")
+    ).repartition(64).write.parquet(src)
+    info = layout.compact(spark, src, out, target_file_bytes=1 << 30)
+    assert info["in_files"] == 64
+    assert info["out_files"] == 1  # everything fits one target-size file
+    assert spark.read.parquet(out).count() == 10_000
+
+
+def test_compact_rejects_in_place(spark, tmp_path):
+    src = str(tmp_path / "inplace")
+    spark.range(10).write.parquet(src)
+    with pytest.raises(ValueError, match="in place"):
+        layout.compact(spark, src, src)
+
+
+def test_compact_with_zorder(spark, tmp_path, grid):
+    src = str(tmp_path / "zsrc")
+    out = str(tmp_path / "zout")
+    grid.repartition(32).write.parquet(src)
+    layout.compact(spark, src, out, target_file_bytes=50_000, zorder_cols=["x", "y"])
+    bounds = layout.file_bounds(spark.read, out, ["x", "y"])
+    n = bounds.count()
+    assert n >= 4  # multiple target-size files
+    assert _hit_fraction(bounds, "x", 0, 15) <= 0.6
+    assert _hit_fraction(bounds, "y", 0, 15) <= 0.6
