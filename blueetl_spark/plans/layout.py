@@ -41,25 +41,35 @@ from pyspark.sql import functions as F
 MAX_KEY_BITS = 63  # signed-long key; conv(..., 2, -10) semantics
 
 
-_NUMERIC_PREFIXES = (
-    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
-    "date", "timestamp",
-)
+_NUMERIC_TYPES = ("tinyint", "smallint", "int", "bigint", "float", "double")
 
 QUANTILE_MAX_BITS = 12  # boundary list is driver-side: 2^bits doubles
 
 
-def _check_numeric(df: DataFrame, cols: list[str]) -> None:
+def _numeric_exprs(df: DataFrame, cols: list[str]) -> list[Column]:
+    """Order-preserving double expression per column; temporal columns are
+    converted (date → day number, timestamp → epoch micros) rather than
+    cast — DATE/TIMESTAMP cannot cast to DOUBLE and approxQuantile
+    rejects them. Anything else fails loudly: a silent cast-to-NULL would
+    quietly disable pruning on that dimension."""
     types = dict(df.dtypes)
+    out = []
     for c in cols:
         if c not in types:
             raise ValueError(f"unknown column {c!r}")
-        if not types[c].startswith(_NUMERIC_PREFIXES):
+        t = types[c]
+        if t in _NUMERIC_TYPES or t.startswith("decimal"):
+            out.append(F.col(c).cast("double"))
+        elif t == "date":
+            out.append(F.unix_date(F.col(c)).cast("double"))
+        elif t.startswith("timestamp"):
+            out.append(F.unix_micros(F.col(c).cast("timestamp")).cast("double"))
+        else:
             raise ValueError(
-                f"zorder column {c!r} has type {types[c]} — the rank map "
-                f"needs a numeric/temporal column (a silent cast-to-NULL "
-                f"would quietly disable pruning on this dimension)"
+                f"zorder column {c!r} has type {t} — the rank map needs a "
+                f"numeric or temporal column"
             )
+    return out
 
 
 def _rank_columns(
@@ -77,16 +87,17 @@ def _rank_columns(
     call) — per-column driver actions would re-scan a 100 TB input once
     per clustered dimension.
     """
-    _check_numeric(df, cols)
+    exprs = _numeric_exprs(df, cols)
     if mode == "quantile":
         n_buckets = 1 << bits
         probs = [i / n_buckets for i in range(1, n_buckets)]
-        all_cuts = df.stat.approxQuantile(
-            cols, probs, 0.25 / n_buckets
-        )  # one job for every column
+        proj_names = [f"__zq{i}" for i in range(len(cols))]
+        all_cuts = df.select(
+            *[e.alias(n) for e, n in zip(exprs, proj_names)]
+        ).stat.approxQuantile(proj_names, probs, 0.25 / n_buckets)
+        # still one job for every column (multi-column sketch)
         ranks = []
-        for c, cuts in zip(cols, all_cuts):
-            col = F.col(c).cast("double")
+        for e, cuts in zip(exprs, all_cuts):
             # strictly increasing boundaries; duplicates (heavy hitters)
             # merge. Rescale to fill the full bit width — merged
             # boundaries would otherwise leave the high bits constantly 0
@@ -98,19 +109,18 @@ def _rank_columns(
                 continue
             arr = F.array(*[F.lit(float(x)) for x in uniq])
             scale = (1 << bits) // (len(uniq) + 1)
-            rank = F.size(F.filter(arr, lambda b: b <= col)).cast("long")
+            rank = F.size(F.filter(arr, lambda b: b <= e)).cast("long")
             ranks.append(rank * F.lit(max(scale, 1)).cast("long"))
         return ranks
     if mode != "linear":
         raise ValueError(f"unknown rank mode {mode!r}")
     aggs = []
-    for c in cols:
-        col = F.col(c).cast("double")
-        aggs += [F.min(col), F.max(col)]
+    for e in exprs:
+        aggs += [F.min(e), F.max(e)]
     stats = df.agg(*aggs).first()  # one job for every column
     top = (1 << bits) - 1
     ranks = []
-    for i, c in enumerate(cols):
+    for i, e in enumerate(exprs):
         lo, hi = stats[2 * i], stats[2 * i + 1]
         if lo is None or hi is None or hi == lo:
             ranks.append(F.lit(0).cast("long"))
@@ -119,9 +129,7 @@ def _rank_columns(
         ranks.append(
             F.least(
                 F.lit(top).cast("long"),
-                F.floor(
-                    (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * (top + 1)
-                ),
+                F.floor((e - F.lit(lo)) / F.lit(span) * (top + 1)),
             ).cast("long")
         )
     return ranks
@@ -135,7 +143,7 @@ def zorder_key(
     ``bits`` is the per-column rank width; default spends the whole
     63-bit budget evenly (2 cols → 31 bits each, 3 → 21, 4 → 15), capped
     at 12 in quantile mode (boundary list is driver-side).
-    ``mode`` picks the rank map per column — see :func:`_to_rank`.
+    ``mode`` picks the rank map per column — see :func:`_rank_columns`.
     """
     if not 2 <= len(cols) <= 6:
         raise ValueError("zorder_key interleaves 2-6 columns")
@@ -216,13 +224,23 @@ def compact(
 
     Returns {"in_files", "in_bytes", "out_files"}.
     """
-    if out_path == path:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def qualified(p: str):
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hp.getFileSystem(conf)
+        return fs.makeQualified(hp)
+
+    # compare FILESYSTEM-qualified paths, not strings: 'dir' vs 'dir/'
+    # vs 'file:/abs/dir' all name the same directory, and an in-place
+    # overwrite DELETES THE INPUT before the rewrite commits
+    if str(qualified(out_path)) == str(qualified(path)):
         raise ValueError(
             "compact cannot rewrite in place — Spark would overwrite its "
             "own input mid-scan; write to out_path and swap at the "
             "catalog/table-format layer"
         )
-    jvm = spark._jvm
 
     def data_files(p: str) -> tuple[int, int]:
         """(count, bytes) of data files (markers like _SUCCESS excluded),

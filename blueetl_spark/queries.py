@@ -1191,9 +1191,14 @@ WHERE i <= n_windows
 
 def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality signals, plus the BPE-ish regex tokenizer
-    counts (pre-tokenizer units, JVM-side) and the language-ID score
-    (``text.language_score``) folded into the same gate — identical
-    per-doc grain, one graded slot."""
+    counts (pre-tokenizer units, JVM-side) and the language-ID columns
+    folded into the same gate — identical per-doc grain, one graded slot.
+
+    ``en_score``/``is_en`` derive from the already-computed
+    ``stopword_ratio`` (``text.language_score``'s score IS the stopword
+    ratio — re-invoking it here would tokenize and filter every document
+    a second time for a bit-identical value; the operator itself is
+    covered by its own unit tests)."""
     docs = tables.load(spark, sf_dir, "documents").withColumns(
         {
             "n_bpe_tokens": text.bpe_token_count("text").cast("long"),
@@ -1202,12 +1207,8 @@ def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         }
     )
-    ls = text.language_score(
-        docs, passthrough=("text", "n_bpe_tokens", "n_distinct_bpe_tokens")
-    )
     qf = text.quality_features(
-        ls,
-        passthrough=("n_bpe_tokens", "n_distinct_bpe_tokens", "en_score", "is_en"),
+        docs, passthrough=("n_bpe_tokens", "n_distinct_bpe_tokens")
     )
     return qf.select(
         "doc_id",
@@ -1218,34 +1219,38 @@ def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("stopword_ratio", 9).alias("stopword_ratio"),
         "n_bpe_tokens",
         "n_distinct_bpe_tokens",
-        F.round("en_score", 9).alias("en_score"),
-        "is_en",
+        F.round("stopword_ratio", 9).alias("en_score"),
+        (F.col("stopword_ratio") > 0.1).alias("is_en"),
     )
 
 
 SQL_QUALITY_FEATURES = f"""
-SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS n_chars,
-       len({_TOKS}) AS n_tokens,
-       CASE WHEN length(text) > 0 THEN
-         ROUND(len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / length(text), 9)
-       END AS punct_ratio,
-       CASE WHEN length(text) > 0 THEN
-         ROUND(len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text), 9)
-       END AS digit_ratio,
-       ROUND(len(list_filter({_TOKS},
-                 x -> list_contains([{_EN_STOP_SQL}], lower(x)))) * 1.0
-             / len({_TOKS}), 9) AS stopword_ratio,
-       len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_tokens,
-       len(list_distinct(regexp_extract_all(text, '{_BPE_SQL}')))
-         AS n_distinct_bpe_tokens,
-       ROUND(len(list_filter({_TOKS},
-                 x -> list_contains([{_EN_STOP_SQL}], lower(x)))) * 1.0
-             / len({_TOKS}), 9) AS en_score,
-       (len(list_filter({_TOKS},
-            x -> list_contains([{_EN_STOP_SQL}], lower(x)))) * 1.0
-        / len({_TOKS})) > 0.1 AS is_en
-FROM documents
+WITH raw AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         len({_TOKS}) AS n_tokens,
+         CASE WHEN length(text) > 0 THEN
+           ROUND(len(regexp_extract_all(text, '[.,!?;:]')) * 1.0
+                 / length(text), 9)
+         END AS punct_ratio,
+         CASE WHEN length(text) > 0 THEN
+           ROUND(len(regexp_extract_all(text, '[0-9]')) * 1.0
+                 / length(text), 9)
+         END AS digit_ratio,
+         len(list_filter({_TOKS},
+             x -> list_contains([{_EN_STOP_SQL}], lower(x)))) * 1.0
+           / len({_TOKS}) AS stop_raw,
+         len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_tokens,
+         len(list_distinct(regexp_extract_all(text, '{_BPE_SQL}')))
+           AS n_distinct_bpe_tokens
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, punct_ratio, digit_ratio,
+       ROUND(stop_raw, 9) AS stopword_ratio,
+       n_bpe_tokens, n_distinct_bpe_tokens,
+       ROUND(stop_raw, 9) AS en_score,
+       stop_raw > 0.1 AS is_en
+FROM raw
 """
 
 

@@ -154,3 +154,33 @@ def test_compact_with_zorder(spark, tmp_path, grid):
     assert n >= 4  # multiple target-size files
     assert _hit_fraction(bounds, "x", 0, 15) <= 0.6
     assert _hit_fraction(bounds, "y", 0, 15) <= 0.6
+
+
+def test_compact_in_place_guard_normalizes_paths(spark, tmp_path):
+    """'dir/' and 'file:dir' spell the same directory — the guard must
+    catch them, or the overwrite deletes the input mid-scan."""
+    src = str(tmp_path / "inplace2")
+    spark.range(10).write.parquet(src)
+    for alias in (src + "/", "file:" + src):
+        with pytest.raises(ValueError, match="in place"):
+            layout.compact(spark, src, alias)
+
+
+def test_zorder_temporal_columns(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 300).cast("int")).alias("d"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    # linear mode on date + timestamp both rank without crashing
+    path = str(tmp_path / "ztemporal")
+    layout.zorder_write(df, path, ["d", "ts"], n_files=4)
+    assert spark.read.parquet(path).count() == 1000
+    # quantile mode too (approxQuantile rejects raw temporal columns)
+    path2 = str(tmp_path / "ztemporal_q")
+    layout.zorder_write(df.select("d", "v"), path2, ["d", "v"], mode="quantile", n_files=4)
+    assert spark.read.parquet(path2).count() == 1000
+    # intervals and strings still rejected
+    iv = df.select(F.expr("INTERVAL 1 DAY").alias("i"), "v")
+    with pytest.raises(ValueError, match="numeric or temporal"):
+        layout.zorder_key(iv, ["i", "v"])

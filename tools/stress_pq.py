@@ -58,7 +58,7 @@ codes = pq.pq_encode(corpus, cbs, drop_vec=True).cache()
 codes.count()
 print(f"pq_encode {N} vectors: {time.time() - t0:.1f}s")
 
-queries = corpus.filter(F.col("vec_id") % (N // 100) == 0).cache()
+queries = corpus.filter(F.col("vec_id") % max(1, N // 100) == 0).cache()
 nq = queries.count()
 t0 = time.time()
 rows = pq.adc_search(queries, codes, cbs, k=5).count()
