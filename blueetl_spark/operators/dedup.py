@@ -21,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from blueetl_spark.operators.text import fingerprint, shingles
+from blueetl_spark.operators.text import (
+    fingerprint,
+    shingles,
+    winnowing_fingerprints,
+)
 
 
 def dedup_exact(
@@ -544,3 +548,57 @@ def keep_canonical(
         F.col("id").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def shared_passage_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Substring-level duplicate candidates: (id_a, id_b, n_shared) pairs
+    of documents sharing ≥ ``min_shared`` winnowing fingerprints.
+
+    Whole-document MinHash/SimHash miss *copied passages* — boilerplate,
+    licenses, quoted paragraphs — whenever the surrounding text keeps
+    overall Jaccard low. Winnowing guarantees any shared run of
+    ≥ ``w + n − 1`` tokens yields a shared fingerprint
+    (:func:`text.winnowing_fingerprints`), so fingerprint co-occurrence
+    is exactly a shared-passage signal; pair it with the LSH family for
+    full-coverage dedup.
+
+    Scale shape: fingerprints explode once, pairs come from one
+    equi-join on the 8-byte fingerprint, and the count aggregates
+    map-side. The quadratic hazard is a fingerprint present in VERY many
+    documents (site boilerplate: k docs → k²/2 pairs); ``max_doc_freq``
+    prunes those posting lists before the join — the standard stop-list
+    move, and the dropped fingerprints are precisely the ones carrying
+    no dedup information (they'd pair everything with everything).
+    """
+    fps = df.select(
+        F.col(id_col),
+        F.explode(
+            winnowing_fingerprints(text_col, n=n, w=w, hash_fn=hash_fn)
+        ).alias("__fp"),
+    )
+    if max_doc_freq is not None:
+        hot = (
+            fps.groupBy("__fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("__fp")
+        )
+        fps = fps.join(hot, "__fp", "left_anti")
+    a = fps.select(F.col(id_col).alias("id_a"), "__fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "__fp")
+    return (
+        a.join(b, "__fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -179,3 +179,38 @@ def test_shingle_sets_multi_row_docs(spark):
     pairs = [(r.doc_id, r.shingle) for r in rows]
     assert len(pairs) == len(set(pairs))
     assert sum(1 for d, _ in pairs if d == 1) == 2  # 'a b c', 'b c d' once each
+
+
+def test_shared_passage_pairs_detects_copied_passage(spark):
+    """Two long documents differing everywhere except one copied passage:
+    whole-doc Jaccard is low, but the winnowing co-occurrence finds the
+    pair; an unrelated doc pairs with nobody."""
+    from blueetl_spark.operators.dedup import jaccard_pairs, shared_passage_pairs
+
+    passage = "the quick brown fox jumps over the lazy dog every single day"
+    a = "alpha beta gamma delta " * 12 + passage
+    b = "one two three four five six " * 12 + passage
+    c = "completely unrelated filler words repeated again and again " * 14
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    pairs = shared_passage_pairs(docs, n=5, w=4, min_shared=1).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].n_shared >= 1
+    # the whole-doc jaccard at a typical threshold misses this pair
+    jac = jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    assert jac == []
+
+
+def test_shared_passage_pairs_max_doc_freq_prunes_boilerplate(spark):
+    """A boilerplate passage present in EVERY doc pairs everything with
+    everything; the doc-frequency cap removes exactly that signal."""
+    from blueetl_spark.operators.dedup import shared_passage_pairs
+
+    boiler = "standard legal footer applies to all documents in this corpus"
+    rows = [(i, f"unique content {i} " * 10 + boiler) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    dense = shared_passage_pairs(docs, n=5, w=4, min_shared=1)
+    assert dense.count() == 15  # all 6-choose-2 pairs
+    pruned = shared_passage_pairs(docs, n=5, w=4, min_shared=1, max_doc_freq=3)
+    assert pruned.count() == 0
