@@ -99,12 +99,12 @@ def train_pq_codebooks(
     codebooks, every time.
     """
     sample = (
-        corpus.select(id_col, vec_col)
+        corpus.select(vec_col)
         .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
         .limit(sample_size)
-        .collect()
+        .toPandas()  # Arrow transfer: ~10× faster than Row-object collect
     )
-    v = np.asarray([list(map(float, r[vec_col])) for r in sample])
+    v = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     return _train_codebooks_np(v, n_subspaces, n_codes, max_iter)
 
 
@@ -118,26 +118,44 @@ def _train_codebooks_np(
     out = []
     for m in range(n_subspaces):
         sub = v[:, m * dsub : (m + 1) * dsub]
-        uniq = np.unique(sub, axis=0)
-        k = min(n_codes, len(uniq))
         # greedy farthest-point (maximin) init: spreads seeds across the
         # sample's support — first-k init collapses multiple true modes
-        # onto one code whenever the first rows cluster together
+        # onto one code whenever the first rows cluster together.
+        # Duplicate sample rows need no explicit dedup (np.unique(axis=0)
+        # row-sorts the whole sample — measured as the dominant training
+        # cost): a duplicate sits at distance 0 from its chosen twin and
+        # maximin never picks it; if the sample runs out of distinct
+        # points the max-distance hits 0 and we stop with fewer codes.
         chosen = [0]
-        d_near = ((uniq - uniq[0]) ** 2).sum(axis=1)
-        while len(chosen) < k:
+        d_near = ((sub - sub[0]) ** 2).sum(axis=1)
+        while len(chosen) < n_codes:
             nxt = int(np.argmax(d_near))  # argmax-first = smallest index tie-break
+            if d_near[nxt] == 0.0:
+                break  # fewer distinct points than requested codes
             chosen.append(nxt)
-            d_near = np.minimum(d_near, ((uniq - uniq[nxt]) ** 2).sum(axis=1))
-        cb = uniq[chosen].copy()
+            d_near = np.minimum(d_near, ((sub - sub[nxt]) ** 2).sum(axis=1))
+        cb = sub[chosen].copy()
+        k = len(cb)
+        # preallocate the n×k distance buffer: a fresh 100+ MB allocation
+        # per iteration is first-touch page-fault bound (the same
+        # pathology assign_cells documents) and dominated training time
+        d = np.empty((len(sub), k))
         for _ in range(max_iter):
-            d = -2.0 * (sub @ cb.T) + (cb**2).sum(axis=1)[None, :]
+            np.matmul(sub, cb.T, out=d)
+            d *= -2.0
+            d += (cb**2).sum(axis=1)[None, :]
             assign = np.argmin(d, axis=1)
-            # vectorized per-code means (a python loop of k boolean masks
-            # costs O(k * n) per iteration and dominated training time)
-            sums = np.zeros((k, sub.shape[1]))
-            np.add.at(sums, assign, sub)
+            # vectorized per-code means: per-dimension bincount beats both
+            # a python loop of k boolean masks and np.add.at's unbuffered
+            # scatter
             counts = np.bincount(assign, minlength=k)
+            sums = np.stack(
+                [
+                    np.bincount(assign, weights=sub[:, j], minlength=k)
+                    for j in range(sub.shape[1])
+                ],
+                axis=1,
+            )
             new = np.where(
                 counts[:, None] > 0,
                 sums / np.maximum(counts, 1)[:, None],
