@@ -29,18 +29,54 @@ Design:
 from __future__ import annotations
 
 import json
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
 def _row_check(id_col: str, payload_cols: list[str]):
-    """Per-row 64-bit digest: id + every payload column (nulls tagged)."""
-    cols = [F.col(id_col).cast("string")] + [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in payload_cols
-    ]
+    """Per-row 64-bit digest: id + every payload column.
+
+    Nulls are disambiguated by hashing an explicit is-null flag per
+    column alongside the value — a coalesce-to-sentinel scheme would make
+    NULL and the literal sentinel string hash identically, hiding exactly
+    the NULL-corruption class the checksum exists to catch."""
+    cols = [F.col(id_col).cast("string")]
+    for c in payload_cols:
+        cols.append(F.col(c).isNull().cast("string"))
+        cols.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
     return F.xxhash64(*cols)
+
+
+def _fs_path(spark: SparkSession, path: str):
+    """(FileSystem, Path) through Hadoop — manifest I/O must go through
+    the same filesystem layer as the data write, or any non-local target
+    (s3a://, hdfs://) dies AFTER the expensive parquet write when local
+    pathlib can't resolve the URI."""
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    return hp.getFileSystem(spark._jsc.hadoopConfiguration()), hp
+
+
+def _write_text(spark: SparkSession, dir_path: str, name: str, text: str) -> None:
+    fs, hp = _fs_path(spark, dir_path)
+    out = fs.create(spark._jvm.org.apache.hadoop.fs.Path(hp, name), True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark: SparkSession, dir_path: str, name: str) -> str:
+    fs, hp = _fs_path(spark, dir_path)
+    inp = fs.open(spark._jvm.org.apache.hadoop.fs.Path(hp, name))
+    try:
+        # read JVM-side: a java read(byte[]) fills the JAVA copy of the
+        # buffer — py4j passes arrays by value, so a python-side loop
+        # silently reads nothing
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(inp, "UTF-8")
+    finally:
+        inp.close()
 
 
 def export_corpus(
@@ -58,6 +94,13 @@ def export_corpus(
     per-row digest — include exactly the columns the consumer reads, so
     the checksum certifies what training will actually see.
     """
+    if "shard" in df.columns:
+        raise ValueError(
+            "export_corpus writes its own 'shard' partition column; the "
+            "input already has one — rename it first (silently clobbering "
+            "it would corrupt the corpus while the manifest certifies the "
+            "corrupted values)"
+        )
     payload_cols = (
         [c for c in df.columns if c != id_col]
         if payload_cols is None
@@ -73,7 +116,7 @@ def export_corpus(
     manifest = _summarize(
         df.sparkSession, path, n_shards, id_col, token_count_col, payload_cols
     )
-    (Path(path) / "_manifest.json").write_text(json.dumps(manifest, indent=2))
+    _write_text(df.sparkSession, path, "_manifest.json", json.dumps(manifest, indent=2))
     return manifest
 
 
@@ -101,10 +144,10 @@ def _summarize(
         int(r["shard"]): {k: r[k] for k in r.asDict() if k != "shard"}
         for r in df.groupBy("shard").agg(*aggs).collect()
     }
-    shards = [
-        per_shard.get(i, {"rows": 0, "checksum": "0"})
-        for i in range(n_shards)
-    ]
+    empty = {"rows": 0, "checksum": "0"}
+    if token_count_col:
+        empty["tokens"] = 0  # keep shard entries un-ragged for consumers
+    shards = [per_shard.get(i, dict(empty)) for i in range(n_shards)]
     total = {
         "rows": sum(s["rows"] for s in shards),
         "checksum": str(sum(int(s["checksum"] or 0) for s in shards)),
@@ -124,7 +167,7 @@ def _summarize(
 def verify_export(spark: SparkSession, path: str) -> dict:
     """Recompute the manifest from the written files and diff against the
     stored one. Returns {"ok": bool, "mismatches": [shard indices]}."""
-    stored = json.loads((Path(path) / "_manifest.json").read_text())
+    stored = json.loads(_read_text(spark, path, "_manifest.json"))
     # a verifier must see the files as they are NOW — Spark caches
     # directory listings per path and would otherwise re-read (or fail
     # on) the export-time file set

@@ -36,6 +36,13 @@ def read_jsonl(
     preserved verbatim for inspection or re-processing. One scan feeds
     both (the split is a filter on the corrupt column, not a re-read).
     """
+    if multiline:
+        # multi-line JSON documents can't be split into text lines, and
+        # the text+from_json quarantine below is line-based
+        raise NotImplementedError(
+            "multiline JSON quarantine is not supported; convert to "
+            "line-delimited JSONL upstream"
+        )
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     if CORRUPT_COL in schema.fieldNames():
@@ -45,14 +52,6 @@ def read_jsonl(
     read_schema = T.StructType(
         [*schema.fields, T.StructField(CORRUPT_COL, T.StringType(), True)]
     )
-    if multiline:
-        # multi-line JSON can't be split into text lines; fall back to the
-        # JSON source (whose corrupt-column-only restriction we avoid by
-        # keeping real columns in both branches' plans via the raw file)
-        raise NotImplementedError(
-            "multiline JSON quarantine is not supported; convert to "
-            "line-delimited JSONL upstream"
-        )
     # Read as TEXT + from_json rather than the JSON source: Spark forbids
     # queries that touch only the corrupt-record column of a JSON source
     # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) and the
@@ -73,12 +72,26 @@ def read_jsonl(
         *[F.col(f"__p.{f}").alias(f) for f in schema.fieldNames()]
     )
     quarantine = parsed.filter(bad_mark).select(F.col("value").alias("raw_line"))
+    # handle for single-scan statistics (quarantine_rate) — same contract
+    # as jaccard_pairs._shingles
+    good._jsonl_parsed = parsed.select(bad_mark.alias("__bad"))
     return good, quarantine
 
 
 def quarantine_rate(good: DataFrame, quarantine: DataFrame) -> float:
-    """Fraction of input lines quarantined (one job over both counts) —
-    the go/no-go number for an ingest run."""
+    """Fraction of input lines quarantined — the go/no-go number for an
+    ingest run.
+
+    For frames returned by :func:`read_jsonl` this is ONE scan of the
+    source (one aggregate over the shared parse); arbitrary frames fall
+    back to two counts."""
+    parsed = getattr(good, "_jsonl_parsed", None)
+    if parsed is not None:
+        row = parsed.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__bad").cast("long")).alias("bad"),
+        ).first()
+        return (row["bad"] or 0) / row["n"] if row["n"] else 0.0
     n_bad = quarantine.count()
     n_good = good.count()
     total = n_bad + n_good

@@ -78,3 +78,28 @@ def test_verify_detects_tampering(corpus, spark, tmp_path):
     result = export.verify_export(spark, path)
     assert result["ok"] is False
     assert result["mismatches"] == [0]
+
+
+def test_export_rejects_existing_shard_column(corpus, spark, tmp_path):
+    with_shard = corpus.withColumnRenamed("n_tokens", "shard")
+    with pytest.raises(ValueError, match="shard"):
+        export.export_corpus(with_shard, str(tmp_path / "x"), n_shards=4)
+
+
+def test_manifest_empty_shards_not_ragged(spark, tmp_path):
+    """With a token column, empty shards still carry tokens: 0 so
+    consumers can sum without KeyError."""
+    one = spark.createDataFrame([(1, "a", 3)], "doc_id long, text string, n_tokens long")
+    m = export.export_corpus(
+        one, str(tmp_path / "sparse"), n_shards=8, token_count_col="n_tokens"
+    )
+    assert all("tokens" in s for s in m["shards"])
+    assert m["total"]["tokens"] == 3
+
+
+def test_checksum_distinguishes_null_from_sentinel(spark, tmp_path):
+    a = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    b = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    ma = export.export_corpus(a, str(tmp_path / "null"), n_shards=1)
+    mb = export.export_corpus(b, str(tmp_path / "empty"), n_shards=1)
+    assert ma["total"]["checksum"] != mb["total"]["checksum"]
