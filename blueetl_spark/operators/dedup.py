@@ -557,7 +557,7 @@ def shared_passage_pairs(
     n: int = 5,
     w: int = 4,
     min_shared: int = 2,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 256,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Substring-level duplicate candidates: (id_a, id_b, n_shared) pairs
@@ -577,7 +577,9 @@ def shared_passage_pairs(
     documents (site boilerplate: k docs → k²/2 pairs); ``max_doc_freq``
     prunes those posting lists before the join — the standard stop-list
     move, and the dropped fingerprints are precisely the ones carrying
-    no dedup information (they'd pair everything with everything).
+    no dedup information (they'd pair everything with everything). The
+    default (256 → ≤32k pairs per fingerprint) keeps a naive invocation
+    safe at corpus scale; pass ``None`` explicitly to disable pruning.
     """
     fps = df.select(
         F.col(id_col),

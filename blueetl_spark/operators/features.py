@@ -389,8 +389,74 @@ def register_feature(name: str) -> Callable[[FeatureFn], FeatureFn]:
     return deco
 
 
+def _register_module_by_value(module) -> None:
+    """Make functions from a user feature module picklable BY VALUE.
+
+    cloudpickle serializes importable functions by reference
+    (module + name), so a feature module that exists on the driver but
+    not on the executors (the normal cluster case for analysis configs)
+    would die with ModuleNotFoundError inside ``applyInPandas``.
+    Registering the module for by-value pickling ships the function body
+    with the task instead. Skipped for stdlib / installed packages —
+    those ARE importable on executors, and by-reference is cheaper.
+    """
+    import sys
+
+    name = (module.__name__ or "").partition(".")[0]
+    if name in sys.stdlib_module_names:
+        return
+    mod_file = getattr(module, "__file__", "") or ""
+    if "site-packages" in mod_file or "dist-packages" in mod_file:
+        return
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[module.__name__])
+    except Exception:  # best-effort: by-reference still works on local[*]
+        pass
+
+
 def get_feature(name: str) -> FeatureFn:
-    return _REGISTRY[name]
+    """Resolve a feature function by name.
+
+    Lookup order mirrors the reference's config contract: the explicit
+    registry first, then — for dotted names — an importlib-based
+    module-path import (the reference's ``import_by_string``,
+    ``/root/reference/src/blueetl/utils.py:146-156``), so a real v4 YAML
+    that names a function like ``mypkg.features.calculate_features_multi``
+    resolves without a ``register_feature`` call.
+    """
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        pass
+    if "." in name:
+        import importlib
+
+        module_name, _, attr = name.rpartition(".")
+        try:
+            module = importlib.import_module(module_name)
+        except ImportError as exc:
+            raise KeyError(
+                f"feature function {name!r} is not registered and its module "
+                f"{module_name!r} could not be imported: {exc}"
+            ) from exc
+        try:
+            fn = getattr(module, attr)
+        except AttributeError as exc:
+            raise KeyError(
+                f"feature function {name!r}: module {module_name!r} has no "
+                f"attribute {attr!r}"
+            ) from exc
+        if not callable(fn):
+            raise KeyError(f"feature function {name!r} resolved but is not callable")
+        _register_module_by_value(module)
+        _REGISTRY[name] = fn  # memoize so repeated configs skip the import
+        return fn
+    raise KeyError(
+        f"feature function {name!r} is not registered; use register_feature() "
+        "or a dotted module path"
+    )
 
 
 def apply_feature(

@@ -458,11 +458,16 @@ def build_ivf_index(
         .withColumn("cell", F.col("__cells")[0])
         .drop("__cells")
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        str(base / "assignments.parquet")
-    )
-    n = spark.read.parquet(str(base / "assignments.parquet")).count()
-    return {"n_centroids": len(cents), "n_vectors": n}
+    # Count rows via an Observation piggybacked on the write itself: zero
+    # extra scans (a post-write read.parquet(...).count() re-lists and
+    # re-reads every cell partition — it was the slowest part of the build).
+    from pyspark.sql import Observation
+
+    obs = Observation("ivf_build")
+    assigned.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(str(base / "assignments.parquet"))
+    return {"n_centroids": len(cents), "n_vectors": obs.get["n"]}
 
 
 def search_ivf_index(

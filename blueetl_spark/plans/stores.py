@@ -29,10 +29,32 @@ class BaseStore:
     """dump/load/checksum/delete for one directory of named tables."""
 
     EXT = ""
+    #: Row cap for stores that materialize through the driver (Feather/HDF).
+    #: Mirrors the ``max_broadcast_rows`` gate in ``operators/dedup.py``:
+    #: refuse with an actionable error instead of OOMing the driver when a
+    #: user points a big table at a small-table convenience format.
+    MAX_DRIVER_ROWS = 5_000_000
 
-    def __init__(self, base_path: str | Path) -> None:
+    def __init__(
+        self, base_path: str | Path, max_driver_rows: int | None = None
+    ) -> None:
         self.base_path = Path(base_path)
         self.base_path.mkdir(parents=True, exist_ok=True)
+        if max_driver_rows is not None:
+            self.MAX_DRIVER_ROWS = max_driver_rows
+
+    def _gate_driver_rows(self, df: DataFrame, name: str, kind: str) -> None:
+        """Cheap bounded probe: scan at most cap+1 rows (limit pushes into
+        the scan), never the full table, before a driver-side collect."""
+        cap = self.MAX_DRIVER_ROWS
+        if df.limit(cap + 1).count() > cap:
+            raise ValueError(
+                f"{kind} store collects table {name!r} through the driver, "
+                f"and it exceeds max_driver_rows={cap}. Use the 'parquet' "
+                "store (distributed) for tables this size, or pass "
+                "max_driver_rows explicitly if it genuinely fits in driver "
+                "memory."
+            )
 
     def path_for(self, name: str) -> Path:
         return self.base_path / f"{name}{self.EXT}"
@@ -106,6 +128,7 @@ class FeatherStore(BaseStore):
     def dump(self, df: DataFrame, name: str) -> None:
         import pyarrow.feather as feather
 
+        self._gate_driver_rows(df, name, "feather")
         table = df.toArrow()
         feather.write_feather(table, str(self.path_for(name)), compression="zstd")
 
@@ -149,6 +172,7 @@ class HDFStore(BaseStore):
     def dump(self, df: DataFrame, name: str) -> None:
         if not _have_pytables():
             raise NotImplementedError(self._MISSING)
+        self._gate_driver_rows(df, name, "hdf")
         df.toPandas().to_hdf(str(self.path_for(name)), key=name, mode="w")
 
     def load(self, spark: SparkSession, name: str) -> DataFrame:

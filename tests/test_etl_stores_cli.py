@@ -377,3 +377,18 @@ def test_campaign_real_xarray_interop():
     assert _FakeDataArray.last_from_dict["dims"] == ["ca", "seed"]
     # full round trip through the object layer
     assert SimulationCampaign.from_xarray(arr).data == c.data
+
+
+@pytest.mark.parametrize("kind", ["feather", "hdf"])
+def test_driver_store_size_gate_refuses_big_tables(spark, tmp_path, kind):
+    """Feather/HDF materialize through the driver; above max_driver_rows
+    they refuse with an error naming the parquet alternative instead of
+    OOMing (mirror of dedup.py's max_broadcast_rows gate)."""
+    if kind == "hdf" and not stores._have_pytables():
+        pytest.skip("pytables not installed; gate unreachable behind probe")
+    store = stores.STORES[kind](tmp_path / kind, max_driver_rows=10)
+    with pytest.raises(ValueError, match="parquet"):
+        store.dump(spark.range(11), "big")
+    # at exactly the cap it goes through
+    store.dump(spark.range(10), "ok")
+    assert store.load(spark, "ok").count() == 10

@@ -254,3 +254,44 @@ def test_by_neuron_class_and_trial_densifies_silent_trials(spark):
     # without the spine: silent trial omitted (legacy events-only shape)
     legacy = feat.by_neuron_class_and_trial(report, counts).toPandas()
     assert len(legacy) == 2
+
+
+def test_get_feature_dotted_path_fallback(spark, tmp_path, monkeypatch):
+    """A config naming a feature function by module path (the reference's
+    ``import_by_string``, utils.py:146-156) resolves without an explicit
+    register_feature call — and runs end-to-end through apply_feature."""
+    mod = tmp_path / "bnac_style_features.py"
+    mod.write_text(
+        "import pandas as pd\n"
+        "def count_rows(g, params):\n"
+        "    return pd.DataFrame({'n': [len(g) * params.get('k', 1)]})\n"
+        "NOT_CALLABLE = 42\n"
+    )
+    monkeypatch.syspath_prepend(str(tmp_path))
+
+    fn = feat.get_feature("bnac_style_features.count_rows")
+    assert callable(fn)
+    # memoized: second lookup hits the registry, same object
+    assert feat.get_feature("bnac_style_features.count_rows") is fn
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 3.0)], "g string, v double")
+    out = feat.apply_feature(
+        df, ["g"], "bnac_style_features.count_rows", "g string, n long",
+        params={"k": 10},
+    ).toPandas().set_index("g").n
+    assert out.loc["a"] == 20 and out.loc["b"] == 10
+
+
+def test_get_feature_dotted_path_errors(monkeypatch):
+    """Missing module / missing attribute / non-callable / non-dotted
+    unregistered names all raise KeyError with an actionable message."""
+    import pytest
+
+    with pytest.raises(KeyError, match="not registered"):
+        feat.get_feature("no_such_registered_name")
+    with pytest.raises(KeyError, match="could not be imported"):
+        feat.get_feature("definitely_no_such_module_xyz.fn")
+    with pytest.raises(KeyError, match="no attribute"):
+        feat.get_feature("operator.no_such_attr_xyz")
+    with pytest.raises(KeyError, match="not callable"):
+        feat.get_feature("math.pi")
