@@ -48,6 +48,112 @@ HEADLINE = [
 ]
 
 
+def run_stress(spark, n_events: int, n_docs: int) -> dict[str, float]:
+    """Stress tier: the operators whose scaling matters most, at ~200× the
+    sf0.1 event count (20M rows) / 200k docs, on synthetic range-generated
+    inputs (PLANS.md harness promoted into the standing bench so
+    superlinear regressions show up in vs_prev automatically).
+
+    Inputs are deterministic (xxhash64 of the row id), so timings compare
+    across rounds. Best-of-2 per op: this box shows sporadic 3x load
+    spikes (measured: the same isi_stats plan at 12 s and 46 s minutes
+    apart), and a single rep would raise false superlinear-regression
+    alarms in stress_vs_prev.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators import dedup, features
+    from blueetl_spark.operators.windows import slice_events
+
+    timings: dict[str, float] = {}
+
+    def clock(name, thunk):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            thunk()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        spark.catalog.clearCache()
+        print(f"# stress {name}: {timings[name]}s", file=sys.stderr)
+
+    # -- report-shaped events: 20M rows over 20k gids, times in [0, 100s) --
+    n_gids = 20_000
+    events = spark.range(n_events).select(
+        F.lit(0).cast("smallint").alias("simulation_id"),
+        F.lit(0).cast("smallint").alias("circuit_id"),
+        F.pmod(F.col("id"), F.lit(n_gids)).cast("long").alias("gid"),
+        (F.pmod(F.xxhash64("id"), F.lit(10_000_000)) / 100.0).alias("time"),
+        F.when(F.col("id") % 2 == 0, "EXC").otherwise("INH").alias("neuron_class"),
+    )
+    # 4 windows x 3 trials, 10s spans over the 100s range (~1.2x duplication)
+    windows = spark.createDataFrame(
+        [
+            (0, 0, f"w{i}", t, i * 25_000.0 + t * 1_000.0, 0.0, 10_000.0, 10_000.0)
+            for i in range(4)
+            for t in range(3)
+        ],
+        "simulation_id smallint, circuit_id smallint, window string, "
+        "trial smallint, offset double, t_start double, t_stop double, "
+        "duration double",
+    )
+    counts = spark.createDataFrame(
+        [(0, "EXC", n_gids // 2), (0, "INH", n_gids // 2)],
+        "circuit_id smallint, neuron_class string, count long",
+    )
+
+    tmp = tempfile.mkdtemp(prefix="blueetl_stress_")
+    report_path = f"{tmp}/report.parquet"
+    try:
+        clock(
+            "report_extract",
+            lambda: slice_events(events, windows)
+            .write.mode("overwrite")
+            .parquet(report_path),
+        )
+        report = spark.read.parquet(report_path)
+        clock(
+            "histogram",
+            lambda: features.histogram(report, windows, counts, bin_size=100.0)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+        clock(
+            "isi_stats",
+            lambda: features.isi_stats(report)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+        # -- synthetic corpus: n_docs x 60 tokens from a 5k vocabulary --
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(59)),
+                    lambda j: F.pmod(F.xxhash64(F.col("id") * 60 + j), F.lit(5_000)).cast(
+                        "string"
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        clock(
+            "minhash_lsh",
+            lambda: dedup.minhash_lsh_candidates(docs)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -56,7 +162,25 @@ def main() -> None:
     from blueetl_spark.queries import QUERIES
     from blueetl_spark.session import get_spark
 
+    n_events = int(os.environ.get("SPARK_GRAFT_STRESS_EVENTS", 20_000_000))
+    n_docs = int(os.environ.get("SPARK_GRAFT_STRESS_DOCS", 200_000))
     spark = get_spark(app_name="bench")
+
+    if "--tier=stress" in sys.argv:  # stress-only run for iterating
+        stress = run_stress(spark, n_events, n_docs)
+        print(
+            json.dumps(
+                {
+                    "metric": "stress_queries_total_wall",
+                    "value": round(sum(stress.values()), 3),
+                    "unit": "sec",
+                    "queries": stress,
+                    "rows": n_events,
+                }
+            )
+        )
+        spark.stop()
+        return
     # Warm-up: touch every input table once so JIT/classloading/file-listing
     # costs don't land on whichever query happens to run first.
     from blueetl_spark.sources import tables
@@ -86,6 +210,7 @@ def main() -> None:
         timings[name] = round(best, 3)
         spark.catalog.clearCache()
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
+    stress = run_stress(spark, n_events, n_docs)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
@@ -93,6 +218,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "stress": stress,
+        "stress_rows": n_events,
     }
     prev = _load_prev_round(os.path.dirname(os.path.abspath(__file__)), sf)
     if prev:
@@ -106,6 +233,15 @@ def main() -> None:
             (q for q, r in vs_prev.items() if r > 1.5), key=vs_prev.get, reverse=True
         )
         out["regressions"] = regressions
+    prev_stress = _load_prev_round(
+        os.path.dirname(os.path.abspath(__file__)), sf, key="stress"
+    )
+    if prev_stress:
+        out["stress_vs_prev"] = {
+            q: round(stress[q] / prev_stress[q], 2)
+            for q in stress
+            if prev_stress.get(q)
+        }
         for q in regressions:
             print(
                 f"# REGRESSION {q}: {prev[q]}s -> {timings[q]}s "
@@ -116,7 +252,9 @@ def main() -> None:
     spark.stop()
 
 
-def _load_prev_round(repo_dir: str, sf: float | None) -> dict[str, float] | None:
+def _load_prev_round(
+    repo_dir: str, sf: float | None, key: str = "queries"
+) -> dict[str, float] | None:
     """Per-query timings from the newest recorded BENCH_r*.json at the same
     SF, for the vs_prev regression map. Best-of-2 damps most box noise, but
     one-off ratios still happen — rerun before believing a regression."""
@@ -128,7 +266,7 @@ def _load_prev_round(repo_dir: str, sf: float | None) -> dict[str, float] | None
             parsed = rec.get("parsed") or {}
             if sf is not None and rec.get("sf") not in (None, sf):
                 continue
-            queries = parsed.get("queries")
+            queries = parsed.get(key)
             if queries:
                 return queries
         except (OSError, ValueError):
