@@ -8,13 +8,15 @@ Reads the public SONATA layouts (AllenInstitute/sonata spec):
 - spikes file: ``/spikes/<population>/{timestamps,node_ids}`` (current
   spec) or the legacy flat ``/spikes/{timestamps,gids}`` pair.
 
-Scale position: h5 is a single-file, driver-read format — there is no
-parallel scan, no pushdown, no column pruning across executors. This
-adapter is therefore an **ingest step**: read once on the driver (bounded
-by driver memory), then :meth:`SonataAdapter.to_parquet` writes the
-analysis-contract parquet that the distributed pipeline scans. For data
-that doesn't fit one driver, convert upstream (SONATA → parquet is an
-embarrassingly parallel per-population copy).
+Scale position: h5 is a single-file format with no native parallel scan,
+pushdown, or pruning. This adapter is therefore an **ingest step**:
+:meth:`SonataAdapter.to_parquet` writes the analysis-contract parquet
+that the distributed pipeline scans. Both tables have executor-side
+chunked readers (:meth:`events_distributed` / :meth:`nodes_distributed`
+— the driver opens the file for metadata only, workers range-read
+slices), so multi-TB stores never serialize through the driver; the
+plain :meth:`nodes`/:meth:`events` driver-side paths remain for
+environments without a shared filesystem.
 
 The h5 library is injectable (``h5=``): the default probes for ``h5py``
 and raises an actionable error when absent (this runtime image has no h5
@@ -241,14 +243,120 @@ class SonataAdapter(BaseAdapter):
         out = desc.mapInPandas(read_chunks, schema="gid long, time double")
         return out.withColumn("simulation_id", F.lit(0).cast("smallint"))
 
+    def nodes_distributed(
+        self,
+        chunk_rows: int = 4_000_000,
+        h5_open: Any = None,
+    ) -> DataFrame:
+        """Node attributes read on the **executors** — the node-table twin
+        of :meth:`events_distributed`, removing the last driver funnel on
+        the ingest path.
+
+        Driver opens the file once for metadata only: population, row
+        count, attribute names, and each attribute's dtype (probed from a
+        one-element slice, never the full dataset). Executors then
+        range-read ``[start, stop)`` slices of every attribute;
+        ``node_id`` is the implicit SONATA row index, so each chunk
+        regenerates it locally as ``arange(start, stop)``.
+
+        Same requirements as :meth:`events_distributed`: picklable
+        ``h5_open`` and a shared filesystem.
+        """
+        import numpy as np
+        import pandas as pd
+
+        if self.nodes_path is None or not self.nodes_path.exists():
+            raise AdapterError(f"missing nodes file {self.nodes_path}")
+        if h5_open is None:
+            h5_open = self.h5.File
+        path = str(self.nodes_path)
+        # driver: metadata-only probe (population, count, attrs + dtypes)
+        with h5_open(path, "r") as f:
+            if "nodes" not in f.keys():
+                raise AdapterError(f"{self.nodes_path}: no /nodes group")
+            root = f["nodes"]
+            pop = self._pick_population(root)
+            g = root[pop]
+            n = len(g["node_type_id"])
+            attrs: list[tuple[str, str]] = []  # (name, spark type)
+            if "0" in g.keys():
+                grp = g["0"]
+                for attr in grp.keys():
+                    if attr == "@library":  # enum indirection: not supported
+                        continue
+                    ds = grp[attr]
+                    if len(ds) != n:
+                        continue
+                    kind = np.asarray(ds[0:1]).dtype.kind
+                    spark_type = {
+                        "i": "long", "u": "long", "f": "double", "b": "boolean",
+                    }.get(kind, "string")
+                    attrs.append((attr, spark_type))
+        base = f"nodes/{pop}"
+        bounds = [
+            (s, min(s + chunk_rows, n)) for s in range(0, max(n, 1), chunk_rows)
+        ]
+        desc = self.spark.createDataFrame(
+            [(path, s, e) for s, e in bounds],
+            "path string, start long, stop long",
+        ).repartition(len(bounds))
+        schema = ", ".join(
+            ["node_id long"] + [f"`{a}` {t}" for a, t in attrs]
+        )
+
+        def read_chunks(batches):
+            for pdf in batches:
+                for r in pdf.itertuples():
+                    with h5_open(r.path, "r") as f:
+                        cols: dict[str, Any] = {
+                            "node_id": np.arange(r.start, r.stop, dtype="int64")
+                        }
+                        for attr, t in attrs:
+                            raw = _as_column(f[f"{base}/0/{attr}"][r.start:r.stop])
+                            if t == "long":
+                                raw = np_int64(raw)
+                            elif t == "double":
+                                raw = np_float64(raw)
+                            elif t == "string":
+                                raw = [None if v is None else str(v) for v in raw]
+                            cols[attr] = raw
+                        yield pd.DataFrame(cols)
+
+        out = desc.mapInPandas(read_chunks, schema=schema)
+        return out.withColumn("circuit_id", F.lit(0).cast("smallint"))
+
     # -- ingest ---------------------------------------------------------------
-    def to_parquet(self, out_dir: str | Path) -> dict[str, int]:
+    def to_parquet(
+        self,
+        out_dir: str | Path,
+        distributed: bool = False,
+        chunk_rows: int = 4_000_000,
+        h5_open: Any = None,
+    ) -> dict[str, int]:
         """One-time SONATA → parquet conversion into the analysis contract;
         returns row counts. The written directory is a valid
-        :class:`~blueetl_spark.adapters.parquet.ParquetAdapter` source."""
+        :class:`~blueetl_spark.adapters.parquet.ParquetAdapter` source.
+
+        ``distributed=True`` routes both tables through the executor-side
+        chunked readers (requires a picklable ``h5_open`` and a shared
+        filesystem); row counts ride on an Observation attached to each
+        write, so nothing is scanned twice.
+        """
+        from pyspark.sql import Observation
+
         out = Path(out_dir)
+        if distributed:
+            frames = (
+                ("nodes", self.nodes_distributed(chunk_rows, h5_open)),
+                ("events", self.events_distributed(chunk_rows, h5_open)),
+            )
+        else:
+            frames = (("nodes", self.nodes()), ("events", self.events()))
         counts = {}
-        for name, df in (("nodes", self.nodes()), ("events", self.events())):
-            df.write.mode("overwrite").parquet(str(out / f"{name}.parquet"))
-            counts[name] = df.count()
+        for name, df in frames:
+            obs = Observation(f"ingest_{name}")
+            df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(str(out / f"{name}.parquet"))
+            counts[name] = obs.get["n"]
         return counts

@@ -118,6 +118,12 @@ def _train_codebooks_np(
     out = []
     for m in range(n_subspaces):
         sub = v[:, m * dsub : (m + 1) * dsub]
+        # float32 working copy: the Lloyd loop is memory-bandwidth bound
+        # (the n×k score matrix is scanned every iteration), so halving
+        # element width roughly halves iteration time; the codebook
+        # means themselves still accumulate in float64 (bincount below).
+        # Deterministic per run either way (same arithmetic, same order).
+        sub32 = np.ascontiguousarray(sub, dtype=np.float32)
         # greedy farthest-point (maximin) init: spreads seeds across the
         # sample's support — first-k init collapses multiple true modes
         # onto one code whenever the first rows cluster together.
@@ -127,24 +133,28 @@ def _train_codebooks_np(
         # maximin never picks it; if the sample runs out of distinct
         # points the max-distance hits 0 and we stop with fewer codes.
         chosen = [0]
-        d_near = ((sub - sub[0]) ** 2).sum(axis=1)
+        d_near = ((sub32 - sub32[0]) ** 2).sum(axis=1)
         while len(chosen) < n_codes:
             nxt = int(np.argmax(d_near))  # argmax-first = smallest index tie-break
             if d_near[nxt] == 0.0:
                 break  # fewer distinct points than requested codes
             chosen.append(nxt)
-            d_near = np.minimum(d_near, ((sub - sub[nxt]) ** 2).sum(axis=1))
-        cb = sub[chosen].copy()
+            d_near = np.minimum(d_near, ((sub32 - sub32[nxt]) ** 2).sum(axis=1))
+        cb = sub[chosen].copy()  # float64 master copy
         k = len(cb)
-        # preallocate the n×k distance buffer: a fresh 100+ MB allocation
+        # preallocate the n×k score buffer: a fresh 100+ MB allocation
         # per iteration is first-touch page-fault bound (the same
-        # pathology assign_cells documents) and dominated training time
-        d = np.empty((len(sub), k))
+        # pathology assign_cells documents) and dominated training time.
+        # Assignment uses the fused form argmin‖x−c‖² == argmax(x·c −
+        # ‖c‖²/2): one in-place subtract + one argmax pass over the
+        # buffer instead of the mul + add + argmin three-pass distance
+        # evaluation (ties resolve to the smallest code either way).
+        g = np.empty((len(sub), k), dtype=np.float32)
         for _ in range(max_iter):
-            np.matmul(sub, cb.T, out=d)
-            d *= -2.0
-            d += (cb**2).sum(axis=1)[None, :]
-            assign = np.argmin(d, axis=1)
+            cb32 = cb.astype(np.float32)
+            np.matmul(sub32, cb32.T, out=g)
+            g -= 0.5 * (cb32**2).sum(axis=1)[None, :]
+            assign = np.argmax(g, axis=1)
             # vectorized per-code means: per-dimension bincount beats both
             # a python loop of k boolean masks and np.add.at's unbuffered
             # scatter

@@ -230,3 +230,60 @@ def test_sonata_events_distributed_parity(spark, tmp_path, layout):
     assert pdf.simulation_id.unique().tolist() == [0]
     # chunk table: ceil(10000/1500) = 7 partitions feed the read
     assert out.rdd.getNumPartitions() == 7
+
+
+def _write_nodes_npz(path, n=5_000, seed=11):
+    rng = np.random.default_rng(seed)
+    layer = rng.integers(1, 7, n)
+    x = rng.uniform(0, 100.0, n)
+    syn = np.array([b"EXC", b"INH"])[rng.integers(0, 2, n)]
+    np.savez(path, **{
+        "nodes/popA/node_type_id": np.full(n, 100),
+        "nodes/popA/0/layer": layer,
+        "nodes/popA/0/x": x,
+        "nodes/popA/0/synapse_class": syn,
+    })
+    return layer, x, syn
+
+
+def test_sonata_nodes_distributed_parity(spark, tmp_path):
+    """Executor-side chunked node reads: multi-chunk table, mixed dtypes
+    (int / float / bytes-string), node_id regenerated per chunk — values
+    match the raw arrays exactly."""
+    from blueetl_spark.adapters import h5stub
+    from blueetl_spark.adapters.sonata import SonataAdapter
+
+    p = tmp_path / "nodes.npz"
+    layer, x, syn = _write_nodes_npz(p, n=5_000)
+    a = SonataAdapter(spark, p, None)
+    out = a.nodes_distributed(chunk_rows=800, h5_open=h5stub.File)
+    assert out.rdd.getNumPartitions() == 7  # ceil(5000/800)
+    pdf = out.orderBy("node_id").toPandas()
+    assert len(pdf) == 5_000
+    assert pdf.node_id.tolist() == list(range(5_000))
+    assert (pdf.layer.to_numpy() == layer).all()
+    assert (pdf.x.to_numpy() == x).all()
+    assert pdf.synapse_class.tolist() == [s.decode() for s in syn]
+    assert pdf.circuit_id.unique().tolist() == [0]
+
+
+def test_sonata_to_parquet_distributed(spark, tmp_path):
+    """to_parquet(distributed=True): both tables through the executor-side
+    readers, counts from the write-attached Observation, output readable
+    by ParquetAdapter."""
+    from blueetl_spark.adapters import h5stub
+    from blueetl_spark.adapters.parquet import ParquetAdapter
+    from blueetl_spark.adapters.sonata import SonataAdapter
+
+    nodes_p, spikes_p = tmp_path / "nodes.npz", tmp_path / "spikes.npz"
+    _write_nodes_npz(nodes_p, n=3_000)
+    _write_spikes_npz(spikes_p, n=4_000)
+    a = SonataAdapter(spark, nodes_p, spikes_p)
+    out_dir = tmp_path / "out"
+    counts = a.to_parquet(
+        out_dir, distributed=True, chunk_rows=1_000, h5_open=h5stub.File
+    )
+    assert counts == {"nodes": 3_000, "events": 4_000}
+    p = ParquetAdapter(spark, out_dir)
+    assert p.nodes().count() == 3_000
+    assert p.events().count() == 4_000
