@@ -83,3 +83,51 @@ def mixture_sample(
     for g, r in sorted(rates.items()):
         thr = F.when(F.col(group_col) == g, F.lit(int(r * BUCKETS))).otherwise(thr)
     return df.filter(hash_bucket(key_col, seed, method) < thr)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.5,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Temperature-flattened mixture: downsample each group so post-sample
+    counts are proportional to ``n_g ** alpha`` (multilingual-training
+    style rebalancing; alpha=1 keeps everything, alpha=0 equalizes all
+    groups to the smallest).
+
+    Per-group keep rate ``r_g = (n_min / n_g) ** (1 - alpha)`` — the
+    smallest group keeps 100% and no group is upsampled (subsampling
+    never replicates rows). Rates derive from one map-side-combined
+    groupBy count collected to the driver (config-sized: mixtures have
+    tens to thousands of groups), then the sample itself is the same
+    pure per-row hash filter as :func:`mixture_sample` — deterministic,
+    shuffle-free, engine-replayable.
+
+    The threshold arithmetic sticks to IEEE-exact steps (sqrt, one
+    divide, one multiply, floor) so an auditing engine recomputing
+    ``floor(sqrt(n_min)/sqrt(n_g)*BUCKETS)`` lands on the identical
+    integer for alpha=0.5; other alphas use ``pow`` and are
+    deterministic per-engine.
+    """
+    import math
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(group_col).agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:
+        return df
+    n_min = min(counts.values())
+    thr: Column = F.lit(0)
+    for g, n in sorted(counts.items()):
+        if alpha == 0.5:  # sqrt is correctly rounded in IEEE 754: replayable
+            r = math.sqrt(n_min) / math.sqrt(n)
+        else:
+            r = (n_min / n) ** (1.0 - alpha)
+        thr = F.when(F.col(group_col) == g, F.lit(math.floor(r * BUCKETS))).otherwise(thr)
+    return df.filter(hash_bucket(key_col, seed, method) < thr)

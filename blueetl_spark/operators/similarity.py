@@ -76,6 +76,58 @@ def knn_bruteforce(
     )
 
 
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-k most-similar corpus vectors with a **different label** —
+    the negatives closest to the decision boundary, which carry the most
+    gradient signal in a triplet/InfoNCE loss.
+
+    Output: (query_id, query_label, neighbor_id, neighbor_label, cosine,
+    rank), rank 1..k by (cosine desc, neighbor_id). Same shape and
+    determinism contract as :func:`knn_bruteforce`; the label filter
+    rides the same scored join, so Catalyst applies it before the
+    row_number window. This is the exact baseline — at corpus scale,
+    generate candidates with :func:`sketch_tables` LSH buckets or the
+    IVF index first and apply the same label-inequality predicate on the
+    bucketed join.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("__qv"),
+    ).withColumn("__qn", _norm(F.col("__qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("__cv"),
+    ).withColumn("__cn", _norm(F.col("__cv")))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_label") != F.col("neighbor_label"))
+        .withColumn(
+            "cosine", _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "cosine", "rank",
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (driver-side, tiny)."""
     import numpy as np

@@ -504,3 +504,54 @@ def token_frequencies(
     return per_doc.groupBy("token").agg(
         F.sum("c").alias("tf"), F.count("*").alias("df")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Engine-portable PII patterns: RE2-safe (no lookarounds/backreferences), so
+# the SAME pattern strings run in Spark (java.util.regex), DuckDB, and Trino
+# (both RE2) — scrubbing becomes auditable with plain SQL. Order matters at
+# replacement time: IP before PHONE (dotted quads contain phone-shaped digit
+# runs), EMAIL before PHONE (digits inside local parts).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"(?:\+?\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b"),
+)
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+    out_col: str | None = None,
+    count: bool = True,
+) -> DataFrame:
+    """Redact PII spans and (optionally) count them per document.
+
+    Each ``(kind, regex)`` becomes a sequential ``regexp_replace`` with the
+    marker ``<KIND>``; ``n_<kind>`` columns count matches on the ORIGINAL
+    text (counts are independent per kind — a span scrubbed by an earlier
+    pattern still counts for a later one, so the numbers answer "how much
+    of each kind was present", not "what did the cascade see").
+
+    Scale shape: pure per-row expression chain — no UDF, no shuffle; at
+    100 TB this is a map-only pass that pipelines into whatever scan or
+    write surrounds it. Pattern quality is the usual PII trade-off
+    (regexes catch formats, not semantics); the defaults are the
+    conservative formats every curation stack scrubs first.
+    """
+    c = F.col(text_col)
+    out = df
+    if count:
+        for kind, pat in patterns:
+            out = out.withColumn(
+                f"n_{kind}", F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+            )
+    scrubbed = c
+    for kind, pat in patterns:
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return out.withColumn(out_col or text_col, scrubbed)

@@ -2496,6 +2496,131 @@ WHERE CAST(concat('0x', substring(md5(concat('{MIX_SEED}',
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: deterministic PII bait (email/IP/SSN/phone derived
+    from doc_id) is appended to each document, then scrubbed with the
+    engine-portable RE2-safe patterns; the gate compares per-kind counts
+    and the md5 of the scrubbed text — any regex-semantics divergence
+    between Spark and the oracle flips the hash."""
+    docs = tables.load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    bait = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"), F.lit("@example.com"),
+        F.lit(" from 10."), (d % 200).cast("string"), F.lit(".0."),
+        (d % 250).cast("string"),
+        F.lit(" ssn 123-45-"), F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" call (555) 867-"), F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+    out = text.pii_scrub(docs.select("doc_id", bait.alias("text")))
+    return out.select(
+        "doc_id", "n_email", "n_ip", "n_ssn", "n_phone",
+        F.md5("text").alias("scrub_sig"),
+    )
+
+
+def _pii_sql() -> str:
+    from blueetl_spark.operators.text import PII_PATTERNS
+
+    pats = dict(PII_PATTERNS)
+    counts = ",\n  ".join(
+        f"len(regexp_extract_all(t, '{pats[k]}')) AS n_{k}"
+        for k in ("email", "ip", "ssn", "phone")
+    )
+    scrub = "t"
+    for kind, pat in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '<{kind.upper()}>', 'g')"
+    return (
+        "WITH b AS (\n"
+        "  SELECT doc_id,\n"
+        "         text || ' contact user' || CAST(doc_id AS VARCHAR)\n"
+        "           || '@example.com'\n"
+        "           || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)\n"
+        "           || '.0.' || CAST(doc_id % 250 AS VARCHAR)\n"
+        "           || ' ssn 123-45-'\n"
+        "           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')\n"
+        "           || ' call (555) 867-'\n"
+        "           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t\n"
+        "  FROM documents)\n"
+        f"SELECT doc_id,\n  {counts},\n"
+        f"  md5({scrub}) AS scrub_sig\nFROM b"
+    )
+
+
+SQL_PII_SCRUB = _pii_sql()
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per query vector, top-k most-similar corpus
+    vectors with a different label (contrastive-training negatives)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    out = similarity.hard_negatives(queries_df, emb, k=KNN_K)
+    return out.select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH q AS (SELECT vec_id AS query_id, label AS query_label, embedding AS qv
+           FROM embeddings WHERE vec_id < {KNN_QUERY_MAX_ID}),
+c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label, embedding AS cv
+      FROM embeddings),
+s AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label,
+         list_sum(list_transform(range(1, len(qv) + 1),
+           i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         AS cosine
+  FROM q, c WHERE query_label <> neighbor_label
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, query_label, neighbor_id, neighbor_label,
+       ROUND(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {KNN_K}
+"""
+
+
+TMIX_SEED = "tmix-v1"
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture (alpha=0.5): per-source keep
+    rates derived from the data (sqrt-flattening toward the smallest
+    language), then the same md5-hash row filter as mixture_sample — the
+    whole pipeline, rates included, is bit-replayable in the oracle."""
+    from blueetl_spark.operators import sampling
+
+    docs = tables.load(spark, sf_dir, "documents")
+    out = sampling.temperature_mixture(
+        docs, alpha=0.5, group_col="lang", key_col="doc_id",
+        seed=TMIX_SEED, method="md5",
+    )
+    return out.select("doc_id", "lang")
+
+
+SQL_TEMPERATURE_MIXTURE = f"""
+WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+mn AS (SELECT MIN(n) AS n_min FROM cnt),
+thr AS (SELECT lang,
+               CAST(FLOOR(sqrt(n_min) / sqrt(n) * {1 << 20}) AS BIGINT) AS t
+        FROM cnt, mn)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr USING (lang)
+WHERE CAST(concat('0x', substring(md5(concat('{TMIX_SEED}',
+        CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+      % {1 << 20} < thr.t
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2562,6 +2687,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "knn_ivf": q_knn_ivf,
+    # ---- past the driver's 50-slot graded window, but fully oracled:
+    # ---- tools/check_oracle.py verifies these with the same
+    # ---- rows/schema/hash comparison the driver applies to slots 1-50
+    "pii_scrub": q_pii_scrub,
+    "hard_negatives": q_hard_negatives,
+    "temperature_mixture": q_temperature_mixture,
 }
 
 ORACLES: dict[str, str] = {
@@ -2615,6 +2746,9 @@ ORACLES: dict[str, str] = {
     "decontaminate": SQL_DECONTAMINATE,
     "vocab": SQL_VOCAB,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "pii_scrub": SQL_PII_SCRUB,
+    "hard_negatives": SQL_HARD_NEGATIVES,
+    "temperature_mixture": SQL_TEMPERATURE_MIXTURE,
 }
 
 

@@ -168,3 +168,70 @@ def test_ngram_overlap_broadcast_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+# -- PII scrubbing -----------------------------------------------------------
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server 192.168.1.250 and 10.0.0.1 up"),
+            (3, "ssn 123-45-6789 phone (555) 867-5309"),
+            (4, "call +1 555 867 5309 today"),
+            (5, "clean text with no identifiers at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.pii_scrub(df).collect()}
+    assert out[1]["text"] == "mail <EMAIL> now"
+    assert out[1]["n_email"] == 1 and out[1]["n_ip"] == 0
+    assert out[2]["text"] == "server <IP> and <IP> up"
+    assert out[2]["n_ip"] == 2
+    assert out[3]["text"] == "ssn <SSN> phone <PHONE>"
+    assert out[3]["n_ssn"] == 1 and out[3]["n_phone"] == 1
+    assert out[4]["text"] == "call <PHONE> today"
+    assert out[5]["text"] == "clean text with no identifiers at all"
+    assert all(out[5][f"n_{k}"] == 0 for k in ("email", "ip", "ssn", "phone"))
+
+
+def test_pii_scrub_no_counts_out_col_and_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "x a@b.io y")], "doc_id long, text string")
+    out = text.pii_scrub(df, count=False, out_col="clean")
+    assert out.columns == ["doc_id", "text", "clean"]
+    row = out.collect()[0]
+    assert row["text"] == "x a@b.io y" and row["clean"] == "x <EMAIL> y"
+    plan = text.pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only pass
+
+
+# -- temperature mixture -----------------------------------------------------
+
+
+def test_temperature_mixture_flattens_groups(spark):
+    # 1600 'big' vs 100 'small': alpha=0.5 keeps small at 100% and big at
+    # sqrt(100/1600) = 25%
+    df = spark.createDataFrame(
+        [(i, "big" if i < 1600 else "small") for i in range(1700)],
+        "doc_id long, source string",
+    )
+    out = sampling.temperature_mixture(df, alpha=0.5).toPandas()
+    got = out.source.value_counts()
+    assert got["small"] == 100  # smallest group fully kept
+    assert 320 < got["big"] < 480  # ~400 expected, Bernoulli spread
+    # alpha=1 is a no-op; alpha=0 equalizes in expectation
+    assert sampling.temperature_mixture(df, alpha=1.0).count() == 1700
+    eq = sampling.temperature_mixture(df, alpha=0.0).toPandas().source.value_counts()
+    assert eq["small"] == 100 and 60 < eq["big"] < 140
+    with pytest.raises(ValueError):
+        sampling.temperature_mixture(df, alpha=1.5)
+
+
+def test_temperature_mixture_deterministic_across_runs(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(900)], "doc_id long, source string"
+    )
+    a = {r["doc_id"] for r in sampling.temperature_mixture(df, method="md5").collect()}
+    b = {r["doc_id"] for r in sampling.temperature_mixture(df, method="md5").collect()}
+    assert a == b

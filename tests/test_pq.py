@@ -168,3 +168,25 @@ def test_ivf_pq_search_query_cap(vecs, spark, tmp_path):
     pq.build_ivf_pq_index(vecs, path, n_centroids=4, n_subspaces=4, n_codes=8)
     with pytest.raises(ValueError, match="max_queries"):
         pq.search_ivf_pq_index(spark, vecs, path, k=2, max_queries=10)
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """Top-k negatives: never the query's own label, ranked by cosine
+    desc with id tie-break; identical vectors with different labels are
+    the hardest negatives and rank first."""
+    from blueetl_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [1.0, 0.0], "a"),      # same label as 0: never a negative for 0
+        (2, [1.0, 0.01], "b"),     # near-identical, different label: rank 1
+        (3, [0.0, 1.0], "b"),      # orthogonal: last
+        (4, [0.9, 0.1], "c"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    q = df.filter("vec_id = 0")
+    out = similarity.hard_negatives(q, df, k=3).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == [2, 4, 3]
+    assert all(r["neighbor_label"] != "a" for r in out)
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["cosine"] > 0.99
