@@ -33,6 +33,8 @@ from typing import Any
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from blueetl_spark.session import local_df
+
 from blueetl_spark import schemas
 from blueetl_spark.functions.qdsl import Query, compile_query
 
@@ -230,7 +232,8 @@ def extract_neuron_classes(
         )
         for name, cfg in neuron_classes_config.items()
     ]
-    meta = counted.sparkSession.createDataFrame(
+    meta = local_df(
+        counted.sparkSession,
         meta_rows,
         "neuron_class string, limit bigint, population string, "
         "node_set string, query string",

@@ -40,6 +40,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from blueetl_spark.session import local_df
+
 
 def _as_codebooks(codebooks) -> list[np.ndarray]:
     cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
@@ -404,10 +406,12 @@ def build_ivf_pq_index(
         cbs = [[list(map(float, c)) for c in cb] for cb in pq_codebooks]
     cbs_np = _as_codebooks(cbs)
 
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(i, c) for i, c in enumerate(cents)], "centroid_id int, vector array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(str(base / "ivf_codebook.parquet"))
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(m, j, c) for m, cb in enumerate(cbs) for j, c in enumerate(cb)],
         "subspace int, code int, vector array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(str(base / "pq_codebooks.parquet"))

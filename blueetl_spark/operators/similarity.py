@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from blueetl_spark.session import local_df
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -495,7 +497,8 @@ def build_ivf_index(
             .collect()
         ]
     base = Path(index_path)
-    codebook = spark.createDataFrame(
+    codebook = local_df(
+        spark,
         [(i, c) for i, c in enumerate(cents)],
         "centroid_id int, vector array<double>",
     )

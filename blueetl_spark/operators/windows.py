@@ -28,6 +28,8 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from blueetl_spark.session import local_df
+
 from blueetl_spark import schemas
 
 WindowsConfig = dict[str, dict[str, Any]]
@@ -85,7 +87,8 @@ def materialize_windows(
         defs.extend(_expand_window(name, cfg))
     sims = simulations.select("simulation_id", "circuit_id").distinct()
     if dynamic_offsets:
-        dyn = spark.createDataFrame(
+        dyn = local_df(
+            spark,
             [(int(k), float(v)) for k, v in dynamic_offsets.items()],
             "simulation_id smallint, dynamic_offset double",
         )
@@ -94,8 +97,11 @@ def materialize_windows(
         )
     else:
         sims = sims.withColumn("dynamic_offset", F.lit(0.0))
-    defs_df = spark.createDataFrame(
-        defs,
+    defs_df = local_df(
+        spark,
+        [tuple(d[k] for k in (
+            "window", "trial", "initial_offset", "step_offset", "t_start",
+            "t_stop", "t_step", "duration", "window_type")) for d in defs],
         "window string, trial smallint, initial_offset double, "
         "step_offset double, t_start double, t_stop double, t_step double, "
         "duration double, window_type string",

@@ -26,6 +26,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from blueetl_spark.session import local_df
+
 from blueetl_spark.functions.qdsl import q, query_to_sql
 from blueetl_spark.operators import (
     dedup,
@@ -722,8 +724,9 @@ def q_spike_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-gated half)."""
     report, windows, _ = _report(spark, sf_dir, ALL_WINDOW)
     gids = list(range(0, 8))
-    pairs = spark.createDataFrame(
-        [(a, b) for a in gids for b in gids if a < b], "gid_a bigint, gid_b bigint"
+    pairs = local_df(
+        spark, [(a, b) for a in gids for b in gids if a < b],
+        "gid_a bigint, gid_b bigint",
     )
     return signal.spike_train_distances(
         report, pairs, tau=DAY_MS, q=1.0 / DAY_MS
@@ -742,8 +745,9 @@ def q_spike_distances_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spike_distances``."""
     report, windows, _ = _report(spark, sf_dir, ALL_WINDOW)
     gids = list(range(0, 8))
-    pairs = spark.createDataFrame(
-        [(a, b) for a in gids for b in gids if a < b], "gid_a bigint, gid_b bigint"
+    pairs = local_df(
+        spark, [(a, b) for a in gids for b in gids if a < b],
+        "gid_a bigint, gid_b bigint",
     )
     vr = signal.spike_train_distances(report, pairs, tau=DAY_MS, q=1.0 / DAY_MS).select(
         "neuron_class", "gid_a", "gid_b",

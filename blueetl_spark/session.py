@@ -55,3 +55,26 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def local_df(spark: SparkSession, rows, ddl: str):
+    """Small driver-side DataFrame via the pandas/Arrow path.
+
+    ``spark.createDataFrame(list_of_tuples, ...)`` executes through a
+    pickled-Python local RDD: EVERY job whose plan includes it pays a
+    Python-worker round trip (~0.3 s for scalar rows, 5+ s for
+    array-typed rows, measured on this box — it was the dominant cost of
+    the IVF index build). Routing through a pandas DataFrame instead
+    yields an Arrow-backed JVM LocalRelation: no Python at execution
+    time, and Catalyst can fold/broadcast it like any literal table.
+
+    Rows are kept as dtype=object so None survives into nullable columns
+    of any type; the explicit DDL fixes the schema (pandas would infer
+    float64 for int-with-None). Handles empty ``rows``.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    names = T.StructType.fromDDL(ddl).fieldNames()
+    pdf = pd.DataFrame(list(rows), columns=names, dtype=object)
+    return spark.createDataFrame(pdf, schema=ddl)
