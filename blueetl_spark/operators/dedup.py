@@ -158,6 +158,41 @@ def minhash_signatures(
     )
 
 
+def banded_buckets(
+    sig: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    hash_fn: str,
+) -> DataFrame:
+    """(id, band, band_hash) bucket-membership rows from signatures —
+    the LSH banding step, shared by the batch candidate join and the
+    incremental index."""
+
+    def band_hash(b):
+        cols = [
+            F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)
+        ]
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws(":", *[c.cast("string") for c in cols]))
+        return F.xxhash64(*cols).cast("string")
+
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_hash(b).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.band_hash")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -180,29 +215,7 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn).cache()
-
-    def band_hash(b):
-        cols = [
-            F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)
-        ]
-        if hash_fn == "md5":
-            return F.md5(F.concat_ws(":", *[c.cast("string") for c in cols]))
-        return F.xxhash64(*cols).cast("string")
-
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        band_hash(b).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select(id_col, "bh.band", "bh.band_hash")
+    banded = banded_buckets(sig, id_col, bands, rows_per_band, hash_fn)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     cand = (
@@ -604,3 +617,129 @@ def shared_passage_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup — new batches against a persisted fingerprint index
+# ---------------------------------------------------------------------------
+
+
+def incremental_exact(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    update: bool = True,
+) -> DataFrame:
+    """Exact dedup of a NEW batch against the accumulated corpus history
+    (the daily-crawl pattern: today's documents vs everything already
+    ingested), without ever re-reading historical text.
+
+    The index is a parquet table of 16-byte content digests. A batch is
+    (1) deduped within itself (min id per digest), (2) anti-joined
+    against the index, and (3) — with ``update`` — its surviving digests
+    are APPENDED to the index, so the next batch sees them. Returns the
+    surviving rows of ``new_docs`` (all columns).
+
+    Scale shape: the anti-join shuffles digests, never text; history
+    grows as one digest row per distinct document ever seen (16 bytes +
+    overhead per billion-doc corpus ≈ tens of GB — a normal shuffle).
+    Appends are new files only (no rewrite), so the index is also safe
+    to write from exactly-once batch jobs; compact it periodically with
+    :func:`blueetl_spark.plans.layout.compact`. For heavy daily traffic
+    store it bucketed by digest (``bucketBy``) to make the anti-join
+    co-located.
+    """
+    from pathlib import Path
+
+    spark = new_docs.sparkSession
+    fp = fingerprint(new_docs, text_col, id_col)
+    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    if Path(index_path).exists():
+        seen = spark.read.parquet(index_path).select("fingerprint")
+        keep = keep.join(seen, "fingerprint", "left_anti")
+    fresh = new_docs.join(keep.select(id_col), id_col, "left_semi")
+    if update:
+        # distinct survivors' digests only — the index never holds dups
+        keep.select("fingerprint").write.mode("append").parquet(index_path)
+    return fresh
+
+
+def incremental_minhash(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    hash_fn: str = "xxhash64",
+    threshold: float = 0.7,
+    update: bool = True,
+) -> DataFrame:
+    """Near-duplicate matches of a NEW batch against the historical LSH
+    index: (new_id, old_id, est_jaccard) pairs with signature similarity
+    ≥ ``threshold``.
+
+    The index holds per-document signatures and their band buckets —
+    NOT text — so history costs ``num_hashes × 8`` bytes per document
+    and candidate generation is one equi-join of the batch's bucket rows
+    against the index's (band, band_hash) rows. Estimated Jaccard comes
+    from the stored signatures, exactly like the batch path. With
+    ``update``, the batch's signatures and buckets are appended
+    (callers typically append only ids that survived their keep-policy —
+    pass the filtered batch). Batch-internal pairs are NOT included;
+    run :func:`minhash_lsh_candidates` on the batch for those.
+    """
+    from pathlib import Path
+
+    spark = new_docs.sparkSession
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(
+        new_docs, text_col, id_col, n, num_hashes, hash_fn
+    ).cache()
+    banded = banded_buckets(sig, id_col, bands, rows_per_band, hash_fn)
+    sig_dir = str(Path(index_path) / "signatures.parquet")
+    bucket_dir = str(Path(index_path) / "buckets.parquet")
+    id_type = dict(new_docs.dtypes)[id_col]
+    out_schema = f"new_id {id_type}, old_id {id_type}, est_jaccard double"
+    if Path(bucket_dir).exists():
+        old_buckets = spark.read.parquet(bucket_dir)
+        old_sigs = spark.read.parquet(sig_dir)
+        cand = (
+            banded.select(F.col(id_col).alias("new_id"), "band", "band_hash")
+            .join(
+                old_buckets.select(
+                    F.col(id_col).alias("old_id"), "band", "band_hash"
+                ),
+                ["band", "band_hash"],
+            )
+            .select("new_id", "old_id")
+            .distinct()
+        )
+        matches = (
+            cand.join(
+                sig.select(F.col(id_col).alias("new_id"), F.col("signature").alias("sig_n")),
+                "new_id",
+            )
+            .join(
+                old_sigs.select(F.col(id_col).alias("old_id"), F.col("signature").alias("sig_o")),
+                "old_id",
+            )
+            .withColumn(
+                "est_jaccard",
+                F.size(
+                    F.filter(F.zip_with("sig_n", "sig_o", lambda x, y: x == y), lambda m: m)
+                )
+                / F.lit(num_hashes),
+            )
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("new_id", "old_id", "est_jaccard")
+        )
+    else:
+        matches = spark.createDataFrame([], out_schema)
+    if update:
+        sig.write.mode("append").parquet(sig_dir)
+        banded.write.mode("append").parquet(bucket_dir)
+    sig.unpersist()
+    return matches

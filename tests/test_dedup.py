@@ -214,3 +214,69 @@ def test_shared_passage_pairs_max_doc_freq_prunes_boilerplate(spark):
     assert dense.count() == 15  # all 6-choose-2 pairs
     pruned = shared_passage_pairs(docs, n=5, w=4, min_shared=1, max_doc_freq=3)
     assert pruned.count() == 0
+
+
+# -- incremental dedup -------------------------------------------------------
+
+
+def test_incremental_exact_across_batches(spark, tmp_path):
+    """Three daily batches against one digest index: within-batch dups
+    collapse, cross-batch dups are dropped, fresh content survives and
+    extends the index for the next batch."""
+    from blueetl_spark.operators.dedup import incremental_exact
+
+    idx = str(tmp_path / "exact_idx")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    out1 = incremental_exact(b1, idx).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out1] == [1, 2]  # 3 is a within-batch dup of 1
+    b2 = spark.createDataFrame(
+        [(10, "gamma delta"), (11, "epsilon zeta")], "doc_id long, text string"
+    )
+    out2 = incremental_exact(b2, idx).collect()
+    assert [r.doc_id for r in out2] == [11]  # 10 duplicates batch-1 content
+    b3 = spark.createDataFrame(
+        [(20, "epsilon zeta"), (21, "alpha beta")], "doc_id long, text string"
+    )
+    # update=False: dedups against history but leaves the index untouched
+    assert incremental_exact(b3, idx, update=False).count() == 0
+    assert incremental_exact(b3, idx, update=False).count() == 0
+    # index holds exactly the 3 distinct digests ever admitted
+    assert spark.read.parquet(idx).distinct().count() == 3
+
+
+def test_incremental_minhash_matches_history(spark, tmp_path):
+    """Near-dup of a historical doc is matched (with its signature
+    similarity) without re-reading historical text; unrelated docs match
+    nothing; the index grows per batch."""
+    from blueetl_spark.operators.dedup import incremental_minhash
+
+    idx = str(tmp_path / "mh_idx")
+    base = (
+        "the quick brown fox jumps over the lazy dog while the calm river "
+        "flows past the old stone bridge under a bright summer sky and the "
+        "birds sing their morning song"
+    )
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "completely different words " * 5)],
+        "doc_id long, text string",
+    )
+    # first batch: empty history, no matches, index seeded
+    assert incremental_minhash(b1, idx).count() == 0
+    near = base.replace("lazy", "sleepy")
+    b2 = spark.createDataFrame(
+        [(10, near), (11, "unrelated filler content " * 6)],
+        "doc_id long, text string",
+    )
+    m = incremental_minhash(b2, idx).collect()
+    assert [(r.new_id, r.old_id) for r in m] == [(10, 1)]
+    assert m[0].est_jaccard >= 0.7
+    # batch 2 was appended: an exact copy of doc 11 now matches it
+    b3 = spark.createDataFrame(
+        [(20, "unrelated filler content " * 6)], "doc_id long, text string"
+    )
+    m3 = incremental_minhash(b3, idx, update=False).collect()
+    assert [(r.new_id, r.old_id) for r in m3] == [(20, 11)]
+    assert m3[0].est_jaccard == 1.0
