@@ -75,6 +75,6 @@ def local_df(spark: SparkSession, rows, ddl: str):
     import pandas as pd
     from pyspark.sql import types as T
 
-    names = T.StructType.fromDDL(ddl).fieldNames()
-    pdf = pd.DataFrame(list(rows), columns=names, dtype=object)
-    return spark.createDataFrame(pdf, schema=ddl)
+    schema = T.StructType.fromDDL(ddl) if isinstance(ddl, str) else ddl
+    pdf = pd.DataFrame(list(rows), columns=schema.fieldNames(), dtype=object)
+    return spark.createDataFrame(pdf, schema=schema)

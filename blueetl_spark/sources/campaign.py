@@ -227,7 +227,18 @@ class SimulationCampaign:
         if not rows:  # all runs skipped: a typed empty table, not an
             # un-inferable createDataFrame([]) ValueError
             return spark.createDataFrame([], schemas.SIMULATIONS_SCHEMA)
-        df = spark.createDataFrame(rows)
+        # schema inference runs driver-side on the dict list (identical to
+        # the plain createDataFrame(rows) result), but execution goes
+        # through the Arrow LocalRelation path — no pickled-Python local
+        # RDD in every downstream job (see session.local_df)
+        from blueetl_spark.session import local_df
+
+        inferred = spark.createDataFrame(rows).schema
+        df = local_df(
+            spark,
+            [tuple(r.get(c) for c in inferred.fieldNames()) for r in rows],
+            inferred,
+        )
         df = schemas.ensure_schema(
             df, schemas.SIMULATIONS_SCHEMA, allow_extra_columns=True
         )
