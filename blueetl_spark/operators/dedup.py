@@ -138,24 +138,36 @@ def minhash_signatures(
     :func:`md5_60` (permutation i hashes ``concat(h, ':', i)``), chosen
     because DuckDB computes identical values, so the full pipeline is
     oracle-verifiable.
+
+    Entirely **row-local**: a document's signature depends only on its
+    own shingle set, so the per-seed minima are ``array_min`` over
+    higher-order-function transforms of the per-row hash array — ZERO
+    shuffles (the previous explode + 64-min groupBy shuffled every
+    (doc, shingle) row just to regroup them by the id they came from).
+    The hash array is materialized in its own projection and referenced
+    ``num_hashes`` times; CollapseProject keeps multiply-referenced
+    non-trivial aliases un-inlined, so shingling+base-hash still runs
+    once per row.
     """
-    s = shingle_sets(df, text_col, id_col, n)
+    sh = F.array_distinct(shingles(text_col, n))
     if hash_fn == "xxhash64":
-        s = s.withColumn("__h", F.xxhash64(F.col("shingle")))
-        perm = lambda i: F.xxhash64(F.col("__h"), F.lit(i))  # noqa: E731
+        base = F.transform(sh, lambda s: F.xxhash64(s))
+        perm = lambda h, i: F.xxhash64(h, i)  # noqa: E731
     elif hash_fn == "md5":
-        s = s.withColumn("__h", md5_60(F.col("shingle")))
-        perm = lambda i: md5_60(  # noqa: E731
-            F.concat(F.col("__h").cast("string"), F.lit(f":{i}"))
+        base = F.transform(sh, lambda s: md5_60(s))
+        perm = lambda h, i: md5_60(  # noqa: E731
+            F.concat(h.cast("string"), F.lit(":"), i.cast("string"))
         )
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    mins = [F.min(perm(i)).alias(f"h{i}") for i in range(num_hashes)]
-    sig = s.groupBy(id_col).agg(*mins)
-    return sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    hdf = df.select(F.col(id_col), base.alias("__h")).filter(
+        F.col("__h").isNotNull()  # null text: explode used to drop the row
     )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(F.col("__h"), lambda h: perm(h, i))),
+    )
+    return hdf.select(F.col(id_col), sig.alias("signature"))
 
 
 def banded_buckets(
