@@ -237,3 +237,29 @@ def stream_stream_enrich(
         & (F.col(f"{ref_prefix}ts") > F.col("ts") - F.expr(f"INTERVAL {lookback}"))
     )
     return ev.join(ref, cond, "inner").drop(f"{ref_prefix}{by}")
+
+
+def streaming_slice_events(
+    events: DataFrame,
+    windows: DataFrame,
+    time_col: str = "time",
+    join_keys: list[str] | None = None,
+) -> DataFrame:
+    """Streaming report extraction: the W2/J5 interval slice of a LIVE
+    event stream against the (static, config-sized) windows table —
+    each event lands in every (window, trial) whose
+    ``[offset + t_start, offset + t_stop)`` interval contains it, with
+    ``time`` re-based to the window frame.
+
+    Stream-static joins are **stateless** in Structured Streaming: the
+    static side is broadcast and each micro-batch joins map-side, so
+    this runs with no state store, no watermark requirement, and
+    unbounded stream length — the live-monitoring twin of
+    :func:`blueetl_spark.operators.windows.slice_events` (which it
+    reuses verbatim: that function is pure DataFrame algebra, equally
+    valid on a streaming frame). Downstream aggregations decide their
+    own output mode / watermarks.
+    """
+    from blueetl_spark.operators.windows import slice_events
+
+    return slice_events(events, windows, time_col=time_col, join_keys=join_keys)

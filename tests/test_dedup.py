@@ -280,3 +280,46 @@ def test_incremental_minhash_matches_history(spark, tmp_path):
     m3 = incremental_minhash(b3, idx, update=False).collect()
     assert [(r.new_id, r.old_id) for r in m3] == [(20, 11)]
     assert m3[0].est_jaccard == 1.0
+
+
+def test_incremental_exact_batch_split_invariance(spark, tmp_path):
+    """Property: for ANY split of a corpus into ordered batches, feeding
+    them through incremental_exact yields exactly one surviving document
+    per distinct content — the same distinct set a single batch
+    dedup_exact computes — and the union of survivors never contains two
+    docs with equal text."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from blueetl_spark.operators.dedup import incremental_exact
+
+    texts = [f"content {i % 7}" for i in range(20)]  # 7 distinct contents
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(cut=st.lists(st.integers(1, 19), min_size=0, max_size=3, unique=True))
+    def check(cut):
+        import shutil
+        import uuid
+
+        idx = str(tmp_path / f"idx_{uuid.uuid4().hex[:8]}")
+        bounds = [0] + sorted(cut) + [len(texts)]
+        survivors = []
+        for lo, hi in zip(bounds, bounds[1:]):
+            if lo == hi:
+                continue
+            batch = spark.createDataFrame(
+                [(i, texts[i]) for i in range(lo, hi)], "doc_id long, text string"
+            )
+            survivors += incremental_exact(batch, idx).collect()
+        shutil.rmtree(idx, ignore_errors=True)
+        surviving_texts = [r.text for r in survivors]
+        assert len(surviving_texts) == len(set(surviving_texts))
+        assert set(surviving_texts) == set(texts)
+        # first-occurrence wins within the ordered batch sequence
+        assert {r.doc_id for r in survivors} == {texts.index(t) for t in set(texts)}
+
+    check()

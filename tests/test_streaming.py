@@ -230,3 +230,46 @@ def test_stream_stream_enrich_interval_join(spark, tmp_path):
     # click@10 <- buy@5 (5s back); click@70 <- buy@65 (and buy@5 is 65s
     # back -> outside lookback); click@200 <- buy@199
     assert got == [(1.0, 10.0), (2.0, 20.0), (3.0, 30.0)]
+
+
+def test_streaming_slice_events_matches_batch(spark, tmp_path):
+    """Stream-static interval slicing agrees row-for-row with the batch
+    slice_events on the same data, and runs stateless (no watermark)."""
+    import pyspark.sql.functions as F
+    from blueetl_spark.operators.windows import slice_events
+    from blueetl_spark.session import local_df
+    from blueetl_spark.streaming import windows as sw
+
+    events = spark.range(2000).select(
+        F.lit(0).cast("smallint").alias("simulation_id"),
+        (F.col("id") % 40).alias("gid"),
+        (F.pmod(F.xxhash64("id"), F.lit(10_000)) / 10.0).alias("time"),
+    )
+    path = tmp_path / "ev"
+    events.write.parquet(str(path))
+    wins = local_df(
+        spark,
+        [(0, f"w{i}", t, i * 250.0 + t * 50.0, 0.0, 200.0, 200.0)
+         for i in range(3) for t in range(2)],
+        "simulation_id smallint, window string, trial smallint, "
+        "offset double, t_start double, t_stop double, duration double",
+    )
+    stream = (
+        spark.readStream.schema(
+            "simulation_id smallint, gid bigint, time double"
+        ).parquet(str(path))
+    )
+    sliced = sw.streaming_slice_events(stream, wins)
+    assert sliced.isStreaming
+    q = (
+        sliced.writeStream.format("memory").queryName("sliced_parity")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("sliced_parity").toPandas()
+    exp = slice_events(spark.read.parquet(str(path)), wins).toPandas()
+    key = ["gid", "time", "window", "trial"]
+    assert got.sort_values(key, ignore_index=True)[key].equals(
+        exp.sort_values(key, ignore_index=True)[key]
+    ), (len(got), len(exp))
+    assert len(got) > 0
