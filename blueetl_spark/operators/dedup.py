@@ -439,6 +439,47 @@ def embedding_near_dup(
     return df.select(id_col, vec_col).mapInPandas(score, out_schema)
 
 
+def _driver_components(spark, edge_pdf, id_type, nodes, id_col) -> DataFrame:
+    """Union-find (path compression + min-label resolution) over a
+    collected edge list; singleton nodes join the mapping distributed."""
+    from blueetl_spark.session import local_df
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    a_col, b_col = edge_pdf.columns[0], edge_pdf.columns[1]
+    for a, b in zip(edge_pdf[a_col], edge_pdf[b_col]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    # label every touched id with the min id of its set
+    members: dict = {}
+    touched = set(edge_pdf[a_col]) | set(edge_pdf[b_col])
+    for x in touched:
+        members.setdefault(find(x), []).append(x)
+    mapping = [
+        (x, mn) for root, xs in members.items() for mn in [min(xs)] for x in xs
+    ]
+    mdf = local_df(spark, mapping, f"id {id_type}, component {id_type}")
+    if nodes is None:
+        return mdf
+    # full outer: the universe is edge-ids ∪ nodes, matching the
+    # distributed path (edge ids absent from `nodes` still emit)
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(mdf, "id", "full")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -447,9 +488,22 @@ def connected_components(
     id_col: str = "doc_id",
     max_iter: int = 25,
     assume_distinct_pairs: bool = False,
+    max_driver_edges: int = 1_000_000,
 ) -> DataFrame:
     """Duplicate clusters from candidate pairs: (id, component) where the
     component label is the smallest id reachable through the pair graph.
+
+    **Adaptive execution**: duplicate-pair graphs are usually tiny
+    relative to the corpus (edges ∝ near-duplicates, not documents), so
+    when a bounded probe (``limit(max_driver_edges + 1)``) shows the
+    edge list fits, the transitive closure runs as driver-side
+    union-find with path compression — micro- to milliseconds, versus
+    an inherently multi-round distributed iteration. Only the EDGE list
+    is ever collected; ``nodes`` (which scales with the corpus) stays
+    distributed and picks up its singleton labels through a left join.
+    Past the cap — or with ``max_driver_edges=0`` — the O(log n)-round
+    pointer-jumping path below runs (2M-node adversarial-chain stress
+    in PLANS.md).
 
     This is the step a real dedup pipeline needs after pair generation
     (LSH/SimHash/Jaccard emit *pairs*; keeping one doc per duplicate
@@ -465,12 +519,11 @@ def connected_components(
 
     ``nodes`` (optional) adds isolated documents as their own singleton
     components; without it only ids appearing in ``pairs`` are labeled.
-    Memory/lineage discipline for the iteration: each round's labels are
-    ``persist``-ed and the previous round explicitly ``unpersist``-ed
-    (bounded block-store footprint), and every few rounds the plan is cut
-    with an eager ``localCheckpoint`` — iterative self-referential plans
-    otherwise grow one join depth per round and overflow the plan tree
-    long before the data is a problem.
+    Lineage discipline for the iteration: each round ends in an eager
+    ``localCheckpoint`` — the round's plan references the previous labels
+    three times, so an uncut lineage grows 3^k plan nodes by round k and
+    OOMs the driver in query planning long before the data is a problem
+    (see the in-loop comment for the measurement).
 
     ``assume_distinct_pairs=True`` skips the edge-dedup shuffle — correct
     whenever the pair source already emits unique (id_a < id_b) pairs
@@ -479,6 +532,13 @@ def connected_components(
     skipped ``distinct`` is one full shuffle of the edge list.
     """
     import gc
+
+    if max_driver_edges:
+        probe = pairs.select(id_a, id_b).limit(max_driver_edges + 1).toPandas()
+        if len(probe) <= max_driver_edges:
+            return _driver_components(
+                pairs.sparkSession, probe, dict(pairs.dtypes)[id_a], nodes, id_col
+            )
 
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
@@ -515,12 +575,21 @@ def connected_components(
             ),
             "component",
         ).select("id", F.col("__cc_jump").alias("component"))
+        # Eager localCheckpoint EVERY round: the round's plan references
+        # `labels` three times (propagate, jump, carry), so an uncut
+        # lineage TRIPLES per round — 3^k plan nodes by round k, and the
+        # driver OOMs in query planning around round 5 (measured: an
+        # 80-edge cyclic graph at 4 GB heap; the previous every-6-rounds
+        # cut allowed 3^6 ≈ 729x growth and only survived because most
+        # real graphs converge in <5 rounds). The checkpoint both
+        # materializes the round (replacing persist + first-access) and
+        # truncates the plan to a leaf.
         new_labels = (
             propagated.union(jumped)
             .union(labels.select("id", "component"))
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .persist()
+            .localCheckpoint()
         )
         if summable:
             label_sum = new_labels.agg(
@@ -537,13 +606,9 @@ def connected_components(
                 .count()
                 == 0
             )
-        if (i + 1) % 6 == 0:  # cut lineage; re-persist from the cut plan
-            cut = new_labels.localCheckpoint()
-            new_labels.unpersist()
-            new_labels = cut
-            gc.collect()  # let ContextCleaner drop orphaned checkpoint blocks
-        labels.unpersist()
         labels = new_labels
+        if (i + 1) % 6 == 0:
+            gc.collect()  # let ContextCleaner drop orphaned checkpoint blocks
         if converged:
             break
     edges.unpersist()

@@ -87,9 +87,12 @@ def test_bruteforce_near_dup_size_gate(spark):
     assert out.count() > 0
 
 
-def test_connected_components_chain_and_singletons(spark):
+@pytest.mark.parametrize("cap", [1_000_000, 0], ids=["driver", "distributed"])
+def test_connected_components_chain_and_singletons(spark, cap):
     """A 5-node chain needs multiple propagation rounds (diameter 4);
-    singletons from `nodes` label themselves."""
+    singletons from `nodes` label themselves. Both execution paths (the
+    size-gated driver union-find and the distributed pointer jumping)
+    must produce the identical labeling."""
     from blueetl_spark.operators import dedup
 
     pairs = spark.createDataFrame(
@@ -97,9 +100,32 @@ def test_connected_components_chain_and_singletons(spark):
     )
     nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 99]],
                                   "doc_id long")
-    comp = dedup.connected_components(pairs, nodes=nodes).toPandas()
+    comp = dedup.connected_components(pairs, nodes=nodes, max_driver_edges=cap).toPandas()
     got = dict(zip(comp.id, comp.component))
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_paths_agree_and_cap_overflow(spark):
+    """Random graph: driver union-find == distributed labels; a cap
+    smaller than the edge count falls through to the distributed path;
+    edge ids absent from `nodes` still emit (universe = edges ∪ nodes)."""
+    import numpy as np
+
+    from blueetl_spark.operators import dedup
+
+    rng = np.random.default_rng(3)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 60, (80, 2)) if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = dedup.connected_components(pairs).toPandas()
+    slow = dedup.connected_components(pairs, max_driver_edges=0).toPandas()
+    assert dict(zip(fast.id, fast.component)) == dict(zip(slow.id, slow.component))
+    # cap below edge count -> distributed path, same answer
+    over = dedup.connected_components(pairs, max_driver_edges=5).toPandas()
+    assert dict(zip(over.id, over.component)) == dict(zip(fast.id, fast.component))
+    # nodes missing an edge id: the edge id still appears
+    nodes = spark.createDataFrame([(99,)], "doc_id long")
+    with_nodes = dedup.connected_components(pairs, nodes=nodes).toPandas()
+    assert set(with_nodes.id) == set(fast.id) | {99}
 
 
 def test_keep_canonical_drops_non_minimal_members(spark):
@@ -138,8 +164,14 @@ def test_connected_components_string_ids(spark):
         [("e", "d"), ("d", "c"), ("c", "b"), ("b", "a"), ("x", "y")],
         "id_a string, id_b string",
     )
-    comp = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    comp = {
+        r.id: r.component
+        for r in dedup.connected_components(pairs, max_driver_edges=0).collect()
+    }
     assert {comp[k] for k in "abcde"} == {"a"}
+    # the driver path handles string ids too
+    fast = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert fast == comp
     assert comp["x"] == comp["y"] == "x"
 
 
