@@ -281,3 +281,44 @@ def test_config_driven_timeseries_features(spark, data, tmp_path):
     q = feats["spike_time_q"].toPandas()
     assert {"neuron_class", "n", "q_0_5", "q_0_9"} <= set(q.columns)
     assert (q.q_0_5 <= q.q_0_9).all()
+
+
+def test_config_names_feature_function_by_module_path(
+    spark, data, tmp_path, monkeypatch
+):
+    """Reference parity (utils.py:146-156 import_by_string): a v4-style
+    config naming a feature function by DOTTED MODULE PATH — not
+    register_feature, not a blueetl_spark.features builtin — resolves via
+    importlib and runs end-to-end through the analyzer."""
+    import copy
+
+    from blueetl_spark.analysis import run_from_config
+
+    mod = tmp_path / "external_feats_cfgtest.py"
+    mod.write_text(
+        "import pandas as pd\n"
+        "def spike_count_scaled(g, params):\n"
+        "    return pd.DataFrame({'n_scaled': "
+        "[len(g) * params.get('scale', 1)]})\n"
+    )
+    monkeypatch.syspath_prepend(str(tmp_path))
+
+    nodes, events = data
+    cfg = copy.deepcopy(CONFIG)
+    cfg["analysis"]["spikes"]["features"] = [
+        {
+            "function": "external_feats_cfgtest.spike_count_scaled",
+            "name": "scaled_counts",
+            "params": {"scale": 10},
+            "groupby": ["simulation_id", "circuit_id", "neuron_class", "window"],
+            "schema": "simulation_id smallint, circuit_id smallint, "
+            "neuron_class string, window string, n_scaled long",
+        }
+    ]
+    a = run_from_config(spark, cfg, nodes, events).spikes
+    feats = a.calculate_features()
+    got = feats["scaled_counts"].toPandas()
+    assert (got.n_scaled > 0).all() and (got.n_scaled % 10 == 0).all()
+    # cross-check against the report itself
+    total = got.n_scaled.sum() / 10
+    assert total == a.report.count()
