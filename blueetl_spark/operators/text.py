@@ -555,3 +555,121 @@ def pii_scrub(
     for kind, pat in patterns:
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
     return out.withColumn(out_col or text_col, scrubbed)
+
+
+# ---------------------------------------------------------------------------
+# BPE: bounded driver-side merge training + distributed encoding
+# ---------------------------------------------------------------------------
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_words: int = 100_000,
+    end_of_word: str = "</w>",
+) -> list[tuple[str, str]]:
+    """Learn byte-pair-encoding merges from the corpus word distribution.
+
+    Classic Sennrich BPE: start from characters (+ an end-of-word
+    marker), repeatedly merge the most frequent adjacent symbol pair.
+    The training input is the **word-count table, not the corpus** —
+    ``token_frequencies`` aggregates it distributed and map-side-combined,
+    and only the ``max_words`` most frequent words (bounded collect, the
+    same shape as PQ codebook training: sequential algorithms train on a
+    bounded sample, the full corpus is touched only by the distributed
+    encode pass) come to the driver. Deterministic: ties in pair
+    frequency break lexicographically; words are processed in
+    (count desc, word) order.
+
+    Returns the ordered merge list for :func:`bpe_encode`.
+    """
+    freqs = (
+        token_frequencies(df, text_col, id_col)
+        .orderBy(F.col("tf").desc(), F.col("token"))
+        .limit(max_words)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in freqs:
+        word = tuple(r["token"]) + (end_of_word,)
+        vocab[word] = vocab.get(word, 0) + r["tf"]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for word, c in vocab.items():
+            for a, b in zip(word, word[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+        if not pair_counts:
+            break
+        # max count, lexicographically-smallest pair on ties
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] < 2:
+            break  # nothing left worth merging
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for word, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(word):
+                if i + 1 < len(word) and word[i] == best[0] and word[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Tokenize every document with learned BPE merges — the distributed
+    half of the pair: one Arrow-batched ``mapInPandas`` pass, merge
+    ranks broadcast in the closure (config-sized), per-word results
+    memoized per batch (Zipf makes the cache hit rate high). Appends
+    ``out_col array<string>``.
+    """
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    out_schema = f"{in_fields}, {out_col} array<string>"
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word) + [end_of_word]
+        while len(syms) > 1:
+            best_rank, best_i = None, -1
+            for i, pair in enumerate(zip(syms, syms[1:])):
+                r = ranks.get(pair)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        cache[word] = syms
+        return syms
+
+    def op(batches):
+        for pdf in batches:
+            cache: dict = {}
+            pdf[out_col] = [
+                [
+                    tok
+                    for w in (t or "").split()
+                    for tok in encode_word(w, cache)
+                ]
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(op, out_schema)

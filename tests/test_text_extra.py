@@ -194,3 +194,66 @@ def test_pack_chunks_does_not_mutate_caller_schema(spark):
     assert [f.name for f in chunks.schema.fields] == before
     # a second call with a different budget must work
     assert pack_chunks(chunks, budget=2).count() == 3
+
+
+# -- BPE train + encode ------------------------------------------------------
+
+
+def test_bpe_train_classic_merges(spark):
+    """The textbook corpus: 'low' x5, 'lower' x2, 'newest' x6, 'widest' x3
+    learns ('e','s') then ('es','t') then ('est','</w>') first — the
+    Sennrich walkthrough — and training is deterministic."""
+    from blueetl_spark.operators.text import bpe_train
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=3)
+    assert merges == [("e", "s"), ("es", "t"), ("est", "</w>")]
+    assert bpe_train(docs, n_merges=3) == merges
+
+
+def test_bpe_encode_applies_ranked_merges(spark):
+    from blueetl_spark.operators.text import bpe_encode, bpe_train
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=10)
+    out = {r.text: r.bpe_tokens for r in bpe_encode(docs.distinct(), merges).collect()}
+    # 'newest' fully merges into one unit after enough merges
+    assert out["newest"] == ["newest</w>"]
+    # unseen word falls back to partial merges / characters, never crashes
+    unseen = spark.createDataFrame([(99, "lowest zzq")], "doc_id long, text string")
+    got = bpe_encode(unseen, merges).collect()[0].bpe_tokens
+    assert "".join(got).replace("</w>", "") == "lowestzzq"
+    # learned subword 'est</w>' is reused by the unseen word
+    assert "est</w>" in got
+
+
+def test_bpe_encode_counts_on_documents(spark, sf_dir):
+    """End-to-end on the documents table: every token of every doc is
+    covered by the BPE segmentation (no characters lost)."""
+    import pyspark.sql.functions as F
+
+    from blueetl_spark.operators.text import bpe_encode, bpe_train
+    from blueetl_spark.sources import tables
+
+    docs = tables.load(spark, sf_dir, "documents").limit(50)
+    merges = bpe_train(docs, n_merges=50, max_words=1000)
+    assert 0 < len(merges) <= 50
+    enc = bpe_encode(docs, merges)
+    row = enc.select(
+        F.length(F.regexp_replace("text", r"\s+", "")).alias("n_chars"),
+        F.aggregate(
+            F.transform(
+                "bpe_tokens",
+                lambda t: F.length(F.regexp_replace(t, r"</w>$", "")),
+            ),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).alias("n_bpe_chars"),
+    ).toPandas()
+    assert (row.n_chars == row.n_bpe_chars).all()
