@@ -251,6 +251,12 @@ def main() -> None:
             reverse=True,
         )
         out["regressions"] = regressions
+        for q in regressions:
+            print(
+                f"# REGRESSION {q}: {prev[q]}s -> {timings[q]}s "
+                f"({vs_prev[q]}x)",
+                file=sys.stderr,
+            )
     prev_stress = _load_prev_round(
         os.path.dirname(os.path.abspath(__file__)), sf, key="stress"
     )
@@ -260,12 +266,6 @@ def main() -> None:
             for q in stress
             if prev_stress.get(q)
         }
-        for q in regressions:
-            print(
-                f"# REGRESSION {q}: {prev[q]}s -> {timings[q]}s "
-                f"({vs_prev[q]}x)",
-                file=sys.stderr,
-            )
     print(json.dumps(out))
     spark.stop()
 

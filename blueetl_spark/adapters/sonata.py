@@ -287,10 +287,16 @@ class SonataAdapter(BaseAdapter):
                     ds = grp[attr]
                     if len(ds) != n:
                         continue
-                    kind = np.asarray(ds[0:1]).dtype.kind
-                    spark_type = {
-                        "i": "long", "u": "long", "f": "double", "b": "boolean",
-                    }.get(kind, "string")
+                    dt = np.asarray(ds[0:1]).dtype
+                    if dt.kind == "u" and dt.itemsize == 8:
+                        # uint64 doesn't fit a signed long — astype would
+                        # silently wrap values >= 2^63 negative; decimal(20,0)
+                        # holds the full range exactly
+                        spark_type = "decimal(20,0)"
+                    else:
+                        spark_type = {
+                            "i": "long", "u": "long", "f": "double", "b": "boolean",
+                        }.get(dt.kind, "string")
                     attrs.append((attr, spark_type))
         base = f"nodes/{pop}"
         bounds = [
@@ -319,6 +325,10 @@ class SonataAdapter(BaseAdapter):
                                 raw = np_float64(raw)
                             elif t == "string":
                                 raw = [None if v is None else str(v) for v in raw]
+                            elif t.startswith("decimal"):
+                                from decimal import Decimal
+
+                                raw = [Decimal(int(v)) for v in np.asarray(raw)]
                             cols[attr] = raw
                         yield pd.DataFrame(cols)
 

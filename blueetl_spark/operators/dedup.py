@@ -533,12 +533,21 @@ def connected_components(
     """
     import gc
 
+    probed = False
     if max_driver_edges:
+        # persist BEFORE probing: when the probe overflows the cap, the
+        # distributed path below re-reads the same (often expensive —
+        # LSH-join-shaped) pair subtree from cache instead of recomputing
+        # it; released together with the symmetrized edge list.
+        pairs = pairs.persist()
+        probed = True
         probe = pairs.select(id_a, id_b).limit(max_driver_edges + 1).toPandas()
         if len(probe) <= max_driver_edges:
-            return _driver_components(
+            out = _driver_components(
                 pairs.sparkSession, probe, dict(pairs.dtypes)[id_a], nodes, id_col
             )
+            pairs.unpersist()
+            return out
 
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
@@ -612,6 +621,8 @@ def connected_components(
         if converged:
             break
     edges.unpersist()
+    if probed:
+        pairs.unpersist()
     return labels
 
 
@@ -701,6 +712,17 @@ def shared_passage_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _fs_exists(spark, path: str) -> bool:
+    """Existence check through Hadoop's FileSystem API — correct on every
+    filesystem Spark can write to (hdfs://, s3a://, file:...), where a
+    driver-local ``pathlib.Path.exists()`` is silently always-False and
+    would make incremental dedup treat ALL history as absent."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf).exists(p)
+
+
 def incremental_exact(
     new_docs: DataFrame,
     index_path: str,
@@ -727,14 +749,20 @@ def incremental_exact(
     store it bucketed by digest (``bucketBy``) to make the anti-join
     co-located.
     """
-    from pathlib import Path
-
     spark = new_docs.sparkSession
     fp = fingerprint(new_docs, text_col, id_col)
     keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    if Path(index_path).exists():
+    if _fs_exists(spark, index_path):
         seen = spark.read.parquet(index_path).select("fingerprint")
         keep = keep.join(seen, "fingerprint", "left_anti")
+    # Eager snapshot BEFORE the index append. Two reasons: (1) the
+    # survivor set is consumed twice (append + returned semi-join) and
+    # the checkpoint computes the fingerprint/anti-join subtree once;
+    # (2) read-after-append hazard — the history scan's file listing is
+    # resolved lazily, so a plan still referencing it after the append
+    # would see the batch's OWN digests and dedup everything away
+    # (observed: a lazily-cached keep read back empty).
+    keep = keep.localCheckpoint()
     fresh = new_docs.join(keep.select(id_col), id_col, "left_semi")
     if update:
         # distinct survivors' digests only — the index never holds dups
@@ -768,19 +796,22 @@ def incremental_minhash(
     pass the filtered batch). Batch-internal pairs are NOT included;
     run :func:`minhash_lsh_candidates` on the batch for those.
     """
-    from pathlib import Path
-
     spark = new_docs.sparkSession
     rows_per_band = num_hashes // bands
+    # eager snapshot: sig feeds the match join, the banding, AND the
+    # index append — one computation, and no lazy plan is left reading
+    # the index after we append to it (see incremental_exact)
     sig = minhash_signatures(
         new_docs, text_col, id_col, n, num_hashes, hash_fn
-    ).cache()
+    ).localCheckpoint()
     banded = banded_buckets(sig, id_col, bands, rows_per_band, hash_fn)
-    sig_dir = str(Path(index_path) / "signatures.parquet")
-    bucket_dir = str(Path(index_path) / "buckets.parquet")
+    # plain string joins: pathlib would collapse the double slash of
+    # hdfs:// / s3a:// URIs and its exists() is driver-local anyway
+    sig_dir = f"{index_path}/signatures.parquet"
+    bucket_dir = f"{index_path}/buckets.parquet"
     id_type = dict(new_docs.dtypes)[id_col]
     out_schema = f"new_id {id_type}, old_id {id_type}, est_jaccard double"
-    if Path(bucket_dir).exists():
+    if _fs_exists(spark, bucket_dir):
         old_buckets = spark.read.parquet(bucket_dir)
         old_sigs = spark.read.parquet(sig_dir)
         cand = (
@@ -816,7 +847,10 @@ def incremental_minhash(
     else:
         matches = spark.createDataFrame([], out_schema)
     if update:
+        # snapshot the matches before appending: their plan reads the
+        # OLD index files, and the lazy file listing would otherwise
+        # pick up this batch's own signatures post-append (self-matches)
+        matches = matches.localCheckpoint()
         sig.write.mode("append").parquet(sig_dir)
         banded.write.mode("append").parquet(bucket_dir)
-    sig.unpersist()
     return matches

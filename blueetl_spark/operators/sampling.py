@@ -124,10 +124,16 @@ def temperature_mixture(
         return df
     n_min = min(counts.values())
     thr: Column = F.lit(0)
-    for g, n in sorted(counts.items()):
+    # sort with a None-safe key (a null group is a real group — groupBy
+    # emits it, and plain sorted() would raise comparing None to str);
+    # eqNullSafe makes the CASE arm actually match those rows instead of
+    # silently dropping them through the == NULL never-true comparison
+    for g, n in sorted(counts.items(), key=lambda kv: (kv[0] is None, str(kv[0]))):
         if alpha == 0.5:  # sqrt is correctly rounded in IEEE 754: replayable
             r = math.sqrt(n_min) / math.sqrt(n)
         else:
             r = (n_min / n) ** (1.0 - alpha)
-        thr = F.when(F.col(group_col) == g, F.lit(math.floor(r * BUCKETS))).otherwise(thr)
+        thr = F.when(
+            F.col(group_col).eqNullSafe(F.lit(g)), F.lit(math.floor(r * BUCKETS))
+        ).otherwise(thr)
     return df.filter(hash_bucket(key_col, seed, method) < thr)

@@ -287,3 +287,22 @@ def test_sonata_to_parquet_distributed(spark, tmp_path):
     p = ParquetAdapter(spark, out_dir)
     assert p.nodes().count() == 3_000
     assert p.events().count() == 4_000
+
+
+def test_sonata_nodes_distributed_uint64_exact(spark, tmp_path):
+    """uint64 attributes above 2^63 must survive exactly (decimal(20,0)),
+    not wrap negative through a signed-long astype."""
+    from blueetl_spark.adapters import h5stub
+    from blueetl_spark.adapters.sonata import SonataAdapter
+
+    big = np.array([2**63 + 7, 5, 2**64 - 1], dtype=np.uint64)
+    p = tmp_path / "nodes.npz"
+    np.savez(p, **{
+        "nodes/popA/node_type_id": np.full(3, 100),
+        "nodes/popA/0/hash_id": big,
+    })
+    a = SonataAdapter(spark, p, None)
+    out = a.nodes_distributed(chunk_rows=2, h5_open=h5stub.File)
+    assert dict(out.dtypes)["hash_id"] == "decimal(20,0)"
+    got = [int(r.hash_id) for r in out.orderBy("node_id").collect()]
+    assert got == [2**63 + 7, 5, 2**64 - 1]

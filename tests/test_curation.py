@@ -235,3 +235,14 @@ def test_temperature_mixture_deterministic_across_runs(spark):
     a = {r["doc_id"] for r in sampling.temperature_mixture(df, method="md5").collect()}
     b = {r["doc_id"] for r in sampling.temperature_mixture(df, method="md5").collect()}
     assert a == b
+
+
+def test_temperature_mixture_null_group(spark):
+    """A null group is a real group: it gets its own rate instead of
+    crashing the sort or silently dropping through a ==NULL predicate."""
+    rows = [(i, "big" if i < 800 else None) for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.temperature_mixture(df, alpha=0.0).toPandas()
+    counts = out.source.fillna("<null>").value_counts()
+    assert counts.get("<null>", 0) == 100  # smallest group fully kept
+    assert 60 < counts["big"] < 140  # equalized in expectation
