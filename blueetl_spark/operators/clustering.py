@@ -1,0 +1,143 @@
+"""Distributed k-means over embedding columns — the clustering half of
+semantic curation.
+
+The reference (BlueBrain/blueetl) has no vector operations at all; this
+extends the engine's embedding stack (``similarity.py`` ANN, ``pq.py``
+compression) with corpus-scale clustering, which modern training-data
+pipelines use for:
+
+- **semantic dedup** (SemDeDup-style): cluster, then run exact near-dup
+  only WITHIN clusters — the cluster id becomes the blocking key that
+  makes the O(n²) comparison local;
+- **cluster-balanced / diversity sampling**: per-cluster quotas instead
+  of uniform sampling, so rare semantic regions survive downsampling;
+- **IVF codebooks**: :func:`kmeans_fit` centroids feed
+  ``similarity.build_ivf_index`` directly.
+
+Scale shape (classic distributed Lloyd): centroids are config-sized and
+live driver-side; each iteration is ONE distributed pass — the
+``assign_cells`` preallocated-buffer numpy matmul assigns every vector,
+then per-cluster sums aggregate map-side-combined and only k partial
+rows per partition shuffle. Plans never nest across iterations (each
+round's plan is flat over the corpus + a literal centroid list), so the
+connected-components plan-growth hazard does not exist here. The corpus
+should be cached by the CALLER if it doesn't already sit in fast
+storage — the loop scans it once per iteration.
+
+Determinism: seeded hash-ordered init (same discipline as
+``build_ivf_index``), assignment ties to the largest centroid id
+(``assign_cells``'s documented tie-break), empty clusters keep their
+previous centroid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from blueetl_spark.operators.similarity import assign_cells
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 10,
+    seed: int = 42,
+    tol: float = 1e-6,
+) -> list[list[float]]:
+    """Lloyd's k-means on the full (distributed) corpus; returns the
+    centroid list (k × dim floats).
+
+    Init: the ``k`` vectors with smallest ``xxhash64(id, seed)`` — a
+    deterministic uniform sample without a global sort (``limit`` after
+    ``orderBy`` prunes to a top-k per partition + driver merge).
+    Convergence: stop when no centroid moves more than ``tol`` (squared
+    L2), checked on the driver against the previous round's list.
+    """
+    import numpy as np
+
+    cents = [
+        list(map(float, r[vec_col]))
+        for r in df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(k)
+        .collect()
+    ]
+    if not cents:
+        raise ValueError("kmeans_fit: empty corpus")
+    dim = len(cents[0])
+    for _ in range(max_iter):
+        assigned = (
+            assign_cells(df.select(F.col(vec_col).alias("__v")), cents, "__v", n=1)
+            .select(F.col("__cells")[0].alias("cell"), "__v")
+        )
+        # per-cluster component sums: explode the vector ONCE with its
+        # position, aggregate (cell, pos) — map-side combined, shuffle
+        # carries at most k x dim x partitions partial rows
+        sums = (
+            assigned.select(
+                "cell", F.posexplode(F.col("__v")).alias("pos", "x")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("c"))
+            .collect()
+        )
+        new = np.asarray(cents, dtype=np.float64).copy()
+        counts = np.zeros(len(cents))
+        acc = np.zeros((len(cents), dim))
+        for r in sums:
+            acc[r["cell"], r["pos"]] = r["s"]
+            counts[r["cell"]] = r["c"]
+        moved = 0.0
+        for j in range(len(cents)):
+            if counts[j] > 0:
+                cand = acc[j] / counts[j]
+                moved = max(moved, float(((cand - new[j]) ** 2).sum()))
+                new[j] = cand
+        cents = new.tolist()
+        if moved <= tol:
+            break
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Append the nearest-centroid cluster id (one distributed matmul
+    pass; input columns preserved)."""
+    out = assign_cells(df, centroids, vec_col, n=1, out_col="__cells")
+    return out.withColumn(out_col, F.col("__cells")[0]).drop("__cells")
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    centroids: list[list[float]],
+    per_cluster: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Diversity sampling: deterministically keep up to ``per_cluster``
+    rows from every cluster (rank by ``xxhash64(id, seed)`` within the
+    cluster — a seeded uniform choice that never collapses a rare
+    semantic region the way corpus-uniform sampling does).
+
+    One matmul pass + one window rank; the quota bounds the output to
+    ``k x per_cluster`` rows regardless of corpus skew.
+    """
+    from pyspark.sql import Window
+
+    assigned = kmeans_assign(df, centroids, vec_col)
+    w = Window.partitionBy("cluster").orderBy(
+        F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= per_cluster)
+        .drop("__r")
+    )
