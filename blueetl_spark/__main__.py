@@ -144,6 +144,23 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    from blueetl_spark.plans.curate import curate_corpus
+    from blueetl_spark.plans.export import export_corpus
+    from blueetl_spark.session import get_spark
+
+    config = _load_config(args.config) if args.config else {"steps": []}
+    spark = get_spark(app_name="blueetl_spark.curate")
+    docs = spark.read.parquet(args.input)
+    eval_df = spark.read.parquet(args.eval) if args.eval else None
+    kept, stats = curate_corpus(
+        docs, config, eval_df=eval_df, collect_stats=not args.no_stats
+    )
+    manifest = export_corpus(kept, args.output, n_shards=args.shards)
+    print(json.dumps({"steps": stats, "export": manifest}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="blueetl_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -182,6 +199,17 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("output_dir")
     c.add_argument("--node-population", default="synthetic")
     c.set_defaults(fn=cmd_convert_spikes)
+
+    cu = sub.add_parser(
+        "curate", help="dedup/filter/scrub/sample a corpus and export shards"
+    )
+    cu.add_argument("input", help="input documents parquet")
+    cu.add_argument("output", help="output shard directory")
+    cu.add_argument("--config", default="", help="curation steps config (json/yaml)")
+    cu.add_argument("--eval", default="", help="eval corpus parquet (decontaminate)")
+    cu.add_argument("--shards", type=int, default=64)
+    cu.add_argument("--no-stats", action="store_true", help="skip per-step counts")
+    cu.set_defaults(fn=cmd_curate)
 
     s = sub.add_parser("query", help="run one registered query")
     s.add_argument("sf_dir")

@@ -1,0 +1,143 @@
+"""Config-driven corpus curation: compose the engine's dedup / quality /
+PII / decontamination / mixture operators into one declarative pipeline,
+ending (optionally) in the sharded, manifest-verified corpus export.
+
+This is the "assemble a training set" entry point a real pipeline runs
+daily — each step is one of the already-scale-shaped operators, so the
+composition inherits their properties (hash-only dedup shuffles,
+broadcast eval sets, pure-filter sampling, map-only scrubbing). Steps
+see the full row (id + text + metadata columns pass through), so later
+steps can group on anything earlier steps preserved.
+
+Config shape (JSON/YAML-friendly):
+
+    {"steps": [
+        {"op": "exact_dedup"},
+        {"op": "near_dedup", "threshold": 0.8, "num_hashes": 64,
+         "bands": 16, "ngram": 3},
+        {"op": "quality", "min_tokens": 10, "max_punct_ratio": 0.2,
+         "min_stopword_ratio": 0.02},
+        {"op": "decontaminate", "ngram": 3},       # needs eval_df
+        {"op": "pii_scrub"},
+        {"op": "temperature_mixture", "alpha": 0.7, "group_col": "lang"},
+        {"op": "mixture", "rates": {"en": 1.0}, "group_col": "lang",
+         "default_rate": 0.1},
+    ]}
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KNOWN_OPS = (
+    "exact_dedup",
+    "near_dedup",
+    "quality",
+    "decontaminate",
+    "pii_scrub",
+    "temperature_mixture",
+    "mixture",
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    config: dict[str, Any],
+    eval_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    collect_stats: bool = True,
+) -> tuple[DataFrame, list[dict[str, Any]]]:
+    """Run the configured steps over ``docs``; returns (kept rows, stats).
+
+    ``collect_stats`` counts rows after every step (one extra action per
+    step — cheap next to the steps themselves at test scale; pass False
+    for production runs where the export manifest already carries the
+    final counts).
+    """
+    from blueetl_spark.operators import dedup, sampling, text
+
+    steps = config.get("steps", [])
+    for s in steps:  # validate before touching any data
+        if s.get("op") not in KNOWN_OPS:
+            raise ValueError(
+                f"unknown curation op {s.get('op')!r}; one of {KNOWN_OPS}"
+            )
+        if s["op"] == "decontaminate" and eval_df is None:
+            raise ValueError("decontaminate step requires eval_df")
+
+    stats: list[dict[str, Any]] = []
+    cur = docs
+    if collect_stats:
+        stats.append({"op": "input", "rows": cur.count()})
+    for s in steps:
+        op = s["op"]
+        if op == "exact_dedup":
+            keep = dedup.dedup_exact(cur, text_col, id_col).select(
+                F.col("keep_id").alias(id_col)
+            )
+            cur = cur.join(keep, id_col, "left_semi")
+        elif op == "near_dedup":
+            cand = dedup.minhash_lsh_candidates(
+                cur,
+                text_col,
+                id_col,
+                n=int(s.get("ngram", 3)),
+                num_hashes=int(s.get("num_hashes", 64)),
+                bands=int(s.get("bands", 16)),
+            )
+            pairs = cand.filter(
+                F.col("est_jaccard") >= float(s.get("threshold", 0.8))
+            ).select("id_a", "id_b")
+            cur = dedup.keep_canonical(
+                pairs, cur, id_col=id_col, assume_distinct_pairs=True
+            )
+        elif op == "quality":
+            qf = text.quality_features(cur, text_col, id_col)
+            cond = F.lit(False)
+            if "min_tokens" in s:
+                cond = cond | (F.col("n_tokens") < int(s["min_tokens"]))
+            if "max_punct_ratio" in s:
+                cond = cond | (F.col("punct_ratio") > float(s["max_punct_ratio"]))
+            if "min_stopword_ratio" in s:
+                cond = cond | (
+                    F.col("stopword_ratio") < float(s["min_stopword_ratio"])
+                )
+            bad = qf.filter(cond).select(id_col)
+            cur = cur.join(bad, id_col, "left_anti")
+        elif op == "decontaminate":
+            hits = (
+                text.ngram_overlap(
+                    cur, eval_df, text_col, id_col, n=int(s.get("ngram", 3))
+                )
+                .filter(F.col("n_shared") > int(s.get("max_shared", 0)))
+                .select(id_col)
+            )
+            cur = cur.join(hits, id_col, "left_anti")
+        elif op == "pii_scrub":
+            cur = text.pii_scrub(cur, text_col, count=False)
+        elif op == "temperature_mixture":
+            cur = sampling.temperature_mixture(
+                cur,
+                alpha=float(s.get("alpha", 0.5)),
+                group_col=s.get("group_col", "source"),
+                key_col=id_col,
+                seed=s.get("seed", ""),
+                method=s.get("method", "xxhash64"),
+            )
+        elif op == "mixture":
+            cur = sampling.mixture_sample(
+                cur,
+                s["rates"],
+                group_col=s.get("group_col", "source"),
+                key_col=id_col,
+                seed=s.get("seed", ""),
+                method=s.get("method", "xxhash64"),
+                default_rate=float(s.get("default_rate", 0.0)),
+            )
+        if collect_stats:
+            stats.append({"op": op, "rows": cur.count()})
+    return cur, stats

@@ -246,3 +246,72 @@ def test_temperature_mixture_null_group(spark):
     counts = out.source.fillna("<null>").value_counts()
     assert counts.get("<null>", 0) == 100  # smallest group fully kept
     assert 60 < counts["big"] < 140  # equalized in expectation
+
+
+# -- curate pipeline + CLI ---------------------------------------------------
+
+
+def test_curate_corpus_composes_steps(spark, tmp_path):
+    from blueetl_spark.plans.curate import curate_corpus
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs on", "en"),
+        (2, "the quick brown fox jumps over the lazy dog and runs on", "en"),  # exact dup
+        (3, "too short", "en"),
+        (4, "mail me at bob@example.com for all of the details on this and that", "en"),
+        (5, "benchmark sentence that must not leak into the training set ok", "en"),
+        (6, "a completely ordinary document with enough words to pass the gates", "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    ev = spark.createDataFrame(
+        [(0, "must not leak into the training")], "doc_id long, text string"
+    )
+    cfg = {"steps": [
+        {"op": "exact_dedup"},
+        {"op": "quality", "min_tokens": 5},
+        {"op": "decontaminate", "ngram": 3},
+        {"op": "pii_scrub"},
+    ]}
+    kept, stats = curate_corpus(docs, cfg, eval_df=ev)
+    out = {r.doc_id: r for r in kept.collect()}
+    assert set(out) == {1, 4, 6}  # 2 dup, 3 short, 5 contaminated
+    assert "<EMAIL>" in out[4].text and "bob@" not in out[4].text
+    assert out[6].lang == "de"  # metadata columns pass through
+    assert [s["op"] for s in stats] == [
+        "input", "exact_dedup", "quality", "decontaminate", "pii_scrub"
+    ]
+    assert [s["rows"] for s in stats] == [6, 5, 4, 3, 3]
+    with pytest.raises(ValueError, match="unknown curation op"):
+        curate_corpus(docs, {"steps": [{"op": "nope"}]})
+    with pytest.raises(ValueError, match="requires eval_df"):
+        curate_corpus(docs, {"steps": [{"op": "decontaminate"}]})
+
+
+def test_curate_cli_end_to_end(spark, tmp_path):
+    """CLI: parquet in -> curated shards + manifest + stats JSON out."""
+    import json
+
+    from blueetl_spark.__main__ import main as cli_main
+    from blueetl_spark.plans.export import verify_export
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with plenty of ordinary words inside it",
+          "en") for i in range(40)] + [(99, "document number 0 with plenty of ordinary words inside it", "en")],
+        "doc_id long, text string, lang string",
+    )
+    inp = str(tmp_path / "in.parquet")
+    docs.write.parquet(inp)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({"steps": [{"op": "exact_dedup"}]}))
+    out_dir = str(tmp_path / "shards")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_main(["curate", inp, out_dir, "--config", str(cfg_path),
+                       "--shards", "4"])
+    assert rc == 0
+    res = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert res["steps"][-1]["rows"] == 40  # doc 99 deduped against doc 0
+    assert verify_export(spark, out_dir)["ok"]
