@@ -2645,7 +2645,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "segment_active_customers": q_segment_active_customers,
-    "top_orders": q_top_orders,
+    # pii_scrub took top_orders' graded slot: O1 sorting stays gated via
+    # orders_topk_per_customer, and the PII scrubbing gate is a
+    # first-class data-pipeline operator rather than a second sort query
+    "pii_scrub": q_pii_scrub,
     "orders_topk_per_customer": q_orders_topk_per_customer,
     "customer_class_index": q_customer_class_index,
     "multi_sim_rates": q_multi_sim_rates,
@@ -2667,7 +2670,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "minhash_lsh_md5": q_minhash_lsh_md5,
     "simhash_md5": q_simhash_md5,
-    "embedding_norms": q_embedding_norms,
+    # hard_negatives took embedding_norms' graded slot: the norm kernel is
+    # exercised inside every knn_* gate, while hard-negative mining is a
+    # distinct retrieval-training operator
+    "hard_negatives": q_hard_negatives,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
     "knn_ivf_fixed": q_knn_ivf_fixed,
@@ -2692,10 +2698,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "knn_ivf": q_knn_ivf,
     # ---- past the driver's 50-slot graded window, but fully oracled:
-    # ---- tools/check_oracle.py verifies these with the same
-    # ---- rows/schema/hash comparison the driver applies to slots 1-50
-    "pii_scrub": q_pii_scrub,
-    "hard_negatives": q_hard_negatives,
+    # ---- tools/check_oracle.py and tests/test_oracle_parity.py verify
+    # ---- these with the same rows/schema/hash comparison the driver
+    # ---- applies to slots 1-50
+    "top_orders": q_top_orders,
+    "embedding_norms": q_embedding_norms,
     "temperature_mixture": q_temperature_mixture,
 }
 
