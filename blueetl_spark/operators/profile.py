@@ -1,0 +1,277 @@
+"""Table profiling: per-column statistics, exact and sketch-based.
+
+Beyond-reference addition: the reference inspects extracted dataframes
+ad hoc (``repr``/pandas ``describe`` in notebooks); a 100 TB pipeline
+needs data profiling as a first-class, *incremental* operator — "what is
+in this table" answered without rescanning history every time a batch
+lands.
+
+Three surfaces, one output shape (long format, one row per column):
+
+- :func:`profile` — exact stats (rows, nulls, distinct, min/max, mean)
+  in ONE scan. The distinct counts use Spark's multi-distinct rewrite
+  (an Expand node multiplies scanned rows by the number of profiled
+  columns before the partial aggregate), so cost grows with
+  ``len(columns)``; it stays a single pass and map-side combines, but
+  for wide tables at scale prefer :func:`profile_sketch`.
+- :func:`profile_sketch` — same shape with HLL-sketch cardinalities
+  (Apache DataSketches via ``hll_sketch_agg``): ONE scan, NO Expand,
+  bounded memory per column regardless of cardinality.
+- :func:`write_profile_shard` / :func:`merge_profile_shards` — the
+  incremental path. Each ingested batch persists one tiny parquet row
+  per column (sums, min/max, HLL sketch binary); merging unions the
+  shard rows and folds them with ``hll_union_agg`` + sum/min/max, so a
+  whole-corpus profile over any subset of batches costs a scan of the
+  *profile shards* (bytes per batch), never of the data. All recorded
+  stats are mergeable by construction: counts/sums add, min/max fold,
+  HLL unions; the mean is re-derived from (sum, count) at merge time.
+
+Min/max are reported in two typed columns (``min_num``/``max_num`` as
+double for numeric columns, ``min_str``/``max_str`` for strings) so the
+schema stays stable across mixed-type tables and results stay exactly
+comparable to an ANSI-SQL oracle (no engine-specific float-to-string
+formatting in the contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PROFILE_DDL = (
+    "column string, n_rows long, n_null long, n_distinct long, "
+    "min_num double, max_num double, min_str string, max_str string, "
+    "avg_value double"
+)
+
+_ATOMIC_NUM = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+               T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def _profiled_columns(df: DataFrame, columns: list[str] | None) -> list[tuple[str, bool]]:
+    """(name, is_numeric) for each profiled column; defaults to every
+    atomic (numeric/string/boolean) column, skipping arrays/structs/maps
+    and binary (no ordering / no meaningful distinct contract)."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    if columns is None:
+        columns = [
+            n for n, t in fields.items()
+            if isinstance(t, _ATOMIC_NUM + (T.StringType, T.BooleanType))
+        ]
+    out = []
+    for n in columns:
+        if n not in fields:
+            raise ValueError(f"profile: column {n!r} not in {sorted(fields)}")
+        out.append((n, isinstance(fields[n], _ATOMIC_NUM)))
+    if not out:
+        raise ValueError("profile: no atomic columns to profile")
+    return out
+
+
+def _melt(agg_row: DataFrame, cols: list[tuple[str, bool]], round_avg: int) -> DataFrame:
+    """Single wide agg row → long format via an inline-array explode
+    (driver-size data: one struct per column)."""
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n_rows").alias("n_rows"),
+            F.col(f"{c}__n_null").alias("n_null"),
+            F.col(f"{c}__n_distinct").alias("n_distinct"),
+            F.col(f"{c}__min_num").alias("min_num"),
+            F.col(f"{c}__max_num").alias("max_num"),
+            F.col(f"{c}__min_str").alias("min_str"),
+            F.col(f"{c}__max_str").alias("max_str"),
+            F.round(F.col(f"{c}__avg"), round_avg).alias("avg_value"),
+        )
+        for c, _ in cols
+    ]
+    return (
+        agg_row.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
+    )
+
+
+def _stat_exprs(c: str, is_num: bool) -> list:
+    """Shared per-column aggregate expressions (all mergeable)."""
+    col = F.col(c)
+    exprs = [
+        F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__n_null"),
+    ]
+    if is_num:
+        d = col.cast("double")
+        exprs += [
+            F.min(d).alias(f"{c}__min_num"),
+            F.max(d).alias(f"{c}__max_num"),
+            F.lit(None).cast("string").alias(f"{c}__min_str"),
+            F.lit(None).cast("string").alias(f"{c}__max_str"),
+            F.sum(d).alias(f"{c}__sum"),
+        ]
+    else:
+        s = col.cast("string")
+        exprs += [
+            F.lit(None).cast("double").alias(f"{c}__min_num"),
+            F.lit(None).cast("double").alias(f"{c}__max_num"),
+            F.min(s).alias(f"{c}__min_str"),
+            F.max(s).alias(f"{c}__max_str"),
+            F.lit(None).cast("double").alias(f"{c}__sum"),
+        ]
+    return exprs
+
+
+def _finish(agg: DataFrame, cols: list[tuple[str, bool]], round_avg: int) -> DataFrame:
+    """Derive avg from (sum, non-null count) post-agg, then melt."""
+    for c, _ in cols:
+        agg = agg.withColumn(
+            f"{c}__avg",
+            F.col(f"{c}__sum")
+            / F.nullif(F.col("__n_rows") - F.col(f"{c}__n_null"), F.lit(0)),
+        )
+    return _melt(agg, cols, round_avg)
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    round_avg: int = 6,
+) -> DataFrame:
+    """Exact per-column profile in one scan (see module docstring for
+    the Expand-cost caveat of multi-column exact distinct)."""
+    cols = _profiled_columns(df, columns)
+    exprs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c, is_num in cols:
+        exprs += _stat_exprs(c, is_num)
+        exprs.append(F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"))
+    return _finish(df.agg(*exprs), cols, round_avg)
+
+
+def profile_sketch(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    lgk: int = 12,
+    round_avg: int = 6,
+) -> DataFrame:
+    """Sketch-based profile: identical shape to :func:`profile`, with
+    ``n_distinct`` estimated from a per-column HLL sketch (relative
+    error ~1.6% at lgk=12, fixed ~2.5 KiB memory per column per task;
+    no Expand, so cost is independent of column count beyond the
+    per-column fold itself)."""
+    cols = _profiled_columns(df, columns)
+    exprs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c, is_num in cols:
+        exprs += _stat_exprs(c, is_num)
+        exprs.append(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col(c).cast("string"), F.lit(lgk))
+            ).cast("long").alias(f"{c}__n_distinct")
+        )
+    return _finish(df.agg(*exprs), cols, round_avg)
+
+
+# ---------------------------------------------------------------------------
+# Incremental profiling: per-batch shards, merge-on-read
+# ---------------------------------------------------------------------------
+
+_SHARD_DDL = (
+    "column string, batch_id string, n_rows long, n_null long, "
+    "min_num double, max_num double, min_str string, max_str string, "
+    "sum_num double, hll binary"
+)
+
+
+def profile_shard(
+    df: DataFrame,
+    batch_id: str,
+    columns: list[str] | None = None,
+    lgk: int = 12,
+) -> DataFrame:
+    """One mergeable profile row per column for this batch: additive
+    counts/sums, foldable min/max, and the HLL sketch *binary* (not its
+    estimate — estimates don't merge, sketches do)."""
+    cols = _profiled_columns(df, columns)
+    exprs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c, is_num in cols:
+        exprs += _stat_exprs(c, is_num)
+        exprs.append(
+            F.hll_sketch_agg(F.col(c).cast("string"), F.lit(lgk)).alias(f"{c}__hll")
+        )
+    agg = df.agg(*exprs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.lit(batch_id).alias("batch_id"),
+            F.col("__n_rows").alias("n_rows"),
+            F.col(f"{c}__n_null").alias("n_null"),
+            F.col(f"{c}__min_num").alias("min_num"),
+            F.col(f"{c}__max_num").alias("max_num"),
+            F.col(f"{c}__min_str").alias("min_str"),
+            F.col(f"{c}__max_str").alias("max_str"),
+            F.col(f"{c}__sum").alias("sum_num"),
+            F.col(f"{c}__hll").alias("hll"),
+        )
+        for c, _ in cols
+    ]
+    return agg.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def write_profile_shard(
+    df: DataFrame,
+    path: str,
+    batch_id: str,
+    columns: list[str] | None = None,
+    lgk: int = 12,
+) -> None:
+    """Append this batch's profile rows to the shard store. Append-only
+    (same contract as the incremental-dedup indexes in
+    ``operators/dedup.py``): a batch's rows are immutable once written,
+    re-profiling a batch means writing under a new batch_id."""
+    profile_shard(df, batch_id, columns, lgk).coalesce(1).write.mode("append").parquet(path)
+
+
+def merge_profile_shards(
+    spark: SparkSession,
+    path: str,
+    batch_ids: list[str] | None = None,
+    round_avg: int = 6,
+) -> DataFrame:
+    """Fold shard rows into a whole-corpus profile without touching the
+    data: sums add, min/max fold, HLL binaries union. ``batch_ids``
+    restricts the merge (e.g. profile only this month's batches) via a
+    pushed-down filter on the shard scan."""
+    sh = spark.read.parquet(path)
+    if batch_ids is not None:
+        sh = sh.filter(F.col("batch_id").isin(batch_ids))
+    merged = sh.groupBy("column").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_null").alias("n_null"),
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).cast("long").alias("n_distinct"),
+        F.min("min_num").alias("min_num"),
+        F.max("max_num").alias("max_num"),
+        F.min("min_str").alias("min_str"),
+        F.max("max_str").alias("max_str"),
+        F.sum("sum_num").alias("sum_num"),
+    )
+    return merged.select(
+        "column", "n_rows", "n_null", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str",
+        F.round(
+            F.col("sum_num") / F.nullif(F.col("n_rows") - F.col("n_null"), F.lit(0)),
+            round_avg,
+        ).alias("avg_value"),
+    )
+
+
+def frequent_values(
+    df: DataFrame,
+    column: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k heavy hitters for one column: (value, count), count
+    desc, value-string asc as the deterministic tiebreak. One shuffle on
+    the value (map-side combined), then a driver-bounded ordered limit."""
+    counted = (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(F.col(column).cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counted.orderBy(F.col("n").desc(), F.col("value")).limit(k)

@@ -2625,6 +2625,62 @@ WHERE CAST(concat('0x', substring(md5(concat('{TMIX_SEED}',
 """
 
 
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column profile of the orders table (one scan; the
+    sketch/incremental twins are pytest-gated in tests/test_profile.py —
+    HLL estimates are sketch-library-specific, so no SQL oracle)."""
+    from blueetl_spark.operators import profile as prof
+
+    orders = tables.load(spark, sf_dir, "orders")
+    return prof.profile(orders)
+
+
+def _profile_col_sql(c: str, numeric: bool) -> str:
+    if numeric:
+        return f"""
+SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_num,
+       CAST(MAX({c}) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+       ROUND(SUM(CAST({c} AS DOUBLE)) / NULLIF(COUNT({c}), 0), 6) AS avg_value
+FROM orders"""
+    return f"""
+SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       MIN({c}) AS min_str, MAX({c}) AS max_str,
+       CAST(NULL AS DOUBLE) AS avg_value
+FROM orders"""
+
+
+SQL_PROFILE_ORDERS = " UNION ALL ".join(
+    _profile_col_sql(c, n)
+    for c, n in [
+        ("o_orderkey", True), ("o_custkey", True), ("o_orderstatus", False),
+        ("o_totalprice", True), ("o_orderpriority", False),
+    ]
+)
+
+
+def q_frequent_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters with a deterministic tiebreak (count desc,
+    value asc) — the profiling companion for categorical columns."""
+    from blueetl_spark.operators import profile as prof
+
+    orders = tables.load(spark, sf_dir, "orders")
+    return prof.frequent_values(orders, "o_orderpriority", k=3)
+
+
+SQL_FREQUENT_PRIORITY = """
+SELECT CAST(o_orderpriority AS VARCHAR) AS value, COUNT(*) AS n
+FROM orders WHERE o_orderpriority IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, value LIMIT 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2704,6 +2760,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders": q_top_orders,
     "embedding_norms": q_embedding_norms,
     "temperature_mixture": q_temperature_mixture,
+    "profile_orders": q_profile_orders,
+    "frequent_priority": q_frequent_priority,
 }
 
 ORACLES: dict[str, str] = {
@@ -2760,6 +2818,8 @@ ORACLES: dict[str, str] = {
     "pii_scrub": SQL_PII_SCRUB,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "temperature_mixture": SQL_TEMPERATURE_MIXTURE,
+    "profile_orders": SQL_PROFILE_ORDERS,
+    "frequent_priority": SQL_FREQUENT_PRIORITY,
 }
 
 

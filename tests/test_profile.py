@@ -1,0 +1,132 @@
+"""Table profiling: exact stats vs pandas, sketch-vs-exact agreement,
+and the mergeable-shard invariant (profile(all) == merge(profiles(batches)))."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from blueetl_spark.operators import profile as P
+
+
+@pytest.fixture()
+def mixed_df(spark):
+    rows = [
+        (1, 10.5, "a", True),
+        (2, None, "b", False),
+        (3, 2.5, None, None),
+        (4, 2.5, "a", True),
+        (None, 7.0, "c", False),
+    ]
+    return spark.createDataFrame(
+        rows, "k int, v double, s string, flag boolean"
+    )
+
+
+def test_profile_exact(mixed_df):
+    got = {r["column"]: r.asDict() for r in P.profile(mixed_df).collect()}
+    assert set(got) == {"k", "v", "s", "flag"}
+    k = got["k"]
+    assert (k["n_rows"], k["n_null"], k["n_distinct"]) == (5, 1, 4)
+    assert (k["min_num"], k["max_num"], k["avg_value"]) == (1.0, 4.0, 2.5)
+    assert k["min_str"] is None and k["max_str"] is None
+    v = got["v"]
+    assert (v["n_null"], v["n_distinct"], v["min_num"], v["max_num"]) == (1, 3, 2.5, 10.5)
+    assert v["avg_value"] == pytest.approx(22.5 / 4)
+    s = got["s"]
+    assert (s["n_null"], s["n_distinct"], s["min_str"], s["max_str"]) == (1, 3, "a", "c")
+    assert s["min_num"] is None and s["avg_value"] is None
+    # booleans profile as strings
+    assert got["flag"]["n_distinct"] == 2
+
+
+def test_profile_column_selection_and_errors(mixed_df, spark):
+    only = P.profile(mixed_df, columns=["k"]).collect()
+    assert [r["column"] for r in only] == ["k"]
+    with pytest.raises(ValueError, match="not in"):
+        P.profile(mixed_df, columns=["nope"])
+    arr = spark.range(3).select(F.array("id").alias("a"))
+    with pytest.raises(ValueError, match="no atomic columns"):
+        P.profile(arr)
+
+
+def test_profile_skips_non_atomic_by_default(spark):
+    df = spark.range(10).select(
+        F.col("id"), F.array("id").alias("arr"), F.lit("x").alias("s")
+    )
+    cols = [r["column"] for r in P.profile(df).collect()]
+    assert cols == ["id", "s"]
+
+
+def test_profile_sketch_matches_exact_at_small_cardinality(spark, sf_dir):
+    from blueetl_spark.sources import tables
+
+    orders = tables.load(spark, sf_dir, "orders")
+    exact = {r["column"]: r for r in P.profile(orders).collect()}
+    sk = {r["column"]: r for r in P.profile_sketch(orders).collect()}
+    assert set(exact) == set(sk)
+    for c in exact:
+        e, s = exact[c], sk[c]
+        # everything except the estimated cardinality is identical
+        for f in ("n_rows", "n_null", "min_num", "max_num", "min_str",
+                  "max_str", "avg_value"):
+            assert e[f] == s[f], (c, f)
+        # HLL at lgk=12: exact below sketch threshold, ~2% relative above
+        assert s["n_distinct"] == pytest.approx(e["n_distinct"], rel=0.05)
+
+
+def test_shard_merge_equals_oneshot(spark, sf_dir, tmp_path):
+    """The 100 TB contract: merging per-batch shard rows reproduces the
+    one-shot profile without re-reading data."""
+    from blueetl_spark.sources import tables
+
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = str(tmp_path / "profile_shards")
+    # three disjoint batches
+    for i in range(3):
+        batch = orders.filter(F.pmod("o_orderkey", F.lit(3)) == i)
+        P.write_profile_shard(batch, path, batch_id=f"b{i}")
+    merged = {r["column"]: r for r in P.merge_profile_shards(spark, path).collect()}
+    oneshot = {r["column"]: r for r in P.profile_sketch(orders).collect()}
+    assert set(merged) == set(oneshot)
+    for c in oneshot:
+        m, o = merged[c], oneshot[c]
+        for f in ("n_rows", "n_null", "min_num", "max_num", "min_str",
+                  "max_str", "avg_value"):
+            assert m[f] == o[f], (c, f)
+        # sketch-union estimate vs one-shot sketch estimate
+        assert m["n_distinct"] == pytest.approx(o["n_distinct"], rel=0.05)
+    # batch restriction: merging one batch profiles exactly that batch
+    one = {r["column"]: r for r in
+           P.merge_profile_shards(spark, path, batch_ids=["b0"]).collect()}
+    b0 = orders.filter(F.pmod("o_orderkey", F.lit(3)) == 0)
+    assert one["o_orderkey"]["n_rows"] == b0.count()
+
+
+def test_merge_handles_all_null_sum(spark, tmp_path):
+    df = spark.createDataFrame([("x",), ("y",)], "s string")
+    path = str(tmp_path / "shards")
+    P.write_profile_shard(df, path, batch_id="b0")
+    m = P.merge_profile_shards(spark, path).collect()[0]
+    assert m["avg_value"] is None and m["n_distinct"] == 2
+
+
+def test_frequent_values(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 3 + [("c",)] * 1 + [(None,)],
+        "v string",
+    )
+    got = [(r["value"], r["n"]) for r in P.frequent_values(df, "v", k=2).collect()]
+    # tie between a and b at 3 → value asc
+    assert got == [("a", 3), ("b", 3)]
+
+
+def test_profile_single_scan(mixed_df):
+    """Both exact and sketch profiles are ONE pass over the input (no
+    self-join / second scan in the plan)."""
+    for fn in (P.profile, P.profile_sketch):
+        plan = fn(mixed_df)._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("LocalRelation") + plan.count("LogicalRDD") <= 1
