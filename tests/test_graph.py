@@ -1,0 +1,102 @@
+"""PageRank vs a numpy power-iteration oracle, plus the edge cases a
+crawl graph actually has (dangling pages, isolated pages, self-links,
+duplicate edges)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from blueetl_spark.operators.graph import pagerank, quality_weights
+
+
+def _numpy_pagerank(n, edges, damping=0.85, n_iter=20):
+    """Matrix power iteration with exact dangling redistribution."""
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dmass = r[out_deg == 0].sum()
+        contrib = np.zeros(n)
+        for s, d in edges:
+            contrib[d] += r[s] / out_deg[s]
+        r = (1 - damping) / n + damping * (contrib + dmass / n)
+    return r
+
+
+EDGES = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]  # 4 linked + dangling-free core
+
+
+@pytest.fixture()
+def edges_df(spark):
+    return spark.createDataFrame(EDGES, "src long, dst long")
+
+
+def test_pagerank_matches_numpy(spark, edges_df):
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges_df, max_iter=20, tol=0.0).collect()
+    }
+    exp = _numpy_pagerank(4, EDGES)
+    assert set(got) == {0, 1, 2, 3}
+    for i in range(4):
+        assert got[i] == pytest.approx(exp[i], rel=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_pagerank_dangling_and_isolated(spark):
+    # 0 -> 1, 1 dangles; node 7 is isolated (only via `nodes`)
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    nodes = spark.createDataFrame([(0,), (1,), (7,)], "id long")
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(e, nodes=nodes, max_iter=30, tol=0.0).collect()
+    }
+    exp = _numpy_pagerank(3, [(0, 1)], n_iter=30)  # ids 0,1 + isolated 2
+    assert got[0] == pytest.approx(exp[0], rel=1e-9)
+    assert got[1] == pytest.approx(exp[1], rel=1e-9)
+    assert got[7] == pytest.approx(exp[2], rel=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+    # mass conservation with dangling nodes is the bug these tests exist
+    # for; 0 and 7 both have zero in-links, so their ranks coincide
+    assert got[1] > got[0]
+    assert got[0] == pytest.approx(got[7], rel=1e-12)
+
+
+def test_pagerank_ignores_self_loops_and_duplicate_edges(spark, edges_df):
+    noisy = edges_df.union(
+        edges_df.limit(2)  # duplicates
+    ).union(
+        edges_df.sparkSession.createDataFrame([(1, 1)], "src long, dst long")
+    )
+    clean = {r["id"]: r["rank"] for r in pagerank(edges_df, tol=0.0, max_iter=10).collect()}
+    got = {r["id"]: r["rank"] for r in pagerank(noisy, tol=0.0, max_iter=10).collect()}
+    for i in clean:
+        assert got[i] == pytest.approx(clean[i], rel=1e-9)
+
+
+def test_pagerank_converges_early(spark, edges_df):
+    # tol large enough to stop after a couple of rounds; ranks still a
+    # probability vector
+    got = pagerank(edges_df, max_iter=50, tol=1e-3).agg(
+        F.sum("rank").alias("s")
+    ).collect()[0]["s"]
+    assert got == pytest.approx(1.0, rel=1e-9)
+
+
+def test_pagerank_empty_edges(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(e).count() == 0
+
+
+def test_quality_weights(spark, edges_df):
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(5)], "doc_id long, text string")
+    out = quality_weights(docs, edges_df, max_iter=10)
+    rows = {r["doc_id"]: r["quality_weight"] for r in out.collect()}
+    assert set(rows) == set(range(5))
+    # weights are normalized to mean 1 over the rank universe; well-linked
+    # node 2 beats the isolated doc 4
+    assert rows[2] > 1.0 > rows[4] > 0.0
+    assert out.columns == ["doc_id", "text", "quality_weight"]
