@@ -45,6 +45,11 @@ HEADLINE = [
     "asof_purchase",
     "sessionization",
     "value_quantiles",
+    "pii_scrub",
+    "hard_negatives",
+    "temperature_mixture",
+    "profile_orders",
+    "corpus_diff",
 ]
 
 

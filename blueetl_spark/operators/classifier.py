@@ -1,0 +1,141 @@
+"""Quality classification: fastText-style linear classifier on hashed
+n-gram features, for corpus filtering.
+
+Beyond-reference addition: CCNet/fastText-style quality filtering —
+train a linear model that separates a high-quality seed corpus from
+random crawl text, then score every document and keep by threshold or
+use the probability as a sampling weight. The reference has no ML; this
+is the standard curation step between heuristic quality gates
+(``text.quality_features``) and human/LLM labeling.
+
+Scale design — everything stays JVM-side and model-parallel-free:
+
+- **Featurization is the hashing trick** (``HashingTF`` over unigrams +
+  bigram shingles): no vocabulary build, no shuffle, fixed-width sparse
+  vectors whose memory is bounded by ``n_features`` regardless of corpus
+  size. The bigram shingles reuse ``text.shingles`` (JVM higher-order
+  functions, evaluated once per row).
+- **Training is Spark ML logistic regression** (L-BFGS over
+  ``treeAggregate``'d gradients): each iteration is one map-side-combined
+  pass over the cached training frame; driver state is the coefficient
+  vector (``n_features`` floats), not data. Elastic-net regularization
+  keeps hashed-collision noise down.
+- **Inference is a broadcast dot product**: the fitted coefficients ship
+  to executors once; scoring is a map-only pass, no shuffle, safe to run
+  over the full 100 TB corpus.
+- **Persistence** uses Spark ML's native save/load, so a model trained
+  on one cluster scores on another.
+
+The training *labels* come from the caller (seed-corpus membership, LLM
+judgments, heuristic composites); :func:`score_documents` is
+deliberately separate from training so the common deployment — train
+once on a small labeled set, score everything forever — maps onto the
+API directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from blueetl_spark.operators.text import shingles, tokens
+
+
+def _featurize(df: DataFrame, text_col: str, n_features: int, bigrams: bool) -> DataFrame:
+    from pyspark.ml.feature import HashingTF
+
+    grams = tokens(text_col)
+    if bigrams:
+        grams = F.concat(
+            grams,
+            # prefix-tag bigrams so "a b" the bigram never collides by
+            # construction with "a b"-ish unigram content
+            F.transform(shingles(text_col, 2), lambda s: F.concat(F.lit("2:"), s)),
+        )
+    with_grams = df.withColumn("__grams", grams)
+    tf = HashingTF(
+        inputCol="__grams", outputCol="__features", numFeatures=n_features
+    )
+    return tf.transform(with_grams).drop("__grams")
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    n_features: int = 1 << 18,
+    bigrams: bool = True,
+    max_iter: int = 100,
+    reg_param: float = 1e-4,
+    elastic_net: float = 0.0,
+):
+    """Fit the classifier on a labeled frame (``label_col``: 1.0 = keep /
+    high quality, 0.0 = discard). Returns a fitted Spark ML
+    ``LogisticRegressionModel``; pass it to :func:`score_documents`, or
+    persist with ``model.write().overwrite().save(path)`` and reload via
+    :func:`load_quality_classifier`."""
+    from pyspark.ml.classification import LogisticRegression
+
+    feats = _featurize(
+        labeled.select(F.col(label_col).cast("double").alias("__label"), text_col),
+        text_col, n_features, bigrams,
+    )
+    lr = LogisticRegression(
+        featuresCol="__features", labelCol="__label",
+        maxIter=max_iter, regParam=reg_param, elasticNetParam=elastic_net,
+        standardization=False,  # hashed-TF features share one scale already
+    )
+    return lr.fit(feats)
+
+
+def load_quality_classifier(path: str):
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    return LogisticRegressionModel.load(path)
+
+
+def score_documents(
+    model,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int | None = None,
+    bigrams: bool = True,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, quality_prob) for every document — map-only, broadcast
+    coefficients, no shuffle. ``n_features`` defaults to the model's own
+    coefficient width (they must agree; a mismatch is a silent feature
+    scramble, so it is derived rather than trusted to the caller)."""
+    from pyspark.ml.functions import vector_to_array
+
+    width = model.numFeatures if n_features is None else n_features
+    if width != model.numFeatures:
+        raise ValueError(
+            f"n_features={width} does not match the model's "
+            f"{model.numFeatures}-wide coefficients"
+        )
+    feats = _featurize(df, text_col, width, bigrams)
+    scored = model.transform(feats)
+    return scored.select(
+        F.col(id_col),
+        F.round(vector_to_array("probability")[1], 6).alias("quality_prob"),
+        *[F.col(c) for c in passthrough],
+    )
+
+
+def filter_by_quality(
+    model,
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+) -> DataFrame:
+    """Keep documents scoring at or above ``threshold`` — the composable
+    curation-stage form (returns the input rows, not just scores)."""
+    scores = score_documents(
+        model, df, text_col=text_col, id_col=id_col, bigrams=bigrams
+    )
+    keep = scores.filter(F.col("quality_prob") >= threshold).select(id_col)
+    return df.join(keep, id_col, "left_semi")

@@ -2681,6 +2681,45 @@ GROUP BY 1 ORDER BY n DESC, value LIMIT 3
 """
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between documents and a deterministically-derived
+    v2 (drop doc_id%17==0, edit text of doc_id%13==0, add remapped
+    doc_id%29==0 rows) — the whole derivation replays in the oracle."""
+    from blueetl_spark.operators.diff import corpus_diff
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = docs.filter(F.col("doc_id") % 17 != 0)
+    edited = kept.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 13 == 0, F.concat("text", F.lit(" v2")))
+        .otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 29 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return corpus_diff(docs, edited.unionByName(added))
+
+
+SQL_CORPUS_DIFF = """
+WITH old AS (SELECT doc_id, text FROM documents),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 != 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 29 = 0
+)
+SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.doc_id IS NULL THEN 'added'
+            WHEN new.doc_id IS NULL THEN 'removed'
+            WHEN old.text != new.text THEN 'changed' END AS status
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+WHERE CASE WHEN old.doc_id IS NULL THEN 'added'
+           WHEN new.doc_id IS NULL THEN 'removed'
+           WHEN old.text != new.text THEN 'changed' END IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2762,6 +2801,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mixture": q_temperature_mixture,
     "profile_orders": q_profile_orders,
     "frequent_priority": q_frequent_priority,
+    "corpus_diff": q_corpus_diff,
 }
 
 ORACLES: dict[str, str] = {
@@ -2820,6 +2860,7 @@ ORACLES: dict[str, str] = {
     "temperature_mixture": SQL_TEMPERATURE_MIXTURE,
     "profile_orders": SQL_PROFILE_ORDERS,
     "frequent_priority": SQL_FREQUENT_PRIORITY,
+    "corpus_diff": SQL_CORPUS_DIFF,
 }
 
 

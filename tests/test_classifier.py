@@ -1,0 +1,96 @@
+"""Quality classifier: separability on a synthetic corpus, scoring
+schema, save/load round-trip, and the feature-width guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blueetl_spark.operators.classifier import (
+    filter_by_quality,
+    load_quality_classifier,
+    score_documents,
+    train_quality_classifier,
+)
+
+GOOD_WORDS = "analysis careful rigorous method evidence review detailed".split()
+BAD_WORDS = "click free winner prize buy cheap offer".split()
+
+
+def _corpus(spark, n=120, seed_words=None):
+    """Deterministic two-class corpus: class words cycled into 8-token docs."""
+    rows = []
+    for i in range(n):
+        good = i % 2 == 0
+        words = GOOD_WORDS if good else BAD_WORDS
+        text = " ".join(words[(i + j) % len(words)] for j in range(8))
+        rows.append((i, text, 1.0 if good else 0.0))
+    return spark.createDataFrame(rows, "doc_id long, text string, label double")
+
+
+@pytest.fixture(scope="module")
+def model_and_corpus(spark):
+    corpus = _corpus(spark)
+    train = corpus.filter(F.col("doc_id") < 100)
+    test = corpus.filter(F.col("doc_id") >= 100)
+    model = train_quality_classifier(train, n_features=1 << 12, max_iter=50)
+    return model, train, test
+
+
+def test_classifier_separates_heldout(model_and_corpus):
+    model, _, test = model_and_corpus
+    scored = score_documents(model, test).join(
+        test.select("doc_id", "label"), "doc_id"
+    )
+    rows = scored.collect()
+    assert len(rows) == 20
+    correct = sum(
+        1 for r in rows if (r["quality_prob"] >= 0.5) == (r["label"] == 1.0)
+    )
+    assert correct == len(rows)  # fully separable vocabularies
+    assert all(0.0 <= r["quality_prob"] <= 1.0 for r in rows)
+
+
+def test_score_schema_and_passthrough(model_and_corpus):
+    model, train, _ = model_and_corpus
+    out = score_documents(model, train, passthrough=("label",))
+    assert out.columns == ["doc_id", "quality_prob", "label"]
+
+
+def test_filter_by_quality(model_and_corpus):
+    model, _, test = model_and_corpus
+    kept = filter_by_quality(model, test, threshold=0.5)
+    assert kept.columns == test.columns  # stage form: rows, not scores
+    labels = [r["label"] for r in kept.collect()]
+    assert labels and all(l == 1.0 for l in labels)
+
+
+def test_save_load_roundtrip(model_and_corpus, tmp_path):
+    model, _, test = model_and_corpus
+    path = str(tmp_path / "qmodel")
+    model.write().overwrite().save(path)
+    loaded = load_quality_classifier(path)
+    a = {r["doc_id"]: r["quality_prob"] for r in score_documents(model, test).collect()}
+    b = {r["doc_id"]: r["quality_prob"] for r in score_documents(loaded, test).collect()}
+    assert a == b
+
+
+def test_feature_width_guard(model_and_corpus):
+    model, train, _ = model_and_corpus
+    with pytest.raises(ValueError, match="does not match"):
+        score_documents(model, train, n_features=1 << 10)
+
+
+def test_unigram_only_mode(spark):
+    corpus = _corpus(spark, n=40)
+    model = train_quality_classifier(
+        corpus, n_features=1 << 10, bigrams=False, max_iter=30
+    )
+    scored = score_documents(model, corpus, bigrams=False).join(
+        corpus.select("doc_id", "label"), "doc_id"
+    )
+    rows = scored.collect()
+    correct = sum(
+        1 for r in rows if (r["quality_prob"] >= 0.5) == (r["label"] == 1.0)
+    )
+    assert correct == len(rows)
