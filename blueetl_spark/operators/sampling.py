@@ -137,3 +137,73 @@ def temperature_mixture(
             F.col(group_col).eqNullSafe(F.lit(g)), F.lit(math.floor(r * BUCKETS))
         ).otherwise(thr)
     return df.filter(hash_bucket(key_col, seed, method) < thr)
+
+
+def plan_epochs(
+    token_counts: dict[str, int],
+    weights: dict[str, float],
+    budget_tokens: int,
+) -> dict[str, float]:
+    """Token-budget mixture plan: how many epochs of each source fill a
+    training budget at the requested mixture weights.
+
+    ``epochs_g = budget · w_g / Σw / tokens_g`` — may exceed 1.0
+    (up-sampling: small high-weight sources repeat) or fall below
+    (down-sampling). Pure driver-side arithmetic on config-sized dicts;
+    feed the result to :func:`epoch_mixture` to materialize it.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    missing = set(weights) - set(token_counts)
+    if missing:
+        raise ValueError(f"weights name sources without token counts: {sorted(missing)}")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    out = {}
+    for g, w in weights.items():
+        n = token_counts[g]
+        if n <= 0:
+            raise ValueError(f"source {g!r} has no tokens")
+        out[g] = budget_tokens * (w / total_w) / n
+    return out
+
+
+def epoch_mixture(
+    df: DataFrame,
+    epochs: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Materialize an epoch plan, up-sampling included: a row in group
+    ``g`` with ``epochs[g] = k + f`` appears ``k`` times always, plus
+    once more iff its hash bucket falls under ``f`` — so group-level
+    expectation is exactly ``epochs[g]`` while every decision stays a
+    pure per-row function (deterministic, partitioning-independent,
+    engine-replayable like :func:`mixture_sample`).
+
+    Output adds an ``epoch`` column (1-based replica index) so
+    downstream shuffling/packing can interleave replicas; rows from
+    groups absent from ``epochs`` are dropped. Map-only: per-row CASE →
+    ``sequence`` → ``explode``, no shuffle, no join.
+    """
+    for g, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"epochs for {g!r} must be >= 0")
+    full: Column = F.lit(None).cast("int")
+    thr: Column = F.lit(None).cast("int")
+    for g in sorted(epochs, key=lambda k: (k is None, str(k))):
+        e = epochs[g]
+        k = int(e)
+        frac_thr = int(round((e - k) * BUCKETS))
+        full = F.when(F.col(group_col).eqNullSafe(F.lit(g)), F.lit(k)).otherwise(full)
+        thr = F.when(F.col(group_col).eqNullSafe(F.lit(g)), F.lit(frac_thr)).otherwise(thr)
+    n = full + (hash_bucket(key_col, seed, method) < thr).cast("int")
+    # sequence(1, 0) runs DESCENDING in Spark — guard the n == 0 case
+    # with an empty array instead
+    reps = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.filter(n.isNotNull()).withColumn("epoch", F.explode(reps))

@@ -2720,6 +2720,59 @@ WHERE CASE WHEN old.doc_id IS NULL THEN 'added'
 """
 
 
+EPOCH_PLAN = {"en": 2.25, "de": 1.0, "fr": 0.5, "zh": 3.0}
+EPOCH_SEED = "ep1"
+
+
+def q_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch materialization with UP-sampling: en repeats
+    2×(+25% a 3rd time), zh 3×, fr is halved — every replica decision a
+    pure md5-hash function, replayed row-for-row in the oracle."""
+    from blueetl_spark.operators import sampling
+
+    docs = tables.load(spark, sf_dir, "documents")
+    out = sampling.epoch_mixture(
+        docs, EPOCH_PLAN, group_col="lang", key_col="doc_id",
+        seed=EPOCH_SEED, method="md5",
+    )
+    return out.select("doc_id", "lang", "epoch")
+
+
+def _epoch_case_sql() -> tuple[str, str]:
+    from blueetl_spark.operators.sampling import BUCKETS
+
+    full = " ".join(
+        f"WHEN '{g}' THEN {int(e)}" for g, e in sorted(EPOCH_PLAN.items())
+    )
+    thr = " ".join(
+        f"WHEN '{g}' THEN {int(round((e - int(e)) * BUCKETS))}"
+        for g, e in sorted(EPOCH_PLAN.items())
+    )
+    return (f"CASE lang {full} END", f"CASE lang {thr} END")
+
+
+def _sql_epoch_mixture() -> str:
+    from blueetl_spark.operators.sampling import BUCKETS
+
+    full_case, thr_case = _epoch_case_sql()
+    return f"""
+WITH n_tab AS (
+  SELECT doc_id, lang,
+         {full_case}
+         + CASE WHEN CAST(concat('0x', substring(md5(concat('{EPOCH_SEED}',
+               CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % {BUCKETS}
+               < {thr_case} THEN 1 ELSE 0 END AS n
+  FROM documents
+  WHERE {full_case} IS NOT NULL
+)
+SELECT doc_id, lang, UNNEST(generate_series(1, n)) AS epoch
+FROM n_tab
+"""
+
+
+SQL_EPOCH_MIXTURE = _sql_epoch_mixture()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2802,6 +2855,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_orders": q_profile_orders,
     "frequent_priority": q_frequent_priority,
     "corpus_diff": q_corpus_diff,
+    "epoch_mixture": q_epoch_mixture,
 }
 
 ORACLES: dict[str, str] = {
@@ -2861,6 +2915,7 @@ ORACLES: dict[str, str] = {
     "profile_orders": SQL_PROFILE_ORDERS,
     "frequent_priority": SQL_FREQUENT_PRIORITY,
     "corpus_diff": SQL_CORPUS_DIFF,
+    "epoch_mixture": SQL_EPOCH_MIXTURE,
 }
 
 

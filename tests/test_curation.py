@@ -315,3 +315,73 @@ def test_curate_cli_end_to_end(spark, tmp_path):
     res = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert res["steps"][-1]["rows"] == 40  # doc 99 deduped against doc 0
     assert verify_export(spark, out_dir)["ok"]
+
+
+# ---------------------------------------------------------------------------
+# Token-budget epoch planning + up-sampled materialization
+# ---------------------------------------------------------------------------
+
+
+def test_plan_epochs_arithmetic():
+    from blueetl_spark.operators.sampling import plan_epochs
+
+    plan = plan_epochs(
+        token_counts={"wiki": 1_000, "cc": 100_000},
+        weights={"wiki": 1.0, "cc": 1.0},
+        budget_tokens=40_000,
+    )
+    assert plan == {"wiki": 20.0, "cc": 0.2}  # small source up-samples
+
+    with pytest.raises(ValueError, match="without token counts"):
+        plan_epochs({"wiki": 10}, {"nope": 1.0}, 100)
+    with pytest.raises(ValueError, match="budget_tokens"):
+        plan_epochs({"wiki": 10}, {"wiki": 1.0}, 0)
+    with pytest.raises(ValueError, match="no tokens"):
+        plan_epochs({"wiki": 0}, {"wiki": 1.0}, 100)
+
+
+def test_epoch_mixture_upsamples_and_downsamples(spark):
+    from blueetl_spark.operators.sampling import epoch_mixture
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = epoch_mixture(df, {"big": 0.5, "small": 2.5}, seed="s1").cache()
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # expectation: 400*0.5 = 200, 100*2.5 = 250; hash noise is a few %
+    assert abs(counts["big"] - 200) < 40
+    assert abs(counts["small"] - 250) < 40
+    # every small row appears at least twice (full epochs are unconditional)
+    per_row = out.filter(F.col("source") == "small").groupBy("doc_id").count()
+    assert per_row.agg(F.min("count")).collect()[0][0] >= 2
+    assert per_row.agg(F.max("count")).collect()[0][0] == 3
+    # epoch index is 1-based and dense per row
+    eps = sorted(
+        r["epoch"] for r in out.filter(
+            (F.col("doc_id") == 450)).collect()
+    )
+    assert eps == list(range(1, len(eps) + 1))
+    out.unpersist()
+
+
+def test_epoch_mixture_deterministic_and_drops_unplanned(spark):
+    from blueetl_spark.operators.sampling import epoch_mixture
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    plan = {"a": 1.25, "b": 0.0}
+    one = sorted(map(tuple, epoch_mixture(df, plan, seed="x").collect()))
+    two = sorted(map(tuple, epoch_mixture(df.repartition(7), plan, seed="x").collect()))
+    assert one == two  # partitioning-independent
+    assert all(r[1] == "a" for r in one)  # b sampled at 0, c unplanned
+
+    with pytest.raises(ValueError, match=">= 0"):
+        epoch_mixture(df, {"a": -1.0})
+
+
+def test_epoch_mixture_is_shuffle_free(spark):
+    from blueetl_spark.operators.sampling import epoch_mixture
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    plan = epoch_mixture(df, {"a": 2.5})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
