@@ -19,9 +19,13 @@ Config shape (JSON/YAML-friendly):
          "min_stopword_ratio": 0.02},
         {"op": "decontaminate", "ngram": 3},       # needs eval_df
         {"op": "pii_scrub"},
+        {"op": "classifier", "model_path": "/models/quality",
+         "threshold": 0.5},                        # Spark ML LR, map-only
         {"op": "temperature_mixture", "alpha": 0.7, "group_col": "lang"},
         {"op": "mixture", "rates": {"en": 1.0}, "group_col": "lang",
          "default_rate": 0.1},
+        {"op": "epoch_mixture", "epochs": {"wiki": 3.0, "cc": 0.4},
+         "group_col": "source"},                   # up-sampling allowed
     ]}
 """
 
@@ -40,6 +44,8 @@ KNOWN_OPS = (
     "pii_scrub",
     "temperature_mixture",
     "mixture",
+    "classifier",
+    "epoch_mixture",
 )
 
 
@@ -68,6 +74,10 @@ def curate_corpus(
             )
         if s["op"] == "decontaminate" and eval_df is None:
             raise ValueError("decontaminate step requires eval_df")
+        if s["op"] == "classifier" and not (
+            s.get("model_path") or s.get("model") is not None
+        ):
+            raise ValueError("classifier step requires model_path or model")
 
     stats: list[dict[str, Any]] = []
     cur = docs
@@ -123,6 +133,29 @@ def curate_corpus(
             cur = sampling.temperature_mixture(
                 cur,
                 alpha=float(s.get("alpha", 0.5)),
+                group_col=s.get("group_col", "source"),
+                key_col=id_col,
+                seed=s.get("seed", ""),
+                method=s.get("method", "xxhash64"),
+            )
+        elif op == "classifier":
+            from blueetl_spark.operators import classifier as clf
+
+            model = s.get("model")
+            if model is None:
+                model = clf.load_quality_classifier(s["model_path"])
+            cur = clf.filter_by_quality(
+                model,
+                cur,
+                threshold=float(s.get("threshold", 0.5)),
+                text_col=text_col,
+                id_col=id_col,
+                bigrams=bool(s.get("bigrams", True)),
+            )
+        elif op == "epoch_mixture":
+            cur = sampling.epoch_mixture(
+                cur,
+                {k: float(v) for k, v in s["epochs"].items()},
                 group_col=s.get("group_col", "source"),
                 key_col=id_col,
                 seed=s.get("seed", ""),

@@ -385,3 +385,41 @@ def test_epoch_mixture_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
     plan = epoch_mixture(df, {"a": 2.5})._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_curate_classifier_and_epoch_steps(spark, tmp_path):
+    from blueetl_spark.operators.classifier import train_quality_classifier
+    from blueetl_spark.plans.curate import curate_corpus
+
+    good = "careful rigorous analysis with detailed evidence and review"
+    bad = "click here free prize winner buy cheap offer now"
+    rows = [(i, good if i % 2 == 0 else bad,
+             "wiki" if i < 30 else "cc") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    labeled = docs.withColumn("label", (F.col("doc_id") % 2 == 0).cast("double"))
+    model = train_quality_classifier(labeled, n_features=1 << 12, max_iter=30)
+    path = str(tmp_path / "qmodel")
+    model.write().overwrite().save(path)
+
+    # classifier via model_path (the config-file form) + epoch up-sampling
+    cfg = {"steps": [
+        {"op": "classifier", "model_path": path, "threshold": 0.5},
+        {"op": "epoch_mixture", "epochs": {"wiki": 2.0, "cc": 1.0},
+         "group_col": "source", "seed": "e"},
+    ]}
+    kept, stats = curate_corpus(docs, cfg)
+    out = kept.collect()
+    assert all(r.doc_id % 2 == 0 for r in out)  # bad docs filtered
+    n_wiki = sum(1 for r in out if r.source == "wiki")
+    n_cc = sum(1 for r in out if r.source == "cc")
+    assert n_wiki == 30 and n_cc == 15  # 15 wiki keepers x2 epochs
+    assert "epoch" in kept.columns
+    assert [s["op"] for s in stats] == ["input", "classifier", "epoch_mixture"]
+
+    # in-memory model object form (no disk round trip)
+    cfg2 = {"steps": [{"op": "classifier", "model": model, "threshold": 0.5}]}
+    kept2, _ = curate_corpus(docs, cfg2)
+    assert kept2.count() == 30
+
+    with pytest.raises(ValueError, match="model_path or model"):
+        curate_corpus(docs, {"steps": [{"op": "classifier"}]})
