@@ -161,6 +161,20 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_profile(args: argparse.Namespace) -> int:
+    from blueetl_spark.operators import profile as prof
+    from blueetl_spark.session import get_spark
+
+    spark = get_spark(app_name="blueetl_spark.profile")
+    df = spark.read.parquet(args.input)
+    cols = args.columns.split(",") if args.columns else None
+    fn = prof.profile_sketch if args.sketch else prof.profile
+    rows = [r.asDict() for r in fn(df, columns=cols).collect()]
+    print(json.dumps({"table": args.input, "exact": not args.sketch,
+                      "columns": rows}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="blueetl_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -210,6 +224,17 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--shards", type=int, default=64)
     cu.add_argument("--no-stats", action="store_true", help="skip per-step counts")
     cu.set_defaults(fn=cmd_curate)
+
+    pr = sub.add_parser(
+        "profile", help="per-column stats for a parquet table (JSON line)"
+    )
+    pr.add_argument("input", help="parquet path")
+    pr.add_argument("--columns", help="comma-separated subset (default: all atomic)")
+    pr.add_argument(
+        "--sketch", action="store_true",
+        help="HLL cardinalities instead of exact distinct (wide/huge tables)",
+    )
+    pr.set_defaults(fn=cmd_profile)
 
     s = sub.add_parser("query", help="run one registered query")
     s.add_argument("sf_dir")

@@ -85,7 +85,22 @@ def train_quality_classifier(
         maxIter=max_iter, regParam=reg_param, elasticNetParam=elastic_net,
         standardization=False,  # hashed-TF features share one scale already
     )
-    return lr.fit(feats)
+    model = lr.fit(feats)
+    # Drop the training summary: model.transform's task closure captures
+    # the model, the summary holds the live SparkSession, and the
+    # session's ObservationManager is not java-serializable once any
+    # Observation has been registered in the session — scoring would then
+    # die in SparkContext.clean. The summary is training-time-only
+    # diagnostics; a save/load round-trip would shed it too, this does it
+    # without the I/O. (Scala-private setter, public at the JVM level.)
+    try:
+        from pyspark import SparkContext
+
+        jvm = SparkContext._active_spark_context._jvm
+        model._java_obj.setSummary(jvm.scala.Option.empty())
+    except Exception:  # pragma: no cover - connect-mode or API drift
+        pass
+    return model
 
 
 def load_quality_classifier(path: str):

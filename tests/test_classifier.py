@@ -94,3 +94,21 @@ def test_unigram_only_mode(spark):
         1 for r in rows if (r["quality_prob"] >= 0.5) == (r["label"] == 1.0)
     )
     assert correct == len(rows)
+
+
+def test_scoring_survives_session_observations(spark):
+    """Scoring must work in a session whose ObservationManager holds
+    registered Observations (any adapter/write in the session does this):
+    the fitted model would otherwise drag the training summary — and with
+    it the live SparkSession — into the task closure and die
+    non-serializable in SparkContext.clean."""
+    from pyspark.sql import Observation
+
+    obs = Observation("clf_probe")
+    spark.range(5).observe(obs, F.count(F.lit(1)).alias("n")).count()
+    assert obs.get["n"] == 5
+
+    corpus = _corpus(spark, n=40)
+    model = train_quality_classifier(corpus, n_features=1 << 10, max_iter=10)
+    assert not model.hasSummary  # summary stripped at train time
+    assert score_documents(model, corpus).count() == 40

@@ -392,3 +392,28 @@ def test_driver_store_size_gate_refuses_big_tables(spark, tmp_path, kind):
     # at exactly the cap it goes through
     store.dump(spark.range(10), "ok")
     assert store.load(spark, "ok").count() == 10
+
+
+def test_cli_profile(spark, tmp_path, capsys):
+    import json
+
+    from blueetl_spark.__main__ import main as cli_main
+
+    path = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(1, "a", 2.0), (2, "b", None), (3, "a", 4.0)],
+        "k long, s string, v double",
+    ).write.parquet(path)
+
+    assert cli_main(["profile", path]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["exact"] is True
+    cols = {c["column"]: c for c in out["columns"]}
+    assert cols["k"]["n_distinct"] == 3
+    assert cols["v"]["n_null"] == 1 and cols["v"]["avg_value"] == 3.0
+
+    assert cli_main(["profile", path, "--sketch", "--columns", "s"]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["exact"] is False
+    assert [c["column"] for c in out2["columns"]] == ["s"]
+    assert out2["columns"][0]["n_distinct"] == 2
