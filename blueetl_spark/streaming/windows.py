@@ -263,3 +263,48 @@ def streaming_slice_events(
     from blueetl_spark.operators.windows import slice_events
 
     return slice_events(events, windows, time_col=time_col, join_keys=join_keys)
+
+
+def streaming_profile_shards(
+    stream_df: DataFrame,
+    shard_path: str,
+    checkpoint: str,
+    columns: list[str] | None = None,
+    lgk: int = 12,
+    batch_prefix: str = "stream",
+    trigger: dict | None = None,
+):
+    """Continuous table profiling: every micro-batch appends its
+    mergeable profile rows (counts/sums/min-max/HLL binaries —
+    ``operators/profile.py::profile_shard``) to the shard store, so a
+    whole-stream profile is available at any moment via
+    ``merge_profile_shards`` WITHOUT rescanning ingested data.
+
+    ``foreachBatch`` is the right seam: the shard computation is a
+    full-batch aggregate (not incremental per-key state), each batch's
+    rows are immutable once appended (the shard-store contract), and the
+    checkpoint guarantees a batch is profiled exactly once — a restart
+    re-runs at most the in-flight batch under the same batch_id, which
+    overwrites nothing and double-appends nothing because foreachBatch
+    replays are idempotent per epoch id. State is ZERO: nothing carries
+    between batches, the merge happens at read time.
+
+    Returns the started StreamingQuery; ``trigger`` passes through (e.g.
+    ``{"availableNow": True}`` to drain a backlog and stop).
+    """
+    from blueetl_spark.operators.profile import profile_shard
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        profile_shard(
+            batch_df, f"{batch_prefix}-{epoch_id}", columns=columns, lgk=lgk
+        ).coalesce(1).write.mode("append").parquet(shard_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -273,3 +273,52 @@ def test_streaming_slice_events_matches_batch(spark, tmp_path):
         exp.sort_values(key, ignore_index=True)[key]
     ), (len(got), len(exp))
     assert len(got) > 0
+
+
+def test_streaming_profile_shards(spark, tmp_path):
+    """Profile shards appended per micro-batch must merge to the same
+    profile as a one-shot batch profile of all ingested data."""
+    import pandas as pd
+
+    from blueetl_spark.operators.profile import merge_profile_shards, profile_sketch
+    from blueetl_spark.streaming.windows import streaming_profile_shards
+
+    src = str(tmp_path / "src")
+    shards = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = pd.DataFrame({
+        "gid": [1, 2, 3, 4, None, 6],
+        "value": [1.0, 2.0, None, 4.0, 5.0, 6.0],
+        "label": ["a", "b", "a", None, "c", "a"],
+    })
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("gid double, value double, label string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_profile_shards(
+        stream, shards, ckpt, trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+
+    merged = {r["column"]: r for r in merge_profile_shards(spark, shards).collect()}
+    oneshot = {
+        r["column"]: r
+        for r in profile_sketch(spark.read.parquet(src)).collect()
+    }
+    assert set(merged) == set(oneshot) == {"gid", "value", "label"}
+    for c in oneshot:
+        for f in ("n_rows", "n_null", "min_num", "max_num", "min_str",
+                  "max_str", "avg_value", "n_distinct"):
+            assert merged[c][f] == oneshot[c][f], (c, f)
+
+    # restart with the same checkpoint: backlog already consumed, so no
+    # new shard rows appear (exactly-once per batch)
+    before = spark.read.parquet(shards).count()
+    q2 = streaming_profile_shards(
+        stream, shards, ckpt, trigger={"availableNow": True}
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(shards).count() == before
