@@ -204,3 +204,103 @@ def resize_images(
             yield pdf
 
     return media.mapInPandas(op, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (dHash + banded Hamming join)
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = "media_id long, phash long"
+
+
+def deterministic_fake_gray(payload: bytes, w: int = 9, h: int = 8) -> np.ndarray:
+    """Codec stub for the dHash thumbnail: a reproducible h×w grayscale
+    derived from the payload bytes (same contract as
+    ``deterministic_fake_decode`` — swap in a real decode+resize in prod)."""
+    digest = hashlib.shake_256(payload).digest(w * h)  # arbitrary-width XOF
+    return np.frombuffer(digest, dtype=np.uint8).reshape(h, w).astype(np.float64)
+
+
+def perceptual_hash(
+    media: DataFrame,
+    decode_gray: Callable[[bytes], np.ndarray] = deterministic_fake_gray,
+) -> DataFrame:
+    """64-bit dHash per image: each bit compares horizontally adjacent
+    pixels of the 9×8 grayscale thumbnail — robust to re-encoding,
+    resizing, and small edits, which byte-level digests are blind to.
+
+    Arrow-batched ``mapInPandas`` (bounded to one batch of binaries per
+    task); output is (media_id, phash) — 8 bytes per image — so
+    everything downstream shuffles hashes, never payloads.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = np.empty(len(pdf), dtype=np.int64)
+            for i, payload in enumerate(pdf["payload"]):
+                g = decode_gray(payload)
+                bits = (g[:, 1:] > g[:, :-1]).flatten()  # 8x8 = 64 bits
+                acc = np.uint64(0)
+                for b in bits:
+                    acc = (acc << np.uint64(1)) | np.uint64(bool(b))
+                hashes[i] = acc.astype(np.int64)  # two's-complement view
+            yield pd.DataFrame({"media_id": pdf["media_id"].to_numpy(),
+                                "phash": hashes})
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        op, PHASH_SCHEMA
+    )
+
+
+def image_near_dup(
+    media: DataFrame,
+    max_hamming: int = 3,
+    decode_gray: Callable[[bytes], np.ndarray] = deterministic_fake_gray,
+) -> DataFrame:
+    """Near-duplicate image pairs: (id_a, id_b, hamming ≤ max_hamming).
+
+    Banded LSH on the 64-bit dHash: the hash splits into
+    ``max_hamming + 1`` bands, and by pigeonhole any pair within
+    ``max_hamming`` bit flips agrees on at least one whole band — so a
+    band-value equi-join generates a complete candidate set, and the
+    exact Hamming check (``bit_count(xor)``, JVM-side) filters it. No
+    all-pairs comparison anywhere; join traffic is (band, 8-byte hash)
+    rows, candidates cluster only where images actually collide.
+    """
+    from blueetl_spark.operators.dedup import hamming_distance
+
+    n_bands = max_hamming + 1
+    width = 64 // n_bands  # pigeonhole needs >= n_bands disjoint bands
+    hashes = perceptual_hash(media, decode_gray)
+    bands = hashes.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned("phash", i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("val"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("b"),
+    ).select("media_id", "phash", "b.band", "b.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            hamming_distance(F.col("a.phash"), F.col("b.phash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair may collide in several bands
+    )
+    return pairs

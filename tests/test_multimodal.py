@@ -67,3 +67,67 @@ def test_video_frame_custom_decoder(media):
 
     out = mm.sample_video_frames(media, n_frames=2, decode=dec).toPandas()
     assert list(out.timestamp_s) == [0.0, 1.0]
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash + banded near-dup
+# ---------------------------------------------------------------------------
+
+
+def _gray_by_id(images: dict[int, "np.ndarray"]):
+    """Injectable decode keyed on the payload's first byte (= media_id in
+    the fixtures below) — gives tests exact control of each thumbnail."""
+    import numpy as np
+
+    def decode(payload: bytes) -> np.ndarray:
+        return images[payload[0]].astype(np.float64)
+
+    return decode
+
+
+def test_perceptual_hash_known_bits(spark):
+    import numpy as np
+
+    # thumbnail with a strictly increasing first row -> those 8 bits set
+    base = np.zeros((8, 9))
+    base[0] = np.arange(9)
+    media = spark.createDataFrame(
+        [(1, "image", bytes([1]), None)], mm.MEDIA_SCHEMA
+    )
+    got = mm.perceptual_hash(media, _gray_by_id({1: base})).collect()[0]
+    # first 8 bits of the 64 set, rest 0 (phash is the two's-complement
+    # int64 view, so compare in the unsigned domain)
+    assert got["phash"] % (1 << 64) == 0xFF << 56
+
+
+def test_image_near_dup_finds_close_pairs_only(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.random((8, 9)) * 255
+    b = a.copy()
+    b[3, 4] = 255.0 - b[3, 4]  # flips at most 2 adjacent comparisons
+    c = rng.random((8, 9)) * 255  # unrelated
+    media = spark.createDataFrame(
+        [(1, "image", bytes([1]), None),
+         (2, "image", bytes([2]), None),
+         (3, "image", bytes([3]), None),
+         (4, "audio", bytes([1]), None)],  # non-image ignored
+        mm.MEDIA_SCHEMA,
+    )
+    decode = _gray_by_id({1: a, 2: b, 3: c})
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in mm.image_near_dup(media, max_hamming=3, decode_gray=decode).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 2
+    assert all(k == (1, 2) for k in pairs)  # c matches nothing
+
+
+def test_image_near_dup_exact_duplicate_and_determinism(spark):
+    media = spark.createDataFrame(
+        [(1, "image", bytes([5, 5]), None),
+         (2, "image", bytes([5, 5]), None)],  # identical payloads
+        mm.MEDIA_SCHEMA,
+    )
+    one = sorted(map(tuple, mm.image_near_dup(media).collect()))
+    two = sorted(map(tuple, mm.image_near_dup(media).collect()))
+    assert one == two == [(1, 2, 0)]
