@@ -124,9 +124,11 @@ def test_frequent_values(spark):
     assert got == [("a", 3), ("b", 3)]
 
 
-def test_profile_single_scan(mixed_df):
-    """Both exact and sketch profiles are ONE pass over the input (no
-    self-join / second scan in the plan)."""
-    for fn in (P.profile, P.profile_sketch):
-        plan = fn(mixed_df)._jdf.queryExecution().optimizedPlan().toString()
-        assert plan.count("LocalRelation") + plan.count("LogicalRDD") <= 1
+def test_profile_scan_shapes(mixed_df):
+    """The sketch profile is ONE pass; the exact profile is exactly TWO
+    (stats + distinct-Expand kept apart — mixing them makes Spark
+    evaluate every stat on every Expand replica, measured 4x slower)."""
+    sk = P.profile_sketch(mixed_df)._jdf.queryExecution().optimizedPlan().toString()
+    assert sk.count("LocalRelation") + sk.count("LogicalRDD") <= 1
+    ex = P.profile(mixed_df)._jdf.queryExecution().optimizedPlan().toString()
+    assert ex.count("LocalRelation") + ex.count("LogicalRDD") == 2
