@@ -59,11 +59,29 @@ def shingle_sets(
     documents), pass ``ids_unique=False`` to keep the global dedup —
     without it, duplicate (id, shingle) pairs would inflate Jaccard
     set/intersection counts into multiset counts."""
-    out = df.select(
+    out = _fan_out_small_scan(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
     )
     return out if ids_unique else out.distinct()
+
+
+def _fan_out_small_scan(df: DataFrame) -> DataFrame:
+    """Repartition an under-partitioned input up to the cluster's
+    parallelism before a CPU-heavy per-row kernel (shingling, hashing).
+
+    A small parquet table arrives as ONE file split, so every downstream
+    row-local stage — however well codegen'd — runs on one core while 31
+    idle; measured on the sf0.1 documents table, that single-partition
+    inheritance was 15-30× of the whole cold query time. The gate
+    (``parts * 2 <= defaultParallelism``) means a real 100 TB scan
+    (thousands of splits) NEVER pays the extra exchange — this only fires
+    when the scan is too small for the exchange to matter anyway."""
+    sc = df.sparkSession.sparkContext
+    parts = df.rdd.getNumPartitions()
+    if parts * 2 <= sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
 
 
 def jaccard_pairs(
@@ -130,8 +148,7 @@ def minhash_signatures(
     cheaper than the naive formulation that runs all ``num_hashes`` hash
     functions over the full string (and, unlike a multiply-add universal
     hash, safe under Spark's ANSI overflow checking, which rejects long
-    wraparound). One explode + one map-side-combined groupBy — fully
-    JVM-side.
+    wraparound).
 
     ``hash_fn="xxhash64"`` (default, fastest): permutation i is
     ``xxhash64(h, i)``. ``hash_fn="md5"``: base and permutations via
@@ -139,35 +156,46 @@ def minhash_signatures(
     because DuckDB computes identical values, so the full pipeline is
     oracle-verifiable.
 
-    Entirely **row-local**: a document's signature depends only on its
-    own shingle set, so the per-seed minima are ``array_min`` over
-    higher-order-function transforms of the per-row hash array — ZERO
-    shuffles (the previous explode + 64-min groupBy shuffled every
-    (doc, shingle) row just to regroup them by the id they came from).
-    The hash array is materialized in its own projection and referenced
-    ``num_hashes`` times; CollapseProject keeps multiply-referenced
-    non-trivial aliases un-inlined, so shingling+base-hash still runs
-    once per row.
+    Shape: explode the shingle set, hash each shingle once, then a
+    ``num_hashes``-column ``min`` groupBy on the id. Every hash and min
+    runs inside whole-stage codegen, and the partial (map-side)
+    aggregate collapses each document to its final 64-long signature
+    before the exchange — explode is row-local, so a document's shingles
+    are always co-partitioned with it. The shuffle therefore moves
+    exactly one signature-sized row per document (the operator's output
+    size — the minimum any formulation can move). A previous "zero
+    shuffle" variant computed the minima row-locally with nested
+    higher-order functions; HOF lambdas are interpreted (CodegenFallback,
+    per-element boxing), and at 64 permutations that measured **15× more
+    CPU** than this codegen'd aggregate (21.7 s vs 1.4 s on the sf0.1
+    corpus, single-core) — the signature-sized exchange it saved is
+    noise by comparison. See PLANS.md.
     """
-    sh = F.array_distinct(shingles(text_col, n))
     if hash_fn == "xxhash64":
-        base = F.transform(sh, lambda s: F.xxhash64(s))
-        perm = lambda h, i: F.xxhash64(h, i)  # noqa: E731
+        base = F.xxhash64("__s")
+        perm = lambda i: F.xxhash64(F.col("__h"), F.lit(i))  # noqa: E731
     elif hash_fn == "md5":
-        base = F.transform(sh, lambda s: md5_60(s))
-        perm = lambda h, i: md5_60(  # noqa: E731
-            F.concat(h.cast("string"), F.lit(":"), i.cast("string"))
+        base = md5_60(F.col("__s"))
+        perm = lambda i: md5_60(  # noqa: E731
+            F.concat(F.col("__h").cast("string"), F.lit(":"), F.lit(str(i)))
         )
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    hdf = df.select(F.col(id_col), base.alias("__h")).filter(
-        F.col("__h").isNotNull()  # null text: explode used to drop the row
+    hdf = (
+        _fan_out_small_scan(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(text_col, n))).alias("__s"),
+        )
+        .select(F.col(id_col), base.alias("__h"))
     )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(F.col("__h"), lambda h: perm(h, i))),
+    agg = hdf.groupBy(id_col).agg(
+        *[F.min(perm(i)).alias(f"__m{i}") for i in range(num_hashes)]
     )
-    return hdf.select(F.col(id_col), sig.alias("signature"))
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("signature"),
+    )
 
 
 def banded_buckets(

@@ -9,11 +9,13 @@ lands.
 Three surfaces, one output shape (long format, one row per column):
 
 - :func:`profile` — exact stats (rows, nulls, distinct, min/max, mean)
-  in ONE scan. The distinct counts use Spark's multi-distinct rewrite
-  (an Expand node multiplies scanned rows by the number of profiled
-  columns before the partial aggregate), so cost grows with
-  ``len(columns)``; it stays a single pass and map-side combines, but
-  for wide tables at scale prefer :func:`profile_sketch`.
+  as TWO single-pass aggregations cross-joined: one for the plain stats,
+  one for the distinct counts alone (Spark's multi-distinct rewrite
+  plans an Expand node that multiplies scanned rows by the number of
+  profiled columns, and keeping the ~6 non-distinct stats out of that
+  Expand measured 4× faster — see the function docstring). Cost still
+  grows with ``len(columns)``; the strictly one-scan path is
+  :func:`profile_sketch` (no Expand at all).
 - :func:`profile_sketch` — same shape with HLL-sketch cardinalities
   (Apache DataSketches via ``hll_sketch_agg``): ONE scan, NO Expand,
   bounded memory per column regardless of cardinality.
@@ -25,6 +27,10 @@ Three surfaces, one output shape (long format, one row per column):
   *profile shards* (bytes per batch), never of the data. All recorded
   stats are mergeable by construction: counts/sums add, min/max fold,
   HLL unions; the mean is re-derived from (sum, count) at merge time.
+  The merge first reduces to ONE row per (column, batch_id), so an
+  at-least-once writer (a replayed streaming epoch, a retried batch
+  job) that appends the same batch's rows twice cannot double-count
+  the additive stats.
 
 Min/max are reported in two typed columns (``min_num``/``max_num`` as
 double for numeric columns, ``min_str``/``max_str`` for strings) so the
@@ -249,11 +255,22 @@ def merge_profile_shards(
     """Fold shard rows into a whole-corpus profile without touching the
     data: sums add, min/max fold, HLL binaries union. ``batch_ids``
     restricts the merge (e.g. profile only this month's batches) via a
-    pushed-down filter on the shard scan."""
+    pushed-down filter on the shard scan.
+
+    Replay-safe: the fold first reduces to one row per
+    (column, batch_id). ``foreachBatch`` (and any retried batch job) is
+    at-least-once — a crash between the shard append committing and the
+    checkpoint recording the epoch re-runs the epoch and appends a
+    second, identical set of rows under the same batch_id
+    (``streaming/windows.py::streaming_profile_shards``). Dropping the
+    duplicates here is sound precisely because a replayed batch writes
+    rows over the same input data: every additive stat is equal, and
+    either copy of the HLL binary sketches the same value set. The
+    shard table is bytes-per-batch, so the extra exchange is noise."""
     sh = spark.read.parquet(path)
     if batch_ids is not None:
         sh = sh.filter(F.col("batch_id").isin(batch_ids))
-    merged = sh.groupBy("column").agg(
+    merged = sh.dropDuplicates(["column", "batch_id"]).groupBy("column").agg(
         F.sum("n_rows").alias("n_rows"),
         F.sum("n_null").alias("n_null"),
         F.hll_sketch_estimate(F.hll_union_agg("hll")).cast("long").alias("n_distinct"),

@@ -282,12 +282,20 @@ def streaming_profile_shards(
 
     ``foreachBatch`` is the right seam: the shard computation is a
     full-batch aggregate (not incremental per-key state), each batch's
-    rows are immutable once appended (the shard-store contract), and the
-    checkpoint guarantees a batch is profiled exactly once — a restart
-    re-runs at most the in-flight batch under the same batch_id, which
-    overwrites nothing and double-appends nothing because foreachBatch
-    replays are idempotent per epoch id. State is ZERO: nothing carries
-    between batches, the merge happens at read time.
+    rows are immutable once appended (the shard-store contract), and
+    state is ZERO — nothing carries between batches, the merge happens
+    at read time.
+
+    Delivery is **at-least-once, made effectively-once at merge time**:
+    foreachBatch replays are NOT idempotent by themselves — if the
+    driver dies after this blind append commits but before the
+    checkpoint records the epoch, the restarted query re-runs the same
+    epoch and appends a second, identical set of rows under the same
+    ``stream-{epoch_id}`` batch_id. ``merge_profile_shards`` therefore
+    dedups to one row per (column, batch_id) before folding
+    (``operators/profile.py``), which is exactly sound because a
+    replayed epoch recomputes the same input rows. Readers that fold
+    shard rows by hand must apply the same dedup.
 
     Returns the started StreamingQuery; ``trigger`` passes through (e.g.
     ``{"availableNow": True}`` to drain a backlog and stop).

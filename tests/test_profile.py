@@ -106,6 +106,45 @@ def test_shard_merge_equals_oneshot(spark, sf_dir, tmp_path):
     assert one["o_orderkey"]["n_rows"] == b0.count()
 
 
+def test_shard_merge_dedups_replayed_batch(spark, sf_dir, tmp_path):
+    """An at-least-once writer (a replayed foreachBatch epoch, a retried
+    batch job) appends the same batch's rows a second time under the same
+    batch_id; the merge must count that batch exactly once."""
+    from blueetl_spark.sources import tables
+
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = str(tmp_path / "profile_shards")
+    for i in range(3):
+        batch = orders.filter(F.pmod("o_orderkey", F.lit(3)) == i)
+        P.write_profile_shard(batch, path, batch_id=f"b{i}")
+    clean = {r["column"]: r for r in P.merge_profile_shards(spark, path).collect()}
+    # replay batch b1: identical rows, same batch_id, appended again
+    P.write_profile_shard(
+        orders.filter(F.pmod("o_orderkey", F.lit(3)) == 1), path, batch_id="b1"
+    )
+    merged = {r["column"]: r for r in P.merge_profile_shards(spark, path).collect()}
+    oneshot = {r["column"]: r for r in P.profile_sketch(orders).collect()}
+    fields = ("n_rows", "n_null", "min_num", "max_num", "min_str",
+              "max_str", "avg_value", "n_distinct")
+    for c in oneshot:
+        # the replay must be invisible vs the clean merge (exact for the
+        # additive/foldable stats; the kept duplicate's HLL binary is one
+        # of two sketches of the same value set, so estimate-level equal)
+        for f in fields[:-1]:
+            assert merged[c][f] == clean[c][f], (c, f)
+        assert merged[c]["n_distinct"] == pytest.approx(
+            clean[c]["n_distinct"], rel=0.02
+        )
+        # and the additive stats still reproduce the one-shot profile
+        for f in fields[:-1]:
+            assert merged[c][f] == oneshot[c][f], (c, f)
+        assert merged[c]["n_distinct"] == pytest.approx(
+            oneshot[c]["n_distinct"], rel=0.05
+        )
+
+
 def test_merge_handles_all_null_sum(spark, tmp_path):
     df = spark.createDataFrame([("x",), ("y",)], "s string")
     path = str(tmp_path / "shards")

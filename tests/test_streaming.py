@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from blueetl_spark.streaming.windows import (
     read_event_stream,
@@ -322,3 +323,18 @@ def test_streaming_profile_shards(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(shards).count() == before
+
+    # crash-replay: foreachBatch is at-least-once — a driver death between
+    # the shard append committing and the checkpoint recording the epoch
+    # re-runs the epoch and appends identical rows under the SAME
+    # batch_id. Simulate the replay by re-appending epoch 0's rows
+    # verbatim; the merge must still equal the one-shot profile.
+    epoch0 = spark.read.parquet(shards).filter(F.col("batch_id") == "stream-0")
+    assert epoch0.count() > 0
+    epoch0.write.mode("append").parquet(shards)
+    assert spark.read.parquet(shards).count() == before + epoch0.count()
+    replayed = {r["column"]: r for r in merge_profile_shards(spark, shards).collect()}
+    for c in oneshot:
+        for f in ("n_rows", "n_null", "min_num", "max_num", "min_str",
+                  "max_str", "avg_value", "n_distinct"):
+            assert replayed[c][f] == oneshot[c][f], (c, f)
