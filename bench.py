@@ -173,14 +173,18 @@ def main() -> None:
 
     if "--tier=stress" in sys.argv:  # stress-only run for iterating
         stress = run_stress(spark, n_events, n_docs)
+        # timings go under "stress" (matching the full-run record shape),
+        # NOT "queries": stress names overlap headline names at 200x the
+        # rows, and _load_prev_round(key="queries") on a saved stress-only
+        # record would otherwise poison the next full run's vs_prev ratios
         print(
             json.dumps(
                 {
                     "metric": "stress_queries_total_wall",
                     "value": round(sum(stress.values()), 3),
                     "unit": "sec",
-                    "queries": stress,
-                    "rows": n_events,
+                    "stress": stress,
+                    "stress_rows": n_events,
                 }
             )
         )

@@ -39,19 +39,27 @@ def corpus_diff(
         raise ValueError("corpus_diff: no columns to compare")
 
     def digest(df: DataFrame) -> DataFrame:
-        # each column contributes an explicit null/value flag + the value:
-        # a NULL can never collide with any literal string (including one
-        # that happens to equal a sentinel byte)
-        parts = [
-            F.concat(
-                F.when(F.col(c).isNull(), F.lit("n")).otherwise(F.lit("v")),
-                F.coalesce(F.col(c).cast("string"), F.lit("")),
+        # each column contributes a self-delimiting part:
+        #   NULL        -> "n0:"
+        #   value       -> "v<len>:<value>"
+        # The null/value flag keeps NULL distinct from every literal
+        # string, and the length prefix makes the serialization
+        # injection-proof: no value can shift content across column
+        # boundaries (without it, ('a\x1fvb','') and ('a','b\x1fv')
+        # serialized identically and a real change hashed as unchanged).
+        parts = []
+        for c in compare_cols:
+            s = F.col(c).cast("string")
+            parts.append(
+                F.when(F.col(c).isNull(), F.lit("n0:")).otherwise(
+                    F.concat(
+                        F.lit("v"), F.length(s).cast("string"), F.lit(":"), s
+                    )
+                )
             )
-            for c in compare_cols
-        ]
         return df.select(
             F.col(id_col),
-            F.md5(F.concat_ws("\x1f", *parts)).alias("__digest"),
+            F.md5(F.concat(*parts)).alias("__digest"),
         )
 
     o = digest(old).withColumnRenamed("__digest", "__old")

@@ -55,14 +55,16 @@ def curate_corpus(
     eval_df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
-    collect_stats: bool = True,
+    collect_stats: bool = False,
 ) -> tuple[DataFrame, list[dict[str, Any]]]:
     """Run the configured steps over ``docs``; returns (kept rows, stats).
 
-    ``collect_stats`` counts rows after every step (one extra action per
-    step — cheap next to the steps themselves at test scale; pass False
-    for production runs where the export manifest already carries the
-    final counts).
+    ``collect_stats=True`` counts rows after every step — one extra
+    Spark action (a full recompute of the pipeline prefix) per step.
+    The default is False: at corpus scale the cheap path must be the
+    default, the export manifest already carries the final counts, and
+    interactive callers (the ``curate`` CLI) opt in explicitly. With
+    the default, the whole pipeline is ONE job at the terminal action.
     """
     from blueetl_spark.operators import dedup, sampling, text
 

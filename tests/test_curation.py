@@ -272,7 +272,7 @@ def test_curate_corpus_composes_steps(spark, tmp_path):
         {"op": "decontaminate", "ngram": 3},
         {"op": "pii_scrub"},
     ]}
-    kept, stats = curate_corpus(docs, cfg, eval_df=ev)
+    kept, stats = curate_corpus(docs, cfg, eval_df=ev, collect_stats=True)
     out = {r.doc_id: r for r in kept.collect()}
     assert set(out) == {1, 4, 6}  # 2 dup, 3 short, 5 contaminated
     assert "<EMAIL>" in out[4].text and "bob@" not in out[4].text
@@ -281,6 +281,10 @@ def test_curate_corpus_composes_steps(spark, tmp_path):
         "input", "exact_dedup", "quality", "decontaminate", "pii_scrub"
     ]
     assert [s["rows"] for s in stats] == [6, 5, 4, 3, 3]
+    # default is the production path: zero per-step actions, empty stats
+    kept_def, stats_def = curate_corpus(docs, cfg, eval_df=ev)
+    assert stats_def == []
+    assert {r.doc_id for r in kept_def.collect()} == {1, 4, 6}
     with pytest.raises(ValueError, match="unknown curation op"):
         curate_corpus(docs, {"steps": [{"op": "nope"}]})
     with pytest.raises(ValueError, match="requires eval_df"):
@@ -407,7 +411,7 @@ def test_curate_classifier_and_epoch_steps(spark, tmp_path):
         {"op": "epoch_mixture", "epochs": {"wiki": 2.0, "cc": 1.0},
          "group_col": "source", "seed": "e"},
     ]}
-    kept, stats = curate_corpus(docs, cfg)
+    kept, stats = curate_corpus(docs, cfg, collect_stats=True)
     out = kept.collect()
     assert all(r.doc_id % 2 == 0 for r in out)  # bad docs filtered
     n_wiki = sum(1 for r in out if r.source == "wiki")

@@ -32,6 +32,17 @@ def test_null_vs_sentinel_distinct(spark):
     assert got == {1: "changed"}
 
 
+def test_separator_injection_detected(spark):
+    # a value containing the old separator byte must not shift content
+    # across column boundaries: ('a\x1fvb', '') vs ('a', 'b\x1fv')
+    # serialized identically under the flag+separator scheme and hashed
+    # as unchanged — the length prefix makes them distinct
+    old = _df(spark, [(1, "a\x1fvb", "")])
+    new = _df(spark, [(1, "a", "b\x1fv")])
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "changed"}
+
+
 def test_compare_cols_subset(spark):
     old = _df(spark, [(1, "a", "en")])
     new = _df(spark, [(1, "a", "fr")])
