@@ -71,9 +71,13 @@ def train_quality_classifier(
 ):
     """Fit the classifier on a labeled frame (``label_col``: 1.0 = keep /
     high quality, 0.0 = discard). Returns a fitted Spark ML
-    ``LogisticRegressionModel``; pass it to :func:`score_documents`, or
-    persist with ``model.write().overwrite().save(path)`` and reload via
-    :func:`load_quality_classifier`."""
+    ``LogisticRegressionModel`` carrying its featurization params
+    (``model.featurization``); pass it to :func:`score_documents`, or
+    persist with :func:`save_quality_classifier` and reload via
+    :func:`load_quality_classifier` — the save/load pair round-trips the
+    featurization params so scoring is bit-identical with no extra
+    arguments (a silently different ``bigrams``/``n_features`` at
+    scoring time is a feature scramble, not an error message)."""
     from pyspark.ml.classification import LogisticRegression
 
     feats = _featurize(
@@ -100,13 +104,59 @@ def train_quality_classifier(
         model._java_obj.setSummary(jvm.scala.Option.empty())
     except Exception:  # pragma: no cover - connect-mode or API drift
         pass
+    model.featurization = {"n_features": int(n_features), "bigrams": bool(bigrams)}
     return model
 
 
-def load_quality_classifier(path: str):
-    from pyspark.ml.classification import LogisticRegressionModel
+def save_quality_classifier(model, path: str) -> None:
+    """Persist the model AND its featurization params under one
+    directory. The params ride as a one-row JSON dataset written through
+    Spark (``<path>/featurization``), so the sidecar lands on whatever
+    filesystem the model itself lands on (HDFS/S3A/local alike) — no
+    driver-local ``open()`` that would break on a cluster store."""
+    from pyspark.sql import SparkSession
 
-    return LogisticRegressionModel.load(path)
+    model.write().overwrite().save(path)
+    feat = getattr(model, "featurization", None) or {
+        "n_features": int(model.numFeatures),
+        "bigrams": True,
+    }
+    spark = SparkSession.getActiveSession()
+    spark.createDataFrame(
+        [(int(feat["n_features"]), bool(feat["bigrams"]))],
+        "n_features long, bigrams boolean",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/featurization")
+
+
+def load_quality_classifier(path: str):
+    """Load a model saved by :func:`save_quality_classifier`; the stored
+    featurization params re-attach so :func:`score_documents` needs no
+    extra arguments. Models saved through the raw Spark ML writer (no
+    sidecar) still load — ``n_features`` comes from the coefficient
+    width and ``bigrams`` falls back to the training default (True)."""
+    from pyspark.ml.classification import LogisticRegressionModel
+    from pyspark.sql import SparkSession
+    from pyspark.sql.utils import AnalysisException
+
+    model = LogisticRegressionModel.load(path)
+    feat = {"n_features": int(model.numFeatures), "bigrams": True}
+    try:
+        spark = SparkSession.getActiveSession()
+        row = spark.read.schema("n_features long, bigrams boolean").json(
+            f"{path}/featurization"
+        ).first()
+        if row is not None and row["bigrams"] is not None:
+            feat = {"n_features": int(row["n_features"]),
+                    "bigrams": bool(row["bigrams"])}
+    except AnalysisException:  # pre-sidecar model dir
+        pass
+    if feat["n_features"] != model.numFeatures:
+        raise ValueError(
+            f"featurization sidecar says n_features={feat['n_features']} but "
+            f"the model has {model.numFeatures}-wide coefficients"
+        )
+    model.featurization = feat
+    return model
 
 
 def score_documents(
@@ -115,13 +165,16 @@ def score_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_features: int | None = None,
-    bigrams: bool = True,
+    bigrams: bool | None = None,
     passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, quality_prob) for every document — map-only, broadcast
     coefficients, no shuffle. ``n_features`` defaults to the model's own
     coefficient width (they must agree; a mismatch is a silent feature
-    scramble, so it is derived rather than trusted to the caller)."""
+    scramble, so it is derived rather than trusted to the caller), and
+    ``bigrams`` defaults to the model's persisted featurization (same
+    scramble hazard — scoring unigram-only against bigram-trained
+    coefficients degrades silently)."""
     from pyspark.ml.functions import vector_to_array
 
     width = model.numFeatures if n_features is None else n_features
@@ -129,6 +182,10 @@ def score_documents(
         raise ValueError(
             f"n_features={width} does not match the model's "
             f"{model.numFeatures}-wide coefficients"
+        )
+    if bigrams is None:
+        bigrams = bool(
+            (getattr(model, "featurization", None) or {}).get("bigrams", True)
         )
     feats = _featurize(df, text_col, width, bigrams)
     scored = model.transform(feats)
@@ -145,7 +202,7 @@ def filter_by_quality(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bigrams: bool = True,
+    bigrams: bool | None = None,
 ) -> DataFrame:
     """Keep documents scoring at or above ``threshold`` — the composable
     curation-stage form (returns the input rows, not just scores)."""

@@ -152,7 +152,8 @@ def curate_corpus(
                 threshold=float(s.get("threshold", 0.5)),
                 text_col=text_col,
                 id_col=id_col,
-                bigrams=bool(s.get("bigrams", True)),
+                # None → the model's persisted featurization decides
+                bigrams=(None if s.get("bigrams") is None else bool(s["bigrams"])),
             )
         elif op == "epoch_mixture":
             cur = sampling.epoch_mixture(

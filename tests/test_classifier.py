@@ -75,6 +75,46 @@ def test_save_load_roundtrip(model_and_corpus, tmp_path):
     assert a == b
 
 
+def test_save_load_persists_featurization(spark, tmp_path):
+    """The sidecar round-trips the featurization: a unigram-trained model
+    reloaded with NO extra arguments must score bit-identically — before
+    the sidecar, load + default bigrams=True silently scrambled the
+    hashed feature space."""
+    from blueetl_spark.operators.classifier import save_quality_classifier
+
+    corpus = _corpus(spark, n=40)
+    model = train_quality_classifier(
+        corpus, n_features=1 << 10, bigrams=False, max_iter=30
+    )
+    assert model.featurization == {"n_features": 1 << 10, "bigrams": False}
+    path = str(tmp_path / "qmodel_uni")
+    save_quality_classifier(model, path)
+    loaded = load_quality_classifier(path)
+    assert loaded.featurization == {"n_features": 1 << 10, "bigrams": False}
+    a = {r["doc_id"]: r["quality_prob"]
+         for r in score_documents(model, corpus, bigrams=False).collect()}
+    b = {r["doc_id"]: r["quality_prob"]
+         for r in score_documents(loaded, corpus).collect()}  # no args
+    assert a == b
+    # explicit override is still accepted (featurizes with bigrams; on
+    # this saturated toy corpus the rounded probabilities may coincide,
+    # so only the contract — no error, full output — is asserted)
+    assert score_documents(loaded, corpus, bigrams=True).count() == 40
+
+
+def test_load_without_sidecar_falls_back(model_and_corpus, tmp_path):
+    """Models saved through the raw Spark ML writer (no sidecar) load
+    with bigrams defaulting to the training default."""
+    model, _, test = model_and_corpus
+    path = str(tmp_path / "qmodel_raw")
+    model.write().overwrite().save(path)
+    loaded = load_quality_classifier(path)
+    assert loaded.featurization["bigrams"] is True
+    a = {r["doc_id"]: r["quality_prob"] for r in score_documents(model, test).collect()}
+    b = {r["doc_id"]: r["quality_prob"] for r in score_documents(loaded, test).collect()}
+    assert a == b
+
+
 def test_feature_width_guard(model_and_corpus):
     model, train, _ = model_and_corpus
     with pytest.raises(ValueError, match="does not match"):
