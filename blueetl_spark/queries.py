@@ -2681,6 +2681,67 @@ GROUP BY 1 ORDER BY n DESC, value LIMIT 3
 """
 
 
+PROFILE_SHARD_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderpriority",
+]
+
+
+def q_profile_shards_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-profiling contract under the oracle: orders is
+    sliced into 3 disjoint batches, each writes its mergeable shard rows,
+    one batch is REPLAYED verbatim (the at-least-once writer case), and
+    the merge must reproduce the whole-table exact stats. ``n_distinct``
+    is the HLL-union estimate (sketch-library-specific), so the gate
+    covers every additive/foldable stat and leaves cardinality to the
+    pytest sketch checks."""
+    import tempfile
+
+    from blueetl_spark.operators import profile as prof
+
+    orders = tables.load(spark, sf_dir, "orders").select(*PROFILE_SHARD_COLS)
+    path = tempfile.mkdtemp(prefix="profile_shards_") + "/shards"
+    for i in range(3):
+        batch = orders.filter(F.pmod("o_orderkey", F.lit(3)) == i)
+        prof.write_profile_shard(batch, path, batch_id=f"b{i}")
+    # replay b1: same rows, same batch_id — must be invisible in the merge
+    prof.write_profile_shard(
+        orders.filter(F.pmod("o_orderkey", F.lit(3)) == 1), path, batch_id="b1"
+    )
+    return prof.merge_profile_shards(spark, path).select(
+        "column", "n_rows", "n_null",
+        "min_num", "max_num", "min_str", "max_str", "avg_value",
+    )
+
+
+def _profile_shard_col_sql(c: str, numeric: bool) -> str:
+    if numeric:
+        return f"""
+SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null,
+       CAST(MIN({c}) AS DOUBLE) AS min_num,
+       CAST(MAX({c}) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+       ROUND(SUM(CAST({c} AS DOUBLE)) / NULLIF(COUNT({c}), 0), 6) AS avg_value
+FROM orders"""
+    return f"""
+SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       MIN({c}) AS min_str, MAX({c}) AS max_str,
+       CAST(NULL AS DOUBLE) AS avg_value
+FROM orders"""
+
+
+SQL_PROFILE_SHARDS_MERGE = " UNION ALL ".join(
+    _profile_shard_col_sql(c, n)
+    for c, n in [
+        ("o_orderkey", True), ("o_custkey", True), ("o_orderstatus", False),
+        ("o_totalprice", True), ("o_orderpriority", False),
+    ]
+)
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between documents and a deterministically-derived
     v2 (drop doc_id%17==0, edit text of doc_id%13==0, add remapped
@@ -2856,6 +2917,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frequent_priority": q_frequent_priority,
     "corpus_diff": q_corpus_diff,
     "epoch_mixture": q_epoch_mixture,
+    "profile_shards_merge": q_profile_shards_merge,
 }
 
 ORACLES: dict[str, str] = {
@@ -2916,6 +2978,7 @@ ORACLES: dict[str, str] = {
     "frequent_priority": SQL_FREQUENT_PRIORITY,
     "corpus_diff": SQL_CORPUS_DIFF,
     "epoch_mixture": SQL_EPOCH_MIXTURE,
+    "profile_shards_merge": SQL_PROFILE_SHARDS_MERGE,
 }
 
 
