@@ -289,6 +289,9 @@ class Analyzer:
             fname = cfg["function"]
             suffix = cfg.get("suffix", "")
             params = cfg.get("params", {})
+            if self._is_multi_feature(cfg):
+                self._features_multi(cfg, counts, out)
+                continue
             key = cfg.get("name", fname.rsplit(".", 1)[-1]) + suffix
             # cache first: a hit must not pay for plan construction (which
             # resolves report/windows and opens their inputs)
@@ -337,13 +340,20 @@ class Analyzer:
                     exact=bool(params.get("exact", True)),
                 )
             else:
-                # registry lookup → applyInPandas UDTF path (§2.9)
+                # registry lookup → applyInPandas UDTF path (§2.9);
+                # reference-shaped fns additionally get the repo shim
+                fn_ = feat.get_feature(fname)
                 df = feat.apply_feature(
                     self.report,
                     cfg.get("groupby", feat.GROUP_KEYS),
-                    fname,
+                    fn_,
                     cfg["schema"],
                     params=params,
+                    repo=(
+                        self._compat_repo()
+                        if feat._is_reference_shaped(fn_)
+                        else None
+                    ),
                 )
             if params and cfg.get("params_id") is not None:
                 df = df.withColumn("params_id", F.lit(cfg["params_id"]))
@@ -352,6 +362,105 @@ class Analyzer:
                 df = self._cache.load(name)
             out[key] = df
         return out
+
+    # -- multi-output (reference `type: multi`) features ---------------------
+    @staticmethod
+    def _is_multi_feature(cfg: dict[str, Any]) -> bool:
+        """A config is multi-output if it says so (reference ``type:
+        multi``) or its resolved function declares a ``spark_builder``
+        (the ``blueetl_spark.compat`` shims — including ones the
+        reference types as "single", whose builder still returns a named
+        output dict)."""
+        if cfg.get("type") == "multi":
+            return True
+        fname = cfg.get("function", "")
+        if "." not in fname or fname.startswith("blueetl_spark.features."):
+            return False
+        from blueetl_spark.operators import features as feat
+
+        try:
+            return hasattr(feat.get_feature(fname), "spark_builder")
+        except KeyError:
+            return False
+
+    def _compat_repo(self):
+        """Config-sized reference-``repo`` stand-in for feature functions
+        with the reference calling convention; built once per analyzer
+        from the broadcast-sized windows / class-count tables."""
+        if getattr(self, "_compat_repo_cache", None) is None:
+            from blueetl_spark.compat import CompatRepo
+
+            self._compat_repo_cache = CompatRepo.from_frames(
+                self.windows,
+                self.neuron_classes.select("circuit_id", "neuron_class", "count"),
+            )
+        return self._compat_repo_cache
+
+    def _features_multi(
+        self, cfg: dict[str, Any], counts: DataFrame, out: dict[str, DataFrame]
+    ) -> None:
+        """One multi-output feature config → one output table per name.
+
+        Spark-first dispatch: a function carrying a ``spark_builder``
+        (every ``blueetl_spark.compat`` shim) contributes whole-table
+        DataFrame plans built from the verified native operators — no
+        per-group Python at all. Anything else runs through the generic
+        ``apply_feature_multi`` Arrow seam with per-output DDL schemas
+        (``cfg["schemas"]`` or the function's ``output_schemas``).
+        """
+        from blueetl_spark.operators import features as feat
+
+        fname = cfg["function"]
+        suffix = cfg.get("suffix", "")
+        params = cfg.get("params", {})
+        fn_ = feat.get_feature(fname)
+        builder = getattr(fn_, "spark_builder", None)
+        schemas = cfg.get("schemas")
+        if schemas is None:
+            osch = getattr(fn_, "output_schemas", None)
+            schemas = osch(params) if callable(osch) else osch
+        if builder is None and not schemas:
+            raise ValueError(
+                f"multi feature {fname!r} needs per-output schemas: pass "
+                "cfg['schemas'] = {output_name: ddl} or define "
+                "fn.output_schemas"
+            )
+        cs = checksum({"cfg": cfg}) if self._cache is not None else None
+        names = list(schemas) if schemas else None
+        if self._cache is not None and names is not None:
+            hits = {
+                n: self._cache.fetch(
+                    f"features_{n}{suffix}", cs, self.simulations_filter
+                )
+                for n in names
+            }
+            if all(v is not None for v in hits.values()):
+                out.update({f"{n}{suffix}": v for n, v in hits.items()})
+                return
+        if builder is not None:
+            produced = builder(self.report, self.windows, counts, params)
+        else:
+            produced = feat.apply_feature_multi(
+                self.report,
+                cfg.get("groupby", feat.GROUP_KEYS),
+                fn_,
+                schemas,
+                params=params,
+                repo=(
+                    self._compat_repo()
+                    if feat._is_reference_shaped(fn_)
+                    else None
+                ),
+            )
+        for oname, df in produced.items():
+            okey = f"{oname}{suffix}"
+            if params and cfg.get("params_id") is not None:
+                df = df.withColumn("params_id", F.lit(cfg["params_id"]))
+            if self._cache is not None:
+                name = f"features_{okey}"
+                self._cache.dump(name, df, cs, self.simulations_filter)
+                df = self._cache.load(name)
+            out[okey] = df
 
     # -- in-memory refiltering (reference apply_filter) ----------------------
     def apply_filter(self, simulations_filter: Query) -> "FilteredAnalyzer":

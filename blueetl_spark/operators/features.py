@@ -468,21 +468,47 @@ def get_feature(name: str) -> FeatureFn:
     )
 
 
+def _is_reference_shaped(fn: Callable) -> bool:
+    """True for functions with the reference feature calling convention
+    ``fn(repo, key, df, params)`` (reference ``features.py`` multi/single
+    contract) rather than this engine's ``fn(pdf, params)`` — detected
+    from the first parameter names, so a module copied from a reference
+    codebase works unmodified."""
+    import inspect
+
+    try:
+        names = list(inspect.signature(fn).parameters)
+    except (TypeError, ValueError):  # builtins / C callables
+        return False
+    return len(names) >= 4 and names[0] == "repo" and names[1] == "key"
+
+
 def apply_feature(
     df: DataFrame,
     groupby: list[str],
     fn: str | FeatureFn,
     schema: str,
     params: dict[str, Any] | None = None,
+    repo: Any | None = None,
 ) -> DataFrame:
     """Run a user feature function per group via ``applyInPandas``.
 
     Contract: ``fn(pdf, params) -> pandas.DataFrame``; the group-key columns
     are re-attached to the output if the function dropped them (the
     reference prepends key columns at position 0, ``features.py:434-439``).
+
+    Reference-shaped functions — ``fn(repo, key, df, params)`` returning a
+    DataFrame or a flat dict of scalars (the reference's "single" type) —
+    are detected from the signature and called with ``repo`` (a
+    config-sized :class:`blueetl_spark.compat.CompatRepo`, shipped in the
+    task closure) and a named-tuple ``key``.
     """
+    from collections import namedtuple
+
     fn_ = get_feature(fn) if isinstance(fn, str) else fn
     params = params or {}
+    ref_shaped = _is_reference_shaped(fn_)
+    Key = namedtuple("Key", groupby)
 
     # Parse output column names with Spark's own DDL parser — a naive
     # split(",") breaks on any type containing a comma (map<string,double>,
@@ -494,10 +520,113 @@ def apply_feature(
     ).fieldNames()
 
     def runner(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        out = fn_(pdf, params)
+        if ref_shaped:
+            out = fn_(repo, Key(*key), pdf, params)
+            if isinstance(out, dict):  # reference "single": dict of scalars
+                out = pd.DataFrame({k: [v] for k, v in out.items()})
+        else:
+            out = fn_(pdf, params)
         for col, val in zip(groupby, key):
             if col not in out.columns:
                 out.insert(0, col, val)
         return out[list(out_cols)]
 
     return df.groupBy(*groupby).applyInPandas(runner, schema)
+
+
+def apply_feature_multi(
+    df: DataFrame,
+    groupby: list[str],
+    fn: str | Callable,
+    schemas: dict[str, str],
+    params: dict[str, Any] | None = None,
+    repo: Any | None = None,
+) -> dict[str, DataFrame]:
+    """Run a MULTI-output feature function per group — the reference's
+    ``type: multi`` contract (``fn(repo, key, df, params) -> dict[str,
+    pandas.DataFrame]``, reference ``features.py``/
+    ``external/bnac/calculate_features.py:96-179``) — and return one
+    Spark DataFrame per declared output.
+
+    Execution shape: ONE ``applyInPandas`` pass computes the function
+    once per group and emits every output's rows tagged with the output
+    name and packed as a JSON string; the tagged frame is persisted, and
+    each output is a filter + ``from_json`` projection over it (typed by
+    the output's DDL from ``schemas``). The function therefore runs once
+    per group no matter how many outputs are consumed; group-key columns
+    ride through typed, never through JSON. Callers that finish with the
+    outputs may unpersist via the ``_tagged`` attribute any returned
+    frame carries.
+
+    This is the *generic* path — correct for any user module, bounded by
+    group size. Feature functions that also declare a ``spark_builder``
+    (the ``blueetl_spark.compat`` shims) get whole-table DataFrame plans
+    from the analysis engine instead, and this path serves as their
+    cross-check in tests.
+    """
+    import json as _json
+    import math
+    from collections import namedtuple
+
+    from pyspark.sql import types as T
+
+    fn_ = get_feature(fn) if isinstance(fn, str) else fn
+    params = params or {}
+    ref_shaped = _is_reference_shaped(fn_)
+    Key = namedtuple("Key", groupby)
+    out_names = list(schemas)
+
+    key_fields = [f for f in df.schema.fields if f.name in set(groupby)]
+    if len(key_fields) != len(groupby):
+        missing = set(groupby) - {f.name for f in key_fields}
+        raise ValueError(f"groupby columns missing from input: {sorted(missing)}")
+    tag_schema = T.StructType(
+        [*key_fields,
+         T.StructField("__output", T.StringType()),
+         T.StructField("__row", T.StringType())]
+    )
+
+    def _clean(v):
+        if isinstance(v, float) and math.isnan(v):
+            return None  # strict JSON; from_json has no NaN literal
+        if hasattr(v, "item"):  # numpy scalar
+            v = v.item()
+            return None if isinstance(v, float) and math.isnan(v) else v
+        if hasattr(v, "tolist"):  # numpy array cell
+            return v.tolist()
+        return v
+
+    def runner(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            fn_(repo, Key(*key), pdf, params)
+            if ref_shaped
+            else fn_(pdf, params)
+        )
+        if not isinstance(out, dict):
+            raise TypeError(
+                f"multi feature {getattr(fn_, '__name__', fn_)!r} must return "
+                f"dict[str, DataFrame], got {type(out).__name__}"
+            )
+        rows = []
+        for oname in out_names:
+            odf = out.get(oname)
+            if odf is None:
+                continue
+            for rec in odf.to_dict("records"):
+                rows.append(
+                    (*key, oname,
+                     _json.dumps({k: _clean(v) for k, v in rec.items()}))
+                )
+        return pd.DataFrame(rows, columns=[*groupby, "__output", "__row"])
+
+    tagged = df.groupBy(*groupby).applyInPandas(runner, tag_schema).persist()
+    outs: dict[str, DataFrame] = {}
+    for oname in out_names:
+        parsed = (
+            tagged.filter(F.col("__output") == oname)
+            .withColumn("__r", F.from_json("__row", schemas[oname]))
+            .select(*groupby, "__r.*")
+        )
+        parsed._tagged = tagged
+        outs[oname] = parsed
+    return outs
