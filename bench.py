@@ -154,6 +154,22 @@ def run_stress(spark, n_events: int, n_docs: int) -> dict[str, float]:
             .mode("overwrite")
             .save(),
         )
+        # -- dense class index: 20M gids over 2 classes (10M gids/class, the
+        # -- two-phase range-partitioned path — the window variant sorts each
+        # -- class in ONE task and measured 3.5x slower here)
+        from blueetl_spark.operators.extraction import dense_index
+
+        gids = spark.range(n_events).select(
+            F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("cls"),
+            F.xxhash64("id").alias("gid"),
+        )
+        clock(
+            "class_index",
+            lambda: dense_index(gids, ["cls"], "gid", "idx", two_phase=True)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return timings

@@ -48,6 +48,7 @@ def extract_neurons(
     gid_col: str = "node_id",
     seed: int = 0,
     node_sets=None,
+    two_phase_index: bool = False,
 ) -> DataFrame:
     """Classify nodes into neuron classes → ``neurons`` table.
 
@@ -62,6 +63,10 @@ def extract_neurons(
     predicate with the class query — the reference restricts the cells
     scan to the node_set before querying (``extract/neurons.py:52-57``);
     here both collapse into the same single-scan predicate.
+
+    ``two_phase_index=True`` numbers classes with the range-partitioned
+    :func:`dense_index` variant — same output, no single-task per-class
+    sort; use it when any one class exceeds ~10⁸ gids.
     """
     names = list(neuron_classes_config)
 
@@ -96,13 +101,101 @@ def extract_neurons(
     }
     if limits:
         tagged = _sample_limits(tagged, limits, seed)
-    index_w = Window.partitionBy("circuit_id", "neuron_class").orderBy("gid")
-    out = (
-        tagged.withColumn("neuron_class_index", F.row_number().over(index_w) - 1)
-        .orderBy("circuit_id", "neuron_class", "gid")
-    )
+    out = dense_index(
+        tagged,
+        ["circuit_id", "neuron_class"],
+        "gid",
+        "neuron_class_index",
+        two_phase=two_phase_index,
+    ).orderBy("circuit_id", "neuron_class", "gid")
     _ = names  # preserve config order for future canonicalization needs
     return schemas.ensure_schema(out, schemas.NEURONS_SCHEMA)
+
+
+def dense_index(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    out_col: str = "index",
+    two_phase: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 0..n-1 numbering of ``order_col`` within each group (W5).
+
+    Default: ``row_number()`` over a per-group window — one exchange, but
+    each group sorts inside ONE task, which caps a single class at what
+    one executor can sort (~10⁸ rows). ``two_phase=True`` removes that
+    ceiling: range-partition on (group…, order) so a group spans many
+    ordered partitions, count rows per (partition, group) — a
+    config-sized side table, since groups are classes — then assign each
+    partition's local ranks plus its broadcast prefix offset in one
+    ordered ``mapInPandas`` pass. No global sort, no single-task group,
+    identical output (``tests/test_extraction.py`` pins the two equal).
+
+    The range-partitioned frame is ``localCheckpoint``'d before the
+    count pass: RangePartitioner samples its boundaries, so without the
+    pin the count pass and the rank pass could see different partition
+    layouts (and the offsets would be garbage).
+    """
+    if not two_phase:
+        w = Window.partitionBy(*group_cols).orderBy(order_col)
+        return df.withColumn(out_col, F.row_number().over(w) - 1)
+
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, *group_cols, order_col)
+        .sortWithinPartitions(*group_cols, order_col)
+        .localCheckpoint(eager=True)
+    )
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    counts = (
+        with_pid.groupBy("__pid", *group_cols)
+        .agg(F.count("*").alias("__n"))
+        .collect()
+    )
+    # prefix offsets: rows of the same group in lower partitions.
+    # Range partitioning on (group…, order) orders a group's rows across
+    # ascending partition ids, so the prefix sum by pid is the offset.
+    per_group: dict[tuple, list[tuple[int, int]]] = {}
+    for r in counts:
+        g = tuple(r[c] for c in group_cols)
+        per_group.setdefault(g, []).append((r["__pid"], r["__n"]))
+    offsets: dict[tuple, int] = {}
+    for g, lst in per_group.items():
+        acc = 0
+        for pid, n in sorted(lst):
+            offsets[(g, pid)] = acc
+            acc += n
+    out_fields = with_pid.schema.fields
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in out_fields]
+        + [f"{out_col} long"]
+    )
+
+    def assign(it):
+        running: dict[tuple, int] = {}
+        for pdf in it:
+            if not len(pdf):
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            ranks = np.empty(len(pdf), dtype="int64")
+            pos = 0
+            for g, sub in pdf.groupby(group_cols, sort=False):
+                g = g if isinstance(g, tuple) else (g,)
+                start = running.get(g, offsets.get((g, pid), 0))
+                ranks[pos : pos + len(sub)] = np.arange(start, start + len(sub))
+                running[g] = start + len(sub)
+                pos += len(sub)
+            pdf = pdf.copy()
+            pdf[out_col] = ranks
+            yield pdf
+
+    out = with_pid.mapInPandas(assign, schema).drop("__pid")
+    return out
 
 
 def _sample_limits(

@@ -70,6 +70,55 @@ def test_neurons_match_pandas(neurons, nodes_pdf):
         assert list(cls.neuron_class_index) == list(range(len(exp_gids))), name
 
 
+def test_two_phase_dense_index_equals_window(spark, nodes, neurons, sf_dir):
+    """The range-partitioned two-phase numbering must be row-identical to
+    the window variant — via extract_neurons AND on a real multi-group
+    table (customer), including with a skewed partition count."""
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators.extraction import dense_index
+    from blueetl_spark.sources import tables
+
+    two = extract_neurons(nodes, CLASSES, two_phase_index=True).toPandas()
+    one = neurons.toPandas()
+    cols = ["circuit_id", "neuron_class", "gid", "neuron_class_index"]
+    pd.testing.assert_frame_equal(
+        one[cols].sort_values(cols[:3], ignore_index=True),
+        two[cols].sort_values(cols[:3], ignore_index=True),
+        check_dtype=False,
+    )
+
+    customer = tables.load(spark, sf_dir, "customer")
+    for n_parts in (4, 32):
+        a = (
+            dense_index(customer, ["c_nationkey"], "c_custkey", "idx")
+            .select("c_nationkey", "c_custkey", "idx")
+            .toPandas()
+        )
+        b = (
+            dense_index(
+                customer, ["c_nationkey"], "c_custkey", "idx",
+                two_phase=True, num_partitions=n_parts,
+            )
+            .select("c_nationkey", "c_custkey", "idx")
+            .toPandas()
+        )
+        keys = ["c_nationkey", "c_custkey"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(keys, ignore_index=True),
+            b.sort_values(keys, ignore_index=True),
+            check_dtype=False,
+        )
+    # sanity: the index is dense per group
+    mx = (
+        dense_index(customer, ["c_nationkey"], "c_custkey", "idx", two_phase=True)
+        .groupBy("c_nationkey")
+        .agg(F.max("idx").alias("mx"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(r["mx"] == r["n"] - 1 for r in mx)
+
+
 def test_neurons_limit_sampling(nodes):
     classes = {"EXC": {"query": {"synapse_class": "EXC"}, "limit": 10}}
     n1 = extract_neurons(nodes, classes, seed=1).toPandas()
