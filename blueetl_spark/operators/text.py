@@ -134,6 +134,115 @@ def language_score(
     )
 
 
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Character n-grams of case/whitespace-normalized text (JVM-side;
+    a doc shorter than ``n`` chars yields its whole text as one gram).
+    The extraction is ``substr`` over a position ``sequence`` — exactly
+    reproducible in ANSI SQL, which keeps the language-ID pipeline
+    oracle-checkable end to end."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    count = F.greatest(F.length(norm) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), count), lambda i: norm.substr(i, F.lit(n))
+    )
+
+
+def train_language_profiles(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n: int = 3,
+    top_k: int = 200,
+) -> DataFrame:
+    """Per-language character-n-gram profiles from a labeled corpus:
+    the ``top_k`` most frequent n-grams per language with log-share
+    weights ``ln(count / language_total)``.
+
+    The classic n-gram language-ID scheme (Cavnar-Trenkle-style
+    frequency profiles, naive-Bayes-style scoring) built as ONE
+    DataFrame plan: explode → (lang, gram) counts (map-side combined) →
+    per-language totals + rank window over the (tiny: languages ×
+    grams) aggregate. Output ``(lang, gram, weight)`` is
+    languages × top_k rows — broadcastable by construction, so
+    classification over a 100 TB corpus never shuffles on the profile
+    side.
+    """
+    from pyspark.sql import Window
+
+    grams = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(char_ngrams(text_col, n)).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("lang").agg(F.sum("n").alias("total"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("gram"))
+    return (
+        counts.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= top_k)
+        .join(totals, "lang")
+        .select("lang", "gram", F.log(F.col("n") / F.col("total")).alias("weight"))
+    )
+
+
+def classify_language_ngram(
+    df: DataFrame,
+    profiles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    round_score: int = 6,
+) -> DataFrame:
+    """Predict each document's language from n-gram profiles:
+    ``score(doc, lang) = Σ_gram count_doc(gram) · (weight(lang, gram) −
+    penalty)`` over the grams present in the language's profile, where
+    ``penalty = min(all profile weights) − 1`` stands in for the
+    log-probability of an unseen gram; prediction is the argmax with a
+    deterministic language-ascending tie-break.
+
+    The penalty shift is what makes the naive-Bayes-style sum correct
+    under a matched-grams-only join: raw log-share weights are all
+    negative, so summing only matches would *reward* the language a
+    document shares the fewest grams with. Subtracting a constant below
+    every profile weight is algebraically the full NB score minus a
+    language-independent term (each unmatched gram priced at
+    ``penalty``), so every match contributes positively, scaled by how
+    characteristic the gram is.
+
+    Scale shape: per-doc gram counts (one map-side-combined shuffle on
+    (doc, gram)), a **broadcast** join against the config-sized profile
+    table (the penalty rides along as a broadcast scalar), then one
+    more combinable aggregation per (doc, lang) and a struct-min
+    argmax — no window over the corpus, no profile-side shuffle.
+    Documents sharing no gram with any profile produce no row (they
+    carry no evidence); upstream quality gates drop such docs anyway.
+    Complements :func:`language_score` (the stopword-ratio heuristic):
+    this one distinguishes *between* languages.
+    """
+    doc_grams = (
+        df.select(F.col(id_col), F.explode(char_ngrams(text_col, n)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    penalty = profiles.agg((F.min("weight") - 1).alias("__pen"))
+    scored = (
+        doc_grams.join(F.broadcast(profiles), "gram")
+        .crossJoin(F.broadcast(penalty))
+        .groupBy(id_col, "lang")
+        .agg(
+            F.sum(F.col("cnt") * (F.col("weight") - F.col("__pen"))).alias("score")
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("lang"))).alias("__b")
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("__b.lang").alias("lang_pred"),
+        F.round(-F.col("__b.ns"), round_score).alias("score"),
+    )
+
+
 def normalized_text(text_col: str) -> Column:
     """Case/whitespace-normalized text — the exact-dedup canonical form,
     shared by the batch fingerprint and the streaming dedup key."""

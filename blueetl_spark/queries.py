@@ -2781,6 +2781,68 @@ WHERE CASE WHEN old.doc_id IS NULL THEN 'added'
 """
 
 
+LANG_ID_TOP_K = 100
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-profile language ID, trained and applied on the documents
+    table in one plan: per-language char-trigram log-share profiles
+    (top-100, rank-windowed) → broadcast-join scoring → struct-min
+    argmax. The whole pipeline — normalization, gram extraction,
+    profile ranking, scoring, tie-break — replays in ANSI SQL."""
+    from blueetl_spark.operators import text
+
+    docs = tables.load(spark, sf_dir, "documents")
+    profiles = text.train_language_profiles(docs, top_k=LANG_ID_TOP_K)
+    pred = text.classify_language_ngram(docs, profiles)
+    return pred.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "lang_pred", "score"
+    )
+
+
+SQL_LANGUAGE_ID = f"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(
+           range(1, greatest(length(t) - 2, 1) + 1),
+           i -> substring(t, i, 3))) AS gram
+  FROM norm
+),
+counts AS (SELECT lang, gram, COUNT(*) AS n FROM g GROUP BY 1, 2),
+totals AS (SELECT lang, SUM(n) AS total FROM counts GROUP BY 1),
+prof AS (
+  SELECT c.lang, c.gram, ln(c.n * 1.0 / t.total) AS weight
+  FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, gram) AS rk
+        FROM counts) c
+  JOIN totals t ON t.lang = c.lang
+  WHERE c.rk <= {LANG_ID_TOP_K}
+),
+dg AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+pen AS (SELECT MIN(weight) - 1 AS p FROM prof),
+scored AS (
+  SELECT dg.doc_id, prof.lang,
+         SUM(dg.cnt * (prof.weight - pen.p)) AS score
+  FROM dg JOIN prof ON prof.gram = dg.gram CROSS JOIN pen
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang AS lang_pred, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang) AS rk
+  FROM scored
+)
+SELECT b.doc_id, d.lang, b.lang_pred, ROUND(b.score, 6) AS score
+FROM best b JOIN documents d ON d.doc_id = b.doc_id
+WHERE b.rk = 1
+"""
+
+
 EPOCH_PLAN = {"en": 2.25, "de": 1.0, "fr": 0.5, "zh": 3.0}
 EPOCH_SEED = "ep1"
 
@@ -2918,6 +2980,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_diff": q_corpus_diff,
     "epoch_mixture": q_epoch_mixture,
     "profile_shards_merge": q_profile_shards_merge,
+    "language_id": q_language_id,
 }
 
 ORACLES: dict[str, str] = {
@@ -2979,6 +3042,7 @@ ORACLES: dict[str, str] = {
     "corpus_diff": SQL_CORPUS_DIFF,
     "epoch_mixture": SQL_EPOCH_MIXTURE,
     "profile_shards_merge": SQL_PROFILE_SHARDS_MERGE,
+    "language_id": SQL_LANGUAGE_ID,
 }
 
 

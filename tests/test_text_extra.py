@@ -257,3 +257,55 @@ def test_bpe_encode_counts_on_documents(spark, sf_dir):
         ).alias("n_bpe_chars"),
     ).toPandas()
     assert (row.n_chars == row.n_bpe_chars).all()
+
+
+def test_language_ngram_profiles_and_classify(spark):
+    """Trigram-profile language ID: near-perfect on a corpus with real
+    per-language signal (the sf documents table has none — its gate
+    verifies computation, this verifies discrimination)."""
+    from blueetl_spark.operators.text import (
+        char_ngrams,
+        classify_language_ngram,
+        train_language_profiles,
+    )
+
+    vocab = {
+        "en": "the quick brown fox jumps over lazy dog while rain stays away tonight".split(),
+        "de": "der schnelle braune fuchs springt ueber faulen hund waehrend regen bleibt heute".split(),
+        "fr": "le rapide renard brun saute dessus chien paresseux pendant pluie reste ce soir".split(),
+    }
+    rows = []
+    i = 0
+    for lang, words in vocab.items():
+        for d in range(30):
+            text = " ".join(words[(d + j) % len(words)] for j in range(9))
+            rows.append((i, text, lang))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    profiles = train_language_profiles(docs, top_k=150)
+    prof = profiles.toPandas()
+    assert set(prof.lang) == set(vocab)
+    assert prof.groupby("lang").size().max() <= 150
+    assert (prof.weight < 0).all()  # log-shares of proper fractions
+
+    pred = classify_language_ngram(docs, profiles).toPandas()
+    assert len(pred) == len(rows)
+    truth = {r[0]: r[2] for r in rows}
+    acc = sum(truth[r.doc_id] == r.lang_pred for r in pred.itertuples()) / len(pred)
+    assert acc >= 0.95
+
+    # deterministic: a second full run is bit-identical
+    pred2 = classify_language_ngram(
+        docs, train_language_profiles(docs, top_k=150)
+    ).toPandas()
+    a = pred.sort_values("doc_id", ignore_index=True)
+    b = pred2.sort_values("doc_id", ignore_index=True)
+    assert (a == b).all().all()
+
+    # short-text edge: sub-n docs produce their whole text as one gram
+    import pyspark.sql.functions as F
+
+    short = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+    grams = short.select(F.explode(char_ngrams("text")).alias("g")).collect()
+    assert [r.g for r in grams] == ["ab"]
