@@ -840,8 +840,13 @@ def incremental_minhash(
     id_type = dict(new_docs.dtypes)[id_col]
     out_schema = f"new_id {id_type}, old_id {id_type}, est_jaccard double"
     if _fs_exists(spark, bucket_dir):
-        old_buckets = spark.read.parquet(bucket_dir)
-        old_sigs = spark.read.parquet(sig_dir)
+        # purged ids (tombstones) never match; see purge_minhash_index
+        old_buckets = _minus_tombstones(
+            spark, spark.read.parquet(bucket_dir), index_path, id_col
+        )
+        old_sigs = _minus_tombstones(
+            spark, spark.read.parquet(sig_dir), index_path, id_col
+        )
         cand = (
             banded.select(F.col(id_col).alias("new_id"), "band", "band_hash")
             .join(
@@ -882,3 +887,144 @@ def incremental_minhash(
         sig.write.mode("append").parquet(sig_dir)
         banded.write.mode("append").parquet(bucket_dir)
     return matches
+
+
+# ---------------------------------------------------------------------------
+# Index deletions: tombstones + compaction (the GDPR/right-to-forget path)
+# ---------------------------------------------------------------------------
+
+
+def _tombstone_dir(index_path: str) -> str:
+    return f"{index_path}/tombstones.parquet"
+
+
+def purge_minhash_index(
+    ids: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+) -> None:
+    """Mark documents as deleted from an :func:`incremental_minhash`
+    index WITHOUT touching the index data: the ids are appended to a
+    tombstone table, and every subsequent match excludes them. Cost is
+    O(ids appended), never O(history) — the deletion request pattern
+    (takedowns, right-to-forget) must not require rewriting a
+    billion-document signature store on every request.
+
+    Contract: a purged id is gone from matching until
+    :func:`compact_minhash_index` folds the tombstones in — including
+    any NEW signatures appended under the same id after the purge
+    (the anti-join is by id). Re-ingesting a previously purged id
+    therefore requires a compaction first (or a fresh id). Tombstones
+    accumulate one tiny row per purged id; compaction clears them.
+    """
+    ids.select(F.col(id_col)).distinct().write.mode("append").parquet(
+        _tombstone_dir(index_path)
+    )
+
+
+def _minus_tombstones(
+    spark, df: DataFrame, index_path: str, id_col: str
+) -> DataFrame:
+    ts_dir = _tombstone_dir(index_path)
+    if not _fs_exists(spark, ts_dir):
+        return df
+    return df.join(
+        spark.read.parquet(ts_dir).select(id_col), id_col, "left_anti"
+    )
+
+
+def compact_minhash_index(
+    spark,
+    index_path: str,
+    id_col: str = "doc_id",
+) -> dict[str, int]:
+    """Fold accumulated tombstones into the index: rewrite signatures
+    and buckets minus the purged ids, then drop the tombstone table.
+    One anti-join scan of the (text-free) index per table — the
+    periodic-maintenance job, NOT the per-request path.
+
+    Publish order per table mirrors the cache's swap
+    (``plans/cache.py``): write to a temp dir, rename current → backup,
+    rename temp → current, delete backup. Renames are atomic per step;
+    a crash can leave a recoverable backup, never a half-written
+    current. Single-maintainer semantics (same contract as the index's
+    appends). Returns per-table row counts after compaction.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _swap(cur: str, tmp: str) -> None:
+        P = jvm.org.apache.hadoop.fs.Path
+        fs = P(cur).getFileSystem(hconf)
+        bak = P(cur + ".old")
+        if fs.exists(bak):
+            fs.delete(bak, True)
+        if not fs.rename(P(cur), bak):
+            raise IOError(f"compact: rename {cur} -> {cur}.old failed")
+        if not fs.rename(P(tmp), P(cur)):
+            raise IOError(f"compact: rename {tmp} -> {cur} failed")
+        fs.delete(bak, True)
+
+    ts_dir = _tombstone_dir(index_path)
+    counts: dict[str, int] = {}
+    if not _fs_exists(spark, ts_dir):
+        for name in ("signatures", "buckets"):
+            d = f"{index_path}/{name}.parquet"
+            counts[name] = (
+                spark.read.parquet(d).count() if _fs_exists(spark, d) else 0
+            )
+        return counts
+    for name in ("signatures", "buckets"):
+        cur = f"{index_path}/{name}.parquet"
+        if not _fs_exists(spark, cur):
+            counts[name] = 0
+            continue
+        tmp = f"{index_path}/.compact-{name}.parquet"
+        kept = _minus_tombstones(spark, spark.read.parquet(cur), index_path, id_col)
+        kept.write.mode("overwrite").parquet(tmp)
+        counts[name] = spark.read.parquet(tmp).count()
+        _swap(cur, tmp)
+    jvm_path = jvm.org.apache.hadoop.fs.Path(ts_dir)
+    jvm_path.getFileSystem(hconf).delete(jvm_path, True)
+    return counts
+
+
+def purge_exact_index(
+    remove_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Remove documents' digests from an :func:`incremental_exact`
+    index so identical content can be ingested again (takedown +
+    re-crawl). The exact index stores ONLY 16-byte digests, so the
+    purge must be given the documents (or at least their text) to know
+    which digests to drop; it rewrites the digest table minus those
+    fingerprints with the same temp-write → backup-rename → publish
+    swap as :func:`compact_minhash_index`. Cost is one anti-join scan
+    of the digest table (digests, never text) — run it batched, not
+    per request; until it runs, the content stays deduped-out, which is
+    the safe failure direction for a dedup index. Returns the digest
+    count after the rewrite."""
+    spark = remove_docs.sparkSession
+    if not _fs_exists(spark, index_path):
+        return 0
+    gone = fingerprint(remove_docs, text_col, id_col).select("fingerprint").distinct()
+    kept = spark.read.parquet(index_path).join(gone, "fingerprint", "left_anti")
+    tmp = f"{index_path}.compact-tmp"
+    kept.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(index_path).getFileSystem(hconf)
+    bak = P(index_path + ".old")
+    if fs.exists(bak):
+        fs.delete(bak, True)
+    if not fs.rename(P(index_path), bak):
+        raise IOError(f"purge: rename {index_path} -> .old failed")
+    if not fs.rename(P(tmp), P(index_path)):
+        raise IOError(f"purge: rename {tmp} -> {index_path} failed")
+    fs.delete(bak, True)
+    return n

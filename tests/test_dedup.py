@@ -355,3 +355,91 @@ def test_incremental_exact_batch_split_invariance(spark, tmp_path):
         assert {r.doc_id for r in survivors} == {texts.index(t) for t in set(texts)}
 
     check()
+
+
+def test_purge_and_compact_minhash_index(spark, tmp_path):
+    """Right-to-forget on the incremental LSH index: tombstoned ids stop
+    matching immediately at O(purged) cost; compaction folds them in,
+    rewrites the text-free index tables, clears the tombstones, and
+    allows the id to be re-ingested."""
+    from blueetl_spark.operators.dedup import (
+        compact_minhash_index,
+        incremental_minhash,
+        purge_minhash_index,
+    )
+
+    idx = str(tmp_path / "mh_idx")
+    base = (
+        "the quick brown fox jumps over the lazy dog while the calm river "
+        "flows past the old stone bridge under a bright summer sky"
+    )
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "completely different words " * 5)],
+        "doc_id long, text string",
+    )
+    assert incremental_minhash(b1, idx).count() == 0
+    probe = spark.createDataFrame([(10, base)], "doc_id long, text string")
+    assert [
+        (r.new_id, r.old_id)
+        for r in incremental_minhash(probe, idx, update=False).collect()
+    ] == [(10, 1)]
+
+    # purge doc 1: the same probe now matches nothing, doc 2 still works
+    purge_minhash_index(
+        spark.createDataFrame([(1,)], "doc_id long"), idx
+    )
+    assert incremental_minhash(probe, idx, update=False).count() == 0
+    probe2 = spark.createDataFrame(
+        [(11, "completely different words " * 5)], "doc_id long, text string"
+    )
+    assert incremental_minhash(probe2, idx, update=False).count() == 1
+
+    # compact: index rows for doc 1 are physically gone, tombstones cleared
+    counts = compact_minhash_index(spark, idx)
+    sigs = spark.read.parquet(f"{idx}/signatures.parquet")
+    assert counts["signatures"] == sigs.count() == 1
+    assert [r.doc_id for r in sigs.collect()] == [2]
+    import os
+
+    assert not os.path.exists(f"{idx}/tombstones.parquet")
+
+    # re-ingest the purged content under the old id: matchable again
+    assert incremental_minhash(
+        spark.createDataFrame([(1, base)], "doc_id long, text string"), idx
+    ).count() == 0
+    assert [
+        (r.new_id, r.old_id)
+        for r in incremental_minhash(probe, idx, update=False).collect()
+    ] == [(10, 1)]
+
+    # idempotent compaction with no tombstones: counts only
+    counts2 = compact_minhash_index(spark, idx)
+    assert counts2["signatures"] == 2
+
+
+def test_purge_exact_index_allows_reingest(spark, tmp_path):
+    """Takedown + re-crawl on the exact-dedup digest index: purged
+    content's digest is rewritten out, so identical text survives the
+    next batch; unrelated digests are untouched."""
+    from blueetl_spark.operators.dedup import incremental_exact, purge_exact_index
+
+    idx = str(tmp_path / "exact_idx")
+    b1 = spark.createDataFrame(
+        [(1, "alpha content"), (2, "beta content")], "doc_id long, text string"
+    )
+    assert incremental_exact(b1, idx).count() == 2
+    again = spark.createDataFrame(
+        [(10, "alpha content")], "doc_id long, text string"
+    )
+    assert incremental_exact(again, idx, update=False).count() == 0
+
+    n = purge_exact_index(
+        spark.createDataFrame([(1, "alpha content")], "doc_id long, text string"),
+        idx,
+    )
+    assert n == 1  # beta's digest survives
+    assert incremental_exact(again, idx, update=False).count() == 1
+    still = spark.createDataFrame(
+        [(11, "beta content")], "doc_id long, text string"
+    )
+    assert incremental_exact(still, idx, update=False).count() == 0
