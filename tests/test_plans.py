@@ -144,3 +144,54 @@ def test_sessionization_single_shuffle_pruned_scan(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"ts", "user_id"}, cols
+
+
+def test_minhash_signatures_codegen_and_one_exchange(spark):
+    """The signature stage must stay the codegen'd explode+groupBy shape
+    (PLANS.md round-5): exactly ONE data exchange (on the doc id, after
+    map-side partial agg collapses each doc to its signature) beyond the
+    small-scan fan-out repartition, and ZERO nested higher-order
+    min-transforms (the interpreted rewrite this guards against)."""
+    from blueetl_spark.operators.dedup import minhash_signatures
+    from blueetl_spark.sources import tables
+
+    docs = tables.load(spark, SF, "documents")
+    plan = _formatted_plan(minhash_signatures(docs))
+    # no array_min-over-transform signature kernel
+    assert "array_min" not in plan
+    # partial aggregation present (map-side combine of the 64 mins)
+    assert re.search(r"HashAggregate[\s\S]*partial_min", plan) or \
+        "partial_min" in plan
+    # exchanges: exactly one hash exchange (the signature groupBy);
+    # the small-scan fan-out may add one RoundRobin, never a second hash
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1, plan[:2000]
+
+
+def test_language_id_broadcasts_profiles(spark):
+    """Classification must broadcast the (config-sized) profile table
+    and the penalty scalar — no profile-side shuffle, no corpus-wide
+    window."""
+    from blueetl_spark import queries as Q
+
+    plan = _formatted_plan(Q.q_language_id(spark, SF))
+    assert "BroadcastExchange" in plan
+    # the only row_number window allowed is the per-language profile
+    # ranking (partition by lang) — never one partitioned by doc
+    win = [l for l in plan.splitlines() if "row_number" in l]
+    assert all("lang" in l for l in win), win
+    assert not any("doc_id" in l for l in win), win
+
+
+def test_two_phase_index_no_global_sort(spark):
+    """dense_index(two_phase=True) must not plan a global Sort+window
+    over the data: range exchange + within-partition sort + Arrow eval
+    only."""
+    from blueetl_spark.operators.extraction import dense_index
+    from blueetl_spark.sources import tables
+
+    customer = tables.load(spark, SF, "customer")
+    plan = _formatted_plan(
+        dense_index(customer, ["c_nationkey"], "c_custkey", "idx", two_phase=True)
+    )
+    assert "Window" not in plan
+    assert "mapInPandas" in plan or "MapInPandas" in plan
