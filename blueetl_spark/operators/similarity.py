@@ -78,6 +78,88 @@ def knn_bruteforce(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "hof",
+    max_eval_rows: int = 100_000,
+) -> DataFrame:
+    """Embedding-space decontamination: drop every corpus row whose
+    vector has cosine ≥ ``threshold`` against ANY eval-set vector;
+    returns the surviving corpus rows (all columns).
+
+    The semantic complement of the n-gram
+    ``text.ngram_overlap``/``decontaminate`` path: paraphrased or
+    translated benchmark items share no n-grams but sit next to the
+    eval set in embedding space (the SemDeDup/decontamination
+    literature's motivation). The eval side is benchmark-sized, so
+    BOTH methods keep it broadcast / in-closure and stream the corpus
+    map-only — no corpus-side shuffle beyond the final anti-join on
+    the id:
+
+    - ``method="hof"``: broadcast nested-loop join + ``zip_with`` dot —
+      exact and ANSI-SQL-replayable (the oracle gate's path).
+    - ``method="arrow"``: ``mapInPandas`` batched numpy matmul
+      (batch × eval matrix) — the vectorized scale path, ~d× fewer
+      interpreter steps per comparison. Both paths work in float64 but
+      associate differently (normalize-then-dot vs dot-then-divide), so
+      a cosine within a few ulp of ``threshold`` could in principle
+      land on different sides; pytest pins the surviving row sets equal
+      on the test corpus.
+
+    ``max_eval_rows`` guards the broadcast/closure: a corpus-sized
+    "eval set" would need the bucketed near-dup join instead
+    (``dedup.embedding_near_dup(method="lsh")``).
+    """
+    n_eval = eval_df.count()
+    if n_eval > max_eval_rows:
+        raise ValueError(
+            f"eval set has {n_eval} rows > max_eval_rows={max_eval_rows}; "
+            "use dedup.embedding_near_dup(method='lsh') for corpus-sized sides"
+        )
+    if method == "hof":
+        c = corpus.select(
+            F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
+        ).withColumn("__cn", _norm(F.col("__cv")))
+        e = eval_df.select(F.col(vec_col).alias("__ev")).withColumn(
+            "__en", _norm(F.col("__ev"))
+        )
+        contaminated = (
+            c.crossJoin(F.broadcast(e))
+            .withColumn(
+                "__cos",
+                _dot(F.col("__cv"), F.col("__ev")) / (F.col("__cn") * F.col("__en")),
+            )
+            .filter(F.col("__cos") >= threshold)
+            .select(F.col("__cid").alias(id_col))
+            .distinct()
+        )
+        return corpus.join(contaminated, id_col, "left_anti")
+    if method == "arrow":
+        import numpy as np
+
+        rows = eval_df.select(vec_col).collect()
+        em = np.asarray([r[0] for r in rows], dtype="float64")
+        em /= np.maximum(np.linalg.norm(em, axis=1, keepdims=True), 1e-300)
+
+        def drop_contaminated(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                vm = np.asarray(list(pdf[vec_col]), dtype="float64")
+                vm_n = vm / np.maximum(
+                    np.linalg.norm(vm, axis=1, keepdims=True), 1e-300
+                )
+                keep = (vm_n @ em.T).max(axis=1) < threshold
+                yield pdf[keep]
+
+        return corpus.mapInPandas(drop_contaminated, corpus.schema)
+    raise ValueError(f"unknown method {method!r}")
+
+
 def hard_negatives(
     queries: DataFrame,
     corpus: DataFrame,

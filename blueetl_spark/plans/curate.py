@@ -18,6 +18,8 @@ Config shape (JSON/YAML-friendly):
         {"op": "quality", "min_tokens": 10, "max_punct_ratio": 0.2,
          "min_stopword_ratio": 0.02},
         {"op": "decontaminate", "ngram": 3},       # needs eval_df
+        {"op": "semantic_decontaminate", "threshold": 0.95,
+         "vec_col": "embedding"},                   # needs eval_df w/ vectors
         {"op": "pii_scrub"},
         {"op": "classifier", "model_path": "/models/quality",
          "threshold": 0.5},                        # Spark ML LR, map-only
@@ -41,6 +43,7 @@ KNOWN_OPS = (
     "near_dedup",
     "quality",
     "decontaminate",
+    "semantic_decontaminate",
     "pii_scrub",
     "temperature_mixture",
     "mixture",
@@ -74,8 +77,8 @@ def curate_corpus(
             raise ValueError(
                 f"unknown curation op {s.get('op')!r}; one of {KNOWN_OPS}"
             )
-        if s["op"] == "decontaminate" and eval_df is None:
-            raise ValueError("decontaminate step requires eval_df")
+        if s["op"] in ("decontaminate", "semantic_decontaminate") and eval_df is None:
+            raise ValueError(f"{s['op']} step requires eval_df")
         if s["op"] == "classifier" and not (
             s.get("model_path") or s.get("model") is not None
         ):
@@ -129,6 +132,18 @@ def curate_corpus(
                 .select(id_col)
             )
             cur = cur.join(hits, id_col, "left_anti")
+        elif op == "semantic_decontaminate":
+            from blueetl_spark.operators import similarity
+
+            cur = similarity.semantic_decontaminate(
+                cur,
+                eval_df,
+                threshold=float(s.get("threshold", 0.95)),
+                id_col=id_col,
+                vec_col=s.get("vec_col", "embedding"),
+                # arrow matmul by default: the map-only scale path
+                method=s.get("method", "arrow"),
+            )
         elif op == "pii_scrub":
             cur = text.pii_scrub(cur, text_col, count=False)
         elif op == "temperature_mixture":

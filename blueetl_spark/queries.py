@@ -2136,6 +2136,44 @@ WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
 """
 
 
+SEM_DECON_MOD = 37  # vec_id % 37 == 0 -> the synthetic "eval set"
+
+
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: corpus vectors too close (cosine
+    ≥ threshold) to any eval-set vector are dropped; the eval set is a
+    deterministic slice of the embeddings table so the whole broadcast
+    NLJ + HOF-dot pipeline replays in SQL."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    eval_df = emb.filter(F.col("vec_id") % SEM_DECON_MOD == 0)
+    corpus = emb.filter(F.col("vec_id") % SEM_DECON_MOD != 0)
+    kept = similarity.semantic_decontaminate(
+        corpus, eval_df, threshold=EMB_DUP_THRESHOLD
+    )
+    return kept.select(F.col("vec_id").cast("long").alias("vec_id"))
+
+
+SQL_SEMANTIC_DECONTAMINATE = f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+ev AS (SELECT * FROM v WHERE vec_id % {SEM_DECON_MOD} = 0),
+corpus AS (SELECT * FROM v WHERE vec_id % {SEM_DECON_MOD} != 0),
+contaminated AS (
+  SELECT DISTINCT c.vec_id
+  FROM corpus c JOIN ev e ON
+       list_sum(list_transform(range(1, {EMB_DIM} + 1),
+         i -> CAST(c.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+       / (c.nrm * e.nrm) >= {EMB_DUP_THRESHOLD!r}
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id FROM corpus
+WHERE vec_id NOT IN (SELECT vec_id FROM contaminated)
+"""
+
+
 EMB_LSH_PLANES = 4
 EMB_LSH_TABLES = 4
 EMB_LSH_SEED = 42
@@ -2981,6 +3019,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "epoch_mixture": q_epoch_mixture,
     "profile_shards_merge": q_profile_shards_merge,
     "language_id": q_language_id,
+    "semantic_decontaminate": q_semantic_decontaminate,
 }
 
 ORACLES: dict[str, str] = {
@@ -3043,6 +3082,7 @@ ORACLES: dict[str, str] = {
     "epoch_mixture": SQL_EPOCH_MIXTURE,
     "profile_shards_merge": SQL_PROFILE_SHARDS_MERGE,
     "language_id": SQL_LANGUAGE_ID,
+    "semantic_decontaminate": SQL_SEMANTIC_DECONTAMINATE,
 }
 
 

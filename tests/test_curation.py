@@ -427,3 +427,42 @@ def test_curate_classifier_and_epoch_steps(spark, tmp_path):
 
     with pytest.raises(ValueError, match="model_path or model"):
         curate_corpus(docs, {"steps": [{"op": "classifier"}]})
+
+
+def test_curate_semantic_decontaminate_step(spark):
+    """Embedding-space decontamination inside the config pipeline: docs
+    whose vector sits within threshold of an eval vector are dropped,
+    paraphrase-style (no shared n-grams needed)."""
+    import numpy as np
+
+    from blueetl_spark.plans.curate import curate_corpus
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=8)
+    base /= np.linalg.norm(base)
+    near = base + rng.normal(scale=0.01, size=8)  # paraphrase: cosine ~1
+    far = rng.normal(size=8)
+    far -= (far @ base) * base  # orthogonalized: cosine ~0
+    rows = [
+        (1, "totally different words here", [float(x) for x in near]),
+        (2, "an ordinary unrelated document", [float(x) for x in far]),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>"
+    )
+    ev = spark.createDataFrame(
+        [(0, "benchmark question text", [float(x) for x in base])],
+        "doc_id long, text string, embedding array<double>",
+    )
+    cfg = {"steps": [{"op": "semantic_decontaminate", "threshold": 0.9}]}
+    kept, _ = curate_corpus(docs, cfg, eval_df=ev)
+    assert [r.doc_id for r in kept.collect()] == [2]
+    # hof method agrees through the config seam
+    cfg2 = {"steps": [{"op": "semantic_decontaminate", "threshold": 0.9,
+                       "method": "hof"}]}
+    kept2, _ = curate_corpus(docs, cfg2, eval_df=ev)
+    assert [r.doc_id for r in kept2.collect()] == [2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires eval_df"):
+        curate_corpus(docs, cfg)

@@ -443,3 +443,44 @@ def test_purge_exact_index_allows_reingest(spark, tmp_path):
         [(11, "beta content")], "doc_id long, text string"
     )
     assert incremental_exact(still, idx, update=False).count() == 0
+
+
+def test_semantic_decontaminate_methods_agree(spark, sf_dir):
+    """The HOF (oracle) path and the Arrow-matmul scale path must keep
+    the same surviving rows; dropped rows really are within threshold of
+    an eval vector; eval-set size guard trips."""
+    import pytest as _pytest
+
+    from blueetl_spark.operators import similarity as S
+    from blueetl_spark.sources import tables
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    eval_df = emb.filter(F.col("vec_id") % 37 == 0)
+    corpus = emb.filter(F.col("vec_id") % 37 != 0)
+
+    hof = {r.vec_id for r in
+           S.semantic_decontaminate(corpus, eval_df, 0.3).select("vec_id").collect()}
+    arrow = {r.vec_id for r in
+             S.semantic_decontaminate(corpus, eval_df, 0.3, method="arrow")
+             .select("vec_id").collect()}
+    assert hof == arrow
+    n_corpus = corpus.count()
+    assert 0 < len(hof) < n_corpus  # some dropped, not all
+
+    # dropped rows are genuinely contaminated: max cosine >= threshold
+    dropped = corpus.join(
+        S.semantic_decontaminate(corpus, eval_df, 0.3).select("vec_id"),
+        "vec_id", "left_anti",
+    )
+    import numpy as np
+
+    ev = np.asarray(
+        [r[0] for r in eval_df.select("embedding").collect()], dtype="float64"
+    )
+    ev /= np.linalg.norm(ev, axis=1, keepdims=True)
+    for r in dropped.select("embedding").collect():
+        v = np.asarray(r[0], dtype="float64")
+        assert (ev @ (v / np.linalg.norm(v))).max() >= 0.3 - 1e-12
+
+    with _pytest.raises(ValueError, match="max_eval_rows"):
+        S.semantic_decontaminate(corpus, eval_df, 0.3, max_eval_rows=3)
