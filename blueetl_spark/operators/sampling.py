@@ -58,6 +58,71 @@ def hash_sample(
     return df.filter(hash_bucket(key_col, seed, method) < int(rate * BUCKETS))
 
 
+def stratified_sample_k(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "",
+    method: str = "xxhash64",
+    prefilter_rate: float | None = None,
+) -> DataFrame:
+    """EXACTLY ``k`` rows per group (fewer if the group is smaller),
+    chosen deterministically: rank by ``hash(seed ‖ key)`` within each
+    group and keep the first ``k`` (key ascending as the tie-break).
+    A pure function of (keys, seed) — re-running, re-partitioning, or
+    re-ordering the input cannot change the sample, and ``method="md5"``
+    makes the selection replayable in ANSI SQL (auditable after the
+    fact). Complements :func:`hash_sample` (rate-based, size varies) and
+    :func:`mixture_sample` (per-group rates): this is the per-group
+    *budget* form ("50k docs per source").
+
+    Scale: the rank window sorts each group in one task — fine up to
+    ~10⁸ rows/group. Past that, pass ``prefilter_rate`` (e.g.
+    ``4 * k / group_size``): rows are pre-thinned by the SAME hash
+    (``bucket < rate · BUCKETS``) before ranking, which preserves the
+    exact selection — the k smallest hashes survive any prefix filter
+    that keeps ≥ k rows — and the guard verifies per group that the
+    pre-filter kept ``min(k, group_size)`` rows, falling back to the
+    full window for any group it under-sampled (two config-sized
+    aggregates; Chernoff-rare at 4× oversampling).
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    b = hash_bucket(key_col, seed, method)
+    w = Window.partitionBy(group_col).orderBy(b.asc(), F.col(key_col))
+
+    def topk(frame: DataFrame) -> DataFrame:
+        return (
+            frame.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .drop("__rk")
+        )
+
+    if prefilter_rate is None:
+        return topk(df)
+    if not 0.0 < prefilter_rate <= 1.0:
+        raise ValueError("prefilter_rate must be in (0, 1]")
+    pre = df.filter(b < int(prefilter_rate * BUCKETS))
+    full_n = {
+        r[group_col]: r["n"]
+        for r in df.groupBy(group_col).agg(F.count("*").alias("n")).collect()
+    }
+    pre_n = {
+        r[group_col]: r["n"]
+        for r in pre.groupBy(group_col).agg(F.count("*").alias("n")).collect()
+    }
+    short = [
+        g for g, n in full_n.items() if pre_n.get(g, 0) < min(k, n)
+    ]
+    if not short:
+        return topk(pre)
+    redo = F.col(group_col).isin(short)
+    return topk(pre.filter(~redo).unionByName(df.filter(redo)))
+
+
 def mixture_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -2136,6 +2136,44 @@ WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
 """
 
 
+STRAT_K = 40
+STRAT_SEED = "ss1"
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-group deterministic sampling (md5 hash rank): 40
+    orders per priority class, replayed row-for-row in SQL."""
+    from blueetl_spark.operators import sampling
+
+    orders = tables.load(spark, sf_dir, "orders")
+    out = sampling.stratified_sample_k(
+        orders.select("o_orderkey", "o_orderpriority"),
+        k=STRAT_K,
+        group_col="o_orderpriority",
+        key_col="o_orderkey",
+        seed=STRAT_SEED,
+        method="md5",
+    )
+    return out.select("o_orderkey", "o_orderpriority")
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH b AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(concat('0x', substring(md5(concat('{STRAT_SEED}',
+              CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT)
+           % {1 << 20} AS bucket
+  FROM orders
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY bucket, o_orderkey) AS rk
+  FROM b
+)
+SELECT o_orderkey, o_orderpriority FROM r WHERE rk <= {STRAT_K}
+"""
+
+
 SEM_DECON_MOD = 37  # vec_id % 37 == 0 -> the synthetic "eval set"
 
 
@@ -3020,6 +3058,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_shards_merge": q_profile_shards_merge,
     "language_id": q_language_id,
     "semantic_decontaminate": q_semantic_decontaminate,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -3083,6 +3122,7 @@ ORACLES: dict[str, str] = {
     "profile_shards_merge": SQL_PROFILE_SHARDS_MERGE,
     "language_id": SQL_LANGUAGE_ID,
     "semantic_decontaminate": SQL_SEMANTIC_DECONTAMINATE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
 }
 
 

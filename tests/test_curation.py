@@ -466,3 +466,41 @@ def test_curate_semantic_decontaminate_step(spark):
 
     with _pytest.raises(ValueError, match="requires eval_df"):
         curate_corpus(docs, cfg)
+
+
+def test_stratified_sample_k_exact_and_prefilter_invariant(spark):
+    """Exact k per group; determinism under repartition; the pre-filter
+    scale path selects the IDENTICAL rows (k smallest hashes survive any
+    prefix filter); under-k groups keep everything; short-group fallback
+    fires when the pre-filter is too aggressive."""
+    rows = [(i, "big" if i < 900 else ("mid" if i < 990 else "tiny"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.stratified_sample_k(df, 25, group_col="source")
+    got = out.groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in got} == {
+        "big": 25, "mid": 25, "tiny": 10  # tiny has only 10 rows
+    }
+    ids = {r.doc_id for r in out.collect()}
+    # determinism under physical reshuffling of the input
+    ids2 = {r.doc_id for r in
+            sampling.stratified_sample_k(df.repartition(7), 25,
+                                         group_col="source").collect()}
+    assert ids == ids2
+    # pre-filter path: same selection
+    ids3 = {r.doc_id for r in
+            sampling.stratified_sample_k(df, 25, group_col="source",
+                                         prefilter_rate=0.2).collect()}
+    assert ids == ids3
+    # pathologically tight pre-filter -> per-group fallback keeps it exact
+    ids4 = {r.doc_id for r in
+            sampling.stratified_sample_k(df, 25, group_col="source",
+                                         prefilter_rate=0.001).collect()}
+    assert ids == ids4
+    # different seed, different sample
+    ids5 = {r.doc_id for r in
+            sampling.stratified_sample_k(df, 25, group_col="source",
+                                         seed="other").collect()}
+    assert ids != ids5
+    with pytest.raises(ValueError):
+        sampling.stratified_sample_k(df, 0)
