@@ -338,3 +338,66 @@ def test_streaming_profile_shards(spark, tmp_path):
         for f in ("n_rows", "n_null", "min_num", "max_num", "min_str",
                   "max_str", "avg_value", "n_distinct"):
             assert replayed[c][f] == oneshot[c][f], (c, f)
+
+
+def test_streaming_curate_matches_batch(spark, tmp_path):
+    """Batch/stream parity: the stateless curation steps keep exactly
+    the same documents on a file stream as curate_corpus keeps in batch;
+    the stateful exact-dedup step keeps one survivor per content within
+    the watermark; unsupported ops raise with the foreachBatch hint."""
+    import datetime
+
+    from blueetl_spark.plans.curate import curate_corpus
+    from blueetl_spark.streaming.curate import streaming_curate
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today", "en", t0),
+        (2, "the quick brown fox jumps over the lazy dog today", "en", t0),
+        (3, "short", "en", t0),
+        (4, "benchmark sentence that must never leak into the training set", "en", t0),
+        (5, "mail me at ann@example.org for all of the details please", "en", t0),
+        (6, "ein ganz gewoehnliches dokument mit ausreichend vielen woertern", "de", t0),
+        (7, "", "en", t0),
+    ]
+    schema = "doc_id long, text string, lang string, ts timestamp"
+    docs = spark.createDataFrame(rows, schema)
+    ev = spark.createDataFrame(
+        [(0, "must never leak into the training")], "doc_id long, text string"
+    )
+    steps_stateless = [
+        {"op": "quality", "min_tokens": 4},
+        {"op": "decontaminate", "ngram": 3},
+        {"op": "pii_scrub"},
+        {"op": "mixture", "rates": {"en": 1.0, "de": 1.0}, "group_col": "lang"},
+    ]
+    batch_kept, _ = curate_corpus(
+        docs, {"steps": steps_stateless}, eval_df=ev, id_col="doc_id"
+    )
+    batch_rows = {
+        r.doc_id: r.text for r in batch_kept.select("doc_id", "text").collect()
+    }
+
+    src = str(tmp_path / "stream_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_curate(stream, {"steps": steps_stateless}, eval_df=ev)
+    got = run_to_memory(out, "curated_stream")
+    stream_rows = {
+        r.doc_id: r.text for r in got.select("doc_id", "text").collect()
+    }
+    assert stream_rows == batch_rows
+    assert 5 in stream_rows and "<EMAIL>" in stream_rows[5]
+
+    # stateful dedup: one survivor per distinct content
+    dedup_out = streaming_curate(
+        stream, {"steps": [{"op": "exact_dedup"}]}, watermark="1 hour"
+    )
+    got2 = run_to_memory(dedup_out, "curated_stream_dedup")
+    texts = [r.text for r in got2.collect()]
+    assert len(texts) == len(set(texts)) == 6  # 7 rows, one dup pair
+
+    with pytest.raises(ValueError, match="foreachBatch"):
+        streaming_curate(stream, {"steps": [{"op": "near_dedup"}]})
+    with pytest.raises(ValueError, match="requires eval_df"):
+        streaming_curate(stream, {"steps": [{"op": "decontaminate"}]})
