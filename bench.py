@@ -231,17 +231,29 @@ def main() -> None:
     # that persist intermediates get one sample with them hot, matching
     # the historical best-of-3-consecutive measurement); passes 2-3 add
     # one cold sample each, minutes apart.
+    # Cold samples are tracked separately: the round-5 bisect showed the
+    # overall min rides the warm pass-1 rep for queries that self-persist
+    # intermediates (minhash_lsh reported 1.1 s while its cold path was
+    # 25-30 s). `queries` keeps the historical min-of-all contract for
+    # cross-round comparability; `queries_cold` is the min over
+    # post-clearCache samples only, so cold-path regressions are visible
+    # in the record instead of needing a manual bisect.
     timings: dict[str, float] = {n: float("inf") for n in HEADLINE}
+    cold: dict[str, float] = {n: float("inf") for n in HEADLINE}
     for _pass in range(3):
         for name in HEADLINE:
             for _rep in range(2 if _pass == 0 else 1):
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                timings[name] = min(timings[name], time.perf_counter() - t0)
+                dt = time.perf_counter() - t0
+                timings[name] = min(timings[name], dt)
+                if not (_pass == 0 and _rep == 1):  # p1r2 is the warm rep
+                    cold[name] = min(cold[name], dt)
             spark.catalog.clearCache()
     timings = {n: round(t, 3) for n, t in timings.items()}
+    cold = {n: round(t, 3) for n, t in cold.items()}
     for name in HEADLINE:
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        print(f"# {name}: {timings[name]}s (cold {cold[name]}s)", file=sys.stderr)
     stress = run_stress(spark, n_events, n_docs)
     total = round(sum(timings.values()), 3)
     out = {
@@ -249,6 +261,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
         "sf": sf,
         "stress": stress,
         "stress_rows": n_events,
