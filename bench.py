@@ -50,6 +50,11 @@ HEADLINE = [
     "temperature_mixture",
     "profile_orders",
     "corpus_diff",
+    # round-5 additions
+    "profile_shards_merge",
+    "language_id",
+    "semantic_decontaminate",
+    "stratified_sample",
 ]
 
 
