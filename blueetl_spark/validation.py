@@ -48,10 +48,17 @@ _TRIAL_STEPS = {  # onset-detection spec (A22) — my dynamic-offset dialect
         "node_sets_file": _NULLABLE_STR,
         "limit": _NULLABLE_INT,
         "params": {"type": "object"},
-        # smoothing/threshold knobs used by operators.onset
+        # native operators.onset knobs
+        "bin_size": {"type": "number"},
+        "sigma": {"type": "number"},
+        "std_multiple": {"type": "number"},
+        "pre_fraction": {"type": "number"},
+        # reference trial-steps parameter names (translated by
+        # detect_onsets; see compat.bnac.calculate_trial_step)
+        "histo_bins_per_ms": {"type": "number"},
         "smoothing_width": {"type": "number"},
-        "histo_bin_size": {"type": "number"},
-        "threshold_ratio": {"type": "number"},
+        "threshold_std_multiple": {"type": "number"},
+        "ms_post_offset": {"type": "number"},
     },
     "required": ["function", "bounds"],
 }
@@ -130,6 +137,12 @@ _FEATURE = {
         "type": {"enum": ["single", "multi"]},
         "groupby": {"type": "array", "items": {"enum": GROUPBY_KEYS}},
         "schema": {"type": "string"},  # UDTF output schema (registry path)
+        # per-output DDL schemas for the generic `type: multi` path
+        # (compat shims carry their own via fn.output_schemas)
+        "schemas": {
+            "type": "object",
+            "additionalProperties": {"type": "string"},
+        },
         "params": {"type": "object"},
         "params_product": {"type": "object"},
         "params_zip": {"type": "object"},

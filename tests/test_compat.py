@@ -310,3 +310,35 @@ def test_multi_feature_cache_roundtrip(spark, data, tmp_path):
             b[cols].sort_values(sort_cols, ignore_index=True),
             check_dtype=False,
         )
+
+
+def test_compat_config_passes_validate_config():
+    """The reference-style multi-feature YAML (and the reference-named
+    trial-steps dialect) must pass the engine's jsonschema validation."""
+    import copy
+
+    from blueetl_spark.validation import ValidationError, validate_config
+
+    validate_config(CONFIG)
+    cfg = copy.deepcopy(CONFIG)
+    cfg["analysis"]["spikes"]["extraction"]["windows"]["w3"] = {
+        "bounds": [0.0, 30.0],
+        "trial_steps": {
+            "function": (
+                "blueetl_spark.compat.bnac.calculate_trial_step"
+                ".onset_from_spikes"
+            ),
+            "bounds": [-50.0, 25.0],
+            "histo_bins_per_ms": 5,
+            "smoothing_width": 4.0,
+            "threshold_std_multiple": 4.0,
+            "ms_post_offset": 0.25,
+        },
+    }
+    validate_config(cfg)
+    bad = copy.deepcopy(CONFIG)
+    bad["analysis"]["spikes"]["features"][0]["schemas"] = {"by_gid": 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValidationError):
+        validate_config(bad)
