@@ -809,6 +809,8 @@ def incremental_minhash(
     hash_fn: str = "xxhash64",
     threshold: float = 0.7,
     update: bool = True,
+    storage: str = "parquet",
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Near-duplicate matches of a NEW batch against the historical LSH
     index: (new_id, old_id, est_jaccard) pairs with signature similarity
@@ -823,6 +825,26 @@ def incremental_minhash(
     (callers typically append only ids that survived their keep-policy —
     pass the filtered batch). Batch-internal pairs are NOT included;
     run :func:`minhash_lsh_candidates` on the batch for those.
+
+    ``storage`` picks the index layout:
+
+    - ``"parquet"`` (default): plain parquet dirs under ``index_path``.
+      The candidate join shuffles BOTH sides on (band, band_hash) every
+      batch — fine while history × daily batch is moderate.
+    - ``"bucketed"``: catalog tables (``index_path`` is a table-name
+      prefix) written ``bucketBy(n_buckets)`` — buckets on the join key
+      (band, band_hash), signatures on the id. Spark then plans the
+      candidate join WITHOUT exchanging the history side (its bucketed
+      scan already satisfies the join distribution; only the
+      batch-sized side shuffles, to ``n_buckets`` partitions), and the
+      signature lookup likewise scans history co-located on the id.
+      This is the heavy-daily-traffic layout the parquet mode's
+      docstring used to merely recommend; at a billion-document history
+      it converts the per-batch cost from "re-shuffle history" to
+      "stream history's matching buckets". ``n_buckets`` must stay
+      constant across appends (validated; size so one bucket of the
+      grown index is a few hundred MB). Plan-guarded in
+      ``tests/test_plans.py``.
     """
     spark = new_docs.sparkSession
     rows_per_band = num_hashes // bands
@@ -833,49 +855,15 @@ def incremental_minhash(
         new_docs, text_col, id_col, n, num_hashes, hash_fn
     ).localCheckpoint()
     banded = banded_buckets(sig, id_col, bands, rows_per_band, hash_fn)
-    # plain string joins: pathlib would collapse the double slash of
-    # hdfs:// / s3a:// URIs and its exists() is driver-local anyway
-    sig_dir = f"{index_path}/signatures.parquet"
-    bucket_dir = f"{index_path}/buckets.parquet"
+    store = _mh_store(spark, index_path, storage, id_col, n_buckets)
     id_type = dict(new_docs.dtypes)[id_col]
     out_schema = f"new_id {id_type}, old_id {id_type}, est_jaccard double"
-    if _fs_exists(spark, bucket_dir):
+    if store.exists():
         # purged ids (tombstones) never match; see purge_minhash_index
-        old_buckets = _minus_tombstones(
-            spark, spark.read.parquet(bucket_dir), index_path, id_col
-        )
-        old_sigs = _minus_tombstones(
-            spark, spark.read.parquet(sig_dir), index_path, id_col
-        )
-        cand = (
-            banded.select(F.col(id_col).alias("new_id"), "band", "band_hash")
-            .join(
-                old_buckets.select(
-                    F.col(id_col).alias("old_id"), "band", "band_hash"
-                ),
-                ["band", "band_hash"],
-            )
-            .select("new_id", "old_id")
-            .distinct()
-        )
-        matches = (
-            cand.join(
-                sig.select(F.col(id_col).alias("new_id"), F.col("signature").alias("sig_n")),
-                "new_id",
-            )
-            .join(
-                old_sigs.select(F.col(id_col).alias("old_id"), F.col("signature").alias("sig_o")),
-                "old_id",
-            )
-            .withColumn(
-                "est_jaccard",
-                F.size(
-                    F.filter(F.zip_with("sig_n", "sig_o", lambda x, y: x == y), lambda m: m)
-                )
-                / F.lit(num_hashes),
-            )
-            .filter(F.col("est_jaccard") >= threshold)
-            .select("new_id", "old_id", "est_jaccard")
+        old_buckets = store.read_buckets()
+        old_sigs = store.read_signatures()
+        matches = _mh_match(
+            banded, sig, old_buckets, old_sigs, id_col, num_hashes, threshold
         )
     else:
         matches = spark.createDataFrame([], out_schema)
@@ -884,9 +872,233 @@ def incremental_minhash(
         # OLD index files, and the lazy file listing would otherwise
         # pick up this batch's own signatures post-append (self-matches)
         matches = matches.localCheckpoint()
-        sig.write.mode("append").parquet(sig_dir)
-        banded.write.mode("append").parquet(bucket_dir)
+        store.append(sig, banded)
     return matches
+
+
+def _mh_match(
+    banded: DataFrame,
+    sig: DataFrame,
+    old_buckets: DataFrame,
+    old_sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    threshold: float,
+) -> DataFrame:
+    """Shared batch-vs-history match: bucket equi-join → distinct pairs →
+    signature-similarity estimate (identical to the batch LSH path)."""
+    cand = (
+        banded.select(F.col(id_col).alias("new_id"), "band", "band_hash")
+        .join(
+            old_buckets.select(
+                F.col(id_col).alias("old_id"), "band", "band_hash"
+            ),
+            ["band", "band_hash"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    return (
+        cand.join(
+            sig.select(F.col(id_col).alias("new_id"), F.col("signature").alias("sig_n")),
+            "new_id",
+        )
+        .join(
+            old_sigs.select(F.col(id_col).alias("old_id"), F.col("signature").alias("sig_o")),
+            "old_id",
+        )
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(F.zip_with("sig_n", "sig_o", lambda x, y: x == y), lambda m: m)
+            )
+            / F.lit(num_hashes),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "old_id", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Index storage backends (parquet dirs vs bucketed catalog tables)
+# ---------------------------------------------------------------------------
+
+
+class _ParquetMinhashStore:
+    """Plain parquet layout: ``{path}/signatures.parquet``,
+    ``{path}/buckets.parquet``, ``{path}/tombstones.parquet``."""
+
+    def __init__(self, spark, path: str, id_col: str):
+        self.spark, self.path, self.id_col = spark, path, id_col
+        # plain string joins: pathlib would collapse the double slash of
+        # hdfs:// / s3a:// URIs and its exists() is driver-local anyway
+        self.sig_dir = f"{path}/signatures.parquet"
+        self.bucket_dir = f"{path}/buckets.parquet"
+        self.ts_dir = f"{path}/tombstones.parquet"
+
+    def exists(self) -> bool:
+        return _fs_exists(self.spark, self.bucket_dir)
+
+    def _minus_ts(self, df: DataFrame) -> DataFrame:
+        if not _fs_exists(self.spark, self.ts_dir):
+            return df
+        return df.join(
+            self.spark.read.parquet(self.ts_dir).select(self.id_col),
+            self.id_col,
+            "left_anti",
+        )
+
+    def read_buckets(self) -> DataFrame:
+        return self._minus_ts(self.spark.read.parquet(self.bucket_dir))
+
+    def read_signatures(self) -> DataFrame:
+        return self._minus_ts(self.spark.read.parquet(self.sig_dir))
+
+    def append(self, sig: DataFrame, banded: DataFrame) -> None:
+        sig.write.mode("append").parquet(self.sig_dir)
+        banded.write.mode("append").parquet(self.bucket_dir)
+
+    def append_tombstones(self, ids: DataFrame) -> None:
+        ids.write.mode("append").parquet(self.ts_dir)
+
+    def compact(self) -> dict[str, int]:
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+
+        def _swap(cur: str, tmp: str) -> None:
+            P = jvm.org.apache.hadoop.fs.Path
+            fs = P(cur).getFileSystem(hconf)
+            bak = P(cur + ".old")
+            if fs.exists(bak):
+                fs.delete(bak, True)
+            if not fs.rename(P(cur), bak):
+                raise IOError(f"compact: rename {cur} -> {cur}.old failed")
+            if not fs.rename(P(tmp), P(cur)):
+                raise IOError(f"compact: rename {tmp} -> {cur} failed")
+            fs.delete(bak, True)
+
+        counts: dict[str, int] = {}
+        has_ts = _fs_exists(self.spark, self.ts_dir)
+        for name, cur in (
+            ("signatures", self.sig_dir),
+            ("buckets", self.bucket_dir),
+        ):
+            if not _fs_exists(self.spark, cur):
+                counts[name] = 0
+                continue
+            if not has_ts:
+                counts[name] = self.spark.read.parquet(cur).count()
+                continue
+            tmp = f"{self.path}/.compact-{name}.parquet"
+            kept = self._minus_ts(self.spark.read.parquet(cur))
+            kept.write.mode("overwrite").parquet(tmp)
+            counts[name] = self.spark.read.parquet(tmp).count()
+            _swap(cur, tmp)
+        if has_ts:
+            p = jvm.org.apache.hadoop.fs.Path(self.ts_dir)
+            p.getFileSystem(hconf).delete(p, True)
+        return counts
+
+
+class _BucketedMinhashStore:
+    """Catalog-table layout: ``{prefix}_signatures`` bucketed on the id,
+    ``{prefix}_buckets`` bucketed on (band, band_hash), so the per-batch
+    match never exchanges the history side (see
+    ``plans/bucketing.py`` for the co-location mechanics)."""
+
+    def __init__(self, spark, prefix: str, id_col: str, n_buckets: int):
+        self.spark, self.prefix, self.id_col = spark, prefix, id_col
+        self.n_buckets = n_buckets
+        self.sig_tbl = f"{prefix}_signatures"
+        self.bucket_tbl = f"{prefix}_buckets"
+        self.ts_tbl = f"{prefix}_tombstones"
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.bucket_tbl)
+
+    def _check_spec(self) -> None:
+        from blueetl_spark.plans.bucketing import bucket_spec
+
+        spec = bucket_spec(self.spark, self.bucket_tbl)
+        if spec is not None and spec[1] != self.n_buckets:
+            raise ValueError(
+                f"index {self.bucket_tbl} has {spec[1]} buckets; appends "
+                f"must keep the original count (got n_buckets={self.n_buckets})"
+            )
+
+    def _minus_ts(self, df: DataFrame) -> DataFrame:
+        if not self.spark.catalog.tableExists(self.ts_tbl):
+            return df
+        return df.join(
+            self.spark.table(self.ts_tbl).select(self.id_col),
+            self.id_col,
+            "left_anti",
+        )
+
+    def read_buckets(self) -> DataFrame:
+        return self._minus_ts(self.spark.table(self.bucket_tbl))
+
+    def read_signatures(self) -> DataFrame:
+        return self._minus_ts(self.spark.table(self.sig_tbl))
+
+    def append(self, sig: DataFrame, banded: DataFrame) -> None:
+        if self.exists():
+            self._check_spec()
+        (
+            sig.write.mode("append").format("parquet")
+            .bucketBy(self.n_buckets, self.id_col)
+            .sortBy(self.id_col)
+            .saveAsTable(self.sig_tbl)
+        )
+        (
+            banded.write.mode("append").format("parquet")
+            .bucketBy(self.n_buckets, "band", "band_hash")
+            .saveAsTable(self.bucket_tbl)
+        )
+
+    def append_tombstones(self, ids: DataFrame) -> None:
+        ids.write.mode("append").format("parquet").saveAsTable(self.ts_tbl)
+
+    def compact(self) -> dict[str, int]:
+        counts: dict[str, int] = {}
+        has_ts = self.spark.catalog.tableExists(self.ts_tbl)
+        specs = {
+            self.sig_tbl: ("signatures", [self.id_col], True),
+            self.bucket_tbl: ("buckets", ["band", "band_hash"], False),
+        }
+        for tbl, (name, keys, sort) in specs.items():
+            if not self.spark.catalog.tableExists(tbl):
+                counts[name] = 0
+                continue
+            if not has_ts:
+                counts[name] = self.spark.table(tbl).count()
+                continue
+            tmp = f"{tbl}__compact"
+            self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+            kept = self._minus_ts(self.spark.table(tbl))
+            w = kept.write.mode("overwrite").format("parquet").bucketBy(
+                self.n_buckets, *keys
+            )
+            if sort:
+                w = w.sortBy(*keys)
+            w.saveAsTable(tmp)
+            counts[name] = self.spark.table(tmp).count()
+            # swap: drop + rename. A crash between the two leaves the
+            # __compact table intact for manual recovery — same
+            # single-maintainer contract as the parquet layout.
+            self.spark.sql(f"DROP TABLE {tbl}")
+            self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {tbl}")
+        if has_ts:
+            self.spark.sql(f"DROP TABLE {self.ts_tbl}")
+        return counts
+
+
+def _mh_store(spark, index_path: str, storage: str, id_col: str, n_buckets: int):
+    if storage == "parquet":
+        return _ParquetMinhashStore(spark, index_path, id_col)
+    if storage == "bucketed":
+        return _BucketedMinhashStore(spark, index_path, id_col, n_buckets)
+    raise ValueError(f"unknown storage {storage!r}; 'parquet' or 'bucketed'")
 
 
 # ---------------------------------------------------------------------------
@@ -894,21 +1106,20 @@ def incremental_minhash(
 # ---------------------------------------------------------------------------
 
 
-def _tombstone_dir(index_path: str) -> str:
-    return f"{index_path}/tombstones.parquet"
-
-
 def purge_minhash_index(
     ids: DataFrame,
     index_path: str,
     id_col: str = "doc_id",
+    storage: str = "parquet",
+    n_buckets: int = 64,
 ) -> None:
     """Mark documents as deleted from an :func:`incremental_minhash`
     index WITHOUT touching the index data: the ids are appended to a
     tombstone table, and every subsequent match excludes them. Cost is
     O(ids appended), never O(history) — the deletion request pattern
     (takedowns, right-to-forget) must not require rewriting a
-    billion-document signature store on every request.
+    billion-document signature store on every request. ``storage`` must
+    match how the index was written.
 
     Contract: a purged id is gone from matching until
     :func:`compact_minhash_index` folds the tombstones in — including
@@ -917,76 +1128,33 @@ def purge_minhash_index(
     therefore requires a compaction first (or a fresh id). Tombstones
     accumulate one tiny row per purged id; compaction clears them.
     """
-    ids.select(F.col(id_col)).distinct().write.mode("append").parquet(
-        _tombstone_dir(index_path)
-    )
-
-
-def _minus_tombstones(
-    spark, df: DataFrame, index_path: str, id_col: str
-) -> DataFrame:
-    ts_dir = _tombstone_dir(index_path)
-    if not _fs_exists(spark, ts_dir):
-        return df
-    return df.join(
-        spark.read.parquet(ts_dir).select(id_col), id_col, "left_anti"
-    )
+    store = _mh_store(ids.sparkSession, index_path, storage, id_col, n_buckets)
+    store.append_tombstones(ids.select(F.col(id_col)).distinct())
 
 
 def compact_minhash_index(
     spark,
     index_path: str,
     id_col: str = "doc_id",
+    storage: str = "parquet",
+    n_buckets: int = 64,
 ) -> dict[str, int]:
     """Fold accumulated tombstones into the index: rewrite signatures
     and buckets minus the purged ids, then drop the tombstone table.
     One anti-join scan of the (text-free) index per table — the
     periodic-maintenance job, NOT the per-request path.
 
-    Publish order per table mirrors the cache's swap
-    (``plans/cache.py``): write to a temp dir, rename current → backup,
-    rename temp → current, delete backup. Renames are atomic per step;
-    a crash can leave a recoverable backup, never a half-written
-    current. Single-maintainer semantics (same contract as the index's
-    appends). Returns per-table row counts after compaction.
+    Parquet layout publishes with the cache's swap (``plans/cache.py``):
+    temp write → rename current to backup → rename temp in → delete
+    backup; renames are atomic per step, so a crash leaves a
+    recoverable backup, never a half-written current. The bucketed
+    layout rewrites into a ``__compact`` table (same bucket spec) and
+    swaps via DROP + RENAME — a crash between the two leaves the
+    ``__compact`` table intact for manual recovery. Single-maintainer
+    semantics either way (same contract as the index's appends).
+    Returns per-table row counts after compaction.
     """
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-
-    def _swap(cur: str, tmp: str) -> None:
-        P = jvm.org.apache.hadoop.fs.Path
-        fs = P(cur).getFileSystem(hconf)
-        bak = P(cur + ".old")
-        if fs.exists(bak):
-            fs.delete(bak, True)
-        if not fs.rename(P(cur), bak):
-            raise IOError(f"compact: rename {cur} -> {cur}.old failed")
-        if not fs.rename(P(tmp), P(cur)):
-            raise IOError(f"compact: rename {tmp} -> {cur} failed")
-        fs.delete(bak, True)
-
-    ts_dir = _tombstone_dir(index_path)
-    counts: dict[str, int] = {}
-    if not _fs_exists(spark, ts_dir):
-        for name in ("signatures", "buckets"):
-            d = f"{index_path}/{name}.parquet"
-            counts[name] = (
-                spark.read.parquet(d).count() if _fs_exists(spark, d) else 0
-            )
-        return counts
-    for name in ("signatures", "buckets"):
-        cur = f"{index_path}/{name}.parquet"
-        if not _fs_exists(spark, cur):
-            counts[name] = 0
-            continue
-        tmp = f"{index_path}/.compact-{name}.parquet"
-        kept = _minus_tombstones(spark, spark.read.parquet(cur), index_path, id_col)
-        kept.write.mode("overwrite").parquet(tmp)
-        counts[name] = spark.read.parquet(tmp).count()
-        _swap(cur, tmp)
-    jvm_path = jvm.org.apache.hadoop.fs.Path(ts_dir)
-    jvm_path.getFileSystem(hconf).delete(jvm_path, True)
-    return counts
+    return _mh_store(spark, index_path, storage, id_col, n_buckets).compact()
 
 
 def purge_exact_index(

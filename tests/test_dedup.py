@@ -484,3 +484,82 @@ def test_semantic_decontaminate_methods_agree(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="max_eval_rows"):
         S.semantic_decontaminate(corpus, eval_df, 0.3, max_eval_rows=3)
+
+
+def test_incremental_minhash_bucketed_storage(spark, tmp_path):
+    """The bucketed catalog-table layout matches the parquet layout
+    result-for-result through the full lifecycle (seed → match → purge →
+    compact → re-ingest), validates the bucket count on append, and its
+    match plan scans the history side bucketed (no exchange needed on
+    the big side)."""
+    import uuid
+
+    from blueetl_spark.operators.dedup import (
+        compact_minhash_index,
+        incremental_minhash,
+        purge_minhash_index,
+    )
+
+    prefix = f"mhb_{uuid.uuid4().hex[:8]}"
+    pq_idx = str(tmp_path / "mh_pq")
+    base = (
+        "the quick brown fox jumps over the lazy dog while the calm river "
+        "flows past the old stone bridge under a bright summer sky"
+    )
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "completely different words " * 5)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(10, base.replace("lazy", "sleepy"))], "doc_id long, text string"
+    )
+    try:
+        assert incremental_minhash(
+            b1, prefix, storage="bucketed", n_buckets=8
+        ).count() == 0
+        assert incremental_minhash(b1, pq_idx).count() == 0
+
+        kw = dict(update=False, storage="bucketed", n_buckets=8)
+        m_b = incremental_minhash(probe, prefix, **kw).collect()
+        m_p = incremental_minhash(probe, pq_idx, update=False).collect()
+        assert [(r.new_id, r.old_id, r.est_jaccard) for r in m_b] == [
+            (r.new_id, r.old_id, r.est_jaccard) for r in m_p
+        ]
+        assert len(m_b) == 1
+
+        # history side is a bucketed scan (no exchange required on it)
+        plan = incremental_minhash(
+            probe, prefix, **kw
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+
+        # mismatched bucket count on append is a hard error
+        with pytest.raises(ValueError, match="buckets"):
+            incremental_minhash(probe, prefix, storage="bucketed", n_buckets=16)
+
+        # purge + compact + re-ingest, all in bucketed mode
+        purge_minhash_index(
+            spark.createDataFrame([(1,)], "doc_id long"), prefix,
+            storage="bucketed", n_buckets=8,
+        )
+        assert incremental_minhash(probe, prefix, **kw).count() == 0
+        counts = compact_minhash_index(
+            spark, prefix, storage="bucketed", n_buckets=8
+        )
+        assert counts["signatures"] == 1
+        assert not spark.catalog.tableExists(f"{prefix}_tombstones")
+        assert incremental_minhash(
+            spark.createDataFrame([(1, base)], "doc_id long, text string"),
+            prefix, storage="bucketed", n_buckets=8,
+        ).count() == 0
+        assert incremental_minhash(probe, prefix, **kw).count() == 1
+        # compacted table still bucketed with the original spec
+        from blueetl_spark.plans.bucketing import bucket_spec
+
+        assert bucket_spec(spark, f"{prefix}_buckets") == (
+            ["band", "band_hash"], 8,
+        )
+    finally:
+        for t in ("signatures", "buckets", "tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}__compact")
