@@ -175,6 +175,34 @@ def cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_index_purge(args: argparse.Namespace) -> int:
+    from blueetl_spark.operators.dedup import purge_minhash_index
+    from blueetl_spark.session import get_spark
+
+    spark = get_spark(app_name="blueetl_spark.index_purge")
+    ids = spark.read.parquet(args.ids)
+    n = ids.select(args.id_col).distinct().count()
+    purge_minhash_index(
+        ids, args.index, id_col=args.id_col,
+        storage=args.storage, n_buckets=args.buckets,
+    )
+    print(json.dumps({"index": args.index, "purged_ids": n}))
+    return 0
+
+
+def cmd_index_compact(args: argparse.Namespace) -> int:
+    from blueetl_spark.operators.dedup import compact_minhash_index
+    from blueetl_spark.session import get_spark
+
+    spark = get_spark(app_name="blueetl_spark.index_compact")
+    counts = compact_minhash_index(
+        spark, args.index, id_col=args.id_col,
+        storage=args.storage, n_buckets=args.buckets,
+    )
+    print(json.dumps({"index": args.index, "rows": counts}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="blueetl_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -241,6 +269,27 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("name")
     s.add_argument("--rows", type=int, default=20)
     s.set_defaults(fn=cmd_query)
+
+    ip = sub.add_parser(
+        "index-purge",
+        help="tombstone ids out of an incremental MinHash index (takedown)",
+    )
+    ip.add_argument("index", help="index path (parquet) or table prefix (bucketed)")
+    ip.add_argument("ids", help="parquet of ids to purge")
+    ip.add_argument("--id-col", default="doc_id")
+    ip.add_argument("--storage", choices=["parquet", "bucketed"], default="parquet")
+    ip.add_argument("--buckets", type=int, default=64)
+    ip.set_defaults(fn=cmd_index_purge)
+
+    ic = sub.add_parser(
+        "index-compact",
+        help="fold tombstones into an incremental MinHash index (maintenance)",
+    )
+    ic.add_argument("index", help="index path (parquet) or table prefix (bucketed)")
+    ic.add_argument("--id-col", default="doc_id")
+    ic.add_argument("--storage", choices=["parquet", "bucketed"], default="parquet")
+    ic.add_argument("--buckets", type=int, default=64)
+    ic.set_defaults(fn=cmd_index_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)

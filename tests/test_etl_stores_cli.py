@@ -417,3 +417,34 @@ def test_cli_profile(spark, tmp_path, capsys):
     assert out2["exact"] is False
     assert [c["column"] for c in out2["columns"]] == ["s"]
     assert out2["columns"][0]["n_distinct"] == 2
+
+
+def test_cli_index_purge_and_compact(spark, tmp_path, capsys):
+    """Takedown workflow through the CLI: purge tombstones ids out of a
+    MinHash index, compact folds them in; both print one JSON line."""
+    import json
+
+    from blueetl_spark.__main__ import main as cli_main
+    from blueetl_spark.operators.dedup import incremental_minhash
+
+    idx = str(tmp_path / "mh_idx")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    assert incremental_minhash(docs, idx).count() == 0
+    ids_path = str(tmp_path / "purge_ids.parquet")
+    spark.createDataFrame([(1,)], "doc_id long").write.parquet(ids_path)
+
+    assert cli_main(["index-purge", idx, ids_path]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"index": idx, "purged_ids": 1}
+    probe = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    assert incremental_minhash(probe, idx, update=False).count() == 0
+
+    assert cli_main(["index-compact", idx]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["rows"] == {"signatures": 1, "buckets": 1 * 16}
