@@ -2136,6 +2136,46 @@ WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
 """
 
 
+CHUNK_TOKENS = 40
+CHUNK_OVERLAP = 10
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: fixed-token windows with overlap, final
+    chunk short, no trailing duplicate — token slicing, chunk spine, and
+    text reassembly all replayed in SQL."""
+    from blueetl_spark.operators import text
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return text.chunk_documents(
+        docs, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    ).select("doc_id", "chunk_id", "n_tokens", "chunk_text")
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(coalesce(text, '')), '\\s+') AS toks
+  FROM documents
+),
+spine AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(CAST(ceil(
+           (len(toks) - {CHUNK_TOKENS}) / {CHUNK_TOKENS - CHUNK_OVERLAP}
+         ) AS BIGINT), 0) + 1)) AS chunk_id
+  FROM t
+)
+SELECT doc_id, chunk_id,
+       CAST(least(len(toks) - chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP},
+                  {CHUNK_TOKENS}) AS BIGINT) AS n_tokens,
+       array_to_string(
+         toks[chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 :
+              chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}],
+         ' ') AS chunk_text
+FROM spine
+"""
+
+
 STRAT_K = 40
 STRAT_SEED = "ss1"
 
@@ -3059,6 +3099,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_id": q_language_id,
     "semantic_decontaminate": q_semantic_decontaminate,
     "stratified_sample": q_stratified_sample,
+    "chunk_documents": q_chunk_documents,
 }
 
 ORACLES: dict[str, str] = {
@@ -3123,6 +3164,7 @@ ORACLES: dict[str, str] = {
     "language_id": SQL_LANGUAGE_ID,
     "semantic_decontaminate": SQL_SEMANTIC_DECONTAMINATE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
 }
 
 
