@@ -55,6 +55,7 @@ HEADLINE = [
     "language_id",
     "semantic_decontaminate",
     "stratified_sample",
+    "chunk_documents",
 ]
 
 
