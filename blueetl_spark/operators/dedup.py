@@ -345,6 +345,86 @@ def hamming_distance(col_a, col_b):
     return F.bit_count(col_a.bitwiseXOR(col_b))
 
 
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+    max_distance: int = 3,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by banded-Hamming LSH over SimHash:
+    (id_a, id_b, hamming) with ``hamming ≤ max_distance``, id_a < id_b.
+
+    The pair-finding step :func:`simhash` was missing: with only the
+    per-doc signature, finding all pairs within distance d is an
+    all-pairs popcount. Pigeonhole banding makes it an equi-join: split
+    the word into ``n_bands`` contiguous bit-bands (``n_bands >
+    max_distance``, default ``max_distance + 1``); two words within
+    distance d differ in at most d bands, so at least one band is
+    IDENTICAL — the candidate join on (band, band_bits) is exact (no
+    recall loss, same argument as the image dHash LSH in
+    ``operators/multimodal.py``; bits not covered when ``n_bands``
+    doesn't divide ``bits`` only ever ADD candidates). Candidates are
+    verified with the real popcount. Signatures ride through the join,
+    so the verify step needs no second signature lookup; the signature
+    frame is persisted across its two consumers (handle on the result's
+    ``_signatures``).
+    """
+    if n_bands is None:
+        n_bands = max_distance + 1
+    if n_bands <= max_distance:
+        raise ValueError(
+            f"pigeonhole needs n_bands > max_distance, got {n_bands} <= {max_distance}"
+        )
+    w = bits // n_bands
+    if w < 1:
+        raise ValueError(f"n_bands={n_bands} exceeds bits={bits}")
+    sigs = simhash(df, text_col, id_col, n, bits, hash_fn).persist()
+    mask = (1 << w) - 1
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * w)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_bits"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.band_bits")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"),
+        "band", "band_bits",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"),
+        "band", "band_bits",
+    )
+    out = (
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            hamming_distance(F.col("sim_a"), F.col("sim_b")).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )
+    out._signatures = sigs
+    return out
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.95,

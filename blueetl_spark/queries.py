@@ -2136,6 +2136,54 @@ WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
 """
 
 
+SIMHASH_CAND_DIST = 6
+SIMHASH_CAND_BANDS = 7
+
+
+def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-Hamming LSH pair-finding over md5 SimHash signatures:
+    pigeonhole banding (7 bands > distance 6) makes the candidate join
+    exact, the popcount verify is replayed with DuckDB's own
+    bit_count(xor(...)) — signature, banding, join, and verification all
+    under one hash gate."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup.simhash_candidates(
+        docs,
+        bits=SIMHASH_MD5_BITS,
+        hash_fn="md5",
+        max_distance=SIMHASH_CAND_DIST,
+        n_bands=SIMHASH_CAND_BANDS,
+    )
+
+
+def _simhash_candidates_sql() -> str:
+    w = SIMHASH_MD5_BITS // SIMHASH_CAND_BANDS
+    mask = (1 << w) - 1
+    return f"""
+WITH sims AS ({SQL_SIMHASH_MD5}),
+bands AS (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> (b.band * {w})) & {mask} AS band_bits
+  FROM sims,
+       (SELECT unnest(range(0, {SIMHASH_CAND_BANDS})) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+                  a.simhash AS sim_a, c.simhash AS sim_b
+  FROM bands a JOIN bands c
+    ON a.band = c.band AND a.band_bits = c.band_bits
+   AND a.doc_id < c.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM pairs
+WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_CAND_DIST}
+"""
+
+
+SQL_SIMHASH_CANDIDATES = _simhash_candidates_sql()
+
+
 CHUNK_TOKENS = 40
 CHUNK_OVERLAP = 10
 
@@ -3100,6 +3148,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_decontaminate": q_semantic_decontaminate,
     "stratified_sample": q_stratified_sample,
     "chunk_documents": q_chunk_documents,
+    "simhash_candidates": q_simhash_candidates,
 }
 
 ORACLES: dict[str, str] = {
@@ -3165,6 +3214,7 @@ ORACLES: dict[str, str] = {
     "semantic_decontaminate": SQL_SEMANTIC_DECONTAMINATE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "simhash_candidates": SQL_SIMHASH_CANDIDATES,
 }
 
 

@@ -563,3 +563,41 @@ def test_incremental_minhash_bucketed_storage(spark, tmp_path):
         for t in ("signatures", "buckets", "tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}__compact")
+
+
+def test_simhash_candidates_exact_recall(spark, sf_dir):
+    """The pigeonhole banding loses NOTHING: banded candidates filtered
+    by popcount equal the brute-force all-pairs Hamming result, at
+    several band counts (including one that leaves bits uncovered)."""
+    from blueetl_spark.operators.dedup import (
+        hamming_distance,
+        simhash,
+        simhash_candidates,
+    )
+    from blueetl_spark.sources import tables
+
+    docs = tables.load(spark, sf_dir, "documents").limit(200)
+    sigs = simhash(docs, bits=60, hash_fn="md5")
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r.id_a, r.id_b, r.h)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("h", hamming_distance(F.col("sa"), F.col("sb")).cast("long"))
+        .filter(F.col("h") <= 6)
+        .collect()
+    }
+    for n_bands in (7, 10, 13):  # 13 leaves 60 % 13 = 8 bits uncovered
+        banded = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in simhash_candidates(
+                docs, bits=60, hash_fn="md5", max_distance=6, n_bands=n_bands
+            ).collect()
+        }
+        assert banded == brute, n_bands
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_candidates(docs, max_distance=6, n_bands=6)
+    with pytest.raises(ValueError, match="exceeds bits"):
+        simhash_candidates(docs, bits=60, max_distance=63, n_bands=64)
