@@ -56,6 +56,7 @@ HEADLINE = [
     "semantic_decontaminate",
     "stratified_sample",
     "chunk_documents",
+    "simhash_candidates",
 ]
 
 
