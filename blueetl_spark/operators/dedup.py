@@ -76,9 +76,28 @@ def _fan_out_small_scan(df: DataFrame) -> DataFrame:
     inheritance was 15-30× of the whole cold query time. The gate
     (``parts * 2 <= defaultParallelism``) means a real 100 TB scan
     (thousands of splits) NEVER pays the extra exchange — this only fires
-    when the scan is too small for the exchange to matter anyway."""
-    sc = df.sparkSession.sparkContext
-    parts = df.rdd.getNumPartitions()
+    when the scan is too small for the exchange to matter anyway.
+
+    Partition count comes from ``inputFiles()`` (a catalog lookup) rather
+    than ``df.rdd.getNumPartitions()``: the RDD accessor forces a
+    plan-to-RDD translation per call and is unsupported on Spark Connect
+    and streaming frames, so anything non-batch/non-classic simply skips
+    the fan-out (a no-op, never an error)."""
+    try:
+        sc = df.sparkSession.sparkContext
+        if df.isStreaming:
+            return df
+        # inputFiles() is a plan walk, not a physical plan: many files ⇒
+        # at least that many scan partitions ⇒ skip without ever building
+        # the RDD. Few (or zero — range/createDataFrame) files may still
+        # split into many partitions via maxPartitionBytes, so only then
+        # confirm with the real partition count — the RDD translation is
+        # cheap exactly when the input is small.
+        if len(df.inputFiles()) * 2 > sc.defaultParallelism:
+            return df
+        parts = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect or other non-classic session
+        return df
     if parts * 2 <= sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
@@ -252,9 +271,16 @@ def minhash_lsh_candidates(
     ``hash_fn="md5"`` makes every stage (base hash, permutations, band
     bucket key) DuckDB-reproducible, so the full candidate set is
     oracle-verifiable; ``"xxhash64"`` is the faster Spark-only default.
+
+    The signature subplan has three consumers (band explode + both verify
+    sides) but is NOT persisted: all three sit on the same aggregate whose
+    shuffle AQE reuses at runtime (the expensive scan+shingle+minhash map
+    side runs once), and measured at sf0.1 the cache bought nothing while
+    leaking blocks across repeated calls (ADVICE r5 — the private
+    ``_signatures`` unpersist handle was fragile and routinely unused).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn).cache()
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn)
     banded = banded_buckets(sig, id_col, bands, rows_per_band, hash_fn)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
@@ -281,8 +307,6 @@ def minhash_lsh_candidates(
         )
         .select("id_a", "id_b", "est_jaccard")
     )
-    # cached-signature handle for callers that loop (unpersist after use)
-    out._signatures = sig
     return out
 
 
@@ -369,9 +393,13 @@ def simhash_candidates(
     ``operators/multimodal.py``; bits not covered when ``n_bands``
     doesn't divide ``bits`` only ever ADD candidates). Candidates are
     verified with the real popcount. Signatures ride through the join,
-    so the verify step needs no second signature lookup; the signature
-    frame is persisted across its two consumers (handle on the result's
-    ``_signatures``).
+    so the verify step needs no second signature lookup. The signature
+    subplan is deliberately NOT persisted: the self-join recomputes it on
+    both sides, but AQE's runtime exchange reuse covers the identical
+    subplans, and measured at sf0.1 the cache was a net LOSS (8.3 s cold
+    with persist vs 2.5 s without — block-manager materialization costs
+    more than the recompute) while leaking cached blocks across repeated
+    calls (ADVICE r5: nothing ever unpersisted the private handle).
     """
     if n_bands is None:
         n_bands = max_distance + 1
@@ -382,7 +410,7 @@ def simhash_candidates(
     w = bits // n_bands
     if w < 1:
         raise ValueError(f"n_bands={n_bands} exceeds bits={bits}")
-    sigs = simhash(df, text_col, id_col, n, bits, hash_fn).persist()
+    sigs = simhash(df, text_col, id_col, n, bits, hash_fn)
     mask = (1 << w) - 1
     banded = sigs.select(
         F.col(id_col),
@@ -421,7 +449,6 @@ def simhash_candidates(
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
     )
-    out._signatures = sigs
     return out
 
 

@@ -175,21 +175,50 @@ def dense_index(
         [f"{f.name} {f.dataType.simpleString()}" for f in out_fields]
         + [f"{out_col} long"]
     )
+    # Group-key canonicalization: Arrow hands pandas a float64 column when an
+    # integral Spark column contains nulls, so a key collected Spark-side as
+    # (1,) would arrive in the kernel as (1.0,) and miss the offsets dict —
+    # every later group in the chunk would then restart at 0. Null keys
+    # (None/NaN/NaT) all normalize to None, matching the Spark collect.
+    integral = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+    }
+    is_int_key = [c in integral for c in group_cols]
+
+    def norm_key(g) -> tuple:
+        g = g if isinstance(g, tuple) else (g,)
+        out = []
+        for x, as_int in zip(g, is_int_key):
+            if x is None or (isinstance(x, float) and np.isnan(x)) or x is pd.NaT:
+                out.append(None)
+            elif as_int and isinstance(x, float):
+                out.append(int(x))
+            else:
+                out.append(x)
+        return tuple(out)
+
+    offsets = {(norm_key(g), pid): off for (g, pid), off in offsets.items()}
 
     def assign(it):
         running: dict[tuple, int] = {}
         for pdf in it:
             if not len(pdf):
                 continue
+            pdf = pdf.reset_index(drop=True)
             pid = int(pdf["__pid"].iloc[0])
             ranks = np.empty(len(pdf), dtype="int64")
-            pos = 0
-            for g, sub in pdf.groupby(group_cols, sort=False):
-                g = g if isinstance(g, tuple) else (g,)
+            # dropna=False: null group keys are real groups here (the window
+            # path numbers them; silently skipping them misaligns every rank
+            # after the null block — see ADVICE r5). Ranks are written by row
+            # index, not positionally, so no contiguity assumption either.
+            for g, sub in pdf.groupby(group_cols, sort=False, dropna=False):
+                g = norm_key(g)
                 start = running.get(g, offsets.get((g, pid), 0))
-                ranks[pos : pos + len(sub)] = np.arange(start, start + len(sub))
+                idx = sub.index.to_numpy()
+                ranks[idx] = np.arange(start, start + len(sub))
                 running[g] = start + len(sub)
-                pos += len(sub)
             pdf = pdf.copy()
             pdf[out_col] = ranks
             yield pdf

@@ -587,13 +587,20 @@ def apply_feature_multi(
     )
 
     def _clean(v):
-        if isinstance(v, float) and math.isnan(v):
-            return None  # strict JSON; from_json has no NaN literal
-        if hasattr(v, "item"):  # numpy scalar
-            v = v.item()
-            return None if isinstance(v, float) and math.isnan(v) else v
-        if hasattr(v, "tolist"):  # numpy array cell
-            return v.tolist()
+        # Strict JSON: from_json has no NaN/Infinity literal — any non-finite
+        # float that slipped through used to make from_json yield a null ROW
+        # (silent data loss, ADVICE r5). Non-finite → None recursively, and
+        # dumps below runs with allow_nan=False so a missed case fails loudly.
+        if isinstance(v, float):
+            return v if math.isfinite(v) else None
+        if hasattr(v, "item") and not hasattr(v, "tolist"):  # numpy scalar
+            return _clean(v.item())
+        if hasattr(v, "tolist"):  # numpy scalar or array cell
+            return _clean(v.tolist())
+        if isinstance(v, (list, tuple)):
+            return [_clean(x) for x in v]
+        if isinstance(v, dict):
+            return {k: _clean(x) for k, x in v.items()}
         return v
 
     def runner(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -615,7 +622,8 @@ def apply_feature_multi(
             for rec in odf.to_dict("records"):
                 rows.append(
                     (*key, oname,
-                     _json.dumps({k: _clean(v) for k, v in rec.items()}))
+                     _json.dumps({k: _clean(v) for k, v in rec.items()},
+                                 allow_nan=False))
                 )
         return pd.DataFrame(rows, columns=[*groupby, "__output", "__row"])
 

@@ -142,6 +142,11 @@ def semantic_decontaminate(
         import numpy as np
 
         rows = eval_df.select(vec_col).collect()
+        if not rows:
+            # nothing to decontaminate against — the hof path's crossJoin
+            # naturally yields no contaminated ids; match it (an empty list
+            # would otherwise build a 1-D (0,) array and crash norm(axis=1))
+            return corpus
         em = np.asarray([r[0] for r in rows], dtype="float64")
         em /= np.maximum(np.linalg.norm(em, axis=1, keepdims=True), 1e-300)
 

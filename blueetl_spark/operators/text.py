@@ -227,7 +227,8 @@ def classify_language_ngram(
 
     Scale shape: per-doc gram counts (one map-side-combined shuffle on
     (doc, gram)), a **broadcast** join against the config-sized profile
-    table (the penalty rides along as a broadcast scalar), then one
+    table — collected once to the driver, so the penalty is a plain
+    literal and the expensive profile plan never runs twice — then one
     more combinable aggregation per (doc, lang) and a struct-min
     argmax — no window over the corpus, no profile-side shuffle.
     Documents sharing no gram with any profile produce no row (they
@@ -243,29 +244,36 @@ def classify_language_ngram(
         .groupBy(id_col, "gram")
         .agg(F.count("*").alias("cnt"))
     )
-    # the (tiny) profile table has two consumers — the broadcast join and
-    # the penalty scalar — and an expensive plan (corpus gram counts +
-    # rank window); persist so it computes once
-    profiles = profiles.persist()
-    penalty = profiles.agg((F.min("weight") - 1).alias("__pen"))
+    # The profile table is config-sized (languages × top_k) but its PLAN is
+    # expensive (corpus-wide gram counts + rank window) and it has two
+    # consumers (broadcast join + penalty scalar). Collect it ONCE into a
+    # local frame instead of persisting: the expensive plan runs exactly
+    # once, the penalty becomes a plain literal, and nothing is left cached
+    # across calls (ADVICE r5 — the old persist was never unpersisted).
+    prof_rows = profiles.select("lang", "gram", "weight").collect()
+    if not prof_rows:
+        raise ValueError("empty language-profile table — train profiles first")
+    spark = df.sparkSession
+    local_profiles = spark.createDataFrame(
+        [(r["lang"], r["gram"], float(r["weight"])) for r in prof_rows],
+        "lang string, gram string, weight double",
+    )
+    penalty = min(r["weight"] for r in prof_rows) - 1.0
     scored = (
-        doc_grams.join(F.broadcast(profiles), "gram")
-        .crossJoin(F.broadcast(penalty))
+        doc_grams.join(F.broadcast(local_profiles), "gram")
         .groupBy(id_col, "lang")
         .agg(
-            F.sum(F.col("cnt") * (F.col("weight") - F.col("__pen"))).alias("score")
+            F.sum(F.col("cnt") * (F.col("weight") - F.lit(penalty))).alias("score")
         )
     )
     best = scored.groupBy(id_col).agg(
         F.min(F.struct((-F.col("score")).alias("ns"), F.col("lang"))).alias("__b")
     )
-    out = best.select(
+    return best.select(
         F.col(id_col),
         F.col("__b.lang").alias("lang_pred"),
         F.round(-F.col("__b.ns"), round_score).alias("score"),
     )
-    out._profiles = profiles  # unpersist handle for long-lived callers
-    return out
 
 
 def normalized_text(text_col: str) -> Column:

@@ -119,6 +119,47 @@ def test_two_phase_dense_index_equals_window(spark, nodes, neurons, sf_dir):
     assert all(r["mx"] == r["n"] - 1 for r in mx)
 
 
+def test_two_phase_dense_index_null_group_keys(spark):
+    """Null group keys (ADVICE r5, medium): pandas groupby defaults to
+    dropna=True, which used to skip NaN-key rows while ranks were assigned
+    positionally — misaligning every later group in the chunk. Also covers
+    the Arrow int-with-nulls → float64 key-canonicalization hazard: an
+    integral group column containing ANY null arrives in the kernel as
+    float64, so key (1,) must still find the offsets entry collected
+    Spark-side as (1,)."""
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators.extraction import dense_index
+
+    df = spark.range(3000).select(
+        # string group col with nulls: null, 'a', 'b' interleaved
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("string"))
+        .when(F.col("id") % 3 == 1, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("cls"),
+        # integral group col with nulls → float64 in the Arrow batch
+        F.when(F.col("id") % 5 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("id") % 2).cast("int"))
+        .alias("bucket"),
+        F.col("id").alias("gid"),
+    )
+    for groups in (["cls"], ["cls", "bucket"], ["bucket"]):
+        keys = groups + ["gid"]
+        a = (
+            dense_index(df, groups, "gid", "idx")
+            .select(*keys, "idx")
+            .toPandas()
+            .sort_values(keys, ignore_index=True)
+        )
+        b = (
+            dense_index(df, groups, "gid", "idx", two_phase=True, num_partitions=7)
+            .select(*keys, "idx")
+            .toPandas()
+            .sort_values(keys, ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_neurons_limit_sampling(nodes):
     classes = {"EXC": {"query": {"synapse_class": "EXC"}, "limit": 10}}
     n1 = extract_neurons(nodes, classes, seed=1).toPandas()

@@ -295,3 +295,31 @@ def test_get_feature_dotted_path_errors(monkeypatch):
         feat.get_feature("operator.no_such_attr_xyz")
     with pytest.raises(KeyError, match="not callable"):
         feat.get_feature("math.pi")
+
+
+def test_apply_feature_multi_nonfinite_values_survive(spark):
+    """Non-finite floats inside array cells (ADVICE r5): json.dumps used to
+    emit bare NaN/Infinity, which from_json parses to a NULL ROW — silent
+    loss of the whole output row. They must round-trip as in-place nulls."""
+    import numpy as np
+
+    def fn(pdf, params):
+        return {
+            "out": pd.DataFrame(
+                {
+                    "times": [np.array([1.0, np.nan, 3.0])],
+                    "peak": [float("inf")],
+                    "n": [np.int64(len(pdf))],
+                }
+            )
+        }
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    out = feat.apply_feature_multi(
+        df, ["g"], fn, {"out": "times array<double>, peak double, n long"}
+    )["out"].toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["n"] == 2  # the row itself survived
+    assert row["times"][0] == 1.0 and row["times"][2] == 3.0
+    assert pd.isna(row["times"][1]) and pd.isna(row["peak"])
