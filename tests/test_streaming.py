@@ -401,3 +401,52 @@ def test_streaming_curate_matches_batch(spark, tmp_path):
         streaming_curate(stream, {"steps": [{"op": "near_dedup"}]})
     with pytest.raises(ValueError, match="requires eval_df"):
         streaming_curate(stream, {"steps": [{"op": "decontaminate"}]})
+
+
+def test_streaming_decontaminate_cap_and_set_probe(spark, tmp_path):
+    """VERDICT r5 #2: the eval n-gram side must be capped (an unbounded
+    suite used to become an O(|eval|) Catalyst literal per plan), and past
+    the literal threshold the op must switch to the Arrow set-probe path
+    with identical keep/drop decisions."""
+    import datetime
+
+    from blueetl_spark.streaming.curate import streaming_curate
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", t0),
+        (2, "totally unrelated words nothing shared here", t0),
+        (3, "benchmark sentence that must never leak out", t0),
+    ]
+    schema = "doc_id long, text string, ts timestamp"
+    docs = spark.createDataFrame(rows, schema)
+    ev = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (9, "must never leak")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "decon_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    # oversized eval set → actionable raise with the foreachBatch hint
+    with pytest.raises(ValueError, match="max_eval_ngrams.*foreachBatch"):
+        streaming_curate(
+            stream,
+            {"steps": [{"op": "decontaminate", "max_eval_ngrams": 2}]},
+            eval_df=ev,
+        )
+
+    # literal path vs forced set-probe path: identical survivors
+    kept = {}
+    for label, extra in (
+        ("literal", {}),
+        ("probe", {"literal_max_ngrams": 0}),
+    ):
+        out = streaming_curate(
+            stream,
+            {"steps": [{"op": "decontaminate", "ngram": 3, **extra}]},
+            eval_df=ev,
+        )
+        got = run_to_memory(out, f"decon_{label}")
+        kept[label] = sorted(r.doc_id for r in got.collect())
+    assert kept["literal"] == kept["probe"] == [2]
