@@ -3070,7 +3070,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "report_extract": q_report_extract,
     "event_rates": q_event_rates,
     "histogram": q_histogram,
-    "latency": q_latency,
+    "language_id": q_language_id,
     "isi_stats": q_isi_stats,
     "feature_by_gid": q_feature_by_gid,
     "correlation_pairs": q_correlation_pairs,
@@ -3089,16 +3089,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_sim_rates": q_multi_sim_rates,
     "compartment_report": q_compartment_report,
     "soma_mean_value": q_soma_mean_value,
-    "group_list": q_group_list,
-    "condition_codes": q_condition_codes,
+    "semantic_decontaminate": q_semantic_decontaminate,
+    "stratified_sample": q_stratified_sample,
     "dedup_exact": q_dedup_exact,
     "dedup_embedding": q_dedup_embedding,
-    "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "chunk_documents": q_chunk_documents,
     "token_stats": q_token_stats,
-    "winnowing_md5": q_winnowing_md5,
+    "simhash_candidates": q_simhash_candidates,
     "tf_idf": q_tf_idf,
     "quality_features": q_quality_features,
-    "resample_events": q_resample_events,
+    "profile_shards_merge": q_profile_shards_merge,
     "curation_pipeline": q_curation_pipeline,
     "jaccard_pairs": q_jaccard_pairs,
     "dedup_components": q_dedup_components,
@@ -3143,12 +3143,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frequent_priority": q_frequent_priority,
     "corpus_diff": q_corpus_diff,
     "epoch_mixture": q_epoch_mixture,
-    "profile_shards_merge": q_profile_shards_merge,
-    "language_id": q_language_id,
-    "semantic_decontaminate": q_semantic_decontaminate,
-    "stratified_sample": q_stratified_sample,
-    "chunk_documents": q_chunk_documents,
-    "simhash_candidates": q_simhash_candidates,
+    # ---- rotated out of the graded window in round 6 (stable for 3+
+    # ---- rounds) to make room for the round-5 surface; still fully
+    # ---- oracled via tests/test_oracle_parity.py + tools/check_oracle.py
+    "latency": q_latency,
+    "group_list": q_group_list,
+    "condition_codes": q_condition_codes,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "winnowing_md5": q_winnowing_md5,
+    "resample_events": q_resample_events,
 }
 
 ORACLES: dict[str, str] = {
