@@ -60,19 +60,46 @@ HEADLINE = [
 ]
 
 
-def run_stress(spark, n_events: int, n_docs: int) -> dict[str, float]:
+def _stress_barrier(spark) -> None:
+    """Inter-rep cleanup barrier (VERDICT r5 #1): each rep must start from
+    the state a fresh job submission would see. clearCache drops cached
+    plans; the gc pair lets ContextCleaner reap localCheckpoint blocks
+    (dense_index pins one per rep — their accumulation caused the
+    class_index 9.6-vs-26.3 s back-to-back artifact); the brief sleep
+    gives the async cleaner a beat to actually unpersist."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 - Connect session or JVM gc disabled
+        pass
+    time.sleep(0.5)
+
+
+def run_stress(
+    spark, n_events: int, n_docs: int, reps: int = 3
+) -> tuple[dict[str, float], dict[str, dict]]:
     """Stress tier: the operators whose scaling matters most, at ~200× the
     sf0.1 event count (20M rows) / 200k docs, on synthetic range-generated
     inputs (PLANS.md harness promoted into the standing bench so
     superlinear regressions show up in vs_prev automatically).
 
     Inputs are deterministic (xxhash64 of the row id), so timings compare
-    across rounds. Best-of-2 per op: this box shows sporadic 3x load
-    spikes (measured: the same isi_stats plan at 12 s and 46 s minutes
-    apart), and a single rep would raise false superlinear-regression
-    alarms in stress_vs_prev.
+    across rounds. Variance-honest protocol (VERDICT r5 #1): ≥3 reps per
+    op with a clearCache + checkpoint-cleanup barrier between reps; the
+    headline number and stress_vs_prev use the MEDIAN (robust to this
+    box's sporadic 2-4× load spikes — the same isi_stats plan measured
+    12 s and 46 s minutes apart), and every rep is recorded in
+    ``stress_detail`` so a flagged ratio can be adjudicated from the
+    record instead of a manual bisect.
+
+    Returns ``(medians, detail)`` where ``detail[name] = {"samples":
+    [...], "min": ..., "median": ..., "spread": (max-min)/median}``.
     """
     import shutil
+    import statistics
     import tempfile
 
     from pyspark.sql import functions as F
@@ -81,16 +108,24 @@ def run_stress(spark, n_events: int, n_docs: int) -> dict[str, float]:
     from blueetl_spark.operators.windows import slice_events
 
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
 
     def clock(name, thunk):
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(reps):
             t0 = time.perf_counter()
             thunk()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        spark.catalog.clearCache()
-        print(f"# stress {name}: {timings[name]}s", file=sys.stderr)
+            samples.append(round(time.perf_counter() - t0, 3))
+            _stress_barrier(spark)
+        med = round(statistics.median(samples), 3)
+        timings[name] = med
+        detail[name] = {
+            "samples": samples,
+            "min": min(samples),
+            "median": med,
+            "spread": round((max(samples) - min(samples)) / med, 2) if med else 0.0,
+        }
+        print(f"# stress {name}: median {med}s of {samples}", file=sys.stderr)
 
     # -- report-shaped events: 20M rows over 20k gids, times in [0, 100s) --
     n_gids = 20_000
@@ -179,7 +214,7 @@ def run_stress(spark, n_events: int, n_docs: int) -> dict[str, float]:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return timings
+    return timings, detail
 
 
 def main() -> None:
@@ -195,7 +230,7 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     if "--tier=stress" in sys.argv:  # stress-only run for iterating
-        stress = run_stress(spark, n_events, n_docs)
+        stress, stress_detail = run_stress(spark, n_events, n_docs)
         # timings go under "stress" (matching the full-run record shape),
         # NOT "queries": stress names overlap headline names at 200x the
         # rows, and _load_prev_round(key="queries") on a saved stress-only
@@ -207,6 +242,7 @@ def main() -> None:
                     "value": round(sum(stress.values()), 3),
                     "unit": "sec",
                     "stress": stress,
+                    "stress_detail": stress_detail,
                     "stress_rows": n_events,
                 }
             )
@@ -261,7 +297,7 @@ def main() -> None:
     cold = {n: round(t, 3) for n, t in cold.items()}
     for name in HEADLINE:
         print(f"# {name}: {timings[name]}s (cold {cold[name]}s)", file=sys.stderr)
-    stress = run_stress(spark, n_events, n_docs)
+    stress, stress_detail = run_stress(spark, n_events, n_docs)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
@@ -271,6 +307,7 @@ def main() -> None:
         "queries_cold": cold,
         "sf": sf,
         "stress": stress,
+        "stress_detail": stress_detail,
         "stress_rows": n_events,
     }
     prev = _load_prev_round(os.path.dirname(os.path.abspath(__file__)), sf)
@@ -306,6 +343,10 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), sf, key="stress"
     )
     if prev_stress:
+        # medians vs the prior round's recorded values. Rounds ≤5 recorded
+        # best-of-2 mins, so the first median-vs-min comparison biases
+        # ratios slightly high — stress_detail carries the per-rep samples
+        # for adjudication; from round 6 on it's median-vs-median.
         out["stress_vs_prev"] = {
             q: round(stress[q] / prev_stress[q], 2)
             for q in stress
