@@ -127,15 +127,19 @@ class Analyzer:
         events: DataFrame,
         cache_path: str | Path | None = None,
         simulations_filter: Query = None,
+        simulations_filter_in_memory: Query = None,
         cache_readonly: bool = False,
+        resolver: Callable[[str], "Analyzer"] | None = None,
     ) -> None:
         self.spark = spark
         self.name = name
-        self.config = config
+        self.config = config = self._normalize_config(config)
         self.campaign = campaign
         self.nodes = nodes
         self.events = events
         self.simulations_filter = simulations_filter
+        self.simulations_filter_in_memory = simulations_filter_in_memory
+        self._resolver = resolver
         extraction = config["extraction"]
         configs = {
             "simulations": {"campaign": campaign.to_dict()},
@@ -164,6 +168,43 @@ class Analyzer:
         else:
             self._cache = None
             self._pipeline = None
+
+    @staticmethod
+    def _normalize_config(config: dict[str, Any]) -> dict[str, Any]:
+        """Resolve reference config sugar into the canonical form BEFORE
+        the cache-step checksums are built (so caching keys cover resolved
+        content, matching the reference's checksum-suffix discipline):
+
+        - extraction-level ``population`` / ``node_set`` are per-class
+          defaults; a class's own value wins (reference
+          ``config/analysis_model.py`` semantics, exercised by functional
+          themes 01-04 which set ``population`` at extraction level).
+        - ``trial_steps_label: <name>`` on a window resolves to a copy of
+          ``extraction.trial_steps[<name>]`` stored as the window's own
+          ``trial_steps`` dict (reference ``extract/windows.py:176-190``
+          passes the labelled TrialStepsConfig into the dynamic-offset
+          computation; functional themes 02 and 08).
+        """
+        import copy
+
+        extraction = copy.deepcopy(config["extraction"])
+        for key in ("population", "node_set"):
+            default = extraction.get(key)
+            if default is not None:
+                for ccfg in extraction["neuron_classes"].values():
+                    ccfg.setdefault(key, default)
+        ts_defs = extraction.get("trial_steps", {})
+        for wname, wcfg in extraction.get("windows", {}).items():
+            if isinstance(wcfg, dict) and wcfg.get("trial_steps_label"):
+                label = wcfg["trial_steps_label"]
+                if label not in ts_defs:
+                    raise ValueError(
+                        f"window {wname!r} references trial_steps_label "
+                        f"{label!r}, not defined in extraction.trial_steps "
+                        f"(available: {sorted(ts_defs)})"
+                    )
+                wcfg["trial_steps"] = copy.deepcopy(ts_defs[label])
+        return {**config, "extraction": extraction}
 
     # -- extraction DAG ------------------------------------------------------
     def _get(self, name: str, compute: Callable[[], DataFrame]) -> DataFrame:
@@ -217,17 +258,43 @@ class Analyzer:
         ex = self.config["extraction"]
 
         def compute() -> DataFrame:
-            dyn_names = [
-                n for n, c in ex["windows"].items()
-                if isinstance(c.get("trial_steps"), dict)
-            ]
-            w = materialize_windows(
-                self.spark, ex["windows"], self.simulations,
-                dynamic_offsets=self._dynamic_offsets(ex["windows"]),
-                # reference parity: only trial_steps windows shift; a fixed
-                # window next to an onset window keeps its static offset
-                dynamic_windows=dyn_names or None,
-            )
+            refs = {
+                n: c
+                for n, c in ex["windows"].items()
+                if isinstance(c, dict) and "window_ref" in c
+            }
+            own = {n: c for n, c in ex["windows"].items() if n not in refs}
+            w = None
+            if own:
+                dyn_names = [
+                    n for n, c in own.items()
+                    if isinstance(c.get("trial_steps"), dict)
+                ]
+                w = materialize_windows(
+                    self.spark, own, self.simulations,
+                    dynamic_offsets=self._dynamic_offsets(own),
+                    # reference parity: only trial_steps windows shift; a
+                    # fixed window next to an onset one keeps its offset
+                    dynamic_windows=dyn_names or None,
+                )
+            for n, c in refs.items():
+                # copy the MATERIALIZED rows of the source window (incl.
+                # its dynamic offsets), renamed — reference
+                # _load_records_from_resolver semantics
+                a_name, w_name = c["window_ref"]
+                if self._resolver is None:
+                    raise ValueError(
+                        f"window {n!r} references {a_name}.extraction."
+                        f"windows.{w_name} but this Analyzer has no "
+                        "resolver (use MultiAnalyzer for cross-analysis "
+                        "window references)"
+                    )
+                rows = (
+                    self._resolver(a_name)
+                    .windows.filter(F.col("window") == w_name)
+                    .withColumn("window", F.lit(n))
+                )
+                w = rows if w is None else w.unionByName(rows)
             validate_windows(w)
             return w
 
@@ -277,6 +344,25 @@ class Analyzer:
         }
 
     # -- features ------------------------------------------------------------
+    def _feature_inputs(
+        self, cfg: dict[str, Any], counts: DataFrame
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(report, windows, counts) restricted to a feature config's
+        optional ``windows: [...]`` / ``neuron_classes: [...]`` lists
+        (reference ``features.py:504-516`` filters the merge inputs by
+        window and neuron_class; functional theme 10). Catalyst pushes
+        the isin predicates into the cached report scan."""
+        report, windows = self.report, self.windows
+        wl = cfg.get("windows")
+        if wl:
+            report = report.filter(F.col("window").isin(list(wl)))
+            windows = windows.filter(F.col("window").isin(list(wl)))
+        ncl = cfg.get("neuron_classes")
+        if ncl:
+            report = report.filter(F.col("neuron_class").isin(list(ncl)))
+            counts = counts.filter(F.col("neuron_class").isin(list(ncl)))
+        return report, windows, counts
+
     def calculate_features(self) -> dict[str, DataFrame]:
         """Run every feature config; returns name → DataFrame (with params
         suffix when expanded). Built-in Spark-native features are addressed
@@ -302,30 +388,31 @@ class Analyzer:
                 if hit is not None:
                     out[key] = hit
                     continue
+            report, windows, fcounts = self._feature_inputs(cfg, counts)
             if fname == "blueetl_spark.features.by_gid":
-                df = feat.by_gid(self.report, self.windows)
+                df = feat.by_gid(report, windows)
             elif fname == "blueetl_spark.features.by_gid_and_trial":
-                df = feat.by_gid_and_trial(self.report)
+                df = feat.by_gid_and_trial(report)
             elif fname == "blueetl_spark.features.by_neuron_class":
-                df = feat.by_neuron_class(self.report, self.windows, counts)
+                df = feat.by_neuron_class(report, windows, fcounts)
             elif fname == "blueetl_spark.features.by_neuron_class_and_trial":
                 df = feat.by_neuron_class_and_trial(
-                    self.report, counts, windows=self.windows
+                    report, fcounts, windows=windows
                 )
             elif fname == "blueetl_spark.features.histogram":
                 df = feat.histogram(
-                    self.report, self.windows, counts,
+                    report, windows, fcounts,
                     bin_size=float(params.get("bin_size", 1.0)),
                 )
             elif fname == "blueetl_spark.features.isi_stats":
-                df = feat.isi_stats(self.report)
+                df = feat.isi_stats(report)
             elif fname == "blueetl_spark.features.latency":
-                df = feat.latency(self.report, self.windows)
+                df = feat.latency(report, windows)
             elif fname == "blueetl_spark.features.sessionize":
                 from blueetl_spark.operators import timeseries as ts
 
                 df = ts.sessionize(
-                    self.report,
+                    report,
                     gap=float(params["gap"]),
                     by=params.get("by", ["simulation_id", "window", "gid"]),
                 )
@@ -333,7 +420,7 @@ class Analyzer:
                 from blueetl_spark.operators import timeseries as ts
 
                 df = ts.group_quantiles(
-                    self.report,
+                    report,
                     params.get("value_col", "time"),
                     params.get("by", ["simulation_id", "window", "neuron_class"]),
                     probs=tuple(params.get("probs", (0.5, 0.9, 0.99))),
@@ -344,7 +431,7 @@ class Analyzer:
                 # reference-shaped fns additionally get the repo shim
                 fn_ = feat.get_feature(fname)
                 df = feat.apply_feature(
-                    self.report,
+                    report,
                     cfg.get("groupby", feat.GROUP_KEYS),
                     fn_,
                     cfg["schema"],
@@ -437,11 +524,12 @@ class Analyzer:
             if all(v is not None for v in hits.values()):
                 out.update({f"{n}{suffix}": v for n, v in hits.items()})
                 return
+        report, windows, counts = self._feature_inputs(cfg, counts)
         if builder is not None:
-            produced = builder(self.report, self.windows, counts, params)
+            produced = builder(report, windows, counts, params)
         else:
             produced = feat.apply_feature_multi(
-                self.report,
+                report,
                 cfg.get("groupby", feat.GROUP_KEYS),
                 fn_,
                 schemas,
@@ -463,7 +551,15 @@ class Analyzer:
             out[okey] = df
 
     # -- in-memory refiltering (reference apply_filter) ----------------------
-    def apply_filter(self, simulations_filter: Query) -> "FilteredAnalyzer":
+    def apply_filter(self, simulations_filter: Query = None):
+        """In-memory refiltered view. With no argument, the config's
+        ``simulations_filter_in_memory`` applies (reference
+        ``analysis.py:125-144``: extract + cache the FULL campaign, filter
+        only the returned view); with neither, return self unchanged."""
+        if simulations_filter is None:
+            simulations_filter = self.simulations_filter_in_memory
+        if not simulations_filter:
+            return self
         rows = self.simulations.filter(
             compile_query(simulations_filter)
         ).select("simulation_id", "circuit_id").collect()
@@ -522,6 +618,15 @@ class FilteredAnalyzer:
     def report(self) -> DataFrame:
         return self._filtered(self._base.report)
 
+    def extract(self) -> dict[str, DataFrame]:
+        return {
+            "simulations": self.simulations,
+            "neurons": self.neurons,
+            "neuron_classes": self.neuron_classes,
+            "windows": self.windows,
+            "report": self.report,
+        }
+
     def calculate_features(self) -> dict[str, DataFrame]:
         return {
             k: self._filtered(v)
@@ -574,22 +679,31 @@ class MultiAnalyzer:
                 spark, name, acfg, campaign, nodes, ev,
                 cache_path=cache_path,
                 simulations_filter=config.get("simulations_filter"),
+                simulations_filter_in_memory=config.get(
+                    "simulations_filter_in_memory"
+                ),
                 cache_readonly=readonly_cache,
+                resolver=self.analyzers.__getitem__,
             )
 
     @staticmethod
     def _resolve_window_references(analyses: dict[str, Any]) -> None:
         """W3: a window configured as the string
-        ``"<analysis>.extraction.windows.<name>"`` is replaced by a copy of
-        the referenced definition (reference ``extract/windows.py:146-163``
-        + ``Resolver``). Driver-side, pre-Analyzer; the per-step config
-        checksum then covers the *resolved* content, giving the same
-        cache-invalidation behavior as the reference's checksum suffix.
-        Chained references resolve transitively; cycles raise.
+        ``"<analysis>.extraction.windows.<name>"`` becomes a ref marker
+        ``{"window_ref": (analysis, window), "resolved": <target cfg>}``.
+        The Analyzer's windows step then copies the *materialized rows*
+        from the referenced analysis's windows table (reference
+        ``extract/windows.py:146-163`` ``_load_records_from_resolver``
+        pulls rows, NOT config — so a referenced onset window carries the
+        SOURCE analysis's dynamic offsets rather than recomputing them
+        from the local events). ``resolved`` is the transitively-resolved
+        target config: it feeds the cache checksum, so editing the source
+        window still invalidates every referencing analysis. Chains
+        resolve transitively; cycles raise.
         """
         import copy
 
-        def resolve(ref: str, seen: tuple[str, ...]) -> dict[str, Any]:
+        def resolve(ref: str, seen: tuple[str, ...]) -> tuple[str, str, dict]:
             if ref in seen:
                 raise ValueError(
                     f"circular window reference: {' -> '.join(seen + (ref,))}"
@@ -606,14 +720,23 @@ class MultiAnalyzer:
             except KeyError:
                 raise ValueError(f"window reference {ref!r} not found") from None
             if isinstance(target, str):
-                target = resolve(target, seen + (ref,))
-            return copy.deepcopy(target)
+                a, w, target = resolve(target, seen + (ref,))
+            target = copy.deepcopy(target)
+            # inline the source analysis's labelled trial_steps so the
+            # checksum covers the onset spec the source rows depend on
+            if isinstance(target, dict) and target.get("trial_steps_label"):
+                label = target["trial_steps_label"]
+                ts = analyses[a]["extraction"].get("trial_steps", {})
+                if label in ts:
+                    target["trial_steps"] = copy.deepcopy(ts[label])
+            return a, w, target
 
         for acfg in analyses.values():
             windows = acfg.get("extraction", {}).get("windows", {})
             for wname, wcfg in list(windows.items()):
                 if isinstance(wcfg, str):
-                    windows[wname] = resolve(wcfg, ())
+                    a, w, target = resolve(wcfg, ())
+                    windows[wname] = {"window_ref": [a, w], "resolved": target}
 
     def __getattr__(self, name: str) -> Analyzer:
         try:
@@ -627,6 +750,22 @@ class MultiAnalyzer:
 
     def calculate_features(self) -> dict[str, dict[str, DataFrame]]:
         return {n: a.calculate_features() for n, a in self.analyzers.items()}
+
+    def apply_filter(self, simulations_filter: Query = None) -> "MultiAnalyzer":
+        """Filtered view of every analysis (reference
+        ``analysis.py:300-315``): defaults to the config's
+        ``simulations_filter_in_memory``; no filter → self."""
+        views = {
+            n: a.apply_filter(simulations_filter)
+            for n, a in self.analyzers.items()
+        }
+        if all(v is a for v, a in zip(views.values(), self.analyzers.values())):
+            return self
+        clone = object.__new__(MultiAnalyzer)
+        clone.spark = self.spark
+        clone.config = self.config
+        clone.analyzers = views
+        return clone
 
 
 def run_from_config(

@@ -79,6 +79,18 @@ def extract_neurons(
                     f"class requires node_set {ns_name!r} but no node_sets given"
                 )
             pred = node_sets.to_predicate(ns_name) & pred
+        pop = cfg.get("population")
+        if pop:
+            # reference: a class's population picks which SONATA node
+            # population the cells come from (extract/windows.py:44-51 uses
+            # the same key); parquet-first mapping = a plain equality on the
+            # nodes table's population column, folded into the single scan
+            if "population" not in nodes.columns:
+                raise ValueError(
+                    f"class requires population {pop!r} but the nodes table "
+                    "has no 'population' column"
+                )
+            pred = (F.col("population") == pop) & pred
         return pred
 
     preds = [
