@@ -103,6 +103,63 @@ def _fan_out_small_scan(df: DataFrame) -> DataFrame:
     return df
 
 
+def band_bucket_stats(banded: DataFrame, keys: list[str]) -> DataFrame:
+    """Per-band bucket-size aggregates for a banded-LSH frame — the
+    observability half of the degenerate-bucket valve. A bucket of k rows
+    feeds k²/2 candidate pairs into the self-join, so ``max_bucket`` and
+    ``est_pairs`` (Σ k·(k−1)/2 per band) are exactly the knobs to watch
+    before running pair-finding at corpus scale; feed the result into a
+    ``max_bucket_size`` choice for :func:`_cap_band_buckets` users.
+
+    ``keys`` must include the band column first, e.g. ``["band",
+    "band_bits"]``. One extra aggregation job; cheap relative to the join
+    it de-risks.
+    """
+    band_col = keys[0]
+    return (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__bs"))
+        .groupBy(band_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("__bs").alias("max_bucket"),
+            F.expr("percentile_approx(__bs, 0.99)").alias("p99_bucket"),
+            F.sum(F.col("__bs") * (F.col("__bs") - 1) / 2).cast("long").alias(
+                "est_pairs"
+            ),
+        )
+        .orderBy(band_col)
+    )
+
+
+def _cap_band_buckets(
+    banded: DataFrame, keys: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket_size`` before a banded
+    self-join — the same stop-list move as ``shared_passage_pairs``'
+    ``max_doc_freq``: a degenerate bucket (empty docs, boilerplate
+    sharing a signature band) funnels the join key with k²/2 pairs that
+    carry almost no dedup information.
+
+    Recall trade, stated precisely: a true near-dup pair is missed ONLY
+    if EVERY band the pair agrees on is degenerate. With ``n_bands >
+    max_distance`` a close pair agrees on ≥ n_bands − max_distance
+    bands, so losses concentrate exactly on the boilerplate-identical
+    population the cap is aimed at. Default everywhere is ``None``
+    (exact recall, the oracle-gated contract); set it from
+    :func:`band_bucket_stats` evidence at corpus scale.
+    """
+    if max_bucket_size is None:
+        return banded
+    hot = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__bs"))
+        .filter(F.col("__bs") > max_bucket_size)
+        .select(*keys)
+    )
+    return banded.join(hot, keys, "left_anti")
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -260,6 +317,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over MinHash signatures.
 
@@ -271,6 +329,9 @@ def minhash_lsh_candidates(
     ``hash_fn="md5"`` makes every stage (base hash, permutations, band
     bucket key) DuckDB-reproducible, so the full candidate set is
     oracle-verifiable; ``"xxhash64"`` is the faster Spark-only default.
+    ``max_bucket_size`` (default None = exact banding recall) prunes
+    degenerate band buckets pre-join — see :func:`_cap_band_buckets` /
+    :func:`band_bucket_stats` for the trade and the sizing evidence.
 
     The signature subplan has three consumers (band explode + both verify
     sides) but is NOT persisted: all three sit on the same aggregate whose
@@ -282,6 +343,7 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn)
     banded = banded_buckets(sig, id_col, bands, rows_per_band, hash_fn)
+    banded = _cap_band_buckets(banded, ["band", "band_hash"], max_bucket_size)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     cand = (
@@ -378,6 +440,7 @@ def simhash_candidates(
     hash_fn: str = "xxhash64",
     max_distance: int = 3,
     n_bands: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by banded-Hamming LSH over SimHash:
     (id_a, id_b, hamming) with ``hamming ≤ max_distance``, id_a < id_b.
@@ -400,6 +463,12 @@ def simhash_candidates(
     with persist vs 2.5 s without — block-manager materialization costs
     more than the recompute) while leaking cached blocks across repeated
     calls (ADVICE r5: nothing ever unpersisted the private handle).
+
+    ``max_bucket_size`` is the degenerate-bucket valve
+    (:func:`_cap_band_buckets`): docs sharing a signature band
+    (boilerplate, empty text) funnel one join key into k²/2 candidates;
+    size the cap from :func:`band_bucket_stats` over the banded frame.
+    ``None`` (default) keeps exact recall — the oracle-gated contract.
     """
     if n_bands is None:
         n_bands = max_distance + 1
@@ -429,6 +498,7 @@ def simhash_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.band_bits")
+    banded = _cap_band_buckets(banded, ["band", "band_bits"], max_bucket_size)
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"),
         "band", "band_bits",
@@ -1044,7 +1114,36 @@ class _ParquetMinhashStore:
         self.ts_dir = f"{path}/tombstones.parquet"
 
     def exists(self) -> bool:
+        self._recover()
         return _fs_exists(self.spark, self.bucket_dir)
+
+    def _recover(self) -> None:
+        """Repair a compaction interrupted mid-swap so the index is always
+        readable in either the old or the new state, never neither.
+
+        The swap is temp-write → rename cur→cur.old → rename tmp→cur →
+        delete cur.old. A crash between the two renames leaves no ``cur``
+        but an intact ``cur.old`` → restore it (the tombstone dir is only
+        deleted after EVERY swap succeeded, so the restored old state
+        still reads correctly through ``_minus_ts``). A crash after the
+        publish rename leaves both → the new state is live; drop the
+        stale backup. Idempotent and metadata-only; called from every
+        read/compact entry point.
+        """
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        P = jvm.org.apache.hadoop.fs.Path
+        for cur in (self.sig_dir, self.bucket_dir):
+            fs = P(cur).getFileSystem(hconf)
+            cur_p, bak_p = P(cur), P(cur + ".old")
+            if fs.exists(bak_p):
+                if not fs.exists(cur_p):
+                    if not fs.rename(bak_p, cur_p):
+                        raise IOError(
+                            f"index recovery: restore {cur}.old -> {cur} failed"
+                        )
+                else:
+                    fs.delete(bak_p, True)
 
     def _minus_ts(self, df: DataFrame) -> DataFrame:
         if not _fs_exists(self.spark, self.ts_dir):
@@ -1056,9 +1155,11 @@ class _ParquetMinhashStore:
         )
 
     def read_buckets(self) -> DataFrame:
+        self._recover()
         return self._minus_ts(self.spark.read.parquet(self.bucket_dir))
 
     def read_signatures(self) -> DataFrame:
+        self._recover()
         return self._minus_ts(self.spark.read.parquet(self.sig_dir))
 
     def append(self, sig: DataFrame, banded: DataFrame) -> None:
@@ -1069,6 +1170,7 @@ class _ParquetMinhashStore:
         ids.write.mode("append").parquet(self.ts_dir)
 
     def compact(self) -> dict[str, int]:
+        self._recover()
         jvm = self.spark._jvm
         hconf = self.spark._jsc.hadoopConfiguration()
 
@@ -1121,6 +1223,7 @@ class _BucketedMinhashStore:
         self.ts_tbl = f"{prefix}_tombstones"
 
     def exists(self) -> bool:
+        self._recover()
         return self.spark.catalog.tableExists(self.bucket_tbl)
 
     def _check_spec(self) -> None:
@@ -1133,6 +1236,21 @@ class _BucketedMinhashStore:
                 f"must keep the original count (got n_buckets={self.n_buckets})"
             )
 
+    def _recover(self) -> None:
+        """Catalog twin of the parquet layout's mid-swap repair: a crash
+        between the compaction's DROP and RENAME leaves the main table
+        missing but ``{tbl}__compact`` complete -> promote it; a crash
+        before the DROP leaves both -> the staging table is re-derivable
+        (tombstones only clear after every swap), drop it and keep the
+        old state. Idempotent, metadata-only."""
+        for tbl in (self.sig_tbl, self.bucket_tbl):
+            tmp = f"{tbl}__compact"
+            if self.spark.catalog.tableExists(tmp):
+                if not self.spark.catalog.tableExists(tbl):
+                    self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {tbl}")
+                else:
+                    self.spark.sql(f"DROP TABLE {tmp}")
+
     def _minus_ts(self, df: DataFrame) -> DataFrame:
         if not self.spark.catalog.tableExists(self.ts_tbl):
             return df
@@ -1143,9 +1261,11 @@ class _BucketedMinhashStore:
         )
 
     def read_buckets(self) -> DataFrame:
+        self._recover()
         return self._minus_ts(self.spark.table(self.bucket_tbl))
 
     def read_signatures(self) -> DataFrame:
+        self._recover()
         return self._minus_ts(self.spark.table(self.sig_tbl))
 
     def append(self, sig: DataFrame, banded: DataFrame) -> None:
@@ -1167,6 +1287,7 @@ class _BucketedMinhashStore:
         ids.write.mode("append").format("parquet").saveAsTable(self.ts_tbl)
 
     def compact(self) -> dict[str, int]:
+        self._recover()
         counts: dict[str, int] = {}
         has_ts = self.spark.catalog.tableExists(self.ts_tbl)
         specs = {
@@ -1190,9 +1311,9 @@ class _BucketedMinhashStore:
                 w = w.sortBy(*keys)
             w.saveAsTable(tmp)
             counts[name] = self.spark.table(tmp).count()
-            # swap: drop + rename. A crash between the two leaves the
-            # __compact table intact for manual recovery — same
-            # single-maintainer contract as the parquet layout.
+            # swap: drop + rename. A crash between the two is repaired by
+            # _recover() on the next open (promotes the completed
+            # __compact staging table), matching the parquet layout.
             self.spark.sql(f"DROP TABLE {tbl}")
             self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {tbl}")
         if has_ts:

@@ -256,6 +256,7 @@ def image_near_dup(
     media: DataFrame,
     max_hamming: int = 3,
     decode_gray: Callable[[bytes], np.ndarray] = deterministic_fake_gray,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs: (id_a, id_b, hamming ≤ max_hamming).
 
@@ -266,8 +267,13 @@ def image_near_dup(
     exact Hamming check (``bit_count(xor)``, JVM-side) filters it. No
     all-pairs comparison anywhere; join traffic is (band, 8-byte hash)
     rows, candidates cluster only where images actually collide.
+
+    ``max_bucket_size`` prunes degenerate buckets (solid-color / blank
+    images all share a dHash band) before the self-join — same valve and
+    recall trade as the text twin, ``dedup._cap_band_buckets``; size it
+    from ``dedup.band_bucket_stats`` over the banded frame.
     """
-    from blueetl_spark.operators.dedup import hamming_distance
+    from blueetl_spark.operators.dedup import _cap_band_buckets, hamming_distance
 
     n_bands = max_hamming + 1
     width = 64 // n_bands  # pigeonhole needs >= n_bands disjoint bands
@@ -287,6 +293,7 @@ def image_near_dup(
             ])
         ).alias("b"),
     ).select("media_id", "phash", "b.band", "b.val")
+    bands = _cap_band_buckets(bands, ["band", "val"], max_bucket_size)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
