@@ -48,7 +48,7 @@ def extract_neurons(
     gid_col: str = "node_id",
     seed: int = 0,
     node_sets=None,
-    two_phase_index: bool = False,
+    two_phase_index: bool | str = False,
 ) -> DataFrame:
     """Classify nodes into neuron classes → ``neurons`` table.
 
@@ -129,8 +129,9 @@ def dense_index(
     group_cols: list[str],
     order_col: str,
     out_col: str = "index",
-    two_phase: bool = False,
+    two_phase: bool | str = False,
     num_partitions: int | None = None,
+    auto_threshold: int = 50_000_000,
 ) -> DataFrame:
     """Dense 0..n-1 numbering of ``order_col`` within each group (W5).
 
@@ -144,11 +145,21 @@ def dense_index(
     ordered ``mapInPandas`` pass. No global sort, no single-task group,
     identical output (``tests/test_extraction.py`` pins the two equal).
 
+    ``two_phase="auto"`` picks the variant from a row count of ``df``
+    (one column-pruned count job): > ``auto_threshold`` rows → the
+    range-partitioned path. Total count is a conservative upper bound on
+    the largest group — past the threshold the two-phase path is at
+    worst a small constant over the window path and at best the
+    difference between finishing and one straggler task sorting a
+    100-GB class (measured 3.5× at 10M rows/class, PLANS.md).
+
     The range-partitioned frame is ``localCheckpoint``'d before the
     count pass: RangePartitioner samples its boundaries, so without the
     pin the count pass and the rank pass could see different partition
     layouts (and the offsets would be garbage).
     """
+    if two_phase == "auto":
+        two_phase = df.count() > auto_threshold
     if not two_phase:
         w = Window.partitionBy(*group_cols).orderBy(order_col)
         return df.withColumn(out_col, F.row_number().over(w) - 1)

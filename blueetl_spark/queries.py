@@ -1026,16 +1026,20 @@ FROM (
 
 
 def q_customer_class_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W5: dense 0..n-1 numbering within a group (neuron_class_index)."""
-    from pyspark.sql import Window
+    """W5: dense 0..n-1 numbering within a group (neuron_class_index),
+    through the auto-selecting operator: small inputs take the window
+    path, inputs past ``auto_threshold`` rows take the range-partitioned
+    two-phase path — both pinned row-identical in
+    ``tests/test_extraction.py``."""
+    from blueetl_spark.operators.extraction import dense_index
 
-    customer = tables.load(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
-    return customer.select(
-        F.col("c_nationkey").cast("long").alias("c_nationkey"),
-        "c_custkey",
-        (F.row_number().over(w) - 1).cast("long").alias("class_index"),
+    customer = tables.load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"), "c_custkey"
     )
+    return dense_index(
+        customer, ["c_nationkey"], "c_custkey", "class_index",
+        two_phase="auto",
+    ).withColumn("class_index", F.col("class_index").cast("long"))
 
 
 SQL_CUSTOMER_CLASS_INDEX = """

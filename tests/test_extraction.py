@@ -364,3 +364,56 @@ def test_events_norm_cross_encoding(spark, ts_encoding_dirs, unit):
     assert any(
         "GreaterThanOrEqual(ts" in l and "LessThan(ts" in l for l in pushed
     ), plan
+
+
+def test_dense_index_auto_selection(spark, sf_dir):
+    """VERDICT r5 #6: two_phase='auto' picks the window path under the
+    threshold and the range-partitioned path above it — identical output
+    either way, and the plan actually switches."""
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators.extraction import dense_index
+    from blueetl_spark.sources import tables
+
+    customer = tables.load(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey"
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # under the threshold -> window path (one Window node, no Python)
+    small = dense_index(customer, ["c_nationkey"], "c_custkey", "idx",
+                        two_phase="auto")
+    assert "Window" in plan(small) and "MapInPandas" not in plan(small)
+
+    # above the (forced) threshold -> two-phase path
+    big = dense_index(customer, ["c_nationkey"], "c_custkey", "idx",
+                      two_phase="auto", auto_threshold=0)
+    assert "MapInPandas" in plan(big) and "Window" not in plan(big)
+
+    keys = ["c_nationkey", "c_custkey"]
+    pd.testing.assert_frame_equal(
+        small.toPandas().sort_values(keys, ignore_index=True),
+        big.toPandas().sort_values(keys, ignore_index=True),
+        check_dtype=False,
+    )
+
+    # the gate query itself stays green through both auto outcomes
+    from blueetl_spark.queries import q_customer_class_index
+    import blueetl_spark.operators.extraction as ext
+
+    gate = q_customer_class_index(spark, sf_dir).toPandas()
+    orig = ext.dense_index
+    try:
+        ext.dense_index = lambda df, g, o, c, **kw: orig(
+            df, g, o, c, **{**kw, "auto_threshold": 0}
+        )
+        gate_two_phase = q_customer_class_index(spark, sf_dir).toPandas()
+    finally:
+        ext.dense_index = orig
+    keys = ["c_nationkey", "c_custkey"]
+    pd.testing.assert_frame_equal(
+        gate.sort_values(keys, ignore_index=True),
+        gate_two_phase.sort_values(keys, ignore_index=True),
+    )
