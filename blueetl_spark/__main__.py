@@ -272,7 +272,7 @@ def main(argv: list[str] | None = None) -> int:
 
     ip = sub.add_parser(
         "index-purge",
-        help="tombstone ids out of an incremental MinHash index (takedown)",
+        help="tombstone ids out of an incremental MinHash/SimHash index (takedown)",
     )
     ip.add_argument("index", help="index path (parquet) or table prefix (bucketed)")
     ip.add_argument("ids", help="parquet of ids to purge")
@@ -283,7 +283,7 @@ def main(argv: list[str] | None = None) -> int:
 
     ic = sub.add_parser(
         "index-compact",
-        help="fold tombstones into an incremental MinHash index (maintenance)",
+        help="fold tombstones into an incremental MinHash/SimHash index (maintenance)",
     )
     ic.add_argument("index", help="index path (parquet) or table prefix (bucketed)")
     ic.add_argument("--id-col", default="doc_id")

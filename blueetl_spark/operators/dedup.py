@@ -431,6 +431,37 @@ def hamming_distance(col_a, col_b):
     return F.bit_count(col_a.bitwiseXOR(col_b))
 
 
+def simhash_bands(
+    sigs: DataFrame,
+    id_col: str,
+    n_bands: int,
+    w: int,
+    keep_sig: bool = False,
+) -> DataFrame:
+    """Explode a SimHash signature frame into its contiguous bit-bands:
+    (id, band, band_bits[, simhash]) — the pigeonhole-LSH join key shared
+    by the batch pair-finder and the incremental index."""
+    mask = (1 << w) - 1
+    cols = [F.col(id_col)] + ([F.col("simhash")] if keep_sig else [])
+    out_cols = [id_col] + (["simhash"] if keep_sig else [])
+    return sigs.select(
+        *cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * w)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_bits"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(*out_cols, "bb.band", "bb.band_bits")
+
+
 def simhash_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -480,24 +511,7 @@ def simhash_candidates(
     if w < 1:
         raise ValueError(f"n_bands={n_bands} exceeds bits={bits}")
     sigs = simhash(df, text_col, id_col, n, bits, hash_fn)
-    mask = (1 << w) - 1
-    banded = sigs.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("simhash", b * w)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_bits"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "simhash", "bb.band", "bb.band_bits")
+    banded = simhash_bands(sigs, id_col, n_bands, w, keep_sig=True)
     banded = _cap_band_buckets(banded, ["band", "band_bits"], max_bucket_size)
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"),
@@ -1094,6 +1108,101 @@ def _mh_match(
         .filter(F.col("est_jaccard") >= threshold)
         .select("new_id", "old_id", "est_jaccard")
     )
+
+
+def incremental_simhash(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+    max_distance: int = 3,
+    n_bands: int | None = None,
+    update: bool = True,
+    storage: str = "parquet",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Near-duplicate matches of a NEW batch against a historical SimHash
+    index: (new_id, old_id, hamming) pairs with ``hamming ≤
+    max_distance`` — the incremental twin of :func:`simhash_candidates`,
+    shaped exactly like :func:`incremental_minhash`.
+
+    History costs 8 bytes of signature per document (plus the band
+    rows); text is never stored or re-read. Candidates come from one
+    equi-join of the batch's pigeonhole bands against the index's
+    (band, band_hash) rows — exact recall by the same argument as the
+    batch path — and the stored signatures verify with the real
+    popcount. With ``update``, the batch's signature and band rows are
+    appended. Batch-internal pairs are NOT included; run
+    :func:`simhash_candidates` on the batch for those.
+
+    The index layout (``storage``/``n_buckets``) and its whole
+    lifecycle are shared with the MinHash index:
+    :func:`purge_minhash_index` / :func:`compact_minhash_index` manage
+    tombstones and compaction for this index identically (the stores
+    are column-agnostic), including the mid-swap crash recovery.
+    """
+    if n_bands is None:
+        n_bands = max_distance + 1
+    if n_bands <= max_distance:
+        raise ValueError(
+            f"pigeonhole needs n_bands > max_distance, got {n_bands} <= {max_distance}"
+        )
+    w = bits // n_bands
+    if w < 1:
+        raise ValueError(f"n_bands={n_bands} exceeds bits={bits}")
+    spark = new_docs.sparkSession
+    # eager snapshot: sig feeds the match join, the banding, AND the
+    # index append (same reasoning as incremental_minhash)
+    sig = simhash(new_docs, text_col, id_col, n, bits, hash_fn).localCheckpoint()
+    banded = simhash_bands(sig, id_col, n_bands, w).withColumnRenamed(
+        "band_bits", "band_hash"  # the stores' bucketed layout keys on this name
+    )
+    store = _mh_store(spark, index_path, storage, id_col, n_buckets)
+    id_type = dict(new_docs.dtypes)[id_col]
+    out_schema = f"new_id {id_type}, old_id {id_type}, hamming bigint"
+    if store.exists():
+        old_buckets = store.read_buckets()
+        old_sigs = store.read_signatures()
+        cand = (
+            banded.select(F.col(id_col).alias("new_id"), "band", "band_hash")
+            .join(
+                old_buckets.select(
+                    F.col(id_col).alias("old_id"), "band", "band_hash"
+                ),
+                ["band", "band_hash"],
+            )
+            .select("new_id", "old_id")
+            .distinct()
+        )
+        matches = (
+            cand.join(
+                sig.select(F.col(id_col).alias("new_id"),
+                           F.col("simhash").alias("sim_n")),
+                "new_id",
+            )
+            .join(
+                old_sigs.select(F.col(id_col).alias("old_id"),
+                                F.col("simhash").alias("sim_o")),
+                "old_id",
+            )
+            .withColumn(
+                "hamming",
+                hamming_distance(F.col("sim_n"), F.col("sim_o")).cast("long"),
+            )
+            .filter(F.col("hamming") <= max_distance)
+            .select("new_id", "old_id", "hamming")
+        )
+    else:
+        matches = spark.createDataFrame([], out_schema)
+    if update:
+        # snapshot before appending so the match plan never re-lists the
+        # index files post-append (self-matches) — see incremental_minhash
+        matches = matches.localCheckpoint()
+        store.append(sig, banded)
+    return matches
 
 
 # ---------------------------------------------------------------------------

@@ -820,3 +820,83 @@ def test_compaction_swap_crash_recovery_bucketed(spark, tmp_path):
     assert spark.catalog.tableExists(tbl)
     for t in ("_signatures", "_buckets", "_tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")
+
+
+@pytest.mark.parametrize("storage", ["parquet", "bucketed"])
+def test_incremental_simhash_matches_history(spark, tmp_path, storage):
+    """SimHash twin of the incremental MinHash index: a near-dup of a
+    historical doc matches with its true Hamming distance, text is never
+    stored, the index grows per batch, and purge/compact manage it via
+    the shared store lifecycle."""
+    from blueetl_spark.operators.dedup import (
+        compact_minhash_index,
+        incremental_simhash,
+        purge_minhash_index,
+    )
+
+    if storage == "bucketed":
+        import shutil
+
+        idx = "sh_inc_idx"
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for t in ("_signatures", "_buckets", "_tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {idx}{t}")
+            spark.sql(f"DROP TABLE IF EXISTS {idx}{t}__compact")
+            # a previously-failed run can leave the physical location
+            # behind after the catalog entry is gone
+            shutil.rmtree(f"{warehouse}/{idx}{t}", ignore_errors=True)
+            shutil.rmtree(f"{warehouse}/{idx}{t}__compact", ignore_errors=True)
+        store_kw = {"storage": "bucketed", "n_buckets": 4}
+    else:
+        idx = str(tmp_path / "sh_idx")
+        store_kw = {}
+    # one word changed in a ~30-word doc measures Hamming 14 on the
+    # 64-bit simhash; 16 keeps the near-dup inside the radius
+    kw = {**store_kw, "max_distance": 16}
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the calm river "
+        "flows past the old stone bridge under a bright summer sky and the "
+        "birds sing their morning song"
+    )
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "completely different words " * 5)],
+        "doc_id long, text string",
+    )
+    assert incremental_simhash(b1, idx, **kw).count() == 0  # empty history
+
+    b2 = spark.createDataFrame(
+        [(10, base.replace("lazy", "sleepy")),
+         (11, "unrelated filler content " * 6)],
+        "doc_id long, text string",
+    )
+    m = incremental_simhash(b2, idx, **kw).collect()
+    assert [(r.new_id, r.old_id) for r in m] == [(10, 1)]
+    assert 0 < m[0].hamming <= 16
+
+    # batch 2 appended: an exact copy of doc 11 matches at distance 0
+    b3 = spark.createDataFrame(
+        [(20, "unrelated filler content " * 6)], "doc_id long, text string"
+    )
+    m3 = incremental_simhash(b3, idx, update=False, **kw).collect()
+    assert [(r.new_id, r.old_id, r.hamming) for r in m3] == [(20, 11, 0)]
+
+    # purge doc 11 -> no match; compact folds it in; doc 1 still matches
+    purge_minhash_index(
+        spark.createDataFrame([(11,)], "doc_id long"), idx, **store_kw
+    )
+    assert incremental_simhash(b3, idx, update=False, **kw).count() == 0
+    compact_minhash_index(spark, idx, **store_kw)
+    assert incremental_simhash(b3, idx, update=False, **kw).count() == 0
+    m4 = incremental_simhash(
+        spark.createDataFrame([(30, base)], "doc_id long, text string"),
+        idx, update=False, **kw,
+    ).collect()
+    # exact copy of doc 1 at distance 0, and batch-2's near-dup (doc 10)
+    # at its measured distance 14 — both are real index members
+    assert sorted((r.new_id, r.old_id, r.hamming) for r in m4) == [
+        (30, 1, 0), (30, 10, 14),
+    ]
+    if storage == "bucketed":
+        for t in ("_signatures", "_buckets", "_tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {idx}{t}")
