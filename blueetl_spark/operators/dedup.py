@@ -334,14 +334,21 @@ def minhash_lsh_candidates(
     :func:`band_bucket_stats` for the trade and the sizing evidence.
 
     The signature subplan has three consumers (band explode + both verify
-    sides) but is NOT persisted: all three sit on the same aggregate whose
-    shuffle AQE reuses at runtime (the expensive scan+shingle+minhash map
-    side runs once), and measured at sf0.1 the cache bought nothing while
-    leaking blocks across repeated calls (ADVICE r5 — the private
-    ``_signatures`` unpersist handle was fragile and routinely unused).
+    sides); without a pin it computes three times — exchange reuse does
+    NOT cover it (verified at 200k docs: 13.5 s ≈ 3× the 2.4 s signature
+    job + join, zero ReusedExchange nodes in the final adaptive plan).
+    It is pinned with an **eager localCheckpoint**, not ``.persist()``:
+    one computation, blocks reaped by ContextCleaner when the result is
+    GC'd — so no catalog-cache entry leaks across calls and no caller
+    unpersist obligation (the ADVICE r5 failure mode), at the documented
+    cost of truncated lineage (a lost block fails the job instead of
+    recomputing — same trade every localCheckpoint site in this repo
+    makes). Measured at 200k docs: 6-8 s vs 10-16 s recompute.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn)
+    sig = minhash_signatures(
+        df, text_col, id_col, n, num_hashes, hash_fn
+    ).localCheckpoint(eager=True)
     banded = banded_buckets(sig, id_col, bands, rows_per_band, hash_fn)
     banded = _cap_band_buckets(banded, ["band", "band_hash"], max_bucket_size)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
@@ -488,12 +495,13 @@ def simhash_candidates(
     doesn't divide ``bits`` only ever ADD candidates). Candidates are
     verified with the real popcount. Signatures ride through the join,
     so the verify step needs no second signature lookup. The signature
-    subplan is deliberately NOT persisted: the self-join recomputes it on
-    both sides, but AQE's runtime exchange reuse covers the identical
-    subplans, and measured at sf0.1 the cache was a net LOSS (8.3 s cold
-    with persist vs 2.5 s without — block-manager materialization costs
-    more than the recompute) while leaking cached blocks across repeated
-    calls (ADVICE r5: nothing ever unpersisted the private handle).
+    subplan (consumed by both self-join sides) is pinned with an eager
+    ``localCheckpoint`` rather than ``.persist()``: one computation and
+    blocks reaped on GC — no catalog-cache entry leaking across calls
+    and no caller unpersist obligation (the ADVICE r5 failure mode of
+    the old private ``_signatures`` handle), no 2× recompute either
+    (exchange reuse does not cover the self-join — verified on the
+    MinHash twin, same plan shape).
 
     ``max_bucket_size`` is the degenerate-bucket valve
     (:func:`_cap_band_buckets`): docs sharing a signature band
@@ -510,7 +518,9 @@ def simhash_candidates(
     w = bits // n_bands
     if w < 1:
         raise ValueError(f"n_bands={n_bands} exceeds bits={bits}")
-    sigs = simhash(df, text_col, id_col, n, bits, hash_fn)
+    sigs = simhash(df, text_col, id_col, n, bits, hash_fn).localCheckpoint(
+        eager=True
+    )
     banded = simhash_bands(sigs, id_col, n_bands, w, keep_sig=True)
     banded = _cap_band_buckets(banded, ["band", "band_bits"], max_bucket_size)
     a = banded.select(
