@@ -1238,31 +1238,14 @@ class _ParquetMinhashStore:
 
     def _recover(self) -> None:
         """Repair a compaction interrupted mid-swap so the index is always
-        readable in either the old or the new state, never neither.
+        readable in either the old or the new state, never neither
+        (:func:`blueetl_spark.plans.atomic.recover_dir`; the tombstone dir
+        is only deleted after EVERY swap succeeded, so a restored old
+        state still reads correctly through ``_minus_ts``)."""
+        from blueetl_spark.plans.atomic import recover_dir
 
-        The swap is temp-write → rename cur→cur.old → rename tmp→cur →
-        delete cur.old. A crash between the two renames leaves no ``cur``
-        but an intact ``cur.old`` → restore it (the tombstone dir is only
-        deleted after EVERY swap succeeded, so the restored old state
-        still reads correctly through ``_minus_ts``). A crash after the
-        publish rename leaves both → the new state is live; drop the
-        stale backup. Idempotent and metadata-only; called from every
-        read/compact entry point.
-        """
-        jvm = self.spark._jvm
-        hconf = self.spark._jsc.hadoopConfiguration()
-        P = jvm.org.apache.hadoop.fs.Path
         for cur in (self.sig_dir, self.bucket_dir):
-            fs = P(cur).getFileSystem(hconf)
-            cur_p, bak_p = P(cur), P(cur + ".old")
-            if fs.exists(bak_p):
-                if not fs.exists(cur_p):
-                    if not fs.rename(bak_p, cur_p):
-                        raise IOError(
-                            f"index recovery: restore {cur}.old -> {cur} failed"
-                        )
-                else:
-                    fs.delete(bak_p, True)
+            recover_dir(self.spark, cur)
 
     def _minus_ts(self, df: DataFrame) -> DataFrame:
         if not _fs_exists(self.spark, self.ts_dir):
@@ -1289,21 +1272,12 @@ class _ParquetMinhashStore:
         ids.write.mode("append").parquet(self.ts_dir)
 
     def compact(self) -> dict[str, int]:
+        from blueetl_spark.plans.atomic import swap_dir
+
         self._recover()
-        jvm = self.spark._jvm
-        hconf = self.spark._jsc.hadoopConfiguration()
 
         def _swap(cur: str, tmp: str) -> None:
-            P = jvm.org.apache.hadoop.fs.Path
-            fs = P(cur).getFileSystem(hconf)
-            bak = P(cur + ".old")
-            if fs.exists(bak):
-                fs.delete(bak, True)
-            if not fs.rename(P(cur), bak):
-                raise IOError(f"compact: rename {cur} -> {cur}.old failed")
-            if not fs.rename(P(tmp), P(cur)):
-                raise IOError(f"compact: rename {tmp} -> {cur} failed")
-            fs.delete(bak, True)
+            swap_dir(self.spark, cur, tmp)
 
         counts: dict[str, int] = {}
         has_ts = _fs_exists(self.spark, self.ts_dir)
@@ -1323,8 +1297,9 @@ class _ParquetMinhashStore:
             counts[name] = self.spark.read.parquet(tmp).count()
             _swap(cur, tmp)
         if has_ts:
+            jvm = self.spark._jvm
             p = jvm.org.apache.hadoop.fs.Path(self.ts_dir)
-            p.getFileSystem(hconf).delete(p, True)
+            p.getFileSystem(self.spark._jsc.hadoopConfiguration()).delete(p, True)
         return counts
 
 

@@ -626,14 +626,18 @@ def search_ivf_index(
     The codebook (config-sized) is collected to assign query cells; the
     distinct probed cells become an ``isin`` partition filter on the
     assignments scan, so only the probed cells' files are listed and read
-    (PartitionFilters — asserted in tests). Output contract matches
-    :func:`knn_ivf`: (query_id, neighbor_id, cosine, rank).
+    (PartitionFilters — asserted in tests). Vectors purged via
+    :func:`purge_ivf_index` are excluded (anti-join against the
+    request-sized tombstone table) until :func:`compact_ivf_index` folds
+    them in. Output contract matches :func:`knn_ivf`:
+    (query_id, neighbor_id, cosine, rank).
     """
-    from pathlib import Path
+    from blueetl_spark.plans.atomic import fs_exists, recover_dir
 
-    base = Path(index_path)
+    assign_dir = f"{index_path}/assignments.parquet"
+    recover_dir(spark, assign_dir)
     cb_rows = (
-        spark.read.parquet(str(base / "codebook.parquet"))
+        spark.read.parquet(f"{index_path}/codebook.parquet")
         .orderBy("centroid_id")
         .collect()
     )
@@ -647,15 +651,22 @@ def search_ivf_index(
         )
         .withColumn("cell", F.explode("__cells"))
         .drop("__cells")
-        # persist: the assignment kernel (numpy matmul over queries x
-        # codebook) otherwise runs twice — once for the probed-cells
-        # collect below and again inside the join
-        .persist()
+        # eager localCheckpoint, not persist: the assignment kernel
+        # (numpy matmul over queries × codebook) has two consumers (the
+        # probed-cells collect and the join) and a persist here would
+        # leak cached blocks across repeated searches (nothing ever
+        # unpersisted it — same failure mode as ADVICE r5's LSH caches)
+        .localCheckpoint(eager=True)
     )
     probed = sorted({r.cell for r in q.select("cell").distinct().collect()})
-    c = spark.read.parquet(str(base / "assignments.parquet")).filter(
-        F.col("cell").isin(probed)
-    )
+    c = spark.read.parquet(assign_dir).filter(F.col("cell").isin(probed))
+    ts_dir = f"{index_path}/tombstones.parquet"
+    if fs_exists(spark, ts_dir):
+        c = c.join(
+            spark.read.parquet(ts_dir).select("neighbor_id"),
+            "neighbor_id",
+            "left_anti",
+        )
     scored = score_pairs(
         q.join(c, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     )
@@ -667,3 +678,86 @@ def search_ivf_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def append_ivf_index(
+    new_vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental ingest into a persisted IVF index: assign the new
+    vectors to cells using the STORED codebook (cells stay valid — the
+    coarse quantizer is frozen at build time, the standard IVF contract)
+    and append into the partitioned assignments layout. Cost is one
+    assignment pass over the batch; history is never rewritten or
+    re-read. Returns the number of vectors appended.
+
+    Recall drifts if the corpus distribution moves far from the build
+    sample — rebuild with :func:`build_ivf_index` when cell sizes skew
+    (the per-cell counts are one ``groupBy('cell')`` away).
+    """
+    from pyspark.sql import Observation
+
+    spark = new_vectors.sparkSession
+    cb_rows = (
+        spark.read.parquet(f"{index_path}/codebook.parquet")
+        .orderBy("centroid_id")
+        .collect()
+    )
+    cents = [list(map(float, r.vector)) for r in cb_rows]
+    assigned = (
+        assign_cells(
+            new_vectors.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+            ),
+            cents, "__cv", n=1,
+        )
+        .withColumn("cell", F.col("__cells")[0])
+        .drop("__cells")
+    )
+    obs = Observation("ivf_append")
+    assigned.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{index_path}/assignments.parquet")
+    return obs.get["n"]
+
+
+def purge_ivf_index(ids: DataFrame, index_path: str, id_col: str = "vec_id") -> None:
+    """Mark vectors as deleted WITHOUT touching the index data: ids are
+    appended to a tombstone table and every subsequent
+    :func:`search_ivf_index` excludes them. O(ids) per request — the
+    takedown/right-to-forget path, same contract as the dedup indexes'
+    :func:`blueetl_spark.operators.dedup.purge_minhash_index`."""
+    ids.select(F.col(id_col).alias("neighbor_id")).distinct().write.mode(
+        "append"
+    ).parquet(f"{index_path}/tombstones.parquet")
+
+
+def compact_ivf_index(spark, index_path: str) -> int:
+    """Fold tombstones into the assignments: rewrite the partitioned
+    layout minus the purged ids via the crash-safe staged swap
+    (``plans/atomic.py`` — readable in the old or new state at every
+    interruption point), then drop the tombstone table. Returns the
+    surviving vector count. The periodic-maintenance job, not the
+    per-request path."""
+    from blueetl_spark.plans.atomic import fs_exists, recover_dir, swap_dir
+
+    assign_dir = f"{index_path}/assignments.parquet"
+    ts_dir = f"{index_path}/tombstones.parquet"
+    recover_dir(spark, assign_dir)
+    if not fs_exists(spark, ts_dir):
+        return spark.read.parquet(assign_dir).count()
+    tmp = f"{index_path}/.compact-assignments.parquet"
+    kept = spark.read.parquet(assign_dir).join(
+        spark.read.parquet(ts_dir).select("neighbor_id"),
+        "neighbor_id",
+        "left_anti",
+    )
+    kept.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    swap_dir(spark, assign_dir, tmp)
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(ts_dir)
+    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+    return n

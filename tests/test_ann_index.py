@@ -1,0 +1,89 @@
+"""Persisted IVF index lifecycle: append / purge / compact with the
+crash-safe staged swap — the ANN twin of the incremental dedup indexes'
+maintenance contract."""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from blueetl_spark.operators import similarity as sim
+
+
+def _vectors(spark, ids, seed=0, dim=8):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in ids:
+        v = rng.normal(size=dim)
+        rows.append((int(i), [float(x) for x in v / np.linalg.norm(v)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.fixture()
+def index(spark, tmp_path):
+    corpus = _vectors(spark, range(100), seed=1)
+    idx = str(tmp_path / "ivf")
+    info = sim.build_ivf_index(corpus, idx, n_centroids=4, seed=7)
+    assert info["n_vectors"] == 100
+    return idx, corpus
+
+
+def _hits(spark, queries, idx, **kw):
+    out = sim.search_ivf_index(spark, queries, idx, k=5, n_probe=4, **kw)
+    return {r.neighbor_id for r in out.collect()}
+
+
+def test_append_then_search_finds_new_vectors(spark, index):
+    idx, corpus = index
+    new = _vectors(spark, range(1000, 1010), seed=2)
+    n = sim.append_ivf_index(new, idx)
+    assert n == 10
+    # querying WITH one of the new vectors finds its exact twin at rank 1
+    q = new.filter(F.col("vec_id") == 1000).select(
+        F.lit(9999).alias("vec_id"), "embedding"
+    )
+    out = sim.search_ivf_index(spark, q, idx, k=1, n_probe=4).collect()
+    assert [r.neighbor_id for r in out] == [1000]
+    assert out[0].cosine == pytest.approx(1.0)
+
+
+def test_purge_excludes_and_compact_folds(spark, index):
+    idx, corpus = index
+    q = _vectors(spark, [5000], seed=3)
+    before = _hits(spark, q, idx)
+    assert before  # some neighbors exist
+    victim = sorted(before)[0]
+    sim.purge_ivf_index(
+        spark.createDataFrame([(victim,)], "vec_id long"), idx
+    )
+    assert victim not in _hits(spark, q, idx)
+    n = sim.compact_ivf_index(spark, idx)
+    assert n == 99
+    assert victim not in _hits(spark, q, idx)
+    # tombstone table gone; a second compact is a no-op count
+    assert sim.compact_ivf_index(spark, idx) == 99
+
+
+def test_compact_swap_crash_recovery(spark, index):
+    """Both swap interruption points leave the index searchable."""
+    idx, corpus = index
+    q = _vectors(spark, [6000], seed=4)
+    baseline = _hits(spark, q, idx)
+    assign = f"{idx}/assignments.parquet"
+
+    # point 1: backup renamed, publish never happened
+    staged = f"{idx}/.stage.parquet"
+    shutil.copytree(assign, staged)
+    shutil.move(assign, assign + ".old")
+    assert _hits(spark, q, idx) == baseline  # recovered to old state
+    shutil.rmtree(staged, ignore_errors=True)
+
+    # point 2: published, stale backup left behind
+    shutil.copytree(assign, assign + ".old")
+    assert _hits(spark, q, idx) == baseline
+    import os
+
+    assert not os.path.exists(assign + ".old")  # backup cleaned
