@@ -173,8 +173,12 @@ def jaccard_pairs(
     |A|+|B|−|A∩B|. The self-join key is the shingle, so cost concentrates
     in frequent shingles — at scale, run :func:`minhash_lsh_candidates`
     first and feed only candidate pairs here.
+
+    The shingle frame has three consumers (sizes + both join sides);
+    pinned with an eager localCheckpoint — one computation, blocks
+    reaped on GC, no cross-call cache leak (the ADVICE r5 class).
     """
-    s = shingle_sets(df, text_col, id_col, n).cache()
+    s = shingle_sets(df, text_col, id_col, n).localCheckpoint(eager=True)
     sizes = s.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = s.select(F.col(id_col).alias("id_a"), "shingle")
     b = s.select(F.col(id_col).alias("id_b"), "shingle")
@@ -195,10 +199,6 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    # expose the cached shingle table so long-lived callers can release the
-    # executor blocks after consuming the result (same contract as
-    # pairwise_correlation._binned)
-    out._shingles = s
     return out
 
 

@@ -550,13 +550,13 @@ def apply_feature_multi(
 
     Execution shape: ONE ``applyInPandas`` pass computes the function
     once per group and emits every output's rows tagged with the output
-    name and packed as a JSON string; the tagged frame is persisted, and
-    each output is a filter + ``from_json`` projection over it (typed by
-    the output's DDL from ``schemas``). The function therefore runs once
-    per group no matter how many outputs are consumed; group-key columns
-    ride through typed, never through JSON. Callers that finish with the
-    outputs may unpersist via the ``_tagged`` attribute any returned
-    frame carries.
+    name and packed as a JSON string; the tagged frame is pinned with an
+    eager localCheckpoint (blocks reaped on GC — no cross-call cache
+    leak, no caller unpersist obligation), and each output is a filter +
+    ``from_json`` projection over it (typed by the output's DDL from
+    ``schemas``). The function therefore runs once per group no matter
+    how many outputs are consumed; group-key columns ride through typed,
+    never through JSON.
 
     This is the *generic* path — correct for any user module, bounded by
     group size. Feature functions that also declare a ``spark_builder``
@@ -627,7 +627,14 @@ def apply_feature_multi(
                 )
         return pd.DataFrame(rows, columns=[*groupby, "__output", "__row"])
 
-    tagged = df.groupBy(*groupby).applyInPandas(runner, tag_schema).persist()
+    # eager localCheckpoint: the tagged frame feeds one parse per output
+    # name; a persist here was never unpersisted (the private ``_tagged``
+    # handle was fragile and routinely unused — ADVICE r5 leak class).
+    tagged = (
+        df.groupBy(*groupby)
+        .applyInPandas(runner, tag_schema)
+        .localCheckpoint(eager=True)
+    )
     outs: dict[str, DataFrame] = {}
     for oname in out_names:
         parsed = (
@@ -635,6 +642,5 @@ def apply_feature_multi(
             .withColumn("__r", F.from_json("__row", schemas[oname]))
             .select(*groupby, "__r.*")
         )
-        parsed._tagged = tagged
         outs[oname] = parsed
     return outs

@@ -384,11 +384,13 @@ def build_ivf_pq_index(
         )
         .withColumn("cell", F.col("__cells")[0])
         .drop("__cells")
-        # persist: the assignment matmul over the whole corpus is the
-        # build's most expensive stage and feeds BOTH the residual
-        # training sample and the encode+write — without this it runs
-        # twice end to end
-        .persist()
+        # eager localCheckpoint, not persist: the assignment matmul over
+        # the whole corpus is the build's most expensive stage and feeds
+        # BOTH the residual training sample and the encode+write. A
+        # persist here was never unpersisted (cached blocks outlived the
+        # build — the ADVICE r5 leak class); checkpoint blocks are
+        # reaped on GC when the build returns.
+        .localCheckpoint(eager=True)
     )
 
     if pq_codebooks is None:

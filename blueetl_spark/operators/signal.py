@@ -91,16 +91,18 @@ def pairwise_correlation(
 
     Output: (group keys, gid_a, gid_b, corr), gid_a < gid_b.
 
-    ``persist_binned`` caches the post-aggregation binned counts (size =
+    ``persist_binned`` pins the post-aggregation binned counts (size =
     active gids × occupied bins — orders of magnitude below the event
     table), because the plan references them three times (per-gid sums +
     both sides of the pair join); without it the event scan and first
-    shuffle run three times. Caller may ``.unpersist()`` via the
-    ``_binned`` attribute on the result.
+    shuffle run three times. The pin is an eager localCheckpoint, not a
+    persist: blocks are reaped on GC, so repeated calls leak nothing and
+    the caller has no unpersist obligation (the old private ``_binned``
+    handle was the ADVICE r5 leak class).
     """
     b = binned_counts(report, windows, bin_size, per_gid=True)
     if persist_binned:
-        b = b.persist()
+        b = b.localCheckpoint(eager=True)
     meta = _window_meta(windows).withColumn(
         "n_bins", F.ceil(F.col("duration") / F.lit(bin_size)).cast("long")
     )
@@ -155,7 +157,6 @@ def pairwise_correlation(
         )
         .select(*GROUP_KEYS, "gid_a", "gid_b", "corr")
     )
-    out._binned = b
     return out
 
 

@@ -72,8 +72,8 @@ def read_jsonl(
         *[F.col(f"__p.{f}").alias(f) for f in schema.fieldNames()]
     )
     quarantine = parsed.filter(bad_mark).select(F.col("value").alias("raw_line"))
-    # handle for single-scan statistics (quarantine_rate) — same contract
-    # as jaccard_pairs._shingles
+    # lazy handle (no cache attached) for single-scan statistics
+    # (quarantine_rate) — carries only the parse-status projection
     good._jsonl_parsed = parsed.select(bad_mark.alias("__bad"))
     return good, quarantine
 
