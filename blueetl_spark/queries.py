@@ -2188,6 +2188,55 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_CAND_DIST}
 SQL_SIMHASH_CANDIDATES = _simhash_candidates_sql()
 
 
+def q_simhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band bucket-size aggregates over the banded SimHash frame —
+    the observability half of the degenerate-bucket valve
+    (``dedup.band_bucket_stats``; round-6 VERDICT #5). Only the exact
+    columns are gated (p99 is percentile_approx, not hash-comparable);
+    est_pairs is the k·(k−1)/2 candidate-pair mass the valve bounds."""
+    docs = tables.load(spark, sf_dir, "documents")
+    sigs = dedup.simhash(docs, bits=SIMHASH_MD5_BITS, hash_fn="md5")
+    w = SIMHASH_MD5_BITS // SIMHASH_CAND_BANDS
+    banded = dedup.simhash_bands(sigs, "doc_id", SIMHASH_CAND_BANDS, w)
+    return (
+        dedup.band_bucket_stats(banded, ["band", "band_bits"])
+        .select(
+            F.col("band").cast("long").alias("band"),
+            "n_buckets",
+            "max_bucket",
+            "est_pairs",
+        )
+    )
+
+
+def _simhash_band_stats_sql() -> str:
+    w = SIMHASH_MD5_BITS // SIMHASH_CAND_BANDS
+    mask = (1 << w) - 1
+    return f"""
+WITH sims AS ({SQL_SIMHASH_MD5}),
+bands AS (
+  SELECT doc_id, b.band,
+         (simhash >> (b.band * {w})) & {mask} AS band_bits
+  FROM sims,
+       (SELECT unnest(range(0, {SIMHASH_CAND_BANDS})) AS band) b
+),
+buckets AS (
+  SELECT band, band_bits, COUNT(*) AS bs
+  FROM bands GROUP BY band, band_bits
+)
+SELECT CAST(band AS BIGINT) AS band,
+       COUNT(*) AS n_buckets,
+       CAST(MAX(bs) AS BIGINT) AS max_bucket,
+       CAST(SUM(bs * (bs - 1) / 2) AS BIGINT) AS est_pairs
+FROM buckets
+GROUP BY band
+ORDER BY band
+"""
+
+
+SQL_SIMHASH_BAND_STATS = _simhash_band_stats_sql()
+
+
 CHUNK_TOKENS = 40
 CHUNK_OVERLAP = 10
 
@@ -3156,6 +3205,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "winnowing_md5": q_winnowing_md5,
     "resample_events": q_resample_events,
+    # round-6 additions (oracle-tail)
+    "simhash_band_stats": q_simhash_band_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -3222,6 +3273,7 @@ ORACLES: dict[str, str] = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "simhash_candidates": SQL_SIMHASH_CANDIDATES,
+    "simhash_band_stats": SQL_SIMHASH_BAND_STATS,
 }
 
 
