@@ -24,7 +24,9 @@ What runs on a stream and why:
   and ``classifier``-training-style steps need cross-row joins over
   history — on a stream that is the ``foreachBatch`` +
   ``incremental_minhash``/``incremental_exact`` index pattern
-  (``operators/dedup.py``), not a continuous query. (A *fitted*
+  (``operators/dedup.py``), not a continuous query. That pattern is
+  wired here as :func:`streaming_near_dedup` /
+  :func:`near_dedup_batch` (replay-safe, see their contracts). (A *fitted*
   classifier would be stateless, but the batch step's model loading is
   driver-side; score with ``classifier.score_documents`` on the stream
   directly if needed.)
@@ -198,3 +200,129 @@ def streaming_curate(
                 default_rate=float(s.get("default_rate", 0.0)),
             )
     return cur
+
+
+def near_dedup_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "minhash",
+    threshold: float = 0.7,
+    max_distance: int = 3,
+    within_batch: bool = True,
+    storage: str = "parquet",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """One micro-batch of streaming near-dedup against an incremental
+    index; returns the surviving (novel) documents and appends their
+    signatures to the index. This is the function
+    :func:`streaming_near_dedup` hands to ``foreachBatch`` — exposed so
+    the replay contract is directly testable.
+
+    Semantics per batch:
+
+    1. (``within_batch``) drop in-batch near-duplicates, keeping the
+       smallest id per duplicate component (``keep_canonical``).
+    2. Drop documents within ``threshold``/``max_distance`` of ANY
+       indexed document — matching on stored signatures only, history
+       text is never re-read (``incremental_minhash``/``_simhash``
+       with ``update=False``). Self-id matches are ignored, which is
+       what makes an at-least-once REPLAY safe: a re-run batch finds its
+       own previous append in the index, matches itself by id, and still
+       passes through — same survivor set, never an empty batch.
+    3. Append the survivors' signatures/bands to the index directly (no
+       second match pass). A replayed batch appends duplicate signature
+       rows for the same id — harmless for matching (candidates are
+       distinct pairs) and folded out by the next
+       ``compact_minhash_index``.
+
+    The caller's sink writes the returned survivors; stamp ``batch_id``
+    if downstream needs replay-exact outputs (see
+    :func:`streaming_near_dedup`).
+    """
+    from blueetl_spark.operators import dedup
+
+    spark = batch.sparkSession
+    if within_batch:
+        if method == "minhash":
+            pairs = dedup.minhash_lsh_candidates(
+                batch, text_col, id_col
+            ).filter(F.col("est_jaccard") >= threshold)
+        else:
+            pairs = dedup.simhash_candidates(
+                batch, text_col, id_col, max_distance=max_distance
+            )
+        batch = dedup.keep_canonical(pairs, batch, id_col=id_col)
+    # snapshot: the survivors feed the match, the append, AND the sink
+    batch = batch.localCheckpoint(eager=True)
+    if method == "minhash":
+        matches = dedup.incremental_minhash(
+            batch, index_path, text_col, id_col,
+            threshold=threshold, update=False,
+            storage=storage, n_buckets=n_buckets,
+        )
+    elif method == "simhash":
+        matches = dedup.incremental_simhash(
+            batch, index_path, text_col, id_col,
+            max_distance=max_distance, update=False,
+            storage=storage, n_buckets=n_buckets,
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}; 'minhash' or 'simhash'")
+    dup_ids = (
+        matches.filter(F.col("new_id") != F.col("old_id"))
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    survivors = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    # direct store append — one match job per batch, not two
+    store = dedup._mh_store(spark, index_path, storage, id_col, n_buckets)
+    if method == "minhash":
+        sig = dedup.minhash_signatures(
+            survivors, text_col, id_col
+        ).localCheckpoint(eager=True)
+        banded = dedup.banded_buckets(sig, id_col, 16, 4, "xxhash64")
+    else:
+        sig = dedup.simhash(survivors, text_col, id_col).localCheckpoint(
+            eager=True
+        )
+        banded = dedup.simhash_bands(
+            sig, id_col, max_distance + 1, 64 // (max_distance + 1)
+        ).withColumnRenamed("band_bits", "band_hash")
+    store.append(sig, banded)
+    return survivors
+
+
+def streaming_near_dedup(
+    stream: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """The ``foreachBatch`` + incremental-index pattern the streamable
+    ops' rejection hint points at, wired: each micro-batch is near-deduped
+    within itself and against the growing index
+    (:func:`near_dedup_batch`), and the novel documents land in
+    ``output_path`` stamped with the batch id (at-least-once sink —
+    replay-exact consumers dedup on (``__batch_id``, id), one
+    ``drop_duplicates`` away). Returns the started StreamingQuery.
+    """
+
+    def run(batch: DataFrame, batch_id: int) -> None:
+        survivors = near_dedup_batch(batch, batch_id, index_path, **kwargs)
+        (
+            survivors.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(output_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )

@@ -195,3 +195,25 @@ def test_two_phase_index_no_global_sort(spark):
     )
     assert "Window" not in plan
     assert "mapInPandas" in plan or "MapInPandas" in plan
+
+
+def test_lsh_candidates_read_checkpointed_signatures(spark):
+    """Round-6 pin: the MinHash/SimHash pair-finders eagerly
+    localCheckpoint the signature frame, so the candidates plan must scan
+    the checkpointed RDD on every consumer instead of recomputing the
+    shingle aggregation per self-join side (verified regression: 3x
+    signature recompute, 13.5s vs 2.4s+join at 200k docs)."""
+    from blueetl_spark.operators import dedup
+    from blueetl_spark.sources import tables
+
+    docs = tables.load(spark, SF, "documents")
+    for fn in (dedup.minhash_lsh_candidates, dedup.simhash_candidates):
+        plan = _formatted_plan(fn(docs))
+        # the signature subtree ran at construction; the remaining plan
+        # reads blocks (ExistingRDD) and must not contain the shingle
+        # explode/aggregation pipeline anywhere
+        assert "ExistingRDD" in plan, plan[:1500]
+        assert "partial_min" not in plan and "bit_count(xor" not in plan.split(
+            "ExistingRDD"
+        )[0]  # no recompute upstream of the scan
+        assert "regexp" not in plan  # shingling never re-runs

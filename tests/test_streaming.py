@@ -450,3 +450,65 @@ def test_streaming_decontaminate_cap_and_set_probe(spark, tmp_path):
         got = run_to_memory(out, f"decon_{label}")
         kept[label] = sorted(r.doc_id for r in got.collect())
     assert kept["literal"] == kept["probe"] == [2]
+
+
+def test_streaming_near_dedup_foreach_batch(spark, tmp_path):
+    """The wired foreachBatch + incremental-index pattern: cross-batch
+    near-duplicates are dropped exactly once, in-batch duplicates keep
+    one canonical survivor, and an at-least-once REPLAY of a processed
+    batch re-emits the same survivors (self-id matches pass through)
+    instead of an empty batch."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.streaming.curate import near_dedup_batch, streaming_near_dedup
+
+    t0 = datetime.datetime(2026, 1, 1)
+    base = (
+        "the quick brown fox jumps over the lazy dog while the calm river "
+        "flows past the old stone bridge under a bright summer sky"
+    )
+    other = "completely different filler words about spark catalyst " * 3
+    schema = "doc_id long, text string, ts timestamp"
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "src")
+
+    # batch 1: an in-batch exact dup pair (1,2) + a distinct doc (3)
+    spark.createDataFrame(
+        [(1, base, t0), (2, base, t0), (3, other, t0)], schema
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = streaming_near_dedup(stream, idx, out, ckpt)
+    q.processAllAvailable()
+
+    got1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 3}  # 2 deduped in-batch, smallest id kept
+
+    # batch 2: a cross-batch exact dup of doc 1 + a new doc
+    spark.createDataFrame(
+        [(10, base, t0), (11, "yet another unique document body here", t0)],
+        schema,
+    ).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got2 == {1, 3, 11}  # 10 matched history and was dropped
+
+    # REPLAY batch 2 manually (at-least-once): same survivors re-emitted,
+    # not an empty batch — self-id matches are ignored
+    replay = spark.createDataFrame(
+        [(11, "yet another unique document body here", t0)], schema
+    )
+    survivors = near_dedup_batch(replay, 99, idx)
+    assert {r.doc_id for r in survivors.collect()} == {11}
+
+    # a compaction folds the replay's duplicate signature rows back out
+    from blueetl_spark.operators.dedup import compact_minhash_index
+
+    counts = compact_minhash_index(spark, idx)
+    assert counts["signatures"] >= 3
