@@ -139,11 +139,17 @@ def dense_index(
     each group sorts inside ONE task, which caps a single class at what
     one executor can sort (~10⁸ rows). ``two_phase=True`` removes that
     ceiling: range-partition on (group…, order) so a group spans many
-    ordered partitions, count rows per (partition, group) — a
-    config-sized side table, since groups are classes — then assign each
-    partition's local ranks plus its broadcast prefix offset in one
-    ordered ``mapInPandas`` pass. No global sort, no single-task group,
-    identical output (``tests/test_extraction.py`` pins the two equal).
+    ordered partitions; within each partition rows are sorted, so
+    ``monotonically_increasing_id`` is already the LOCAL rank up to a
+    per-(partition, group) base. One aggregate collects count + base
+    row-id per (partition, group) — a config-sized side table, since
+    groups are classes — the prefix offsets fold driver-side, and the
+    rank is then ``offset + (mono − base)`` via a broadcast join: pure
+    JVM, map-only, zero Arrow round-trip of the data columns (the
+    previous ``mapInPandas`` rank pass serialized the whole table both
+    ways). No global sort, no single-task group, identical output
+    (``tests/test_extraction.py`` pins the two equal, nulls included —
+    the broadcast join is null-safe on the group keys).
 
     ``two_phase="auto"`` picks the variant from a row count of ``df``
     (one column-pruned count job): > ``auto_threshold`` rows → the
@@ -164,9 +170,6 @@ def dense_index(
         w = Window.partitionBy(*group_cols).orderBy(order_col)
         return df.withColumn(out_col, F.row_number().over(w) - 1)
 
-    import numpy as np
-    import pandas as pd
-
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     ranged = (
@@ -174,80 +177,55 @@ def dense_index(
         .sortWithinPartitions(*group_cols, order_col)
         .localCheckpoint(eager=True)
     )
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
-    counts = (
-        with_pid.groupBy("__pid", *group_cols)
-        .agg(F.count("*").alias("__n"))
+    # mono ids are contiguous and increasing within a partition, and the
+    # partition is sorted — so (mono − per-(pid, group) min mono) IS the
+    # local rank. Both the count and the base come from ONE aggregate.
+    with_mono = ranged.select(
+        "*",
+        F.spark_partition_id().alias("__pid"),
+        F.monotonically_increasing_id().alias("__mono"),
+    )
+    stats = (
+        with_mono.groupBy("__pid", *group_cols)
+        .agg(F.count("*").alias("__n"), F.min("__mono").alias("__base"))
         .collect()
     )
     # prefix offsets: rows of the same group in lower partitions.
     # Range partitioning on (group…, order) orders a group's rows across
     # ascending partition ids, so the prefix sum by pid is the offset.
-    per_group: dict[tuple, list[tuple[int, int]]] = {}
-    for r in counts:
+    per_group: dict[tuple, list[tuple[int, int, int]]] = {}
+    for r in stats:
         g = tuple(r[c] for c in group_cols)
-        per_group.setdefault(g, []).append((r["__pid"], r["__n"]))
-    offsets: dict[tuple, int] = {}
+        per_group.setdefault(g, []).append((r["__pid"], r["__n"], r["__base"]))
+    rows = []
     for g, lst in per_group.items():
         acc = 0
-        for pid, n in sorted(lst):
-            offsets[(g, pid)] = acc
+        for pid, n, base in sorted(lst):
+            rows.append((pid, *g, base, acc))
             acc += n
-    out_fields = with_pid.schema.fields
-    schema = ", ".join(
-        [f"{f.name} {f.dataType.simpleString()}" for f in out_fields]
-        + [f"{out_col} long"]
+    key_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    off_schema = ", ".join(
+        ["__opid int"]
+        + [f"__og_{i} {key_fields[c]}" for i, c in enumerate(group_cols)]
+        + ["__base long", "__off long"]
     )
-    # Group-key canonicalization: Arrow hands pandas a float64 column when an
-    # integral Spark column contains nulls, so a key collected Spark-side as
-    # (1,) would arrive in the kernel as (1.0,) and miss the offsets dict —
-    # every later group in the chunk would then restart at 0. Null keys
-    # (None/NaN/NaT) all normalize to None, matching the Spark collect.
-    integral = {
-        f.name
-        for f in df.schema.fields
-        if f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
-    }
-    is_int_key = [c in integral for c in group_cols]
-
-    def norm_key(g) -> tuple:
-        g = g if isinstance(g, tuple) else (g,)
-        out = []
-        for x, as_int in zip(g, is_int_key):
-            if x is None or (isinstance(x, float) and np.isnan(x)) or x is pd.NaT:
-                out.append(None)
-            elif as_int and isinstance(x, float):
-                out.append(int(x))
-            else:
-                out.append(x)
-        return tuple(out)
-
-    offsets = {(norm_key(g), pid): off for (g, pid), off in offsets.items()}
-
-    def assign(it):
-        running: dict[tuple, int] = {}
-        for pdf in it:
-            if not len(pdf):
-                continue
-            pdf = pdf.reset_index(drop=True)
-            pid = int(pdf["__pid"].iloc[0])
-            ranks = np.empty(len(pdf), dtype="int64")
-            # dropna=False: null group keys are real groups here (the window
-            # path numbers them; silently skipping them misaligns every rank
-            # after the null block — see ADVICE r5). Ranks are written by row
-            # index, not positionally, so no contiguity assumption either.
-            for g, sub in pdf.groupby(group_cols, sort=False, dropna=False):
-                g = norm_key(g)
-                start = running.get(g, offsets.get((g, pid), 0))
-                idx = sub.index.to_numpy()
-                ranks[idx] = np.arange(start, start + len(sub))
-                running[g] = start + len(sub)
-            pdf = pdf.copy()
-            pdf[out_col] = ranks
-            yield pdf
-
-    out = with_pid.mapInPandas(assign, schema).drop("__pid")
-    return out
+    offmap = local_df(spark, rows, off_schema)
+    # broadcast join, NULL-SAFE on the group keys: a plain equality join
+    # would drop every null-keyed row (the ADVICE r5 misalignment bug in
+    # its join-shaped form) — the window path numbers null groups too.
+    cond = with_mono["__pid"] == offmap["__opid"]
+    for i, c in enumerate(group_cols):
+        cond = cond & with_mono[c].eqNullSafe(offmap[f"__og_{i}"])
+    return (
+        with_mono.join(F.broadcast(offmap), cond)
+        .withColumn(
+            out_col, F.col("__off") + (F.col("__mono") - F.col("__base"))
+        )
+        .drop(
+            "__pid", "__mono", "__opid", "__base", "__off",
+            *[f"__og_{i}" for i in range(len(group_cols))],
+        )
+    )
 
 
 def _sample_limits(

@@ -387,10 +387,13 @@ def test_dense_index_auto_selection(spark, sf_dir):
                         two_phase="auto")
     assert "Window" in plan(small) and "MapInPandas" not in plan(small)
 
-    # above the (forced) threshold -> two-phase path
+    # above the (forced) threshold -> two-phase path: checkpointed range
+    # partitioning + broadcast offset join, no Window, no Python
     big = dense_index(customer, ["c_nationkey"], "c_custkey", "idx",
                       two_phase="auto", auto_threshold=0)
-    assert "MapInPandas" in plan(big) and "Window" not in plan(big)
+    p = plan(big)
+    assert "ExistingRDD" in p and "BroadcastHashJoin" in p
+    assert "Window" not in p and "MapInPandas" not in p
 
     keys = ["c_nationkey", "c_custkey"]
     pd.testing.assert_frame_equal(
