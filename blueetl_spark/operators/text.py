@@ -573,6 +573,45 @@ def repetition_stats(
     return df.select(*cols)
 
 
+def drop_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = ". ",
+) -> DataFrame:
+    """Intra-document span dedup — the *removal* half of Gopher-style
+    repetition handling (``repetition_stats`` is the signal half): split
+    each document into spans (sentences/paragraphs/lines by ``sep``),
+    keep only the FIRST occurrence of each span, and rejoin in original
+    order. Boilerplate sentences repeated inside a page vanish;
+    cross-document duplication stays the LSH family's job.
+
+    Output: (id, text — deduped, n_spans, n_unique), both counts long.
+
+    Scale shape: **no shuffle** — a per-row order-preserving distinct via
+    a higher-order filter (keep span i iff it is absent from the prefix
+    ``slice(spans, 1, i)``), O(spans²) comparisons per row on the
+    config-sized span count. The span array is materialized as a real
+    column FIRST: referencing the ``split`` expression inside the lambda
+    would re-split the document once per span (the capture-in-HOF-lambda
+    trap ``tests/test_plans.py`` guards elsewhere).
+    """
+    import re as _re
+
+    spans = F.split(F.col(text_col), _re.escape(sep))
+    with_spans = df.withColumn("__spans", spans)
+    kept = F.filter(
+        F.col("__spans"),
+        lambda x, i: F.array_position(F.slice(F.col("__spans"), 1, i), x) == 0,
+    )
+    return with_spans.select(
+        F.col(id_col),
+        F.array_join(kept, sep).alias(text_col),
+        F.size("__spans").cast("long").alias("n_spans"),
+        F.size(F.array_distinct("__spans")).cast("long").alias("n_unique"),
+    )
+
+
 def ngram_overlap(
     train: DataFrame,
     eval_df: DataFrame,

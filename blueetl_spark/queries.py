@@ -2237,6 +2237,37 @@ ORDER BY band
 SQL_SIMHASH_BAND_STATS = _simhash_band_stats_sql()
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document span dedup (``text.drop_repeated_spans``): keep the
+    first occurrence of each span in original order, rejoin. The test
+    corpus is a space-separated token stream, so the gate runs at span =
+    token granularity — the aggressive end of the operator, which makes
+    the order-preserving first-occurrence semantics fully observable."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return text.drop_repeated_spans(docs, sep=" ")
+
+
+SQL_DEDUP_SPANS = """
+WITH spans AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS span,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, span, ord,
+         row_number() OVER (PARTITION BY doc_id, span ORDER BY ord) AS rn
+  FROM spans
+)
+SELECT doc_id,
+       string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY ord) AS text,
+       COUNT(*) AS n_spans,
+       COUNT(DISTINCT span) AS n_unique
+FROM ranked
+GROUP BY doc_id
+"""
+
+
 CHUNK_TOKENS = 40
 CHUNK_OVERLAP = 10
 
@@ -3207,6 +3238,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resample_events": q_resample_events,
     # round-6 additions (oracle-tail)
     "simhash_band_stats": q_simhash_band_stats,
+    "dedup_spans": q_dedup_spans,
 }
 
 ORACLES: dict[str, str] = {
@@ -3274,6 +3306,7 @@ ORACLES: dict[str, str] = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "simhash_candidates": SQL_SIMHASH_CANDIDATES,
     "simhash_band_stats": SQL_SIMHASH_BAND_STATS,
+    "dedup_spans": SQL_DEDUP_SPANS,
 }
 
 

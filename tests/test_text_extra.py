@@ -309,3 +309,25 @@ def test_language_ngram_profiles_and_classify(spark):
     short = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
     grams = short.select(F.explode(char_ngrams("text")).alias("g")).collect()
     assert [r.g for r in grams] == ["ab"]
+
+
+def test_drop_repeated_spans_order_and_firsts(spark):
+    """Intra-document span dedup: first occurrence wins, original order
+    preserved, counts exact; distinct-span docs pass through unchanged."""
+    from blueetl_spark.operators.text import drop_repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "b. a. b. c. a. d"),
+            (2, "x. y"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_spans, r.n_unique)
+        for r in drop_repeated_spans(docs, sep=". ").collect()
+    }
+    assert got[1] == ("b. a. c. d", 6, 4)
+    assert got[2] == ("x. y", 2, 2)
+    assert got[3] == ("", 1, 1)
