@@ -326,3 +326,72 @@ def streaming_near_dedup(
         .option("checkpointLocation", checkpoint_path)
         .start()
     )
+
+
+def semantic_dedup_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_probe: int = 4,
+) -> DataFrame:
+    """One micro-batch of streaming SEMANTIC dedup against a persisted
+    IVF index (the embedding twin of :func:`near_dedup_batch`): drop
+    every batch vector whose cosine against ANY indexed vector is ≥
+    ``threshold``, append the survivors to the index
+    (``similarity.append_ivf_index`` — the stored codebook assigns
+    cells, history is never re-read), and return the survivors.
+
+    Replay-safe the same way: ``search_ivf_index`` excludes
+    ``query_id == neighbor_id`` matches, so a re-run batch that finds
+    its own previous append passes through with the same survivor set.
+    The index must exist (``similarity.build_ivf_index`` on a seed
+    corpus — the coarse quantizer is frozen at build time).
+    """
+    from blueetl_spark.operators import similarity
+
+    spark = batch.sparkSession
+    batch = batch.localCheckpoint(eager=True)
+    hits = (
+        similarity.search_ivf_index(
+            spark, batch, index_path, k=1, n_probe=n_probe,
+            id_col=id_col, vec_col=vec_col,
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("query_id").alias(id_col))
+        .distinct()
+    )
+    survivors = batch.join(hits, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    similarity.append_ivf_index(survivors, index_path, id_col, vec_col)
+    return survivors
+
+
+def streaming_semantic_dedup(
+    stream: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """foreachBatch wiring for :func:`semantic_dedup_batch`: novel
+    vectors land in ``output_path`` stamped with the batch id
+    (at-least-once sink; replay-exact consumers dedup on
+    (``__batch_id``, id)). Returns the started StreamingQuery."""
+
+    def run(batch: DataFrame, batch_id: int) -> None:
+        survivors = semantic_dedup_batch(batch, batch_id, index_path, **kwargs)
+        (
+            survivors.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(output_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )

@@ -512,3 +512,58 @@ def test_streaming_near_dedup_foreach_batch(spark, tmp_path):
 
     counts = compact_minhash_index(spark, idx)
     assert counts["signatures"] >= 3
+
+
+def test_streaming_semantic_dedup_foreach_batch(spark, tmp_path):
+    """Embedding twin of the foreachBatch near-dedup: vectors within the
+    cosine threshold of the growing IVF index are dropped; novel ones
+    append via the stored codebook; a replayed batch re-emits its own
+    survivors (self-id matches excluded)."""
+    import numpy as np
+
+    from blueetl_spark.operators import similarity as sim
+    from blueetl_spark.streaming.curate import (
+        semantic_dedup_batch,
+        streaming_semantic_dedup,
+    )
+
+    rng = np.random.default_rng(21)
+
+    def vecs(ids, seed=None, like=None):
+        rows = []
+        for j, i in enumerate(ids):
+            if like is not None:
+                v = np.asarray(like[j], dtype=float)
+            else:
+                v = rng.normal(size=8)
+            v = v / np.linalg.norm(v)
+            rows.append((int(i), [float(x) for x in v]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    idx = str(tmp_path / "ivf")
+    seed_corpus = vecs(range(50))
+    sim.build_ivf_index(seed_corpus, idx, n_centroids=4, seed=3)
+
+    # batch: 100 duplicates indexed vec 7; 101 is novel
+    dup_of = seed_corpus.filter("vec_id = 7").collect()[0].embedding
+    batch = spark.createDataFrame(
+        [(100, [float(x) for x in dup_of])], "vec_id long, embedding array<double>"
+    ).unionByName(vecs([101]))
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "src")
+    batch.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = streaming_semantic_dedup(stream, idx, out, ckpt, threshold=0.999)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.vec_id for r in spark.read.parquet(out).collect()}
+    assert got == {101}  # 100 matched indexed vec 7 and was dropped
+
+    # replay the processed batch: survivor 101 re-emitted, not dropped
+    # against its own append (self-id matches are excluded)
+    replay = spark.read.parquet(src).filter("vec_id = 101")
+    survivors = semantic_dedup_batch(replay, 99, idx, threshold=0.999)
+    assert {r.vec_id for r in survivors.collect()} == {101}
