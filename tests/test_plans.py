@@ -184,8 +184,9 @@ def test_language_id_broadcasts_profiles(spark):
 
 def test_two_phase_index_no_global_sort(spark):
     """dense_index(two_phase=True) must not plan a global Sort+window
-    over the data: range exchange + within-partition sort + Arrow eval
-    only."""
+    over the data. Since the 871ad17 rewrite the rank pass is a pure-JVM
+    broadcast hash join against a config-sized per-(partition, group)
+    offset table — no Window, and no Arrow/mapInPandas pass either."""
     from blueetl_spark.operators.extraction import dense_index
     from blueetl_spark.sources import tables
 
@@ -194,7 +195,8 @@ def test_two_phase_index_no_global_sort(spark):
         dense_index(customer, ["c_nationkey"], "c_custkey", "idx", two_phase=True)
     )
     assert "Window" not in plan
-    assert "mapInPandas" in plan or "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "mapInPandas" not in plan and "MapInPandas" not in plan
 
 
 def test_lsh_candidates_read_checkpointed_signatures(spark):
