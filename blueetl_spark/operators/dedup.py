@@ -1288,11 +1288,13 @@ class _ParquetMinhashStore:
             if not _fs_exists(self.spark, cur):
                 counts[name] = 0
                 continue
-            if not has_ts:
-                counts[name] = self.spark.read.parquet(cur).count()
-                continue
             tmp = f"{self.path}/.compact-{name}.parquet"
-            kept = self._minus_ts(self.spark.read.parquet(cur))
+            # dropDuplicates(): an at-least-once replay appends full-row
+            # identical signature/bucket rows for the same id — matching
+            # stays correct meanwhile (candidates are distinct pairs),
+            # but compaction is where they fold out. Always rewrite:
+            # that is what a compaction is.
+            kept = self._minus_ts(self.spark.read.parquet(cur)).dropDuplicates()
             kept.write.mode("overwrite").parquet(tmp)
             counts[name] = self.spark.read.parquet(tmp).count()
             _swap(cur, tmp)
@@ -1392,12 +1394,11 @@ class _BucketedMinhashStore:
             if not self.spark.catalog.tableExists(tbl):
                 counts[name] = 0
                 continue
-            if not has_ts:
-                counts[name] = self.spark.table(tbl).count()
-                continue
             tmp = f"{tbl}__compact"
             self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-            kept = self._minus_ts(self.spark.table(tbl))
+            # dropDuplicates(): fold out replay-appended identical rows
+            # (see the parquet layout's compact for the contract)
+            kept = self._minus_ts(self.spark.table(tbl)).dropDuplicates()
             w = kept.write.mode("overwrite").format("parquet").bucketBy(
                 self.n_buckets, *keys
             )

@@ -673,9 +673,19 @@ def search_ivf_index(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
+    # dense_rank, not row_number: a replayed foreachBatch append leaves
+    # duplicate assignment rows for the same neighbor_id until the next
+    # compact_ivf_index; with row_number they occupied multiple rank
+    # slots and shrank effective k. Duplicates share an order key
+    # (identical cosine + id) -> one dense rank; distinct neighbors
+    # always differ on neighbor_id -> dense_rank == row_number when the
+    # index is clean. The dropDuplicates runs over the k-bounded output
+    # and reuses the window's hash partitioning on query_id (no extra
+    # exchange).
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.dense_rank().over(w))
         .filter(F.col("rank") <= k)
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
@@ -735,29 +745,43 @@ def purge_ivf_index(ids: DataFrame, index_path: str, id_col: str = "vec_id") -> 
 
 
 def compact_ivf_index(spark, index_path: str) -> int:
-    """Fold tombstones into the assignments: rewrite the partitioned
-    layout minus the purged ids via the crash-safe staged swap
-    (``plans/atomic.py`` — readable in the old or new state at every
-    interruption point), then drop the tombstone table. Returns the
-    surviving vector count. The periodic-maintenance job, not the
-    per-request path."""
+    """Fold tombstones into the assignments AND deduplicate replayed
+    appends: rewrite the partitioned layout minus the purged ids, one
+    row per ``neighbor_id`` (a replayed at-least-once ``foreachBatch``
+    appends identical assignment rows for the same id — until this runs,
+    ``search_ivf_index`` folds them out with a dense rank), via the
+    crash-safe staged swap (``plans/atomic.py`` — readable in the old or
+    new state at every interruption point), then drop the tombstone
+    table. Returns the surviving vector count. The periodic-maintenance
+    job, not the per-request path — it always rewrites the layout, which
+    is what a compaction is."""
+    from pyspark.sql import Observation
+
     from blueetl_spark.plans.atomic import fs_exists, recover_dir, swap_dir
 
     assign_dir = f"{index_path}/assignments.parquet"
     ts_dir = f"{index_path}/tombstones.parquet"
     recover_dir(spark, assign_dir)
-    if not fs_exists(spark, ts_dir):
-        return spark.read.parquet(assign_dir).count()
     tmp = f"{index_path}/.compact-assignments.parquet"
-    kept = spark.read.parquet(assign_dir).join(
-        spark.read.parquet(ts_dir).select("neighbor_id"),
-        "neighbor_id",
-        "left_anti",
-    )
-    kept.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
+    kept = spark.read.parquet(assign_dir)
+    has_ts = fs_exists(spark, ts_dir)
+    if has_ts:
+        kept = kept.join(
+            spark.read.parquet(ts_dir).select("neighbor_id"),
+            "neighbor_id",
+            "left_anti",
+        )
+    # duplicate rows are full-row identical (frozen codebook -> same cell,
+    # same vector), so any one row per id is the right survivor
+    kept = kept.dropDuplicates(["neighbor_id"])
+    obs = Observation("ivf_compact")
+    kept.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(tmp)
+    n = obs.get["n"]
     swap_dir(spark, assign_dir, tmp)
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(ts_dir)
-    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+    if has_ts:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(ts_dir)
+        p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
     return n

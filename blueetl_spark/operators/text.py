@@ -251,9 +251,15 @@ def classify_language_ngram(
     # once, the penalty becomes a plain literal, and nothing is left cached
     # across calls (ADVICE r5 — the old persist was never unpersisted).
     prof_rows = profiles.select("lang", "gram", "weight").collect()
-    if not prof_rows:
-        raise ValueError("empty language-profile table — train profiles first")
     spark = df.sparkSession
+    if not prof_rows:
+        # documented semantics: no profile overlap -> no row, and an
+        # empty (e.g. not-yet-trained) profile table overlaps nothing —
+        # return an empty, correctly-typed frame rather than raising
+        id_type = dict(df.dtypes)[id_col]
+        return spark.createDataFrame(
+            [], f"{id_col} {id_type}, lang_pred string, score double"
+        )
     local_profiles = spark.createDataFrame(
         [(r["lang"], r["gram"], float(r["weight"])) for r in prof_rows],
         "lang string, gram string, weight double",

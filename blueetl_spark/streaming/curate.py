@@ -336,30 +336,61 @@ def semantic_dedup_batch(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_probe: int = 4,
+    within_batch: bool = True,
+    within_batch_method: str = "bruteforce",
 ) -> DataFrame:
     """One micro-batch of streaming SEMANTIC dedup against a persisted
     IVF index (the embedding twin of :func:`near_dedup_batch`): drop
-    every batch vector whose cosine against ANY indexed vector is ≥
-    ``threshold``, append the survivors to the index
+    in-batch near-duplicates (keeping the smallest id per duplicate
+    component), drop every remaining vector whose cosine against ANY
+    indexed vector is ≥ ``threshold``, append the survivors to the index
     (``similarity.append_ivf_index`` — the stored codebook assigns
     cells, history is never re-read), and return the survivors.
 
-    Replay-safe the same way: ``search_ivf_index`` excludes
-    ``query_id == neighbor_id`` matches, so a re-run batch that finds
-    its own previous append passes through with the same survivor set.
+    Replay contract (at-least-once ``foreachBatch``): a re-run batch must
+    emit the SAME survivor set even when the failed attempt already
+    appended to the index. Two pieces make that exact:
+
+    1. (``within_batch``) in-batch near-duplicates are resolved FIRST,
+       deterministically (``keep_canonical``: smallest id wins) — so
+       mutually-near-duplicate vectors in one batch can never all
+       survive on the first run and then all match each other's appends
+       on a replay.
+    2. Index hits against ANY id of this batch are excluded (anti-join
+       on the batch's id set, not merely ``query_id == neighbor_id``) —
+       a replayed batch matching its own or a sibling survivor's prior
+       append passes through unchanged. After step 1 every surviving
+       in-batch pair has cosine < ``threshold``, so the only ≥-threshold
+       batch-id hits a replay can see are those prior appends.
+
+    The search runs with ``k = 2`` so a replay's self-match (cosine 1.0,
+    always rank 1) cannot mask a genuine historic hit at rank 2.
     The index must exist (``similarity.build_ivf_index`` on a seed
     corpus — the coarse quantizer is frozen at build time).
     """
-    from blueetl_spark.operators import similarity
+    from blueetl_spark.operators import dedup, similarity
 
     spark = batch.sparkSession
     batch = batch.localCheckpoint(eager=True)
+    if within_batch:
+        pairs = dedup.embedding_near_dup(
+            batch, threshold=threshold, id_col=id_col, vec_col=vec_col,
+            method=within_batch_method,
+        )
+        batch = dedup.keep_canonical(pairs, batch, id_col=id_col).localCheckpoint(
+            eager=True
+        )
     hits = (
         similarity.search_ivf_index(
-            spark, batch, index_path, k=1, n_probe=n_probe,
+            spark, batch, index_path, k=2, n_probe=n_probe,
             id_col=id_col, vec_col=vec_col,
         )
         .filter(F.col("cosine") >= threshold)
+        .join(
+            batch.select(F.col(id_col).alias("neighbor_id")),
+            "neighbor_id",
+            "left_anti",
+        )
         .select(F.col("query_id").alias(id_col))
         .distinct()
     )

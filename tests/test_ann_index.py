@@ -87,3 +87,29 @@ def test_compact_swap_crash_recovery(spark, index):
     import os
 
     assert not os.path.exists(assign + ".old")  # backup cleaned
+
+
+def test_replay_duplicate_appends_fold_out(spark, index):
+    """An at-least-once replay calls append_ivf_index twice for the same
+    vectors (ADVICE r6): search must still return k DISTINCT neighbors
+    (dense rank over the duplicate pair rows), and compact_ivf_index
+    rewrites one assignment row per id."""
+    idx, corpus = index
+    new = _vectors(spark, range(2000, 2005), seed=5)
+    assert sim.append_ivf_index(new, idx) == 5
+    assert sim.append_ivf_index(new, idx) == 5  # the replayed attempt
+
+    q = new.filter(F.col("vec_id") == 2000).select(
+        F.lit(9999).alias("vec_id"), "embedding"
+    )
+    out = sim.search_ivf_index(spark, q, idx, k=5, n_probe=4).collect()
+    ids = [r.neighbor_id for r in out]
+    assert len(ids) == len(set(ids)) == 5  # k distinct, no slot shrink
+    assert 2000 in ids and out[0].rank == 1
+
+    # compaction dedupes: 100 base + 5 appended (once)
+    assert sim.compact_ivf_index(spark, idx) == 105
+    after = sim.search_ivf_index(spark, q, idx, k=5, n_probe=4).collect()
+    assert {(r.neighbor_id, r.rank) for r in after} == {
+        (r.neighbor_id, r.rank) for r in out
+    }

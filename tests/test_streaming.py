@@ -567,3 +567,63 @@ def test_streaming_semantic_dedup_foreach_batch(spark, tmp_path):
     replay = spark.read.parquet(src).filter("vec_id = 101")
     survivors = semantic_dedup_batch(replay, 99, idx, threshold=0.999)
     assert {r.vec_id for r in survivors.collect()} == {101}
+
+
+def test_semantic_dedup_batch_in_batch_dups_replay_exact(spark, tmp_path):
+    """ADVICE r6 (high): mutually-near-duplicate vectors in ONE batch
+    resolve to a single canonical survivor on the first run
+    (within-batch dedup), and a replay of the WHOLE batch after a
+    failed-after-append attempt (the index already holds the attempt's
+    survivors) emits the SAME survivor set — the indexed-but-never-
+    emitted vectors are re-emitted, not silently lost."""
+    import numpy as np
+
+    from blueetl_spark.operators import similarity as sim
+    from blueetl_spark.streaming.curate import semantic_dedup_batch
+
+    rng = np.random.default_rng(11)
+
+    def unit(v):
+        v = np.asarray(v, dtype=float)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    seed_rows = [(i, unit(rng.normal(size=8))) for i in range(20)]
+    seed_corpus = spark.createDataFrame(
+        seed_rows, "vec_id long, embedding array<double>"
+    )
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(seed_corpus, idx, n_centroids=4, seed=3)
+
+    # 200/201: mutual in-batch dups; 202: novel; 203: dup of indexed 5
+    shared = unit(rng.normal(size=8))
+    batch = spark.createDataFrame(
+        [
+            (200, shared),
+            (201, shared),
+            (202, unit(rng.normal(size=8))),
+            (203, seed_rows[5][1]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    first = {
+        r.vec_id
+        for r in semantic_dedup_batch(batch, 1, idx, threshold=0.999).collect()
+    }
+    assert first == {200, 202}  # 201 in-batch dup, 203 historic dup
+
+    # failed-after-append replay: 200/202 already sit in the index; the
+    # batch-id exclusion means they pass again instead of all dropping
+    replay = {
+        r.vec_id
+        for r in semantic_dedup_batch(batch, 1, idx, threshold=0.999).collect()
+    }
+    assert replay == first
+
+    # history still wins for genuinely contaminated vectors on replay
+    again = {
+        r.vec_id
+        for r in semantic_dedup_batch(
+            batch.filter("vec_id = 203"), 2, idx, threshold=0.999
+        ).collect()
+    }
+    assert again == set()

@@ -331,3 +331,17 @@ def test_drop_repeated_spans_order_and_firsts(spark):
     assert got[1] == ("b. a. c. d", 6, 4)
     assert got[2] == ("x. y", 2, 2)
     assert got[3] == ("", 1, 1)
+
+
+def test_classify_language_empty_profile_returns_empty(spark):
+    """A not-yet-trained (empty) profile table overlaps nothing, so the
+    documented 'no overlap -> no row' semantics apply: an empty,
+    correctly-typed frame, not a raise (ADVICE r6)."""
+    from blueetl_spark.operators.text import classify_language_ngram
+
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    profiles = spark.createDataFrame([], "lang string, gram string, weight double")
+    out = classify_language_ngram(docs, profiles)
+    assert out.columns == ["doc_id", "lang_pred", "score"]
+    assert dict(out.dtypes)["doc_id"] == "bigint"
+    assert out.count() == 0
