@@ -132,6 +132,7 @@ def dense_index(
     two_phase: bool | str = False,
     num_partitions: int | None = None,
     auto_threshold: int = 50_000_000,
+    max_stat_rows: int = 1_000_000,
 ) -> DataFrame:
     """Dense 0..n-1 numbering of ``order_col`` within each group (W5).
 
@@ -151,27 +152,45 @@ def dense_index(
     (``tests/test_extraction.py`` pins the two equal, nulls included —
     the broadcast join is null-safe on the group keys).
 
-    ``two_phase="auto"`` picks the variant from a row count of ``df``
-    (one column-pruned count job): > ``auto_threshold`` rows → the
-    range-partitioned path. Total count is a conservative upper bound on
-    the largest group — past the threshold the two-phase path is at
-    worst a small constant over the window path and at best the
+    ``two_phase="auto"`` picks the variant from ONE column-pruned
+    aggregate over ``df`` (row count + approx group cardinality):
+    > ``auto_threshold`` rows AND a side table that fits the driver →
+    the range-partitioned path. Total count is a conservative upper
+    bound on the largest group — past the threshold the two-phase path
+    is at worst a small constant over the window path and at best the
     difference between finishing and one straggler task sorting a
-    100-GB class (measured 3.5× at 10M rows/class, PLANS.md).
+    100-GB class (measured 3.5× at 10M rows/class, PLANS.md). The
+    cardinality guard is the other half: the side table is
+    ``n_partitions × n_groups`` rows collected to the driver, so a
+    high-cardinality group column (per-customer numbering at 10⁸
+    customers) must NOT auto-select two-phase — with that many groups
+    each group is small and the window path has no straggler anyway.
+    ``max_stat_rows`` bounds the collect on the explicit
+    ``two_phase=True`` path too: past it the collect stops and raises
+    with a pointer at the window path instead of flooding the driver.
 
     The range-partitioned frame is ``localCheckpoint``'d before the
     count pass: RangePartitioner samples its boundaries, so without the
     pin the count pass and the rank pass could see different partition
     layouts (and the offsets would be garbage).
     """
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
     if two_phase == "auto":
-        two_phase = df.count() > auto_threshold
+        sizes = df.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.approx_count_distinct(F.struct(*group_cols)).alias("__g"),
+        ).collect()[0]
+        two_phase = (
+            sizes["__n"] > auto_threshold
+            # 1.1: approx_count_distinct tolerance so a borderline true
+            # cardinality never lets the collect exceed the cap
+            and sizes["__g"] * n_parts * 1.1 <= max_stat_rows
+        )
     if not two_phase:
         w = Window.partitionBy(*group_cols).orderBy(order_col)
         return df.withColumn(out_col, F.row_number().over(w) - 1)
 
-    spark = df.sparkSession
-    n_parts = num_partitions or spark.sparkContext.defaultParallelism
     ranged = (
         df.repartitionByRange(n_parts, *group_cols, order_col)
         .sortWithinPartitions(*group_cols, order_col)
@@ -185,11 +204,23 @@ def dense_index(
         F.spark_partition_id().alias("__pid"),
         F.monotonically_increasing_id().alias("__mono"),
     )
+    # the limit bounds the collect itself (at most cap+1 rows ever reach
+    # the driver), so an unexpectedly-high-cardinality group column fails
+    # fast and actionably instead of OOMing the driver
     stats = (
         with_mono.groupBy("__pid", *group_cols)
         .agg(F.count("*").alias("__n"), F.min("__mono").alias("__base"))
+        .limit(max_stat_rows + 1)
         .collect()
     )
+    if len(stats) > max_stat_rows:
+        raise ValueError(
+            f"dense_index(two_phase=True) side table exceeds max_stat_rows="
+            f"{max_stat_rows} (n_partitions × n_groups rows collect to the "
+            "driver). With this many groups each group is small enough for "
+            "the window path's single-task sort — use two_phase=False (or "
+            "'auto', which checks group cardinality) — or raise max_stat_rows."
+        )
     # prefix offsets: rows of the same group in lower partitions.
     # Range partitioning on (group…, order) orders a group's rows across
     # ascending partition ids, so the prefix sum by pid is the offset.
