@@ -3150,7 +3150,6 @@ SQL_EPOCH_MIXTURE = _sql_epoch_mixture()
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qdsl_filter": q_qdsl_filter,
-    "windows_materialize": q_windows_materialize,
     "report_extract": q_report_extract,
     "event_rates": q_event_rates,
     "histogram": q_histogram,
@@ -3160,10 +3159,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "correlation_pairs": q_correlation_pairs,
     "complexity_pdf": q_complexity_pdf,
     "psd_welch": q_psd_welch,
-    "spike_distances_fixed": q_spike_distances_fixed,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
-    "segment_active_customers": q_segment_active_customers,
     # pii_scrub took top_orders' graded slot: O1 sorting stays gated via
     # orders_topk_per_customer, and the PII scrubbing gate is a
     # first-class data-pipeline operator rather than a second sort query
@@ -3206,9 +3203,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- van_rossum into spike_distances_fixed) so all 50 oracled queries
     # ---- fit the driver's 50-row graded window (it grades in registry order)
     "repetition_stats": q_repetition_stats,
-    "decontaminate": q_decontaminate,
-    "vocab": q_vocab,
-    "mixture_sample": q_mixture_sample,
+    # ---- round-7 rotation: the round-6 oracle-tail surface moves into
+    # ---- the graded window (VERDICT r6 #4); six >=3-round-stable gates
+    # ---- (windows_materialize, spike_distances_fixed,
+    # ---- segment_active_customers, decontaminate, vocab, mixture_sample)
+    # ---- rotate out past slot 50, still hash-checked by
+    # ---- tests/test_oracle_parity.py + tools/check_oracle.py
+    "simhash_band_stats": q_simhash_band_stats,
+    "dedup_spans": q_dedup_spans,
+    "epoch_mixture": q_epoch_mixture,
+    "temperature_mixture": q_temperature_mixture,
+    "corpus_diff": q_corpus_diff,
+    "frequent_priority": q_frequent_priority,
     # ---- no-oracle twins last: every oracled query must sit inside the
     # ---- driver's graded window
     "spike_distances": q_spike_distances,
@@ -3222,23 +3228,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- applies to slots 1-50
     "top_orders": q_top_orders,
     "embedding_norms": q_embedding_norms,
-    "temperature_mixture": q_temperature_mixture,
     "profile_orders": q_profile_orders,
-    "frequent_priority": q_frequent_priority,
-    "corpus_diff": q_corpus_diff,
-    "epoch_mixture": q_epoch_mixture,
-    # ---- rotated out of the graded window in round 6 (stable for 3+
-    # ---- rounds) to make room for the round-5 surface; still fully
-    # ---- oracled via tests/test_oracle_parity.py + tools/check_oracle.py
+    # ---- rotated out of the graded window in rounds 6-7 (stable for 3+
+    # ---- rounds) to make room for newer surface; still fully oracled
+    # ---- via tests/test_oracle_parity.py + tools/check_oracle.py
     "latency": q_latency,
     "group_list": q_group_list,
     "condition_codes": q_condition_codes,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "winnowing_md5": q_winnowing_md5,
     "resample_events": q_resample_events,
-    # round-6 additions (oracle-tail)
-    "simhash_band_stats": q_simhash_band_stats,
-    "dedup_spans": q_dedup_spans,
+    "windows_materialize": q_windows_materialize,
+    "spike_distances_fixed": q_spike_distances_fixed,
+    "segment_active_customers": q_segment_active_customers,
+    "decontaminate": q_decontaminate,
+    "vocab": q_vocab,
+    "mixture_sample": q_mixture_sample,
 }
 
 ORACLES: dict[str, str] = {
