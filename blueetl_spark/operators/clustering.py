@@ -114,6 +114,76 @@ def kmeans_assign(
     return out.withColumn(out_col, F.col("__cells")[0]).drop("__cells")
 
 
+def semdedup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs — the SemDeDup blocking step
+    as ONE distributed plan (no per-cluster driver loop): assign every
+    vector to its nearest centroid (one matmul pass, pinned with an
+    eager ``localCheckpoint`` because both self-join sides consume it),
+    equi-join on the cluster id with ``id_a < id_b``, score candidates
+    with the Arrow cosine kernel, keep ≥ ``threshold``. Output:
+    (id_a, id_b, cosine) — unique pairs by construction.
+
+    Scale shape: one shuffle of each join side on the cluster key;
+    candidate count is Σ|cluster|², bounded by choosing k so clusters
+    stay small (the SemDeDup bargain), AQE handling cluster-size skew.
+    """
+    assigned = kmeans_assign(
+        df.select(F.col(id_col), F.col(vec_col)), centroids, vec_col
+    ).localCheckpoint(eager=True)
+    return _pairs_from_assigned(assigned, threshold, vec_col, id_col)
+
+
+def _pairs_from_assigned(
+    assigned: DataFrame, threshold: float, vec_col: str, id_col: str
+) -> DataFrame:
+    from blueetl_spark.operators.similarity import score_pairs
+
+    a = assigned.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "cluster"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cluster"
+    )
+    cand = a.join(b, "cluster").filter(F.col("query_id") < F.col("neighbor_id"))
+    return (
+        score_pairs(cand)
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            "cosine",
+        )
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup end-to-end: cluster-blocked near-dup pairs
+    (:func:`semdedup_pairs`) → one canonical survivor per duplicate
+    component (smallest id wins). Returns the surviving rows of ``df``
+    with their ``cluster`` id appended — ONE assignment pass feeds both
+    the pair join and the survivor frame (eager ``localCheckpoint``
+    pin, the LSH-signature discipline)."""
+    from blueetl_spark.operators.dedup import keep_canonical
+
+    assigned = kmeans_assign(df, centroids, vec_col).localCheckpoint(eager=True)
+    pairs = _pairs_from_assigned(assigned, threshold, vec_col, id_col)
+    return keep_canonical(
+        pairs, assigned, id_col=id_col, assume_distinct_pairs=True
+    )
+
+
 def cluster_balanced_sample(
     df: DataFrame,
     centroids: list[list[float]],

@@ -2140,6 +2140,88 @@ WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
 """
 
 
+SEMDEDUP_CENTROIDS = 8
+
+
+def q_semdedup_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end with a table-derived codebook (centroids =
+    the first 8 corpus vectors — the knn_ivf_fixed pattern extended one
+    step): nearest-centroid assignment → within-cluster cosine pairs →
+    one canonical survivor per duplicate component, all in one
+    distributed plan (operators/clustering.py semdedup). Assignment,
+    blocking join, scoring AND the transitive closure are replayed in
+    SQL; the kmeans-trained variant keeps its pytest gate
+    (tests/test_clustering.py)."""
+    from blueetl_spark.operators import clustering
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cents = [
+        r.embedding
+        for r in emb.filter(F.col("vec_id") < SEMDEDUP_CENTROIDS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    out = clustering.semdedup(emb, cents, threshold=EMB_DUP_THRESHOLD)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("int").alias("cluster"),
+    )
+
+
+def _semdedup_fixed_sql() -> str:
+    cdot = (
+        f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+        f"i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+    )
+    pair_dot = (
+        f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+        f"i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+    return f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+cd AS (
+  SELECT v.vec_id, c.vec_id AS cid,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {cdot} DESC, c.vec_id DESC) AS rn
+  FROM v CROSS JOIN
+       (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id < {SEMDEDUP_CENTROIDS}) c
+),
+cell AS (SELECT vec_id, cid AS cluster FROM cd WHERE rn = 1),
+jp AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a
+  JOIN v b ON a.vec_id < b.vec_id
+  JOIN cell ca ON ca.vec_id = a.vec_id
+  JOIN cell cb ON cb.vec_id = b.vec_id AND cb.cluster = ca.cluster
+  WHERE {pair_dot} / (a.nrm * b.nrm) >= {EMB_DUP_THRESHOLD!r}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jp
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM jp
+),
+reach AS (
+  SELECT id_a AS id, id_a AS r FROM jp
+  UNION SELECT id_b, id_b FROM jp
+  UNION
+  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r
+),
+losers AS (SELECT id FROM reach GROUP BY id HAVING id != MIN(r))
+SELECT cell.vec_id AS vec_id, CAST(cell.cluster AS INT) AS cluster
+FROM cell
+WHERE cell.vec_id NOT IN (SELECT id FROM losers)
+"""
+
+
+SQL_SEMDEDUP_FIXED = _semdedup_fixed_sql()
+
+
 SIMHASH_CAND_DIST = 6
 SIMHASH_CAND_BANDS = 7
 
@@ -3244,6 +3326,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "vocab": q_vocab,
     "mixture_sample": q_mixture_sample,
+    # round-7 addition (oracle-tail)
+    "semdedup_fixed": q_semdedup_fixed,
 }
 
 ORACLES: dict[str, str] = {
@@ -3312,6 +3396,7 @@ ORACLES: dict[str, str] = {
     "simhash_candidates": SQL_SIMHASH_CANDIDATES,
     "simhash_band_stats": SQL_SIMHASH_BAND_STATS,
     "dedup_spans": SQL_DEDUP_SPANS,
+    "semdedup_fixed": SQL_SEMDEDUP_FIXED,
 }
 
 
