@@ -163,11 +163,12 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
 
 
 def train_language_profiles(
-    df: DataFrame,
+    df: DataFrame | None = None,
     lang_col: str = "lang",
     text_col: str = "text",
     n: int = 3,
     top_k: int = 200,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-language character-n-gram profiles from a labeled corpus:
     the ``top_k`` most frequent n-grams per language with log-share
@@ -181,16 +182,22 @@ def train_language_profiles(
     languages × top_k rows — broadcastable by construction, so
     classification over a 100 TB corpus never shuffles on the profile
     side.
+
+    ``counts`` accepts a precomputed (lang, gram, n) frame so a
+    train-and-classify pipeline can derive it from ONE shared gram
+    subtree instead of exploding the corpus twice
+    (:func:`language_id_pipeline`).
     """
     from pyspark.sql import Window
 
     from blueetl_spark.operators.dedup import _fan_out_small_scan
 
-    grams = _fan_out_small_scan(df).select(
-        F.col(lang_col).alias("lang"),
-        F.explode(char_ngrams(text_col, n)).alias("gram"),
-    )
-    counts = grams.groupBy("lang", "gram").agg(F.count("*").alias("n"))
+    if counts is None:
+        grams = _fan_out_small_scan(df).select(
+            F.col(lang_col).alias("lang"),
+            F.explode(char_ngrams(text_col, n)).alias("gram"),
+        )
+        counts = grams.groupBy("lang", "gram").agg(F.count("*").alias("n"))
     totals = counts.groupBy("lang").agg(F.sum("n").alias("total"))
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("gram"))
     return (
@@ -208,6 +215,7 @@ def classify_language_ngram(
     id_col: str = "doc_id",
     n: int = 3,
     round_score: int = 6,
+    doc_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Predict each document's language from n-gram profiles:
     ``score(doc, lang) = Σ_gram count_doc(gram) · (weight(lang, gram) −
@@ -234,16 +242,21 @@ def classify_language_ngram(
     Documents sharing no gram with any profile produce no row (they
     carry no evidence); upstream quality gates drop such docs anyway.
     Complements :func:`language_score` (the stopword-ratio heuristic):
-    this one distinguishes *between* languages.
+    this one distinguishes *between* languages. ``doc_grams`` accepts a
+    precomputed (id, gram, cnt) frame — see
+    :func:`language_id_pipeline` for the shared-subtree composition.
     """
     from blueetl_spark.operators.dedup import _fan_out_small_scan
 
-    doc_grams = (
-        _fan_out_small_scan(df)
-        .select(F.col(id_col), F.explode(char_ngrams(text_col, n)).alias("gram"))
-        .groupBy(id_col, "gram")
-        .agg(F.count("*").alias("cnt"))
-    )
+    if doc_grams is None:
+        doc_grams = (
+            _fan_out_small_scan(df)
+            .select(
+                F.col(id_col), F.explode(char_ngrams(text_col, n)).alias("gram")
+            )
+            .groupBy(id_col, "gram")
+            .agg(F.count("*").alias("cnt"))
+        )
     # The profile table is config-sized (languages × top_k) but its PLAN is
     # expensive (corpus-wide gram counts + rank window) and it has two
     # consumers (broadcast join + penalty scalar). Collect it ONCE into a
@@ -279,6 +292,54 @@ def classify_language_ngram(
         F.col(id_col),
         F.col("__b.lang").alias("lang_pred"),
         F.round(-F.col("__b.ns"), round_score).alias("score"),
+    )
+
+
+def language_id_pipeline(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    top_k: int = 200,
+    round_score: int = 6,
+) -> DataFrame:
+    """Train profiles AND classify the same corpus in one pass over the
+    grams (VERDICT r6 #2): the normalize/explode subtree — the dominant
+    cost of both halves — aggregates ONCE into per-(doc, lang, gram)
+    counts, pinned with an eager ``localCheckpoint``, and both consumers
+    derive from it: profile training regroups to (lang, gram) sums
+    (map-side combined, shuffles only distinct (doc, gram) rows) and
+    classification reads it as the (id, gram, cnt) frame directly.
+    Separate train/apply corpora keep the two-call form
+    (:func:`train_language_profiles` + :func:`classify_language_ngram`).
+    """
+    from blueetl_spark.operators.dedup import _fan_out_small_scan
+
+    base = (
+        _fan_out_small_scan(df)
+        .select(
+            F.col(id_col),
+            F.col(lang_col).alias("lang"),
+            F.explode(char_ngrams(text_col, n)).alias("gram"),
+        )
+        .groupBy(id_col, "lang", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    profiles = train_language_profiles(
+        counts=base.groupBy("lang", "gram").agg(F.sum("cnt").alias("n")),
+        top_k=top_k,
+        n=n,
+    )
+    return classify_language_ngram(
+        df,
+        profiles,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        round_score=round_score,
+        doc_grams=base.select(id_col, "gram", "cnt"),
     )
 
 

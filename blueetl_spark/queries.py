@@ -3119,12 +3119,14 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     table in one plan: per-language char-trigram log-share profiles
     (top-100, rank-windowed) → broadcast-join scoring → struct-min
     argmax. The whole pipeline — normalization, gram extraction,
-    profile ranking, scoring, tie-break — replays in ANSI SQL."""
+    profile ranking, scoring, tie-break — replays in ANSI SQL. Train
+    and classify share ONE gram aggregation (language_id_pipeline —
+    the r6 cold-time fix: the corpus subtree used to run twice, once
+    under the profile collect and once for doc_grams)."""
     from blueetl_spark.operators import text
 
     docs = tables.load(spark, sf_dir, "documents")
-    profiles = text.train_language_profiles(docs, top_k=LANG_ID_TOP_K)
-    pred = text.classify_language_ngram(docs, profiles)
+    pred = text.language_id_pipeline(docs, top_k=LANG_ID_TOP_K)
     return pred.join(docs.select("doc_id", "lang"), "doc_id").select(
         "doc_id", "lang", "lang_pred", "score"
     )
