@@ -95,3 +95,51 @@ def test_semdedup_composition_on_testdata(spark, sf_dir):
             if p in blocked
         }
         assert len(blocked) == len(same_cluster)
+
+
+def test_semdedup_one_plan_matches_per_cluster_loop(spark, sf_dir):
+    """The one-distributed-plan semdedup (r7) equals the reference
+    composition: per-cluster embedding_near_dup + keep_canonical over the
+    union of pair sets."""
+    from blueetl_spark.operators import clustering, dedup
+    from blueetl_spark.sources import tables
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cents = [
+        r.embedding
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+
+    # loop form (the shape the old composition test used)
+    assigned = clustering.kmeans_assign(emb, cents)
+    loop_pairs = set()
+    for c in range(4):
+        sub = assigned.filter(F.col("cluster") == c)
+        if sub.first() is None:
+            continue
+        loop_pairs |= {
+            (r.id_a, r.id_b)
+            for r in dedup.embedding_near_dup(sub, threshold=0.3).collect()
+        }
+
+    one_plan_pairs = {
+        (r.id_a, r.id_b)
+        for r in clustering.semdedup_pairs(emb, cents, threshold=0.3).collect()
+    }
+    assert one_plan_pairs == loop_pairs
+
+    survivors = clustering.semdedup(emb, cents, threshold=0.3)
+    got = {r.vec_id for r in survivors.collect()}
+    loop_survivors = {
+        r.vec_id
+        for r in dedup.keep_canonical(
+            spark.createDataFrame(
+                sorted(loop_pairs) or [(None, None)], "id_a long, id_b long"
+            ).filter(F.col("id_a").isNotNull()),
+            assigned,
+            id_col="vec_id",
+        ).collect()
+    }
+    assert got == loop_survivors
+    # cluster column rides along on the survivors
+    assert "cluster" in survivors.columns
