@@ -318,8 +318,15 @@ def minhash_lsh_candidates(
     bands: int = 16,
     hash_fn: str = "xxhash64",
     max_bucket_size: int | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over MinHash signatures.
+
+    ``sig`` accepts a precomputed (already pinned) signature frame for
+    exactly ``df``'s rows, so a caller that also matches against an
+    incremental index can hash the batch ONCE (see
+    ``streaming/curate.near_dedup_batch`` — it used to signature the
+    same documents three times per micro-batch).
 
     Signature split into ``bands`` bands of ``num_hashes // bands`` rows;
     docs sharing any band hash land in one bucket → equi-join on
@@ -346,9 +353,10 @@ def minhash_lsh_candidates(
     makes). Measured at 200k docs: 6-8 s vs 10-16 s recompute.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(
-        df, text_col, id_col, n, num_hashes, hash_fn
-    ).localCheckpoint(eager=True)
+    if sig is None:
+        sig = minhash_signatures(
+            df, text_col, id_col, n, num_hashes, hash_fn
+        ).localCheckpoint(eager=True)
     banded = banded_buckets(sig, id_col, bands, rows_per_band, hash_fn)
     banded = _cap_band_buckets(banded, ["band", "band_hash"], max_bucket_size)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
@@ -479,6 +487,7 @@ def simhash_candidates(
     max_distance: int = 3,
     n_bands: int | None = None,
     max_bucket_size: int | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by banded-Hamming LSH over SimHash:
     (id_a, id_b, hamming) with ``hamming ≤ max_distance``, id_a < id_b.
@@ -508,6 +517,9 @@ def simhash_candidates(
     (boilerplate, empty text) funnel one join key into k²/2 candidates;
     size the cap from :func:`band_bucket_stats` over the banded frame.
     ``None`` (default) keeps exact recall — the oracle-gated contract.
+    ``sig`` accepts a precomputed (already pinned) signature frame for
+    exactly ``df``'s rows — the single-hash streaming batch path
+    (``streaming/curate.near_dedup_batch``).
     """
     if n_bands is None:
         n_bands = max_distance + 1
@@ -518,8 +530,12 @@ def simhash_candidates(
     w = bits // n_bands
     if w < 1:
         raise ValueError(f"n_bands={n_bands} exceeds bits={bits}")
-    sigs = simhash(df, text_col, id_col, n, bits, hash_fn).localCheckpoint(
-        eager=True
+    sigs = (
+        sig
+        if sig is not None
+        else simhash(df, text_col, id_col, n, bits, hash_fn).localCheckpoint(
+            eager=True
+        )
     )
     banded = simhash_bands(sigs, id_col, n_bands, w, keep_sig=True)
     banded = _cap_band_buckets(banded, ["band", "band_bits"], max_bucket_size)
@@ -1012,10 +1028,13 @@ def incremental_minhash(
     update: bool = True,
     storage: str = "parquet",
     n_buckets: int = 64,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate matches of a NEW batch against the historical LSH
     index: (new_id, old_id, est_jaccard) pairs with signature similarity
-    ≥ ``threshold``.
+    ≥ ``threshold``. ``sig`` accepts a precomputed (already pinned)
+    signature frame for exactly ``new_docs``'s rows — the single-hash
+    streaming batch path.
 
     The index holds per-document signatures and their band buckets —
     NOT text — so history costs ``num_hashes × 8`` bytes per document
@@ -1052,9 +1071,10 @@ def incremental_minhash(
     # eager snapshot: sig feeds the match join, the banding, AND the
     # index append — one computation, and no lazy plan is left reading
     # the index after we append to it (see incremental_exact)
-    sig = minhash_signatures(
-        new_docs, text_col, id_col, n, num_hashes, hash_fn
-    ).localCheckpoint()
+    if sig is None:
+        sig = minhash_signatures(
+            new_docs, text_col, id_col, n, num_hashes, hash_fn
+        ).localCheckpoint()
     banded = banded_buckets(sig, id_col, bands, rows_per_band, hash_fn)
     store = _mh_store(spark, index_path, storage, id_col, n_buckets)
     id_type = dict(new_docs.dtypes)[id_col]
@@ -1133,6 +1153,7 @@ def incremental_simhash(
     update: bool = True,
     storage: str = "parquet",
     n_buckets: int = 64,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate matches of a NEW batch against a historical SimHash
     index: (new_id, old_id, hamming) pairs with ``hamming ≤
@@ -1166,7 +1187,10 @@ def incremental_simhash(
     spark = new_docs.sparkSession
     # eager snapshot: sig feeds the match join, the banding, AND the
     # index append (same reasoning as incremental_minhash)
-    sig = simhash(new_docs, text_col, id_col, n, bits, hash_fn).localCheckpoint()
+    if sig is None:
+        sig = simhash(
+            new_docs, text_col, id_col, n, bits, hash_fn
+        ).localCheckpoint()
     banded = simhash_bands(sig, id_col, n_bands, w).withColumnRenamed(
         "band_bits", "band_hash"  # the stores' bucketed layout keys on this name
     )

@@ -238,6 +238,11 @@ def near_dedup_batch(
        distinct pairs) and folded out by the next
        ``compact_minhash_index``.
 
+    The batch is signatured exactly ONCE: one pinned signature frame
+    feeds the within-batch pair-finding, the index match, and the append
+    (semi-join filters over the checkpointed rows as the survivor set
+    shrinks) — it used to be hashed three times over nested subsets.
+
     The caller's sink writes the returned survivors; stamp ``batch_id``
     if downstream needs replay-exact outputs (see
     :func:`streaming_near_dedup`).
@@ -245,32 +250,45 @@ def near_dedup_batch(
     from blueetl_spark.operators import dedup
 
     spark = batch.sparkSession
+    # snapshot: the batch feeds the signature job, the canonical filter,
+    # and the sink
+    batch = batch.localCheckpoint(eager=True)
+    if method == "minhash":
+        sig_full = dedup.minhash_signatures(
+            batch, text_col, id_col
+        ).localCheckpoint(eager=True)
+    elif method == "simhash":
+        sig_full = dedup.simhash(batch, text_col, id_col).localCheckpoint(
+            eager=True
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}; 'minhash' or 'simhash'")
+    sig = sig_full
     if within_batch:
         if method == "minhash":
             pairs = dedup.minhash_lsh_candidates(
-                batch, text_col, id_col
+                batch, text_col, id_col, sig=sig_full
             ).filter(F.col("est_jaccard") >= threshold)
         else:
             pairs = dedup.simhash_candidates(
-                batch, text_col, id_col, max_distance=max_distance
+                batch, text_col, id_col, max_distance=max_distance, sig=sig_full
             )
-        batch = dedup.keep_canonical(pairs, batch, id_col=id_col)
-    # snapshot: the survivors feed the match, the append, AND the sink
-    batch = batch.localCheckpoint(eager=True)
+        batch = dedup.keep_canonical(pairs, batch, id_col=id_col).localCheckpoint(
+            eager=True
+        )
+        sig = sig_full.join(batch.select(id_col), id_col, "left_semi")
     if method == "minhash":
         matches = dedup.incremental_minhash(
             batch, index_path, text_col, id_col,
             threshold=threshold, update=False,
-            storage=storage, n_buckets=n_buckets,
+            storage=storage, n_buckets=n_buckets, sig=sig,
         )
-    elif method == "simhash":
+    else:
         matches = dedup.incremental_simhash(
             batch, index_path, text_col, id_col,
             max_distance=max_distance, update=False,
-            storage=storage, n_buckets=n_buckets,
+            storage=storage, n_buckets=n_buckets, sig=sig,
         )
-    else:
-        raise ValueError(f"unknown method {method!r}; 'minhash' or 'simhash'")
     dup_ids = (
         matches.filter(F.col("new_id") != F.col("old_id"))
         .select(F.col("new_id").alias(id_col))
@@ -279,21 +297,17 @@ def near_dedup_batch(
     survivors = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(
         eager=True
     )
-    # direct store append — one match job per batch, not two
+    # direct store append — the survivors' signature rows are a semi-join
+    # over the pinned frame, not a third hash pass
     store = dedup._mh_store(spark, index_path, storage, id_col, n_buckets)
+    sig_surv = sig_full.join(survivors.select(id_col), id_col, "left_semi")
     if method == "minhash":
-        sig = dedup.minhash_signatures(
-            survivors, text_col, id_col
-        ).localCheckpoint(eager=True)
-        banded = dedup.banded_buckets(sig, id_col, 16, 4, "xxhash64")
+        banded = dedup.banded_buckets(sig_surv, id_col, 16, 4, "xxhash64")
     else:
-        sig = dedup.simhash(survivors, text_col, id_col).localCheckpoint(
-            eager=True
-        )
         banded = dedup.simhash_bands(
-            sig, id_col, max_distance + 1, 64 // (max_distance + 1)
+            sig_surv, id_col, max_distance + 1, 64 // (max_distance + 1)
         ).withColumnRenamed("band_bits", "band_hash")
-    store.append(sig, banded)
+    store.append(sig_surv, banded)
     return survivors
 
 
