@@ -180,6 +180,12 @@ def test_language_id_broadcasts_profiles(spark):
     win = [l for l in plan.splitlines() if "row_number" in l]
     assert all("lang" in l for l in win), win
     assert not any("doc_id" in l for l in win), win
+    # round-7 single-subtree shape (language_id_pipeline): the corpus
+    # gram aggregation ran ONCE at construction and the classify plan
+    # reads its checkpointed rows — normalization/explode never re-runs
+    assert "ExistingRDD" in plan
+    assert "regexp_replace" not in plan
+    assert "explode" not in plan
 
 
 def test_two_phase_index_no_global_sort(spark):
