@@ -57,6 +57,10 @@ HEADLINE = [
     "stratified_sample",
     "chunk_documents",
     "simhash_candidates",
+    # round-7 additions
+    "semdedup_fixed",
+    "dedup_spans",
+    "simhash_band_stats",
 ]
 
 

@@ -123,43 +123,67 @@ def semdedup_pairs(
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs — the SemDeDup blocking step
     as ONE distributed plan (no per-cluster driver loop): assign every
-    vector to its nearest centroid (one matmul pass, pinned with an
-    eager ``localCheckpoint`` because both self-join sides consume it),
-    equi-join on the cluster id with ``id_a < id_b``, score candidates
-    with the Arrow cosine kernel, keep ≥ ``threshold``. Output:
-    (id_a, id_b, cosine) — unique pairs by construction.
-
-    Scale shape: one shuffle of each join side on the cluster key;
-    candidate count is Σ|cluster|², bounded by choosing k so clusters
-    stay small (the SemDeDup bargain), AQE handling cluster-size skew.
+    vector to its nearest centroid (one matmul pass), shuffle once on
+    the cluster key, and score each cluster with a chunked blocked
+    matmul that emits only the ≥ ``threshold`` survivors
+    (:func:`_pairs_from_assigned`). Output: (id_a, id_b, cosine) with
+    ``id_a < id_b`` — unique pairs by construction.
     """
     assigned = kmeans_assign(
         df.select(F.col(id_col), F.col(vec_col)), centroids, vec_col
-    ).localCheckpoint(eager=True)
+    )
     return _pairs_from_assigned(assigned, threshold, vec_col, id_col)
 
 
 def _pairs_from_assigned(
     assigned: DataFrame, threshold: float, vec_col: str, id_col: str
 ) -> DataFrame:
-    from blueetl_spark.operators.similarity import score_pairs
+    """Per-cluster blocked pairwise cosine via ``applyInPandas``: one
+    shuffle of the vectors on the cluster key, then a chunked
+    ``V @ V.T`` BLAS block per cluster emitting only the ≥ threshold
+    survivors. The alternative — a cluster equi-join + per-pair Arrow
+    scoring — ships Σ|c|²/2 candidate ROWS through Python (measured
+    9.7 s vs 1.5 s at sf0.1's ~10k vectors, 8 clusters); this form
+    ships each vector once. Per-task memory is |cluster| × dim doubles
+    plus a bounded ~16 MB sim-buffer slice — size k so clusters stay
+    ≤ ~10⁶ rows (the SemDeDup bargain), same contract as
+    ``embedding_near_dup``'s broadcast cap."""
+    import numpy as np
+    import pandas as pd
 
-    a = assigned.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "cluster"
-    )
-    b = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cluster"
-    )
-    cand = a.join(b, "cluster").filter(F.col("query_id") < F.col("neighbor_id"))
-    return (
-        score_pairs(cand)
-        .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col("query_id").alias("id_a"),
-            F.col("neighbor_id").alias("id_b"),
-            "cosine",
-        )
-    )
+    id_type = dict(assigned.dtypes)[id_col]
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+    empty = {"id_a": [], "id_b": [], "cosine": []}
+
+    def op(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(empty)
+        ids = pdf[id_col].to_numpy()
+        v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            v = v / np.sqrt((v * v).sum(axis=1))[:, None]
+        chunk = max(1, (16 << 20) // (8 * n))
+        ia, ib, cs = [], [], []
+        for s in range(0, n, chunk):
+            blk = v[s : s + chunk] @ v.T  # (chunk, n)
+            for r in range(blk.shape[0]):
+                i = s + r
+                row = blk[r, i + 1 :]
+                with np.errstate(invalid="ignore"):
+                    hit = np.nonzero(row >= threshold)[0] + i + 1
+                for j in hit:
+                    a, b = ids[i], ids[j]
+                    if a > b:
+                        a, b = b, a
+                    ia.append(a)
+                    ib.append(b)
+                    cs.append(float(blk[r, j]))
+        if not ia:
+            return pd.DataFrame(empty)
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
+
+    return assigned.groupBy("cluster").applyInPandas(op, out_schema)
 
 
 def semdedup(
