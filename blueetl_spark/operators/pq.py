@@ -420,6 +420,28 @@ def build_ivf_pq_index(
 
     id_type = dict(corpus.dtypes)[id_col]
     out_schema = f"neighbor_id {id_type}, cell int, pq_code array<smallint>"
+    op = _residual_encode_op(cent_np, cbs_np, vec_col)
+
+    # repartition by cell before the partitioned write: each cell then
+    # lives in exactly one task, so the write emits one file per cell
+    # instead of (n_tasks × n_cells) shards — at 1024 cells × 32 tasks
+    # the shard explosion dominated both the write and every later
+    # probe's file listing
+    (
+        assigned.mapInPandas(op, out_schema)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(str(base / "codes.parquet"))
+    )
+    assigned.unpersist()
+    n = spark.read.parquet(str(base / "codes.parquet")).count()
+    return {"n_centroids": len(cents), "n_subspaces": n_subspaces, "n_vectors": n}
+
+
+def _residual_encode_op(cent_np: np.ndarray, cbs_np, vec_col: str):
+    """mapInPandas kernel shared by build and append: residual against
+    the assigned cell's centroid, PQ-encoded with the given codebooks."""
 
     def op(batches):
         import pandas as pd  # noqa: PLC0415 - executor-side import
@@ -438,21 +460,105 @@ def build_ivf_pq_index(
                 }
             )
 
-    # repartition by cell before the partitioned write: each cell then
-    # lives in exactly one task, so the write emits one file per cell
-    # instead of (n_tasks × n_cells) shards — at 1024 cells × 32 tasks
-    # the shard explosion dominated both the write and every later
-    # probe's file listing
-    (
-        assigned.mapInPandas(op, out_schema)
-        .repartition("cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(str(base / "codes.parquet"))
+    return op
+
+
+def _load_ivf_pq_codebooks(spark, index_path: str):
+    """The stored (frozen-at-build) coarse centroids + PQ codebooks."""
+    cents = [
+        list(map(float, r.vector))
+        for r in spark.read.parquet(f"{index_path}/ivf_codebook.parquet")
+        .orderBy("centroid_id")
+        .collect()
+    ]
+    cb_rows = (
+        spark.read.parquet(f"{index_path}/pq_codebooks.parquet")
+        .orderBy("subspace", "code")
+        .collect()
     )
-    assigned.unpersist()
-    n = spark.read.parquet(str(base / "codes.parquet")).count()
-    return {"n_centroids": len(cents), "n_subspaces": n_subspaces, "n_vectors": n}
+    n_sub = max(r.subspace for r in cb_rows) + 1
+    cbs_np = [
+        np.asarray([list(map(float, r.vector)) for r in cb_rows if r.subspace == m])
+        for m in range(n_sub)
+    ]
+    return cents, cbs_np
+
+
+def append_ivf_pq_index(
+    new_vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental ingest into a persisted IVF-PQ index: assign cells
+    and encode residuals with the STORED coarse centroids and PQ
+    codebooks (both frozen at build time — the standard IVF-PQ
+    contract), then append into the cell-partitioned codes layout.
+    History is never rewritten or re-read; cost is one assignment +
+    encode pass over the batch. Returns the number of vectors appended.
+
+    Recall/distortion drift if the corpus distribution moves far from
+    the build sample — rebuild with :func:`build_ivf_pq_index` when
+    per-cell counts skew (one ``groupBy('cell')`` away). The lifecycle
+    mirrors the flat IVF index: :func:`purge_ivf_pq_index` tombstones,
+    :func:`compact_ivf_pq_index` folds them in crash-safely.
+    """
+    from pyspark.sql import Observation
+
+    from blueetl_spark.operators.similarity import assign_cells
+    from blueetl_spark.plans.atomic import recover_dir
+
+    spark = new_vectors.sparkSession
+    codes_dir = f"{index_path}/codes.parquet"
+    recover_dir(spark, codes_dir)
+    cents, cbs_np = _load_ivf_pq_codebooks(spark, index_path)
+    cent_np = np.asarray(cents)
+    assigned = (
+        assign_cells(
+            new_vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+            cents,
+            vec_col,
+            n=1,
+        )
+        .withColumn("cell", F.col("__cells")[0])
+        .drop("__cells")
+    )
+    id_type = dict(new_vectors.dtypes)[id_col]
+    out_schema = f"neighbor_id {id_type}, cell int, pq_code array<smallint>"
+    obs = Observation("ivf_pq_append")
+    (
+        assigned.mapInPandas(_residual_encode_op(cent_np, cbs_np, vec_col), out_schema)
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(codes_dir)
+    )
+    return obs.get["n"]
+
+
+def purge_ivf_pq_index(ids: DataFrame, index_path: str, id_col: str = "vec_id") -> None:
+    """Mark vectors deleted WITHOUT touching the codes: ids append to a
+    tombstone table and every subsequent :func:`search_ivf_pq_index`
+    excludes them — O(ids) per request, the takedown path, identical
+    contract to :func:`blueetl_spark.operators.similarity.purge_ivf_index`."""
+    ids.select(F.col(id_col).alias("neighbor_id")).distinct().write.mode(
+        "append"
+    ).parquet(f"{index_path}/tombstones.parquet")
+
+
+def compact_ivf_pq_index(spark, index_path: str) -> int:
+    """Fold tombstones into the codes and deduplicate replayed appends
+    (one row per ``neighbor_id``) via the shared crash-safe staged swap.
+    Returns the surviving vector count."""
+    from blueetl_spark.operators.similarity import _compact_cell_partitioned
+
+    return _compact_cell_partitioned(
+        spark,
+        f"{index_path}/codes.parquet",
+        f"{index_path}/tombstones.parquet",
+        f"{index_path}/.compact-codes.parquet",
+    )
 
 
 def search_ivf_pq_index(
@@ -476,29 +582,26 @@ def search_ivf_pq_index(
 
     Output: (query_id, neighbor_id, adc, rank) — adc ascending approximate
     squared L2, rounded to 6 decimals, neighbor-id tie-break.
+
+    Purged vectors (:func:`purge_ivf_pq_index`) are excluded via the
+    tombstone anti-join; replay-appended duplicate code rows are folded
+    out BEFORE the ADC kernel (the kernel's per-task tie-inclusive
+    local top-k would otherwise let duplicates crowd a distinct
+    neighbor out of a task's emission — an unrecoverable recall loss,
+    unlike the flat index's pair scoring). The dedup exchange runs over
+    the probed cells' 8-byte code rows only; partition pruning at the
+    file-listing level is unaffected (the cell filter applies first).
     """
     from pathlib import Path
 
     from blueetl_spark.operators.similarity import assign_cells
+    from blueetl_spark.plans.atomic import fs_exists, recover_dir
 
     base = Path(index_path)
-    cents = [
-        list(map(float, r.vector))
-        for r in spark.read.parquet(str(base / "ivf_codebook.parquet"))
-        .orderBy("centroid_id")
-        .collect()
-    ]
+    recover_dir(spark, str(base / "codes.parquet"))
+    cents, cbs_np = _load_ivf_pq_codebooks(spark, index_path)
     cent_np = np.asarray(cents)
-    cb_rows = (
-        spark.read.parquet(str(base / "pq_codebooks.parquet"))
-        .orderBy("subspace", "code")
-        .collect()
-    )
-    n_sub = max(r.subspace for r in cb_rows) + 1
-    cbs_np = [
-        np.asarray([list(map(float, r.vector)) for r in cb_rows if r.subspace == m])
-        for m in range(n_sub)
-    ]
+    n_sub = len(cbs_np)
     dsub = cbs_np[0].shape[1]
 
     qpdf = (
@@ -545,6 +648,14 @@ def search_ivf_pq_index(
     codes_df = spark.read.parquet(str(base / "codes.parquet")).filter(
         F.col("cell").isin([int(c) for c in probed])
     )
+    ts_dir = str(base / "tombstones.parquet")
+    if fs_exists(spark, ts_dir):
+        codes_df = codes_df.join(
+            spark.read.parquet(ts_dir).select("neighbor_id"),
+            "neighbor_id",
+            "left_anti",
+        )
+    codes_df = codes_df.dropDuplicates(["neighbor_id"])
     out_schema = "query_id long, neighbor_id long, adc double"
 
     def op(batches):

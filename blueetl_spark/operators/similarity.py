@@ -744,6 +744,41 @@ def purge_ivf_index(ids: DataFrame, index_path: str, id_col: str = "vec_id") -> 
     ).parquet(f"{index_path}/tombstones.parquet")
 
 
+def _compact_cell_partitioned(spark, data_dir: str, ts_dir: str, tmp: str) -> int:
+    """Shared cell-partitioned compaction (flat IVF assignments AND
+    IVF-PQ codes): rewrite ``data_dir`` minus the tombstoned ids, one
+    row per ``neighbor_id`` (duplicate rows from replayed at-least-once
+    appends are full-row identical — frozen codebooks give the same
+    cell/payload — so any one row per id is the right survivor), via the
+    crash-safe staged swap, then drop the tombstone table. Returns the
+    surviving row count."""
+    from pyspark.sql import Observation
+
+    from blueetl_spark.plans.atomic import fs_exists, recover_dir, swap_dir
+
+    recover_dir(spark, data_dir)
+    kept = spark.read.parquet(data_dir)
+    has_ts = fs_exists(spark, ts_dir)
+    if has_ts:
+        kept = kept.join(
+            spark.read.parquet(ts_dir).select("neighbor_id"),
+            "neighbor_id",
+            "left_anti",
+        )
+    kept = kept.dropDuplicates(["neighbor_id"])
+    obs = Observation("ivf_compact")
+    kept.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(tmp)
+    n = obs.get["n"]
+    swap_dir(spark, data_dir, tmp)
+    if has_ts:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(ts_dir)
+        p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+    return n
+
+
 def compact_ivf_index(spark, index_path: str) -> int:
     """Fold tombstones into the assignments AND deduplicate replayed
     appends: rewrite the partitioned layout minus the purged ids, one
@@ -755,33 +790,9 @@ def compact_ivf_index(spark, index_path: str) -> int:
     table. Returns the surviving vector count. The periodic-maintenance
     job, not the per-request path — it always rewrites the layout, which
     is what a compaction is."""
-    from pyspark.sql import Observation
-
-    from blueetl_spark.plans.atomic import fs_exists, recover_dir, swap_dir
-
-    assign_dir = f"{index_path}/assignments.parquet"
-    ts_dir = f"{index_path}/tombstones.parquet"
-    recover_dir(spark, assign_dir)
-    tmp = f"{index_path}/.compact-assignments.parquet"
-    kept = spark.read.parquet(assign_dir)
-    has_ts = fs_exists(spark, ts_dir)
-    if has_ts:
-        kept = kept.join(
-            spark.read.parquet(ts_dir).select("neighbor_id"),
-            "neighbor_id",
-            "left_anti",
-        )
-    # duplicate rows are full-row identical (frozen codebook -> same cell,
-    # same vector), so any one row per id is the right survivor
-    kept = kept.dropDuplicates(["neighbor_id"])
-    obs = Observation("ivf_compact")
-    kept.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(tmp)
-    n = obs.get["n"]
-    swap_dir(spark, assign_dir, tmp)
-    if has_ts:
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(ts_dir)
-        p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
-    return n
+    return _compact_cell_partitioned(
+        spark,
+        f"{index_path}/assignments.parquet",
+        f"{index_path}/tombstones.parquet",
+        f"{index_path}/.compact-assignments.parquet",
+    )

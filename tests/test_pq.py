@@ -190,3 +190,51 @@ def test_hard_negatives_excludes_same_label(spark):
     assert all(r["neighbor_label"] != "a" for r in out)
     assert [r["rank"] for r in out] == [1, 2, 3]
     assert out[0]["cosine"] > 0.99
+
+
+def test_ivf_pq_index_lifecycle(vecs, spark, tmp_path):
+    """append / purge / compact on the persisted IVF-PQ index (the flat
+    IVF lifecycle, r7): stored-codebook incremental ingest, tombstone
+    exclusion at search, replay-duplicate folding, crash-safe compact."""
+    path = str(tmp_path / "ivfpq")
+    info = pq.build_ivf_pq_index(
+        vecs, path, n_centroids=4, n_subspaces=4, n_codes=16
+    )
+    assert info["n_vectors"] == 200
+
+    rng = np.random.default_rng(23)
+    new_rows = []
+    for i in range(1000, 1010):
+        v = rng.standard_normal(16)
+        v /= np.linalg.norm(v)
+        new_rows.append((i, [float(x) for x in v]))
+    new = spark.createDataFrame(new_rows, "vec_id long, embedding array<double>")
+    assert pq.append_ivf_pq_index(new, path) == 10
+    assert pq.append_ivf_pq_index(new, path) == 10  # the replayed attempt
+
+    # a new vector used as query finds itself-adjacent codes; k distinct
+    # neighbors despite the duplicate append
+    q = new.filter(F.col("vec_id") == 1000).select(
+        F.lit(9999).alias("vec_id"), "embedding"
+    )
+    out = pq.search_ivf_pq_index(spark, q, path, k=5, n_probe=4).collect()
+    ids = [r.neighbor_id for r in out]
+    assert len(ids) == len(set(ids)) == 5
+    assert 1000 in ids  # its own (appended) twin is the nearest code
+
+    # purge the nearest neighbor: excluded at search without a rewrite
+    victim = ids[0]
+    pq.purge_ivf_pq_index(
+        spark.createDataFrame([(victim,)], "vec_id long"), path
+    )
+    after = pq.search_ivf_pq_index(spark, q, path, k=5, n_probe=4).collect()
+    assert victim not in {r.neighbor_id for r in after}
+
+    # compact folds tombstones AND the replay duplicates: 200 + 10 - 1
+    assert pq.compact_ivf_pq_index(spark, path) == 209
+    again = pq.search_ivf_pq_index(spark, q, path, k=5, n_probe=4).collect()
+    assert {(r.neighbor_id, r.rank) for r in again} == {
+        (r.neighbor_id, r.rank) for r in after
+    }
+    # second compact is stable
+    assert pq.compact_ivf_pq_index(spark, path) == 209
