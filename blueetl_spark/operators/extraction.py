@@ -160,14 +160,18 @@ def dense_index(
     is at worst a small constant over the window path and at best the
     difference between finishing and one straggler task sorting a
     100-GB class (measured 3.5× at 10M rows/class, PLANS.md). The
-    cardinality guard is the other half: the side table is
-    ``n_partitions × n_groups`` rows collected to the driver, so a
-    high-cardinality group column (per-customer numbering at 10⁸
-    customers) must NOT auto-select two-phase — with that many groups
-    each group is small and the window path has no straggler anyway.
-    ``max_stat_rows`` bounds the collect on the explicit
-    ``two_phase=True`` path too: past it the collect stops and raises
-    with a pointer at the window path instead of flooding the driver.
+    cardinality guard is the other half: the side table is one row per
+    distinct (partition, group) pair — at most ``n_groups +
+    n_partitions − 1`` rows, because range partitioning on
+    (group…, order) keeps each group in a contiguous partition run and
+    each of the ``n_partitions − 1`` boundaries splits at most one
+    group — collected to the driver, so a high-cardinality group column
+    (per-customer numbering at 10⁸ customers) must NOT auto-select
+    two-phase: with that many groups each group is small and the window
+    path has no straggler anyway. ``max_stat_rows`` bounds the collect
+    on the explicit ``two_phase=True`` path too: past it the collect
+    stops and raises with a pointer at the window path instead of
+    flooding the driver.
 
     The range-partitioned frame is ``localCheckpoint``'d before the
     count pass: RangePartitioner samples its boundaries, so without the
@@ -183,9 +187,11 @@ def dense_index(
         ).collect()[0]
         two_phase = (
             sizes["__n"] > auto_threshold
-            # 1.1: approx_count_distinct tolerance so a borderline true
+            # side table <= n_groups + n_parts - 1 (contiguous group
+            # runs under range partitioning); 1.1 is the
+            # approx_count_distinct tolerance so a borderline true
             # cardinality never lets the collect exceed the cap
-            and sizes["__g"] * n_parts * 1.1 <= max_stat_rows
+            and sizes["__g"] * 1.1 + n_parts <= max_stat_rows
         )
     if not two_phase:
         w = Window.partitionBy(*group_cols).orderBy(order_col)
@@ -216,10 +222,11 @@ def dense_index(
     if len(stats) > max_stat_rows:
         raise ValueError(
             f"dense_index(two_phase=True) side table exceeds max_stat_rows="
-            f"{max_stat_rows} (n_partitions × n_groups rows collect to the "
-            "driver). With this many groups each group is small enough for "
-            "the window path's single-task sort — use two_phase=False (or "
-            "'auto', which checks group cardinality) — or raise max_stat_rows."
+            f"{max_stat_rows} (one row per distinct (partition, group) pair "
+            "collects to the driver — ~n_groups at this cardinality). With "
+            "this many groups each group is small enough for the window "
+            "path's single-task sort — use two_phase=False (or 'auto', "
+            "which checks group cardinality) — or raise max_stat_rows."
         )
     # prefix offsets: rows of the same group in lower partitions.
     # Range partitioning on (group…, order) orders a group's rows across

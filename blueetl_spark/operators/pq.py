@@ -540,11 +540,12 @@ def append_ivf_pq_index(
 def purge_ivf_pq_index(ids: DataFrame, index_path: str, id_col: str = "vec_id") -> None:
     """Mark vectors deleted WITHOUT touching the codes: ids append to a
     tombstone table and every subsequent :func:`search_ivf_pq_index`
-    excludes them — O(ids) per request, the takedown path, identical
-    contract to :func:`blueetl_spark.operators.similarity.purge_ivf_index`."""
-    ids.select(F.col(id_col).alias("neighbor_id")).distinct().write.mode(
-        "append"
-    ).parquet(f"{index_path}/tombstones.parquet")
+    excludes them — O(ids) per request, the takedown path. Delegates to
+    :func:`blueetl_spark.operators.similarity.purge_ivf_index` (same
+    tombstone layout under a different index root)."""
+    from blueetl_spark.operators.similarity import purge_ivf_index
+
+    purge_ivf_index(ids, index_path, id_col)
 
 
 def compact_ivf_pq_index(spark, index_path: str) -> int:

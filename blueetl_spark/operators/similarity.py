@@ -620,6 +620,7 @@ def search_ivf_index(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k cosine search against a persisted IVF index.
 
@@ -629,8 +630,12 @@ def search_ivf_index(
     (PartitionFilters — asserted in tests). Vectors purged via
     :func:`purge_ivf_index` are excluded (anti-join against the
     request-sized tombstone table) until :func:`compact_ivf_index` folds
-    them in. Output contract matches :func:`knn_ivf`:
-    (query_id, neighbor_id, cosine, rank).
+    them in. ``exclude`` (a one-column id frame) removes index vectors
+    from consideration BEFORE ranking — crucially different from
+    filtering the output, where excluded vectors would still consume the
+    k rank slots and mask real neighbors (the streaming replay path
+    excludes its own batch's prior appends this way). Output contract
+    matches :func:`knn_ivf`: (query_id, neighbor_id, cosine, rank).
     """
     from blueetl_spark.plans.atomic import fs_exists, recover_dir
 
@@ -664,6 +669,12 @@ def search_ivf_index(
     if fs_exists(spark, ts_dir):
         c = c.join(
             spark.read.parquet(ts_dir).select("neighbor_id"),
+            "neighbor_id",
+            "left_anti",
+        )
+    if exclude is not None:
+        c = c.join(
+            exclude.select(F.col(exclude.columns[0]).alias("neighbor_id")),
             "neighbor_id",
             "left_anti",
         )

@@ -193,6 +193,11 @@ def train_language_profiles(
     from blueetl_spark.operators.dedup import _fan_out_small_scan
 
     if counts is None:
+        if df is None:
+            raise ValueError(
+                "train_language_profiles needs a labeled corpus df or a "
+                "precomputed counts frame"
+            )
         grams = _fan_out_small_scan(df).select(
             F.col(lang_col).alias("lang"),
             F.explode(char_ngrams(text_col, n)).alias("gram"),

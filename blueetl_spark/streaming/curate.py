@@ -370,15 +370,15 @@ def semantic_dedup_batch(
        mutually-near-duplicate vectors in one batch can never all
        survive on the first run and then all match each other's appends
        on a replay.
-    2. Index hits against ANY id of this batch are excluded (anti-join
-       on the batch's id set, not merely ``query_id == neighbor_id``) —
-       a replayed batch matching its own or a sibling survivor's prior
-       append passes through unchanged. After step 1 every surviving
-       in-batch pair has cosine < ``threshold``, so the only ≥-threshold
-       batch-id hits a replay can see are those prior appends.
+    2. ANY id of this batch is excluded from the index search BEFORE
+       ranking (``search_ivf_index(exclude=...)``, not a filter on the
+       returned top-k) — a replayed batch matching its own or sibling
+       survivors' prior appends sees exactly the pre-append index, so
+       the historic-duplicate decision is bit-identical across retries.
+       Excluding after the top-k truncation would let sibling appends
+       occupy the k slots and mask a genuine historic hit whenever the
+       in-batch dedup was skipped or (LSH mode) missed a pair.
 
-    The search runs with ``k = 2`` so a replay's self-match (cosine 1.0,
-    always rank 1) cannot mask a genuine historic hit at rank 2.
     The index must exist (``similarity.build_ivf_index`` on a seed
     corpus — the coarse quantizer is frozen at build time).
     """
@@ -396,15 +396,11 @@ def semantic_dedup_batch(
         )
     hits = (
         similarity.search_ivf_index(
-            spark, batch, index_path, k=2, n_probe=n_probe,
+            spark, batch, index_path, k=1, n_probe=n_probe,
             id_col=id_col, vec_col=vec_col,
+            exclude=batch.select(id_col),
         )
         .filter(F.col("cosine") >= threshold)
-        .join(
-            batch.select(F.col(id_col).alias("neighbor_id")),
-            "neighbor_id",
-            "left_anti",
-        )
         .select(F.col("query_id").alias(id_col))
         .distinct()
     )

@@ -102,7 +102,9 @@ def test_replay_duplicate_appends_fold_out(spark, index):
     q = new.filter(F.col("vec_id") == 2000).select(
         F.lit(9999).alias("vec_id"), "embedding"
     )
-    out = sim.search_ivf_index(spark, q, idx, k=5, n_probe=4).collect()
+    out = sim.search_ivf_index(spark, q, idx, k=5, n_probe=4).orderBy(
+        "rank"
+    ).collect()
     ids = [r.neighbor_id for r in out]
     assert len(ids) == len(set(ids)) == 5  # k distinct, no slot shrink
     assert 2000 in ids and out[0].rank == 1

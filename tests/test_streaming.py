@@ -724,3 +724,48 @@ def test_streaming_semantic_dedup_restart_from_checkpoint(spark, tmp_path):
     # 100 dups indexed vec 3; 110 dups 101's append from batch 1
     assert single == {101, 111}
     assert restarted == single
+
+
+def test_semantic_dedup_replay_excludes_before_ranking(spark, tmp_path):
+    """Code-review r7: batch-id exclusion must happen BEFORE the search's
+    top-k truncation. Geometry: h at 0deg in the index; batch a at 16deg
+    (dups h), b at 30deg (near a, NOT near h). First run drops a against
+    h and appends b. On replay, b's append is a's nearest neighbor —
+    with a post-hoc filter it would occupy the single rank slot, mask h,
+    and let a survive; excluding batch ids pre-ranking keeps the replay
+    decision bit-identical."""
+    import math
+
+    import numpy as np
+
+    from blueetl_spark.operators import similarity as sim
+    from blueetl_spark.streaming.curate import semantic_dedup_batch
+
+    def on_plane(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))] + [0.0] * 6
+
+    rng = np.random.default_rng(31)
+    fillers = []
+    for i in range(1, 15):
+        v = rng.normal(size=6)
+        v = v / np.linalg.norm(v)
+        fillers.append((i, [0.0, 0.0] + [float(x) for x in v]))
+    seed = [(0, on_plane(0.0))] + fillers  # h = vec 0
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(
+        spark.createDataFrame(seed, "vec_id long, embedding array<double>"),
+        idx, n_centroids=4, seed=3,
+    )
+    batch = spark.createDataFrame(
+        [(200, on_plane(16.0)), (201, on_plane(30.0))],
+        "vec_id long, embedding array<double>",
+    )
+    kw = dict(threshold=0.95, within_batch=False, n_probe=4)
+    first = {
+        r.vec_id for r in semantic_dedup_batch(batch, 1, idx, **kw).collect()
+    }
+    assert first == {201}  # cos(a,h)=.96 >= t; cos(b,h)=.87 < t
+    replay = {
+        r.vec_id for r in semantic_dedup_batch(batch, 1, idx, **kw).collect()
+    }
+    assert replay == first  # b's append (cos .97) must not mask h
