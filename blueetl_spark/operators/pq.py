@@ -571,8 +571,14 @@ def search_ivf_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 4096,
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k ADC search against a persisted IVF-PQ index.
+
+    ``exclude`` (a one-column id frame) removes index vectors BEFORE the
+    kernel's local top-k — same contract and same reason as
+    ``similarity.search_ivf_index``'s parameter (a post-hoc filter would
+    let excluded rows crowd real neighbors out of the rank slots).
 
     Per (query, probed cell) the LUT is built from the query's **residual
     against that cell's centroid** (matching the residual encoding); the
@@ -653,6 +659,12 @@ def search_ivf_pq_index(
     if fs_exists(spark, ts_dir):
         codes_df = codes_df.join(
             spark.read.parquet(ts_dir).select("neighbor_id"),
+            "neighbor_id",
+            "left_anti",
+        )
+    if exclude is not None:
+        codes_df = codes_df.join(
+            exclude.select(F.col(exclude.columns[0]).alias("neighbor_id")),
             "neighbor_id",
             "left_anti",
         )

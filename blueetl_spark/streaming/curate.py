@@ -352,6 +352,7 @@ def semantic_dedup_batch(
     n_probe: int = 4,
     within_batch: bool = True,
     within_batch_method: str = "bruteforce",
+    index_kind: str = "ivf",
 ) -> DataFrame:
     """One micro-batch of streaming SEMANTIC dedup against a persisted
     IVF index (the embedding twin of :func:`near_dedup_batch`): drop
@@ -360,6 +361,17 @@ def semantic_dedup_batch(
     indexed vector is ≥ ``threshold``, append the survivors to the index
     (``similarity.append_ivf_index`` — the stored codebook assigns
     cells, history is never re-read), and return the survivors.
+
+    ``index_kind="ivf_pq"`` runs the same protocol against a persisted
+    IVF-PQ index (``operators/pq.py``) — the 10⁹-vector scale path where
+    history is 8-byte codes instead of float payloads. The cosine
+    threshold translates to an ADC bound via ``adc ≤ 2·(1 − threshold)``
+    (exact for L2-NORMALIZED vectors, since ‖a−b‖² = 2·(1−cosθ));
+    because ADC is computed against quantized codes it carries the
+    index's quantization distortion, so the decision is approximate —
+    calibrate ``threshold`` against the index's measured distortion
+    (``tools/recall_report.py``) or keep the flat index where exactness
+    matters. The within-batch step stays exact either way.
 
     Replay contract (at-least-once ``foreachBatch``): a re-run batch must
     emit the SAME survivor set even when the failed attempt already
@@ -394,20 +406,41 @@ def semantic_dedup_batch(
         batch = dedup.keep_canonical(pairs, batch, id_col=id_col).localCheckpoint(
             eager=True
         )
-    hits = (
-        similarity.search_ivf_index(
-            spark, batch, index_path, k=1, n_probe=n_probe,
-            id_col=id_col, vec_col=vec_col,
-            exclude=batch.select(id_col),
+    if index_kind == "ivf":
+        hits = (
+            similarity.search_ivf_index(
+                spark, batch, index_path, k=1, n_probe=n_probe,
+                id_col=id_col, vec_col=vec_col,
+                exclude=batch.select(id_col),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("query_id").alias(id_col))
+            .distinct()
         )
-        .filter(F.col("cosine") >= threshold)
-        .select(F.col("query_id").alias(id_col))
-        .distinct()
-    )
+    elif index_kind == "ivf_pq":
+        from blueetl_spark.operators import pq
+
+        hits = (
+            pq.search_ivf_pq_index(
+                spark, batch, index_path, k=1, n_probe=n_probe,
+                id_col=id_col, vec_col=vec_col,
+                exclude=batch.select(id_col),
+            )
+            .filter(F.col("adc") <= 2.0 * (1.0 - threshold))
+            .select(F.col("query_id").alias(id_col))
+            .distinct()
+        )
+    else:
+        raise ValueError(f"unknown index_kind {index_kind!r}; 'ivf' or 'ivf_pq'")
     survivors = batch.join(hits, id_col, "left_anti").localCheckpoint(
         eager=True
     )
-    similarity.append_ivf_index(survivors, index_path, id_col, vec_col)
+    if index_kind == "ivf":
+        similarity.append_ivf_index(survivors, index_path, id_col, vec_col)
+    else:
+        from blueetl_spark.operators import pq
+
+        pq.append_ivf_pq_index(survivors, index_path, id_col, vec_col)
     return survivors
 
 

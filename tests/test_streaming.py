@@ -769,3 +769,47 @@ def test_semantic_dedup_replay_excludes_before_ranking(spark, tmp_path):
         r.vec_id for r in semantic_dedup_batch(batch, 1, idx, **kw).collect()
     }
     assert replay == first  # b's append (cos .97) must not mask h
+
+
+def test_semantic_dedup_batch_ivf_pq(spark, tmp_path):
+    """PQ-backed streaming semantic dedup (the 1e9-vector scale path):
+    same protocol against the codes index — exact-copy vectors fall
+    under the ADC bound (quantization distortion only), novel vectors
+    don't; survivors append as codes; replay emits the same set."""
+    import numpy as np
+
+    from blueetl_spark.operators import pq
+    from blueetl_spark.streaming.curate import semantic_dedup_batch
+
+    rng = np.random.default_rng(41)
+    # clustered corpus so codebook distortion is small vs the ADC bound
+    bases = rng.standard_normal((5, 16))
+    rows = []
+    for i in range(100):
+        v = bases[i % 5] + 0.02 * rng.standard_normal(16)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    seed_corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivfpq")
+    pq.build_ivf_pq_index(seed_corpus, idx, n_centroids=4, n_subspaces=4, n_codes=32)
+
+    novel = rng.standard_normal(16)
+    novel /= np.linalg.norm(novel)
+    batch = spark.createDataFrame(
+        [(200, rows[7][1]), (201, [float(x) for x in novel])],
+        "vec_id long, embedding array<double>",
+    )
+    kw = dict(threshold=0.8, index_kind="ivf_pq")  # adc bound 0.4
+    first = {
+        r.vec_id for r in semantic_dedup_batch(batch, 1, idx, **kw).collect()
+    }
+    assert first == {201}  # 200 is an exact copy of indexed vec 7
+    replay = {
+        r.vec_id for r in semantic_dedup_batch(batch, 1, idx, **kw).collect()
+    }
+    assert replay == first  # 201's own code append is excluded pre-rank
+    # the survivor's codes really landed: purge it and compact
+    pq.purge_ivf_pq_index(
+        spark.createDataFrame([(201,)], "vec_id long"), idx
+    )
+    assert pq.compact_ivf_pq_index(spark, idx) == 100
