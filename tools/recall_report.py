@@ -79,6 +79,53 @@ def main() -> None:
             "method": name, "true_topk": len(bf), "found": len(got),
             "recall": round(len(bf & got) / max(len(bf), 1), 4),
         }))
+
+    # PQ self-ADC (quantization distortion floor): ADC of every vector
+    # against ITS OWN codes. This is the calibration number for the
+    # ADC-thresholded streaming semantic dedup (index_kind='ivf_pq'):
+    # an exact duplicate of an indexed vector scores ~this distortion,
+    # so the ADC bound 2*(1-threshold) must sit ABOVE the chosen
+    # quantile or exact dups survive.
+    import tempfile
+
+    import numpy as np
+
+    idx = tempfile.mkdtemp(prefix="recall_ivfpq_") + "/ivfpq"
+    pq.build_ivf_pq_index(emb, idx, n_centroids=16, n_subspaces=8, n_codes=256)
+    cents, cbs_np = pq._load_ivf_pq_codebooks(spark, idx)
+    cent_np = __import__("numpy").asarray(cents)
+
+    assigned = (
+        similarity.assign_cells(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            cents, "embedding", n=1,
+        )
+        .withColumn("cell", F.col("__cells")[0])
+        .drop("__cells")
+    )
+
+    def self_adc(batches):
+        import pandas as pd  # noqa: PLC0415 - executor-side import
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            res = v - cent_np[pdf["cell"].to_numpy()]
+            codes = pq._encode_np(res, cbs_np)
+            rec = np.concatenate(
+                [cbs_np[m][codes[:, m]] for m in range(len(cbs_np))], axis=1
+            )
+            yield pd.DataFrame({"err": ((res - rec) ** 2).sum(axis=1)})
+
+    errs = assigned.mapInPandas(self_adc, "err double")
+    p50, p90, p99 = errs.stat.approxQuantile("err", [0.5, 0.9, 0.99], 0.01)
+    print(json.dumps({
+        "method": "ivf_pq_self_adc_distortion",
+        "p50": round(p50, 4), "p90": round(p90, 4), "p99": round(p99, 4),
+        "note": "semantic dedup ADC bound 2*(1-threshold) must exceed "
+                "this floor to catch exact duplicates",
+    }))
     spark.stop()
 
 
