@@ -225,3 +225,26 @@ def test_lsh_candidates_read_checkpointed_signatures(spark):
             "ExistingRDD"
         )[0]  # no recompute upstream of the scan
         assert "regexp" not in plan  # shingling never re-runs
+
+
+def test_ivf_pq_search_prunes_cells_after_dedup_and_exclude(spark, tmp_path):
+    """The r7 tombstone anti-join / exclude / dropDuplicates additions in
+    search_ivf_pq_index must not defeat partition pruning: the codes scan
+    still carries a PartitionFilters entry on `cell`."""
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators import pq
+    from blueetl_spark.sources import tables
+
+    emb = tables.load(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    pq.build_ivf_pq_index(emb, idx, n_centroids=8, n_subspaces=8, n_codes=16)
+    q = emb.filter(F.col("vec_id") < 3)
+    out = pq.search_ivf_pq_index(
+        spark, q, idx, k=3, n_probe=2,
+        exclude=emb.filter(F.col("vec_id") >= 490).select("vec_id"),
+    )
+    plan = _formatted_plan(out)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("cell" in l and "IN" in l.upper() for l in pf), plan
+    assert out.count() > 0
