@@ -900,3 +900,35 @@ def test_incremental_simhash_matches_history(spark, tmp_path, storage):
     if storage == "bucketed":
         for t in ("_signatures", "_buckets", "_tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {idx}{t}")
+
+
+def test_incremental_match_with_injected_signatures(spark, tmp_path):
+    """The sig= injection point (r7 single-hash streaming batch) must be
+    behavior-identical to the self-computed path, for both hash families."""
+    from blueetl_spark.operators import dedup
+
+    docs1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "totally different words live in this one here")],
+        "doc_id long, text string",
+    )
+    docs2 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta"),
+         (11, "novel content again unlike anything before now")],
+        "doc_id long, text string",
+    )
+    for method in ("minhash", "simhash"):
+        idx = str(tmp_path / f"idx-{method}")
+        if method == "minhash":
+            dedup.incremental_minhash(docs1, idx)  # seed history
+            auto = dedup.incremental_minhash(docs2, idx, update=False)
+            sig = dedup.minhash_signatures(docs2, "text", "doc_id").localCheckpoint()
+            injected = dedup.incremental_minhash(docs2, idx, update=False, sig=sig)
+        else:
+            dedup.incremental_simhash(docs1, idx)
+            auto = dedup.incremental_simhash(docs2, idx, update=False)
+            sig = dedup.simhash(docs2, "text", "doc_id").localCheckpoint()
+            injected = dedup.incremental_simhash(docs2, idx, update=False, sig=sig)
+        got_a = {tuple(r) for r in auto.collect()}
+        got_i = {tuple(r) for r in injected.collect()}
+        assert got_a == got_i and {r[0] for r in got_a} == {10}, (method, got_a)

@@ -248,3 +248,25 @@ def test_ivf_pq_search_prunes_cells_after_dedup_and_exclude(spark, tmp_path):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("cell" in l and "IN" in l.upper() for l in pf), plan
     assert out.count() > 0
+
+
+def test_semdedup_pairs_one_shuffle_group_kernel(spark):
+    """semdedup_pairs is one plan: assignment mapInPandas feeds a single
+    cluster-key exchange into the grouped blocked-matmul kernel — no
+    self-join, no per-pair Arrow rows."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators import clustering
+    from blueetl_spark.sources import tables
+
+    emb = tables.load(spark, SF, "embeddings")
+    cents = [
+        r.embedding
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    plan = _formatted_plan(clustering.semdedup_pairs(emb, cents, threshold=0.3))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1, plan[:2000]
