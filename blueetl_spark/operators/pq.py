@@ -393,16 +393,17 @@ def build_ivf_pq_index(
         .localCheckpoint(eager=True)
     )
 
+    # bounded sample of residuals — for codebook training AND the
+    # self-ADC distortion stats persisted beside the index
+    spdf = (
+        assigned.orderBy(F.xxhash64(F.col("neighbor_id"), F.lit(seed)))
+        .limit(65536)
+        .select(vec_col, "cell")
+        .toPandas()
+    )
+    sv = np.stack(spdf[vec_col].to_numpy()).astype(np.float64)
+    res = sv - cent_np[spdf["cell"].to_numpy()]
     if pq_codebooks is None:
-        # bounded sample of residuals for codebook training
-        spdf = (
-            assigned.orderBy(F.xxhash64(F.col("neighbor_id"), F.lit(seed)))
-            .limit(65536)
-            .select(vec_col, "cell")
-            .toPandas()
-        )
-        sv = np.stack(spdf[vec_col].to_numpy()).astype(np.float64)
-        res = sv - cent_np[spdf["cell"].to_numpy()]
         cbs = _train_codebooks_np(res, n_subspaces, n_codes)
     else:
         cbs = [[list(map(float, c)) for c in cb] for cb in pq_codebooks]
@@ -417,6 +418,21 @@ def build_ivf_pq_index(
         [(m, j, c) for m, cb in enumerate(cbs) for j, c in enumerate(cb)],
         "subspace int, code int, vector array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(str(base / "pq_codebooks.parquet"))
+    # Self-ADC distortion floor of the sample: the number every
+    # ADC-thresholded consumer must calibrate against — an exact
+    # duplicate of an indexed vector scores ~this much, never 0
+    # (streaming/curate.semantic_dedup_batch checks it at runtime).
+    codes_s = _encode_np(res, cbs_np)
+    rec = np.concatenate(
+        [cbs_np[m][codes_s[:, m]] for m in range(len(cbs_np))], axis=1
+    )
+    err = ((res - rec) ** 2).sum(axis=1)
+    q50, q90, q99 = (float(np.quantile(err, q)) for q in (0.5, 0.9, 0.99))
+    local_df(
+        spark,
+        [(q50, q90, q99)],
+        "adc_p50 double, adc_p90 double, adc_p99 double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(base / "stats.parquet"))
 
     id_type = dict(corpus.dtypes)[id_col]
     out_schema = f"neighbor_id {id_type}, cell int, pq_code array<smallint>"
@@ -436,7 +452,12 @@ def build_ivf_pq_index(
     )
     assigned.unpersist()
     n = spark.read.parquet(str(base / "codes.parquet")).count()
-    return {"n_centroids": len(cents), "n_subspaces": n_subspaces, "n_vectors": n}
+    return {
+        "n_centroids": len(cents),
+        "n_subspaces": n_subspaces,
+        "n_vectors": n,
+        "adc_distortion": {"p50": q50, "p90": q90, "p99": q99},
+    }
 
 
 def _residual_encode_op(cent_np: np.ndarray, cbs_np, vec_col: str):
@@ -511,6 +532,11 @@ def append_ivf_pq_index(
     spark = new_vectors.sparkSession
     codes_dir = f"{index_path}/codes.parquet"
     recover_dir(spark, codes_dir)
+    if new_vectors.isEmpty():
+        # zero-row no-op: the Observation metrics row is absent on an
+        # empty mapInPandas plan (obs.get dies in toPyRow), and a
+        # fully-deduped micro-batch appends nothing anyway
+        return 0
     cents, cbs_np = _load_ivf_pq_codebooks(spark, index_path)
     cent_np = np.asarray(cents)
     assigned = (

@@ -368,10 +368,12 @@ def semantic_dedup_batch(
     threshold translates to an ADC bound via ``adc ≤ 2·(1 − threshold)``
     (exact for L2-NORMALIZED vectors, since ‖a−b‖² = 2·(1−cosθ));
     because ADC is computed against quantized codes it carries the
-    index's quantization distortion, so the decision is approximate —
-    calibrate ``threshold`` against the index's measured distortion
-    (``tools/recall_report.py``) or keep the flat index where exactness
-    matters. The within-batch step stays exact either way.
+    index's quantization distortion, so the decision is approximate.
+    The index stores its self-ADC distortion floor at build time
+    (``stats.parquet``) and this function REFUSES a bound below that
+    floor — such a configuration cannot catch even exact duplicates.
+    Keep the flat index where exactness matters; the within-batch step
+    stays exact either way.
 
     Replay contract (at-least-once ``foreachBatch``): a re-run batch must
     emit the SAME survivor set even when the failed attempt already
@@ -419,14 +421,28 @@ def semantic_dedup_batch(
         )
     elif index_kind == "ivf_pq":
         from blueetl_spark.operators import pq
+        from blueetl_spark.plans.atomic import fs_exists
 
+        adc_bound = 2.0 * (1.0 - threshold)
+        stats_dir = f"{index_path}/stats.parquet"
+        if fs_exists(spark, stats_dir):
+            floor = spark.read.parquet(stats_dir).collect()[0]["adc_p99"]
+            if adc_bound < floor:
+                raise ValueError(
+                    f"ADC bound 2*(1-threshold)={adc_bound:.4f} is below the "
+                    f"index's quantization-distortion floor (self-ADC p99="
+                    f"{floor:.4f}): even an EXACT duplicate of an indexed "
+                    "vector would survive, so this configuration dedups "
+                    "nothing. Lower the threshold, rebuild the index with "
+                    "more codes/subspaces, or use index_kind='ivf'."
+                )
         hits = (
             pq.search_ivf_pq_index(
                 spark, batch, index_path, k=1, n_probe=n_probe,
                 id_col=id_col, vec_col=vec_col,
                 exclude=batch.select(id_col),
             )
-            .filter(F.col("adc") <= 2.0 * (1.0 - threshold))
+            .filter(F.col("adc") <= adc_bound)
             .select(F.col("query_id").alias(id_col))
             .distinct()
         )

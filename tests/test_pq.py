@@ -143,7 +143,10 @@ def test_ivf_pq_index_roundtrip(vecs, spark, tmp_path):
     info = pq.build_ivf_pq_index(
         vecs, path, n_centroids=8, n_subspaces=4, n_codes=16
     )
-    assert info == {"n_centroids": 8, "n_subspaces": 4, "n_vectors": 200}
+    assert {k: info[k] for k in ("n_centroids", "n_subspaces", "n_vectors")} == {
+        "n_centroids": 8, "n_subspaces": 4, "n_vectors": 200
+    }
+    assert info["adc_distortion"]["p99"] >= 0.0
 
     queries = vecs.filter(F.col("vec_id") < 20)
     out = pq.search_ivf_pq_index(spark, queries, path, k=3, n_probe=3)
@@ -238,3 +241,46 @@ def test_ivf_pq_index_lifecycle(vecs, spark, tmp_path):
     }
     # second compact is stable
     assert pq.compact_ivf_pq_index(spark, path) == 209
+
+
+def test_ivf_pq_compact_swap_crash_recovery(vecs, spark, tmp_path):
+    """Both swap interruption points leave the codes index searchable
+    (the flat index's crash contract, shared via _compact_cell_partitioned)."""
+    import shutil
+
+    path = str(tmp_path / "ivfpq")
+    pq.build_ivf_pq_index(vecs, path, n_centroids=4, n_subspaces=4, n_codes=16)
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.lit(9999).alias("vec_id"), "embedding"
+    )
+
+    def hits():
+        return {
+            r.neighbor_id
+            for r in pq.search_ivf_pq_index(spark, q, path, k=5, n_probe=4).collect()
+        }
+
+    baseline = hits()
+    codes = f"{path}/codes.parquet"
+    # point 1: backup renamed, publish never happened
+    staged = f"{path}/.stage.parquet"
+    shutil.copytree(codes, staged)
+    shutil.move(codes, codes + ".old")
+    assert hits() == baseline  # recovered to old state
+    shutil.rmtree(staged, ignore_errors=True)
+    # point 2: published, stale backup left behind
+    shutil.copytree(codes, codes + ".old")
+    assert hits() == baseline
+    import os
+
+    assert not os.path.exists(codes + ".old")
+
+
+def test_ivf_pq_append_empty_batch_is_noop(vecs, spark, tmp_path):
+    """A fully-deduped micro-batch appends zero vectors without touching
+    the index (and without tripping the empty-plan Observation quirk)."""
+    path = str(tmp_path / "ivfpq")
+    pq.build_ivf_pq_index(vecs, path, n_centroids=4, n_subspaces=4, n_codes=16)
+    empty = vecs.filter(F.col("vec_id") < 0)
+    assert pq.append_ivf_pq_index(empty, path) == 0
+    assert pq.compact_ivf_pq_index(spark, path) == 200

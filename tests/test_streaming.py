@@ -813,3 +813,31 @@ def test_semantic_dedup_batch_ivf_pq(spark, tmp_path):
         spark.createDataFrame([(201,)], "vec_id long"), idx
     )
     assert pq.compact_ivf_pq_index(spark, idx) == 100
+
+
+def test_semantic_dedup_ivf_pq_refuses_subfloor_bound(spark, tmp_path):
+    """An ADC bound below the index's stored distortion floor can catch
+    nothing — the misconfiguration raises actionably instead of
+    silently deduping zero documents."""
+    import numpy as np
+    import pytest
+
+    from blueetl_spark.operators import pq
+    from blueetl_spark.streaming.curate import semantic_dedup_batch
+
+    rng = np.random.default_rng(43)
+    rows = []
+    for i in range(100):  # UNclustered corpus -> high distortion floor
+        v = rng.standard_normal(16)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivfpq")
+    info = pq.build_ivf_pq_index(corpus, idx, n_centroids=4, n_subspaces=4, n_codes=8)
+    assert info["adc_distortion"]["p99"] > 0.002
+
+    batch = corpus.filter("vec_id = 7").select(
+        (F.col("vec_id") + 500).alias("vec_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="distortion floor"):
+        semantic_dedup_batch(batch, 1, idx, threshold=0.999, index_kind="ivf_pq")
