@@ -196,6 +196,54 @@ def score_documents(
     )
 
 
+def score_linear_hashed(
+    df: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+    intercept: float = 0.0,
+    hash_fn: str = "xxhash64",
+    out_col: str = "quality_score",
+) -> DataFrame:
+    """Score documents with an externally-supplied hashing-trick linear
+    model (fastText-style exported weights) as a ZERO-shuffle JVM
+    expression: ``score = σ(b + Σ_tokens w[hash(token) mod m])``.
+
+    The deployment this serves: a linear text classifier trained
+    elsewhere (or exported from :func:`train_quality_classifier` via its
+    coefficients) scored over the full corpus. The weight vector rides
+    in the plan as an array literal — no join, no Python, no shuffle;
+    the per-row sum is an ``aggregate`` higher-order function over the
+    token array, so a 100 TB scan scores at I/O speed and any filter on
+    ``out_col`` stays pushed into the same map stage.
+
+    ``hash_fn="md5"`` (60-bit md5 prefix) makes the bucket assignment
+    reproducible in DuckDB for oracle parity; ``xxhash64`` is the cheap
+    default. Empty-string tokens (the tokenization of blank text) score
+    zero contribution.
+    """
+    m = len(weights)
+    if m == 0:
+        raise ValueError("weights must be non-empty")
+    warr = F.lit([float(w) for w in weights])
+
+    def bucket(tok):
+        if hash_fn == "xxhash64":
+            h = F.xxhash64(tok)
+        elif hash_fn == "md5":
+            h = F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+        else:
+            raise ValueError(f"unknown hash_fn {hash_fn!r}")
+        return F.pmod(h, F.lit(m))
+
+    z = F.aggregate(
+        F.filter(tokens(text_col), lambda t: t != ""),
+        F.lit(float(intercept)),
+        lambda acc, t: acc
+        + F.element_at(warr, (bucket(t) + 1).cast("int")),
+    )
+    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
 def filter_by_quality(
     model,
     df: DataFrame,

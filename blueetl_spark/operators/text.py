@@ -410,6 +410,219 @@ def tf_idf(
     return out
 
 
+def bm25(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Okapi BM25 per (doc, token), Lucene-style non-negative idf:
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` and
+    ``score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``.
+
+    The retrieval-side twin of :func:`tf_idf` (same two-shuffle shape:
+    per-(doc, token) counts, a token-level document-frequency aggregate
+    joined back on the token, and the corpus stats — N, avgdl — as one
+    broadcast scalar row). ``dl`` is the document's non-empty token
+    count, derived from the tf frame so a re-tokenization pass is never
+    paid. ``top_k`` keeps each document's k highest-scoring tokens
+    (deterministic token tie-break), the index-pruning shape a sparse
+    retrieval pipeline materializes.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    docfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    out = (
+        tf.join(dl, id_col)
+        .join(docfreq, "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "token",
+            "tf",
+            "df",
+            "dl",
+            (idf * F.col("tf") * (k1 + 1.0) / norm).alias("bm25"),
+        )
+    )
+    if top_k is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("bm25").desc(), F.col("token")
+        )
+        out = (
+            out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .drop("rank")
+        )
+    return out
+
+
+def lm_bigram_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.1,
+) -> DataFrame:
+    """CCNet-style n-gram language-model quality score: train an add-k
+    smoothed bigram LM on the corpus and score every document by its
+    mean negative log-likelihood (``ppl = exp(nll)``).
+
+    Published method: CCNet (Wenzek et al. 2019) buckets Common-Crawl
+    documents by LM perplexity; this is the same filter with the LM
+    trained in-corpus as one Spark plan instead of a pretrained KenLM.
+
+    Scale shape: per-(doc, bigram) counts are aggregated ONCE and pinned
+    (eager ``localCheckpoint`` — the :func:`language_id_pipeline`
+    discipline), then reused three ways: corpus bigram counts B(w1,w2)
+    and context counts U(w1) are map-side-combined regroups of that
+    frame, and the scoring join consumes it directly. Per-token work
+    never re-runs; the only wide joins key on the bigram / context
+    string, the standard LM-training shape at any corpus size.
+
+    ``P(w2|w1) = (B + k) / (U(w1) + k·V)`` with V = distinct corpus
+    bigram types' continuation vocabulary (distinct w2). Documents with
+    fewer than two tokens get ``n_bigrams = 0`` and a null score.
+    """
+    # a true bigram contains exactly one space (tokens are
+    # whitespace-split); sub-2-token docs yield shingles(…) degenerate
+    # singletons with none — drop them instead of training on fakes
+    bg = F.filter(shingles(text_col, 2), lambda s: s.contains(" "))
+    doc_bg = (
+        df.select(F.col(id_col), F.explode(bg).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    corpus_b = doc_bg.groupBy("bigram").agg(F.sum("c").alias("B"))
+    corpus_u = (
+        doc_bg.withColumn("w1", F.substring_index("bigram", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("c").alias("U"))
+    )
+    vocab = corpus_b.select(
+        F.countDistinct(F.substring_index("bigram", " ", -1)).alias("V")
+    )
+    p = (F.col("B") + add_k) / (F.col("U") + add_k * F.col("V"))
+    scored = (
+        doc_bg.join(corpus_b, "bigram")
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .join(corpus_u, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            (F.sum(F.col("c") * -F.log(p)) / F.sum("c")).alias("nll"),
+        )
+    )
+    return df.select(id_col).distinct().join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "nll",
+    )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    add_k: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hash every token into
+    ``n_buckets`` buckets, estimate the target and raw bucket
+    distributions with add-k smoothing, and score each raw document by
+    its hashed-n-gram log importance ratio
+    ``log w(doc) = Σ_tokens ln( p_target(bucket) / p_raw(bucket) )``.
+
+    Downstream, sampling ∝ exp(log_weight) (e.g. via
+    :func:`blueetl_spark.operators.sampling.weighted_sample`-style
+    hash-rank tricks) resamples the raw corpus toward the target
+    distribution — the published cheap alternative to a trained quality
+    classifier.
+
+    Scale shape: both distribution estimates are ``n_buckets``-row
+    aggregates (map-side combined; broadcast back), and per-document
+    scoring is one explode + bucket lookup + per-doc sum — a single
+    data shuffle on ``id_col``. ``hash_fn="md5"`` gives a
+    DuckDB-reproducible bucket hash for oracle parity; the default
+    ``xxhash64`` is the cheap JVM path.
+    """
+    def bucket(tok: Column) -> Column:
+        if hash_fn == "xxhash64":
+            h = F.xxhash64(tok)
+        elif hash_fn == "md5":
+            h = F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+        else:
+            raise ValueError(f"unknown hash_fn {hash_fn!r}")
+        return F.pmod(h, F.lit(n_buckets))
+
+    def bucket_counts(frame: DataFrame, total_name: str, cnt_name: str):
+        toks = frame.select(
+            F.explode(tokens(text_col)).alias("token")
+        ).filter(F.col("token") != "")
+        return toks.select(bucket(F.col("token")).alias("bucket")).groupBy(
+            "bucket"
+        ).agg(F.count("*").alias(cnt_name))
+
+    t_counts = bucket_counts(target, "t_total", "t_c")
+    r_counts = bucket_counts(df, "r_total", "r_c")
+    t_total = t_counts.agg(F.sum("t_c").alias("t_total"))
+    r_total = r_counts.agg(F.sum("r_c").alias("r_total"))
+    # dense bucket table: every bucket gets the smoothed estimate even
+    # when one side never hashed into it
+    buckets = df.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    ratios = (
+        buckets.join(F.broadcast(t_counts), "bucket", "left")
+        .join(F.broadcast(r_counts), "bucket", "left")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(r_total))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("t_c", F.lit(0)) + add_k)
+                    / (F.col("t_total") + add_k * n_buckets)
+                )
+                - F.log(
+                    (F.coalesce("r_c", F.lit(0)) + add_k)
+                    / (F.col("r_total") + add_k * n_buckets)
+                )
+            ).alias("log_ratio"),
+        )
+    )
+    doc_toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        doc_toks.select(id_col, bucket(F.col("token")).alias("bucket"))
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("log_ratio").alias("log_weight"),
+        )
+    )
+
+
 def winnowing_fingerprints(
     col: Column | str, n: int = 5, w: int = 4, hash_fn: str = "xxhash64"
 ) -> Column:

@@ -30,8 +30,10 @@ from blueetl_spark.session import local_df
 
 from blueetl_spark.functions.qdsl import q, query_to_sql
 from blueetl_spark.operators import (
+    classifier,
     dedup,
     features,
+    graph,
     signal,
     similarity,
     text,
@@ -2222,6 +2224,318 @@ WHERE cell.vec_id NOT IN (SELECT id FROM losers)
 SQL_SEMDEDUP_FIXED = _semdedup_fixed_sql()
 
 
+# ---------------------------------------------------------------------------
+# Round-7 late surface: retrieval scoring, LM-quality filtering,
+# importance resampling, hashed linear classification, link-graph ranks
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 5
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k terms per document (Lucene idf variant) —
+    the sparse-retrieval twin of the ``tf_idf`` gate; ranked on the
+    rounded score for an engine-independent tie-break (same rationale
+    as :func:`q_tf_idf`)."""
+    from pyspark.sql import Window
+
+    docs = tables.load(spark, sf_dir, "documents")
+    out = text.bm25(docs, k1=BM25_K1, b=BM25_B).withColumn(
+        "bm25", F.round("bm25", 9)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("bm25").desc(), "token")
+    return (
+        out.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= BM25_TOP_K)
+        .select("doc_id", "token", "tf", "df", "dl", "bm25")
+    )
+
+
+def _bm25_sql() -> str:
+    k1 = BM25_K1
+    b = BM25_B
+    one_minus_b = 1.0 - b  # Python double op, mirrored bit-exact below
+    k1_plus_1 = k1 + 1.0
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+  WHERE token <> '' GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+docfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, docfreq.df, dl.dl,
+         round(
+           ((ln({1.0!r}::DOUBLE + (((n - df) + {0.5!r}::DOUBLE)
+                                   / (df + {0.5!r}::DOUBLE)))
+             * tf) * {k1_plus_1!r}::DOUBLE)
+           / (tf + {k1!r}::DOUBLE
+                   * ({one_minus_b!r}::DOUBLE
+                      + ({b!r}::DOUBLE * dl) / avgdl)),
+           9) AS bm25
+  FROM tf JOIN dl USING (doc_id) JOIN docfreq USING (token)
+  CROSS JOIN stats
+)
+SELECT doc_id, token, tf, df, dl, bm25
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY bm25 DESC, token) AS rnk
+  FROM scored
+)
+WHERE rnk <= {BM25_TOP_K}
+"""
+
+
+SQL_BM25 = _bm25_sql()
+
+
+LM_ADD_K = 0.1
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM quality score (mean negative
+    log-likelihood, add-k smoothed, LM trained in-corpus in the same
+    plan) — the per-token aggregation runs once behind a checkpoint and
+    is reused by training and scoring (the ``language_id`` discipline)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    out = text.lm_bigram_score(docs, add_k=LM_ADD_K)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("nll", 9).alias("nll")
+    )
+
+
+def _lm_perplexity_sql() -> str:
+    k = LM_ADD_K
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(toks) - 1, 0) + 1),
+           i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t
+),
+doc_bg AS (
+  SELECT doc_id, bigram, COUNT(*) AS c FROM bg
+  WHERE contains(bigram, ' ') GROUP BY 1, 2
+),
+corpus_b AS (SELECT bigram, CAST(SUM(c) AS BIGINT) AS B FROM doc_bg GROUP BY 1),
+corpus_u AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, CAST(SUM(c) AS BIGINT) AS U
+  FROM doc_bg GROUP BY 1
+),
+vocab AS (
+  SELECT COUNT(DISTINCT split_part(bigram, ' ', 2)) AS V FROM corpus_b
+),
+scored AS (
+  SELECT doc_bg.doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         SUM(c * -ln((B + {k!r}::DOUBLE) / (U + ({k!r}::DOUBLE * V))))
+           / SUM(c) AS nll
+  FROM doc_bg
+  JOIN corpus_b USING (bigram)
+  JOIN corpus_u ON split_part(doc_bg.bigram, ' ', 1) = corpus_u.w1
+  CROSS JOIN vocab
+  GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams, round(nll, 9) AS nll
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN scored ON d.doc_id = scored.doc_id
+"""
+
+
+SQL_LM_PERPLEXITY = _lm_perplexity_sql()
+
+
+DSIR_BUCKETS = 256
+DSIR_ADD_K = 0.5
+DSIR_TARGET_LANG = "en"
+
+_MD5_60 = "CAST(concat('0x', substring(md5({e}), 1, 15)) AS BIGINT)"
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-n-gram importance log-weights of the raw corpus
+    toward the English subset (md5 bucket hash for oracle parity) —
+    both distribution estimates are 256-row broadcast aggregates, the
+    scoring is one shuffle on ``doc_id``."""
+    docs = tables.load(spark, sf_dir, "documents")
+    out = text.dsir_logweights(
+        docs,
+        docs.filter(F.col("lang") == DSIR_TARGET_LANG),
+        n_buckets=DSIR_BUCKETS,
+        add_k=DSIR_ADD_K,
+        hash_fn="md5",
+    )
+    return out.select(
+        "doc_id", "n_tokens", F.round("log_weight", 9).alias("log_weight")
+    )
+
+
+def _dsir_weights_sql() -> str:
+    m = DSIR_BUCKETS
+    k = DSIR_ADD_K
+    km = k * m  # Python double op, mirrored below
+    bucket = _MD5_60.format(e="token") + f" % {m}"
+    return f"""
+WITH raw_tok AS (
+  SELECT doc_id, {bucket} AS bucket
+  FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+  WHERE token <> ''
+),
+tgt_tok AS (
+  SELECT {bucket} AS bucket
+  FROM (SELECT unnest({_TOKS}) AS token FROM documents
+        WHERE lang = '{DSIR_TARGET_LANG}')
+  WHERE token <> ''
+),
+r_counts AS (SELECT bucket, COUNT(*) AS r_c FROM raw_tok GROUP BY 1),
+t_counts AS (SELECT bucket, COUNT(*) AS t_c FROM tgt_tok GROUP BY 1),
+r_total AS (SELECT CAST(SUM(r_c) AS BIGINT) AS r_total FROM r_counts),
+t_total AS (SELECT CAST(SUM(t_c) AS BIGINT) AS t_total FROM t_counts),
+ratios AS (
+  SELECT r_counts.bucket,
+         ln((COALESCE(t_c, 0) + {k!r}::DOUBLE) / (t_total + {km!r}::DOUBLE))
+         - ln((COALESCE(r_c, 0) + {k!r}::DOUBLE) / (r_total + {km!r}::DOUBLE))
+           AS log_ratio
+  FROM r_counts
+  LEFT JOIN t_counts USING (bucket)
+  CROSS JOIN r_total CROSS JOIN t_total
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       round(SUM(log_ratio), 9) AS log_weight
+FROM raw_tok JOIN ratios USING (bucket)
+GROUP BY 1
+"""
+
+
+SQL_DSIR_WEIGHTS = _dsir_weights_sql()
+
+
+# deterministic pseudo-weights (Knuth multiplicative constant): exactly
+# replayable integer arithmetic, values in [-1, 1]
+CLS_N_FEATURES = 64
+CLS_WEIGHTS = [
+    ((j * 2654435761) % 2000001) / 1000000.0 - 1.0
+    for j in range(CLS_N_FEATURES)
+]
+CLS_INTERCEPT = -0.5
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear scorer with fixed exported weights — the
+    zero-shuffle map-only deployment shape of the quality classifier
+    (``score_linear_hashed``), md5 buckets so DuckDB replays the exact
+    featurization + sigmoid."""
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = classifier.score_linear_hashed(
+        docs, CLS_WEIGHTS, hash_fn="md5", intercept=CLS_INTERCEPT
+    )
+    return out.select(
+        "doc_id", F.round("quality_score", 9).alias("quality_score")
+    )
+
+
+def _classifier_score_sql() -> str:
+    arr = ", ".join(repr(w) + "::DOUBLE" for w in CLS_WEIGHTS)
+    bucket = _MD5_60.format(e="t") + f" % {CLS_N_FEATURES}"
+    return f"""
+WITH w AS (SELECT [{arr}] AS arr)
+SELECT doc_id,
+       round({1.0!r}::DOUBLE / ({1.0!r}::DOUBLE + exp(-(
+         {CLS_INTERCEPT!r}::DOUBLE + COALESCE(list_sum(list_transform(
+           list_filter({_TOKS}, t -> t <> ''),
+           t -> arr[CAST({bucket} AS INT) + 1])), {0.0!r}::DOUBLE)
+       ))), 9) AS quality_score
+FROM documents CROSS JOIN w
+"""
+
+
+SQL_CLASSIFIER_SCORE = _classifier_score_sql()
+
+
+PR_DAMPING = 0.85
+PR_ITERS = 5
+
+
+def q_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-free PageRank over the customer→supplier purchase graph,
+    exactly ``PR_ITERS`` synchronous iterations (``tol=0.0``) so the
+    dangling-mass redistribution and per-round scalars are replayable
+    as unrolled SQL — the oracle gate for ``operators/graph.py``."""
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    edges = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    ranks = graph.pagerank(
+        edges, damping=PR_DAMPING, max_iter=PR_ITERS, tol=0.0
+    )
+    return ranks.select("id", F.round("rank", 9).alias("pr"))
+
+
+def _pagerank_fixed_sql() -> str:
+    d = PR_DAMPING
+    # every scalar mirrors the Spark/Python op order bit-exactly:
+    # base = (1.0 - d) / n ; round scalar = base + (d * dmass) / n ;
+    # rank = scalar + d * coalesce(contrib, 0.0)
+    base = f"(({1.0!r}::DOUBLE - {d!r}::DOUBLE) / n)"
+    parts = [
+        f"""
+WITH e AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+ids AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+),
+nn AS (SELECT COUNT(*) AS n FROM ids),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+we AS (SELECT e.src, e.dst, {1.0!r}::DOUBLE / deg.d AS w
+       FROM e JOIN deg ON e.src = deg.src),
+dang AS (SELECT id FROM ids
+         WHERE id NOT IN (SELECT DISTINCT src FROM we)),
+r0 AS (SELECT id, {1.0!r}::DOUBLE / n AS rank FROM ids CROSS JOIN nn)"""
+    ]
+    for i in range(PR_ITERS):
+        prev = f"r{i}"
+        cur = f"r{i + 1}"
+        parts.append(
+            f""",
+dm{i} AS (SELECT COALESCE(SUM(rank), {0.0!r}::DOUBLE) AS m
+          FROM {prev} JOIN dang USING (id)),
+contrib{i} AS (
+  SELECT we.dst AS id, SUM(rank * w) AS cin
+  FROM {prev} JOIN we ON {prev}.id = we.src GROUP BY 1
+),
+{cur} AS (
+  SELECT ids.id,
+         ({base} + ({d!r}::DOUBLE * m) / n)
+         + ({d!r}::DOUBLE * COALESCE(cin, {0.0!r}::DOUBLE)) AS rank
+  FROM ids CROSS JOIN nn CROSS JOIN dm{i}
+  LEFT JOIN contrib{i} ON ids.id = contrib{i}.id
+)"""
+        )
+    parts.append(
+        f"\nSELECT id, round(rank, 9) AS pr FROM r{PR_ITERS}\n"
+    )
+    return "".join(parts)
+
+
+SQL_PAGERANK_FIXED = _pagerank_fixed_sql()
+
+
 SIMHASH_CAND_DIST = 6
 SIMHASH_CAND_BANDS = 7
 
@@ -3328,8 +3642,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "vocab": q_vocab,
     "mixture_sample": q_mixture_sample,
-    # round-7 addition (oracle-tail)
+    # round-7 additions (oracle-tail)
     "semdedup_fixed": q_semdedup_fixed,
+    "bm25": q_bm25,
+    "lm_perplexity": q_lm_perplexity,
+    "dsir_weights": q_dsir_weights,
+    "classifier_score": q_classifier_score,
+    "pagerank_fixed": q_pagerank_fixed,
 }
 
 ORACLES: dict[str, str] = {
@@ -3399,6 +3718,11 @@ ORACLES: dict[str, str] = {
     "simhash_band_stats": SQL_SIMHASH_BAND_STATS,
     "dedup_spans": SQL_DEDUP_SPANS,
     "semdedup_fixed": SQL_SEMDEDUP_FIXED,
+    "bm25": SQL_BM25,
+    "lm_perplexity": SQL_LM_PERPLEXITY,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
+    "classifier_score": SQL_CLASSIFIER_SCORE,
+    "pagerank_fixed": SQL_PAGERANK_FIXED,
 }
 
 

@@ -152,3 +152,43 @@ def test_scoring_survives_session_observations(spark):
     model = train_quality_classifier(corpus, n_features=1 << 10, max_iter=10)
     assert not model.hasSummary  # summary stripped at train time
     assert score_documents(model, corpus).count() == 40
+
+
+def test_score_linear_hashed_matches_manual(spark):
+    """The zero-shuffle hashed linear scorer reproduces a by-hand
+    sigmoid(b + sum w[hash mod m]) computation, and blank text scores
+    exactly sigmoid(intercept)."""
+    import hashlib
+    import math
+
+    from blueetl_spark.operators.classifier import score_linear_hashed
+
+    weights = [0.25 * j - 1.0 for j in range(8)]
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "   "), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.quality_score
+        for r in score_linear_hashed(
+            docs, weights, hash_fn="md5", intercept=0.75
+        ).collect()
+    }
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 8
+
+    for doc_id, text in [(1, "alpha beta alpha"), (3, "gamma")]:
+        z = 0.75 + sum(weights[bucket(t)] for t in text.split())
+        assert out[doc_id] == pytest.approx(1.0 / (1.0 + math.exp(-z)), rel=1e-12)
+    assert out[2] == pytest.approx(1.0 / (1.0 + math.exp(-0.75)), rel=1e-12)
+
+
+def test_score_linear_hashed_validates_inputs(spark):
+    from blueetl_spark.operators.classifier import score_linear_hashed
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        score_linear_hashed(docs, [])
+    with pytest.raises(ValueError, match="hash_fn"):
+        score_linear_hashed(docs, [0.1], hash_fn="sha9")

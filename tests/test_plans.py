@@ -270,3 +270,38 @@ def test_semdedup_pairs_one_shuffle_group_kernel(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "Join" not in plan
     assert len(re.findall(r"hashpartitioning\(", plan)) == 1, plan[:2000]
+
+
+def test_linear_hashed_scorer_is_map_only(spark):
+    """score_linear_hashed rides the weight vector as an array literal
+    inside one whole-stage-codegen'd project — zero exchanges, zero
+    joins, zero Python: a 100 TB scan scores at I/O speed."""
+    from blueetl_spark.operators.classifier import score_linear_hashed
+    from blueetl_spark.sources import tables
+
+    docs = tables.load(spark, SF, "documents").select("doc_id", "text")
+    plan = _formatted_plan(score_linear_hashed(docs, [0.1] * 64))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "InPandas" not in plan and "ArrowEvalPython" not in plan
+    # the whole query is literally Project-over-Scan (the aggregate
+    # higher-order function is JVM interpreted-eval, not codegen — still
+    # no Python and no extra operator)
+    assert "Project" in plan and "Aggregate" not in plan
+
+
+def test_dsir_scoring_broadcasts_bucket_ratios(spark):
+    """dsir_logweights' distribution estimates collapse to n_buckets
+    rows and are broadcast back into the scoring join; the only
+    doc-scale shuffle keys on the output group-by."""
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators.text import dsir_logweights
+    from blueetl_spark.sources import tables
+
+    docs = tables.load(spark, SF, "documents")
+    plan = _formatted_plan(
+        dsir_logweights(docs, docs.filter(F.col("lang") == "en"))
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

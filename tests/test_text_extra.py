@@ -345,3 +345,110 @@ def test_classify_language_empty_profile_returns_empty(spark):
     assert out.columns == ["doc_id", "lang_pred", "score"]
     assert dict(out.dtypes)["doc_id"] == "bigint"
     assert out.count() == 0
+
+
+# -- BM25 / bigram-LM scoring / DSIR weights (round 7) -----------------------
+
+
+def test_bm25_idf_and_length_normalization(spark):
+    """Rarer terms outrank corpus-wide terms at equal tf, and equal-tf
+    matches in shorter documents score higher (the two properties that
+    distinguish BM25 from raw tf)."""
+    from blueetl_spark.operators.text import bm25
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare common filler pad"),
+            (2, "common common stuff filler pad"),
+            (3, "common other words here pad"),
+            (4, "common rare"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.token): r
+        for r in bm25(docs).collect()
+    }
+    # doc 1: 'rare' (df=2) beats 'common' (df=4) at tf=1 each
+    assert out[(1, "rare")].bm25 > out[(1, "common")].bm25
+    # same (tf=1, token 'rare') in the 2-token doc 4 beats the 5-token doc 1
+    assert out[(4, "rare")].bm25 > out[(1, "rare")].bm25
+    # tf saturation: tf=2 scores more than tf=1 but less than 2x (same doc len)
+    assert out[(2, "common")].tf == 2
+    one = out[(3, "common")].bm25
+    assert one < out[(2, "common")].bm25 < 2 * one
+
+
+def test_bm25_top_k_deterministic_tie_break(spark):
+    from blueetl_spark.operators.text import bm25
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee"), (2, "aa bb xx yy zz")],
+        "doc_id long, text string",
+    )
+    out = bm25(docs, top_k=2)
+    pdf = out.toPandas()
+    assert (pdf.groupby("doc_id").size() == 2).all()
+    # doc-unique tokens all tie on score -> alphabetical token order wins
+    assert sorted(pdf[pdf.doc_id == 1].token) == ["cc", "dd"]
+
+
+def test_lm_bigram_score_semantics(spark):
+    """In-corpus bigrams score likelier (lower NLL) than a doc of
+    bigrams the LM never saw; sub-2-token docs get n_bigrams=0/null."""
+    from blueetl_spark.operators.text import lm_bigram_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),
+            (3, "mat the on sat cat the"),
+            (4, "solo"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in lm_bigram_score(docs).collect()}
+    assert got[1].n_bigrams == 5 and got[1].nll == got[2].nll
+    # reversed word order: every bigram has count 1 instead of 2
+    assert got[3].nll > got[1].nll
+    assert got[4].n_bigrams == 0 and got[4].nll is None
+    assert got[5].n_bigrams == 0 and got[5].nll is None
+    assert len(got) == 5
+
+
+def test_dsir_target_equals_raw_is_identically_zero(spark):
+    """When the target IS the raw corpus the smoothed distributions are
+    identical, so every log-ratio is exactly ln(x) - ln(x) = 0.0 — a
+    bit-exactness check on the shared estimation path."""
+    from blueetl_spark.operators.text import dsir_logweights
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta beta delta")],
+        "doc_id long, text string",
+    )
+    out = dsir_logweights(docs, docs, n_buckets=16).collect()
+    assert {r.doc_id: r.n_tokens for r in out} == {1: 3, 2: 3}
+    assert all(r.log_weight == 0.0 for r in out)
+
+
+def test_dsir_weights_point_toward_target(spark):
+    """Documents sharing the target's vocabulary get higher importance
+    weights than off-distribution documents."""
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators.text import dsir_logweights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ml data model train", "tgt"),
+            (2, "ml model data eval", "tgt"),
+            (3, "recipe flour sugar bake", "other"),
+            (4, "data model ml loss", "other"),
+        ],
+        "doc_id long, text string, kind string",
+    )
+    target = docs.filter(F.col("kind") == "tgt")
+    got = {r.doc_id: r.log_weight for r in dsir_logweights(docs, target).collect()}
+    # doc 4 looks like the target; doc 3 does not
+    assert got[4] > got[3]
