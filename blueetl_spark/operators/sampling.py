@@ -123,6 +123,61 @@ def stratified_sample_k(
     return topk(pre.filter(~redo).unionByName(df.filter(redo)))
 
 
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    seed: str = "",
+    method: str = "xxhash64",
+    log_weights: bool = False,
+    round_score: int | None = None,
+) -> DataFrame:
+    """Exactly ``k`` rows sampled WITHOUT replacement with probability
+    proportional to ``weight_col`` — Efraimidis–Spirakis (2006) weighted
+    reservoir sampling, derandomized: each row's exponential race key is
+    ``score = ln(u) / w`` with ``u = (hash_bucket + 0.5) / BUCKETS``,
+    and the k largest scores win.
+
+    This is the resampling half of DSIR (pair with
+    :func:`blueetl_spark.operators.text.dsir_logweights` and
+    ``log_weights=True``: ``w = exp(log_weight)`` is applied as
+    ``ln(u) · exp(−log_weight)``, so astronomically down-weighted rows
+    underflow to −inf and simply never win, never NaN).
+
+    Deterministic: a pure function of (key, seed, weight) — re-runs,
+    re-partitioning and input order cannot change the sample, the same
+    contract as :func:`stratified_sample_k`. Non-positive weights are
+    excluded (zero probability). Scale: the global top-k is Spark's
+    ``TakeOrderedAndProject`` — per-partition heaps of size k, one
+    k-row merge at the driver, no full sort and no shuffle of the data.
+
+    ``round_score`` is the engine-portable audit mode: rank on the score
+    rounded to that many digits (with the key as tie-break) so an ANSI
+    replay under ``method="md5"`` selects the identical set even though
+    the two engines' float summation order may differ in the weights'
+    last ulp.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    u = (hash_bucket(key_col, seed, method) + 0.5) / float(BUCKETS)
+    wcol = F.col(weight_col)
+    if log_weights:
+        score = F.log(u) * F.exp(-wcol)
+        eligible = df
+    else:
+        score = F.log(u) / wcol
+        eligible = df.filter(wcol > 0)
+    if round_score is not None:
+        score = F.round(score, round_score)
+    return (
+        eligible.withColumn("__score", score)
+        .orderBy(F.col("__score").desc(), F.col(key_col))
+        .limit(k)
+        .drop("__score")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     rates: dict[str, float],

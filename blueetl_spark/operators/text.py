@@ -623,6 +623,108 @@ def dsir_logweights(
     )
 
 
+# the Gopher stop-word rule's fixed list (Rae et al. 2021, A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality heuristics (Rae et al. 2021, appendix A1.1)
+    as one zero-shuffle projection: per-document pass/fail flag for each
+    published rule plus the conjunction, so a curation pipeline can
+    either filter on ``keep`` or analyze which rule fires.
+
+    Rules (defaults are the paper's): word count in
+    [``min_words``, ``max_words``]; mean word length in [3, 10];
+    symbol-to-word ratio (``#`` and ellipses) ≤ 0.1; < 90 % of lines
+    bullet-started; < 30 % of lines ellipsis-ended; ≥ 80 % of words
+    containing an alphabetic character; ≥ 2 distinct stop-words from the
+    paper's 8-word list.
+
+    Everything is JVM higher-order/regexp expressions over the tokens
+    and line arrays — no shuffle, no Python, filter stays in the scan
+    stage (the same deployment shape as :func:`quality_features`, which
+    provides the *continuous* signals these rules threshold).
+    """
+    t = F.col(text_col)
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    n_words = F.size(toks)
+    char_sum = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    mean_wl = F.try_divide(char_sum, n_words)
+    n_symbols = F.regexp_count(t, F.lit("#")) + F.regexp_count(
+        t, F.lit(r"\.\.\.|…")
+    )
+    symbol_ratio = F.try_divide(n_symbols, n_words)
+    lines = F.filter(
+        F.split(t, "\n"), lambda ln: F.trim(ln) != ""
+    )
+    n_lines = F.size(lines)
+    bullet_frac = F.try_divide(
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.trim(ln).rlike(r"^[•\-\*]"),
+            )
+        ),
+        n_lines,
+    )
+    ellipsis_frac = F.try_divide(
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"),
+            )
+        ),
+        n_lines,
+    )
+    alpha_frac = F.try_divide(
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))), n_words
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = {
+        "pass_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "pass_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "pass_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "pass_bullet": F.coalesce(
+            bullet_frac <= max_bullet_frac, F.lit(True)
+        ),
+        "pass_ellipsis": F.coalesce(
+            ellipsis_frac <= max_ellipsis_frac, F.lit(True)
+        ),
+        "pass_alpha": alpha_frac >= min_alpha_frac,
+        "pass_stopwords": stop_hits >= min_stopword_hits,
+    }
+    keep = None
+    for expr in flags.values():
+        keep = expr if keep is None else (keep & expr)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        *[F.coalesce(e, F.lit(False)).alias(name) for name, e in flags.items()],
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
 def winnowing_fingerprints(
     col: Column | str, n: int = 5, w: int = 4, hash_fn: str = "xxhash64"
 ) -> Column:

@@ -2460,6 +2460,136 @@ FROM documents CROSS JOIN w
 SQL_CLASSIFIER_SCORE = _classifier_score_sql()
 
 
+DSIR_SAMPLE_K = 100
+DSIR_SAMPLE_SEED = "dsir-r7"
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end DSIR: hashed-n-gram importance log-weights feeding
+    Efraimidis–Spirakis weighted top-k resampling (derandomized
+    exponential race on the md5 hash, rounded-score audit mode) — the
+    published two-stage pipeline as one gate."""
+    from blueetl_spark.operators import sampling
+
+    docs = tables.load(spark, sf_dir, "documents")
+    lw = text.dsir_logweights(
+        docs,
+        docs.filter(F.col("lang") == DSIR_TARGET_LANG),
+        n_buckets=DSIR_BUCKETS,
+        add_k=DSIR_ADD_K,
+        hash_fn="md5",
+    )
+    picked = sampling.weighted_sample_k(
+        lw,
+        k=DSIR_SAMPLE_K,
+        weight_col="log_weight",
+        key_col="doc_id",
+        seed=DSIR_SAMPLE_SEED,
+        method="md5",
+        log_weights=True,
+        round_score=9,
+    )
+    return picked.select(
+        "doc_id", "n_tokens", F.round("log_weight", 9).alias("log_weight")
+    )
+
+
+def _dsir_resample_sql() -> str:
+    from blueetl_spark.operators.sampling import BUCKETS
+
+    base = _dsir_weights_sql()
+    # reuse the weight CTEs but keep log_weight unrounded for the race
+    base = base.replace(
+        "SELECT doc_id, COUNT(*) AS n_tokens,\n"
+        "       round(SUM(log_ratio), 9) AS log_weight\n"
+        "FROM raw_tok JOIN ratios USING (bucket)\n"
+        "GROUP BY 1",
+        "SELECT doc_id, COUNT(*) AS n_tokens, SUM(log_ratio) AS lw\n"
+        "FROM raw_tok JOIN ratios USING (bucket)\n"
+        "GROUP BY 1",
+    )
+    h = _MD5_60.format(
+        e=f"concat('{DSIR_SAMPLE_SEED}', CAST(doc_id AS VARCHAR))"
+    )
+    u = f"(({h} % {BUCKETS}) + {0.5!r}::DOUBLE) / {float(BUCKETS)!r}::DOUBLE"
+    return f"""
+WITH weights AS (
+{base}
+)
+SELECT doc_id, n_tokens, round(lw, 9) AS log_weight
+FROM weights
+ORDER BY round(ln({u}) * exp(-lw), 9) DESC, doc_id
+LIMIT {DSIR_SAMPLE_K}
+"""
+
+
+SQL_DSIR_RESAMPLE = _dsir_resample_sql()
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality heuristics (Rae et al. 2021 A1.1) — every
+    published rule as a per-document flag from one zero-shuffle
+    projection, replayed rule-for-rule in DuckDB."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return text.gopher_rules(docs, min_words=30)
+
+
+def _gopher_rules_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in text.GOPHER_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter({_TOKS}, t -> t <> '') AS toks,
+         list_filter(string_split(text, chr(10)),
+                     ln -> trim(ln) <> '') AS lines,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS n_symbols
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+           / CAST(NULLIF(len(toks), 0) AS DOUBLE) AS mean_wl,
+         n_symbols / CAST(NULLIF(len(toks), 0) AS DOUBLE) AS symbol_ratio,
+         len(list_filter(lines, ln -> regexp_matches(trim(ln), '^[•\\-\\*]')))
+           / CAST(NULLIF(len(lines), 0) AS DOUBLE) AS bullet_frac,
+         len(list_filter(lines,
+                         ln -> regexp_matches(trim(ln), '(\\.\\.\\.|…)$')))
+           / CAST(NULLIF(len(lines), 0) AS DOUBLE) AS ellipsis_frac,
+         len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+           / CAST(NULLIF(len(toks), 0) AS DOUBLE) AS alpha_frac,
+         len(list_intersect(list_transform(toks, t -> lower(t)),
+                            [{stop}])) AS stop_hits
+  FROM base
+),
+f AS (
+  SELECT doc_id, n_words,
+         COALESCE(n_words >= 30 AND n_words <= 100000, FALSE)
+           AS pass_word_count,
+         COALESCE(mean_wl >= {3.0!r}::DOUBLE
+                  AND mean_wl <= {10.0!r}::DOUBLE, FALSE)
+           AS pass_mean_word_len,
+         COALESCE(symbol_ratio <= {0.1!r}::DOUBLE, FALSE) AS pass_symbol_ratio,
+         COALESCE(bullet_frac <= {0.9!r}::DOUBLE, TRUE) AS pass_bullet,
+         COALESCE(ellipsis_frac <= {0.3!r}::DOUBLE, TRUE) AS pass_ellipsis,
+         COALESCE(alpha_frac >= {0.8!r}::DOUBLE, FALSE) AS pass_alpha,
+         COALESCE(stop_hits >= 2, FALSE) AS pass_stopwords
+  FROM m
+)
+SELECT doc_id, n_words, pass_word_count, pass_mean_word_len,
+       pass_symbol_ratio, pass_bullet, pass_ellipsis, pass_alpha,
+       pass_stopwords,
+       (pass_word_count AND pass_mean_word_len AND pass_symbol_ratio
+        AND pass_bullet AND pass_ellipsis AND pass_alpha
+        AND pass_stopwords) AS keep
+FROM f
+"""
+
+
+SQL_GOPHER_RULES = _gopher_rules_sql()
+
+
 PR_DAMPING = 0.85
 PR_ITERS = 5
 
@@ -3649,6 +3779,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "classifier_score": q_classifier_score,
     "pagerank_fixed": q_pagerank_fixed,
+    "dsir_resample": q_dsir_resample,
+    "gopher_rules": q_gopher_rules,
 }
 
 ORACLES: dict[str, str] = {
@@ -3723,6 +3855,8 @@ ORACLES: dict[str, str] = {
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "classifier_score": SQL_CLASSIFIER_SCORE,
     "pagerank_fixed": SQL_PAGERANK_FIXED,
+    "dsir_resample": SQL_DSIR_RESAMPLE,
+    "gopher_rules": SQL_GOPHER_RULES,
 }
 
 

@@ -504,3 +504,46 @@ def test_stratified_sample_k_exact_and_prefilter_invariant(spark):
     assert ids != ids5
     with pytest.raises(ValueError):
         sampling.stratified_sample_k(df, 0)
+
+
+def test_weighted_sample_k_deterministic_and_proportional(spark):
+    """Exact k, invariant to partitioning/order, non-positive weights
+    excluded, and a dominant weight always wins a slot."""
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators.sampling import weighted_sample_k
+
+    rows = [(i, 1.0) for i in range(200)] + [(999, 1e9), (998, 0.0), (997, -2.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out1 = sorted(
+        r.doc_id
+        for r in weighted_sample_k(df, 20, "w", seed="s1").collect()
+    )
+    out2 = sorted(
+        r.doc_id
+        for r in weighted_sample_k(
+            df.repartition(13).orderBy(F.rand(7)), 20, "w", seed="s1"
+        ).collect()
+    )
+    assert out1 == out2 and len(out1) == 20
+    assert 999 in out1            # ~1e9:1 favourite: P(miss) ~ 0
+    assert 998 not in out1 and 997 not in out1
+    # a different seed draws a different committee (same contract as
+    # hash_sample's disjoint-seed independence)
+    out3 = sorted(
+        r.doc_id
+        for r in weighted_sample_k(df, 20, "w", seed="s2").collect()
+    )
+    assert out1 != out3
+
+
+def test_weighted_sample_k_log_weights_no_overflow(spark):
+    from blueetl_spark.operators.sampling import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -800.0), (3, 0.5)], "doc_id long, lw double"
+    )
+    out = weighted_sample_k(df, 2, "lw", log_weights=True, seed="z")
+    picked = {r.doc_id for r in out.collect()}
+    # exp(-(-800)) -> inf race key multiplier -> -inf score: never wins
+    assert picked == {1, 3}

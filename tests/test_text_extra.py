@@ -452,3 +452,40 @@ def test_dsir_weights_point_toward_target(spark):
     got = {r.doc_id: r.log_weight for r in dsir_logweights(docs, target).collect()}
     # doc 4 looks like the target; doc 3 does not
     assert got[4] > got[3]
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """One handcrafted violator per published rule; a clean doc keeps."""
+    from blueetl_spark.operators.text import gopher_rules
+
+    clean = (
+        "the data and the model have to be good with that "
+        "training corpus quality pipeline words here more tokens fine"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, clean),                                      # passes all
+            (2, "too short"),                                # word count
+            (3, " ".join(["a"] * 20)),                       # mean word len < 3
+            (4, "the be to of and that have with " + "### # ## " * 10),  # symbols
+            (5, "\n".join(["- bullet item the be to of"] * 10)),         # bullets
+            (6, "\n".join(["the be to of and trailing..."] * 10)),       # ellipses
+            (7, "the be to of " + " ".join(["123"] * 30)),   # alpha frac
+            (8, " ".join(["zz"] * 30)),                      # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in gopher_rules(docs, min_words=10).collect()
+    }
+    assert got[1].keep
+    assert not got[2].pass_word_count
+    assert not got[3].pass_mean_word_len
+    assert not got[4].pass_symbol_ratio
+    assert not got[5].pass_bullet
+    assert not got[6].pass_ellipsis
+    assert not got[7].pass_alpha
+    assert not got[8].pass_stopwords
+    for d in range(2, 9):
+        assert not got[d].keep, d
