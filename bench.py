@@ -61,6 +61,16 @@ HEADLINE = [
     "semdedup_fixed",
     "dedup_spans",
     "simhash_band_stats",
+    # round-7 late additions (retrieval scoring / LM filter / DSIR /
+    # linear scorer / link graph)
+    "bm25",
+    "lm_perplexity",
+    "dsir_resample",
+    "classifier_score",
+    "gopher_rules",
+    "pagerank_fixed",
+    "decontaminate_bloom",
+    "fuzzy_decontaminate",
 ]
 
 

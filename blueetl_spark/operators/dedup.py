@@ -387,6 +387,90 @@ def minhash_lsh_candidates(
     return out
 
 
+def cross_lsh_matches(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    hash_fn: str = "xxhash64",
+    min_est_jaccard: float = 0.0,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """**Fuzzy decontamination**: per train document, how many eval
+    documents it *near*-duplicates (shared LSH band + MinHash similarity
+    ≥ ``min_est_jaccard``) — the cross-corpus counterpart of
+    :func:`minhash_lsh_candidates`, catching lightly-edited benchmark
+    copies that exact n-gram decontamination (``text.ngram_overlap``)
+    misses.
+
+    Output: one row per train document (zero-match docs included, as in
+    every decontamination operator here): ``(id, n_matches,
+    max_est_jaccard, contaminated_fuzzy)``.
+
+    Scale shape — the asymmetry IS the design: benchmarks are MBs, the
+    corpus is TBs.  With ``broadcast_eval=True`` (default) the eval
+    side's banded bucket keys AND signatures are broadcast, so the
+    train side flows map-only through signature aggregation → band
+    probe → similarity verify, and the only corpus-wide shuffles are
+    the signature groupBy and the per-doc match count (both map-side
+    combined, both keyed on ``id_col``).  ``broadcast_eval=False``
+    shuffle-joins on (band, band_hash) for an eval side that outgrows
+    broadcast.  ``hash_fn="md5"`` makes every stage DuckDB-reproducible
+    (see :func:`minhash_signatures`).
+    """
+    rows_per_band = num_hashes // bands
+    mk_sig = lambda d: minhash_signatures(  # noqa: E731
+        d, text_col, id_col, n, num_hashes, hash_fn
+    )
+    # Train signatures feed both the band probe and the verify join —
+    # pin once (same 3-consumer recompute evidence as the self-join LSH).
+    sig_tr = mk_sig(train).localCheckpoint(eager=True)
+    sig_ev = mk_sig(eval_df)
+    band_tr = banded_buckets(sig_tr, id_col, bands, rows_per_band, hash_fn)
+    band_ev = banded_buckets(sig_ev, id_col, bands, rows_per_band, hash_fn).select(
+        F.col(id_col).alias("__ev_id"), "band", "band_hash"
+    )
+    sig_ev_j = sig_ev.select(
+        F.col(id_col).alias("__ev_id"), F.col("signature").alias("__ev_sig")
+    )
+    if broadcast_eval:
+        band_ev, sig_ev_j = F.broadcast(band_ev), F.broadcast(sig_ev_j)
+    cand = (
+        band_tr.join(band_ev, ["band", "band_hash"])
+        .select(id_col, "__ev_id")
+        .distinct()
+    )
+    est = (
+        cand.join(sig_tr, id_col)
+        .join(sig_ev_j, "__ev_id")
+        .withColumn(
+            "__est",
+            F.size(
+                F.filter(
+                    F.zip_with("signature", "__ev_sig", lambda x, y: x == y),
+                    lambda m: m,
+                )
+            )
+            / F.lit(num_hashes),
+        )
+        .filter(F.col("__est") >= min_est_jaccard)
+    )
+    agg = est.groupBy(id_col).agg(
+        F.count("*").alias("n_matches"),
+        F.max("__est").alias("max_est_jaccard"),
+    )
+    ids = train.select(id_col).distinct()
+    return ids.join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        F.col("max_est_jaccard"),
+        (F.coalesce("n_matches", F.lit(0)) > 0).alias("contaminated_fuzzy"),
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -1050,6 +1050,121 @@ def ngram_overlap(
     )
 
 
+def _bloom_positions(h1: Column, h2: Column, m_bits: int, k: int) -> Column:
+    """``k`` Bloom bit positions via Kirsch-Mitzenmacher double hashing:
+    ``g_i = (h1 mod m) + i*(h2 mod m) (mod m)``.  Both hashes are reduced
+    into ``[0, m)`` *before* combining so ``i*h2m`` stays below
+    ``k * 2^27 << 2^63`` — ANSI mode (Spark 4 default) raises on long
+    overflow rather than wrapping.  ``h1``/``h2`` must be *materialized
+    columns* on the input frame (higher-order-function lambdas re-evaluate
+    whatever they close over once per element — an attribute read is free,
+    an inlined xxhash64 would run ``k`` times)."""
+    m = F.lit(m_bits).cast("long")
+    h1m, h2m = F.pmod(h1, m), F.pmod(h2, m)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.pmod(h1m + i.cast("long") * h2m, m),
+    )
+
+
+def ngram_overlap_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """:func:`ngram_overlap` with a **Bloom-filter prefilter**: same output
+    (per train doc, distinct shared n-grams + ``contaminated`` flag), built
+    for the regime where even the eval corpus's distinct n-gram set is too
+    large to broadcast as literals.
+
+    Scale shape — the problem with the plain operator at 100 TB is its
+    broadcast (or full-corpus shuffle) of eval n-grams.  Here:
+
+    1. The eval set folds into a **fixed-size** bit array (``m_bits`` bits
+       = ``m_bits/64`` longs; default 1 MiB ≈ 16k longs) via a distributed
+       ``bit_or`` aggregate on the bit-word index — collected to the driver
+       (config-sized by construction, capped at 2^27 bits = 16 MiB) and
+       re-broadcast as a ONE-ROW frame.
+    2. The corpus probes the array **map-only** (cross-join with the
+       broadcast row, ``forall`` over the k double-hashed positions) — no
+       shuffle touches non-matching grams.
+    3. Only Bloom *survivors* (true hits + ~``0.5^k`` false positives) run
+       the exact verify join against the eval set, shuffling on the 8-byte
+       ``xxhash64`` gram key.  The verify join removes every false
+       positive, so the result is EXACTLY :func:`ngram_overlap`'s
+       (``hashed=True`` semantics: gram identity is the 64-bit hash;
+       collisions add a shared count at ~2^-64 per candidate).
+
+    Shuffle inventory: eval-side gram distinct + bit_or (eval-sized, once),
+    survivor verify join, per-doc count on ``id_col``.  The 100-TB train
+    side is never shuffled in full.
+    """
+    if m_bits < 64 or m_bits > (1 << 27):
+        raise ValueError(
+            f"m_bits={m_bits} outside [64, 2^27]: the bit array is collected "
+            "to the driver (m_bits/64 longs); 2^27 bits = 16 MiB is the "
+            "broadcast-sanity cap"
+        )
+    spark = train.sparkSession
+    ng = F.explode(F.array_distinct(shingles(text_col, n))).alias("__ng")
+    hashed = lambda df: df.withColumn(  # noqa: E731
+        "__h1", F.xxhash64("__ng")
+    ).withColumn("__h2", F.xxhash64("__ng", F.lit(1)))
+
+    ev = hashed(eval_df.select(ng)).select("__h1", "__h2").distinct()
+    # Distributed Bloom build: k positions per gram -> (word, bit) -> bit_or.
+    words = (
+        ev.select(
+            F.explode(_bloom_positions(F.col("__h1"), F.col("__h2"), m_bits, k)).alias(
+                "__pos"
+            )
+        )
+        .groupBy((F.col("__pos") / 64).cast("int").alias("__word"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (F.col("__pos") % 64).cast("int")
+                )
+            ).alias("__bits")
+        )
+        .collect()
+    )
+    arr = [0] * (m_bits // 64)
+    for row in words:
+        arr[row["__word"]] = row["__bits"]
+    bloom_row = spark.createDataFrame([(arr,)], "__bloom: array<long>")
+
+    tr = hashed(train.select(F.col(id_col), ng))
+    probe = tr.crossJoin(F.broadcast(bloom_row))  # one-row: map-only
+    might = probe.filter(
+        F.forall(
+            _bloom_positions(F.col("__h1"), F.col("__h2"), m_bits, k),
+            lambda p: (
+                F.element_at(F.col("__bloom"), (p / 64).cast("int") + F.lit(1))
+                .bitwiseAND(
+                    F.call_function(
+                        "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+                    )
+                )
+                != 0
+            ),
+        )
+    ).select(id_col, "__h1")
+    # Exact verify: survivors only — the join the Bloom pass exists to shrink.
+    hits = might.join(ev.select("__h1").distinct(), "__h1", "inner")
+    counts = hits.groupBy(id_col).agg(F.count("*").alias("n_shared"))
+    ids = train.select(id_col).distinct()
+    return ids.join(counts, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 def token_frequencies(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -3217,6 +3217,108 @@ LEFT JOIN c USING (doc_id)
 """
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination: same split and output as
+    ``decontaminate``, but the eval n-gram set folds into a fixed-size
+    bit array (map-only corpus probe; only Bloom survivors reach the
+    exact verify join) — the scale path for eval sets too large to
+    broadcast as literals.  The verify join makes the result exact, so
+    the oracle is the plain decontamination SQL."""
+    docs = tables.load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+    tr = docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    return text.ngram_overlap_bloom(tr, ev, n=JACCARD_NGRAM, m_bits=1 << 18, k=5)
+
+
+FUZZY_DECON_MIN_EST = 0.25  # >= 4 of the 16 md5 minhashes agree
+
+
+def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus fuzzy decontamination: per train doc, the number of
+    eval docs (``doc_id % 20 == 0``) sharing an LSH band with MinHash
+    similarity >= 0.25 — catches lightly-edited benchmark copies exact
+    n-gram decontamination misses.  md5 hash family: every stage
+    (shingle hash, 16 permutations, band keys, cross-side bucket join,
+    similarity estimate) is bit-identical in DuckDB."""
+    docs = tables.load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+    tr = docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    return dedup.cross_lsh_matches(
+        tr,
+        ev,
+        n=JACCARD_NGRAM,
+        num_hashes=MINHASH_MD5_HASHES,
+        bands=MINHASH_MD5_BANDS,
+        hash_fn="md5",
+        min_est_jaccard=FUZZY_DECON_MIN_EST,
+    )
+
+
+def _fuzzy_decontaminate_sql() -> str:
+    k, bands = MINHASH_MD5_HASHES, MINHASH_MD5_BANDS
+    rpb = k // bands
+    shingle = (
+        f"unnest(list_distinct(list_transform("
+        f"range(1, greatest(len({_TOKS}) - {JACCARD_NGRAM - 1}, 1) + 1), "
+        f"i -> array_to_string(({_TOKS})[i:i+{JACCARD_NGRAM - 1}], ' '))))"
+    )
+
+    def md5_60(expr: str) -> str:
+        return f"CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+    mins = ", ".join(
+        "MIN({e}) AS h{i}".format(
+            e=md5_60("concat(CAST(h AS VARCHAR), ':%d')" % i), i=i
+        )
+        for i in range(k)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS band_hash FROM sig".format(
+            b=b,
+            key="concat("
+            + ", ':', ".join(
+                f"CAST(h{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            )
+            + ")",
+        )
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+WITH sh AS (SELECT doc_id, {shingle} AS shingle FROM documents),
+hashed AS (SELECT doc_id, {md5_60('shingle')} AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+banded AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS tid, b.doc_id AS eid
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id % {DECON_EVAL_MOD} <> 0 AND b.doc_id % {DECON_EVAL_MOD} = 0
+),
+est AS (
+  SELECT tid, eid, ({matches}) / {k}.0 AS est
+  FROM cand
+  JOIN sig sa ON sa.doc_id = tid
+  JOIN sig sb ON sb.doc_id = eid
+),
+m AS (
+  SELECT tid, COUNT(*) AS n_matches, MAX(est) AS mx
+  FROM est WHERE est >= {FUZZY_DECON_MIN_EST} GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(m.n_matches, 0) AS n_matches,
+       m.mx AS max_est_jaccard,
+       COALESCE(m.n_matches, 0) > 0 AS contaminated_fuzzy
+FROM (SELECT doc_id FROM documents WHERE doc_id % {DECON_EVAL_MOD} <> 0) d
+LEFT JOIN m ON d.doc_id = m.tid
+"""
+
+
+SQL_FUZZY_DECONTAMINATE = _fuzzy_decontaminate_sql()
+
+
 def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary profile (heavy hitters): per token, total
     occurrences and document frequency via two cascaded map-side-combined
@@ -3781,6 +3883,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_fixed": q_pagerank_fixed,
     "dsir_resample": q_dsir_resample,
     "gopher_rules": q_gopher_rules,
+    "decontaminate_bloom": q_decontaminate_bloom,
+    "fuzzy_decontaminate": q_fuzzy_decontaminate,
 }
 
 ORACLES: dict[str, str] = {
@@ -3857,6 +3961,8 @@ ORACLES: dict[str, str] = {
     "pagerank_fixed": SQL_PAGERANK_FIXED,
     "dsir_resample": SQL_DSIR_RESAMPLE,
     "gopher_rules": SQL_GOPHER_RULES,
+    "decontaminate_bloom": SQL_DECONTAMINATE,
+    "fuzzy_decontaminate": SQL_FUZZY_DECONTAMINATE,
 }
 
 

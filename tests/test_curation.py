@@ -3,6 +3,8 @@ train/eval decontamination, vocabulary profile, deterministic sampling."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -168,6 +170,67 @@ def test_ngram_overlap_broadcast_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize("m_bits,k", [(1 << 16, 5), (256, 2)])
+def test_ngram_overlap_bloom_matches_exact(spark, m_bits, k):
+    # m_bits=256/k=2 forces heavy false positives through the Bloom
+    # prefilter; the verify join must remove every one of them.
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "totally different words here"),
+            (3, "quick brown fox quick brown fox"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "a quick brown fox ran")], "doc_id long, text string"
+    )
+    exact = sorted(
+        map(tuple, text.ngram_overlap(train, ev, n=3).collect())
+    )
+    bloom = sorted(
+        map(
+            tuple,
+            text.ngram_overlap_bloom(train, ev, n=3, m_bits=m_bits, k=k).collect(),
+        )
+    )
+    assert bloom == exact
+
+
+def test_ngram_overlap_bloom_empty_eval_and_bounds(spark):
+    train = spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f g h")], "doc_id long, text string"
+    )
+    ev = train.filter(F.lit(False))
+    rows = text.ngram_overlap_bloom(train, ev, n=3).collect()
+    assert len(rows) == 2 and all(not r["contaminated"] for r in rows)
+    with pytest.raises(ValueError, match="m_bits"):
+        text.ngram_overlap_bloom(train, ev, m_bits=32)
+    with pytest.raises(ValueError, match="m_bits"):
+        text.ngram_overlap_bloom(train, ev, m_bits=1 << 28)
+
+
+def test_ngram_overlap_bloom_probe_is_map_only(spark):
+    # The corpus side must reach the Bloom probe without any shuffle:
+    # the only exchanges are the survivor verify join (8-byte key) and
+    # the per-doc count; the bloom row arrives via broadcast.
+    train = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(99, "w5 w6 w7")], "doc_id long, text string")
+    out = text.ngram_overlap_bloom(train, ev, n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    # survivor-verify join key is the 64-bit hash, never the gram string
+    # (shuffle joins — on __h1 for the verify, on doc_id for the
+    # zero-fill rejoin — are the designed shape: at scale neither side
+    # of either join is broadcastable)
+    assert plan.count("Exchange hashpartitioning(__h1") <= 2
+    assert "Exchange hashpartitioning(__ng" not in plan
 
 
 # -- PII scrubbing -----------------------------------------------------------

@@ -932,3 +932,86 @@ def test_incremental_match_with_injected_signatures(spark, tmp_path):
         got_a = {tuple(r) for r in auto.collect()}
         got_i = {tuple(r) for r in injected.collect()}
         assert got_a == got_i and {r[0] for r in got_a} == {10}, (method, got_a)
+
+
+# -- cross-corpus fuzzy decontamination --------------------------------------
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_cross_lsh_matches_hand_checked(spark, hash_fn):
+    from blueetl_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    train = spark.createDataFrame(
+        [
+            (1, base),  # exact copy of eval doc 100
+            (2, base + " with a small tail appended here"),  # near-dup
+            (3, "completely different content about spark sql catalyst"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.cross_lsh_matches(
+            train, ev, num_hashes=16, bands=4, hash_fn=hash_fn
+        ).collect()
+    }
+    assert len(out) == 3  # zero-match docs kept
+    assert out[1]["n_matches"] == 1 and out[1]["max_est_jaccard"] == 1.0
+    assert out[1]["contaminated_fuzzy"]
+    assert out[3]["n_matches"] == 0 and not out[3]["contaminated_fuzzy"]
+    assert out[3]["max_est_jaccard"] is None  # no match -> no estimate
+
+
+@pytest.mark.parametrize("broadcast_eval", [True, False])
+def test_cross_lsh_matches_equals_selfjoin_cross_pairs(spark, broadcast_eval):
+    """The cross-side operator must agree with the self-join candidate
+    finder restricted to pairs that straddle the train/eval split."""
+    from blueetl_spark.operators import dedup
+
+    rows = [
+        (i, f"shared prefix tokens w{i % 4} w{(i + 1) % 4} w{(i + 2) % 4} tail")
+        for i in range(24)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = docs.filter(F.col("doc_id") % 4 == 0)
+    tr = docs.filter(F.col("doc_id") % 4 != 0)
+    thr = 0.5
+    got = {
+        r["doc_id"]: (r["n_matches"], r["max_est_jaccard"])
+        for r in dedup.cross_lsh_matches(
+            tr, ev, num_hashes=16, bands=4,
+            min_est_jaccard=thr, broadcast_eval=broadcast_eval,
+        ).collect()
+    }
+    cand = dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4).collect()
+    expect: dict[int, list[float]] = {}
+    for r in cand:
+        if r.est_jaccard < thr:
+            continue
+        a, b = r.id_a, r.id_b
+        for t, e in ((a, b), (b, a)):
+            if t % 4 != 0 and e % 4 == 0:
+                expect.setdefault(t, []).append(r.est_jaccard)
+    for doc_id in (r[0] for r in rows):
+        if doc_id % 4 == 0:
+            continue
+        ms = expect.get(doc_id, [])
+        assert got[doc_id] == (len(ms), max(ms) if ms else None), doc_id
+
+
+def test_cross_lsh_broadcast_plan(spark):
+    """broadcast_eval=True: the band probe and similarity verify are
+    broadcast joins — no shuffle keyed on band_hash or the eval id."""
+    from blueetl_spark.operators import dedup
+
+    rows = [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = docs.filter(F.col("doc_id") % 4 == 0)
+    tr = docs.filter(F.col("doc_id") % 4 != 0)
+    out = dedup.cross_lsh_matches(tr, ev, num_hashes=16, bands=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning(band" not in plan
+    assert "Exchange hashpartitioning(__ev_id" not in plan
