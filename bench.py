@@ -71,6 +71,7 @@ HEADLINE = [
     "pagerank_fixed",
     "decontaminate_bloom",
     "fuzzy_decontaminate",
+    "edit_distance_pairs",
 ]
 
 

@@ -34,6 +34,7 @@ from blueetl_spark.operators import (
     dedup,
     features,
     graph,
+    linkage,
     signal,
     similarity,
     text,
@@ -3230,6 +3231,23 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ngram_overlap_bloom(tr, ev, n=JACCARD_NGRAM, m_bits=1 << 18, k=5)
 
 
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: all part pairs whose names are within Levenshtein
+    distance 2, via exact-recall q-gram count-filter blocking + banded
+    verify (`operators/linkage.py`) — never the quadratic cross join the
+    oracle runs."""
+    part = tables.load(spark, sf_dir, "part")
+    return linkage.edit_distance_pairs(part, "p_name", "p_partkey", max_dist=2, q=2)
+
+
+SQL_EDIT_DISTANCE_PAIRS = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey AND levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
 FUZZY_DECON_MIN_EST = 0.25  # >= 4 of the 16 md5 minhashes agree
 
 
@@ -3885,6 +3903,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_rules": q_gopher_rules,
     "decontaminate_bloom": q_decontaminate_bloom,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
+    "edit_distance_pairs": q_edit_distance_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -3963,6 +3982,7 @@ ORACLES: dict[str, str] = {
     "gopher_rules": SQL_GOPHER_RULES,
     "decontaminate_bloom": SQL_DECONTAMINATE,
     "fuzzy_decontaminate": SQL_FUZZY_DECONTAMINATE,
+    "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
 }
 
 
