@@ -72,6 +72,7 @@ HEADLINE = [
     "decontaminate_bloom",
     "fuzzy_decontaminate",
     "edit_distance_pairs",
+    "phrase_search",
 ]
 
 

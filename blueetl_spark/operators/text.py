@@ -1165,6 +1165,41 @@ def ngram_overlap_bloom(
     )
 
 
+def phrase_count(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_zero: bool = False,
+) -> DataFrame:
+    """Per-document occurrence count of a token phrase (consecutive
+    token match, overlapping starts counted): ``(id, n_occ)``.
+
+    Zero-shuffle scan path: the document's ``len(phrase)``-gram shingle
+    array is filtered for equality with the phrase — a map-only
+    whole-stage-codegen expression, no explode, no join.  This is the
+    "grep the corpus" formulation; for repeated queries against a static
+    corpus, build the inverted index (``operators/invindex.py``) once
+    and probe it token-pruned instead of rescanning 100 TB per phrase.
+
+    The phrase is normalized with the same tokenizer as the corpus
+    (whitespace split), so a phrase with irregular spacing still
+    matches.  ``keep_zero=False`` (default) drops non-matching docs —
+    the result is query-shaped, not corpus-shaped.
+    """
+    p_toks = phrase.split()
+    if not p_toks:
+        raise ValueError("empty phrase")
+    k = len(p_toks)
+    norm = " ".join(p_toks)
+    n_occ = F.size(F.filter(shingles(text_col, k), lambda s: s == F.lit(norm)))
+    out = df.select(F.col(id_col), n_occ.cast("long").alias("n_occ"))
+    # shingles() pads short docs with one all-tokens shingle; a doc with
+    # fewer than k tokens can still equal the phrase only if it IS the
+    # phrase, which the equality above already handles.
+    return out if keep_zero else out.filter(F.col("n_occ") > 0)
+
+
 def token_frequencies(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -3248,6 +3248,29 @@ FROM part a JOIN part b
 """
 
 
+PHRASE_QUERY = "table value"
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search (consecutive-token match, overlapping starts
+    counted) via the zero-shuffle shingle-equality scan — the one-off
+    grep path; `operators/invindex.py` is the persisted-index twin for
+    repeated queries, pinned equal in tests."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return text.phrase_count(docs, PHRASE_QUERY)
+
+
+SQL_PHRASE_SEARCH = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+p AS (SELECT doc_id, tk[i] AS tok, i AS pos
+      FROM t, unnest(range(1, len(tk)+1)) AS r(i)),
+hits AS (SELECT p0.doc_id, p0.pos FROM p p0
+         JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+         WHERE p0.tok = 'table' AND p1.tok = 'value')
+SELECT doc_id, count(*) AS n_occ FROM hits GROUP BY 1
+"""
+
+
 FUZZY_DECON_MIN_EST = 0.25  # >= 4 of the 16 md5 minhashes agree
 
 
@@ -3904,6 +3927,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_bloom": q_decontaminate_bloom,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "edit_distance_pairs": q_edit_distance_pairs,
+    "phrase_search": q_phrase_search,
 }
 
 ORACLES: dict[str, str] = {
@@ -3983,6 +4007,7 @@ ORACLES: dict[str, str] = {
     "decontaminate_bloom": SQL_DECONTAMINATE,
     "fuzzy_decontaminate": SQL_FUZZY_DECONTAMINATE,
     "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
+    "phrase_search": SQL_PHRASE_SEARCH,
 }
 
 
