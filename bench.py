@@ -73,6 +73,7 @@ HEADLINE = [
     "fuzzy_decontaminate",
     "edit_distance_pairs",
     "phrase_search",
+    "bm25_search",
 ]
 
 

@@ -471,6 +471,39 @@ def bm25(
     return out
 
 
+def bm25_search(
+    df: DataFrame,
+    query: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    scored: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query by summed BM25:
+    ``(id, score)``, best first (deterministic ``id`` tie-break).
+
+    ``scored`` accepts a precomputed :func:`bm25` frame — the
+    production shape: materialize the scored posting table once (it IS
+    the sparse index), then each query is a token-pruned probe + one
+    map-side-combined sum + a ``TakeOrderedAndProject`` (top-k never
+    global-sorts).  Without it the scoring plan is built inline and
+    Catalyst pushes the query-token filter into the posting branch.
+    """
+    q_toks = list(dict.fromkeys(query.split()))
+    if not q_toks:
+        raise ValueError("empty query")
+    if scored is None:
+        scored = bm25(df, text_col, id_col, k1=k1, b=b)
+    hits = (
+        scored.filter(F.col("token").isin(q_toks))
+        .groupBy(id_col)
+        .agg(F.sum("bm25").alias("score"))
+    )
+    return hits.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
 def lm_bigram_score(
     df: DataFrame,
     text_col: str = "text",

@@ -2296,6 +2296,40 @@ WHERE rnk <= {BM25_TOP_K}
 SQL_BM25 = _bm25_sql()
 
 
+BM25_QUERY = "table value scan"
+BM25_SEARCH_K = 20
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time sparse retrieval: top-20 documents for a bag-of-words
+    query by summed per-token BM25 (rounded per token for an engine-
+    independent tie-break, doc_id as the final tie-break)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    scored = text.bm25(docs, k1=BM25_K1, b=BM25_B).withColumn(
+        "bm25", F.round("bm25", 9)
+    )
+    out = text.bm25_search(
+        docs, BM25_QUERY, k=BM25_SEARCH_K, scored=scored
+    )
+    return out.select("doc_id", F.round("score", 9).alias("score"))
+
+
+def _bm25_search_sql() -> str:
+    toks = ", ".join(f"'{t}'" for t in BM25_QUERY.split())
+    base = SQL_BM25.split("SELECT doc_id, token, tf, df, dl, bm25")[0]
+    return f"""{base}
+SELECT doc_id, round(SUM(bm25), 9) AS score
+FROM scored
+WHERE token IN ({toks})
+GROUP BY doc_id
+ORDER BY SUM(bm25) DESC, doc_id
+LIMIT {BM25_SEARCH_K}
+"""
+
+
+SQL_BM25_SEARCH = _bm25_search_sql()
+
+
 LM_ADD_K = 0.1
 
 
@@ -3928,6 +3962,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "edit_distance_pairs": q_edit_distance_pairs,
     "phrase_search": q_phrase_search,
+    "bm25_search": q_bm25_search,
 }
 
 ORACLES: dict[str, str] = {
@@ -4008,6 +4043,7 @@ ORACLES: dict[str, str] = {
     "fuzzy_decontaminate": SQL_FUZZY_DECONTAMINATE,
     "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
     "phrase_search": SQL_PHRASE_SEARCH,
+    "bm25_search": SQL_BM25_SEARCH,
 }
 
 

@@ -393,6 +393,45 @@ def test_bm25_top_k_deterministic_tie_break(spark):
     assert sorted(pdf[pdf.doc_id == 1].token) == ["cc", "dd"]
 
 
+def test_bm25_search_ranks_and_top_k(spark):
+    from blueetl_spark.operators.text import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare rare filler pad here"),   # strongest match: tf=2
+            (2, "rare other words sit here"),   # weaker: tf=1
+            (3, "nothing relevant at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = bm25_search(docs, "rare", k=2).collect()
+    assert [r["doc_id"] for r in got] == [1, 2]
+    assert got[0]["score"] > got[1]["score"]
+    # k caps the result; non-matching docs never appear
+    assert len(bm25_search(docs, "rare", k=5).collect()) == 2
+    with pytest.raises(ValueError, match="empty"):
+        bm25_search(docs, "  ")
+
+
+def test_bm25_search_top_k_never_global_sorts(spark):
+    from blueetl_spark.operators.text import bm25_search
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common filler") for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = (
+        bm25_search(docs, "common w3", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    # scoring joins may sort locally (SortMergeJoin children, global
+    # flag false); the top-k itself must never require a GLOBAL sort
+    assert "], true, " not in plan
+
+
 def test_lm_bigram_score_semantics(spark):
     """In-corpus bigrams score likelier (lower NLL) than a doc of
     bigrams the LM never saw; sub-2-token docs get n_bigrams=0/null."""
