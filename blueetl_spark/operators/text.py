@@ -1100,6 +1100,50 @@ def _bloom_positions(h1: Column, h2: Column, m_bits: int, k: int) -> Column:
     )
 
 
+def _build_bloom_array(hashed_grams: DataFrame, m_bits: int, k: int) -> list[int]:
+    """Fold a ``(__h1, __h2)`` hashed-gram frame into a Bloom bit array
+    of ``m_bits / 64`` longs: distributed ``bit_or`` per 64-bit word,
+    collected (config-sized by construction) and zero-filled."""
+    words = (
+        hashed_grams.select(
+            F.explode(_bloom_positions(F.col("__h1"), F.col("__h2"), m_bits, k)).alias(
+                "__pos"
+            )
+        )
+        .groupBy((F.col("__pos") / 64).cast("int").alias("__word"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (F.col("__pos") % 64).cast("int")
+                )
+            ).alias("__bits")
+        )
+        .collect()
+    )
+    arr = [0] * (m_bits // 64)
+    for row in words:
+        arr[row["__word"]] = row["__bits"]
+    return arr
+
+
+def bloom_hit(h1: Column, h2: Column, bloom_col: Column, m_bits: int, k: int) -> Column:
+    """Boolean: all ``k`` double-hashed positions of the gram hashed as
+    ``(h1, h2)`` are set in ``bloom_col`` (an ``array<long>`` column,
+    typically from a broadcast one-row frame)."""
+    return F.forall(
+        _bloom_positions(h1, h2, m_bits, k),
+        lambda p: (
+            F.element_at(bloom_col, (p / 64).cast("int") + F.lit(1))
+            .bitwiseAND(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+                )
+            )
+            != 0
+        ),
+    )
+
+
 def ngram_overlap_bloom(
     train: DataFrame,
     eval_df: DataFrame,
@@ -1149,43 +1193,13 @@ def ngram_overlap_bloom(
     ).withColumn("__h2", F.xxhash64("__ng", F.lit(1)))
 
     ev = hashed(eval_df.select(ng)).select("__h1", "__h2").distinct()
-    # Distributed Bloom build: k positions per gram -> (word, bit) -> bit_or.
-    words = (
-        ev.select(
-            F.explode(_bloom_positions(F.col("__h1"), F.col("__h2"), m_bits, k)).alias(
-                "__pos"
-            )
-        )
-        .groupBy((F.col("__pos") / 64).cast("int").alias("__word"))
-        .agg(
-            F.bit_or(
-                F.call_function(
-                    "shiftleft", F.lit(1).cast("long"), (F.col("__pos") % 64).cast("int")
-                )
-            ).alias("__bits")
-        )
-        .collect()
-    )
-    arr = [0] * (m_bits // 64)
-    for row in words:
-        arr[row["__word"]] = row["__bits"]
+    arr = _build_bloom_array(ev, m_bits, k)
     bloom_row = spark.createDataFrame([(arr,)], "__bloom: array<long>")
 
     tr = hashed(train.select(F.col(id_col), ng))
     probe = tr.crossJoin(F.broadcast(bloom_row))  # one-row: map-only
     might = probe.filter(
-        F.forall(
-            _bloom_positions(F.col("__h1"), F.col("__h2"), m_bits, k),
-            lambda p: (
-                F.element_at(F.col("__bloom"), (p / 64).cast("int") + F.lit(1))
-                .bitwiseAND(
-                    F.call_function(
-                        "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
-                    )
-                )
-                != 0
-            ),
-        )
+        bloom_hit(F.col("__h1"), F.col("__h2"), F.col("__bloom"), m_bits, k)
     ).select(id_col, "__h1")
     # Exact verify: survivors only — the join the Bloom pass exists to shrink.
     hits = might.join(ev.select("__h1").distinct(), "__h1", "inner")

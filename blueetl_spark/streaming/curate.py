@@ -103,6 +103,62 @@ def streaming_curate(
             cur = qf.filter(~F.coalesce(bad, F.lit(False))).select(
                 id_col, *passthrough
             )
+        elif op == "decontaminate" and s.get("method") == "bloom":
+            # Unbounded-eval streaming path: the eval n-gram set folds
+            # into a fixed-size Bloom array (no collect cap, no plan
+            # literal), joined in as a ONE-ROW static frame via a
+            # constant-key stream-static equi-join (supported append-
+            # mode shape), and each row's might-shared count is a pure
+            # JVM HOF over its shingles. Semantics are CONSERVATIVE
+            # approximate: no false negatives (a truly contaminated doc
+            # is always dropped — Bloom filters never miss members), but
+            # a false-positive gram can drop a clean doc at ~0.5^k per
+            # gram per doc; size m_bits >= ~100x the eval distinct-gram
+            # count to make that negligible (default 2^24 bits = 2 MiB).
+            # The exact batch operator is text.ngram_overlap_bloom; its
+            # verify join is a per-doc AGGREGATE, which is why the
+            # stateless streaming path stops at the Bloom probe.
+            n = int(s.get("ngram", 3))
+            max_shared = int(s.get("max_shared", 0))
+            m_bits = int(s.get("m_bits", 1 << 24))
+            k_hashes = int(s.get("k_hashes", 7))
+            ev_hashed = (
+                eval_df.select(
+                    F.explode(
+                        F.array_distinct(text.shingles(text_col, n))
+                    ).alias("__ng")
+                )
+                .distinct()
+                .select(
+                    F.xxhash64("__ng").alias("__h1"),
+                    F.xxhash64("__ng", F.lit(1)).alias("__h2"),
+                )
+            )
+            arr = text._build_bloom_array(ev_hashed, m_bits, k_hashes)
+            bloom_row = cur.sparkSession.createDataFrame(
+                [(1, arr)], "__one: int, __bloom: array<long>"
+            )
+            grams = F.transform(
+                F.array_distinct(text.shingles(text_col, n)),
+                lambda g: F.struct(
+                    F.xxhash64(g).alias("h1"),
+                    F.xxhash64(g, F.lit(1)).alias("h2"),
+                ),
+            )
+            n_might = F.size(
+                F.filter(
+                    grams,
+                    lambda s_: text.bloom_hit(
+                        s_["h1"], s_["h2"], F.col("__bloom"), m_bits, k_hashes
+                    ),
+                )
+            )
+            cur = (
+                cur.withColumn("__one", F.lit(1))
+                .join(F.broadcast(bloom_row), "__one")
+                .filter(n_might <= max_shared)
+                .drop("__one", "__bloom")
+            )
         elif op == "decontaminate":
             n = int(s.get("ngram", 3))
             max_shared = int(s.get("max_shared", 0))

@@ -452,6 +452,62 @@ def test_streaming_decontaminate_cap_and_set_probe(spark, tmp_path):
     assert kept["literal"] == kept["probe"] == [2]
 
 
+def test_streaming_decontaminate_bloom_path(spark, tmp_path):
+    """method='bloom': the unbounded-eval stateless path. Adequately
+    sized, it matches the exact paths' survivors; its error is one-sided
+    by construction (Bloom filters have no false negatives, so a truly
+    contaminated doc can never survive) — pinned by running an
+    undersized filter and checking survivors only ever SHRINK."""
+    import datetime
+
+    from blueetl_spark.streaming.curate import streaming_curate
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", t0),
+        (2, "totally unrelated words nothing shared here", t0),
+        (3, "benchmark sentence that must never leak out", t0),
+    ]
+    schema = "doc_id long, text string, ts timestamp"
+    docs = spark.createDataFrame(rows, schema)
+    ev = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (9, "must never leak")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "decon_bloom_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    out = streaming_curate(
+        stream,
+        {"steps": [{"op": "decontaminate", "ngram": 3, "method": "bloom"}]},
+        eval_df=ev,
+    )
+    got = run_to_memory(out, "decon_bloom")
+    assert sorted(r.doc_id for r in got.collect()) == [2]
+    assert "ts" in got.columns and "__bloom" not in got.columns
+
+    # undersized filter: false positives may drop clean docs but never
+    # admit contaminated ones
+    tiny = streaming_curate(
+        stream,
+        {
+            "steps": [
+                {
+                    "op": "decontaminate",
+                    "ngram": 3,
+                    "method": "bloom",
+                    "m_bits": 64,
+                    "k_hashes": 1,
+                }
+            ]
+        },
+        eval_df=ev,
+    )
+    got_tiny = run_to_memory(tiny, "decon_bloom_tiny")
+    assert set(r.doc_id for r in got_tiny.collect()) <= {2}
+
+
 def test_streaming_near_dedup_foreach_batch(spark, tmp_path):
     """The wired foreachBatch + incremental-index pattern: cross-batch
     near-duplicates are dropped exactly once, in-batch duplicates keep
