@@ -3863,63 +3863,58 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_by_gid": q_feature_by_gid,
     "correlation_pairs": q_correlation_pairs,
     "complexity_pdf": q_complexity_pdf,
-    "psd_welch": q_psd_welch,
-    "pricing_summary": q_pricing_summary,
-    "revenue_by_nation": q_revenue_by_nation,
-    # pii_scrub took top_orders' graded slot: O1 sorting stays gated via
-    # orders_topk_per_customer, and the PII scrubbing gate is a
-    # first-class data-pipeline operator rather than a second sort query
-    "pii_scrub": q_pii_scrub,
-    "orders_topk_per_customer": q_orders_topk_per_customer,
     "customer_class_index": q_customer_class_index,
     "multi_sim_rates": q_multi_sim_rates,
-    "compartment_report": q_compartment_report,
     "soma_mean_value": q_soma_mean_value,
     "semantic_decontaminate": q_semantic_decontaminate,
     "stratified_sample": q_stratified_sample,
-    "dedup_exact": q_dedup_exact,
     "dedup_embedding": q_dedup_embedding,
     "chunk_documents": q_chunk_documents,
-    "token_stats": q_token_stats,
     "simhash_candidates": q_simhash_candidates,
-    "tf_idf": q_tf_idf,
     "quality_features": q_quality_features,
     "profile_shards_merge": q_profile_shards_merge,
     "curation_pipeline": q_curation_pipeline,
-    "jaccard_pairs": q_jaccard_pairs,
     "dedup_components": q_dedup_components,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "minhash_lsh_md5": q_minhash_lsh_md5,
     "simhash_md5": q_simhash_md5,
-    # hard_negatives took embedding_norms' graded slot: the norm kernel is
-    # exercised inside every knn_* gate, while hard-negative mining is a
-    # distinct retrieval-training operator
-    "hard_negatives": q_hard_negatives,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
     "knn_ivf_fixed": q_knn_ivf_fixed,
     "knn_pq": q_knn_pq,
     "dynamic_onset_windows": q_dynamic_onset_windows,
-    "asof_purchase": q_asof_purchase,
     "sessionization": q_sessionization,
     "value_quantiles": q_value_quantiles,
-    # ---- four near-duplicate gates were merged (or-regex into qdsl_filter,
-    # ---- smoothed into histogram, bpe stats into quality_features,
-    # ---- van_rossum into spike_distances_fixed) so all 50 oracled queries
-    # ---- fit the driver's 50-row graded window (it grades in registry order)
-    "repetition_stats": q_repetition_stats,
-    # ---- round-7 rotation: the round-6 oracle-tail surface moves into
-    # ---- the graded window (VERDICT r6 #4); six >=3-round-stable gates
-    # ---- (windows_materialize, spike_distances_fixed,
-    # ---- segment_active_customers, decontaminate, vocab, mixture_sample)
-    # ---- rotate out past slot 50, still hash-checked by
-    # ---- tests/test_oracle_parity.py + tools/check_oracle.py
+    # ---- round-7 rotation, second pass: the round-6 oracle tail
+    # ---- entered the window earlier this round (VERDICT r6 #4)...
     "simhash_band_stats": q_simhash_band_stats,
     "dedup_spans": q_dedup_spans,
     "epoch_mixture": q_epoch_mixture,
     "temperature_mixture": q_temperature_mixture,
     "corpus_diff": q_corpus_diff,
     "frequent_priority": q_frequent_priority,
+    # ---- ...and the 13 round-7 gates (SemDeDup composition, retrieval
+    # ---- scoring/search, LM + classifier quality scores, DSIR, Gopher
+    # ---- rules, PageRank, Bloom/fuzzy decontamination, record linkage,
+    # ---- phrase search) take the slots of 13 gates stable for >=3
+    # ---- rounds (psd_welch, pricing_summary, revenue_by_nation,
+    # ---- pii_scrub, orders_topk_per_customer, compartment_report,
+    # ---- dedup_exact, token_stats, tf_idf, jaccard_pairs,
+    # ---- hard_negatives, asof_purchase, repetition_stats), which stay
+    # ---- hash-checked in the oracle tail below.
+    "semdedup_fixed": q_semdedup_fixed,
+    "bm25": q_bm25,
+    "lm_perplexity": q_lm_perplexity,
+    "dsir_weights": q_dsir_weights,
+    "classifier_score": q_classifier_score,
+    "pagerank_fixed": q_pagerank_fixed,
+    "dsir_resample": q_dsir_resample,
+    "gopher_rules": q_gopher_rules,
+    "decontaminate_bloom": q_decontaminate_bloom,
+    "fuzzy_decontaminate": q_fuzzy_decontaminate,
+    "edit_distance_pairs": q_edit_distance_pairs,
+    "phrase_search": q_phrase_search,
+    "bm25_search": q_bm25_search,
     # ---- no-oracle twins last: every oracled query must sit inside the
     # ---- driver's graded window
     "spike_distances": q_spike_distances,
@@ -3949,20 +3944,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "vocab": q_vocab,
     "mixture_sample": q_mixture_sample,
-    # round-7 additions (oracle-tail)
-    "semdedup_fixed": q_semdedup_fixed,
-    "bm25": q_bm25,
-    "lm_perplexity": q_lm_perplexity,
-    "dsir_weights": q_dsir_weights,
-    "classifier_score": q_classifier_score,
-    "pagerank_fixed": q_pagerank_fixed,
-    "dsir_resample": q_dsir_resample,
-    "gopher_rules": q_gopher_rules,
-    "decontaminate_bloom": q_decontaminate_bloom,
-    "fuzzy_decontaminate": q_fuzzy_decontaminate,
-    "edit_distance_pairs": q_edit_distance_pairs,
-    "phrase_search": q_phrase_search,
-    "bm25_search": q_bm25_search,
+    # rotated out in round 7's second pass (>=3 rounds stable) for the
+    # 13 round-7 gates above; still fully oracled here
+    "psd_welch": q_psd_welch,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "pii_scrub": q_pii_scrub,
+    "orders_topk_per_customer": q_orders_topk_per_customer,
+    "compartment_report": q_compartment_report,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "tf_idf": q_tf_idf,
+    "jaccard_pairs": q_jaccard_pairs,
+    "hard_negatives": q_hard_negatives,
+    "asof_purchase": q_asof_purchase,
+    "repetition_stats": q_repetition_stats,
 }
 
 ORACLES: dict[str, str] = {
