@@ -31,6 +31,22 @@ from pyspark.sql import functions as F
 from blueetl_spark.operators.text import tokens
 
 
+def _postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+
+
+def _write_postings(posting: DataFrame, dest: str, n_files: int, mode: str) -> None:
+    (
+        posting.repartition(n_files, "token")
+        .sortWithinPartitions("token", "doc_id", "pos")
+        .write.mode(mode)
+        .parquet(dest)
+    )
+
+
 def build_inverted_index(
     df: DataFrame,
     path: str,
@@ -46,15 +62,9 @@ def build_inverted_index(
     within partitions — the sort is what makes min/max row-group
     pruning selective for token probes.
     """
-    posting = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens(text_col)).alias("pos", "token"),
-    ).filter(F.col("token") != "")
-    (
-        posting.repartition(n_files, "token")
-        .sortWithinPartitions("token", "doc_id", "pos")
-        .write.mode("overwrite")
-        .parquet(f"{path}/postings.parquet")
+    _write_postings(
+        _postings(df, text_col, id_col), f"{path}/postings.parquet", n_files,
+        "overwrite",
     )
     spark = df.sparkSession
     dfreq = (
@@ -66,6 +76,92 @@ def build_inverted_index(
         )
     )
     dfreq.repartition(1).write.mode("overwrite").parquet(f"{path}/_df.parquet")
+
+
+def append_inverted_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_files: int = 8,
+) -> int:
+    """Incremental ingest: append the batch's postings plus a per-batch
+    ``(token, df, tf)`` DELTA to the frequency side table — summable
+    because append-only corpora put each document in exactly one batch,
+    so history is never re-read or rewritten.  Replayed at-least-once
+    appends duplicate posting rows; :func:`phrase_search` folds them out
+    per probe and :func:`compact_inverted_index` folds them out of the
+    layout.  Returns the number of posting rows appended."""
+    from pyspark.sql import Observation
+
+    posting = _postings(new_docs, text_col, id_col)
+    obs = Observation("inv_append")
+    _write_postings(
+        posting.observe(obs, F.count(F.lit(1)).alias("n")),
+        f"{path}/postings.parquet",
+        n_files,
+        "append",
+    )
+    spark = new_docs.sparkSession
+    delta = (
+        _postings(new_docs, text_col, id_col)
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"), F.count("*").alias("tf"))
+    )
+    delta.repartition(1).write.mode("append").parquet(f"{path}/_df.parquet")
+    return obs.get["n"]
+
+
+def purge_inverted_index(ids: DataFrame, path: str, id_col: str = "doc_id") -> None:
+    """Tombstone documents without touching the posting layout: O(ids)
+    per request; every subsequent :func:`phrase_search` excludes them,
+    and :func:`compact_inverted_index` folds them out for real."""
+    ids.select(F.col(id_col).alias("doc_id")).distinct().write.mode(
+        "append"
+    ).parquet(f"{path}/tombstones.parquet")
+
+
+def compact_inverted_index(spark: SparkSession, path: str, n_files: int = 32) -> int:
+    """Rewrite the postings minus tombstoned docs, one row per
+    ``(doc_id, pos)`` (replayed appends are full-row identical), via the
+    crash-safe staged swap, then rebuild the frequency side table
+    EXACTLY and drop the tombstones.  A crash after the postings swap
+    but before the side-table rewrite leaves ``_df`` stale — a planning
+    aid only (anchor choice), never a correctness input, since
+    :func:`phrase_search` counts from postings.  Returns the surviving
+    posting-row count."""
+    from pyspark.sql import Observation
+
+    from blueetl_spark.plans.atomic import fs_exists, recover_dir, swap_dir
+
+    post_dir = f"{path}/postings.parquet"
+    ts_dir = f"{path}/tombstones.parquet"
+    recover_dir(spark, post_dir)
+    kept = spark.read.parquet(post_dir)
+    has_ts = fs_exists(spark, ts_dir)
+    if has_ts:
+        kept = kept.join(
+            spark.read.parquet(ts_dir).select("doc_id"), "doc_id", "left_anti"
+        )
+    kept = kept.dropDuplicates(["doc_id", "pos"])
+    obs = Observation("inv_compact")
+    tmp = f"{path}/.compact-postings.parquet"
+    _write_postings(
+        kept.observe(obs, F.count(F.lit(1)).alias("n")), tmp, n_files, "overwrite"
+    )
+    n = obs.get["n"]
+    swap_dir(spark, post_dir, tmp)
+    dfreq = (
+        spark.read.parquet(post_dir)
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"), F.count("*").alias("tf"))
+    )
+    dfreq.repartition(1).write.mode("overwrite").parquet(f"{path}/_df.parquet")
+    if has_ts:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(ts_dir)
+        p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+    return n
 
 
 def phrase_search(
@@ -83,14 +179,22 @@ def phrase_search(
     ``(doc_id, anchor_pos)`` — a phrase occurrence at anchor position
     ``p`` requires token ``j`` at ``p + (j - anchor_offset)``.
     """
+    from blueetl_spark.plans.atomic import fs_exists, recover_dir
+
     p_toks = phrase.split()
     if not p_toks:
         raise ValueError("empty phrase")
+    recover_dir(spark, f"{path}/postings.parquet")
     post = spark.read.parquet(f"{path}/postings.parquet")
     dfreq = spark.read.parquet(f"{path}/_df.parquet")
+    # the side table may hold per-batch deltas (append_inverted_index);
+    # tf sums exactly across batches of an append-only corpus
     freqs = {
         r["token"]: r["tf"]
-        for r in dfreq.filter(F.col("token").isin(p_toks)).collect()
+        for r in dfreq.filter(F.col("token").isin(p_toks))
+        .groupBy("token")
+        .agg(F.sum("tf").alias("tf"))
+        .collect()
     }
     if len(freqs) < len(set(p_toks)):
         # some phrase token never occurs -> empty result, correct schema
@@ -98,7 +202,17 @@ def phrase_search(
 
     # anchor = offset of the token with the fewest postings
     anchor = min(range(len(p_toks)), key=lambda j: freqs[p_toks[j]])
-    probe = post.filter(F.col("token").isin(list(set(p_toks))))
+    # replayed at-least-once appends duplicate posting rows; fold them
+    # out on the natural key before any adjacency join double-counts
+    probe = post.filter(F.col("token").isin(list(set(p_toks)))).dropDuplicates(
+        ["doc_id", "pos"]
+    )
+    if fs_exists(spark, f"{path}/tombstones.parquet"):
+        probe = probe.join(
+            spark.read.parquet(f"{path}/tombstones.parquet").select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
     cur = (
         probe.filter(F.col("token") == p_toks[anchor])
         .select("doc_id", (F.col("pos") - anchor).alias("__start"))

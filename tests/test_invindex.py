@@ -80,3 +80,44 @@ def test_repeated_phrase_token_offsets(spark):
     df = spark.createDataFrame([(1, "b a b a b")], "doc_id long, text string")
     got = {r["doc_id"]: r["n_occ"] for r in text.phrase_count(df, "b a b").collect()}
     assert got == {1: 2}  # starts at tokens 1 and 3 (overlapping)
+
+
+def test_incremental_lifecycle_append_replay_purge_compact(spark, docs, tmp_path):
+    path = str(tmp_path / "inc_idx")
+    b1 = docs.filter(F.col("doc_id") <= 3)
+    b2 = docs.filter(F.col("doc_id") > 3)
+    invindex.build_inverted_index(b1, path, n_files=2)
+    invindex.append_inverted_index(b2, path)
+    phrase = "quick brown"
+
+    scan = sorted(map(tuple, text.phrase_count(docs, phrase).collect()))
+    assert sorted(map(tuple, invindex.phrase_search(spark, path, phrase).collect())) == scan
+
+    # at-least-once replay of batch 2: duplicate postings must not
+    # double-count occurrences
+    invindex.append_inverted_index(b2, path)
+    assert sorted(map(tuple, invindex.phrase_search(spark, path, phrase).collect())) == scan
+
+    # purge doc 2 -> excluded at search; doc 3 ("quick brown") remains
+    invindex.purge_inverted_index(
+        spark.createDataFrame([(2,)], "doc_id long"), path
+    )
+    assert sorted(
+        map(tuple, invindex.phrase_search(spark, path, phrase).collect())
+    ) == [(3, 1)]
+
+    # compact folds tombstones + replay dups out of the layout
+    n = invindex.compact_inverted_index(spark, path, n_files=2)
+    from blueetl_spark.plans.atomic import fs_exists
+
+    assert not fs_exists(spark, f"{path}/tombstones.parquet")
+    post = spark.read.parquet(f"{path}/postings.parquet")
+    assert post.count() == n == post.dropDuplicates(["doc_id", "pos"]).count()
+    assert post.filter(F.col("doc_id") == 2).count() == 0
+    assert sorted(
+        map(tuple, invindex.phrase_search(spark, path, phrase).collect())
+    ) == [(3, 1)]
+    # untouched docs still searchable, with exact df side table
+    assert sorted(
+        map(tuple, invindex.phrase_search(spark, path, "a a").collect())
+    ) == [(1, 2)]
