@@ -85,43 +85,60 @@ def pagerank(
         .select("src", "dst", (F.lit(1.0) / F.col("__deg")).alias("w"))
         .localCheckpoint()
     )
-    dangling = ids.join(
-        we.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
-    ).localCheckpoint()
+    # dangling membership is static: carry it as a flag on the rank frame
+    # so the per-round mass aggregate never joins (one node-sized scan)
+    flagged = ids.join(
+        we.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("__out", F.lit(True)),
+        "id",
+        "left",
+    ).select("id", F.coalesce("__out", F.lit(False)).alias("__out"))
 
     base = (1.0 - damping) / n
-    ranks = ids.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
-    for _ in range(max_iter):
-        dmass_row = (
-            dangling.join(ranks, "id").agg(F.sum("rank").alias("m")).collect()[0]
+    ranks = flagged.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    for it in range(max_iter):
+        # dangling mass rides the round's own plan as a broadcast 1-row
+        # aggregate — no per-round driver collect; the checkpointed rank
+        # RDD is scanned twice inside ONE job instead of across two
+        dmass = ranks.filter(~F.col("__out")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dmass")
         )
-        dmass = dmass_row["m"] or 0.0
         contrib = (
             ranks.join(we, ranks["id"] == we["src"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") * F.col("w")).alias("__in"))
         )
         new_ranks = (
-            ids.join(contrib, "id", "left")
+            ranks.select("id", "__out", F.col("rank").alias("__prev"))
+            .join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dmass))
             .select(
                 "id",
+                "__out",
                 (
-                    F.lit(base + damping * dmass / n)
+                    F.lit(base)
+                    + F.lit(damping) * F.col("__dmass") / F.lit(float(n))
                     + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
                 ).alias("rank"),
+                "__prev",
             )
             .localCheckpoint()  # eager: cut the iterative lineage every round
         )
-        delta = (
-            new_ranks.alias("a")
-            .join(ranks.alias("b"), "id")
-            .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))).alias("d"))
-            .collect()[0]["d"]
-        )
-        ranks = new_ranks
-        if delta is not None and delta <= tol:
-            break
-    return ranks
+        # tol=0.0 means "run exactly max_iter rounds": skip the delta job
+        # entirely — it's one full join+aggregate pass per round otherwise
+        if tol > 0.0 and it < max_iter - 1:
+            delta = (
+                new_ranks.agg(
+                    F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias("d")
+                ).collect()[0]["d"]
+            )
+            ranks = new_ranks.drop("__prev")
+            if delta is not None and delta <= tol:
+                break
+        else:
+            ranks = new_ranks.drop("__prev")
+    return ranks.select("id", "rank")
 
 
 def quality_weights(
