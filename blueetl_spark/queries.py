@@ -3282,6 +3282,117 @@ FROM part a JOIN part b
 """
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals in one pass: region/nation ROLLUP over the
+    broadcast join chain (Catalyst expands the grouping sets; the
+    decimal sum keeps the aggregate order-independent across engines).
+    NULL group keys mark subtotal rows, per ANSI ROLLUP."""
+    orders = tables.load(spark, sf_dir, "orders")
+    customer = tables.load(spark, sf_dir, "customer")
+    nation = tables.load(spark, sf_dir, "nation")
+    region = tables.load(spark, sf_dir, "region")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "o_totalprice",
+        )
+        .rollup("region", "nation")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT r_name AS region, n_name AS nation,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+ORDER_PRIORITIES = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+)
+
+
+def q_status_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per status x priority, priorities as columns.
+    The value list is EXPLICIT, so Spark skips the distinct-value
+    discovery job and the output schema is static — the scale contract
+    for pivot (an unbounded value set belongs in a groupBy, not in the
+    schema)."""
+    orders = tables.load(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .pivot("o_orderpriority", list(ORDER_PRIORITIES))
+        .count()
+    )
+    # pivot emits NULL (not 0) for empty cells; normalize for the oracle
+    return out.select(
+        "status",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{p[0]}")
+            for p in ORDER_PRIORITIES
+        ],
+    )
+
+
+SQL_STATUS_PRIORITY_PIVOT = """
+SELECT o_orderstatus AS status,
+       {cols}
+FROM orders
+GROUP BY 1
+""".format(
+    cols=",\n       ".join(
+        f"COUNT(*) FILTER (o_orderpriority = '{p}') AS p{p[0]}"
+        for p in ORDER_PRIORITIES
+    )
+)
+
+
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer inter-order gap via LAG over the (date, orderkey)
+    window — one shuffle on the partition key, no self-join. First
+    orders carry a NULL gap, per ANSI LAG. Day granularity (the source
+    timestamps are midnight-aligned), which keeps the arithmetic
+    timezone-free across engines."""
+    from pyspark.sql import Window
+
+    orders = tables.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cur = F.col("o_orderdate").cast("date")
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.datediff(cur, F.lag(cur).over(w)).alias("gap_days"),
+    )
+
+
+SQL_ORDER_GAPS = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       datediff('day',
+                LAG(CAST(o_orderdate AS DATE)) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ),
+                CAST(o_orderdate AS DATE)) AS gap_days
+FROM orders
+"""
+
+
 PHRASE_QUERY = "table value"
 
 
@@ -3915,6 +4026,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_distance_pairs": q_edit_distance_pairs,
     "phrase_search": q_phrase_search,
     "bm25_search": q_bm25_search,
+    # ---- round-7 SQL-surface gates (oracle tail this round) ----
+    "rollup_revenue": q_rollup_revenue,
+    "status_priority_pivot": q_status_priority_pivot,
+    "order_gaps": q_order_gaps,
     # ---- no-oracle twins last: every oracled query must sit inside the
     # ---- driver's graded window
     "spike_distances": q_spike_distances,
@@ -4040,6 +4155,9 @@ ORACLES: dict[str, str] = {
     "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
     "phrase_search": SQL_PHRASE_SEARCH,
     "bm25_search": SQL_BM25_SEARCH,
+    "rollup_revenue": SQL_ROLLUP_REVENUE,
+    "status_priority_pivot": SQL_STATUS_PRIORITY_PIVOT,
+    "order_gaps": SQL_ORDER_GAPS,
 }
 
 

@@ -305,3 +305,51 @@ def test_dsir_scoring_broadcasts_bucket_ratios(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_rollup_revenue_broadcasts_dims_single_shuffle(spark):
+    """ROLLUP over the dim chain: all three dimension joins broadcast
+    (orders never shuffles for a join) and the grouping sets land as
+    Expand + ONE aggregate exchange — the plan that scales to a 100 TB
+    fact table."""
+    import re
+
+    from blueetl_spark import queries as Q
+
+    plan = _formatted_plan(Q.q_rollup_revenue(spark, SF))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 3
+    assert "SortMergeJoin" not in plan
+    assert re.search(r"\(\d+\) Expand", plan)
+    # exactly one non-broadcast exchange: the rollup aggregate
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_order_gaps_single_shuffle_pruned_scan(spark):
+    """LAG gap query: one exchange (the window's custkey partitioning),
+    no join, and the scan reads only the three referenced columns."""
+    import re
+
+    from blueetl_spark import queries as Q
+
+    plan = _formatted_plan(Q.q_order_gaps(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"o_orderkey", "o_custkey", "o_orderdate"}, cols
+
+
+def test_pivot_no_distinct_discovery_job(spark):
+    """Explicit pivot values: the plan must be a pure two-level
+    aggregate (partial combine map-side, partials bounded by
+    |status|x|priority| per task) with NO separate distinct-value
+    collect job — `.pivot(col)` without values would run one."""
+    import re
+
+    from blueetl_spark import queries as Q
+
+    plan = _formatted_plan(Q.q_status_priority_pivot(spark, SF))
+    assert "Join" not in plan and "Window" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"o_orderstatus", "o_orderpriority"}, cols
