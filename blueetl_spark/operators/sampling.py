@@ -327,3 +327,48 @@ def epoch_mixture(
         F.array().cast("array<int>")
     )
     return df.filter(n.isNotNull()).withColumn("epoch", F.explode(reps))
+
+
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    by: str | None = None,
+) -> DataFrame:
+    """Assign each row an equi-depth bucket in ``[1, n_buckets]`` —
+    the scale-correct form of ``ntile``.
+
+    ``ntile(n) OVER (ORDER BY v)`` is a GLOBAL sort: every row funnels
+    through one ordering, which at 100 TB means a single-task bottleneck
+    (or a full range-exchange just to number rows). Equi-depth bucketing
+    doesn't need the sort: the n-1 interior quantile boundaries are ONE
+    map-side-combined aggregate (n-1 doubles), broadcast back, and the
+    bucket is a per-row count of boundaries ≤ value — a map-only second
+    pass. Rows tied across a boundary land in the same bucket (ntile
+    would split them arbitrarily), which is the reproducible contract.
+
+    ``by`` adds per-group boundaries (one boundary row per group,
+    broadcast equi-join). Output: input columns + ``bucket``.
+
+    Exact ``F.percentile`` matches DuckDB ``quantile_cont`` for the
+    oracle; swap in ``approx_percentile`` at 100 TB (mergeable sketch,
+    same call shape) — the bucket loop is unchanged.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    ps = [i / n_buckets for i in range(1, n_buckets)]
+    v = F.col(value_col).cast("double")
+    bounds = (df.groupBy(by) if by else df.groupBy()).agg(
+        F.percentile(v, F.array(*[F.lit(p) for p in ps])).alias("__bounds")
+    )
+    joined = (
+        df.join(F.broadcast(bounds), on=by)
+        if by
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    bucket = F.lit(1) + F.aggregate(
+        "__bounds",
+        F.lit(0),
+        lambda acc, b: acc + F.when(v >= b, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return joined.select(*df.columns, bucket.cast("int").alias("bucket"))

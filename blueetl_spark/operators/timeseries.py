@@ -358,3 +358,50 @@ def resample(
         u.filter(F.col("__is_grid") == 1)
         .select(*by, F.col(time_col), value.alias(value_col))
     )
+
+
+def rolling_agg(
+    df: DataFrame,
+    span: float,
+    by: Sequence[str] = ("gid",),
+    time_col: str = "time",
+    value_col: str = "value",
+    aggs: Sequence[str] = ("avg", "count"),
+) -> DataFrame:
+    """Trailing time-window aggregates per group: for every observation,
+    statistics over the rows within ``[t - span, t]`` of the same group
+    (RANGE frame — peers at equal times all see the same frame, per
+    ANSI; contrast a ROWS frame, which would be order-dependent under
+    duplicate timestamps and thus not reproducible).
+
+    Output: the ``by`` keys, ``time_col``, ``value_col``, plus one
+    ``rolling_<agg>`` column per requested aggregate
+    (``avg``/``count``/``sum``/``min``/``max``).
+
+    Scale shape: ONE hash exchange on the ``by`` keys, then a single
+    window pass — Spark's RANGE frame maintains a sliding aggregate
+    buffer per partition (it never materializes the frame per row), so
+    cost is O(rows) per group regardless of how many observations fall
+    inside ``span``. Module skew note applies.
+    """
+    known = {"avg", "count", "sum", "min", "max"}
+    bad = set(aggs) - known
+    if bad:
+        raise ValueError(f"unknown rolling aggregates {sorted(bad)}")
+    # the Python Window.rangeBetween API only takes integer bounds; the
+    # SQL frame accepts any numeric ordering type, so build the OVER
+    # clause as an expression (same Catalyst RangeFrame either way)
+    over = (
+        f"OVER (PARTITION BY {', '.join(f'`{b}`' for b in by)} "
+        f"ORDER BY CAST(`{time_col}` AS DOUBLE) "
+        f"RANGE BETWEEN {float(span)!r} PRECEDING AND CURRENT ROW)"
+    )
+    return df.select(
+        *by,
+        time_col,
+        value_col,
+        *[
+            F.expr(f"{a}(`{value_col}`) {over}").alias(f"rolling_{a}")
+            for a in aggs
+        ],
+    )

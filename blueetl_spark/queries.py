@@ -35,6 +35,7 @@ from blueetl_spark.operators import (
     features,
     graph,
     linkage,
+    sampling,
     signal,
     similarity,
     text,
@@ -3393,6 +3394,104 @@ FROM orders
 """
 
 
+ROLLING_SPAN_MS = 3_600_000.0  # trailing hour
+
+
+def q_rolling_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour per-gid rolling mean/count over the first day's
+    events (``timeseries.rolling_agg``): one keyed exchange, one RANGE-
+    frame window pass with a sliding aggregate buffer — never a
+    per-row frame materialization or a time self-join."""
+    ev = _events_norm(spark, sf_dir, time_range=(0.0, DAY_MS))
+    out = timeseries.rolling_agg(
+        ev, span=ROLLING_SPAN_MS, by=("gid",), aggs=("avg", "count")
+    )
+    return out.select(
+        F.col("gid").cast("long").alias("gid"),
+        "time",
+        F.round("value", 6).alias("value"),
+        F.round("rolling_avg", 6).alias("rolling_avg"),
+        F.col("rolling_count").alias("rolling_count"),
+    )
+
+
+SQL_ROLLING_VALUE_STATS = f"""
+WITH {_E_CTE}
+SELECT gid, "time", ROUND(value, 6) AS value,
+       ROUND(AVG(value) OVER w, 6) AS rolling_avg,
+       COUNT(value) OVER w AS rolling_count
+FROM e
+WHERE "time" >= 0 AND "time" < {DAY_MS!r}
+WINDOW w AS (PARTITION BY gid ORDER BY "time"
+             RANGE BETWEEN {ROLLING_SPAN_MS!r} PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth order-value deciles (``sampling.quantile_buckets``)
+    folded to per-bucket stats. The scale contrast to ``ntile``: no
+    global sort — boundaries are one 9-double aggregate broadcast back,
+    bucket assignment is map-only, and the fold is one small exchange."""
+    orders = tables.load(spark, sf_dir, "orders")
+    b = sampling.quantile_buckets(
+        orders.select("o_orderkey", "o_totalprice"), "o_totalprice", 10
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.round(F.min("o_totalprice"), 6).alias("lo"),
+        F.round(F.max("o_totalprice"), 6).alias("hi"),
+    )
+
+
+SQL_VALUE_DECILES = """
+WITH b AS (
+  SELECT quantile_cont(o_totalprice,
+                       [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+  FROM orders
+)
+SELECT 1 + len(list_filter(bs, x -> o_totalprice >= x)) AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       ROUND(MIN(o_totalprice), 6) AS lo,
+       ROUND(MAX(o_totalprice), 6) AS hi
+FROM orders, b
+GROUP BY 1
+"""
+
+
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE twin of the rollup gate: all four grouping sets of
+    (status, priority) in one Expand + one aggregate exchange — never
+    four scans unioned."""
+    orders = tables.load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+        )
+        .cube("status", "priority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+SQL_CUBE_STATUS_PRIORITY = """
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE (status, priority)
+"""
+
+
 PHRASE_QUERY = "table value"
 
 
@@ -4030,6 +4129,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_revenue": q_rollup_revenue,
     "status_priority_pivot": q_status_priority_pivot,
     "order_gaps": q_order_gaps,
+    "rolling_value_stats": q_rolling_value_stats,
+    "value_deciles": q_value_deciles,
+    "cube_status_priority": q_cube_status_priority,
     # ---- no-oracle twins last: every oracled query must sit inside the
     # ---- driver's graded window
     "spike_distances": q_spike_distances,
@@ -4158,6 +4260,9 @@ ORACLES: dict[str, str] = {
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "status_priority_pivot": SQL_STATUS_PRIORITY_PIVOT,
     "order_gaps": SQL_ORDER_GAPS,
+    "rolling_value_stats": SQL_ROLLING_VALUE_STATS,
+    "value_deciles": SQL_VALUE_DECILES,
+    "cube_status_priority": SQL_CUBE_STATUS_PRIORITY,
 }
 
 

@@ -610,3 +610,41 @@ def test_weighted_sample_k_log_weights_no_overflow(spark):
     picked = {r.doc_id for r in out.collect()}
     # exp(-(-800)) -> inf race key multiplier -> -inf score: never wins
     assert picked == {1, 3}
+
+
+def test_quantile_buckets_equi_depth_and_grouped(spark):
+    """Global path: ~equal bucket occupancy on distinct values; grouped
+    path: each group gets its own boundaries (a value that is 'high'
+    in one group can be 'low' in another)."""
+    import pandas as pd
+
+    from blueetl_spark.operators.sampling import quantile_buckets
+
+    pdf = pd.DataFrame({"id": range(100), "v": [float(i) for i in range(100)]})
+    out = quantile_buckets(spark.createDataFrame(pdf), "v", 4).toPandas()
+    counts = out.groupby("bucket").size()
+    assert sorted(counts.index) == [1, 2, 3, 4]
+    assert counts.min() >= 24 and counts.max() <= 26
+    # monotone: higher values never land in lower buckets
+    assert out.sort_values("v").bucket.is_monotonic_increasing
+
+    g = pd.DataFrame(
+        {
+            "grp": ["a"] * 4 + ["b"] * 4,
+            "v": [0.0, 1.0, 2.0, 3.0, 100.0, 101.0, 102.0, 103.0],
+        }
+    )
+    got = quantile_buckets(spark.createDataFrame(g), "v", 2, by="grp").toPandas()
+    # 102/103 are top-half of b; 2/3 top-half of a — same buckets
+    top = got[got.bucket == 2].sort_values("v").v.tolist()
+    assert top == [2.0, 3.0, 102.0, 103.0]
+
+
+def test_quantile_buckets_rejects_single_bucket(spark):
+    import pandas as pd
+
+    from blueetl_spark.operators.sampling import quantile_buckets
+
+    df = spark.createDataFrame(pd.DataFrame({"v": [1.0]}))
+    with pytest.raises(ValueError, match="n_buckets"):
+        quantile_buckets(df, "v", 1)

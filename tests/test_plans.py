@@ -353,3 +353,45 @@ def test_pivot_no_distinct_discovery_job(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"o_orderstatus", "o_orderpriority"}, cols
+
+
+def test_rolling_stats_single_exchange_pruned_scan(spark):
+    """RANGE-frame rolling agg: one keyed exchange + one Window, no
+    join (a time self-join would blow up with span), scan pruned to the
+    three referenced columns."""
+    import re
+
+    from blueetl_spark import queries as Q
+
+    plan = _formatted_plan(Q.q_rolling_value_stats(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"ts", "user_id", "value"}, cols
+
+
+def test_value_deciles_no_global_sort(spark):
+    """Equi-depth bucketing must NOT be the ntile shape: no Sort, no
+    Window — boundaries reduce to one broadcast row and assignment is
+    map-side (the only joins are against the 1-row boundary frame)."""
+    from blueetl_spark import queries as Q
+
+    plan = _formatted_plan(Q.q_value_deciles(spark, SF))
+    assert "Window" not in plan and "(\\d+) Sort" not in plan
+    assert "Sort " not in plan.split("== Physical Plan ==")[-1].split("===")[0]
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row boundary frame
+
+
+def test_cube_single_expand_single_exchange(spark):
+    """CUBE compiles to Expand + one aggregate exchange — never a
+    union of per-grouping-set scans."""
+    import re
+
+    from blueetl_spark import queries as Q
+
+    plan = _formatted_plan(Q.q_cube_status_priority(spark, SF))
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1

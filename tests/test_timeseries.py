@@ -187,3 +187,46 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         )
 
     run()
+
+
+def test_rolling_agg_matches_pandas_with_duplicate_times(spark):
+    """RANGE-frame semantics: duplicate-timestamp peers share one frame
+    (every row at time t sees ALL rows in [t-span, t], including its
+    co-timed peers); checked against a brute-force per-row filter."""
+    import pandas as pd
+
+    from blueetl_spark.operators import timeseries as ts
+
+    rows = [
+        # (gid, time, value) — dup times at 10.0 on gid 1
+        (1, 0.0, 1.0), (1, 5.0, 2.0), (1, 10.0, 4.0), (1, 10.0, 8.0),
+        (1, 16.0, 16.0), (2, 0.0, 3.0), (2, 100.0, 5.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["gid", "time", "value"])
+    df = spark.createDataFrame(pdf)
+    got = (
+        ts.rolling_agg(df, span=10.0, by=("gid",),
+                       aggs=("avg", "count", "sum", "min", "max"))
+        .toPandas()
+        .sort_values(["gid", "time", "value"], ignore_index=True)
+    )
+    for _, r in got.iterrows():
+        frame = pdf[
+            (pdf.gid == r.gid)
+            & (pdf.time >= r.time - 10.0)
+            & (pdf.time <= r.time)
+        ].value
+        assert r.rolling_count == len(frame)
+        assert r.rolling_avg == pytest.approx(frame.mean())
+        assert r.rolling_sum == pytest.approx(frame.sum())
+        assert r.rolling_min == frame.min() and r.rolling_max == frame.max()
+
+
+def test_rolling_agg_rejects_unknown_agg(spark):
+    import pandas as pd
+
+    from blueetl_spark.operators import timeseries as ts
+
+    df = spark.createDataFrame(pd.DataFrame({"gid": [1], "time": [0.0], "value": [1.0]}))
+    with pytest.raises(ValueError, match="unknown rolling aggregates"):
+        ts.rolling_agg(df, span=1.0, aggs=("median",))
