@@ -304,3 +304,148 @@ def frequent_values(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return counted.orderBy(F.col("n").desc(), F.col("value")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-edge histogram sketch: binned counts + quantile estimates
+# ---------------------------------------------------------------------------
+
+HIST_DDL = "batch_id string, counts array<long>, n_obs long"
+
+
+def _bin_expr(value_col: str, lo: float, hi: float, n_bins: int):
+    """Bin index with underflow (0) and overflow (n_bins+1) slots.
+
+    Pure double arithmetic, so any engine replays it bit-for-bit; the
+    LEAST clamp covers the float edge where (v-lo)/w rounds up to
+    n_bins for v just under hi.
+    """
+    w = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    interior = F.least(
+        F.floor((v - F.lit(lo)) / F.lit(w)).cast("int") + F.lit(1),
+        F.lit(n_bins),
+    )
+    return (
+        F.when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(n_bins + 1))
+        .otherwise(interior)
+    )
+
+
+def histogram_shard(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    batch_id: str = "",
+) -> DataFrame:
+    """One mergeable histogram row for this batch: ``counts`` is a
+    dense array of ``n_bins + 2`` bin counts (underflow, n_bins uniform
+    bins over [lo, hi), overflow). Unlike a t-digest the sketch is
+    DETERMINISTIC — merge order never changes a count — so merged
+    results stay oracle-verifiable; the trade is fixed edges chosen up
+    front. NULLs are not observations.
+
+    Scale shape: one map-side-combined aggregate over the data (the
+    only data-sized stage), densified from the sparse (bin, count)
+    rows by reading a collected map positionally. Row size =
+    n_bins + 2 longs — bytes per batch, the same incremental contract
+    as :func:`profile_shard`.
+    """
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("need n_bins >= 1 and hi > lo")
+    b = _bin_expr(value_col, lo, hi, n_bins)
+    sparse = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    m = F.col("__m")
+    return sparse.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("__b", "__c")))
+        ).alias("__m"),
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("n_obs"),
+    ).select(
+        F.lit(batch_id).alias("batch_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bins + 1)),
+            lambda i: F.coalesce(F.element_at(m, i), F.lit(0).cast("long")),
+        ).alias("counts"),
+        "n_obs",
+    )
+
+
+def merge_histogram_shards(shards: DataFrame) -> DataFrame:
+    """Fold shard rows to one (counts, n_obs) row: element-wise sum.
+    Replay-safe the same way as :func:`merge_profile_shards` — a
+    replayed batch_id's identical row is dropped before the fold.
+    Shards are bytes-per-batch; every stage here is config-sized.
+    """
+    ex = (
+        shards.dropDuplicates(["batch_id"])
+        .select(F.posexplode("counts").alias("pos", "c"))
+        .groupBy("pos")
+        .agg(F.sum("c").alias("c"))
+    )
+    return ex.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("counts"),
+        F.sum("c").alias("n_obs"),
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    ps: list[float],
+    round_to: int = 6,
+) -> DataFrame:
+    """Quantile estimates from a merged histogram row: for each p the
+    target rank ``r = p·n_obs`` lands in the first non-empty bin whose
+    cumulative count reaches it, and the estimate interpolates linearly
+    inside that bin. Underflow/overflow hits clamp to lo/hi — the
+    sketch carries no spread information outside its edges. Estimation
+    error ≤ one bin width; exactness is the oracled bin counts' job,
+    not this one.
+
+    Output: (p, est), one row per requested p. Every stage operates on
+    ≤ (n_bins + 2)·|ps| rows — driver-scale by construction.
+    """
+    from pyspark.sql import Window
+
+    w = (hi - lo) / n_bins
+    win = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    bins = (
+        hist.select(F.posexplode("counts").alias("b", "c"), "n_obs")
+        .select("b", "c", "n_obs", F.sum("c").over(win).alias("cum"))
+    )
+    pf = hist.sparkSession.createDataFrame([(float(p),) for p in ps], "p double")
+    r = F.col("p") * F.col("n_obs")
+    hit = (
+        bins.join(F.broadcast(pf))
+        .filter(
+            (F.col("c") > 0)
+            & (F.col("cum") >= r)
+            & (F.col("cum") - F.col("c") < r)
+        )
+        .groupBy("p", "n_obs")
+        .agg(F.min(F.struct("b", "c", "cum")).alias("s"))
+    )
+    b, c, cum = F.col("s.b"), F.col("s.c"), F.col("s.cum")
+    est = (
+        F.when(b == 0, F.lit(lo))
+        .when(b == n_bins + 1, F.lit(hi))
+        .otherwise(
+            F.lit(lo)
+            + (b - 1).cast("double") * F.lit(w)
+            + F.lit(w) * (F.col("p") * F.col("n_obs") - (cum - c)) / c
+        )
+    )
+    return hit.select("p", F.round(est, round_to).alias("est")).orderBy("p")

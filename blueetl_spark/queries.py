@@ -35,6 +35,7 @@ from blueetl_spark.operators import (
     features,
     graph,
     linkage,
+    profile,
     sampling,
     signal,
     similarity,
@@ -3492,6 +3493,104 @@ GROUP BY CUBE (status, priority)
 """
 
 
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 500.0, 25  # events.value spans ~[0, 490]
+
+
+def _event_value_hist_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three deterministic hash-split shards of the events value
+    histogram — the shard/merge path a streaming ingest would take."""
+    ev = _events_norm(spark, sf_dir)
+    shards = [
+        profile.histogram_shard(
+            ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(3)) == i),
+            "value", HIST_LO, HIST_HI, HIST_BINS, batch_id=f"s{i}",
+        )
+        for i in range(3)
+    ]
+    u = shards[0]
+    for s in shards[1:]:
+        u = u.unionByName(s)
+    return u
+
+
+def q_histogram_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-edge histogram: three hash-split shards (incl. a
+    replayed one — dropped by batch_id before the fold) element-wise
+    summed, emitted as sparse (bin, cnt). The merged counts must equal
+    binning the whole table directly — that equality IS the
+    mergeability contract, same as the profile-shards gate."""
+    shards = _event_value_hist_shards(spark, sf_dir)
+    replay = shards.filter(F.col("batch_id") == "s1")  # at-least-once twin
+    merged = profile.merge_histogram_shards(shards.unionByName(replay))
+    return (
+        merged.select(F.posexplode("counts").alias("bin", "cnt"))
+        .filter(F.col("cnt") > 0)
+    )
+
+
+SQL_HISTOGRAM_SKETCH_MERGE = f"""
+WITH {_E_CTE}
+SELECT CASE WHEN value < {HIST_LO!r} THEN 0
+            WHEN value >= {HIST_HI!r} THEN {HIST_BINS + 1}
+            ELSE LEAST(CAST(FLOOR((value - {HIST_LO!r})
+                                  / {(HIST_HI - HIST_LO) / HIST_BINS!r}) AS INT)
+                       + 1, {HIST_BINS}) END AS bin,
+       COUNT(*) AS cnt
+FROM e
+WHERE value IS NOT NULL
+GROUP BY 1
+"""
+
+
+HIST_PS = [0.25, 0.5, 0.9, 0.99]
+
+
+def q_histogram_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates off the merged histogram (rank-in-bin linear
+    interpolation). Deterministic sketch → the estimate itself is
+    SQL-replayable, unlike t-digest/KLL whose merges are
+    order-dependent; the oracle replays bin cumsum + interpolation."""
+    merged = profile.merge_histogram_shards(
+        _event_value_hist_shards(spark, sf_dir)
+    )
+    return profile.histogram_quantiles(
+        merged, HIST_LO, HIST_HI, HIST_BINS, HIST_PS
+    )
+
+
+SQL_HISTOGRAM_SKETCH_QUANTILES = f"""
+WITH {_E_CTE},
+binned AS (
+  SELECT CASE WHEN value < {HIST_LO!r} THEN 0
+              WHEN value >= {HIST_HI!r} THEN {HIST_BINS + 1}
+              ELSE LEAST(CAST(FLOOR((value - {HIST_LO!r})
+                                    / {(HIST_HI - HIST_LO) / HIST_BINS!r}) AS INT)
+                         + 1, {HIST_BINS}) END AS b,
+         COUNT(*) AS c
+  FROM e WHERE value IS NOT NULL GROUP BY 1
+),
+cum AS (
+  SELECT b, c, SUM(c) OVER (ORDER BY b) AS cum,
+         SUM(c) OVER () AS n_obs
+  FROM binned
+),
+hit AS (
+  SELECT p, b, c, cum, n_obs
+  FROM cum, (SELECT UNNEST({HIST_PS!r}) AS p)
+  WHERE c > 0 AND cum >= p * n_obs AND cum - c < p * n_obs
+)
+SELECT p,
+       ROUND(CASE WHEN b = 0 THEN {HIST_LO!r}
+                  WHEN b = {HIST_BINS + 1} THEN {HIST_HI!r}
+                  ELSE {HIST_LO!r}
+                       + (b - 1) * {(HIST_HI - HIST_LO) / HIST_BINS!r}
+                       + {(HIST_HI - HIST_LO) / HIST_BINS!r}
+                         * (p * n_obs - (cum - c)) / c
+             END, 6) AS est
+FROM hit
+"""
+
+
 PHRASE_QUERY = "table value"
 
 
@@ -4132,6 +4231,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_value_stats": q_rolling_value_stats,
     "value_deciles": q_value_deciles,
     "cube_status_priority": q_cube_status_priority,
+    "histogram_sketch_merge": q_histogram_sketch_merge,
+    "histogram_sketch_quantiles": q_histogram_sketch_quantiles,
     # ---- no-oracle twins last: every oracled query must sit inside the
     # ---- driver's graded window
     "spike_distances": q_spike_distances,
@@ -4263,6 +4364,8 @@ ORACLES: dict[str, str] = {
     "rolling_value_stats": SQL_ROLLING_VALUE_STATS,
     "value_deciles": SQL_VALUE_DECILES,
     "cube_status_priority": SQL_CUBE_STATUS_PRIORITY,
+    "histogram_sketch_merge": SQL_HISTOGRAM_SKETCH_MERGE,
+    "histogram_sketch_quantiles": SQL_HISTOGRAM_SKETCH_QUANTILES,
 }
 
 

@@ -171,3 +171,51 @@ def test_profile_scan_shapes(mixed_df):
     assert sk.count("LocalRelation") + sk.count("LogicalRDD") <= 1
     ex = P.profile(mixed_df)._jdf.queryExecution().optimizedPlan().toString()
     assert ex.count("LocalRelation") + ex.count("LogicalRDD") == 2
+
+
+def test_histogram_shard_merge_equals_direct(spark):
+    """Splitting the data any way and merging the shards must equal
+    binning the whole frame — the mergeability contract; a replayed
+    batch_id folds out."""
+    pdf = pd.DataFrame({"v": [float(x) for x in range(-10, 110)] + [None]})
+    df = spark.createDataFrame(pdf)
+    whole = P.histogram_shard(df, "v", 0.0, 100.0, 10, "all").collect()[0]
+    a = P.histogram_shard(df.filter("v < 37 OR v IS NULL"), "v", 0.0, 100.0, 10, "a")
+    b = P.histogram_shard(df.filter("v >= 37"), "v", 0.0, 100.0, 10, "b")
+    merged = P.merge_histogram_shards(
+        a.unionByName(b).unionByName(b)  # replayed batch "b"
+    ).collect()[0]
+    assert merged.counts == whole.counts
+    assert merged.n_obs == whole.n_obs == 120
+    # underflow 10 (−10…−1), 10 per interior bin, overflow 10 (100…109)
+    assert merged.counts == [10] + [10] * 10 + [10]
+
+
+def test_histogram_quantiles_interpolation_and_clamps(spark):
+    pdf = pd.DataFrame({"v": [float(x) for x in range(100)]})  # 0..99
+    h = P.histogram_shard(spark.createDataFrame(pdf), "v", 0.0, 100.0, 10)
+    got = {
+        r.p: r.est
+        for r in P.histogram_quantiles(h, 0.0, 100.0, 10, [0.1, 0.5, 1.0]).collect()
+    }
+    # bin k holds 10k..10k+9; r=p*100 interpolates to exactly 10*r/10
+    assert got[0.1] == pytest.approx(10.0)
+    assert got[0.5] == pytest.approx(50.0)
+    assert got[1.0] == pytest.approx(100.0)
+
+
+def test_histogram_quantiles_clamp_outside_edges(spark):
+    pdf = pd.DataFrame({"v": [-5.0, -4.0, 200.0, 300.0]})
+    h = P.histogram_shard(spark.createDataFrame(pdf), "v", 0.0, 100.0, 4)
+    got = {
+        r.p: r.est
+        for r in P.histogram_quantiles(h, 0.0, 100.0, 4, [0.25, 0.9]).collect()
+    }
+    assert got[0.25] == 0.0  # rank lands in the underflow bin -> lo
+    assert got[0.9] == 100.0  # overflow bin -> hi
+
+
+def test_histogram_shard_rejects_bad_edges(spark):
+    df = spark.createDataFrame(pd.DataFrame({"v": [1.0]}))
+    with pytest.raises(ValueError, match="n_bins"):
+        P.histogram_shard(df, "v", 5.0, 5.0, 10)
