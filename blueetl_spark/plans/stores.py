@@ -183,7 +183,55 @@ class HDFStore(BaseStore):
         return spark.createDataFrame(pd.read_hdf(str(self.path_for(name)), key=name))
 
 
-STORES = {"parquet": ParquetStore, "feather": FeatherStore, "hdf": HDFStore}
+class OrcStore(BaseStore):
+    """Distributed ORC directory per table (zstd). Same fully-
+    distributed contract as parquet — predicate pushdown, column
+    pruning, and splittable stripes all apply — for deployments whose
+    warehouse standardizes on ORC instead."""
+
+    EXT = ".orc"
+
+    def dump(self, df: DataFrame, name: str) -> None:
+        df.write.mode("overwrite").option("compression", "zstd").orc(
+            str(self.path_for(name))
+        )
+
+    def load(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.orc(str(self.path_for(name)))
+
+
+class JsonlStore(BaseStore):
+    """Distributed newline-delimited-JSON directory per table (gzip).
+    The interchange format: lossy on types relative to parquet/ORC
+    (timestamps stringify, ints widen), so loads pass an explicit
+    schema captured at dump time via a sidecar ``_schema.json`` —
+    without it Spark would re-infer with an extra scan AND could drift
+    types between dump and load."""
+
+    EXT = ".jsonl"
+
+    def dump(self, df: DataFrame, name: str) -> None:
+        p = self.path_for(name)
+        df.write.mode("overwrite").option("compression", "gzip").json(str(p))
+        (Path(str(p)) / "_schema.json").write_text(df.schema.json())
+
+    def load(self, spark: SparkSession, name: str) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        p = Path(str(self.path_for(name)))
+        schema = StructType.fromJson(
+            __import__("json").loads((p / "_schema.json").read_text())
+        )
+        return spark.read.schema(schema).json(str(p))
+
+
+STORES = {
+    "parquet": ParquetStore,
+    "feather": FeatherStore,
+    "hdf": HDFStore,
+    "orc": OrcStore,
+    "jsonl": JsonlStore,
+}
 
 
 def get_store(kind: str, base_path: str | Path) -> BaseStore:

@@ -87,7 +87,7 @@ def test_groupby_except(spark):
 # -- stores ------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("kind", ["parquet", "feather"])
+@pytest.mark.parametrize("kind", ["parquet", "feather", "orc", "jsonl"])
 def test_store_round_trip(spark, tmp_path, kind):
     df = spark.createDataFrame(
         [(1, "a", [1.0, 2.0]), (2, "b", [])],
@@ -448,3 +448,19 @@ def test_cli_index_purge_and_compact(spark, tmp_path, capsys):
     assert cli_main(["index-compact", idx]) == 0
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["rows"] == {"signatures": 1, "buckets": 1 * 16}
+
+
+def test_jsonl_store_schema_sidecar_preserves_types(spark, tmp_path):
+    """JSON would widen/stringify types on re-inference; the sidecar
+    schema pins them (and skips the inference scan)."""
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [(1, 2.5, True, [1, 2])],
+        "i long, d double, b boolean, arr array<int>",
+    )
+    store = stores.get_store("jsonl", tmp_path)
+    store.dump(df, "t")
+    back = store.load(spark, "t")
+    assert back.schema == df.schema
+    assert isinstance(back.schema["arr"].dataType.elementType, T.IntegerType)
