@@ -74,6 +74,12 @@ HEADLINE = [
     "edit_distance_pairs",
     "phrase_search",
     "bm25_search",
+    # round-7 SQL-surface + sketch additions
+    "rollup_revenue",
+    "order_gaps",
+    "rolling_value_stats",
+    "value_deciles",
+    "histogram_sketch_merge",
 ]
 
 
