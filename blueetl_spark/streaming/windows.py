@@ -316,3 +316,43 @@ def streaming_profile_shards(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def streaming_histogram_shards(
+    stream_df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    shard_path: str,
+    checkpoint: str,
+    batch_prefix: str = "stream",
+    trigger: dict | None = None,
+):
+    """Histogram twin of :func:`streaming_profile_shards`: each
+    micro-batch appends ONE mergeable binned-count row
+    (``operators/profile.py::histogram_shard``), so a whole-stream
+    value distribution (and its quantile estimates) is readable at any
+    moment from bytes-per-batch shards — never by rescanning the
+    ingested data. Same foreachBatch seam, same zero cross-batch
+    state, same at-least-once → effectively-once contract: a replayed
+    epoch re-appends an identical row under the same batch_id and
+    ``merge_histogram_shards`` dedups on batch_id before folding.
+    """
+    from blueetl_spark.operators.profile import histogram_shard
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        histogram_shard(
+            batch_df, value_col, lo, hi, n_bins,
+            batch_id=f"{batch_prefix}-{epoch_id}",
+        ).coalesce(1).write.mode("append").parquet(shard_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

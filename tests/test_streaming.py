@@ -897,3 +897,56 @@ def test_semantic_dedup_ivf_pq_refuses_subfloor_bound(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="distortion floor"):
         semantic_dedup_batch(batch, 1, idx, threshold=0.999, index_kind="ivf_pq")
+
+
+def test_streaming_histogram_shards(spark, tmp_path):
+    """Per-micro-batch histogram shards must merge to the same binned
+    counts as binning the whole ingested table; a checkpoint restart
+    appends nothing; a crash-replayed epoch folds out on batch_id."""
+    import pandas as pd
+
+    from blueetl_spark.operators.profile import (
+        histogram_shard,
+        merge_histogram_shards,
+    )
+    from blueetl_spark.streaming.windows import streaming_histogram_shards
+
+    src = str(tmp_path / "src")
+    shards = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = pd.DataFrame({"v": [float(x) for x in range(-10, 110)] + [None]})
+    # several source files -> several micro-batches
+    spark.createDataFrame(pdf).repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_histogram_shards(
+        stream, "v", 0.0, 100.0, 10, shards, ckpt,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+    whole = histogram_shard(
+        spark.read.parquet(src), "v", 0.0, 100.0, 10, "all"
+    ).collect()[0]
+    merged = merge_histogram_shards(spark.read.parquet(shards)).collect()[0]
+    assert merged.counts == whole.counts
+    assert merged.n_obs == whole.n_obs == 120
+
+    # restart: backlog drained, nothing appended
+    before = spark.read.parquet(shards).count()
+    q2 = streaming_histogram_shards(
+        stream, "v", 0.0, 100.0, 10, shards, ckpt,
+        trigger={"availableNow": True},
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(shards).count() == before
+
+    # crash-replay of one epoch: identical row, same batch_id -> folds out
+    one = spark.read.parquet(shards).limit(1)
+    one.write.mode("append").parquet(shards)
+    replayed = merge_histogram_shards(spark.read.parquet(shards)).collect()[0]
+    assert replayed.counts == whole.counts and replayed.n_obs == 120
