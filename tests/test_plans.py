@@ -395,3 +395,18 @@ def test_cube_single_expand_single_exchange(spark):
     assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_registry_wide_no_row_python_udfs(spark):
+    """Sweep EVERY registered query's physical plan: row-at-a-time
+    Python (BatchEvalPython) is banned repo-wide — all Python kernels
+    must be Arrow-batched. The headline shapes are pinned individually
+    above; this catches the long tail after any refactor."""
+    from blueetl_spark.queries import QUERIES
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = _formatted_plan(fn(spark, SF))
+        if "BatchEvalPython" in plan:
+            offenders[name] = "BatchEvalPython"
+    assert not offenders, offenders
