@@ -50,6 +50,8 @@ def pagerank(
     nodes: DataFrame | None = None,
     id_col: str = "id",
     assume_distinct_edges: bool = False,
+    personalization: DataFrame | None = None,
+    weight_col: str = "weight",
 ) -> DataFrame:
     """Exact (matrix-free) PageRank over a directed edge list.
 
@@ -60,6 +62,17 @@ def pagerank(
     ``max_iter`` rounds (reproducible iteration counts for tests).
     ``assume_distinct_edges=True`` skips the edge-dedup shuffle, same
     contract as ``connected_components``.
+
+    ``personalization`` makes it topic-sensitive (personalized)
+    PageRank: a (id, ``weight_col``) frame of non-negative teleport
+    weights — the random surfer restarts at node i with probability
+    ∝ weight_i instead of uniformly, so ranks measure proximity to the
+    seed set (the "score pages by closeness to trusted domains"
+    curation primitive). Weights are normalized over the full vertex
+    set (missing ids get 0); dangling mass redistributes by the same
+    vector. The weight rides the rank frame as one extra column —
+    per-iteration plan shape is unchanged (one edge join + one
+    node-sized join + a broadcast 1-row aggregate).
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -95,8 +108,31 @@ def pagerank(
         "left",
     ).select("id", F.coalesce("__out", F.lit(False)).alias("__out"))
 
+    carry = ["__out"]
+    if personalization is not None:
+        pw = personalization.select(
+            F.col(id_col).alias("id"),
+            F.col(weight_col).cast("double").alias("__wraw"),
+        )
+        # one scalar to the driver (bounded by construction); an
+        # all-zero/empty vector has no teleport distribution at all
+        wsum = pw.agg(F.sum("__wraw")).collect()[0][0]
+        if not wsum or wsum <= 0:
+            raise ValueError(
+                "personalization weights must have a positive sum"
+            )
+        flagged = flagged.join(pw, "id", "left").select(
+            "id",
+            "__out",
+            (F.coalesce("__wraw", F.lit(0.0)) / F.lit(float(wsum))).alias(
+                "__w"
+            ),
+        )
+        carry = ["__out", "__w"]
+
     base = (1.0 - damping) / n
-    ranks = flagged.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    init = F.col("__w") if personalization is not None else F.lit(1.0 / n)
+    ranks = flagged.withColumn("rank", init).localCheckpoint()
     for it in range(max_iter):
         # dangling mass rides the round's own plan as a broadcast 1-row
         # aggregate — no per-round driver collect; the checkpointed rank
@@ -109,16 +145,25 @@ def pagerank(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") * F.col("w")).alias("__in"))
         )
+        if personalization is None:
+            teleport = F.lit(base) + F.lit(damping) * F.col(
+                "__dmass"
+            ) / F.lit(float(n))
+        else:
+            teleport = F.lit(1.0 - damping) * F.col("__w") + F.lit(
+                damping
+            ) * F.col("__dmass") * F.col("__w")
         new_ranks = (
-            ranks.select("id", "__out", F.col("rank").alias("__prev"))
+            ranks.select(
+                "id", *carry, F.col("rank").alias("__prev")
+            )
             .join(contrib, "id", "left")
             .crossJoin(F.broadcast(dmass))
             .select(
                 "id",
-                "__out",
+                *carry,
                 (
-                    F.lit(base)
-                    + F.lit(damping) * F.col("__dmass") / F.lit(float(n))
+                    teleport
                     + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
                 ).alias("rank"),
                 "__prev",

@@ -2703,6 +2703,91 @@ contrib{i} AS (
 SQL_PAGERANK_FIXED = _pagerank_fixed_sql()
 
 
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-sensitive PageRank: teleport mass restricted to the
+    supplier side of the purchase graph (the "trusted seed set"
+    curation pattern), same fixed-iteration replayable contract as
+    ``pagerank_fixed``. Customers earn rank only via link proximity to
+    suppliers — their teleport weight is 0."""
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    edges = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    seeds = (
+        edges.select(F.col("dst").alias("id"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    ranks = graph.pagerank(
+        edges,
+        damping=PR_DAMPING,
+        max_iter=PR_ITERS,
+        tol=0.0,
+        personalization=seeds,
+    )
+    return ranks.select("id", F.round("rank", 9).alias("pr"))
+
+
+def _pagerank_personalized_sql() -> str:
+    d = PR_DAMPING
+    # mirrors the Spark op order: teleport = (1-d)*wt + d*m*wt;
+    # rank = teleport + d*coalesce(cin, 0.0); wt = wraw / wsum with
+    # wraw = 1.0 on supplier ids ('s…'), 0.0 elsewhere
+    parts = [
+        f"""
+WITH e AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+ids AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+we AS (SELECT e.src, e.dst, {1.0!r}::DOUBLE / deg.d AS w
+       FROM e JOIN deg ON e.src = deg.src),
+dang AS (SELECT id FROM ids
+         WHERE id NOT IN (SELECT DISTINCT src FROM we)),
+wsum AS (SELECT SUM(CASE WHEN id LIKE 's%' THEN {1.0!r}::DOUBLE
+                         ELSE {0.0!r}::DOUBLE END) AS s FROM ids),
+wt AS (SELECT id, (CASE WHEN id LIKE 's%' THEN {1.0!r}::DOUBLE
+                        ELSE {0.0!r}::DOUBLE END) / s AS wt
+       FROM ids CROSS JOIN wsum),
+r0 AS (SELECT id, wt AS rank FROM wt)"""
+    ]
+    for i in range(PR_ITERS):
+        prev = f"r{i}"
+        cur = f"r{i + 1}"
+        parts.append(
+            f""",
+dm{i} AS (SELECT COALESCE(SUM(rank), {0.0!r}::DOUBLE) AS m
+          FROM {prev} JOIN dang USING (id)),
+contrib{i} AS (
+  SELECT we.dst AS id, SUM(rank * w) AS cin
+  FROM {prev} JOIN we ON {prev}.id = we.src GROUP BY 1
+),
+{cur} AS (
+  SELECT wt.id,
+         ({1.0 - d!r}::DOUBLE * wt + {d!r}::DOUBLE * m * wt)
+         + ({d!r}::DOUBLE * COALESCE(cin, {0.0!r}::DOUBLE)) AS rank
+  FROM wt CROSS JOIN dm{i}
+  LEFT JOIN contrib{i} ON wt.id = contrib{i}.id
+)"""
+        )
+    parts.append(
+        f"\nSELECT id, round(rank, 9) AS pr FROM r{PR_ITERS}\n"
+    )
+    return "".join(parts)
+
+
+SQL_PAGERANK_PERSONALIZED = _pagerank_personalized_sql()
+
+
 SIMHASH_CAND_DIST = 6
 SIMHASH_CAND_BANDS = 7
 
@@ -4233,6 +4318,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_status_priority": q_cube_status_priority,
     "histogram_sketch_merge": q_histogram_sketch_merge,
     "histogram_sketch_quantiles": q_histogram_sketch_quantiles,
+    "pagerank_personalized": q_pagerank_personalized,
     # ---- no-oracle twins last: every oracled query must sit inside the
     # ---- driver's graded window
     "spike_distances": q_spike_distances,
@@ -4366,6 +4452,7 @@ ORACLES: dict[str, str] = {
     "cube_status_priority": SQL_CUBE_STATUS_PRIORITY,
     "histogram_sketch_merge": SQL_HISTOGRAM_SKETCH_MERGE,
     "histogram_sketch_quantiles": SQL_HISTOGRAM_SKETCH_QUANTILES,
+    "pagerank_personalized": SQL_PAGERANK_PERSONALIZED,
 }
 
 

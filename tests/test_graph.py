@@ -100,3 +100,63 @@ def test_quality_weights(spark, edges_df):
     # node 2 beats the isolated doc 4
     assert rows[2] > 1.0 > rows[4] > 0.0
     assert out.columns == ["doc_id", "text", "quality_weight"]
+
+
+def _numpy_ppr(n, edges, w, damping=0.85, n_iter=20):
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[s] += 1
+    w = np.asarray(w, dtype=float)
+    w = w / w.sum()
+    r = w.copy()
+    for _ in range(n_iter):
+        dmass = r[out_deg == 0].sum()
+        contrib = np.zeros(n)
+        for s, d in edges:
+            contrib[d] += r[s] / out_deg[s]
+        r = (1 - damping) * w + damping * (dmass * w + contrib)
+    return r
+
+
+def test_personalized_pagerank_matches_numpy(spark, edges_df):
+    """Teleport mass concentrated on node 0: ranks measure link
+    proximity to the seed; mass still sums to 1."""
+    pers = spark.createDataFrame([(0, 2.0)], "id long, weight double")
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            edges_df, max_iter=20, tol=0.0, personalization=pers
+        ).collect()
+    }
+    exp = _numpy_ppr(4, EDGES, [1.0, 0.0, 0.0, 0.0])
+    for i in range(4):
+        assert got[i] == pytest.approx(exp[i], rel=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+    # node 3 has no inlinks and no teleport weight -> exactly 0
+    assert got[3] == 0.0
+
+
+def test_personalized_uniform_weights_equal_plain_pagerank(spark, edges_df):
+    """A constant weight vector must reproduce plain PageRank (same
+    fixed point, same per-iteration values up to float assoc)."""
+    pers = spark.createDataFrame(
+        [(i, 7.5) for i in range(4)], "id long, weight double"
+    )
+    plain = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges_df, max_iter=10, tol=0.0).collect()
+    }
+    ppr = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            edges_df, max_iter=10, tol=0.0, personalization=pers
+        ).collect()
+    }
+    for i in range(4):
+        assert ppr[i] == pytest.approx(plain[i], rel=1e-12)
+
+
+def test_personalized_pagerank_rejects_zero_weights(spark, edges_df):
+    pers = spark.createDataFrame([(0, 0.0)], "id long, weight double")
+    with pytest.raises(ValueError, match="positive sum"):
+        pagerank(edges_df, personalization=pers)
