@@ -84,8 +84,9 @@ def _windows_values_sql(config: dict) -> str:
         for r in _expand_window(name, cfg):
             offset = r["initial_offset"] + r["step_offset"]
             rows.append(
-                f"('{r['window']}', {r['trial']}, {offset!r}, "
-                f"{r['t_start']!r}, {r['t_stop']!r}, {r['duration']!r})"
+                f"('{r['window']}', {r['trial']}, '{offset!r}'::DOUBLE, "
+                f"'{r['t_start']!r}'::DOUBLE, '{r['t_stop']!r}'::DOUBLE, "
+                f"'{r['duration']!r}'::DOUBLE)"
             )
     return (
         'w("window", trial, "offset", t_start, t_stop, duration) AS (VALUES '
@@ -662,10 +663,17 @@ def _psd_welch_sql() -> str:
     hann = np.hanning(_PSD_NPERSEG)
     scale = 1.0 / (fs * float((hann * hann).sum()))
     freqs = np.fft.rfftfreq(_PSD_NPERSEG, d=1.0 / fs)
-    # literal tables: repr round-trips float64, so the SQL sees the exact
-    # same window coefficients / frequency grid as the numpy kernel
-    hann_vals = ", ".join(f"({i}, {float(v)!r})" for i, v in enumerate(hann))
-    freq_vals = ", ".join(f"({k}, {float(v)!r})" for k, v in enumerate(freqs))
+    # literal tables: repr round-trips float64 — but ONLY through a
+    # string→DOUBLE cast. A bare 17-digit numeric literal parses as
+    # DECIMAL(21,20) in DuckDB and converts to a double one ulp off
+    # (caught when this gate rotated into the exact-equality parity
+    # test), so every coefficient goes through '…'::DOUBLE
+    hann_vals = ", ".join(
+        f"({i}, '{float(v)!r}'::DOUBLE)" for i, v in enumerate(hann)
+    )
+    freq_vals = ", ".join(
+        f"({k}, '{float(v)!r}'::DOUBLE)" for k, v in enumerate(freqs)
+    )
     nyq = _PSD_NPERSEG // 2
     return f"""
 WITH {_E_CTE},
@@ -1605,7 +1613,12 @@ def _gauss_kernel_values_sql(sigma: float) -> str:
     grid = np.arange(-radius, radius + 1, dtype=float)
     kernel = np.exp(-0.5 * (grid / sigma) ** 2)
     kernel /= kernel.sum()
-    rows = ", ".join(f"({o}, {w!r})" for o, w in zip(range(-radius, radius + 1), kernel))
+    # '…'::DOUBLE: a bare 17-digit literal would parse as DECIMAL and
+    # land one ulp off the numpy weight (see _psd_welch_sql)
+    rows = ", ".join(
+        f"({o}, '{w!r}'::DOUBLE)"
+        for o, w in zip(range(-radius, radius + 1), kernel)
+    )
     return f'kern("off", w) AS (VALUES {rows})'
 
 
@@ -4248,18 +4261,13 @@ SQL_EPOCH_MIXTURE = _sql_epoch_mixture()
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "qdsl_filter": q_qdsl_filter,
     "report_extract": q_report_extract,
-    "event_rates": q_event_rates,
     "histogram": q_histogram,
     "language_id": q_language_id,
     "isi_stats": q_isi_stats,
-    "feature_by_gid": q_feature_by_gid,
     "correlation_pairs": q_correlation_pairs,
-    "complexity_pdf": q_complexity_pdf,
     "customer_class_index": q_customer_class_index,
     "multi_sim_rates": q_multi_sim_rates,
-    "soma_mean_value": q_soma_mean_value,
     "semantic_decontaminate": q_semantic_decontaminate,
     "stratified_sample": q_stratified_sample,
     "dedup_embedding": q_dedup_embedding,
@@ -4269,16 +4277,29 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_shards_merge": q_profile_shards_merge,
     "curation_pipeline": q_curation_pipeline,
     "dedup_components": q_dedup_components,
-    "dedup_keep_canonical": q_dedup_keep_canonical,
-    "minhash_lsh_md5": q_minhash_lsh_md5,
-    "simhash_md5": q_simhash_md5,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
     "knn_ivf_fixed": q_knn_ivf_fixed,
-    "knn_pq": q_knn_pq,
     "dynamic_onset_windows": q_dynamic_onset_windows,
     "sessionization": q_sessionization,
     "value_quantiles": q_value_quantiles,
+    # ---- round-7 rotation, third pass: the 9 gates added late this
+    # ---- round (SQL surface: ROLLUP/pivot/LAG-gaps/CUBE; RANGE-frame
+    # ---- rolling aggs; equi-depth deciles; the mergeable histogram
+    # ---- sketch; personalized PageRank) take the slots of 9 gates
+    # ---- stable >=4 rounds (qdsl_filter, event_rates, feature_by_gid,
+    # ---- complexity_pdf, soma_mean_value, dedup_keep_canonical,
+    # ---- minhash_lsh_md5, simhash_md5, knn_pq), which stay
+    # ---- hash-checked in the oracle tail below.
+    "rollup_revenue": q_rollup_revenue,
+    "status_priority_pivot": q_status_priority_pivot,
+    "order_gaps": q_order_gaps,
+    "rolling_value_stats": q_rolling_value_stats,
+    "value_deciles": q_value_deciles,
+    "cube_status_priority": q_cube_status_priority,
+    "histogram_sketch_merge": q_histogram_sketch_merge,
+    "histogram_sketch_quantiles": q_histogram_sketch_quantiles,
+    "pagerank_personalized": q_pagerank_personalized,
     # ---- round-7 rotation, second pass: the round-6 oracle tail
     # ---- entered the window earlier this round (VERDICT r6 #4)...
     "simhash_band_stats": q_simhash_band_stats,
@@ -4309,18 +4330,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_distance_pairs": q_edit_distance_pairs,
     "phrase_search": q_phrase_search,
     "bm25_search": q_bm25_search,
-    # ---- round-7 SQL-surface gates (oracle tail this round) ----
-    "rollup_revenue": q_rollup_revenue,
-    "status_priority_pivot": q_status_priority_pivot,
-    "order_gaps": q_order_gaps,
-    "rolling_value_stats": q_rolling_value_stats,
-    "value_deciles": q_value_deciles,
-    "cube_status_priority": q_cube_status_priority,
-    "histogram_sketch_merge": q_histogram_sketch_merge,
-    "histogram_sketch_quantiles": q_histogram_sketch_quantiles,
-    "pagerank_personalized": q_pagerank_personalized,
-    # ---- no-oracle twins last: every oracled query must sit inside the
-    # ---- driver's graded window
+    # ---- oracle tail: rotated out of the graded window this round,
+    # ---- still hash-checked by tests/test_oracle_parity.py ----
+    "qdsl_filter": q_qdsl_filter,
+    "event_rates": q_event_rates,
+    "feature_by_gid": q_feature_by_gid,
+    "complexity_pdf": q_complexity_pdf,
+    "soma_mean_value": q_soma_mean_value,
+    "dedup_keep_canonical": q_dedup_keep_canonical,
+    "minhash_lsh_md5": q_minhash_lsh_md5,
+    "simhash_md5": q_simhash_md5,
+    "knn_pq": q_knn_pq,
+    # ---- no-oracle twins (rows-only driver check)
     "spike_distances": q_spike_distances,
     "winnowing": q_winnowing,
     "minhash_lsh": q_minhash_lsh,
