@@ -372,3 +372,47 @@ def quantile_buckets(
         lambda acc, b: acc + F.when(v >= b, F.lit(1)).otherwise(F.lit(0)),
     )
     return joined.select(*df.columns, bucket.cast("int").alias("bucket"))
+
+
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    seed: str = "",
+    method: str = "xxhash64",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's split is a
+    pure function of ``hash(seed‖key)`` — stable across runs, cluster
+    sizes, partitionings, and (with ``method="md5"``) engines. The
+    ``df.randomSplit`` alternative ties membership to partition layout
+    and RNG state, so a re-run (or the same row arriving in a later
+    batch) can change sides — exactly the leakage a held-out split must
+    never have.
+
+    ``weights`` maps split name → proportion (normalized); boundaries
+    are cumulative bucket thresholds in the ``BUCKETS`` space, assigned
+    with one CASE chain — map-only, no shuffle, no state.
+    """
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative and non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    b = hash_bucket(key_col, seed=seed, method=method)
+    # deterministic boundary order: insertion order of the dict (callers
+    # write {'train': .9, 'val': .05, 'test': .05} and mean exactly that)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = b < int(cum * BUCKETS)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)

@@ -405,3 +405,40 @@ def rolling_agg(
             for a in aggs
         ],
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    by: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clip a column to its [p_lo, p_hi] quantiles (optionally per
+    group) — the standard outlier-taming step before means/regressions
+    on heavy-tailed columns (doc lengths, latencies, prices).
+
+    Same scale shape as equi-depth bucketing: the two boundaries are
+    ONE map-side-combined aggregate (two doubles per group), broadcast
+    back, and the clamp is a per-row ``greatest(lo, least(hi, v))`` —
+    no sort, no window, no second shuffle of the data. Exact
+    ``F.percentile`` matches DuckDB ``quantile_cont``; swap
+    ``approx_percentile`` at 100 TB.
+    """
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError("need 0 <= p_lo < p_hi <= 1")
+    v = F.col(value_col).cast("double")
+    bounds = (df.groupBy(by) if by else df.groupBy()).agg(
+        F.percentile(v, F.lit(p_lo)).alias("__lo"),
+        F.percentile(v, F.lit(p_hi)).alias("__hi"),
+    )
+    joined = (
+        df.join(F.broadcast(bounds), on=by)
+        if by
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    clipped = F.greatest(F.col("__lo"), F.least(F.col("__hi"), v))
+    return joined.select(
+        *df.columns, clipped.alias(out_col or f"{value_col}_winsorized")
+    )

@@ -2801,6 +2801,88 @@ contrib{i} AS (
 SQL_PAGERANK_PERSONALIZED = _pagerank_personalized_sql()
 
 
+SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+SPLIT_SEED = "split-v1"
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: split is a pure
+    function of md5(seed‖doc_id) — re-runs, repartitions, and other
+    engines reproduce the exact membership (randomSplit can't promise
+    any of that, which is held-out-leakage by construction). Map-only;
+    the oracle replays the same threshold CASE."""
+    from blueetl_spark.operators import sampling as smp
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return smp.split_assign(
+        docs, SPLIT_WEIGHTS, key_col="doc_id", seed=SPLIT_SEED, method="md5"
+    ).select("doc_id", "split")
+
+
+def _split_sql() -> str:
+    from blueetl_spark.operators.sampling import BUCKETS
+
+    names = list(SPLIT_WEIGHTS)
+    total = sum(SPLIT_WEIGHTS.values())
+    bucket = (
+        f"CAST(concat('0x', substring(md5(concat('{SPLIT_SEED}', "
+        f"CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % {BUCKETS}"
+    )
+    cum, whens = 0.0, []
+    for name in names[:-1]:
+        cum += SPLIT_WEIGHTS[name] / total
+        whens.append(f"WHEN {bucket} < {int(cum * BUCKETS)} THEN '{name}'")
+    return (
+        "SELECT doc_id, CASE "
+        + " ".join(whens)
+        + f" ELSE '{names[-1]}' END AS split FROM documents"
+    )
+
+
+SQL_TRAIN_SPLIT = _split_sql()
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def q_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorized value stats: boundaries are one
+    2-doubles-per-group aggregate broadcast back, the clamp map-only —
+    never a sort or a second data shuffle. Clipped values round to 6
+    before aggregating so a last-ulp interpolation difference between
+    engines can't leak into the sums."""
+    ev = _events_norm(spark, sf_dir)
+    w = timeseries.winsorize(
+        ev.select("event_type", "value"), "value",
+        WINSOR_LO, WINSOR_HI, by="event_type", out_col="v",
+    ).withColumn("v", F.round("v", 6))
+    return w.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("v"), 6).alias("avg_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
+SQL_WINSORIZE_STATS = f"""
+WITH {_E_CTE},
+b AS (
+  SELECT event_type,
+         quantile_cont(value, {WINSOR_LO!r}) AS lo,
+         quantile_cont(value, {WINSOR_HI!r}) AS hi
+  FROM e GROUP BY 1
+),
+w AS (
+  SELECT e.event_type,
+         ROUND(GREATEST(b.lo, LEAST(b.hi, e.value)), 6) AS v
+  FROM e JOIN b USING (event_type)
+)
+SELECT event_type, COUNT(*) AS n, ROUND(AVG(v), 6) AS avg_v,
+       MIN(v) AS min_v, MAX(v) AS max_v
+FROM w GROUP BY 1
+"""
+
+
 SIMHASH_CAND_DIST = 6
 SIMHASH_CAND_BANDS = 7
 
@@ -4331,7 +4413,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_search": q_phrase_search,
     "bm25_search": q_bm25_search,
     # ---- oracle tail: rotated out of the graded window this round,
-    # ---- still hash-checked by tests/test_oracle_parity.py ----
+    # ---- still hash-checked by tests/test_oracle_parity.py; plus
+    # ---- post-rotation round-7 additions (graded-window candidates
+    # ---- for r8) ----
+    "train_split": q_train_split,
+    "winsorize_stats": q_winsorize_stats,
     "qdsl_filter": q_qdsl_filter,
     "event_rates": q_event_rates,
     "feature_by_gid": q_feature_by_gid,
@@ -4474,6 +4560,8 @@ ORACLES: dict[str, str] = {
     "histogram_sketch_merge": SQL_HISTOGRAM_SKETCH_MERGE,
     "histogram_sketch_quantiles": SQL_HISTOGRAM_SKETCH_QUANTILES,
     "pagerank_personalized": SQL_PAGERANK_PERSONALIZED,
+    "train_split": SQL_TRAIN_SPLIT,
+    "winsorize_stats": SQL_WINSORIZE_STATS,
 }
 
 

@@ -648,3 +648,33 @@ def test_quantile_buckets_rejects_single_bucket(spark):
     df = spark.createDataFrame(pd.DataFrame({"v": [1.0]}))
     with pytest.raises(ValueError, match="n_buckets"):
         quantile_buckets(df, "v", 1)
+
+
+def test_split_assign_deterministic_partition_invariant(spark):
+    """Membership is a pure key function: identical across
+    repartitionings; proportions land near the weights; weight order
+    defines the boundary order."""
+    from blueetl_spark.operators.sampling import split_assign
+
+    df = spark.range(20_000).selectExpr("CAST(id AS STRING) AS doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = split_assign(df, w).toPandas().set_index("doc_id")["split"]
+    b = (
+        split_assign(df.repartition(17), w)
+        .toPandas()
+        .set_index("doc_id")["split"]
+    )
+    assert a.sort_index().equals(b.sort_index())
+    frac = a.value_counts(normalize=True)
+    for k, v in w.items():
+        assert abs(frac[k] - v) < 0.01, (k, frac[k])
+
+
+def test_split_assign_rejects_bad_weights(spark):
+    from blueetl_spark.operators.sampling import split_assign
+
+    df = spark.range(1).selectExpr("CAST(id AS STRING) AS doc_id")
+    with pytest.raises(ValueError, match="non-negative"):
+        split_assign(df, {"a": -1.0})
+    with pytest.raises(ValueError, match="positive"):
+        split_assign(df, {"a": 0.0, "b": 0.0})

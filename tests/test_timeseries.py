@@ -230,3 +230,41 @@ def test_rolling_agg_rejects_unknown_agg(spark):
     df = spark.createDataFrame(pd.DataFrame({"gid": [1], "time": [0.0], "value": [1.0]}))
     with pytest.raises(ValueError, match="unknown rolling aggregates"):
         ts.rolling_agg(df, span=1.0, aggs=("median",))
+
+
+def test_winsorize_matches_numpy_clip(spark):
+    import pandas as pd
+
+    from blueetl_spark.operators import timeseries as ts
+
+    vals = [float(x) for x in range(100)] + [1e6, -1e6]
+    pdf = pd.DataFrame({"v": vals})
+    out = (
+        ts.winsorize(spark.createDataFrame(pdf), "v", 0.1, 0.9, out_col="w")
+        .toPandas()
+        .sort_values("v", ignore_index=True)
+    )
+    lo, hi = np.percentile(vals, [10, 90])  # linear interp == F.percentile
+    exp = np.clip(np.sort(vals), lo, hi)
+    assert np.allclose(out.w.to_numpy(), exp)
+
+
+def test_winsorize_grouped_and_bad_bounds(spark):
+    import pandas as pd
+
+    from blueetl_spark.operators import timeseries as ts
+
+    g = pd.DataFrame(
+        {"grp": ["a"] * 5 + ["b"] * 5,
+         "v": [0.0, 1, 2, 3, 100, 0.0, 10, 20, 30, 1000]}
+    )
+    out = ts.winsorize(
+        spark.createDataFrame(g), "v", 0.0, 0.8, by="grp", out_col="w"
+    ).toPandas()
+    # per-group hi bound: a -> percentile(…, .8)=3*? use numpy per group
+    for grp, sub in g.groupby("grp"):
+        hi = np.percentile(sub.v, 80)
+        got = out[out.grp == grp].sort_values("v").w.to_numpy()
+        assert np.allclose(got, np.clip(np.sort(sub.v), None, hi))
+    with pytest.raises(ValueError, match="p_lo"):
+        ts.winsorize(spark.createDataFrame(g), "v", 0.9, 0.1)
