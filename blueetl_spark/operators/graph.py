@@ -210,3 +210,80 @@ def quality_weights(
         "quality_weight",
         F.coalesce(F.col("rank"), F.lit(0.0)) / F.lit(mean_rank),
     ).drop("rank")
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    per_node: bool = True,
+) -> DataFrame:
+    """Exact triangle counting on an undirected graph (edge direction
+    and duplicates ignored; self-loops dropped).
+
+    Returns (id, triangles) for every vertex of at least one triangle
+    when ``per_node`` (the local-clustering numerator), else a single
+    (triangles) row.
+
+    Scale shape — **degree orientation**: counting wedges from raw
+    edges is quadratic in the hottest vertex's degree (a 10⁷-degree
+    hub yields 10¹⁴ wedges). Orienting every edge from its
+    (degree, id)-smaller endpoint to its larger one makes each
+    triangle countable exactly once from its smallest-degree corner,
+    and bounds any vertex's out-degree by O(√m) on arbitrary graphs
+    (arboricity on sparse ones) — the standard trick that keeps the
+    wedge join sized by Σ out_deg², not Σ deg². Three shuffles total:
+    edge canonicalization, the wedge self-join, the closing-edge
+    semi-join (plus a node-sized fold for per-node counts).
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id): strict total order, ties broken by id
+    e = (
+        und.join(deg.withColumnRenamed("id", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("id", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("o")
+        )
+        .select("o.s", "o.t")
+    )
+    e = e.localCheckpoint()  # consumed by three joins below
+    # wedges from the smallest corner: (s -> t1, s -> t2), t1 "before" t2
+    # in the same orientation order — exactly the pairs whose closing
+    # oriented edge would be (t1, t2)
+    e2 = e.select(F.col("s").alias("s2"), F.col("t").alias("t2"))
+    wedges = e.join(e2, F.col("s") == F.col("s2")).filter(
+        F.col("t") != F.col("t2")
+    ).select("s", "t", "t2")
+    # a wedge (t, t2) closes iff the oriented edge t->t2 exists; only
+    # one of the two wedge orders can match (the orientation is a total
+    # order), so each triangle is counted exactly ONCE, at its
+    # smallest-degree corner
+    closing = e.select(F.col("s").alias("t"), F.col("t").alias("t2"))
+    tri = wedges.join(closing, ["t", "t2"], "left_semi")
+    if not per_node:
+        return tri.agg(F.count(F.lit(1)).alias("triangles"))
+    corners = (
+        tri.select(F.col("s").alias("id"))
+        .unionAll(tri.select(F.col("t").alias("id")))
+        .unionAll(tri.select(F.col("t2").alias("id")))
+    )
+    return corners.groupBy("id").agg(
+        F.count(F.lit(1)).alias("triangles")
+    )

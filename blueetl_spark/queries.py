@@ -2842,6 +2842,57 @@ def _split_sql() -> str:
 SQL_TRAIN_SPLIT = _split_sql()
 
 
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts on the co-occurrence graph
+    (suppliers sharing an order): degree-oriented exact counting — each
+    triangle found once at its smallest-degree corner, wedge join
+    bounded by Σ out-deg² ≈ O(m^1.5) instead of the hub-quadratic raw
+    wedge count. The oracle replays orientation, wedges, and the
+    closing semi-join."""
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    b = li.select(F.col("o").alias("o2"), F.col("s").alias("s2"))
+    edges = (
+        li.join(b, (F.col("o") == F.col("o2")) & (F.col("s") < F.col("s2")))
+        .select(F.col("s").alias("src"), F.col("s2").alias("dst"))
+    )
+    return graph.triangle_count(edges).select(
+        F.col("id").cast("long").alias("suppkey"), "triangles"
+    )
+
+
+SQL_TRIANGLE_COUNTS = """
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+und AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.s < b.s
+),
+deg AS (
+  SELECT id, COUNT(*) AS d FROM (
+    SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und)
+  GROUP BY 1
+),
+e AS (
+  SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND u < v)
+              THEN u ELSE v END AS s,
+         CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND u < v)
+              THEN v ELSE u END AS t
+  FROM und JOIN deg d1 ON d1.id = u JOIN deg d2 ON d2.id = v
+),
+tri AS (
+  SELECT w1.s AS a, w1.t AS b, w2.t AS c
+  FROM e w1 JOIN e w2 ON w1.s = w2.s AND w1.t <> w2.t
+  WHERE EXISTS (SELECT 1 FROM e ce WHERE ce.s = w1.t AND ce.t = w2.t)
+)
+SELECT suppkey, COUNT(*) AS triangles FROM (
+  SELECT a AS suppkey FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+GROUP BY 1
+"""
+
+
 WINSOR_LO, WINSOR_HI = 0.05, 0.95
 
 
@@ -4418,6 +4469,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- for r8) ----
     "train_split": q_train_split,
     "winsorize_stats": q_winsorize_stats,
+    "triangle_counts": q_triangle_counts,
     "qdsl_filter": q_qdsl_filter,
     "event_rates": q_event_rates,
     "feature_by_gid": q_feature_by_gid,
@@ -4562,6 +4614,7 @@ ORACLES: dict[str, str] = {
     "pagerank_personalized": SQL_PAGERANK_PERSONALIZED,
     "train_split": SQL_TRAIN_SPLIT,
     "winsorize_stats": SQL_WINSORIZE_STATS,
+    "triangle_counts": SQL_TRIANGLE_COUNTS,
 }
 
 

@@ -160,3 +160,54 @@ def test_personalized_pagerank_rejects_zero_weights(spark, edges_df):
     pers = spark.createDataFrame([(0, 0.0)], "id long, weight double")
     with pytest.raises(ValueError, match="positive sum"):
         pagerank(edges_df, personalization=pers)
+
+
+def _brute_triangles(edges):
+    import collections
+    import itertools
+
+    adj = collections.defaultdict(set)
+    nodes = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        adj[a].add(b)
+        adj[b].add(a)
+        nodes |= {a, b}
+    per = collections.Counter()
+    tot = 0
+    for x, y, z in itertools.combinations(sorted(nodes), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            tot += 1
+            per[x] += 1
+            per[y] += 1
+            per[z] += 1
+    return tot, dict(per)
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-oriented counting vs O(n³) enumeration on random graphs;
+    duplicate/reversed edges and self-loops must not change counts."""
+    import random
+
+    from blueetl_spark.operators.graph import triangle_count
+
+    rng = random.Random(11)
+    for _ in range(3):
+        edges = [(rng.randrange(12), rng.randrange(12)) for _ in range(40)]
+        noisy = edges + [(b, a) for a, b in edges[:10]] + [(3, 3)]
+        df = spark.createDataFrame(noisy, "src long, dst long")
+        tot_exp, per_exp = _brute_triangles(edges)
+        tot = triangle_count(df, per_node=False).collect()[0]["triangles"]
+        per = {r["id"]: r["triangles"] for r in triangle_count(df).collect()}
+        assert tot == tot_exp
+        assert per == per_exp
+
+
+def test_triangle_count_triangle_free(spark):
+    from blueetl_spark.operators.graph import triangle_count
+
+    # a star has wedges but no triangles
+    df = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    assert triangle_count(df, per_node=False).collect()[0]["triangles"] == 0
+    assert triangle_count(df).count() == 0
