@@ -199,6 +199,22 @@ def run_stress(
             .mode("overwrite")
             .save(),
         )
+        # -- trailing-1s RANGE-frame rolling mean over the raw 20M events:
+        # -- one keyed exchange + one window pass with a sliding buffer
+        from blueetl_spark.operators.timeseries import rolling_agg
+
+        clock(
+            "rolling_agg",
+            lambda: rolling_agg(
+                events.select("gid", "time", F.col("time").alias("value")),
+                span=1_000.0,
+                by=("gid",),
+                aggs=("avg", "count"),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
         # -- synthetic corpus: n_docs x 60 tokens from a 5k vocabulary --
         docs = spark.range(n_docs).select(
             F.col("id").alias("doc_id"),

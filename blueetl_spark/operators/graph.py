@@ -287,3 +287,42 @@ def triangle_count(
     return corners.groupBy("id").agg(
         F.count(F.lit(1)).alias("triangles")
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Local clustering coefficient per vertex:
+    ``2·triangles / (deg·(deg−1))`` — how close each node's
+    neighborhood is to a clique (community-structure signal for graph
+    curation). Degree-1 vertices get 0. Composition of
+    :func:`triangle_count` and one degree aggregate; adds one
+    node-sized join to the triangle plan."""
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_count(edges, src_col, dst_col, per_node=True)
+    return deg.join(tri, "id", "left").select(
+        "id",
+        "deg",
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+        F.when(
+            F.col("deg") > 1,
+            2.0
+            * F.coalesce("triangles", F.lit(0))
+            / (F.col("deg") * (F.col("deg") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coeff"),
+    )

@@ -2862,7 +2862,28 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TRIANGLE_COUNTS = """
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient on the supplier co-occurrence
+    graph — triangle gate plus one degree join; coefficient rounded to
+    6 (a ratio of exact integers, so rounding is pure presentation)."""
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    b = li.select(F.col("o").alias("o2"), F.col("s").alias("s2"))
+    edges = (
+        li.join(b, (F.col("o") == F.col("o2")) & (F.col("s") < F.col("s2")))
+        .select(F.col("s").alias("src"), F.col("s2").alias("dst"))
+    )
+    out = graph.clustering_coefficient(edges)
+    return out.select(
+        F.col("id").cast("long").alias("suppkey"),
+        "deg",
+        "triangles",
+        F.round("coeff", 6).alias("coeff"),
+    )
+
+
+_TRI_CTES = """
 WITH li AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
 und AS (
   SELECT DISTINCT a.s AS u, b.s AS v
@@ -2884,12 +2905,27 @@ tri AS (
   SELECT w1.s AS a, w1.t AS b, w2.t AS c
   FROM e w1 JOIN e w2 ON w1.s = w2.s AND w1.t <> w2.t
   WHERE EXISTS (SELECT 1 FROM e ce WHERE ce.s = w1.t AND ce.t = w2.t)
-)
-SELECT suppkey, COUNT(*) AS triangles FROM (
-  SELECT a AS suppkey FROM tri
-  UNION ALL SELECT b FROM tri
-  UNION ALL SELECT c FROM tri)
-GROUP BY 1
+),
+pernode AS (
+  SELECT suppkey, COUNT(*) AS triangles FROM (
+    SELECT a AS suppkey FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri)
+  GROUP BY 1
+)"""
+
+
+SQL_TRIANGLE_COUNTS = _TRI_CTES + "\nSELECT suppkey, triangles FROM pernode\n"
+
+
+SQL_CLUSTERING_COEFF = _TRI_CTES + """
+SELECT deg.id AS suppkey, deg.d AS deg,
+       COALESCE(p.triangles, 0) AS triangles,
+       ROUND(CASE WHEN deg.d > 1
+                  THEN 2.0 * COALESCE(p.triangles, 0)
+                       / (deg.d * (deg.d - 1))
+                  ELSE 0.0 END, 6) AS coeff
+FROM deg LEFT JOIN pernode p ON p.suppkey = deg.id
 """
 
 
@@ -4470,6 +4506,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_split": q_train_split,
     "winsorize_stats": q_winsorize_stats,
     "triangle_counts": q_triangle_counts,
+    "clustering_coeff": q_clustering_coeff,
     "qdsl_filter": q_qdsl_filter,
     "event_rates": q_event_rates,
     "feature_by_gid": q_feature_by_gid,
@@ -4615,6 +4652,7 @@ ORACLES: dict[str, str] = {
     "train_split": SQL_TRAIN_SPLIT,
     "winsorize_stats": SQL_WINSORIZE_STATS,
     "triangle_counts": SQL_TRIANGLE_COUNTS,
+    "clustering_coeff": SQL_CLUSTERING_COEFF,
 }
 
 

@@ -211,3 +211,16 @@ def test_triangle_count_triangle_free(spark):
     df = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
     assert triangle_count(df, per_node=False).collect()[0]["triangles"] == 0
     assert triangle_count(df).count() == 0
+
+
+def test_clustering_coefficient(spark):
+    from blueetl_spark.operators.graph import clustering_coefficient
+
+    # triangle 0-1-2 plus pendant 3 attached to 0
+    edges = [(0, 1), (1, 2), (2, 0), (0, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: (r["deg"], r["triangles"], r["coeff"])
+           for r in clustering_coefficient(df).collect()}
+    assert got[1] == (2, 1, 1.0) and got[2] == (2, 1, 1.0)
+    assert got[0] == (3, 1, pytest.approx(1 / 3))
+    assert got[3] == (1, 0, 0.0)  # degree-1: defined as 0
