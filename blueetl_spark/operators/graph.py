@@ -110,23 +110,36 @@ def pagerank(
 
     carry = ["__out"]
     if personalization is not None:
-        pw = personalization.select(
-            F.col(id_col).alias("id"),
-            F.col(weight_col).cast("double").alias("__wraw"),
+        # duplicate ids fold (sum) so a replayed/unioned seed frame can't
+        # duplicate rank-frame rows through the join below
+        pw = (
+            personalization.select(
+                F.col(id_col).alias("id"),
+                F.col(weight_col).cast("double").alias("__wraw"),
+            )
+            .groupBy("id")
+            .agg(F.sum("__wraw").alias("__wraw"))
         )
-        # one scalar to the driver (bounded by construction); an
-        # all-zero/empty vector has no teleport distribution at all
-        wsum = pw.agg(F.sum("__wraw")).collect()[0][0]
+        tagged = flagged.join(pw, "id", "left").select(
+            "id", "__out", F.coalesce("__wraw", F.lit(0.0)).alias("__wraw")
+        )
+        # normalize over the VERTEX SET (weights on non-vertices carry no
+        # teleport mass — they must not dilute the distribution); two
+        # scalars to the driver, bounded by construction
+        wmin, wsum = tagged.agg(
+            F.min("__wraw"), F.sum("__wraw")
+        ).collect()[0]
+        if wmin is not None and wmin < 0:
+            raise ValueError("personalization weights must be non-negative")
         if not wsum or wsum <= 0:
             raise ValueError(
-                "personalization weights must have a positive sum"
+                "personalization weights must have a positive sum over the "
+                "graph's vertices"
             )
-        flagged = flagged.join(pw, "id", "left").select(
+        flagged = tagged.select(
             "id",
             "__out",
-            (F.coalesce("__wraw", F.lit(0.0)) / F.lit(float(wsum))).alias(
-                "__w"
-            ),
+            (F.col("__wraw") / F.lit(float(wsum))).alias("__w"),
         )
         carry = ["__out", "__w"]
 
@@ -212,35 +225,16 @@ def quality_weights(
     ).drop("rank")
 
 
-def triangle_count(
-    edges: DataFrame,
-    src_col: str = "src",
-    dst_col: str = "dst",
-    per_node: bool = True,
-) -> DataFrame:
-    """Exact triangle counting on an undirected graph (edge direction
-    and duplicates ignored; self-loops dropped).
-
-    Returns (id, triangles) for every vertex of at least one triangle
-    when ``per_node`` (the local-clustering numerator), else a single
-    (triangles) row.
-
-    Scale shape — **degree orientation**: counting wedges from raw
-    edges is quadratic in the hottest vertex's degree (a 10⁷-degree
-    hub yields 10¹⁴ wedges). Orienting every edge from its
-    (degree, id)-smaller endpoint to its larger one makes each
-    triangle countable exactly once from its smallest-degree corner,
-    and bounds any vertex's out-degree by O(√m) on arbitrary graphs
-    (arboricity on sparse ones) — the standard trick that keeps the
-    wedge join sized by Σ out_deg², not Σ deg². Three shuffles total:
-    edge canonicalization, the wedge self-join, the closing-edge
-    semi-join (plus a node-sized fold for per-node counts).
-    """
+def _canonical_und_deg(edges, src_col, dst_col):
+    """Shared prep: canonical undirected edge set (self-loops and
+    duplicates out — one distinct shuffle, checkpointed because every
+    caller consumes it repeatedly) and the per-vertex degree frame."""
     a, b = F.col(src_col), F.col(dst_col)
     und = (
         edges.filter(a != b)
         .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         und.select(F.col("u").alias("id"))
@@ -248,6 +242,12 @@ def triangle_count(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    return und, deg
+
+
+def _triangles_per_node(und, deg):
+    """Degree-oriented per-node triangle counts from a canonical edge
+    set: (id, triangles), triangle-free vertices absent."""
     # orient by (degree, id): strict total order, ties broken by id
     e = (
         und.join(deg.withColumnRenamed("id", "u").withColumnRenamed("d", "du"), "u")
@@ -277,8 +277,6 @@ def triangle_count(
     # smallest-degree corner
     closing = e.select(F.col("s").alias("t"), F.col("t").alias("t2"))
     tri = wedges.join(closing, ["t", "t2"], "left_semi")
-    if not per_node:
-        return tri.agg(F.count(F.lit(1)).alias("triangles"))
     corners = (
         tri.select(F.col("s").alias("id"))
         .unionAll(tri.select(F.col("t").alias("id")))
@@ -286,6 +284,42 @@ def triangle_count(
     )
     return corners.groupBy("id").agg(
         F.count(F.lit(1)).alias("triangles")
+    )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    per_node: bool = True,
+) -> DataFrame:
+    """Exact triangle counting on an undirected graph (edge direction
+    and duplicates ignored; self-loops dropped).
+
+    Returns (id, triangles) for every vertex of at least one triangle
+    when ``per_node`` (the local-clustering numerator), else a single
+    (triangles) row.
+
+    Scale shape — **degree orientation**: counting wedges from raw
+    edges is quadratic in the hottest vertex's degree (a 10⁷-degree
+    hub yields 10¹⁴ wedges). Orienting every edge from its
+    (degree, id)-smaller endpoint to its larger one makes each
+    triangle countable exactly once from its smallest-degree corner,
+    and bounds any vertex's out-degree by O(√m) on arbitrary graphs
+    (arboricity on sparse ones) — the standard trick that keeps the
+    wedge join sized by Σ out_deg², not Σ deg². Three shuffles total:
+    edge canonicalization, the wedge self-join, the closing-edge
+    semi-join (plus a node-sized fold for per-node counts).
+    """
+    und, deg = _canonical_und_deg(edges, src_col, dst_col)
+    per = _triangles_per_node(und, deg)
+    if per_node:
+        return per
+    # every triangle contributes exactly 3 corner rows
+    return per.agg(
+        (F.coalesce(F.sum("triangles"), F.lit(0)) / 3)
+        .cast("long")
+        .alias("triangles")
     )
 
 
@@ -297,23 +331,12 @@ def clustering_coefficient(
     """Local clustering coefficient per vertex:
     ``2·triangles / (deg·(deg−1))`` — how close each node's
     neighborhood is to a clique (community-structure signal for graph
-    curation). Degree-1 vertices get 0. Composition of
-    :func:`triangle_count` and one degree aggregate; adds one
-    node-sized join to the triangle plan."""
-    a, b = F.col(src_col), F.col(dst_col)
-    und = (
-        edges.filter(a != b)
-        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("u").alias("id"))
-        .unionAll(und.select(F.col("v").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    tri = triangle_count(edges, src_col, dst_col, per_node=True)
-    return deg.join(tri, "id", "left").select(
+    curation). Degree-1 vertices get 0. Shares the canonical edge set
+    and degree frame with the triangle stages (computed once), then
+    adds one node-sized join."""
+    und, deg = _canonical_und_deg(edges, src_col, dst_col)
+    tri = _triangles_per_node(und, deg)
+    return deg.withColumnRenamed("d", "deg").join(tri, "id", "left").select(
         "id",
         "deg",
         F.coalesce("triangles", F.lit(0)).alias("triangles"),
@@ -326,3 +349,55 @@ def clustering_coefficient(
         .otherwise(F.lit(0.0))
         .alias("coeff"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """Vertices of the k-core: the maximal subgraph where every vertex
+    keeps degree ≥ k (spam/link-farm subgraphs and dense communities
+    surface as high-k cores; isolated chaff peels away). Returns
+    (id, core_degree) — the vertex's degree within the core.
+
+    Iterative peeling: drop sub-k vertices, recompute degrees on the
+    induced subgraph, repeat to fixed point. Each round is one
+    semi-join (edges against surviving vertices on both endpoints) +
+    one degree aggregate over a strictly shrinking edge set, with the
+    same eager ``localCheckpoint`` lineage discipline as
+    ``connected_components``/``pagerank``; convergence is witnessed by
+    the surviving-vertex count (one scalar per round). The iteration
+    count is bounded by the peel depth (≤ vertex count; in practice a
+    handful of rounds), ``max_iter`` guards pathological chains.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_n = None
+    for _ in range(max_iter):
+        deg = (
+            und.select(F.col("u").alias("id"))
+            .unionAll(und.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+        )
+        alive = deg.filter(F.col("core_degree") >= k).localCheckpoint()
+        n = alive.count()
+        if n == prev_n or n == 0:
+            return alive
+        prev_n = n
+        und = (
+            und.join(alive.select(F.col("id").alias("u")), "u", "left_semi")
+            .join(alive.select(F.col("id").alias("v")), "v", "left_semi")
+            .localCheckpoint()
+        )
+    return alive

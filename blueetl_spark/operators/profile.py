@@ -415,11 +415,17 @@ def histogram_quantiles(
     error ≤ one bin width; exactness is the oracled bin counts' job,
     not this one.
 
-    Output: (p, est), one row per requested p. Every stage operates on
-    ≤ (n_bins + 2)·|ps| rows — driver-scale by construction.
+    Output: (p, est), one row per requested p — always: an empty
+    histogram (n_obs = 0) yields NULL estimates rather than dropping
+    rows. ``ps`` must lie in (0, 1] (p = 0 has no rank-in-bin meaning;
+    ask for the histogram's first occupied bin instead). Every stage
+    operates on ≤ (n_bins + 2)·|ps| rows — driver-scale by
+    construction.
     """
     from pyspark.sql import Window
 
+    if any(not 0.0 < p <= 1.0 for p in ps):
+        raise ValueError(f"every p must be in (0, 1], got {ps!r}")
     w = (hi - lo) / n_bins
     win = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
     bins = (
@@ -448,4 +454,9 @@ def histogram_quantiles(
             + F.lit(w) * (F.col("p") * F.col("n_obs") - (cum - c)) / c
         )
     )
-    return hit.select("p", F.round(est, round_to).alias("est")).orderBy("p")
+    # left join from the p list: n_obs = 0 has no hit row, est -> NULL
+    return (
+        pf.join(hit, "p", "left")
+        .select("p", F.round(est, round_to).alias("est"))
+        .orderBy("p")
+    )

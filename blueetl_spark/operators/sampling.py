@@ -371,6 +371,10 @@ def quantile_buckets(
         F.lit(0),
         lambda acc, b: acc + F.when(v >= b, F.lit(1)).otherwise(F.lit(0)),
     )
+    # NULL values: every (v >= b) is NULL -> otherwise(0) would silently
+    # file them under bucket 1; keep them out of the depth count, as the
+    # boundary percentile already did
+    bucket = F.when(v.isNotNull(), bucket)
     return joined.select(*df.columns, bucket.cast("int").alias("bucket"))
 
 

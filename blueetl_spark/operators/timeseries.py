@@ -388,11 +388,21 @@ def rolling_agg(
     bad = set(aggs) - known
     if bad:
         raise ValueError(f"unknown rolling aggregates {sorted(bad)}")
+    if not float(span) > 0.0:
+        raise ValueError(f"span must be positive, got {span!r}")
+    for name in (*by, time_col, value_col):
+        if "`" in name:
+            raise ValueError(f"backtick in column name {name!r}")
     # the Python Window.rangeBetween API only takes integer bounds; the
     # SQL frame accepts any numeric ordering type, so build the OVER
-    # clause as an expression (same Catalyst RangeFrame either way)
+    # clause as an expression (same Catalyst RangeFrame either way).
+    # Empty ``by`` = one whole-frame window (single-task ordering — the
+    # same scale caveat as any unpartitioned window).
+    part = (
+        f"PARTITION BY {', '.join(f'`{b}`' for b in by)} " if by else ""
+    )
     over = (
-        f"OVER (PARTITION BY {', '.join(f'`{b}`' for b in by)} "
+        f"OVER ({part}"
         f"ORDER BY CAST(`{time_col}` AS DOUBLE) "
         f"RANGE BETWEEN {float(span)!r} PRECEDING AND CURRENT ROW)"
     )
@@ -438,7 +448,11 @@ def winsorize(
         if by
         else df.crossJoin(F.broadcast(bounds))
     )
-    clipped = F.greatest(F.col("__lo"), F.least(F.col("__hi"), v))
+    # greatest/least SKIP null arguments, so a bare clamp would turn a
+    # NULL value into the hi boundary — preserve NULL explicitly
+    clipped = F.when(
+        v.isNotNull(), F.greatest(F.col("__lo"), F.least(F.col("__hi"), v))
+    )
     return joined.select(
         *df.columns, clipped.alias(out_col or f"{value_col}_winsorized")
     )

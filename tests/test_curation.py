@@ -678,3 +678,14 @@ def test_split_assign_rejects_bad_weights(spark):
         split_assign(df, {"a": -1.0})
     with pytest.raises(ValueError, match="positive"):
         split_assign(df, {"a": 0.0, "b": 0.0})
+
+
+def test_quantile_buckets_null_values_get_null_bucket(spark):
+    import pandas as pd
+
+    from blueetl_spark.operators.sampling import quantile_buckets
+
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0, 4.0, None]})
+    out = quantile_buckets(spark.createDataFrame(pdf), "v", 2).toPandas()
+    assert out.bucket.isna().sum() == 1
+    assert out[out.v.notna()].bucket.notna().all()

@@ -224,3 +224,69 @@ def test_clustering_coefficient(spark):
     assert got[1] == (2, 1, 1.0) and got[2] == (2, 1, 1.0)
     assert got[0] == (3, 1, pytest.approx(1 / 3))
     assert got[3] == (1, 0, 0.0)  # degree-1: defined as 0
+
+
+def test_personalized_pagerank_normalizes_over_vertices(spark, edges_df):
+    """Weights on non-vertices carry no mass and must not dilute the
+    teleport vector; duplicate seed rows fold; negatives raise."""
+    pers = spark.createDataFrame(
+        [(0, 1.0), (0, 1.0), (999, 50.0)], "id long, weight double"
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            edges_df, max_iter=20, tol=0.0, personalization=pers
+        ).collect()
+    }
+    assert len(got) == 4  # no duplicate rank rows
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+    exp = _numpy_ppr(4, EDGES, [1.0, 0.0, 0.0, 0.0])
+    for i in range(4):
+        assert got[i] == pytest.approx(exp[i], rel=1e-9)
+    neg = spark.createDataFrame([(0, 2.0), (1, -1.0)], "id long, weight double")
+    with pytest.raises(ValueError, match="non-negative"):
+        pagerank(edges_df, personalization=neg)
+
+
+def _brute_kcore(edges, k):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(v) for n, v in adj.items()}
+
+
+def test_k_core_matches_bruteforce(spark):
+    import random
+
+    from blueetl_spark.operators.graph import k_core
+
+    rng = random.Random(5)
+    for k in (2, 3):
+        edges = [(rng.randrange(15), rng.randrange(15)) for _ in range(45)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["id"]: r["core_degree"] for r in k_core(df, k).collect()}
+        assert got == _brute_kcore(edges, k)
+
+
+def test_k_core_empty_and_validation(spark):
+    from blueetl_spark.operators.graph import k_core
+
+    tri = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    assert k_core(tri, 3).count() == 0  # a triangle has no 3-core
+    got = {r["id"]: r["core_degree"] for r in k_core(tri, 2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+    with pytest.raises(ValueError, match="k must be"):
+        k_core(tri, 0)

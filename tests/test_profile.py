@@ -219,3 +219,19 @@ def test_histogram_shard_rejects_bad_edges(spark):
     df = spark.createDataFrame(pd.DataFrame({"v": [1.0]}))
     with pytest.raises(ValueError, match="n_bins"):
         P.histogram_shard(df, "v", 5.0, 5.0, 10)
+
+
+def test_histogram_quantiles_empty_and_bad_p(spark):
+    """n_obs = 0 keeps one row per p with NULL est; p outside (0,1]
+    raises up front."""
+    empty = P.histogram_shard(
+        spark.createDataFrame(pd.DataFrame({"v": [None]})).selectExpr(
+            "CAST(v AS DOUBLE) AS v"
+        ),
+        "v", 0.0, 10.0, 5,
+    )
+    rows = P.histogram_quantiles(empty, 0.0, 10.0, 5, [0.5, 0.9]).collect()
+    assert [r.p for r in rows] == [0.5, 0.9]
+    assert all(r.est is None for r in rows)
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        P.histogram_quantiles(empty, 0.0, 10.0, 5, [0.0, 0.5])

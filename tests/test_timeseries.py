@@ -268,3 +268,36 @@ def test_winsorize_grouped_and_bad_bounds(spark):
         assert np.allclose(got, np.clip(np.sort(sub.v), None, hi))
     with pytest.raises(ValueError, match="p_lo"):
         ts.winsorize(spark.createDataFrame(g), "v", 0.9, 0.1)
+
+
+def test_rolling_agg_validation_and_global_window(spark):
+    import pandas as pd
+
+    from blueetl_spark.operators import timeseries as ts
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"gid": [1, 2], "time": [0.0, 1.0], "value": [1.0, 3.0]})
+    )
+    with pytest.raises(ValueError, match="span"):
+        ts.rolling_agg(df, span=0.0)
+    with pytest.raises(ValueError, match="backtick"):
+        ts.rolling_agg(df.withColumnRenamed("value", "v`x"), span=1.0,
+                       value_col="v`x")
+    # empty by = one global trailing window across all rows
+    out = (
+        ts.rolling_agg(df, span=10.0, by=(), aggs=("sum",))
+        .toPandas()
+        .sort_values("time")
+    )
+    assert out.rolling_sum.tolist() == [1.0, 4.0]
+
+
+def test_winsorize_preserves_nulls(spark):
+    import pandas as pd
+
+    from blueetl_spark.operators import timeseries as ts
+
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0, None]})
+    out = ts.winsorize(spark.createDataFrame(pdf), "v", 0.0, 0.5, out_col="w")
+    got = out.toPandas()
+    assert got.w.isna().sum() == 1  # NULL stays NULL, never the hi bound

@@ -81,13 +81,14 @@ def main() -> int:
             flags.append("SMJ")
         print(json.dumps({"query": name, **s,
                           "flags": flags}, separators=(",", ":")))
-    total = {
-        k: sum(s[k] for s in rows.values())
-        for k in next(iter(rows.values()))
-    }
+    total = (
+        {k: sum(s[k] for s in rows.values()) for k in next(iter(rows.values()))}
+        if rows
+        else {}
+    )
     print(json.dumps({"summary": total, "n_queries": len(rows),
                       "errors": errors}, separators=(",", ":")))
-    return 1 if errors or total["row_udf"] else 0
+    return 1 if errors or total.get("row_udf") else 0
 
 
 if __name__ == "__main__":
