@@ -80,6 +80,10 @@ HEADLINE = [
     "rolling_value_stats",
     "value_deciles",
     "histogram_sketch_merge",
+    "pagerank_personalized",
+    "triangle_counts",
+    "winsorize_stats",
+    "train_split",
 ]
 
 

@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) for the round-7 operators: each
+Spark implementation must agree with a direct Python evaluation of the
+same semantics on random inputs — the same discipline as the q-DSL
+property suite, extended to rolling windows, equi-depth bucketing, and
+deterministic splits."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # gid
+        st.integers(min_value=0, max_value=20),  # time (int: exact compares)
+        st.integers(min_value=-5, max_value=5),  # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SLOW
+@given(rows=ROWS, span=st.integers(min_value=1, max_value=8))
+def test_rolling_agg_property(spark, rows, span):
+    """Every row's trailing-window stats equal a brute-force filter —
+    including duplicate timestamps (shared RANGE frame)."""
+    from blueetl_spark.operators.timeseries import rolling_agg
+
+    pdf = pd.DataFrame(rows, columns=["gid", "time", "value"]).astype(
+        {"gid": "int64", "time": "float64", "value": "float64"}
+    )
+    got = rolling_agg(
+        spark.createDataFrame(pdf), span=float(span), by=("gid",),
+        aggs=("count", "sum"),
+    ).toPandas()
+    for _, r in got.iterrows():
+        frame = pdf[
+            (pdf.gid == r.gid)
+            & (pdf.time >= r.time - span)
+            & (pdf.time <= r.time)
+        ].value
+        assert r.rolling_count == len(frame)
+        assert r.rolling_sum == pytest.approx(frame.sum())
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=4, max_size=60
+    ),
+    n_buckets=st.integers(min_value=2, max_value=5),
+)
+def test_quantile_buckets_property(spark, vals, n_buckets):
+    """Monotone in value; total rows preserved; bucket ids within
+    [1, n]; ties land in one bucket."""
+    from blueetl_spark.operators.sampling import quantile_buckets
+
+    pdf = pd.DataFrame({"v": [float(v) for v in vals]})
+    out = quantile_buckets(
+        spark.createDataFrame(pdf), "v", n_buckets
+    ).toPandas()
+    assert len(out) == len(pdf)
+    assert out.bucket.between(1, n_buckets).all()
+    s = out.sort_values("v")
+    assert s.bucket.is_monotonic_increasing
+    assert (out.groupby("v").bucket.nunique() == 1).all()
+
+
+@SLOW
+@given(
+    n=st.integers(min_value=50, max_value=300),
+    seed=st.text(
+        alphabet="abc123", min_size=0, max_size=6
+    ),
+)
+def test_split_assign_property(spark, n, seed):
+    """Total preservation, determinism across partitionings, and
+    method-independence of those invariants."""
+    from blueetl_spark.operators.sampling import split_assign
+
+    w = {"train": 0.7, "test": 0.3}
+    df = spark.range(n).selectExpr("CAST(id AS STRING) AS doc_id")
+    a = split_assign(df, w, seed=seed, method="md5").toPandas()
+    b = split_assign(
+        df.repartition(5), w, seed=seed, method="md5"
+    ).toPandas()
+    assert len(a) == n
+    assert set(a.split) <= {"train", "test"}
+    assert (
+        a.set_index("doc_id").split.sort_index()
+        == b.set_index("doc_id").split.sort_index()
+    ).all()
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),
+        min_size=3,
+        max_size=50,
+    ).filter(lambda v: sum(x is not None for x in v) >= 2)
+)
+def test_winsorize_property(spark, vals):
+    """Clipped values stay within the observed non-null range, order of
+    non-clipped values is preserved, NULLs stay NULL."""
+    from blueetl_spark.operators.timeseries import winsorize
+
+    pdf = pd.DataFrame({"v": [None if x is None else float(x) for x in vals]})
+    out = winsorize(
+        spark.createDataFrame(pdf), "v", 0.1, 0.9, out_col="w"
+    ).toPandas()
+    nn = pdf.v.dropna()
+    got = out.w
+    assert got.isna().sum() == pdf.v.isna().sum()
+    assert got.dropna().between(nn.min(), nn.max()).all()
