@@ -49,6 +49,8 @@ KNOWN_OPS = (
     "mixture",
     "classifier",
     "epoch_mixture",
+    "gopher",
+    "split",
 )
 
 
@@ -169,6 +171,34 @@ def curate_corpus(
                 id_col=id_col,
                 # None → the model's persisted featurization decides
                 bigrams=(None if s.get("bigrams") is None else bool(s["bigrams"])),
+            )
+        elif op == "gopher":
+            from blueetl_spark.operators.text import gopher_rules
+
+            kw = {
+                k: s[k]
+                for k in (
+                    "min_words", "max_words", "min_mean_word_len",
+                    "max_mean_word_len", "max_symbol_ratio",
+                    "max_bullet_frac", "max_ellipsis_frac",
+                    "min_alpha_frac", "min_stopword_hits",
+                )
+                if k in s
+            }
+            flags = gopher_rules(cur, id_col=id_col, **kw)
+            cur = cur.join(
+                flags.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+            )
+        elif op == "split":
+            # additive: tags rows with a deterministic split column
+            # (downstream exports filter on it); never drops rows
+            cur = sampling.split_assign(
+                cur,
+                {k: float(v) for k, v in s["weights"].items()},
+                key_col=id_col,
+                seed=s.get("seed", ""),
+                method=s.get("method", "xxhash64"),
+                out_col=s.get("out_col", "split"),
             )
         elif op == "epoch_mixture":
             cur = sampling.epoch_mixture(

@@ -689,3 +689,38 @@ def test_quantile_buckets_null_values_get_null_bucket(spark):
     out = quantile_buckets(spark.createDataFrame(pdf), "v", 2).toPandas()
     assert out.bucket.isna().sum() == 1
     assert out[out.v.notna()].bucket.notna().all()
+
+
+def test_curate_gopher_and_split_steps(spark):
+    """'gopher' filters on the conjunction of the published rules;
+    'split' tags rows without dropping any."""
+    import pandas as pd
+
+    from blueetl_spark.plans.curate import curate_corpus
+
+    good = " ".join(
+        ["the quick brown fox jumps over lazy dogs near riverbank"] * 8
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["a", "b"],
+                "text": [good, "x"],  # "x": fails min_words
+                "lang": ["en", "en"],
+            }
+        )
+    )
+    cfg = {
+        "steps": [
+            {"op": "gopher", "min_words": 10, "min_stopword_hits": 1},
+            {"op": "split", "weights": {"train": 0.5, "test": 0.5},
+             "method": "md5", "seed": "s"},
+        ]
+    }
+    kept, stats = curate_corpus(docs, cfg, collect_stats=True)
+    out = kept.toPandas()
+    assert out.doc_id.tolist() == ["a"]
+    assert set(out.columns) >= {"doc_id", "text", "lang", "split"}
+    assert out.split.isin(["train", "test"]).all()
+    assert [s["op"] for s in stats] == ["input", "gopher", "split"]
+    assert stats[2]["rows"] == stats[1]["rows"]  # split never drops
