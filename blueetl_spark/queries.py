@@ -2929,6 +2929,57 @@ FROM deg LEFT JOIN pernode p ON p.suppkey = deg.id
 """
 
 
+def q_sole_fault_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style correlated EXISTS / NOT EXISTS (returnflag as
+    the fault marker): suppliers whose returned line sits in a
+    multi-supplier order where no OTHER supplier had a return. The
+    Spark side decorrelates into one per-order aggregate (distinct
+    supplier count + sole R-flag supplier via min=max) joined back —
+    two shuffles; the oracle keeps the textbook correlated form, so
+    the gate pins the decorrelation's equivalence."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    sup = tables.load(spark, sf_dir, "supplier")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.min(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias(
+            "r_min"
+        ),
+        F.max(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias(
+            "r_max"
+        ),
+    )
+    sole = per_order.filter(
+        (F.col("n_supp") > 1)
+        & F.col("r_min").isNotNull()
+        & (F.col("r_min") == F.col("r_max"))
+    ).select("l_orderkey", F.col("r_min").alias("l_suppkey"))
+    faults = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(sole, ["l_orderkey", "l_suppkey"], "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return faults.join(F.broadcast(sup), faults.l_suppkey == sup.s_suppkey).select(
+        "s_name", "numwait"
+    )
+
+
+SQL_SOLE_FAULT_SUPPLIERS = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1
+WHERE s_suppkey = l1.l_suppkey
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+"""
+
+
 WINSOR_LO, WINSOR_HI = 0.05, 0.95
 
 
@@ -4507,6 +4558,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorize_stats": q_winsorize_stats,
     "triangle_counts": q_triangle_counts,
     "clustering_coeff": q_clustering_coeff,
+    "sole_fault_suppliers": q_sole_fault_suppliers,
     "qdsl_filter": q_qdsl_filter,
     "event_rates": q_event_rates,
     "feature_by_gid": q_feature_by_gid,
@@ -4653,6 +4705,7 @@ ORACLES: dict[str, str] = {
     "winsorize_stats": SQL_WINSORIZE_STATS,
     "triangle_counts": SQL_TRIANGLE_COUNTS,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
+    "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
 }
 
 

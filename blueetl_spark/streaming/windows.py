@@ -356,3 +356,54 @@ def streaming_histogram_shards(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def asof_enrich_static(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "ts",
+    by: str = "gid",
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Stateless stream-static backward as-of: each event picks up the
+    latest ``dim`` row with ``dim.on <= event.on`` for its key — the
+    "config/model version in effect at event time" lookup, as a pure
+    per-row function (works identically on a stream or a batch frame,
+    in append mode, with zero streaming state).
+
+    Scale contract: ``dim`` folds to ONE row per key (its history as a
+    time-sorted array of structs) and broadcasts — sized for dimension
+    tables (configs, model registries, price lists), NOT for a second
+    event-scale table (use ``operators/timeseries.asof_join`` there;
+    its shuffle needs a batch frame). The per-row probe is a JVM
+    ``filter`` + ``element_at(-1)`` over the key's history — O(|hist|)
+    per event, no Python, no shuffle on the stream side.
+
+    Left-outer semantics: events before their key's first dim row (or
+    with an unseen key) keep NULLs.
+    """
+    payload = [c for c in dim.columns if c not in (by, on)]
+    hist = dim.groupBy(by).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(on).alias("__t"),
+                    *[F.col(c) for c in payload],
+                )
+            )
+        ).alias("__hist")
+    )
+    # try_element_at: an empty filtered history (event before the key's
+    # first dim row) must yield NULL, not an index error
+    probe = F.try_element_at(
+        F.filter(
+            F.col("__hist"), lambda x: x["__t"] <= F.col(on)
+        ),
+        F.lit(-1),
+    )
+    out = events.join(F.broadcast(hist), by, "left").withColumn("__m", probe)
+    return out.select(
+        *events.columns,
+        F.col(f"__m.__t").alias(f"{on}{suffix}"),
+        *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in payload],
+    )

@@ -950,3 +950,52 @@ def test_streaming_histogram_shards(spark, tmp_path):
     one.write.mode("append").parquet(shards)
     replayed = merge_histogram_shards(spark.read.parquet(shards)).collect()[0]
     assert replayed.counts == whole.counts and replayed.n_obs == 120
+
+
+def test_asof_enrich_static_stream_matches_batch_asof(spark, tmp_path):
+    """The stateless stream-static as-of must equal the batch as-of
+    join on the same data, including NULLs before a key's first dim
+    row and unseen keys."""
+    import pandas as pd
+
+    from blueetl_spark.operators.timeseries import asof_join
+    from blueetl_spark.streaming.windows import asof_enrich_static, run_to_memory
+
+    ev_pdf = pd.DataFrame(
+        {
+            "gid": [1, 1, 1, 2, 3],
+            "t": [0.5, 1.5, 9.0, 4.0, 2.0],  # gid 3: unseen in dim
+        }
+    )
+    dim_pdf = pd.DataFrame(
+        {"gid": [1, 1, 2], "t": [1.0, 5.0, 4.0], "cfg": ["a", "b", "c"]}
+    )
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(ev_pdf).coalesce(1).write.parquet(src)
+    dim = spark.createDataFrame(dim_pdf)
+
+    stream = (
+        spark.readStream.schema("gid long, t double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    enriched = asof_enrich_static(stream, dim, on="t", by="gid")
+    got = (
+        run_to_memory(enriched, "asof_static")
+        .toPandas()
+        .sort_values(["gid", "t"], ignore_index=True)
+    )
+    want = (
+        asof_join(
+            spark.createDataFrame(ev_pdf), dim, on="t", by=["gid"]
+        )
+        .toPandas()
+        .sort_values(["gid", "t"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["gid", "t", "t_asof", "cfg_asof"]],
+        want[["gid", "t", "t_asof", "cfg_asof"]],
+    )
+    # ties: event exactly at a dim timestamp takes that row (inclusive)
+    assert got.loc[(got.gid == 2) & (got.t == 4.0), "cfg_asof"].iloc[0] == "c"
+    assert got.loc[got.gid == 3, "cfg_asof"].isna().all()
