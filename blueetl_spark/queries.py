@@ -2980,6 +2980,62 @@ GROUP BY s_name
 """
 
 
+def q_repeat_customers_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations: INTERSECT ALL (per-customer min of the
+    two years' order counts survive) and EXCEPT ALL (multiset
+    difference), tagged and unioned into one hash gate. Spark compiles
+    both to a single aggregate computing per-row counts on each side —
+    no join, two scans, one shuffle each — which is exactly the
+    bag-semantics contract the oracle replays natively."""
+    orders = tables.load(spark, sf_dir, "orders")
+    y = F.year(F.col("o_orderdate").cast("date"))
+    a = orders.filter(y == 1997).select("o_custkey")
+    b = orders.filter(y == 1998).select("o_custkey")
+    both = a.intersectAll(b).withColumn("op", F.lit("intersect"))
+    only_a = a.exceptAll(b).withColumn("op", F.lit("except"))
+    return both.unionByName(only_a).select(
+        "op", F.col("o_custkey").alias("custkey")
+    )
+
+
+SQL_REPEAT_CUSTOMERS_SETOPS = """
+WITH a AS (SELECT o_custkey FROM orders
+           WHERE year(CAST(o_orderdate AS DATE)) = 1997),
+b AS (SELECT o_custkey FROM orders
+      WHERE year(CAST(o_orderdate AS DATE)) = 1998)
+SELECT 'intersect' AS op, o_custkey AS custkey
+FROM (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+UNION ALL
+SELECT 'except' AS op, o_custkey AS custkey
+FROM (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+"""
+
+
+def q_part_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native unpivot/melt: part's numeric attributes to long format —
+    the schema-stable inverse of pivot (one Expand node, rows × n_cols,
+    no shuffle at all). The oracle replays with a UNION ALL, pinning
+    the melt semantics engine-portably."""
+    part = tables.load(spark, sf_dir, "part")
+    return part.unpivot(
+        ["p_partkey"],
+        ["p_size", "p_retailprice"],
+        "attribute",
+        "value",
+    ).select(
+        "p_partkey", "attribute", F.round(F.col("value"), 6).alias("value")
+    )
+
+
+SQL_PART_UNPIVOT = """
+SELECT p_partkey, 'p_size' AS attribute,
+       ROUND(CAST(p_size AS DOUBLE), 6) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice',
+       ROUND(CAST(p_retailprice AS DOUBLE), 6) FROM part
+"""
+
+
 WINSOR_LO, WINSOR_HI = 0.05, 0.95
 
 
@@ -4559,6 +4615,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_counts": q_triangle_counts,
     "clustering_coeff": q_clustering_coeff,
     "sole_fault_suppliers": q_sole_fault_suppliers,
+    "repeat_customers_setops": q_repeat_customers_setops,
+    "part_unpivot": q_part_unpivot,
     "qdsl_filter": q_qdsl_filter,
     "event_rates": q_event_rates,
     "feature_by_gid": q_feature_by_gid,
@@ -4706,6 +4764,8 @@ ORACLES: dict[str, str] = {
     "triangle_counts": SQL_TRIANGLE_COUNTS,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
+    "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,
+    "part_unpivot": SQL_PART_UNPIVOT,
 }
 
 
