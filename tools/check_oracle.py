@@ -68,11 +68,23 @@ def main() -> int:
             continue
         g, e = canon(got), canon(exp)
         try:
-            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
+            # the driver's gate is a value HASH — exact equality is the
+            # real contract (queries round their float columns themselves)
+            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
             print(f"OK    {name}: {len(got)} rows")
-        except AssertionError as err:
-            print(f"FAIL  {name}: value mismatch: {str(err)[:500]}")
-            failures.append(name)
+        except AssertionError:
+            try:
+                pd.testing.assert_frame_equal(
+                    g, e, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9
+                )
+                # would PASS a tolerant compare but FAIL the driver's hash:
+                # surface it loudly instead of green-lighting it
+                print(f"WARN  {name}: matches at rtol=1e-9 but NOT exactly "
+                      "— the driver's hash gate would flag this")
+                failures.append(name)
+            except AssertionError as err:
+                print(f"FAIL  {name}: value mismatch: {str(err)[:500]}")
+                failures.append(name)
     spark.stop()
     if failures:
         print("FAILURES:", failures)
