@@ -3036,6 +3036,43 @@ SELECT p_partkey, 'p_retailprice',
 """
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated scalar subquery: revenue from lines
+    whose quantity is under 20% of their part's average. Spark side
+    decorrelates into one per-part average joined back (the aggregate
+    is part-sized and broadcastable); the oracle keeps the correlated
+    form — a second decorrelation-equivalence pin, per brand so the
+    result is a small grouped frame rather than one scalar."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part")
+    avg_q = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("q_thresh")
+    )
+    return (
+        li.join(F.broadcast(avg_q), li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("q_thresh"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+SELECT p_brand, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+WHERE l1.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                       FROM lineitem l2
+                       WHERE l2.l_partkey = l1.l_partkey)
+GROUP BY 1
+"""
+
+
 WINSOR_LO, WINSOR_HI = 0.05, 0.95
 
 
@@ -4617,6 +4654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sole_fault_suppliers": q_sole_fault_suppliers,
     "repeat_customers_setops": q_repeat_customers_setops,
     "part_unpivot": q_part_unpivot,
+    "small_quantity_revenue": q_small_quantity_revenue,
     "qdsl_filter": q_qdsl_filter,
     "event_rates": q_event_rates,
     "feature_by_gid": q_feature_by_gid,
@@ -4766,6 +4804,7 @@ ORACLES: dict[str, str] = {
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,
     "part_unpivot": SQL_PART_UNPIVOT,
+    "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
 }
 
 
