@@ -208,6 +208,7 @@ def stream_stream_enrich(
     lookback: str = "10 minutes",
     watermark: str = "10 minutes",
     ref_prefix: str = "ref_",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: each event enriched with
     every ``reference`` event for the same key from the trailing
@@ -217,10 +218,18 @@ def stream_stream_enrich(
     Both sides carry the ``watermark``; with the time-range condition
     Spark bounds the join state to watermark + lookback per side and
     evicts older rows — the state never grows with stream length
-    (the 100 TB/day requirement for any continuous join). Inner join:
-    events with no reference row in the window are dropped (use the
-    batch as-of join for left-outer backfill semantics).
+    (the 100 TB/day requirement for any continuous join).
+
+    ``how``: ``"inner"`` drops events with no reference row in the
+    window; ``"left_outer"`` keeps them with NULL reference columns —
+    Spark emits the unmatched row only once the watermark passes the
+    event (it must be sure no match can still arrive), so left-outer
+    output lags by the watermark delay. That is the correct streaming
+    trade, not a defect; for immediate NULL-backfill semantics use the
+    batch as-of join.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     ref = reference.select(
         F.col(by).alias(f"{ref_prefix}{by}"),
         F.col("ts").alias(f"{ref_prefix}ts"),
@@ -236,7 +245,7 @@ def stream_stream_enrich(
         & (F.col(f"{ref_prefix}ts") <= F.col("ts"))
         & (F.col(f"{ref_prefix}ts") > F.col("ts") - F.expr(f"INTERVAL {lookback}"))
     )
-    return ev.join(ref, cond, "inner").drop(f"{ref_prefix}{by}")
+    return ev.join(ref, cond, how).drop(f"{ref_prefix}{by}")
 
 
 def streaming_slice_events(

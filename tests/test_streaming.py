@@ -999,3 +999,54 @@ def test_asof_enrich_static_stream_matches_batch_asof(spark, tmp_path):
     # ties: event exactly at a dim timestamp takes that row (inclusive)
     assert got.loc[(got.gid == 2) & (got.t == 4.0), "cfg_asof"].iloc[0] == "c"
     assert got.loc[got.gid == 3, "cfg_asof"].isna().all()
+
+
+def test_stream_stream_enrich_left_outer(spark, tmp_path):
+    """left_outer keeps events with no reference row in the lookback
+    window (NULL ref columns) once the watermark passes them; matched
+    rows are identical to the inner join's."""
+    import pandas as pd
+
+    from blueetl_spark.streaming import windows as sw
+
+    base = pd.Timestamp("2024-01-01")
+
+    def ts(s):
+        return base + pd.Timedelta(seconds=s)
+
+    clicks_dir, buys_dir = tmp_path / "clicks", tmp_path / "buys"
+    clicks = pd.DataFrame(
+        {
+            "ts": [ts(10), ts(300), ts(4000)],  # 300: no buy in window
+            "gid": [1, 1, 1],
+            "neuron_class": ["c"] * 3,
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    # the late 4000s click also advances the watermark far enough that
+    # the unmatched 300s click is emitted
+    buys = pd.DataFrame(
+        {
+            "ts": [ts(5), ts(3990)],
+            "gid": [1, 1],
+            "neuron_class": ["b"] * 2,
+            "value": [10.0, 30.0],
+        }
+    )
+    spark.createDataFrame(clicks).write.parquet(str(clicks_dir))
+    spark.createDataFrame(buys).write.parquet(str(buys_dir))
+
+    ev = sw.read_event_stream(spark, str(clicks_dir))
+    ref = sw.read_event_stream(spark, str(buys_dir))
+    joined = sw.stream_stream_enrich(
+        ev, ref, lookback="60 seconds", watermark="10 seconds",
+        how="left_outer",
+    )
+    out = sw.run_to_memory(joined, "enrich_lo").toPandas()
+    got = sorted(
+        (r.value, None if pd.isna(r.ref_value) else r.ref_value)
+        for _, r in out.iterrows()
+    )
+    assert got == [(1.0, 10.0), (2.0, None), (3.0, 30.0)]
+    with pytest.raises(ValueError, match="left_outer"):
+        sw.stream_stream_enrich(ev, ref, how="full")
