@@ -2842,39 +2842,54 @@ def _split_sql() -> str:
 SQL_TRAIN_SPLIT = _split_sql()
 
 
-def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-supplier triangle counts on the co-occurrence graph
-    (suppliers sharing an order): degree-oriented exact counting — each
-    triangle found once at its smallest-degree corner, wedge join
-    bounded by Σ out-deg² ≈ O(m^1.5) instead of the hub-quadratic raw
-    wedge count. The oracle replays orientation, wedges, and the
-    closing semi-join."""
-    li = tables.load(spark, sf_dir, "lineitem").select(
+TRI_ORDER_MOD = 20  # portable md5 gate keeps ~5% of orders
+
+
+def _tri_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier co-occurrence edges over a deterministic ~5% order
+    sample (portable md5 hash gate). Unsampled, every supplier pair
+    co-occurs at sf≥0.1 — a near-complete graph whose Θ(n³) triangle
+    mass measures the INPUT, not the operator; the sample keeps the
+    graph sparse at every sf while staying bit-reproducible in the
+    oracle (same md5 arithmetic as the samplers)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    gate = (
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(TRI_ORDER_MOD),
+        )
+        == 0
+    )
+    li = li.filter(gate).select(
         F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
     ).distinct()
     b = li.select(F.col("o").alias("o2"), F.col("s").alias("s2"))
-    edges = (
-        li.join(b, (F.col("o") == F.col("o2")) & (F.col("s") < F.col("s2")))
-        .select(F.col("s").alias("src"), F.col("s2").alias("dst"))
-    )
-    return graph.triangle_count(edges).select(
+    return li.join(
+        b, (F.col("o") == F.col("o2")) & (F.col("s") < F.col("s2"))
+    ).select(F.col("s").alias("src"), F.col("s2").alias("dst"))
+
+
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts on the (sampled) co-occurrence
+    graph: degree-oriented exact counting — each triangle found once at
+    its smallest-degree corner, wedge join bounded by Σ out-deg² ≈
+    O(m^1.5) instead of the hub-quadratic raw wedge count. The oracle
+    replays sampling, orientation, wedges, and the closing semi-join."""
+    return graph.triangle_count(_tri_edges(spark, sf_dir)).select(
         F.col("id").cast("long").alias("suppkey"), "triangles"
     )
 
 
 def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Local clustering coefficient on the supplier co-occurrence
-    graph — triangle gate plus one degree join; coefficient rounded to
-    6 (a ratio of exact integers, so rounding is pure presentation)."""
-    li = tables.load(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    b = li.select(F.col("o").alias("o2"), F.col("s").alias("s2"))
-    edges = (
-        li.join(b, (F.col("o") == F.col("o2")) & (F.col("s") < F.col("s2")))
-        .select(F.col("s").alias("src"), F.col("s2").alias("dst"))
-    )
-    out = graph.clustering_coefficient(edges)
+    """Local clustering coefficient on the sampled supplier
+    co-occurrence graph — triangle gate plus one degree join;
+    coefficient rounded to 6 (a ratio of exact integers, so rounding is
+    pure presentation)."""
+    out = graph.clustering_coefficient(_tri_edges(spark, sf_dir))
     return out.select(
         F.col("id").cast("long").alias("suppkey"),
         "deg",
@@ -2883,8 +2898,13 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TRI_CTES = """
-WITH li AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+_TRI_CTES = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+  WHERE CAST(concat('0x', substring(md5(CAST(l_orderkey AS VARCHAR)),
+                                    1, 15)) AS BIGINT)
+        % {TRI_ORDER_MOD} = 0
+),
 und AS (
   SELECT DISTINCT a.s AS u, b.s AS v
   FROM li a JOIN li b ON a.o = b.o AND a.s < b.s
