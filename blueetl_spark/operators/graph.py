@@ -79,6 +79,11 @@ def pagerank(
     ).filter(F.col("src") != F.col("dst"))
     if not assume_distinct_edges:
         e = e.distinct()
+    # e is consumed three times below (vertex set, degrees, weighted
+    # edges); without a pin each consumer re-runs the upstream
+    # extraction + dedup — measured 3x the whole 5-iteration loop at
+    # sf0.1
+    e = e.localCheckpoint()
 
     ids = (
         e.select(F.col("src").alias("id"))
