@@ -456,3 +456,52 @@ def winsorize(
     return joined.select(
         *df.columns, clipped.alias(out_col or f"{value_col}_winsorized")
     )
+
+
+def robust_outlier_stats(
+    df: DataFrame,
+    value_col: str,
+    by: str | None = None,
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Robust (median/MAD) outlier summary per group: the modified
+    z-score ``0.6745·(v − median)/MAD`` flags heavy-tail outliers
+    without the mean/stddev's own sensitivity to them — the screening
+    step before trusting distribution stats on scraped data.
+
+    Output: (by?, n, n_outliers, median, mad). Scale shape: TWO
+    boundary aggregates (median, then median of |v − median| — the
+    second genuinely needs the first, so two passes is the floor),
+    each a few doubles per group broadcast back; the flag count is a
+    third map-side-combined pass. No sort, no window. A zero MAD
+    (>50% of the group at one value) yields n_outliers = 0 rather
+    than dividing by zero — documented, matching scipy's convention
+    of treating such groups as degenerate.
+    """
+    v = F.col(value_col).cast("double")
+    med = (df.groupBy(by) if by else df.groupBy()).agg(
+        F.percentile(v, F.lit(0.5)).alias("__med")
+    )
+    j1 = (
+        df.join(F.broadcast(med), on=by)
+        if by
+        else df.crossJoin(F.broadcast(med))
+    )
+    mad = (j1.groupBy(by) if by else j1.groupBy()).agg(
+        F.first("__med").alias("__med"),
+        F.percentile(F.abs(v - F.col("__med")), F.lit(0.5)).alias("__mad"),
+    )
+    j2 = (
+        df.join(F.broadcast(mad), on=by)
+        if by
+        else df.crossJoin(F.broadcast(mad))
+    )
+    z = F.lit(0.6745) * (v - F.col("__med")) / F.col("__mad")
+    is_out = (F.col("__mad") > 0) & (F.abs(z) > z_threshold)
+    keys = [by] if by else []
+    return j2.groupBy(*keys).agg(
+        F.count(v).alias("n"),
+        F.sum(is_out.cast("long")).alias("n_outliers"),
+        F.first("__med").alias("median"),
+        F.first("__mad").alias("mad"),
+    )

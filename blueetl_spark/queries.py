@@ -3093,6 +3093,73 @@ GROUP BY 1
 """
 
 
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the events ``props`` JSON string
+    parsed with a declared schema (``from_json`` — JVM Jackson, typed
+    columns, malformed → NULL) and aggregated per event type. The scale
+    contract: parse ONCE in the scan projection with an explicit
+    schema — never per-expression ``get_json_object`` re-parses, never
+    driver-side schema inference over the corpus."""
+    ev = tables.load(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k int")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_PROPS_JSON_STATS = """
+SELECT event_type,
+       COUNT(k) AS n, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+FROM (SELECT event_type, CAST(props->>'k' AS INT) AS k FROM events)
+GROUP BY 1
+"""
+
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD modified-z outlier summary per event type
+    (``timeseries.robust_outlier_stats``): two boundary aggregates
+    broadcast back + one counting pass — no sort, no window; the
+    screening step before trusting mean/stddev on heavy-tailed data.
+    Medians/MADs round to 6 for the gate (pure presentation — both are
+    interpolations of exact data values)."""
+    ev = _events_norm(spark, sf_dir)
+    out = timeseries.robust_outlier_stats(
+        ev.select("event_type", "value"), "value", by="event_type"
+    )
+    return out.select(
+        "event_type",
+        "n",
+        "n_outliers",
+        F.round("median", 6).alias("median"),
+        F.round("mad", 6).alias("mad"),
+    )
+
+
+SQL_ROBUST_OUTLIERS = f"""
+WITH {_E_CTE},
+med AS (SELECT event_type, median(value) AS m FROM e GROUP BY 1),
+mad AS (
+  SELECT e.event_type, ANY_VALUE(m) AS m,
+         median(abs(value - m)) AS d
+  FROM e JOIN med USING (event_type) GROUP BY 1
+)
+SELECT e.event_type, COUNT(value) AS n,
+       SUM(CASE WHEN d > 0
+                 AND abs({0.6745!r} * (value - m) / d) > {3.5!r}
+                THEN 1 ELSE 0 END) AS n_outliers,
+       ROUND(ANY_VALUE(m), 6) AS median, ROUND(ANY_VALUE(d), 6) AS mad
+FROM e JOIN mad USING (event_type)
+GROUP BY 1
+"""
+
+
 WINSOR_LO, WINSOR_HI = 0.05, 0.95
 
 
@@ -4675,6 +4742,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeat_customers_setops": q_repeat_customers_setops,
     "part_unpivot": q_part_unpivot,
     "small_quantity_revenue": q_small_quantity_revenue,
+    "props_json_stats": q_props_json_stats,
+    "robust_outliers": q_robust_outliers,
     "qdsl_filter": q_qdsl_filter,
     "event_rates": q_event_rates,
     "feature_by_gid": q_feature_by_gid,
@@ -4825,6 +4894,8 @@ ORACLES: dict[str, str] = {
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,
     "part_unpivot": SQL_PART_UNPIVOT,
     "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
+    "props_json_stats": SQL_PROPS_JSON_STATS,
+    "robust_outliers": SQL_ROBUST_OUTLIERS,
 }
 
 

@@ -301,3 +301,27 @@ def test_winsorize_preserves_nulls(spark):
     out = ts.winsorize(spark.createDataFrame(pdf), "v", 0.0, 0.5, out_col="w")
     got = out.toPandas()
     assert got.w.isna().sum() == 1  # NULL stays NULL, never the hi bound
+
+
+def test_robust_outlier_stats_flags_and_degenerate_mad(spark):
+    import pandas as pd
+
+    from blueetl_spark.operators import timeseries as ts
+
+    # group a: tight cluster + one wild point; group b: >50% identical
+    # values -> MAD 0 -> degenerate, zero outliers by convention
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 9 + ["b"] * 4,
+            "v": [10.0, 11, 9, 10, 12, 10, 11, 9, 1000, 5.0, 5, 5, 99],
+        }
+    )
+    out = {
+        r.g: r
+        for r in ts.robust_outlier_stats(
+            spark.createDataFrame(pdf), "v", by="g"
+        ).collect()
+    }
+    assert out["a"].n == 9 and out["a"].n_outliers == 1
+    assert out["a"].median == 10.0
+    assert out["b"].mad == 0.0 and out["b"].n_outliers == 0
