@@ -2403,6 +2403,55 @@ LEFT JOIN scored ON d.doc_id = scored.doc_id
 SQL_LM_PERPLEXITY = _lm_perplexity_sql()
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail partitioning: per-language perplexity
+    terciles of the bigram-LM score — the composition of
+    ``lm_perplexity`` and ``sampling.quantile_buckets`` (broadcast
+    boundaries, no global sort). Docs with zero bigrams are unscorable
+    and excluded, per CCNet. Buckets cut on the ROUNDED score both
+    sides, so engine ulps can't flip a boundary doc."""
+    docs = tables.load(spark, sf_dir, "documents")
+    scored = (
+        text.lm_bigram_score(docs, add_k=LM_ADD_K)
+        .filter(F.col("n_bigrams") > 0)
+        .select("doc_id", F.round("nll", 9).alias("nll"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    b = sampling.quantile_buckets(scored, "nll", 3, by="lang")
+    part = (
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == 2, "middle")
+        .otherwise("tail")
+    )
+    return b.select("doc_id", "lang", part.alias("part"))
+
+
+def _ccnet_sql() -> str:
+    lm = _lm_perplexity_sql()
+    third = repr(1 / 3)
+    two_thirds = repr(2 / 3)
+    return f"""
+WITH s AS (
+  SELECT s0.doc_id, s0.nll, documents.lang
+  FROM ({lm}) s0 JOIN documents USING (doc_id)
+  WHERE s0.n_bigrams > 0
+),
+b AS (
+  SELECT lang, quantile_cont(nll, ['{third}'::DOUBLE,
+                                   '{two_thirds}'::DOUBLE]) AS bs
+  FROM s GROUP BY 1
+)
+SELECT doc_id, lang,
+       CASE 1 + len(list_filter(bs, x -> nll >= x))
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS part
+FROM s JOIN b USING (lang)
+"""
+
+
+SQL_CCNET_BUCKETS = _ccnet_sql()
+
+
 DSIR_BUCKETS = 256
 DSIR_ADD_K = 0.5
 DSIR_TARGET_LANG = "en"
@@ -4744,6 +4793,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "small_quantity_revenue": q_small_quantity_revenue,
     "props_json_stats": q_props_json_stats,
     "robust_outliers": q_robust_outliers,
+    "ccnet_buckets": q_ccnet_buckets,
     "qdsl_filter": q_qdsl_filter,
     "event_rates": q_event_rates,
     "feature_by_gid": q_feature_by_gid,
@@ -4896,6 +4946,7 @@ ORACLES: dict[str, str] = {
     "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
     "props_json_stats": SQL_PROPS_JSON_STATS,
     "robust_outliers": SQL_ROBUST_OUTLIERS,
+    "ccnet_buckets": SQL_CCNET_BUCKETS,
 }
 
 
