@@ -84,6 +84,14 @@ HEADLINE = [
     "triangle_counts",
     "winsorize_stats",
     "train_split",
+    "sole_fault_suppliers",
+    "repeat_customers_setops",
+    "part_unpivot",
+    "small_quantity_revenue",
+    "props_json_stats",
+    "robust_outliers",
+    "ccnet_buckets",
+    "clustering_coeff",
 ]
 
 
