@@ -239,3 +239,67 @@ def get_store(kind: str, base_path: str | Path) -> BaseStore:
         return STORES[kind](base_path)
     except KeyError:
         raise ValueError(f"unknown store kind {kind!r}; one of {sorted(STORES)}")
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str | Path,
+    updates: DataFrame,
+    key: str | list[str],
+    delete_missing: bool = False,
+) -> dict:
+    """Keyed MERGE (upsert) into a parquet table: rows whose key appears
+    in ``updates`` are replaced, new keys are inserted, everything else
+    is carried over unchanged (``delete_missing=True`` instead keeps
+    ONLY the updated keys — full-snapshot replace semantics). The slowly
+    changing dimension maintenance step plain parquet lacks.
+
+    Idempotent by construction: replaying the same ``updates`` batch
+    rewrites the same rows (``updates`` is deduplicated on the key —
+    last-writer-wins is NOT guessable from an unordered frame, so
+    duplicate keys in one batch raise instead).
+
+    Scale + crash shape: ONE anti join of the current table against the
+    (typically broadcastable) update keys, staged write, then the shared
+    crash-safe rename publish (``plans/atomic.py``) — a reader sees the
+    old or the new table, never a mix; ``recover_parquet_upsert``
+    (= ``atomic.recover_dir``) repairs an interrupted publish. For
+    update batches comparable to the table itself, partition/bucket the
+    table on the key upstream so the anti join co-locates.
+    """
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.plans import atomic
+
+    keys = [key] if isinstance(key, str) else list(key)
+    path = str(path)
+    dup = (
+        updates.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            f"updates contain duplicate keys on {keys}; resolve to one row "
+            "per key first (last-writer-wins is not inferable from an "
+            "unordered frame)"
+        )
+    atomic.recover_dir(spark, path)
+    if not atomic.fs_exists(spark, path):
+        updates.write.mode("overwrite").parquet(path)
+        return {"inserted": updates.count(), "carried": 0}
+    cur = spark.read.parquet(path)
+    carried = (
+        cur.join(F.broadcast(updates.select(*keys).distinct()), keys, "left_anti")
+        if not delete_missing
+        else None
+    )
+    merged = (
+        updates.unionByName(carried, allowMissingColumns=True)
+        if carried is not None
+        else updates
+    )
+    tmp = f"{path}.staging"
+    merged.write.mode("overwrite").parquet(tmp)
+    n_updates = updates.count()
+    n_total = spark.read.parquet(tmp).count()
+    atomic.swap_dir(spark, path, tmp)
+    return {"inserted": n_updates, "carried": n_total - n_updates}

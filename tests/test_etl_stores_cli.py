@@ -464,3 +464,61 @@ def test_jsonl_store_schema_sidecar_preserves_types(spark, tmp_path):
     back = store.load(spark, "t")
     assert back.schema == df.schema
     assert isinstance(back.schema["arr"].dataType.elementType, T.IntegerType)
+
+
+def test_upsert_parquet_merge_semantics(spark, tmp_path):
+    """Insert + update + carry-over; replaying the same batch is a
+    no-op on content; duplicate keys in one batch raise; an interrupted
+    publish recovers to old-or-new, never a mix."""
+    from blueetl_spark.plans import atomic
+    from blueetl_spark.plans.stores import upsert_parquet
+
+    path = str(tmp_path / "dim.parquet")
+    t0 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k long, name string, v double"
+    )
+    stats = upsert_parquet(spark, path, t0, "k")
+    assert stats == {"inserted": 2, "carried": 0}
+
+    up = spark.createDataFrame(
+        [(2, "B", 20.0), (3, "c", 3.0)], "k long, name string, v double"
+    )
+    stats = upsert_parquet(spark, path, up, "k")
+    assert stats == {"inserted": 2, "carried": 1}
+    got = {
+        r.k: (r.name, r.v)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {1: ("a", 1.0), 2: ("B", 20.0), 3: ("c", 3.0)}
+
+    # replay: same content after the rewrite
+    upsert_parquet(spark, path, up, "k")
+    got2 = {r.k: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert got2 == got
+
+    # duplicate keys in one batch are ambiguous -> raise
+    dup = spark.createDataFrame(
+        [(5, "x", 1.0), (5, "y", 2.0)], "k long, name string, v double"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        upsert_parquet(spark, path, dup, "k")
+
+    # delete_missing: snapshot-replace keeps only the batch's keys
+    snap = spark.createDataFrame([(9, "z", 9.0)], "k long, name string, v double")
+    upsert_parquet(spark, path, snap, "k", delete_missing=True)
+    assert spark.read.parquet(path).count() == 1
+
+    # simulate a crash between the two renames: cur gone, cur.old intact
+    import shutil
+
+    shutil.move(path, path + ".old")
+    before = spark.read.parquet(path + ".old").collect()
+    upsert_parquet(
+        spark, path,
+        spark.createDataFrame([(10, "w", 1.0)], "k long, name string, v double"),
+        "k",
+    )
+    rows = spark.read.parquet(path).collect()
+    assert {r.k for r in rows} == {9, 10}  # recovered old state + new batch
+    assert not atomic.fs_exists(spark, path + ".old")
+    assert len(before) == 1
