@@ -303,3 +303,123 @@ def upsert_parquet(
     n_total = spark.read.parquet(tmp).count()
     atomic.swap_dir(spark, path, tmp)
     return {"inserted": n_updates, "carried": n_total - n_updates}
+
+
+def upsert_scd2(
+    spark: SparkSession,
+    path: str | Path,
+    updates: DataFrame,
+    key: str | list[str],
+    effective_col: str = "effective_ts",
+) -> dict:
+    """History-preserving (SCD Type 2) upsert: instead of overwriting,
+    the current version of each updated key is CLOSED
+    (``__valid_to`` = the update's effective time) and the new version
+    appended (``__valid_to`` NULL = current). The table accumulates
+    full change history, queryable as of any time with
+    :func:`scd2_snapshot` — the dimension-table twin of the event-side
+    as-of join.
+
+    Replay/out-of-order rule: an update whose key's current version
+    already has ``__valid_from >= effective`` is DROPPED (a replayed
+    batch re-derives the same effective time, so at-least-once delivery
+    folds out; a genuinely stale update must not rewrite newer
+    history). Duplicate keys in one batch raise, as in
+    :func:`upsert_parquet`.
+
+    Scale + crash shape: the change set touches only current rows of
+    updated keys (one broadcast join); closed history is carried
+    through untouched; same staged-write + atomic rename publish.
+    History never rewrites — at 100 TB, partition the table on a date
+    of ``__valid_to`` so the hot current slice (NULL partition) stays
+    small and snapshot reads prune closed history.
+    """
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.plans import atomic
+
+    keys = [key] if isinstance(key, str) else list(key)
+    path = str(path)
+    if updates.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count():
+        raise ValueError(f"updates contain duplicate keys on {keys}")
+    eff = F.col(effective_col).cast("double")
+    new_rows = updates.select(
+        "*",
+        eff.alias("__valid_from"),
+        F.lit(None).cast("double").alias("__valid_to"),
+    ).drop(effective_col)
+
+    atomic.recover_dir(spark, path)
+    if not atomic.fs_exists(spark, path):
+        new_rows.write.mode("overwrite").parquet(path)
+        return {"applied": new_rows.count(), "dropped_stale": 0, "closed": 0}
+
+    cur = spark.read.parquet(path)
+    upd_k = updates.select(
+        *keys, eff.alias("__eff")
+    )
+    # drop stale/replayed updates: key's current version is already at
+    # or past this effective time
+    current = cur.filter(F.col("__valid_to").isNull()).select(
+        *keys, F.col("__valid_from").alias("__cur_from")
+    )
+    live_upd = (
+        upd_k.join(F.broadcast(current), keys, "left")
+        .filter(
+            F.col("__cur_from").isNull()
+            | (F.col("__cur_from") < F.col("__eff"))
+        )
+        .select(*keys, "__eff")
+    )
+    n_live = live_upd.count()
+    n_total_upd = updates.count()
+
+    closing = F.broadcast(live_upd)
+    closed = (
+        cur.filter(F.col("__valid_to").isNull())
+        .join(closing, keys, "inner")
+        .withColumn("__valid_to", F.col("__eff"))
+        .drop("__eff")
+    )
+    untouched = cur.join(closing, keys, "left_anti").unionByName(
+        cur.filter(F.col("__valid_to").isNotNull())
+        .join(closing, keys, "left_semi")
+    )
+    applied_new = new_rows.join(
+        live_upd.select(*keys), keys, "left_semi"
+    )
+    merged = untouched.unionByName(closed).unionByName(applied_new)
+
+    tmp = f"{path}.staging"
+    merged.write.mode("overwrite").parquet(tmp)
+    n_closed = closed.count()
+    atomic.swap_dir(spark, path, tmp)
+    return {
+        "applied": n_live,
+        "dropped_stale": n_total_upd - n_live,
+        "closed": n_closed,
+    }
+
+
+def scd2_snapshot(spark: SparkSession, path: str | Path, at: float | None = None) -> DataFrame:
+    """The table as of time ``at`` (None = current): rows with
+    ``__valid_from <= at < __valid_to`` (open interval NULL = forever).
+    A plain filter — partition-prunable when the table is laid out on
+    ``__valid_to`` — returned without the bookkeeping columns."""
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.plans import atomic
+
+    atomic.recover_dir(spark, str(path))
+    df = spark.read.parquet(str(path))
+    if at is None:
+        out = df.filter(F.col("__valid_to").isNull())
+    else:
+        out = df.filter(
+            (F.col("__valid_from") <= F.lit(float(at)))
+            & (
+                F.col("__valid_to").isNull()
+                | (F.col("__valid_to") > F.lit(float(at)))
+            )
+        )
+    return out.drop("__valid_from", "__valid_to")

@@ -522,3 +522,38 @@ def test_upsert_parquet_merge_semantics(spark, tmp_path):
     assert {r.k for r in rows} == {9, 10}  # recovered old state + new batch
     assert not atomic.fs_exists(spark, path + ".old")
     assert len(before) == 1
+
+
+def test_scd2_history_snapshots_and_replay(spark, tmp_path):
+    """Three update batches build queryable history; snapshots at each
+    time see the right versions; a replayed batch folds out; a stale
+    (older-effective) update never rewrites newer history."""
+    from blueetl_spark.plans.stores import scd2_snapshot, upsert_scd2
+
+    path = str(tmp_path / "scd2.parquet")
+    ddl = "k long, name string, effective_ts double"
+    b1 = spark.createDataFrame([(1, "v1", 10.0), (2, "w1", 10.0)], ddl)
+    s = upsert_scd2(spark, path, b1, "k")
+    assert s == {"applied": 2, "dropped_stale": 0, "closed": 0}
+
+    b2 = spark.createDataFrame([(1, "v2", 20.0)], ddl)
+    s = upsert_scd2(spark, path, b2, "k")
+    assert s == {"applied": 1, "dropped_stale": 0, "closed": 1}
+
+    # replay of b2: dropped, content unchanged
+    s = upsert_scd2(spark, path, b2, "k")
+    assert s["applied"] == 0 and s["dropped_stale"] == 1
+    # stale update (older than current version): also dropped
+    stale = spark.createDataFrame([(1, "old", 15.0)], ddl)
+    assert upsert_scd2(spark, path, stale, "k")["applied"] == 0
+
+    at_15 = {r.k: r.name for r in scd2_snapshot(spark, path, 15.0).collect()}
+    assert at_15 == {1: "v1", 2: "w1"}
+    at_25 = {r.k: r.name for r in scd2_snapshot(spark, path, 25.0).collect()}
+    assert at_25 == {1: "v2", 2: "w1"}
+    current = {r.k: r.name for r in scd2_snapshot(spark, path).collect()}
+    assert current == at_25
+    # before any history: empty
+    assert scd2_snapshot(spark, path, 5.0).count() == 0
+    # full table holds 3 versions
+    assert spark.read.parquet(path).count() == 3
