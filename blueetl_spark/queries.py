@@ -2998,6 +2998,68 @@ FROM deg LEFT JOIN pernode p ON p.suppkey = deg.id
 """
 
 
+SCD2_YEARS = (1995, 1996, 1997, 1998)
+SCD2_SNAPSHOT_AT = 1997.5  # between the 1997 and 1998 batches
+
+
+def q_scd2_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SCD Type-2 gate: yearly batches (each customer's
+    latest order of the year) applied through ``plans/stores.
+    upsert_scd2`` into a real on-disk history table, then a
+    ``scd2_snapshot`` BETWEEN two batches. The snapshot must equal the
+    declarative statement "each customer's latest order on or before
+    1997" — pinning close/append/effective-time semantics against a
+    plain window query. Same write-then-read-inside-the-gate pattern as
+    ``profile_shards_merge``."""
+    import shutil
+    import tempfile
+
+    from blueetl_spark.plans.stores import scd2_snapshot, upsert_scd2
+
+    orders = tables.load(spark, sf_dir, "orders")
+    y = F.year(F.col("o_orderdate").cast("date"))
+    tmp = tempfile.mkdtemp(prefix="blueetl_scd2_")
+    path = f"{tmp}/orders_scd2.parquet"
+    try:
+        for year in SCD2_YEARS:
+            latest = (
+                orders.filter(y == year)
+                .groupBy(F.col("o_custkey").alias("custkey"))
+                .agg(
+                    F.max_by(
+                        F.struct("o_orderkey", "o_totalprice"),
+                        F.struct(F.col("o_orderdate"), F.col("o_orderkey")),
+                    ).alias("s")
+                )
+                .select(
+                    "custkey",
+                    F.col("s.o_orderkey").alias("orderkey"),
+                    F.col("s.o_totalprice").alias("totalprice"),
+                    F.lit(float(year)).alias("effective_ts"),
+                )
+            )
+            upsert_scd2(spark, path, latest, "custkey")
+        snap = scd2_snapshot(spark, path, at=SCD2_SNAPSHOT_AT)
+        # materialize before the temp dir vanishes
+        out = spark.createDataFrame(
+            snap.toPandas(), schema=snap.schema
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.select("custkey", "orderkey", "totalprice")
+
+
+SQL_SCD2_LATEST_ORDER = """
+SELECT custkey, orderkey, totalprice FROM (
+  SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+         o_totalprice AS totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders WHERE year(CAST(o_orderdate AS DATE)) <= 1997
+) WHERE rn = 1
+"""
+
+
 def q_sole_fault_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21-style correlated EXISTS / NOT EXISTS (returnflag as
     the fault marker): suppliers whose returned line sits in a
@@ -4794,6 +4856,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_json_stats": q_props_json_stats,
     "robust_outliers": q_robust_outliers,
     "ccnet_buckets": q_ccnet_buckets,
+    "scd2_latest_order": q_scd2_latest_order,
     "qdsl_filter": q_qdsl_filter,
     "event_rates": q_event_rates,
     "feature_by_gid": q_feature_by_gid,
@@ -4947,6 +5010,7 @@ ORACLES: dict[str, str] = {
     "props_json_stats": SQL_PROPS_JSON_STATS,
     "robust_outliers": SQL_ROBUST_OUTLIERS,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
+    "scd2_latest_order": SQL_SCD2_LATEST_ORDER,
 }
 
 
