@@ -505,3 +505,64 @@ def robust_outlier_stats(
         F.first("__med").alias("median"),
         F.first("__mad").alias("mad"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    bucket_width: float,
+    on: Sequence[str] = (),
+    l_start: str = "t_start",
+    l_end: str = "t_end",
+    r_start: str = "t_start",
+    r_end: str = "t_end",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval×interval overlap join (half-open: ``l.start < r.end AND
+    r.start < l.end``), optionally also matching on the ``on`` keys —
+    "which maintenance windows intersect which sessions".
+
+    Scale shape — the naive form is a range cross product (every left
+    interval against every right interval per key). Instead both sides
+    explode into fixed ``bucket_width`` time slices and equi-join on
+    (keys…, slice): candidates are pairs sharing a slice, cost tracks
+    genuine temporal locality. A pair sharing k slices would emit k
+    duplicates; rather than a pair-distinct shuffle, each match is
+    emitted ONLY from its canonical slice — the one containing the
+    overlap's own start (``max(l.start, r.start)``) — a per-row
+    predicate, so the join output is exactly the result. Pick
+    ``bucket_width`` near the typical interval length: slices per
+    interval ≈ length/width + 1 drive the explode factor.
+    """
+    if not bucket_width > 0:
+        raise ValueError("bucket_width must be positive")
+    on = list(on)
+
+    def explode_buckets(df, start, end, names):
+        b0 = F.floor(F.col(start) / F.lit(bucket_width)).cast("long")
+        # half-open end: an interval ending exactly on a slice boundary
+        # does not reach into that slice
+        b1 = F.floor(
+            (F.col(end) - F.lit(1e-9)) / F.lit(bucket_width)
+        ).cast("long")
+        return df.select(
+            *names, F.explode(F.sequence(b0, F.greatest(b0, b1))).alias("__b")
+        )
+
+    lcols = list(left.columns)
+    rmap = {
+        c: (c + suffix if c in lcols and c not in on else c)
+        for c in right.columns
+    }
+    r = right.select(*[F.col(c).alias(rmap[c]) for c in right.columns])
+    le = explode_buckets(left, l_start, l_end, lcols)
+    re_ = explode_buckets(r, rmap[r_start], rmap[r_end], list(r.columns))
+    ls, le_c = F.col(l_start), F.col(l_end)
+    rs, re_c = F.col(rmap[r_start]), F.col(rmap[r_end])
+    overlap_start = F.greatest(ls, rs)
+    cond = (ls < re_c) & (rs < le_c) & (
+        F.col("__b")
+        == F.floor(overlap_start / F.lit(bucket_width)).cast("long")
+    )
+    out = le.join(re_, on + ["__b"]).filter(cond).drop("__b")
+    return out

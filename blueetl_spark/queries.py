@@ -3690,6 +3690,76 @@ SELECT gid, session, MIN("time") AS t_start, MAX("time") AS t_end,
 FROM numbered GROUP BY 1, 2
 """
 
+OVERLAP_BUCKET_MS = DAY_MS  # slices ~the typical session length
+OVERLAP_WINDOWS = tuple(
+    (f"d{i}", i * 2 * DAY_MS, (i * 2 + 1) * DAY_MS) for i in range(8)
+)  # every other day, first 16 days
+
+
+def q_session_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap (``timeseries.interval_overlap_join``):
+    each user session against the literal every-other-day windows,
+    bucketized on day slices with canonical-slice emission (no pair
+    dedup shuffle, no range cross product). Output adds the actual
+    overlap length — the 'exposure time inside the window' number a
+    monitoring pipeline wants."""
+    ev = _events_norm(spark, sf_dir)
+    sessions = timeseries.sessionize(ev, gap=SESSION_GAP_MS, by=["gid"])
+    wins = local_df(
+        spark,
+        [(n, s, e) for n, s, e in OVERLAP_WINDOWS],
+        "win string, t_start double, t_end double",
+    )
+    out = timeseries.interval_overlap_join(
+        sessions.select("gid", "session", "t_start", "t_end"),
+        wins,
+        bucket_width=OVERLAP_BUCKET_MS,
+    )
+    return out.select(
+        F.col("gid").cast("long").alias("gid"),
+        "session",
+        "win",
+        (
+            F.least(F.col("t_end"), F.col("t_end_r"))
+            - F.greatest(F.col("t_start"), F.col("t_start_r"))
+        ).alias("overlap_ms"),
+    )
+
+
+def _session_overlap_sql() -> str:
+    wins = ", ".join(
+        f"('{n}', '{s!r}'::DOUBLE, '{e!r}'::DOUBLE)"
+        for n, s, e in OVERLAP_WINDOWS
+    )
+    return f"""
+WITH {_E_CTE},
+lagged AS (
+  SELECT gid, "time",
+         CASE WHEN lag("time") OVER w IS NULL
+                OR "time" - lag("time") OVER w > {SESSION_GAP_MS!r}
+              THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY gid ORDER BY "time")
+),
+numbered AS (
+  SELECT gid, "time",
+         CAST(SUM(ns) OVER (PARTITION BY gid ORDER BY "time"
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
+  FROM lagged
+),
+sessions AS (
+  SELECT gid, session, MIN("time") AS s0, MAX("time") AS s1
+  FROM numbered GROUP BY 1, 2
+),
+w(win, w0, w1) AS (VALUES {wins})
+SELECT gid, session, win,
+       LEAST(s1, w1) - GREATEST(s0, w0) AS overlap_ms
+FROM sessions JOIN w ON s0 < w1 AND w0 < s1
+"""
+
+
+SQL_SESSION_WINDOW_OVERLAP = _session_overlap_sql()
+
+
 QUANTILE_PROBS = (0.25, 0.5, 0.9, 0.99)
 
 
@@ -4857,6 +4927,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robust_outliers": q_robust_outliers,
     "ccnet_buckets": q_ccnet_buckets,
     "scd2_latest_order": q_scd2_latest_order,
+    "session_window_overlap": q_session_window_overlap,
     "qdsl_filter": q_qdsl_filter,
     "event_rates": q_event_rates,
     "feature_by_gid": q_feature_by_gid,
@@ -5011,6 +5082,7 @@ ORACLES: dict[str, str] = {
     "robust_outliers": SQL_ROBUST_OUTLIERS,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "scd2_latest_order": SQL_SCD2_LATEST_ORDER,
+    "session_window_overlap": SQL_SESSION_WINDOW_OVERLAP,
 }
 
 

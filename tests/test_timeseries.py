@@ -325,3 +325,44 @@ def test_robust_outlier_stats_flags_and_degenerate_mad(spark):
     assert out["a"].n == 9 and out["a"].n_outliers == 1
     assert out["a"].median == 10.0
     assert out["b"].mad == 0.0 and out["b"].n_outliers == 0
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Bucketized overlap equals the quadratic check on random
+    intervals — incl. boundary cases (half-open: touching intervals
+    don't match) and multi-bucket spans (no duplicate pairs)."""
+    import random
+
+    import pandas as pd
+
+    from blueetl_spark.operators import timeseries as ts
+
+    rng = random.Random(13)
+    L = [(i, rng.uniform(0, 50), rng.uniform(0.1, 20)) for i in range(25)]
+    R = [(j, rng.uniform(0, 50), rng.uniform(0.1, 20)) for j in range(25)]
+    lp = pd.DataFrame(
+        [(i, s, s + d) for i, s, d in L], columns=["lid", "t_start", "t_end"]
+    )
+    rp = pd.DataFrame(
+        [(j, s, s + d) for j, s, d in R], columns=["rid", "t_start", "t_end"]
+    )
+    got = ts.interval_overlap_join(
+        spark.createDataFrame(lp), spark.createDataFrame(rp),
+        bucket_width=5.0,
+    ).toPandas()
+    pairs = set(zip(got.lid, got.rid))
+    exp = {
+        (i, j)
+        for i, ls, le in ((i, s, s + d) for i, s, d in L)
+        for j, rs, re in ((j, s, s + d) for j, s, d in R)
+        if ls < re and rs < le
+    }
+    assert pairs == exp
+    assert len(got) == len(exp)  # canonical-bucket rule: no dup rows
+
+    # half-open: [0,10) and [10,20) do not overlap
+    a = spark.createDataFrame(pd.DataFrame({"lid": [1], "t_start": [0.0], "t_end": [10.0]}))
+    b = spark.createDataFrame(pd.DataFrame({"rid": [2], "t_start": [10.0], "t_end": [20.0]}))
+    assert ts.interval_overlap_join(a, b, bucket_width=5.0).count() == 0
+    with pytest.raises(ValueError, match="bucket_width"):
+        ts.interval_overlap_join(a, b, bucket_width=0.0)
