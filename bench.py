@@ -92,6 +92,8 @@ HEADLINE = [
     "robust_outliers",
     "ccnet_buckets",
     "clustering_coeff",
+    "scd2_latest_order",
+    "session_window_overlap",
 ]
 
 
