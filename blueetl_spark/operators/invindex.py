@@ -94,7 +94,12 @@ def append_inverted_index(
     layout.  Returns the number of posting rows appended."""
     from pyspark.sql import Observation
 
-    posting = _postings(new_docs, text_col, id_col)
+    # Pin the batch's postings ONCE (eager): both the observed append and
+    # the (token, df, tf) delta derive from this single materialized frame,
+    # so a non-deterministic source (sample/limit) cannot make the delta
+    # disagree with the postings actually written, and the tokenize/explode
+    # cost is paid once per batch instead of twice.
+    posting = _postings(new_docs, text_col, id_col).localCheckpoint(eager=True)
     obs = Observation("inv_append")
     _write_postings(
         posting.observe(obs, F.count(F.lit(1)).alias("n")),
@@ -102,10 +107,8 @@ def append_inverted_index(
         n_files,
         "append",
     )
-    spark = new_docs.sparkSession
     delta = (
-        _postings(new_docs, text_col, id_col)
-        .groupBy("token")
+        posting.groupBy("token")
         .agg(F.countDistinct("doc_id").alias("df"), F.count("*").alias("tf"))
     )
     delta.repartition(1).write.mode("append").parquet(f"{path}/_df.parquet")
@@ -188,7 +191,12 @@ def phrase_search(
     post = spark.read.parquet(f"{path}/postings.parquet")
     dfreq = spark.read.parquet(f"{path}/_df.parquet")
     # the side table may hold per-batch deltas (append_inverted_index);
-    # tf sums exactly across batches of an append-only corpus
+    # tf sums exactly across batches of an append-only corpus.  _df is a
+    # PLANNING AID ONLY (anchor choice) — a crash between the postings
+    # append and the _df delta write leaves postings containing tokens
+    # _df lacks, so a token missing here must NOT imply an empty result:
+    # the adjacency join chain below yields empty anyway when a token is
+    # genuinely absent from postings (its probe side is empty).
     freqs = {
         r["token"]: r["tf"]
         for r in dfreq.filter(F.col("token").isin(p_toks))
@@ -196,12 +204,11 @@ def phrase_search(
         .agg(F.sum("tf").alias("tf"))
         .collect()
     }
-    if len(freqs) < len(set(p_toks)):
-        # some phrase token never occurs -> empty result, correct schema
-        return spark.createDataFrame([], "doc_id long, n_occ long")
-
-    # anchor = offset of the token with the fewest postings
-    anchor = min(range(len(p_toks)), key=lambda j: freqs[p_toks[j]])
+    # anchor = offset of the rarest token among those _df knows about;
+    # tokens absent from _df are never anchored (their true frequency is
+    # unknown — possibly large) but still verified via their join leg
+    known = [j for j in range(len(p_toks)) if p_toks[j] in freqs]
+    anchor = min(known, key=lambda j: freqs[p_toks[j]]) if known else 0
     # replayed at-least-once appends duplicate posting rows; fold them
     # out on the natural key before any adjacency join double-counts
     probe = post.filter(F.col("token").isin(list(set(p_toks)))).dropDuplicates(

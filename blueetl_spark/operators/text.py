@@ -501,7 +501,13 @@ def bm25_search(
         .groupBy(id_col)
         .agg(F.sum("bm25").alias("score"))
     )
-    return hits.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+    # rank on the score rounded to audit precision: duplicate documents
+    # produce sums differing in the last ulp per engine/summation order,
+    # so an unrounded ORDER BY never lets the id tie-break engage and
+    # the k-boundary selection can flake across engines
+    return hits.orderBy(
+        F.round(F.col("score"), 9).desc(), F.col(id_col)
+    ).limit(k)
 
 
 def lm_bigram_score(

@@ -541,10 +541,17 @@ def interval_overlap_join(
     def explode_buckets(df, start, end, names):
         b0 = F.floor(F.col(start) / F.lit(bucket_width)).cast("long")
         # half-open end: an interval ending exactly on a slice boundary
-        # does not reach into that slice
-        b1 = F.floor(
-            (F.col(end) - F.lit(1e-9)) / F.lit(bucket_width)
-        ).cast("long")
+        # does not reach into that slice.  Computed WITHOUT an epsilon —
+        # an absolute eps is absorbed by float64 rounding for large end
+        # values (harmless extra slice) and clips genuine sub-eps
+        # slivers for small ones (dropped matches): floor(end/width),
+        # stepped back one only when end sits exactly on the boundary.
+        bf = F.floor(F.col(end) / F.lit(bucket_width)).cast("long")
+        b1 = F.when(
+            F.col(end).cast("double")
+            == bf.cast("double") * F.lit(bucket_width),
+            bf - 1,
+        ).otherwise(bf)
         return df.select(
             *names, F.explode(F.sequence(b0, F.greatest(b0, b1))).alias("__b")
         )

@@ -327,9 +327,11 @@ def upsert_scd2(
     history). Duplicate keys in one batch raise, as in
     :func:`upsert_parquet`.
 
-    Scale + crash shape: the change set touches only current rows of
-    updated keys (one broadcast join); closed history is carried
-    through untouched; same staged-write + atomic rename publish.
+    Scale + crash shape: every join streams the table side and
+    broadcasts a BATCH-sized frame (the update keys, then the current
+    rows of updated keys — never the table's whole current slice, which
+    grows with the table); closed history is carried through untouched;
+    same staged-write + atomic rename publish.
     History never rewrites — at 100 TB, partition the table on a date
     of ``__valid_to`` so the hot current slice (NULL partition) stays
     small and snapshot reads prune closed history.
@@ -355,24 +357,55 @@ def upsert_scd2(
         return {"applied": new_rows.count(), "dropped_stale": 0, "closed": 0}
 
     cur = spark.read.parquet(path)
-    upd_k = updates.select(
-        *keys, eff.alias("__eff")
-    )
+    merged, live_upd = _scd2_merge_frames(cur, new_rows, updates, keys, eff)
+    n_live = live_upd.count()
+    n_total_upd = updates.count()
+    n_closed = live_upd.join(
+        cur.filter(F.col("__valid_to").isNull()), keys, "left_semi"
+    ).count()
+
+    tmp = f"{path}.staging"
+    merged.write.mode("overwrite").parquet(tmp)
+    atomic.swap_dir(spark, path, tmp)
+    return {
+        "applied": n_live,
+        "dropped_stale": n_total_upd - n_live,
+        "closed": n_closed,
+    }
+
+
+def _scd2_merge_frames(cur, new_rows, updates, keys, eff):
+    """Build the SCD2 merge plan over an existing table frame ``cur``.
+
+    Broadcast direction invariant (plan-guarded in tests): the table
+    side is NEVER broadcast — its current slice grows with the table,
+    not the batch. A broadcast semi-join of the batch keys first narrows
+    the current slice to the updated keys (a batch-sized frame), which
+    then rides a second batch-side broadcast into the stale check; the
+    close/carry joins likewise broadcast only batch-derived frames.
+    Returns ``(merged, live_upd)``.
+    """
+    from pyspark.sql import functions as F
+
+    upd_k = updates.select(*keys, eff.alias("__eff"))
     # drop stale/replayed updates: key's current version is already at
     # or past this effective time
-    current = cur.filter(F.col("__valid_to").isNull()).select(
-        *keys, F.col("__valid_from").alias("__cur_from")
+    current_for_upd = (
+        cur.filter(F.col("__valid_to").isNull())
+        .select(*keys, F.col("__valid_from").alias("__cur_from"))
+        .join(F.broadcast(upd_k.select(*keys)), keys, "left_semi")
     )
     live_upd = (
-        upd_k.join(F.broadcast(current), keys, "left")
+        upd_k.join(F.broadcast(current_for_upd), keys, "left")
         .filter(
             F.col("__cur_from").isNull()
             | (F.col("__cur_from") < F.col("__eff"))
         )
         .select(*keys, "__eff")
+        # batch-sized, consumed by 4 joins + 2 counts: pin once so the
+        # table's current slice is scanned once for the stale check
+        .localCheckpoint(eager=True)
     )
-    n_live = live_upd.count()
-    n_total_upd = updates.count()
 
     closing = F.broadcast(live_upd)
     closed = (
@@ -389,16 +422,7 @@ def upsert_scd2(
         live_upd.select(*keys), keys, "left_semi"
     )
     merged = untouched.unionByName(closed).unionByName(applied_new)
-
-    tmp = f"{path}.staging"
-    merged.write.mode("overwrite").parquet(tmp)
-    n_closed = closed.count()
-    atomic.swap_dir(spark, path, tmp)
-    return {
-        "applied": n_live,
-        "dropped_stale": n_total_upd - n_live,
-        "closed": n_closed,
-    }
+    return merged, live_upd
 
 
 def scd2_snapshot(spark: SparkSession, path: str | Path, at: float | None = None) -> DataFrame:

@@ -2337,7 +2337,7 @@ SELECT doc_id, round(SUM(bm25), 9) AS score
 FROM scored
 WHERE token IN ({toks})
 GROUP BY doc_id
-ORDER BY SUM(bm25) DESC, doc_id
+ORDER BY round(SUM(bm25), 9) DESC, doc_id
 LIMIT {BM25_SEARCH_K}
 """
 

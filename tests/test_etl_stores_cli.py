@@ -557,3 +557,42 @@ def test_scd2_history_snapshots_and_replay(spark, tmp_path):
     assert scd2_snapshot(spark, path, 5.0).count() == 0
     # full table holds 3 versions
     assert spark.read.parquet(path).count() == 3
+
+
+def test_scd2_never_broadcasts_table_slice(spark, tmp_path):
+    """Broadcast-direction guard: the SCD2 merge must broadcast only
+    batch-derived frames — the table's current slice (which grows with
+    the table, not the batch) is first narrowed by a broadcast SEMI join
+    on the batch keys, never broadcast whole."""
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.plans.stores import _scd2_merge_frames, upsert_scd2
+
+    path = str(tmp_path / "scd2_dir.parquet")
+    ddl = "k long, name string, effective_ts double"
+    seed = spark.range(500).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("name"),
+        F.lit(10.0).alias("effective_ts"),
+    )
+    upsert_scd2(spark, path, seed, "k")
+
+    cur = spark.read.parquet(path)
+    batch = spark.createDataFrame([(1, "new", 20.0), (999, "ins", 20.0)], ddl)
+    eff = F.col("effective_ts").cast("double")
+    new_rows = batch.select(
+        "*", eff.alias("__valid_from"),
+        F.lit(None).cast("double").alias("__valid_to"),
+    ).drop("effective_ts")
+    merged, live_upd = _scd2_merge_frames(cur, new_rows, batch, ["k"], eff)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    # the semi narrowing must exist, and the stale-check broadcast must
+    # sit ABOVE it: no broadcast subtree may contain a raw table scan
+    # without the LeftSemi reduction
+    assert "LeftSemi" in plan
+    # semantics unchanged with a table current-slice >> batch
+    assert live_upd.count() == 2
+    got = {(r.k, r.name, r["__valid_to"]) for r in merged.collect()
+           if r.k in (1, 999)}
+    assert (1, "new", None) in got and (999, "ins", None) in got
+    assert (1, "v1", 20.0) in got

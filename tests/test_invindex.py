@@ -82,6 +82,31 @@ def test_repeated_phrase_token_offsets(spark):
     assert got == {1: 2}  # starts at tokens 1 and 3 (overlapping)
 
 
+def test_search_survives_df_side_table_gap(spark, docs, tmp_path):
+    """A crash between the postings append and the _df delta write leaves
+    postings containing tokens the side table lacks; phrase_search must
+    still find them (_df is a planning aid only, never a correctness
+    input)."""
+    path = str(tmp_path / "gap_idx")
+    b1 = docs.filter(F.col("doc_id") <= 3)
+    b2 = docs.filter(F.col("doc_id") > 3)
+    invindex.build_inverted_index(b1, path, n_files=2)
+    # simulate the crash: postings land, the _df delta never does
+    invindex._write_postings(
+        invindex._postings(b2, "text", "doc_id"),
+        f"{path}/postings.parquet", 2, "append",
+    )
+    # "x y z" tokens exist ONLY in the gapped batch
+    assert sorted(
+        map(tuple, invindex.phrase_search(spark, path, "x y z").collect())
+    ) == [(4, 1)]
+    # mixed phrase: one token known to _df ("a" from b1), one not ("x")
+    assert invindex.phrase_search(spark, path, "a x").count() == 0
+    # genuinely-absent token still yields empty with the right schema
+    out = invindex.phrase_search(spark, path, "nowhere token")
+    assert out.count() == 0 and [f.name for f in out.schema] == ["doc_id", "n_occ"]
+
+
 def test_incremental_lifecycle_append_replay_purge_compact(spark, docs, tmp_path):
     path = str(tmp_path / "inc_idx")
     b1 = docs.filter(F.col("doc_id") <= 3)

@@ -366,3 +366,31 @@ def test_interval_overlap_join_matches_bruteforce(spark):
     assert ts.interval_overlap_join(a, b, bucket_width=5.0).count() == 0
     with pytest.raises(ValueError, match="bucket_width"):
         ts.interval_overlap_join(a, b, bucket_width=0.0)
+
+
+def test_interval_overlap_end_bucket_no_epsilon(spark):
+    """End-bucket edge cases an absolute epsilon gets wrong: a sub-1e-9
+    sliver past a bucket boundary must keep its last slice (the old
+    eps subtraction dropped the match), and ms-scale end values where
+    the eps is absorbed by float64 rounding must still honor the
+    half-open boundary exactly."""
+    import pandas as pd
+
+    from blueetl_spark.operators import timeseries as ts
+
+    # right ends 5e-10 past the slice boundary at 1.0; the only overlap
+    # with left [1.0, 1.5) lives entirely in that sliver
+    lf = pd.DataFrame({"lid": [1], "t_start": [1.0], "t_end": [1.5]})
+    rf = pd.DataFrame({"rid": [2], "t_start": [0.5], "t_end": [1.0 + 5e-10]})
+    got = ts.interval_overlap_join(
+        spark.createDataFrame(lf), spark.createDataFrame(rf), bucket_width=1.0
+    )
+    assert [(r.lid, r.rid) for r in got.collect()] == [(1, 2)]
+
+    # ms-scale timestamps: end exactly on a boundary is half-open —
+    # touching intervals never match even where eps-subtraction no-ops
+    lf = pd.DataFrame({"lid": [1], "t_start": [1e7], "t_end": [1e7 + 1.0]})
+    rf = pd.DataFrame({"rid": [2], "t_start": [1e7 - 1.0], "t_end": [1e7]})
+    assert ts.interval_overlap_join(
+        spark.createDataFrame(lf), spark.createDataFrame(rf), bucket_width=1.0
+    ).count() == 0
