@@ -4843,27 +4843,40 @@ SQL_EPOCH_MIXTURE = _sql_epoch_mixture()
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "report_extract": q_report_extract,
-    "histogram": q_histogram,
     "language_id": q_language_id,
-    "isi_stats": q_isi_stats,
-    "correlation_pairs": q_correlation_pairs,
     "customer_class_index": q_customer_class_index,
-    "multi_sim_rates": q_multi_sim_rates,
     "semantic_decontaminate": q_semantic_decontaminate,
     "stratified_sample": q_stratified_sample,
-    "dedup_embedding": q_dedup_embedding,
     "chunk_documents": q_chunk_documents,
     "simhash_candidates": q_simhash_candidates,
-    "quality_features": q_quality_features,
     "profile_shards_merge": q_profile_shards_merge,
-    "curation_pipeline": q_curation_pipeline,
-    "dedup_components": q_dedup_components,
-    "knn_bruteforce": q_knn_bruteforce,
-    "knn_lsh": q_knn_lsh,
-    "knn_ivf_fixed": q_knn_ivf_fixed,
-    "dynamic_onset_windows": q_dynamic_onset_windows,
-    "sessionization": q_sessionization,
-    "value_quantiles": q_value_quantiles,
+    # ---- round-8 rotation: the 14 late-round-7 gates never yet
+    # ---- driver-graded (split/winsorize, graph triangle/coefficient,
+    # ---- EXISTS/set-ops/unpivot/scalar-subquery SQL surface, JSON
+    # ---- extraction, median/MAD outliers, CCNet terciles, SCD2
+    # ---- history, interval overlap, mergeable profile shards) take the
+    # ---- slots of 14 gates stable >=3 rounds (histogram, isi_stats,
+    # ---- correlation_pairs, multi_sim_rates, dedup_embedding,
+    # ---- quality_features, curation_pipeline, dedup_components,
+    # ---- knn_bruteforce, knn_lsh, knn_ivf_fixed, dynamic_onset_windows,
+    # ---- sessionization, value_quantiles), which stay hash-checked in
+    # ---- the oracle tail below.  scd2_latest_order and
+    # ---- session_window_overlap also gate this round's advisor fixes
+    # ---- (SCD2 broadcast direction, epsilon-free interval buckets).
+    "train_split": q_train_split,
+    "winsorize_stats": q_winsorize_stats,
+    "triangle_counts": q_triangle_counts,
+    "clustering_coeff": q_clustering_coeff,
+    "sole_fault_suppliers": q_sole_fault_suppliers,
+    "repeat_customers_setops": q_repeat_customers_setops,
+    "part_unpivot": q_part_unpivot,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "props_json_stats": q_props_json_stats,
+    "robust_outliers": q_robust_outliers,
+    "ccnet_buckets": q_ccnet_buckets,
+    "scd2_latest_order": q_scd2_latest_order,
+    "session_window_overlap": q_session_window_overlap,
+    "profile_orders": q_profile_orders,
     # ---- round-7 rotation, third pass: the 9 gates added late this
     # ---- round (SQL surface: ROLLUP/pivot/LAG-gaps/CUBE; RANGE-frame
     # ---- rolling aggs; equi-depth deciles; the mergeable histogram
@@ -4911,23 +4924,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_distance_pairs": q_edit_distance_pairs,
     "phrase_search": q_phrase_search,
     "bm25_search": q_bm25_search,
-    # ---- oracle tail: rotated out of the graded window this round,
-    # ---- still hash-checked by tests/test_oracle_parity.py; plus
-    # ---- post-rotation round-7 additions (graded-window candidates
-    # ---- for r8) ----
-    "train_split": q_train_split,
-    "winsorize_stats": q_winsorize_stats,
-    "triangle_counts": q_triangle_counts,
-    "clustering_coeff": q_clustering_coeff,
-    "sole_fault_suppliers": q_sole_fault_suppliers,
-    "repeat_customers_setops": q_repeat_customers_setops,
-    "part_unpivot": q_part_unpivot,
-    "small_quantity_revenue": q_small_quantity_revenue,
-    "props_json_stats": q_props_json_stats,
-    "robust_outliers": q_robust_outliers,
-    "ccnet_buckets": q_ccnet_buckets,
-    "scd2_latest_order": q_scd2_latest_order,
-    "session_window_overlap": q_session_window_overlap,
+    # ---- oracle tail: rotated out of the graded window (stable >=3
+    # ---- rounds), still hash-checked by tests/test_oracle_parity.py
+    # ---- and tools/check_oracle.py ----
+    "histogram": q_histogram,
+    "isi_stats": q_isi_stats,
+    "correlation_pairs": q_correlation_pairs,
+    "multi_sim_rates": q_multi_sim_rates,
+    "dedup_embedding": q_dedup_embedding,
+    "quality_features": q_quality_features,
+    "curation_pipeline": q_curation_pipeline,
+    "dedup_components": q_dedup_components,
+    "knn_bruteforce": q_knn_bruteforce,
+    "knn_lsh": q_knn_lsh,
+    "knn_ivf_fixed": q_knn_ivf_fixed,
+    "dynamic_onset_windows": q_dynamic_onset_windows,
+    "sessionization": q_sessionization,
+    "value_quantiles": q_value_quantiles,
     "qdsl_filter": q_qdsl_filter,
     "event_rates": q_event_rates,
     "feature_by_gid": q_feature_by_gid,
@@ -4949,7 +4962,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- applies to slots 1-50
     "top_orders": q_top_orders,
     "embedding_norms": q_embedding_norms,
-    "profile_orders": q_profile_orders,
     # ---- rotated out of the graded window in rounds 6-7 (stable for 3+
     # ---- rounds) to make room for newer surface; still fully oracled
     # ---- via tests/test_oracle_parity.py + tools/check_oracle.py
