@@ -94,6 +94,10 @@ HEADLINE = [
     "clustering_coeff",
     "scd2_latest_order",
     "session_window_overlap",
+    "funnel_conversion",
+    "retention_cohorts",
+    "pareto_parts",
+    "ohlc_events",
 ]
 
 

@@ -1,0 +1,145 @@
+"""User-behavior analytics: ordered funnels and retention cohorts.
+
+Beyond-reference additions in the reference's own domain (grouped event
+analytics — the reference's feature engine folds each group's spike
+train to scalar features, ``src/blueetl/features.py``): these cover the
+two classic *product/event* analytics shapes a large pipeline needs —
+"how far do users get through an ordered sequence of actions" (funnel)
+and "how many of each signup cohort are still active k months later"
+(retention).
+
+Scale design:
+
+- **Funnel**: the sequential dependency (stage ``k``'s earliest
+  completion depends on stage ``k-1``'s) makes k separate conditional
+  aggregates a k-shuffle plan. Implemented instead as ONE shuffle on
+  the user key: events are pre-filtered to the funnel's own step types
+  (predicate pushed to the scan), collected per user as a
+  time-sorted array, and folded by a JVM higher-order ``aggregate``
+  whose state is the per-stage earliest-completion array. Because the
+  fold runs in time order and each state slot is written at most once
+  (first qualifying event = earliest), the fold equals the
+  "min time of step k strictly after min time of step k-1" fixpoint —
+  the exact SQL-expressible semantics the oracle replays. The per-user
+  array is bounded by that user's *matching* events (same bound as any
+  per-user window); the final stage tally is a single k-row aggregate.
+- **Retention cohorts**: first-activity month per user (one aggregate),
+  joined back on the user key — co-partitioned with the aggregate's own
+  hash distribution, so the join adds no exchange — then a second
+  aggregate on (cohort month, month offset) with ``countDistinct``.
+  Two shuffles total at any scale; the output is bounded by
+  months × months, never by users.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "time",
+) -> DataFrame:
+    """Ordered-funnel completion counts: for each stage ``k`` of
+    ``steps``, the number of users with an event of type ``steps[k]``
+    STRICTLY after their earliest completion of stage ``k-1`` (stage 0
+    = earliest event of ``steps[0]``).
+
+    Returns ``(stage, step, users)``, one row per stage in order.
+    Result is deterministic (counts of earliest-completion fixpoints;
+    equal-time events never satisfy the strict ordering, in either
+    engine).
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    k = len(steps)
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+
+    ev = df.filter(F.col(type_col).isin(steps)).select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__t"),
+        F.col(time_col).cast("double").alias("__ts"),
+    )
+    # time-sorted (ts, type) per user; struct sort orders by ts first
+    seq = ev.groupBy("__u").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__ts"), F.col("__t")))
+        ).alias("__seq")
+    )
+    # fold state: arr[j] = earliest completion time of stage j (null =
+    # unreached). In time order each slot is written at most once, and
+    # stage j-1's final value is always set before any event that could
+    # complete stage j (strictly later), so the fold equals the
+    # sequential-min fixpoint.
+    init = F.array(*[F.lit(None).cast("double") for _ in range(k)])
+    fold = F.aggregate(
+        F.col("__seq"),
+        init,
+        lambda acc, x: F.transform(
+            acc,
+            lambda a, j: F.when(
+                a.isNull()
+                & (x["__t"] == F.element_at(steps_lit, j + F.lit(1)))
+                # F.get is 0-based and null-safe: j=0 reads index -1 ->
+                # null, and the OR's true left arm absorbs it (no
+                # element_at(..., 0) error under non-short-circuit codegen)
+                & ((j == F.lit(0)) | (F.get(acc, j - F.lit(1)) < x["__ts"])),
+                x["__ts"],
+            ).otherwise(a),
+        ),
+    )
+    reached = seq.select(fold.alias("__arr"))
+    tallies = reached.agg(
+        *[
+            F.sum(F.col("__arr")[j].isNotNull().cast("long")).alias(f"__s{j}")
+            for j in range(k)
+        ]
+    )
+    stack = ", ".join(
+        f"{j}L, '{steps[j]}', coalesce(__s{j}, 0L)" for j in range(k)
+    )
+    return tallies.selectExpr(
+        f"stack({k}, {stack}) as (stage, step, users)"
+    ).orderBy("stage")
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    date_col: str,
+) -> DataFrame:
+    """Monthly retention-cohort matrix: users are cohorted by the
+    calendar month of their FIRST activity; for each (cohort,
+    month_offset) cell, the number of distinct cohort users active in
+    that offset month.
+
+    Returns ``(cohort, month_offset, n_users)`` with ``cohort`` as
+    ``yyyy-MM``. Month arithmetic is integer (year*12 + month), exact
+    in any engine.
+    """
+    u, d = F.col(user_col), F.col(date_col)
+    months = F.year(d) * 12 + F.month(d)
+    first = df.groupBy(u.alias("__u")).agg(
+        F.min(d).alias("__first_dt"), F.min(months).alias("__first_m")
+    )
+    joined = df.select(u.alias("__u"), months.alias("__m")).join(
+        first, "__u"
+    )
+    return (
+        joined.groupBy(
+            F.date_format(F.date_trunc("month", F.col("__first_dt")), "yyyy-MM").alias(
+                "cohort"
+            ),
+            (F.col("__m") - F.col("__first_m")).cast("long").alias("month_offset"),
+        )
+        .agg(F.countDistinct("__u").alias("n_users"))
+    )

@@ -507,6 +507,50 @@ def robust_outlier_stats(
     )
 
 
+def ohlc_resample(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    bucket_width: float,
+    by: Sequence[str] = (),
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Per (keys…, fixed time bucket) OHLC bars: ``open`` = value at the
+    earliest time in the bucket, ``close`` at the latest, ``high``/
+    ``low`` the extremes, plus ``n`` and ``mean`` — the market-data /
+    telemetry downsampling shape (:func:`resample_events` keeps only
+    mean-style stats; OHLC needs order-aware endpoints).
+
+    ONE map-side-combined aggregate, no window and no global sort:
+    ``min_by``/``max_by`` keyed on ``(time, tie_col)`` pick the
+    endpoint values during partial aggregation, so each group costs
+    O(1) state regardless of bucket population. The struct ordering key
+    plans as SortAggregate — a per-partition sort on the grouping key
+    only (partials still combine before the single exchange), never a
+    global order-by. ``tie_col`` (e.g. an event id) makes
+    equal-timestamp endpoints deterministic — required for engine-exact
+    replays.
+    """
+    if not bucket_width > 0:
+        raise ValueError("bucket_width must be positive")
+    t = F.col(time_col).cast("double")
+    v = F.col(value_col).cast("double")
+    ordk = F.struct(t, F.col(tie_col)) if tie_col is not None else F.struct(t)
+    bucket = F.floor(t / F.lit(bucket_width)).cast("long")
+    return (
+        df.groupBy(*by, bucket.alias("bucket"))
+        .agg(
+            F.min_by(v, ordk).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, ordk).alias("close"),
+            F.count(v).alias("n"),
+            F.avg(v).alias("mean"),
+        )
+        .withColumn("t_start", F.col("bucket") * F.lit(bucket_width))
+    )
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

@@ -30,6 +30,7 @@ from blueetl_spark.session import local_df
 
 from blueetl_spark.functions.qdsl import q, query_to_sql
 from blueetl_spark.operators import (
+    behavior,
     classifier,
     dedup,
     features,
@@ -39,6 +40,7 @@ from blueetl_spark.operators import (
     sampling,
     signal,
     similarity,
+    skyline,
     text,
     timeseries,
 )
@@ -4837,14 +4839,169 @@ FROM n_tab
 SQL_EPOCH_MIXTURE = _sql_epoch_mixture()
 
 
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+FUNNEL_RANGE_MS = (0.0, 4 * DAY_MS)  # first 4 days: partial completion
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the first 4 days of events
+    (``behavior.funnel``): per stage, users whose earliest stage-k
+    event is strictly after their earliest stage-(k-1) completion.
+    One shuffle on the user key; the sequential-min fixpoint is folded
+    by a JVM higher-order aggregate over each user's time-sorted
+    events, replayed in SQL as a chain of strictly-after MIN joins."""
+    ev = _events_norm(spark, sf_dir, time_range=FUNNEL_RANGE_MS)
+    return behavior.funnel(
+        ev, FUNNEL_STEPS, user_col="gid", type_col="event_type",
+        time_col="time",
+    )
+
+
+def _funnel_sql() -> str:
+    lo, hi = FUNNEL_RANGE_MS
+    ctes = [f's0 AS (SELECT gid, MIN("time") AS t FROM e '
+            f"WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1)"]
+    for j in range(1, len(FUNNEL_STEPS)):
+        ctes.append(
+            f's{j} AS (SELECT e.gid, MIN("time") AS t FROM e '
+            f"JOIN s{j-1} USING (gid) WHERE e.event_type = "
+            f"'{FUNNEL_STEPS[j]}' AND e.\"time\" > s{j-1}.t GROUP BY 1)"
+        )
+    unions = "\nUNION ALL ".join(
+        f"SELECT CAST({j} AS BIGINT) AS stage, '{FUNNEL_STEPS[j]}' AS step, "
+        f"(SELECT COUNT(*) FROM s{j}) AS users"
+        for j in range(len(FUNNEL_STEPS))
+    )
+    return f"""
+WITH {_E_CTE.replace("FROM events)",
+     f'FROM events WHERE epoch_ns(ts)//1000000 - {T0_MS} >= {lo!r} '
+     f'AND epoch_ns(ts)//1000000 - {T0_MS} < {hi!r})')},
+{", ".join(ctes)}
+{unions}
+"""
+
+
+SQL_FUNNEL_CONVERSION = _funnel_sql()
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly retention-cohort matrix over orders
+    (``behavior.retention_cohorts``): customers cohorted by first-order
+    month, distinct actives per (cohort, month offset). Two shuffles at
+    any scale (first-activity aggregate reuses its distribution for the
+    join); output bounded by months², never by customers."""
+    orders = tables.load(spark, sf_dir, "orders")
+    return behavior.retention_cohorts(orders, "o_custkey", "o_orderdate")
+
+
+SQL_RETENTION_COHORTS = """
+WITH f AS (
+  SELECT o_custkey AS u, MIN(o_orderdate) AS fd,
+         MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS fm
+  FROM orders GROUP BY 1
+)
+SELECT strftime(date_trunc('month', f.fd), '%Y-%m') AS cohort,
+       CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - f.fm
+            AS BIGINT) AS month_offset,
+       COUNT(DISTINCT o.o_custkey) AS n_users
+FROM orders o JOIN f ON f.u = o.o_custkey
+GROUP BY 1, 2
+"""
+
+
+def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Pareto frontier (``skyline.pareto_frontier``): parts
+    not strictly dominated on (min price, max size, max name length).
+    Two-level reduction — per-partition local skylines (Arrow kernel,
+    exact chunked sweep), then one size-gated global pass over the
+    candidate union; the SQL replay is the quadratic NOT EXISTS this
+    plan avoids."""
+    part = tables.load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        F.col("p_size").cast("long").alias("p_size"),
+        F.length("p_name").cast("long").alias("name_len"),
+    )
+    return skyline.pareto_frontier(
+        part, minimize=["p_retailprice"], maximize=["p_size", "name_len"]
+    )
+
+
+SQL_PARETO_PARTS = """
+WITH p AS (
+  SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size,
+         CAST(length(p_name) AS BIGINT) AS name_len
+  FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+        AND p_name IS NOT NULL
+)
+SELECT * FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p q
+  WHERE q.p_retailprice <= a.p_retailprice AND q.p_size >= a.p_size
+        AND q.name_len >= a.name_len
+        AND (q.p_retailprice < a.p_retailprice OR q.p_size > a.p_size
+             OR q.name_len > a.name_len)
+)
+"""
+
+
+OHLC_BUCKET_MS = DAY_MS
+
+
+def q_ohlc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event type (``timeseries.ohlc_resample``):
+    open/close picked by ``min_by``/``max_by`` on (time, event_id) —
+    one map-side-combined aggregate, O(1) state per group, no window
+    and no sort; the SQL replay needs two row_number windows to say
+    the same thing."""
+    ev = _events_norm(spark, sf_dir)
+    out = timeseries.ohlc_resample(
+        ev, "time", "value", OHLC_BUCKET_MS, by=["event_type"],
+        tie_col="event_id",
+    )
+    return out.select(
+        "event_type", "bucket", "open", "high", "low", "close", "n",
+        F.round("mean", 6).alias("mean"), "t_start",
+    )
+
+
+SQL_OHLC_EVENTS = f"""
+WITH {_E_CTE},
+r AS (
+  SELECT event_type,
+         CAST(floor("time" / {OHLC_BUCKET_MS!r}) AS BIGINT) AS bucket,
+         "time", value, event_id,
+         row_number() OVER (PARTITION BY event_type,
+                            floor("time" / {OHLC_BUCKET_MS!r})
+                            ORDER BY "time", event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type,
+                            floor("time" / {OHLC_BUCKET_MS!r})
+                            ORDER BY "time" DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT event_type, bucket,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high, MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(value) AS n, ROUND(AVG(value), 6) AS mean,
+       bucket * {OHLC_BUCKET_MS!r} AS t_start
+FROM r GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "report_extract": q_report_extract,
+    # ---- round-8 new surface: funnel (sequential-min HOF fold) and the
+    # ---- distributed Pareto frontier take the slots of report_extract
+    # ---- and customer_class_index (graded green 7 and 5 consecutive
+    # ---- rounds; both stay in the oracle tail below)
+    "funnel_conversion": q_funnel_conversion,
+    "pareto_parts": q_pareto_parts,
     "language_id": q_language_id,
-    "customer_class_index": q_customer_class_index,
     "semantic_decontaminate": q_semantic_decontaminate,
     "stratified_sample": q_stratified_sample,
     "chunk_documents": q_chunk_documents,
@@ -4924,9 +5081,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_distance_pairs": q_edit_distance_pairs,
     "phrase_search": q_phrase_search,
     "bm25_search": q_bm25_search,
-    # ---- oracle tail: rotated out of the graded window (stable >=3
-    # ---- rounds), still hash-checked by tests/test_oracle_parity.py
-    # ---- and tools/check_oracle.py ----
+    # ---- oracle tail: graded-window candidates for r9 (round-8
+    # ---- additions), then gates rotated out stable >=3 rounds — all
+    # ---- hash-checked by tests/test_oracle_parity.py and
+    # ---- tools/check_oracle.py ----
+    "retention_cohorts": q_retention_cohorts,
+    "ohlc_events": q_ohlc_events,
+    "report_extract": q_report_extract,
+    "customer_class_index": q_customer_class_index,
     "histogram": q_histogram,
     "isi_stats": q_isi_stats,
     "correlation_pairs": q_correlation_pairs,
@@ -4995,6 +5157,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "funnel_conversion": SQL_FUNNEL_CONVERSION,
+    "pareto_parts": SQL_PARETO_PARTS,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
+    "ohlc_events": SQL_OHLC_EVENTS,
     "qdsl_filter": SQL_QDSL_FILTER,
     "windows_materialize": SQL_WINDOWS_MATERIALIZE,
     "report_extract": SQL_REPORT_EXTRACT,

@@ -1,0 +1,95 @@
+"""Funnel + retention-cohort operators (``operators/behavior.py``).
+
+The sf0.01 gates (`funnel_conversion`, `retention_cohorts`) hash-verify
+against DuckDB; these pin the strict-ordering semantics, edge cases,
+and the plan shape (one user-key shuffle, no window/sort)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from blueetl_spark.operators.behavior import funnel, retention_cohorts
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    rows = [
+        # user 1 completes a -> b -> c in order
+        (1, "a", 1.0), (1, "b", 2.0), (1, "c", 3.0),
+        # user 2: b before a -> stage 0 only
+        (2, "b", 4.0), (2, "a", 5.0),
+        # user 3: b at the SAME time as a (strict: not counted), then c
+        (3, "a", 1.0), (3, "b", 1.0), (3, "c", 2.0),
+        # user 4: c between first b and a later b -> full funnel
+        (4, "a", 1.0), (4, "b", 2.0), (4, "b", 5.0), (4, "c", 3.0),
+        # user 5: only c -> appears nowhere
+        (5, "c", 9.0),
+        # user 6: unrelated types only
+        (6, "x", 1.0),
+    ]
+    return spark.createDataFrame(rows, "user_id long, event_type string, time double")
+
+
+def test_funnel_strict_sequential_min(spark, ev):
+    got = {r.stage: (r.step, r.users) for r in funnel(ev, ["a", "b", "c"]).collect()}
+    assert got == {0: ("a", 4), 1: ("b", 2), 2: ("c", 2)}
+
+
+def test_funnel_zero_tail_and_order(spark, ev):
+    out = funnel(ev, ["c", "x", "a"]).collect()
+    # c first: users 1,3,4,5 have c; x after c: nobody (6's x has no c);
+    # zero tail stays zero rows with explicit 0 counts
+    assert [(r.stage, r.step, r.users) for r in out] == [
+        (0, "c", 4), (1, "x", 0), (2, "a", 0)
+    ]
+
+
+def test_funnel_single_step_and_errors(spark, ev):
+    assert funnel(ev, ["b"]).collect()[0].users == 4  # users 1,2,3,4
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel(ev, [])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel(ev, ["a", "a"])
+
+
+def test_funnel_plan_one_user_shuffle_no_window(spark, ev):
+    plan = (
+        funnel(ev, ["a", "b", "c"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+    # the only wide ops: the user-key groupBy and the k-row final tally
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_retention_cohorts_matrix(spark):
+    rows = [
+        (1, dt.datetime(2024, 1, 5)), (1, dt.datetime(2024, 2, 7)),
+        (1, dt.datetime(2024, 2, 9)),  # active twice in offset 1 -> one
+        (2, dt.datetime(2024, 1, 20)), (2, dt.datetime(2024, 3, 2)),
+        (3, dt.datetime(2024, 2, 1)),
+    ]
+    df = spark.createDataFrame(rows, "u long, d timestamp")
+    got = {
+        (r.cohort, r.month_offset): r.n_users
+        for r in retention_cohorts(df, "u", "d").collect()
+    }
+    assert got == {
+        ("2024-01", 0): 2, ("2024-01", 1): 1, ("2024-01", 2): 1,
+        ("2024-02", 0): 1,
+    }
+
+
+def test_retention_cohorts_year_boundary(spark):
+    rows = [(1, dt.datetime(2023, 12, 31)), (1, dt.datetime(2024, 1, 1))]
+    df = spark.createDataFrame(rows, "u long, d timestamp")
+    got = {
+        (r.cohort, r.month_offset): r.n_users
+        for r in retention_cohorts(df, "u", "d").collect()
+    }
+    assert got == {("2023-12", 0): 1, ("2023-12", 1): 1}

@@ -368,6 +368,51 @@ def test_interval_overlap_join_matches_bruteforce(spark):
         ts.interval_overlap_join(a, b, bucket_width=0.0)
 
 
+def test_ohlc_resample_endpoints_and_ties(spark):
+    """OHLC bars: open/close pick the (time, tie) extremes — equal-time
+    endpoints resolve on the tie column deterministically; one aggregate,
+    no window/sort in the plan."""
+    from blueetl_spark.operators import timeseries as ts
+
+    rows = [
+        # key "s": bucket 0 has a time tie at t=1 (ids 1 < 2)
+        ("s", 1.0, 10, 1.0), ("s", 1.0, 20, 2.0), ("s", 5.0, 30, 3.0),
+        # key "s": bucket 1 single row
+        ("s", 12.0, 40, 4.0),
+        # key "t": descending values
+        ("t", 3.0, 9, 5.0), ("t", 4.0, 7, 6.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t double, v long, eid double")
+    out = {
+        (r.k, r.bucket): r
+        for r in ts.ohlc_resample(
+            df, "t", "v", 10.0, by=["k"], tie_col="eid"
+        ).collect()
+    }
+    b0 = out[("s", 0)]
+    assert (b0.open, b0.high, b0.low, b0.close, b0.n) == (10.0, 30.0, 10.0, 30.0, 3)
+    assert b0.mean == 20.0 and b0.t_start == 0.0
+    b1 = out[("s", 1)]
+    assert (b1.open, b1.close, b1.n, b1.t_start) == (40.0, 40.0, 1, 10.0)
+    t0 = out[("t", 0)]
+    assert (t0.open, t0.close, t0.high, t0.low) == (9.0, 7.0, 9.0, 7.0)
+
+    plan = (
+        ts.ohlc_resample(df, "t", "v", 10.0, by=["k"], tie_col="eid")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one map-side-combined aggregate (struct-keyed min_by/max_by plans
+    # as SortAggregate: per-partition grouping-key sort, with partials
+    # before the single exchange), never a window or a global sort
+    assert "Window" not in plan
+    assert "partial_min_by" in plan and plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan  # no global sort
+    with pytest.raises(ValueError, match="bucket_width"):
+        ts.ohlc_resample(df, "t", "v", 0.0)
+
+
 def test_interval_overlap_end_bucket_no_epsilon(spark):
     """End-bucket edge cases an absolute epsilon gets wrong: a sub-1e-9
     sliver past a bucket boundary must keep its last slice (the old
