@@ -98,6 +98,8 @@ HEADLINE = [
     "retention_cohorts",
     "pareto_parts",
     "ohlc_events",
+    "ohlc_shards_merge",
+    "market_share",
 ]
 
 

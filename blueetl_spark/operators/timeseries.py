@@ -551,6 +551,86 @@ def ohlc_resample(
     )
 
 
+def ohlc_shard(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    bucket_width: float,
+    by: Sequence[str] = (),
+    tie_col: str | None = None,
+    batch_id: str = "",
+) -> DataFrame:
+    """One mergeable partial-bar row per (keys…, bucket) for this
+    batch: the :func:`ohlc_resample` stats plus the (time, tie) keys of
+    the open/close endpoints, so bars MERGE exactly — the merged open
+    is the partial open with the smallest endpoint key, a deterministic
+    fold in any order (unlike a t-digest, replay- and oracle-safe).
+    ``sum_v`` rides along so the merged mean never needs the raw data.
+    Rows per batch are bounded by (groups × buckets touched) — the
+    incremental contract of ``profile_shard``/``histogram_shard``.
+    """
+    if not bucket_width > 0:
+        raise ValueError("bucket_width must be positive")
+    t = F.col(time_col).cast("double")
+    v = F.col(value_col).cast("double")
+    tie = (
+        F.col(tie_col).cast("double") if tie_col is not None
+        else F.lit(0.0)
+    )
+    ordk = F.struct(t.alias("t"), tie.alias("tie"))
+    bucket = F.floor(t / F.lit(bucket_width)).cast("long")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*by, bucket.alias("bucket"))
+        .agg(
+            F.min(ordk).alias("__ok"),
+            F.min_by(v, ordk).alias("open"),
+            F.max(ordk).alias("__ck"),
+            F.max_by(v, ordk).alias("close"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.count(v).alias("n"),
+            F.sum(v).alias("sum_v"),
+        )
+        .select(
+            *by,
+            "bucket",
+            F.lit(batch_id).alias("batch_id"),
+            F.col("__ok.t").alias("open_t"),
+            F.col("__ok.tie").alias("open_tie"),
+            "open",
+            "high",
+            "low",
+            F.col("__ck.t").alias("close_t"),
+            F.col("__ck.tie").alias("close_tie"),
+            "close",
+            "n",
+            "sum_v",
+        )
+    )
+
+
+def merge_ohlc_shards(shards: DataFrame, by: Sequence[str] = ()) -> DataFrame:
+    """Fold partial bars to final OHLC bars. Replay-safe: an
+    at-least-once writer re-appends an IDENTICAL row under the same
+    (keys…, bucket, batch_id) — deduped before the fold. One aggregate
+    over shard rows (bounded by batches × groups × buckets, never by
+    the ingested data)."""
+    keys = [*by, "bucket"]
+    return (
+        shards.dropDuplicates([*keys, "batch_id"])
+        .groupBy(*keys)
+        .agg(
+            F.min_by("open", F.struct("open_t", "open_tie")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.struct("close_t", "close_tie")).alias("close"),
+            F.sum("n").alias("n"),
+            (F.sum("sum_v") / F.sum("n")).alias("mean"),
+        )
+    )
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

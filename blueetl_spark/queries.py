@@ -4990,6 +4990,155 @@ FROM r GROUP BY 1, 2
 """
 
 
+def q_ohlc_shards_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental OHLC under the oracle (the ``profile_shards_merge``
+    contract for order-aware stats): events sliced into 3 disjoint
+    batches, each appending mergeable partial bars whose open/close
+    carry their (time, tie) endpoint keys; one batch REPLAYED verbatim;
+    the merge must reproduce the whole-table bars exactly."""
+    import tempfile
+
+    # four shard jobs consume the normalized events: pin once so the
+    # parquet scan + ts normalization run once, not per batch
+    ev = _events_norm(spark, sf_dir).localCheckpoint(eager=True)
+    path = tempfile.mkdtemp(prefix="ohlc_shards_") + "/shards"
+    for i in range(3):
+        batch = ev.filter(F.pmod("event_id", F.lit(3)) == i)
+        timeseries.ohlc_shard(
+            batch, "time", "value", OHLC_BUCKET_MS, by=["event_type"],
+            tie_col="event_id", batch_id=f"b{i}",
+        ).write.mode("append").parquet(path)
+    # replay b1: identical rows under the same batch_id — must fold out
+    timeseries.ohlc_shard(
+        ev.filter(F.pmod("event_id", F.lit(3)) == 1), "time", "value",
+        OHLC_BUCKET_MS, by=["event_type"], tie_col="event_id",
+        batch_id="b1",
+    ).write.mode("append").parquet(path)
+    merged = timeseries.merge_ohlc_shards(
+        spark.read.parquet(path), by=["event_type"]
+    )
+    return merged.select(
+        "event_type", "bucket", "open", "high", "low", "close", "n",
+        F.round("mean", 6).alias("mean"),
+    )
+
+
+SQL_OHLC_SHARDS_MERGE = f"""
+WITH {_E_CTE},
+r AS (
+  SELECT event_type,
+         CAST(floor("time" / {OHLC_BUCKET_MS!r}) AS BIGINT) AS bucket,
+         "time", value, event_id,
+         row_number() OVER (PARTITION BY event_type,
+                            floor("time" / {OHLC_BUCKET_MS!r})
+                            ORDER BY "time", event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type,
+                            floor("time" / {OHLC_BUCKET_MS!r})
+                            ORDER BY "time" DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT event_type, bucket,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high, MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(value) AS n, ROUND(AVG(value), 6) AS mean
+FROM r GROUP BY 1, 2
+"""
+
+
+MKT_REGION = "AMERICA"
+MKT_NATION = "NATION_3"
+MKT_PART_TYPE = "PROMO"
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: of the {MKT_PART_TYPE}
+    revenue sold to {MKT_REGION}-region customers, the share supplied
+    by {MKT_NATION}, per order year. Plan shape at scale: the pure
+    filter dims (part type, customer region) reduce lineitem/orders via
+    SEMI joins (no payload carried), the one big-big join
+    (lineitem ⋈ orders) shuffles on the order key, and only genuinely
+    config-sized dims (nation, region) are broadcast — supplier rides a
+    key-payload join AQE may broadcast at small SF. Decimal sums, double
+    division rounded at audit precision."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders")
+    customer = tables.load(spark, sf_dir, "customer")
+    supplier = tables.load(spark, sf_dir, "supplier")
+    nation = tables.load(spark, sf_dir, "nation")
+    region = tables.load(spark, sf_dir, "region")
+
+    promo_parts = tables.load(spark, sf_dir, "part").filter(
+        F.col("p_type") == MKT_PART_TYPE
+    ).select("p_partkey")
+    amer_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == MKT_REGION)),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey")
+    cust_amer = customer.join(
+        F.broadcast(amer_nations),
+        customer.c_nationkey == F.col("n_nationkey"),
+        "left_semi",
+    ).select("c_custkey")
+    sup_nation = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey", F.col("n_name").alias("sup_nation"))
+
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(8,2)") - F.col("l_discount").cast("decimal(8,2)")
+    )
+    base = (
+        li.join(promo_parts, li.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(cust_amer, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(sup_nation, li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("__v"),
+            "sup_nation",
+        )
+    )
+    tgt = F.sum(F.when(F.col("sup_nation") == MKT_NATION, F.col("__v")))
+    return base.groupBy("o_year").agg(
+        F.sum("__v").cast("double").alias("total_volume"),
+        tgt.cast("double").alias("target_volume"),
+        F.round(
+            tgt.cast("double") / F.sum("__v").cast("double"), 9
+        ).alias("mkt_share"),
+    )
+
+
+SQL_MARKET_SHARE = f"""
+WITH vol AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))
+           AS v,
+         n2.n_name AS sup_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey AND p_type = '{MKT_PART_TYPE}'
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n1.n_regionkey AND r_name = '{MKT_REGION}'
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+)
+SELECT o_year,
+       CAST(SUM(v) AS DOUBLE) AS total_volume,
+       CAST(SUM(CASE WHEN sup_nation = '{MKT_NATION}' THEN v END)
+            AS DOUBLE) AS target_volume,
+       ROUND(CAST(SUM(CASE WHEN sup_nation = '{MKT_NATION}' THEN v END)
+                  AS DOUBLE)
+             / CAST(SUM(v) AS DOUBLE), 9) AS mkt_share
+FROM vol GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5087,6 +5236,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- tools/check_oracle.py ----
     "retention_cohorts": q_retention_cohorts,
     "ohlc_events": q_ohlc_events,
+    "ohlc_shards_merge": q_ohlc_shards_merge,
+    "market_share": q_market_share,
     "report_extract": q_report_extract,
     "customer_class_index": q_customer_class_index,
     "histogram": q_histogram,
@@ -5161,6 +5312,8 @@ ORACLES: dict[str, str] = {
     "pareto_parts": SQL_PARETO_PARTS,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "ohlc_events": SQL_OHLC_EVENTS,
+    "ohlc_shards_merge": SQL_OHLC_SHARDS_MERGE,
+    "market_share": SQL_MARKET_SHARE,
     "qdsl_filter": SQL_QDSL_FILTER,
     "windows_materialize": SQL_WINDOWS_MATERIALIZE,
     "report_extract": SQL_REPORT_EXTRACT,

@@ -367,6 +367,47 @@ def streaming_histogram_shards(
     return writer.start()
 
 
+def streaming_ohlc_shards(
+    stream_df: DataFrame,
+    time_col: str,
+    value_col: str,
+    bucket_width: float,
+    shard_path: str,
+    checkpoint: str,
+    by: tuple = (),
+    tie_col: str | None = None,
+    batch_prefix: str = "stream",
+    trigger: dict | None = None,
+):
+    """OHLC twin of :func:`streaming_histogram_shards`: each micro-batch
+    appends mergeable partial bars (``operators/timeseries.py::
+    ohlc_shard`` — open/close carry their (time, tie) endpoint keys, so
+    bars fold exactly in any order), and
+    ``timeseries.merge_ohlc_shards`` reads whole-stream bars at any
+    moment from shard rows bounded by batches × groups × buckets. Same
+    foreachBatch seam, zero cross-batch state, and the at-least-once →
+    effectively-once contract: a replayed epoch re-appends identical
+    rows under the same batch_id, deduped before the fold.
+    """
+    from blueetl_spark.operators.timeseries import ohlc_shard
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ohlc_shard(
+            batch_df, time_col, value_col, bucket_width, by=by,
+            tie_col=tie_col, batch_id=f"{batch_prefix}-{epoch_id}",
+        ).coalesce(1).write.mode("append").parquet(shard_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def asof_enrich_static(
     events: DataFrame,
     dim: DataFrame,

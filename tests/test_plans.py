@@ -399,6 +399,59 @@ def test_cube_single_expand_single_exchange(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
 
 
+def test_market_share_semi_joins_and_pruned_lineitem_scan(spark):
+    """Q8-style join tree: the pure-filter dims (part type, customer
+    region) must reduce via SEMI joins carrying no payload, the part
+    type predicate must reach its scan, and the lineitem scan must read
+    only the join keys + money columns."""
+    from blueetl_spark import queries as Q
+
+    plan = _formatted_plan(Q.q_market_share(spark, SF))
+    assert plan.count("LeftSemi") >= 2, plan[:2000]
+    assert "EqualTo(p_type,PROMO)" in plan
+    m = [
+        re.search(r"struct<([^>]*)>", line).group(1)
+        for line in plan.splitlines()
+        if "ReadSchema" in line and "l_orderkey" in line
+    ]
+    assert m, plan
+    cols = {c.split(":")[0] for c in m[0].split(",")}
+    assert cols == {
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount",
+    }, cols
+
+
+def test_funnel_one_user_exchange_no_window(spark):
+    """The funnel's sequential-min fold must stay a single user-key
+    exchange with the step-type filter pushed to the scan — never a
+    per-stage join chain or a window."""
+    from blueetl_spark import queries as Q
+
+    plan = _formatted_plan(Q.q_funnel_conversion(spark, SF))
+    assert "Window" not in plan
+    assert "In(event_type" in plan  # step filter reaches the scan
+    # exactly one keyed exchange (the user groupBy); the k-row tally
+    # and sort exchanges are not hash partitionings
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1
+    assert "partial_collect_list" in plan  # map-side combine engaged
+
+
+def test_pareto_two_arrow_passes_single_final_partition(spark):
+    """The skyline runs exactly two Arrow passes (local frontiers, then
+    the single-partition global pass over the pinned candidates) and
+    never a quadratic join."""
+    from blueetl_spark import queries as Q
+
+    plan = _formatted_plan(Q.q_pareto_parts(spark, SF))
+    # one MapInPandas node (the global pass over the PINNED candidate
+    # RDD — the local pass already ran under the localCheckpoint)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert "Scan ExistingRDD" in plan  # candidates pinned, not recomputed
+    assert "Join" not in plan
+    assert "SinglePartition" in plan
+
+
 def test_registry_wide_no_row_python_udfs(spark):
     """Sweep EVERY registered query's physical plan: row-at-a-time
     Python (BatchEvalPython) is banned repo-wide — all Python kernels

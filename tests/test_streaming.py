@@ -952,6 +952,78 @@ def test_streaming_histogram_shards(spark, tmp_path):
     assert replayed.counts == whole.counts and replayed.n_obs == 120
 
 
+def test_streaming_ohlc_shards(spark, tmp_path):
+    """Per-micro-batch OHLC partial bars must merge to exactly the bars
+    of a single pass over the whole ingested table (open/close carry
+    endpoint keys, so merging is order-free); restart appends nothing;
+    a crash-replayed epoch folds out on batch_id."""
+    import pandas as pd
+
+    from blueetl_spark.operators.timeseries import (
+        merge_ohlc_shards,
+        ohlc_resample,
+    )
+    from blueetl_spark.streaming.windows import streaming_ohlc_shards
+
+    src = str(tmp_path / "src")
+    shards = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    rng = range(120)
+    pdf = pd.DataFrame(
+        {
+            "k": ["a" if i % 2 else "b" for i in rng],
+            "t": [float(i % 40) for i in rng],  # time ties across files
+            "v": [float((i * 37) % 100) for i in rng],
+            "eid": [float(i) for i in rng],
+        }
+    )
+    spark.createDataFrame(pdf).repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("k string, t double, v double, eid double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_ohlc_shards(
+        stream, "t", "v", 10.0, shards, ckpt, by=("k",), tie_col="eid",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+    whole = {
+        (r.k, r.bucket): (r.open, r.high, r.low, r.close, r.n, round(r.mean, 9))
+        for r in ohlc_resample(
+            spark.read.parquet(src), "t", "v", 10.0, by=["k"], tie_col="eid"
+        ).collect()
+    }
+
+    def merged_bars():
+        return {
+            (r.k, r.bucket): (
+                r.open, r.high, r.low, r.close, r.n, round(r.mean, 9)
+            )
+            for r in merge_ohlc_shards(
+                spark.read.parquet(shards), by=["k"]
+            ).collect()
+        }
+
+    assert merged_bars() == whole
+
+    # restart from the same checkpoint: backlog drained, nothing appended
+    before = spark.read.parquet(shards).count()
+    q2 = streaming_ohlc_shards(
+        stream, "t", "v", 10.0, shards, ckpt, by=("k",), tie_col="eid",
+        trigger={"availableNow": True},
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(shards).count() == before
+
+    # crash-replay of one epoch: identical rows, same batch_id -> fold out
+    one_batch = spark.read.parquet(shards).limit(3)
+    one_batch.write.mode("append").parquet(shards)
+    assert merged_bars() == whole
+
+
 def test_asof_enrich_static_stream_matches_batch_asof(spark, tmp_path):
     """The stateless stream-static as-of must equal the batch as-of
     join on the same data, including NULLs before a key's first dim
