@@ -100,6 +100,7 @@ HEADLINE = [
     "ohlc_events",
     "ohlc_shards_merge",
     "market_share",
+    "quality_checks",
 ]
 
 

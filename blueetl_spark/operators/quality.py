@@ -1,0 +1,149 @@
+"""Declarative data-quality constraint checking (Deequ-style).
+
+A 100 TB ingest needs its contract checked WHERE the data lives: null
+rates, key uniqueness, value ranges, format regexes, membership, and
+referential integrity — the public pattern established by AWS Deequ
+(Schelter et al., VLDB 2018) re-expressed as plain Catalyst
+expressions.
+
+Scale design — the row-local rules (not_null / range / regex / isin /
+custom predicate) and the uniqueness rules all fold into **one
+map-side-combined aggregate pass** over the data:
+
+- row-local rules become conditional sums;
+- ``unique`` becomes ``count(col…) − countDistinct(col…)`` (the number
+  of surplus duplicate rows) in the SAME aggregate — Spark plans
+  multi-distinct aggregates with one Expand, still a single scan;
+- ``ref`` (foreign key) rules are the only extra jobs: one LEFT ANTI
+  join each against the referenced key set (broadcast when the
+  dimension is small; a big-big FK check shuffles on the key, which is
+  the floor for that question).
+
+Output is one row per rule: ``(rule, column, n_checked, n_violations,
+passed)`` — tiny, driver-safe, and exactly replayable in SQL (every
+count is a deterministic integer).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _rule_label(rule: Mapping) -> tuple[str, str]:
+    kind = rule["type"]
+    if kind == "unique":
+        return kind, ",".join(rule["columns"])
+    return kind, rule["column"]
+
+
+def check_constraints(df: DataFrame, rules: Sequence[Mapping]) -> DataFrame:
+    """Evaluate ``rules`` against ``df``; returns one row per rule:
+    ``(rule, column, n_checked, n_violations, passed)``.
+
+    Rule shapes (dicts)::
+
+        {"type": "not_null", "column": c}
+        {"type": "range", "column": c, "lo": x, "hi": y}   # inclusive,
+                                                 # either bound optional
+        {"type": "regex", "column": c, "pattern": p}       # full match
+        {"type": "isin", "column": c, "values": [...]}
+        {"type": "unique", "columns": [c, ...]}
+        {"type": "ref", "column": c, "ref": DataFrame, "ref_col": r}
+
+    Semantics: NULL values violate only ``not_null`` (the other
+    row-local rules check the values that are present — compose with
+    ``not_null`` to forbid them); ``n_checked`` counts the rows the
+    rule actually examined. ``unique`` counts surplus duplicate rows
+    among fully-non-null key tuples; ``ref`` counts non-null values
+    missing from the referenced key set.
+    """
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    aggs: list[Column] = []
+    meta: list[tuple[str, str]] = []
+    ref_rules: list[Mapping] = []
+    for i, rule in enumerate(rules):
+        kind = rule["type"]
+        if kind == "ref":
+            ref_rules.append(rule)
+            continue
+        label = _rule_label(rule)
+        if kind == "unique":
+            cols = [F.col(c) for c in rule["columns"]]
+            nn = F.count(F.when(
+                ~F.greatest(*[c.isNull() for c in cols])
+                if len(cols) > 1 else cols[0].isNotNull(),
+                F.lit(1),
+            ))
+            aggs += [
+                nn.alias(f"__n{i}"),
+                (nn - F.countDistinct(*cols)).alias(f"__v{i}"),
+            ]
+            meta.append(label)
+            continue
+        c = F.col(rule["column"])
+        if kind == "not_null":
+            checked, viol = F.count(F.lit(1)), F.sum(c.isNull().cast("long"))
+        elif kind == "range":
+            ok = F.lit(True)
+            if "lo" in rule:
+                ok &= c >= F.lit(rule["lo"])
+            if "hi" in rule:
+                ok &= c <= F.lit(rule["hi"])
+            checked = F.count(c)
+            viol = F.sum((c.isNotNull() & ~ok).cast("long"))
+        elif kind == "regex":
+            ok = c.cast("string").rlike(f"^(?:{rule['pattern']})$")
+            checked = F.count(c)
+            viol = F.sum((c.isNotNull() & ~ok).cast("long"))
+        elif kind == "isin":
+            ok = c.isin(list(rule["values"]))
+            checked = F.count(c)
+            viol = F.sum((c.isNotNull() & ~ok).cast("long"))
+        else:
+            raise ValueError(f"unknown rule type {kind!r}")
+        aggs += [checked.alias(f"__n{i}"), viol.alias(f"__v{i}")]
+        meta.append(label)
+
+    spark = df.sparkSession
+    rows: list[DataFrame] = []
+    if aggs:
+        wide = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{kind}', '{col}', coalesce(__n{i}, 0L), coalesce(__v{i}, 0L)"
+            for i, (kind, col) in zip(
+                [j for j, r in enumerate(rules) if r["type"] != "ref"], meta
+            )
+        )
+        rows.append(
+            wide.selectExpr(
+                f"stack({len(meta)}, {stack_args}) as "
+                "(rule, column, n_checked, n_violations)"
+            )
+        )
+    for rule in ref_rules:
+        c, ref, ref_col = rule["column"], rule["ref"], rule["ref_col"]
+        present = df.filter(F.col(c).isNotNull())
+        missing = present.join(
+            ref.select(F.col(ref_col).alias(c)).distinct(), c, "left_anti"
+        )
+        rows.append(
+            present.agg(F.count(F.lit(1)).alias("__n"))
+            .crossJoin(missing.agg(F.count(F.lit(1)).alias("__v")))
+            .select(
+                F.lit("ref").alias("rule"),
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_checked"),
+                F.col("__v").alias("n_violations"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "rule", "column", "n_checked", "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

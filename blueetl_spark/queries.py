@@ -5139,6 +5139,81 @@ FROM vol GROUP BY 1
 """
 
 
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative constraint suite over lineitem
+    (``quality.check_constraints``): nullity, range, format regex,
+    membership, single/composite-key uniqueness, and FK integrity into
+    orders — the row-local + uniqueness rules fold into ONE
+    map-side-combined aggregate pass; only the FK rule adds an anti
+    join."""
+    from blueetl_spark.operators import quality
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders")
+    rules = [
+        {"type": "not_null", "column": "l_orderkey"},
+        {"type": "range", "column": "l_quantity", "lo": 1.0, "hi": 30.0},
+        {"type": "regex", "column": "l_returnflag", "pattern": "[ARN]"},
+        {"type": "isin", "column": "l_linestatus", "values": ["O", "F"]},
+        {"type": "unique", "columns": ["l_orderkey"]},
+        {"type": "unique", "columns": ["l_orderkey", "l_linenumber"]},
+        {"type": "ref", "column": "l_orderkey", "ref": orders,
+         "ref_col": "o_orderkey"},
+    ]
+    return quality.check_constraints(li, rules)
+
+
+SQL_QUALITY_CHECKS = """
+WITH checks AS (
+  SELECT 'not_null' AS rule, 'l_orderkey' AS "column",
+         COUNT(*) AS n_checked,
+         CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_violations
+  FROM lineitem
+  UNION ALL
+  SELECT 'range', 'l_quantity', COUNT(l_quantity),
+         CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+                        AND NOT (l_quantity >= 1.0 AND l_quantity <= 30.0)
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'regex', 'l_returnflag', COUNT(l_returnflag),
+         CAST(SUM(CASE WHEN l_returnflag IS NOT NULL
+                        AND NOT regexp_full_match(l_returnflag, '[ARN]')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'unique', 'l_orderkey', COUNT(l_orderkey),
+         COUNT(l_orderkey) - COUNT(DISTINCT l_orderkey)
+  FROM lineitem
+  UNION ALL
+  SELECT 'unique', 'l_orderkey,l_linenumber',
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL),
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)
+         - (SELECT COUNT(*) FROM (
+              SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+              WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL))
+  UNION ALL
+  SELECT 'isin', 'l_linestatus', COUNT(l_linestatus),
+         CAST(SUM(CASE WHEN l_linestatus IS NOT NULL
+                        AND l_linestatus NOT IN ('O', 'F')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'ref', 'l_orderkey',
+         (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE l_orderkey IS NOT NULL AND NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+)
+SELECT rule, "column", n_checked, n_violations,
+       n_violations = 0 AS passed
+FROM checks
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5238,6 +5313,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ohlc_events": q_ohlc_events,
     "ohlc_shards_merge": q_ohlc_shards_merge,
     "market_share": q_market_share,
+    "quality_checks": q_quality_checks,
     "report_extract": q_report_extract,
     "customer_class_index": q_customer_class_index,
     "histogram": q_histogram,
@@ -5314,6 +5390,7 @@ ORACLES: dict[str, str] = {
     "ohlc_events": SQL_OHLC_EVENTS,
     "ohlc_shards_merge": SQL_OHLC_SHARDS_MERGE,
     "market_share": SQL_MARKET_SHARE,
+    "quality_checks": SQL_QUALITY_CHECKS,
     "qdsl_filter": SQL_QDSL_FILTER,
     "windows_materialize": SQL_WINDOWS_MATERIALIZE,
     "report_extract": SQL_REPORT_EXTRACT,

@@ -1,0 +1,89 @@
+"""Declarative constraint checking (``operators/quality.py``).
+
+The sf0.01 gate (`quality_checks`) hash-verifies the full suite against
+DuckDB; these pin per-rule semantics (NULL handling, composite
+uniqueness, FK), error cases, and the single-scan plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from blueetl_spark.operators.quality import check_constraints
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 50.0), (2, "b", None), (None, "zz", 7.0)],
+        "k long, s string, v double",
+    )
+
+
+def test_rule_semantics(spark, df):
+    ref = spark.createDataFrame([(1,), (9,)], "r long")
+    rules = [
+        {"type": "not_null", "column": "k"},
+        {"type": "range", "column": "v", "lo": 0.0, "hi": 10.0},
+        {"type": "range", "column": "k", "lo": 0.0},  # one-sided
+        {"type": "regex", "column": "s", "pattern": "[a-b]"},
+        {"type": "isin", "column": "s", "values": ["a", "b"]},
+        {"type": "unique", "columns": ["k"]},
+        {"type": "unique", "columns": ["k", "s"]},
+        {"type": "ref", "column": "k", "ref": ref, "ref_col": "r"},
+    ]
+    got = {
+        (r.rule, r.column): (r.n_checked, r.n_violations, r.passed)
+        for r in check_constraints(df, rules).collect()
+    }
+    assert got[("not_null", "k")] == (4, 1, False)
+    # NULL v is not checked by range (compose with not_null to forbid)
+    assert got[("range", "v")] == (3, 1, False)
+    assert got[("range", "k")] == (3, 0, True)  # one-sided bound
+    assert got[("regex", "s")] == (4, 1, False)
+    assert got[("isin", "s")] == (4, 1, False)
+    # non-null k tuples: 1,2,2 -> 1 surplus duplicate
+    assert got[("unique", "k")] == (3, 1, False)
+    assert got[("unique", "k,s")] == (3, 1, False)
+    # k in {1,2,2}; ref holds {1,9} -> both 2-rows missing
+    assert got[("ref", "k")] == (3, 2, False)
+
+
+def test_all_passing_suite(spark, df):
+    out = check_constraints(
+        df, [{"type": "isin", "column": "s", "values": ["a", "b", "zz"]}]
+    ).collect()
+    assert out[0].passed and out[0].n_violations == 0
+
+
+def test_errors(spark, df):
+    with pytest.raises(ValueError, match="non-empty"):
+        check_constraints(df, [])
+    with pytest.raises(ValueError, match="unknown rule"):
+        check_constraints(df, [{"type": "nope", "column": "k"}])
+
+
+def test_row_local_rules_fold_into_one_scan(spark, df):
+    """Everything except FK rules must cost exactly one pass over the
+    data — one aggregate (with Expand for the distinct), no joins."""
+    rules = [
+        {"type": "not_null", "column": "k"},
+        {"type": "range", "column": "v", "lo": 0.0, "hi": 10.0},
+        {"type": "unique", "columns": ["k"]},
+    ]
+    plan = (
+        check_constraints(df, rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Scan ExistingRDD") == 1
+
+
+def test_empty_frame_zero_counts(spark):
+    empty = spark.createDataFrame([], "k long")
+    out = check_constraints(
+        empty, [{"type": "not_null", "column": "k"},
+                {"type": "unique", "columns": ["k"]}]
+    ).collect()
+    assert all(r.n_checked == 0 and r.passed for r in out)
