@@ -101,6 +101,8 @@ HEADLINE = [
     "ohlc_shards_merge",
     "market_share",
     "quality_checks",
+    "embedding_covariance",
+    "embedding_projection",
 ]
 
 

@@ -5214,6 +5214,83 @@ FROM checks
 """
 
 
+EMB_DIM = 64
+JL_DIM = 8
+JL_SEED = "jl-r8"
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus covariance of the embedding matrix
+    (``embeddings.embedding_moments``): ONE Arrow pass emits ~32 KB
+    partial-moment rows per partition, a bounded driver reduce
+    finalizes — no shuffle at all; the SQL replay needs an n×d² self
+    join. Final formula mirrored op-for-op on both sides, rounded at
+    audit precision."""
+    from blueetl_spark.operators import embeddings as emb
+
+    df = tables.load(spark, sf_dir, "embeddings")
+    n, mean, cov = emb.embedding_moments(df)
+    d = mean.shape[0]
+    rows = [
+        (int(i), int(j), float(round(cov[i, j], 6)))
+        for i in range(d)
+        for j in range(d)
+    ]
+    return local_df(spark, rows, "i long, j long, cov double")
+
+
+SQL_EMBEDDING_COVARIANCE = """
+WITH u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+s AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sxy, COUNT(*) AS n
+  FROM u a JOIN u b USING (vec_id) GROUP BY 1, 2
+),
+m AS (SELECT i, SUM(x) AS sx FROM u GROUP BY 1)
+SELECT s.i, s.j,
+       ROUND(sxy / s.n - (mi.sx / s.n) * (mj.sx / s.n), 6) AS cov
+FROM s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j
+"""
+
+
+def q_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic JL random projection 64→8
+    (``embeddings.random_projection``): the ±1/√k sign matrix is a pure
+    md5 function of (seed, i, j), emitted as literal coefficient chains
+    — map-only, whole-stage codegen, zero Python at run time, and the
+    oracle embeds the identical literals so the per-row left-to-right
+    fold replays bit-for-bit."""
+    from blueetl_spark.operators import embeddings as emb
+
+    df = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return emb.random_projection(
+        df, JL_DIM, seed=JL_SEED, d=EMB_DIM
+    ).drop("embedding")
+
+
+def _embedding_projection_sql() -> str:
+    from blueetl_spark.operators.embeddings import projection_signs
+
+    signs = projection_signs(EMB_DIM, JL_DIM, JL_SEED)
+    scale = 1.0 / float(JL_DIM) ** 0.5
+    cols = []
+    for j in range(JL_DIM):
+        chain = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {float(signs[j][i])!r}"
+            for i in range(EMB_DIM)
+        )
+        cols.append(f"ROUND(({chain}) * {scale!r}, 6) AS p{j}")
+    return f"SELECT vec_id, {', '.join(cols)} FROM embeddings"
+
+
+SQL_EMBEDDING_PROJECTION = _embedding_projection_sql()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5314,6 +5391,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ohlc_shards_merge": q_ohlc_shards_merge,
     "market_share": q_market_share,
     "quality_checks": q_quality_checks,
+    "embedding_covariance": q_embedding_covariance,
+    "embedding_projection": q_embedding_projection,
     "report_extract": q_report_extract,
     "customer_class_index": q_customer_class_index,
     "histogram": q_histogram,
@@ -5391,6 +5470,8 @@ ORACLES: dict[str, str] = {
     "ohlc_shards_merge": SQL_OHLC_SHARDS_MERGE,
     "market_share": SQL_MARKET_SHARE,
     "quality_checks": SQL_QUALITY_CHECKS,
+    "embedding_covariance": SQL_EMBEDDING_COVARIANCE,
+    "embedding_projection": SQL_EMBEDDING_PROJECTION,
     "qdsl_filter": SQL_QDSL_FILTER,
     "windows_materialize": SQL_WINDOWS_MATERIALIZE,
     "report_extract": SQL_REPORT_EXTRACT,
