@@ -103,6 +103,7 @@ HEADLINE = [
     "quality_checks",
     "embedding_covariance",
     "embedding_projection",
+    "leakage_split",
 ]
 
 

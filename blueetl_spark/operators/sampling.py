@@ -420,3 +420,33 @@ def split_assign(
     last = F.lit(names[-1])
     out = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, out)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str,
+    key_col: str,
+    seed: str = "",
+    method: str = "xxhash64",
+    out_col: str = "split",
+) -> DataFrame:
+    """Group-aware :func:`split_assign`: every row of a group lands in
+    the SAME split, so duplicate clusters / domains / document families
+    never straddle train and test — the held-out-contamination control
+    a per-row split cannot give (near-identical rows on both sides of
+    the boundary leak the test set into training).
+
+    Assignment hashes the group's CANONICAL member (min ``key_col``),
+    not the group value itself, so renumbering group ids (e.g. a re-run
+    of connected components) cannot move a group across splits as long
+    as membership is unchanged. Cost: one aggregate on the group key
+    plus a join that reuses the aggregate's own hash distribution —
+    one effective shuffle at any scale.
+    """
+    canon = df.groupBy(group_col).agg(F.min(key_col).alias("__canon"))
+    joined = df.join(canon, group_col)
+    return split_assign(
+        joined, weights, key_col="__canon", seed=seed, method=method,
+        out_col=out_col,
+    ).drop("__canon")

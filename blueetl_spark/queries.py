@@ -5291,6 +5291,51 @@ def _embedding_projection_sql() -> str:
 SQL_EMBEDDING_PROJECTION = _embedding_projection_sql()
 
 
+LEAK_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+LEAK_SPLIT_SEED = "dsplit-r8"
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level (group-aware) train/val/test split
+    (``sampling.leakage_safe_split``): every document of a source lands
+    in one split — assignment hashes the group's canonical member, so
+    group-id renumbering can't move groups across the boundary. One
+    aggregate + a distribution-reusing join; the oracle replays the
+    md5 bucket CASE on the same canonical keys."""
+    from blueetl_spark.operators import sampling as smp
+
+    docs = tables.load(spark, sf_dir, "documents")
+    out = smp.leakage_safe_split(
+        docs, LEAK_SPLIT_WEIGHTS, group_col="source", key_col="doc_id",
+        seed=LEAK_SPLIT_SEED, method="md5",
+    )
+    return out.select("doc_id", "source", "split")
+
+
+def _leakage_split_sql() -> str:
+    from blueetl_spark.operators.sampling import BUCKETS
+
+    names = list(LEAK_SPLIT_WEIGHTS)
+    total = sum(LEAK_SPLIT_WEIGHTS.values())
+    bucket = (
+        f"CAST(concat('0x', substring(md5(concat('{LEAK_SPLIT_SEED}', "
+        f"CAST(canon AS VARCHAR))), 1, 15)) AS BIGINT) % {BUCKETS}"
+    )
+    cum, whens = 0.0, []
+    for name in names[:-1]:
+        cum += LEAK_SPLIT_WEIGHTS[name] / total
+        whens.append(f"WHEN {bucket} < {int(cum * BUCKETS)} THEN '{name}'")
+    return f"""
+WITH c AS (SELECT source, MIN(doc_id) AS canon FROM documents GROUP BY 1)
+SELECT d.doc_id, d.source,
+       CASE {' '.join(whens)} ELSE '{names[-1]}' END AS split
+FROM documents d JOIN c USING (source)
+"""
+
+
+SQL_LEAKAGE_SPLIT = _leakage_split_sql()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5393,6 +5438,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_checks": q_quality_checks,
     "embedding_covariance": q_embedding_covariance,
     "embedding_projection": q_embedding_projection,
+    "leakage_split": q_leakage_split,
     "report_extract": q_report_extract,
     "customer_class_index": q_customer_class_index,
     "histogram": q_histogram,
@@ -5472,6 +5518,7 @@ ORACLES: dict[str, str] = {
     "quality_checks": SQL_QUALITY_CHECKS,
     "embedding_covariance": SQL_EMBEDDING_COVARIANCE,
     "embedding_projection": SQL_EMBEDDING_PROJECTION,
+    "leakage_split": SQL_LEAKAGE_SPLIT,
     "qdsl_filter": SQL_QDSL_FILTER,
     "windows_materialize": SQL_WINDOWS_MATERIALIZE,
     "report_extract": SQL_REPORT_EXTRACT,

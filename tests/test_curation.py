@@ -670,6 +670,40 @@ def test_split_assign_deterministic_partition_invariant(spark):
         assert abs(frac[k] - v) < 0.01, (k, frac[k])
 
 
+def test_leakage_safe_split_groups_never_straddle(spark):
+    """All rows of a group land in one split; assignment is invariant
+    to group-id RENUMBERING (it hashes the canonical member, not the
+    group value); composing with duplicate clusters keeps near-dups on
+    one side of the boundary."""
+    import pyspark.sql.functions as F
+
+    from blueetl_spark.operators.sampling import leakage_safe_split
+
+    df = spark.range(5_000).select(
+        F.col("id").alias("doc_id"), F.pmod("id", F.lit(137)).alias("grp")
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = leakage_safe_split(
+        df, w, group_col="grp", key_col="doc_id", seed="s"
+    ).toPandas()
+    per_group = out.groupby("grp")["split"].nunique()
+    assert (per_group == 1).all()
+    # renumber the groups arbitrarily: same membership -> same splits
+    renum = df.withColumn("grp", (F.col("grp") * 7919 + 13) % 100_000)
+    out2 = leakage_safe_split(
+        renum, w, group_col="grp", key_col="doc_id", seed="s"
+    ).toPandas()
+    a = out.set_index("doc_id")["split"].sort_index()
+    b = out2.set_index("doc_id")["split"].sort_index()
+    assert a.equals(b)
+    # group-level proportions track the weights
+    gfrac = (
+        out.drop_duplicates("grp")["split"].value_counts(normalize=True)
+    )
+    for k, v in w.items():
+        assert abs(gfrac.get(k, 0.0) - v) < 0.1, (k, gfrac)
+
+
 def test_split_assign_rejects_bad_weights(spark):
     from blueetl_spark.operators.sampling import split_assign
 
