@@ -61,11 +61,29 @@ def embedding_moments(
                 {"n": [n], "s": [s.tobytes()], "ss": [ss.tobytes()]}
             )
 
-    parts = (
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n, s, ss = 0, None, None
+        for b in batches:
+            for r in b.itertuples(index=False):
+                n += r.n
+                rs, rss = np.frombuffer(r.s), np.frombuffer(r.ss)
+                s = rs.copy() if s is None else s + rs
+                ss = rss.copy() if ss is None else ss + rss
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tobytes()], "ss": [ss.tobytes()]}
+            )
+
+    partials = (
         df.select(F.col(vec_col).cast("array<double>"))
         .filter(F.col(vec_col).isNotNull())
         .mapInPandas(partial, schema)
-        .collect()  # bounded: one ~(8 + 8d + 8d²)-byte row per partition
+    )
+    # two-level reduce: one partial row per input partition would put
+    # #partitions × ~8d² bytes on the driver at 100 TB — fold to ≤ 64
+    # rows Spark-side first, then collect the fixed-size remainder
+    parts = (
+        partials.repartition(64).mapInPandas(fold, schema).collect()
     )
     if not parts:
         raise ValueError("no non-null embeddings")
