@@ -104,6 +104,8 @@ HEADLINE = [
     "embedding_covariance",
     "embedding_projection",
     "leakage_split",
+    "value_trend",
+    "basket_rules",
 ]
 
 

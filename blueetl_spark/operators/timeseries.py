@@ -551,6 +551,60 @@ def ohlc_resample(
     )
 
 
+def grouped_linear_fit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: Sequence[str] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit of ``y ~ x`` from sufficient
+    statistics: ``(by…, n, slope, intercept, r2)`` in ONE map-side-
+    combined aggregate — the closed-form moments
+    ``slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`` need five running sums
+    and no second pass, the scalable shape for millions of groups
+    (per-group `ml.LinearRegression` would be one job per group).
+
+    Only rows with BOTH values non-null enter the sums (pairwise-
+    complete, the ``regr_*`` SQL convention). Degenerate groups (n < 2
+    or zero x-variance) yield NULL slope/intercept/r2. Keep ``x`` in
+    units sized to the question (days, not epoch-ms) — the moment
+    formula's cancellation is benign only when Σx² doesn't dwarf the
+    centered variance.
+    """
+    both = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    x = F.when(both, F.col(x_col).cast("double"))
+    y = F.when(both, F.col(y_col).cast("double"))
+    agg = df.groupBy(*by).agg(
+        F.count(x).alias("n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    n = F.col("n").cast("double")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    cxy = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    slope = F.when((F.col("n") >= 2) & (vx != 0), cxy / vx)
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / n
+    r2 = F.when(
+        slope.isNotNull() & (vy != 0), (cxy * cxy) / (vx * vy)
+    )
+
+    def rnd(c):
+        return F.round(c, round_to) if round_to is not None else c
+
+    return agg.select(
+        *by,
+        "n",
+        rnd(slope).alias("slope"),
+        rnd(intercept).alias("intercept"),
+        rnd(r2).alias("r2"),
+    )
+
+
 def ohlc_shard(
     df: DataFrame,
     time_col: str,

@@ -5336,6 +5336,81 @@ FROM documents d JOIN c USING (source)
 SQL_LEAKAGE_SPLIT = _leakage_split_sql()
 
 
+def q_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time-in-days
+    (``timeseries.grouped_linear_fit``): slope/intercept/r² from five
+    running sums in ONE map-side-combined aggregate — closed-form,
+    no second pass, scales to millions of groups; the oracle mirrors
+    the sufficient-statistic arithmetic op-for-op."""
+    ev = _events_norm(spark, sf_dir).withColumn(
+        "t_days", F.col("time") / F.lit(DAY_MS)
+    )
+    return timeseries.grouped_linear_fit(
+        ev, "t_days", "value", by=["event_type"]
+    )
+
+
+SQL_VALUE_TREND = f"""
+WITH {_E_CTE},
+s AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+         SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM (SELECT event_type, "time" / {DAY_MS!r} AS x, value AS y
+        FROM e WHERE "time" IS NOT NULL AND value IS NOT NULL) t
+  GROUP BY 1
+)
+SELECT event_type, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+             6) AS intercept,
+       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+"""
+
+
+BASKET_MIN_PAIRS = 2
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket 2-itemset association metrics over lineitem
+    (``basket.association_rules``): support/confidence/lift for part
+    pairs sharing an order — distinct (basket, item) first, one
+    basket-key self join whose cost tracks basket size squared (never
+    corpus size), map-side-combined counts, broadcast scalar total."""
+    from blueetl_spark.operators import basket
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    return basket.association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=BASKET_MIN_PAIRS
+    )
+
+
+SQL_BASKET_RULES = f"""
+WITH it AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+tot AS (SELECT CAST(COUNT(DISTINCT b) AS DOUBLE) AS n FROM it),
+ic AS (SELECT i, COUNT(*) AS ni FROM it GROUP BY 1),
+p AS (
+  SELECT a.i AS item_a, c.i AS item_b, COUNT(*) AS n_pairs
+  FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= {BASKET_MIN_PAIRS}
+)
+SELECT item_a, item_b, n_pairs,
+       ROUND(CAST(n_pairs AS DOUBLE) / tot.n, 6) AS support,
+       ROUND(CAST(n_pairs AS DOUBLE) / na.ni, 6) AS confidence_a_b,
+       ROUND((CAST(n_pairs AS DOUBLE) / tot.n)
+             / ((na.ni / tot.n) * (nb.ni / tot.n)), 6) AS lift
+FROM p
+JOIN ic na ON na.i = p.item_a
+JOIN ic nb ON nb.i = p.item_b
+CROSS JOIN tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5439,6 +5514,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_covariance": q_embedding_covariance,
     "embedding_projection": q_embedding_projection,
     "leakage_split": q_leakage_split,
+    "value_trend": q_value_trend,
+    "basket_rules": q_basket_rules,
     "report_extract": q_report_extract,
     "customer_class_index": q_customer_class_index,
     "histogram": q_histogram,
@@ -5519,6 +5596,8 @@ ORACLES: dict[str, str] = {
     "embedding_covariance": SQL_EMBEDDING_COVARIANCE,
     "embedding_projection": SQL_EMBEDDING_PROJECTION,
     "leakage_split": SQL_LEAKAGE_SPLIT,
+    "value_trend": SQL_VALUE_TREND,
+    "basket_rules": SQL_BASKET_RULES,
     "qdsl_filter": SQL_QDSL_FILTER,
     "windows_materialize": SQL_WINDOWS_MATERIALIZE,
     "report_extract": SQL_REPORT_EXTRACT,
