@@ -190,14 +190,22 @@ def random_projection(
         d = probe[0]
     signs = projection_signs(d, out_dim, seed)
     scale = 1.0 / float(out_dim) ** 0.5
-    v = F.col(vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    # one HOF fold per output dim over a literal sign row, NOT a
+    # d-term expression chain: Catalyst planning over k×d chain nodes
+    # cost ~3.5 s for (64, 8) PER EXECUTION; the fold is a handful of
+    # nodes. Numerically identical: aggregate's left-to-right
+    # (((0+t0)+t1)+…) equals the chain's ((t0+t1)+t2)… in IEEE
+    # (0.0 + x == x), so the SQL chain twin still matches bit-for-bit.
     outs: list[Column] = []
     for j in range(out_dim):
-        expr: Column | None = None
-        for i in range(d):
-            term = v[i].cast("double") * F.lit(float(signs[j][i]))
-            expr = term if expr is None else expr + term
-        expr = expr * F.lit(scale)
+        row = F.array(*[F.lit(float(s)) for s in signs[j]])
+        acc = F.aggregate(
+            F.zip_with(v, row, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        expr = acc * F.lit(scale)
         if round_to is not None:
             expr = F.round(expr, round_to)
         outs.append(expr.alias(f"p{j}"))
