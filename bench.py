@@ -106,6 +106,9 @@ HEADLINE = [
     "leakage_split",
     "value_trend",
     "basket_rules",
+    "funnel_gaps",
+    "event_transitions",
+    "event_trigrams",
 ]
 
 

@@ -35,27 +35,22 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def funnel(
+def _stage_completion_times(
     df: DataFrame,
     steps: Sequence[str],
-    user_col: str = "user_id",
-    type_col: str = "event_type",
-    time_col: str = "time",
-) -> DataFrame:
-    """Ordered-funnel completion counts: for each stage ``k`` of
-    ``steps``, the number of users with an event of type ``steps[k]``
-    STRICTLY after their earliest completion of stage ``k-1`` (stage 0
-    = earliest event of ``steps[0]``).
-
-    Returns ``(stage, step, users)``, one row per stage in order.
-    Result is deterministic (counts of earliest-completion fixpoints;
-    equal-time events never satisfy the strict ordering, in either
-    engine).
-    """
+    user_col: str,
+    type_col: str,
+    time_col: str,
+) -> tuple[DataFrame, list[str]]:
+    """Shared funnel core: one row per user with ``__arr`` — the array
+    of earliest per-stage completion times (null = unreached), computed
+    by a JVM higher-order fold over the user's time-sorted matching
+    events. ONE user-key shuffle; the step-type filter is pushed to the
+    scan."""
     steps = list(steps)
     if not steps:
         raise ValueError("steps must be non-empty")
@@ -97,7 +92,30 @@ def funnel(
             ).otherwise(a),
         ),
     )
-    reached = seq.select(fold.alias("__arr"))
+    return seq.select(F.col("__u"), fold.alias("__arr")), steps
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "time",
+) -> DataFrame:
+    """Ordered-funnel completion counts: for each stage ``k`` of
+    ``steps``, the number of users with an event of type ``steps[k]``
+    STRICTLY after their earliest completion of stage ``k-1`` (stage 0
+    = earliest event of ``steps[0]``).
+
+    Returns ``(stage, step, users)``, one row per stage in order.
+    Result is deterministic (counts of earliest-completion fixpoints;
+    equal-time events never satisfy the strict ordering, in either
+    engine).
+    """
+    reached, steps = _stage_completion_times(
+        df, steps, user_col, type_col, time_col
+    )
+    k = len(steps)
     tallies = reached.agg(
         *[
             F.sum(F.col("__arr")[j].isNotNull().cast("long")).alias(f"__s{j}")
@@ -110,6 +128,142 @@ def funnel(
     return tallies.selectExpr(
         f"stack({k}, {stack}) as (stage, step, users)"
     ).orderBy("stage")
+
+
+def funnel_times(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "time",
+    round_to: int = 6,
+) -> DataFrame:
+    """:func:`funnel` plus time-to-convert: for each stage, the users
+    reaching it and the median / mean gap from the PREVIOUS stage's
+    earliest completion (stage 0 has null gaps). Same single user-key
+    shuffle — the gap stats are one k-column aggregate over the fold's
+    per-user stage times; medians use exact linear-interpolation
+    ``percentile`` (DuckDB ``quantile_cont`` semantics)."""
+    reached, steps = _stage_completion_times(
+        df, steps, user_col, type_col, time_col
+    )
+    k = len(steps)
+    arr = F.col("__arr")
+    aggs = []
+    for j in range(k):
+        aggs.append(F.sum(arr[j].isNotNull().cast("long")).alias(f"__n{j}"))
+        if j:
+            gap = arr[j] - arr[j - 1]  # non-null iff stage j reached
+            aggs += [
+                F.percentile(gap, F.lit(0.5)).alias(f"__med{j}"),
+                F.avg(gap).alias(f"__avg{j}"),
+            ]
+    wide = reached.agg(*aggs)
+    rows = ", ".join(
+        f"{j}L, '{steps[j]}', coalesce(__n{j}, 0L), "
+        + (
+            f"round(__med{j}, {round_to}), round(__avg{j}, {round_to})"
+            if j
+            else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+        )
+        for j in range(k)
+    )
+    return wide.selectExpr(
+        f"stack({k}, {rows}) as (stage, step, users, median_gap, avg_gap)"
+    ).orderBy("stage")
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "time",
+    tie_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order transition matrix of each user's event stream:
+    ``(from_type, to_type, n, prob)`` where ``prob`` is row-normalized
+    (P(next | current)). One keyed window (lead) + two
+    map-side-combined aggregates; the from-type totals are
+    types-cardinality-sized and broadcast back. Equal-time events order
+    deterministically on ``tie_col``."""
+    order = [F.col(time_col)] + (
+        [F.col(tie_col)] if tie_col is not None else []
+    )
+    w = Window.partitionBy(user_col).orderBy(*order)
+    nxt = F.lead(type_col).over(w)
+    pairs = (
+        df.select(F.col(type_col).alias("from_type"), nxt.alias("to_type"))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("__tot"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("__tot").cast("double"),
+                round_to,
+            ).alias("prob"),
+        )
+    )
+
+
+def event_sequences(
+    df: DataFrame,
+    n: int = 3,
+    min_count: int = 1,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "time",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Corpus-wide counts of length-``n`` event-type sequences
+    (sliding n-grams over each user's time-ordered stream):
+    ``(seq, n_occ)`` with ``seq`` space-joined. The behavioral-path
+    mining primitive ("what do users do right before churning").
+
+    One user-key shuffle: per-user ordered collect, n-grams emitted by
+    a JVM ``transform`` over index windows (users with fewer than ``n``
+    events contribute nothing), then a map-side-combined global count.
+    Per-user arrays are bounded by that user's events — the same bound
+    as any per-user window; equal-time events order on ``tie_col``.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    tie = F.col(tie_col) if tie_col is not None else F.lit(0)
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        F.struct(
+            F.col(time_col).cast("double").alias("t"),
+            tie.alias("tie"),
+            F.col(type_col).alias("ty"),
+        ).alias("__e"),
+    )
+    seqs = ev.groupBy("__u").agg(
+        F.transform(
+            F.sort_array(F.collect_list("__e")), lambda e: e["ty"]
+        ).alias("__ts")
+    ).filter(F.size("__ts") >= n)
+    grams = seqs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__ts") - n),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("__ts"), i + F.lit(1), n)
+                ),
+            )
+        ).alias("seq")
+    )
+    return (
+        grams.groupBy("seq")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= min_count)
+    )
 
 
 def retention_cohorts(

@@ -5411,6 +5411,117 @@ CROSS JOIN tot
 """
 
 
+def q_funnel_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel time-to-convert (``behavior.funnel_times``): per stage,
+    users reached + median/mean gap from the previous stage's earliest
+    completion — the same single user-key shuffle as the funnel; gap
+    stats are one k-column aggregate over the fold's stage times,
+    medians via exact linear-interpolation percentile
+    (= quantile_cont)."""
+    ev = _events_norm(spark, sf_dir, time_range=FUNNEL_RANGE_MS)
+    return behavior.funnel_times(
+        ev, FUNNEL_STEPS, user_col="gid", type_col="event_type",
+        time_col="time",
+    )
+
+
+def _funnel_gaps_sql() -> str:
+    lo, hi = FUNNEL_RANGE_MS
+    ctes = [f's0 AS (SELECT gid, MIN("time") AS t FROM e '
+            f"WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1)"]
+    for j in range(1, len(FUNNEL_STEPS)):
+        ctes.append(
+            f's{j} AS (SELECT e.gid, MIN("time") AS t FROM e '
+            f"JOIN s{j-1} USING (gid) WHERE e.event_type = "
+            f"'{FUNNEL_STEPS[j]}' AND e.\"time\" > s{j-1}.t GROUP BY 1)"
+        )
+    rows = [
+        f"SELECT CAST(0 AS BIGINT) AS stage, '{FUNNEL_STEPS[0]}' AS step, "
+        "(SELECT COUNT(*) FROM s0) AS users, "
+        "CAST(NULL AS DOUBLE) AS median_gap, CAST(NULL AS DOUBLE) AS avg_gap"
+    ]
+    for j in range(1, len(FUNNEL_STEPS)):
+        g = f"s{j}.t - s{j-1}.t"
+        rows.append(
+            f"SELECT CAST({j} AS BIGINT), '{FUNNEL_STEPS[j]}', "
+            f"(SELECT COUNT(*) FROM s{j}), "
+            f"(SELECT ROUND(quantile_cont({g}, 0.5), 6) "
+            f" FROM s{j} JOIN s{j-1} USING (gid)), "
+            f"(SELECT ROUND(AVG({g}), 6) FROM s{j} JOIN s{j-1} USING (gid))"
+        )
+    return f"""
+WITH {_E_CTE.replace("FROM events)",
+     f'FROM events WHERE epoch_ns(ts)//1000000 - {T0_MS} >= {lo!r} '
+     f'AND epoch_ns(ts)//1000000 - {T0_MS} < {hi!r})')},
+{", ".join(ctes)}
+{chr(10).join("UNION ALL " + r if i else r for i, r in enumerate(rows))}
+"""
+
+
+SQL_FUNNEL_GAPS = _funnel_gaps_sql()
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix
+    (``behavior.event_transitions``): P(next event type | current) per
+    user stream — one keyed lead window + map-side-combined counts,
+    from-type totals broadcast back."""
+    ev = _events_norm(spark, sf_dir)
+    return behavior.event_transitions(
+        ev, user_col="gid", type_col="event_type", time_col="time",
+        tie_col="event_id",
+    )
+
+
+SQL_EVENT_TRANSITIONS = f"""
+WITH {_E_CTE},
+p AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY gid
+                                ORDER BY "time", event_id) AS to_type
+  FROM e
+),
+c AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS prob
+FROM c JOIN t USING (from_type)
+"""
+
+
+SEQ_N = 3
+
+
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining (``behavior.event_sequences``): counts of
+    event-type trigrams over each user's time-ordered stream — one
+    user-key shuffle, n-grams emitted by a JVM transform over index
+    windows, map-side-combined global count."""
+    ev = _events_norm(spark, sf_dir)
+    return behavior.event_sequences(
+        ev, n=SEQ_N, user_col="gid", type_col="event_type",
+        time_col="time", tie_col="event_id",
+    )
+
+
+SQL_EVENT_TRIGRAMS = f"""
+WITH {_E_CTE},
+seqs AS (
+  SELECT gid, list(event_type ORDER BY "time", event_id) AS ts
+  FROM e GROUP BY 1
+),
+tri AS (
+  SELECT unnest(list_transform(range(1, len(ts) - {SEQ_N - 2}),
+                i -> array_to_string(ts[i:i + {SEQ_N - 1}], ' '))) AS seq
+  FROM seqs
+)
+SELECT seq, COUNT(*) AS n_occ FROM tri GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5516,6 +5627,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leakage_split": q_leakage_split,
     "value_trend": q_value_trend,
     "basket_rules": q_basket_rules,
+    "funnel_gaps": q_funnel_gaps,
+    "event_transitions": q_event_transitions,
+    "event_trigrams": q_event_trigrams,
     "report_extract": q_report_extract,
     "customer_class_index": q_customer_class_index,
     "histogram": q_histogram,
@@ -5598,6 +5712,9 @@ ORACLES: dict[str, str] = {
     "leakage_split": SQL_LEAKAGE_SPLIT,
     "value_trend": SQL_VALUE_TREND,
     "basket_rules": SQL_BASKET_RULES,
+    "funnel_gaps": SQL_FUNNEL_GAPS,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "event_trigrams": SQL_EVENT_TRIGRAMS,
     "qdsl_filter": SQL_QDSL_FILTER,
     "windows_materialize": SQL_WINDOWS_MATERIALIZE,
     "report_extract": SQL_REPORT_EXTRACT,

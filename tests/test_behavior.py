@@ -67,6 +67,83 @@ def test_funnel_plan_one_user_shuffle_no_window(spark, ev):
     assert plan.count("Exchange hashpartitioning") <= 1
 
 
+def test_funnel_times_gap_stats(spark):
+    from blueetl_spark.operators.behavior import funnel_times
+
+    rows = [
+        (1, "a", 1.0), (1, "b", 3.0), (1, "c", 7.0),
+        (2, "a", 0.0), (2, "b", 10.0),
+        (3, "a", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, time double")
+    got = {
+        r.stage: (r.users, r.median_gap, r.avg_gap)
+        for r in funnel_times(df, ["a", "b", "c"]).collect()
+    }
+    assert got[0] == (3, None, None)
+    assert got[1] == (2, 6.0, 6.0)  # gaps 2 and 10
+    assert got[2] == (1, 4.0, 4.0)
+    # unreached tail stage: zero users, null gaps
+    got2 = {
+        r.stage: (r.users, r.median_gap)
+        for r in funnel_times(df, ["c", "a"]).collect()
+    }
+    assert got2[1] == (0, None)
+
+
+def test_event_transitions_row_normalized(spark):
+    from blueetl_spark.operators.behavior import event_transitions
+
+    rows = [
+        (1, "a", 1.0, 1), (1, "b", 2.0, 2), (1, "a", 3.0, 3),
+        (1, "c", 4.0, 4),
+        (2, "a", 1.0, 5), (2, "b", 2.0, 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, time double, eid long"
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n, r.prob)
+        for r in event_transitions(df, tie_col="eid").collect()
+    }
+    # from a: a->b twice, a->c once
+    assert got[("a", "b")] == (2, round(2 / 3, 6))
+    assert got[("a", "c")] == (1, round(1 / 3, 6))
+    assert got[("b", "a")] == (1, 1.0)
+    # single-event user 3 contributes nothing
+    assert ("c", "a") not in got
+
+
+def test_event_transitions_equal_time_tie_break(spark):
+    from blueetl_spark.operators.behavior import event_transitions
+
+    rows = [(1, "x", 1.0, 2), (1, "y", 1.0, 1)]  # y first by eid
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, time double, eid long"
+    )
+    got = {(r.from_type, r.to_type) for r in
+           event_transitions(df, tie_col="eid").collect()}
+    assert got == {("y", "x")}
+
+
+def test_event_sequences_ngrams(spark):
+    from blueetl_spark.operators.behavior import event_sequences
+
+    rows = [
+        (1, "a", 1.0), (1, "b", 2.0), (1, "c", 3.0),
+        (2, "a", 1.0), (2, "b", 2.0),
+        (3, "z", 9.0),  # shorter than n: contributes nothing
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, time double")
+    got = {r.seq: r.n_occ for r in event_sequences(df, n=2).collect()}
+    assert got == {"a b": 2, "b c": 1}
+    assert {r.seq for r in event_sequences(df, n=3).collect()} == {"a b c"}
+    # min_count filter
+    assert {r.seq for r in event_sequences(df, n=2, min_count=2).collect()} == {"a b"}
+    with pytest.raises(ValueError, match="n must be"):
+        event_sequences(df, n=0)
+
+
 def test_retention_cohorts_matrix(spark):
     rows = [
         (1, dt.datetime(2024, 1, 5)), (1, dt.datetime(2024, 2, 7)),
