@@ -280,6 +280,47 @@ def run_stress(
             .mode("overwrite")
             .save(),
         )
+        # -- ordered funnel over the full 20M events: 20k users, 4 step
+        # -- types derived from the row id; ONE user-key shuffle + the
+        # -- per-user higher-order fold is the whole cost
+        from blueetl_spark.operators.behavior import funnel
+
+        fev = events.select(
+            "gid",
+            "time",
+            F.element_at(
+                F.array(F.lit("s0"), F.lit("s1"), F.lit("s2"), F.lit("s3")),
+                (F.pmod(F.xxhash64("gid", "time"), F.lit(4)) + 1).cast("int"),
+            ).alias("event_type"),
+        )
+        clock(
+            "funnel_20m",
+            lambda: funnel(
+                fev, ["s0", "s1", "s2", "s3"], user_col="gid",
+                type_col="event_type", time_col="time",
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+        # -- market-basket pairs at 10M (basket, item) rows: 2M baskets
+        # -- of ~5 items from a 2k-item catalog — the basket-key self
+        # -- join cost tracks basket size^2, never corpus size
+        from blueetl_spark.operators.basket import association_rules
+
+        items = spark.range(n_events // 2).select(
+            (F.col("id") % F.lit(n_events // 10)).alias("basket"),
+            F.pmod(F.xxhash64("id"), F.lit(2_000)).alias("item"),
+        )
+        clock(
+            "basket_10m",
+            lambda: association_rules(
+                items, "basket", "item", min_pair_count=2
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return timings, detail
