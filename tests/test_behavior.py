@@ -144,6 +144,48 @@ def test_event_sequences_ngrams(spark):
         event_sequences(df, n=0)
 
 
+def test_funnel_property_random_streams_match_fixpoint(spark):
+    """Property check of the fold: on random event streams the funnel
+    counts must equal a brute-force sequential-min fixpoint computed in
+    plain Python (the SQL oracle's semantics)."""
+    import random
+
+    rng = random.Random(99)
+    steps = ["a", "b", "c", "d"]
+    rows = []
+    for u in range(60):
+        n = rng.randrange(0, 12)
+        ts = rng.sample(range(1000), n)
+        for t in ts:
+            rows.append((u, rng.choice(steps + ["x", "y"]), float(t)))
+    if not rows:
+        rows = [(0, "a", 1.0)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, time double")
+
+    # brute force: per user, t_k = min{t : type==steps[k], t > t_{k-1}}
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, ty, t in rows:
+        by_user[u].append((t, ty))
+    expected = [0] * len(steps)
+    for evs in by_user.values():
+        prev = None
+        for k, s in enumerate(steps):
+            cand = [
+                t for t, ty in evs
+                if ty == s and (k == 0 or (prev is not None and t > prev))
+            ]
+            if not cand or (k > 0 and prev is None):
+                prev = None
+                break
+            prev = min(cand)
+            expected[k] += 1
+
+    got = {r.stage: r.users for r in funnel(df, steps).collect()}
+    assert [got[k] for k in range(len(steps))] == expected
+
+
 def test_retention_cohorts_matrix(spark):
     rows = [
         (1, dt.datetime(2024, 1, 5)), (1, dt.datetime(2024, 2, 7)),

@@ -452,6 +452,29 @@ def test_pareto_two_arrow_passes_single_final_partition(spark):
     assert "SinglePartition" in plan
 
 
+def test_value_trend_single_aggregate_pass(spark):
+    """The grouped OLS must be ONE map-side-combined aggregate over the
+    data — five running sums, no second pass, no join, no window."""
+    from blueetl_spark import queries as Q
+
+    plan = _formatted_plan(Q.q_value_trend(spark, SF))
+    assert "Window" not in plan and "Join" not in plan
+    assert "partial_" in plan  # map-side combine engaged
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_basket_rules_pins_items_and_joins_on_basket(spark):
+    """The distinct (basket, item) frame is pinned (consumed by totals,
+    item counts, and both self-join sides) — the plan reads the
+    checkpointed RDD, never re-scans/re-distincts lineitem four times."""
+    from blueetl_spark import queries as Q
+
+    plan = _formatted_plan(Q.q_basket_rules(spark, SF))
+    assert "Scan parquet" not in plan  # all consumers read the pin
+    assert plan.count("Scan ExistingRDD") >= 3
+    assert "BatchEvalPython" not in plan
+
+
 def test_registry_wide_no_row_python_udfs(spark):
     """Sweep EVERY registered query's physical plan: row-at-a-time
     Python (BatchEvalPython) is banned repo-wide — all Python kernels
