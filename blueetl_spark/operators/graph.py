@@ -52,6 +52,7 @@ def pagerank(
     assume_distinct_edges: bool = False,
     personalization: DataFrame | None = None,
     weight_col: str = "weight",
+    checkpoint_interval: int = 1,
 ) -> DataFrame:
     """Exact (matrix-free) PageRank over a directed edge list.
 
@@ -62,6 +63,17 @@ def pagerank(
     ``max_iter`` rounds (reproducible iteration counts for tests).
     ``assume_distinct_edges=True`` skips the edge-dedup shuffle, same
     contract as ``connected_components``.
+
+    ``checkpoint_interval`` controls how often the iterative lineage is
+    cut with an eager localCheckpoint: 1 (default) materializes every
+    round — the safe choice for big graphs, bounding any recompute to
+    one round; k>1 folds k rounds into one job, trading k× fewer job
+    submissions (the dominant cost on small graphs / fixed-iteration
+    gates) against plan growth — each unpinned round's rank frame is
+    referenced THREE times (dangling mass, contributions, carry), so
+    the plan triples per unpinned round; keep k ≤ 2-3. Ignored (pinned
+    every round) when ``tol > 0``, whose delta job forces per-round
+    materialization anyway.
 
     ``personalization`` makes it topic-sensitive (personalized)
     PageRank: a (id, ``weight_col``) frame of non-negative teleport
@@ -186,8 +198,17 @@ def pagerank(
                 ).alias("rank"),
                 "__prev",
             )
-            .localCheckpoint()  # eager: cut the iterative lineage every round
         )
+        # eager checkpoint: cut the iterative lineage (see docstring's
+        # checkpoint_interval trade — tol>0 always pins, its delta job
+        # materializes every round regardless)
+        if (
+            tol > 0.0
+            or checkpoint_interval <= 1
+            or (it + 1) % checkpoint_interval == 0
+            or it == max_iter - 1
+        ):
+            new_ranks = new_ranks.localCheckpoint()
         # tol=0.0 means "run exactly max_iter rounds": skip the delta job
         # entirely — it's one full join+aggregate pass per round otherwise
         if tol > 0.0 and it < max_iter - 1:
