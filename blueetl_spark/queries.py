@@ -2709,8 +2709,7 @@ def q_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
     )
     ranks = graph.pagerank(
-        edges, damping=PR_DAMPING, max_iter=PR_ITERS, tol=0.0,
-        checkpoint_interval=2,  # fold 2 rounds/job: ~20% off wall time
+        edges, damping=PR_DAMPING, max_iter=PR_ITERS, tol=0.0
     )
     return ranks.select("id", F.round("rank", 9).alias("pr"))
 
@@ -2793,7 +2792,6 @@ def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_iter=PR_ITERS,
         tol=0.0,
         personalization=seeds,
-        checkpoint_interval=2,
     )
     return ranks.select("id", F.round("rank", 9).alias("pr"))
 

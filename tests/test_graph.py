@@ -46,6 +46,26 @@ def test_pagerank_matches_numpy(spark, edges_df):
     assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
 
 
+def test_pagerank_checkpoint_interval_equivalent(spark, edges_df):
+    """checkpoint_interval folds rounds into one job without changing a
+    single rank: intervals 1, 2 and 3 must agree bit-for-bit on a
+    fixed-iteration run (the knob is a lineage/job-count trade only)."""
+    base = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            edges_df, max_iter=5, tol=0.0, checkpoint_interval=1
+        ).collect()
+    }
+    for ci in (2, 3):
+        got = {
+            r["id"]: r["rank"]
+            for r in pagerank(
+                edges_df, max_iter=5, tol=0.0, checkpoint_interval=ci
+            ).collect()
+        }
+        assert got == base, ci
+
+
 def test_pagerank_dangling_and_isolated(spark):
     # 0 -> 1, 1 dangles; node 7 is isolated (only via `nodes`)
     e = spark.createDataFrame([(0, 1)], "src long, dst long")
