@@ -408,6 +408,7 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s (cold {cold[name]}s)", file=sys.stderr)
     stress, stress_detail = run_stress(spark, n_events, n_docs)
     total = round(sum(timings.values()), 3)
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -419,7 +420,7 @@ def main() -> None:
         "stress_detail": stress_detail,
         "stress_rows": n_events,
     }
-    prev = _load_prev_round(os.path.dirname(os.path.abspath(__file__)), sf)
+    prev = _load_prev_round(repo_dir, sf)
     if prev:
         vs_prev = {
             q: round(timings[q] / prev[q], 2)
@@ -448,9 +449,7 @@ def main() -> None:
                 f"({vs_prev[q]}x)",
                 file=sys.stderr,
             )
-    prev_stress = _load_prev_round(
-        os.path.dirname(os.path.abspath(__file__)), sf, key="stress"
-    )
+    prev_stress = _load_prev_round(repo_dir, sf, key="stress")
     if prev_stress:
         # medians vs the prior round's recorded values. Rounds ≤5 recorded
         # best-of-2 mins, so the first median-vs-min comparison biases
@@ -461,29 +460,87 @@ def main() -> None:
             for q in stress
             if prev_stress.get(q)
         }
-    print(json.dumps(out))
+    # Persist the FULL record to a repo-local file: driver BENCH_r*.json
+    # records from rounds 5-8 carry `parsed: null` because the driver's
+    # capture window (~2000 chars, inferred from the stored `tail` and the
+    # fact that every round whose line exceeded it failed to parse) cut
+    # the head off the growing JSON line, so cross-round vs_prev silently
+    # compared against round 6 for two rounds. The local file is the
+    # authoritative cross-round record; the printed line stays compact.
+    rnd = _current_round(repo_dir)
+    local_path = os.path.join(repo_dir, f"BENCH_LOCAL_r{rnd}.json")
+    with open(local_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"# full record -> {local_path}", file=sys.stderr)
+    # Compact printed line (~2 kB): full per-query map at 2 decimals,
+    # bulky fields (cold mins, stress samples, ratio maps) live in the
+    # local file only.
+    compact = {
+        "metric": out["metric"],
+        "value": round(total, 2),
+        "unit": "sec",
+        "sf": sf,
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "detail": os.path.basename(local_path),
+    }
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
+
+
+def _current_round(repo_dir: str) -> int:
+    """This build round's number: the driver writes ``BENCH_r{N}.json``
+    AFTER round N, so the newest driver record + 1 is the round currently
+    running. ``SPARK_GRAFT_ROUND`` overrides (used once to backfill the
+    round-8 baseline from round-8-close code)."""
+    import glob
+
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    best = 0
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r0*(\d+)\.json$", path)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
 
 
 def _load_prev_round(
     repo_dir: str, sf: float | None, key: str = "queries"
 ) -> dict[str, float] | None:
-    """Per-query timings from the newest recorded BENCH_r*.json at the same
-    SF, for the vs_prev regression map. Best-of-2 damps most box noise, but
-    one-off ratios still happen — rerun before believing a regression."""
+    """Per-query timings from the newest PRIOR round's record at the same
+    SF, for the vs_prev regression map. Repo-local ``BENCH_LOCAL_r*.json``
+    (full record at top level, written by this script) is preferred over
+    the driver's ``BENCH_r*.json`` (whose ``parsed`` field is null whenever
+    the printed line outgrew the driver's capture window — rounds 5-8).
+    Records from the CURRENT round are skipped so in-round reruns still
+    compare against the previous round. Best-of-2 damps most box noise,
+    but one-off ratios still happen — rerun before believing a regression."""
     import glob
 
-    for path in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")), reverse=True):
-        try:
-            rec = json.load(open(path))
-            parsed = rec.get("parsed") or {}
-            if sf is not None and rec.get("sf") not in (None, sf):
+    current = _current_round(repo_dir)
+    by_round: dict[int, dict] = {}
+    for pattern, field in (("BENCH_r*.json", "parsed"), ("BENCH_LOCAL_r*.json", None)):
+        for path in glob.glob(os.path.join(repo_dir, pattern)):
+            m = re.search(r"_r0*(\d+)\.json$", path)
+            if not m:
                 continue
-            queries = parsed.get(key)
-            if queries:
-                return queries
-        except (OSError, ValueError):
-            continue
+            rnd = int(m.group(1))
+            if rnd >= current:
+                continue
+            try:
+                rec = json.load(open(path))
+            except (OSError, ValueError):
+                continue
+            parsed = (rec.get(field) if field else rec) or {}
+            rec_sf = rec.get("sf") if field else parsed.get("sf")
+            if sf is not None and rec_sf not in (None, sf):
+                continue
+            if parsed.get(key):
+                # local (field None) iterates second -> wins ties by round
+                by_round[rnd] = parsed[key]
+    if by_round:
+        return by_round[max(by_round)]
     return None
 
 

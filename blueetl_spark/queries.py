@@ -3229,7 +3229,8 @@ def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PROPS_JSON_STATS = """
 SELECT event_type,
-       COUNT(k) AS n, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+       COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k, MAX(k) AS max_k
 FROM (SELECT event_type, CAST(props->>'k' AS INT) AS k FROM events)
 GROUP BY 1
 """
@@ -3264,9 +3265,9 @@ mad AS (
   FROM e JOIN med USING (event_type) GROUP BY 1
 )
 SELECT e.event_type, COUNT(value) AS n,
-       SUM(CASE WHEN d > 0
+       CAST(SUM(CASE WHEN d > 0
                  AND abs({0.6745!r} * (value - m) / d) > {3.5!r}
-                THEN 1 ELSE 0 END) AS n_outliers,
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        ROUND(ANY_VALUE(m), 6) AS median, ROUND(ANY_VALUE(d), 6) AS mad
 FROM e JOIN mad USING (event_type)
 GROUP BY 1

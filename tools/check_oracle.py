@@ -21,10 +21,16 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Serialize every value to its string form BEFORE comparing.
+
+    The driver's gate hashes serialized values, so int64 ``99111`` and
+    float64 ``99111.0`` (DuckDB HUGEINT sums land as float64 in pandas)
+    must NOT compare equal — ``astype(str)`` keeps exactly that
+    distinction while remaining insensitive to int32-vs-int64 width.
+    """
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+        df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
@@ -68,21 +74,30 @@ def main() -> int:
             continue
         g, e = canon(got), canon(exp)
         try:
-            # the driver's gate is a value HASH — exact equality is the
-            # real contract (queries round their float columns themselves)
-            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+            # the driver's gate is a value HASH over serialized values —
+            # exact string equality of every serialized cell is the real
+            # contract (queries round their float columns themselves, and
+            # int-vs-float dtype drift MUST fail here like it fails there)
+            pd.testing.assert_frame_equal(g, e, check_exact=True)
             print(f"OK    {name}: {len(got)} rows")
-        except AssertionError:
+        except AssertionError as err:
             try:
+                gl = got[sorted(got.columns)].sort_values(
+                    sorted(got.columns), ignore_index=True)
+                el = exp[sorted(exp.columns)].sort_values(
+                    sorted(exp.columns), ignore_index=True)
                 pd.testing.assert_frame_equal(
-                    g, e, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9
+                    gl, el, check_dtype=False, check_exact=False,
+                    rtol=1e-9, atol=1e-9,
                 )
-                # would PASS a tolerant compare but FAIL the driver's hash:
-                # surface it loudly instead of green-lighting it
-                print(f"WARN  {name}: matches at rtol=1e-9 but NOT exactly "
-                      "— the driver's hash gate would flag this")
+                # values agree numerically but their serialized forms
+                # differ (dtype drift / float repr): the driver's hash
+                # gate would flag this — surface it loudly
+                print(f"WARN  {name}: value-identical at rtol=1e-9 but "
+                      "serialized forms differ — the driver's hash gate "
+                      "would flag this")
                 failures.append(name)
-            except AssertionError as err:
+            except AssertionError:
                 print(f"FAIL  {name}: value mismatch: {str(err)[:500]}")
                 failures.append(name)
     spark.stop()
