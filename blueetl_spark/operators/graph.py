@@ -377,6 +377,56 @@ def clustering_coefficient(
     )
 
 
+def k_core_fixed(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exactly ``rounds`` peel iterations of k-core decomposition —
+    the SQL-replayable twin of :func:`k_core` (no data-dependent
+    convergence probe, so an oracle can replay it as ``rounds`` nested
+    CTE peels, the same unrolling contract as ``pagerank``'s
+    ``pagerank_fixed`` gate).
+
+    Round i recomputes degrees on the surviving induced subgraph and
+    keeps vertices of degree ≥ k; the returned (id, core_degree) pairs
+    carry degrees measured on the round-(rounds−1) edge set, matching
+    ``k_core``'s fixpoint output whenever ``rounds`` covers the
+    graph's peel depth. Same per-round shape as ``k_core``: one
+    node-degree aggregate + two semi-joins over a strictly shrinking
+    edge set, each round's frame pinned with ``localCheckpoint`` so
+    lineage (and recompute on failure) stays one round deep.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("k and rounds must be >= 1")
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    alive = None
+    for i in range(rounds):
+        deg = (
+            und.select(F.col("u").alias("id"))
+            .unionAll(und.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+        )
+        alive = deg.filter(F.col("core_degree") >= k)
+        if i < rounds - 1:
+            alive = alive.localCheckpoint()
+            und = (
+                und.join(alive.select(F.col("id").alias("u")), "u", "left_semi")
+                .join(alive.select(F.col("id").alias("v")), "v", "left_semi")
+                .localCheckpoint()
+            )
+    return alive
+
+
 def k_core(
     edges: DataFrame,
     k: int,

@@ -3000,6 +3000,95 @@ FROM deg LEFT JOIN pernode p ON p.suppkey = deg.id
 """
 
 
+K_CORE_K = 6  # peel threshold on the edge-sparsified co-occurrence graph
+K_CORE_ROUNDS = 3  # unrolled peels (the fixed, SQL-replayable contract)
+K_CORE_EDGE_MOD = 8  # md5 edge gate: the unsampled graph is near-complete
+#                      at every sf (min degree 48 at sf0.01), so no k peels;
+#                      keeping ~1/8 of edges gives real multi-round peeling
+#                      (89 -> 84 -> 82 survivors at sf0.01, converged by
+#                      round 3, so the fixed-round output equals the true
+#                      6-core there) while staying bit-reproducible in SQL
+
+
+def q_k_core_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (``graph.k_core_fixed``) on the sampled,
+    edge-sparsified supplier co-occurrence graph, unrolled to exactly
+    ``K_CORE_ROUNDS`` peels so the oracle can replay every round as a
+    nested CTE (the same fixed-iteration contract as
+    ``pagerank_fixed``): round i recomputes degrees on the surviving
+    induced subgraph and keeps vertices of degree >= k."""
+    edges = _tri_edges(spark, sf_dir)
+    gate = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            F.col("src").cast("string"),
+                            F.col("dst").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(K_CORE_EDGE_MOD),
+        )
+        == 0
+    )
+    out = graph.k_core_fixed(
+        edges.filter(gate), k=K_CORE_K, rounds=K_CORE_ROUNDS
+    )
+    return out.select(
+        F.col("id").cast("long").alias("suppkey"), "core_degree"
+    )
+
+
+def _k_core_sql(k: int, rounds: int) -> str:
+    """Nested-CTE replay of ``rounds`` degree-peel iterations."""
+    li = f"""li AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+  WHERE CAST(concat('0x', substring(md5(CAST(l_orderkey AS VARCHAR)),
+                                    1, 15)) AS BIGINT)
+        % {TRI_ORDER_MOD} = 0
+),
+e0 AS (
+  SELECT u, v FROM (
+    SELECT DISTINCT a.s AS u, b.s AS v
+    FROM li a JOIN li b ON a.o = b.o AND a.s < b.s)
+  WHERE CAST(concat('0x', substring(md5(concat(CAST(u AS VARCHAR), '_',
+                                               CAST(v AS VARCHAR))),
+                                    1, 15)) AS BIGINT)
+        % {K_CORE_EDGE_MOD} = 0
+)"""
+    parts = [li]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""d{i} AS (
+  SELECT id, COUNT(*) AS c FROM (
+    SELECT u AS id FROM {prev} UNION ALL SELECT v AS id FROM {prev})
+  GROUP BY 1
+),
+a{i} AS (SELECT id, c FROM d{i} WHERE c >= {k})""")
+        if i < rounds:
+            parts.append(f"""e{i} AS (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT id FROM a{i}) AND v IN (SELECT id FROM a{i})
+)""")
+            prev = f"e{i}"
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT CAST(id AS BIGINT) AS suppkey, c AS core_degree"
+          f" FROM a{rounds}\n"
+    )
+
+
+SQL_K_CORE_FIXED = _k_core_sql(K_CORE_K, K_CORE_ROUNDS)
+
+
 SCD2_YEARS = (1995, 1996, 1997, 1998)
 SCD2_SNAPSHOT_AT = 1997.5  # between the 1997 and 1998 batches
 
@@ -5584,40 +5673,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_sketch_merge": q_histogram_sketch_merge,
     "histogram_sketch_quantiles": q_histogram_sketch_quantiles,
     "pagerank_personalized": q_pagerank_personalized,
-    # ---- round-7 rotation, second pass: the round-6 oracle tail
-    # ---- entered the window earlier this round (VERDICT r6 #4)...
-    "simhash_band_stats": q_simhash_band_stats,
-    "dedup_spans": q_dedup_spans,
-    "epoch_mixture": q_epoch_mixture,
-    "temperature_mixture": q_temperature_mixture,
-    "corpus_diff": q_corpus_diff,
-    "frequent_priority": q_frequent_priority,
-    # ---- ...and the 13 round-7 gates (SemDeDup composition, retrieval
-    # ---- scoring/search, LM + classifier quality scores, DSIR, Gopher
-    # ---- rules, PageRank, Bloom/fuzzy decontamination, record linkage,
-    # ---- phrase search) take the slots of 13 gates stable for >=3
-    # ---- rounds (psd_welch, pricing_summary, revenue_by_nation,
-    # ---- pii_scrub, orders_topk_per_customer, compartment_report,
-    # ---- dedup_exact, token_stats, tf_idf, jaccard_pairs,
-    # ---- hard_negatives, asof_purchase, repetition_stats), which stay
+    # ---- round-9 rotation: the 13 round-8-addendum gates never yet
+    # ---- driver-graded (cohort retention, OHLC resample + mergeable
+    # ---- shards, TPC-H Q8 market share, Deequ-style one-pass quality
+    # ---- rules, embedding covariance/JL projection, leakage-safe
+    # ---- split, OLS trend, basket association rules, funnel gap
+    # ---- timings, Markov transitions, path trigrams) take the slots
+    # ---- of the 13 round-7 gates graded green twice (r7+r8:
+    # ---- semdedup_fixed, bm25, lm_perplexity, dsir_weights,
+    # ---- classifier_score, pagerank_fixed, dsir_resample,
+    # ---- gopher_rules, decontaminate_bloom, fuzzy_decontaminate,
+    # ---- edit_distance_pairs, phrase_search, bm25_search), which stay
     # ---- hash-checked in the oracle tail below.
-    "semdedup_fixed": q_semdedup_fixed,
-    "bm25": q_bm25,
-    "lm_perplexity": q_lm_perplexity,
-    "dsir_weights": q_dsir_weights,
-    "classifier_score": q_classifier_score,
-    "pagerank_fixed": q_pagerank_fixed,
-    "dsir_resample": q_dsir_resample,
-    "gopher_rules": q_gopher_rules,
-    "decontaminate_bloom": q_decontaminate_bloom,
-    "fuzzy_decontaminate": q_fuzzy_decontaminate,
-    "edit_distance_pairs": q_edit_distance_pairs,
-    "phrase_search": q_phrase_search,
-    "bm25_search": q_bm25_search,
-    # ---- oracle tail: graded-window candidates for r9 (round-8
-    # ---- additions), then gates rotated out stable >=3 rounds — all
-    # ---- hash-checked by tests/test_oracle_parity.py and
-    # ---- tools/check_oracle.py ----
     "retention_cohorts": q_retention_cohorts,
     "ohlc_events": q_ohlc_events,
     "ohlc_shards_merge": q_ohlc_shards_merge,
@@ -5631,11 +5698,46 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_gaps": q_funnel_gaps,
     "event_transitions": q_event_transitions,
     "event_trigrams": q_event_trigrams,
+    # ---- SURVEY-core rotation (VERDICT r8 #5): five reference-surface
+    # ---- gates return to the graded window on a standing cycle so
+    # ---- driver-level sf0.01 evidence for the reference surface never
+    # ---- goes stale (they remained hash-checked in the tail while
+    # ---- out); they take the slots of the six r7 second-pass gates
+    # ---- graded green twice (simhash_band_stats, dedup_spans,
+    # ---- epoch_mixture, temperature_mixture, corpus_diff,
+    # ---- frequent_priority).
     "report_extract": q_report_extract,
-    "customer_class_index": q_customer_class_index,
     "histogram": q_histogram,
-    "isi_stats": q_isi_stats,
+    "feature_by_gid": q_feature_by_gid,
     "correlation_pairs": q_correlation_pairs,
+    "dynamic_onset_windows": q_dynamic_onset_windows,
+    # ---- round-9 new surface: fixed-round k-core peeling (the last
+    # ---- graph operator without a SQL twin — VERDICT r8 #6)
+    "k_core_fixed": q_k_core_fixed,
+    # ---- oracle tail: gates rotated out after 2+ green driver
+    # ---- gradings — all still hash-checked by
+    # ---- tests/test_oracle_parity.py and tools/check_oracle.py ----
+    "semdedup_fixed": q_semdedup_fixed,
+    "bm25": q_bm25,
+    "lm_perplexity": q_lm_perplexity,
+    "dsir_weights": q_dsir_weights,
+    "classifier_score": q_classifier_score,
+    "pagerank_fixed": q_pagerank_fixed,
+    "dsir_resample": q_dsir_resample,
+    "gopher_rules": q_gopher_rules,
+    "decontaminate_bloom": q_decontaminate_bloom,
+    "fuzzy_decontaminate": q_fuzzy_decontaminate,
+    "edit_distance_pairs": q_edit_distance_pairs,
+    "phrase_search": q_phrase_search,
+    "bm25_search": q_bm25_search,
+    "simhash_band_stats": q_simhash_band_stats,
+    "dedup_spans": q_dedup_spans,
+    "epoch_mixture": q_epoch_mixture,
+    "temperature_mixture": q_temperature_mixture,
+    "corpus_diff": q_corpus_diff,
+    "frequent_priority": q_frequent_priority,
+    "customer_class_index": q_customer_class_index,
+    "isi_stats": q_isi_stats,
     "multi_sim_rates": q_multi_sim_rates,
     "dedup_embedding": q_dedup_embedding,
     "quality_features": q_quality_features,
@@ -5644,12 +5746,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
     "knn_ivf_fixed": q_knn_ivf_fixed,
-    "dynamic_onset_windows": q_dynamic_onset_windows,
     "sessionization": q_sessionization,
     "value_quantiles": q_value_quantiles,
     "qdsl_filter": q_qdsl_filter,
     "event_rates": q_event_rates,
-    "feature_by_gid": q_feature_by_gid,
     "complexity_pdf": q_complexity_pdf,
     "soma_mean_value": q_soma_mean_value,
     "dedup_keep_canonical": q_dedup_keep_canonical,
@@ -5806,6 +5906,7 @@ ORACLES: dict[str, str] = {
     "train_split": SQL_TRAIN_SPLIT,
     "winsorize_stats": SQL_WINSORIZE_STATS,
     "triangle_counts": SQL_TRIANGLE_COUNTS,
+    "k_core_fixed": SQL_K_CORE_FIXED,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

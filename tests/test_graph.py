@@ -310,3 +310,68 @@ def test_k_core_empty_and_validation(spark):
     assert got == {0: 2, 1: 2, 2: 2}
     with pytest.raises(ValueError, match="k must be"):
         k_core(tri, 0)
+
+
+def _brute_peel_rounds(edges, k, rounds):
+    """Sequential replay of exactly ``rounds`` peel iterations."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    adj = {n: v for n, v in adj.items() if v}
+    out: dict[int, int] = {}
+    for i in range(rounds):
+        out = {n: len(v) for n, v in adj.items() if len(v) >= k}
+        if i < rounds - 1:
+            adj = {
+                n: {m for m in v if m in out}
+                for n, v in adj.items()
+                if n in out
+            }
+            adj = {n: v for n, v in adj.items()}
+    return out
+
+
+def test_k_core_fixed_matches_sequential_peels(spark):
+    import random
+
+    from blueetl_spark.operators.graph import k_core_fixed
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(18), rng.randrange(18)) for _ in range(50)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 3, 4):
+        for rounds in (1, 2, 3):
+            got = {
+                r["id"]: r["core_degree"]
+                for r in k_core_fixed(df, k, rounds).collect()
+            }
+            assert got == _brute_peel_rounds(edges, k, rounds), (k, rounds)
+
+
+def test_k_core_fixed_converges_to_k_core(spark):
+    import random
+
+    from blueetl_spark.operators.graph import k_core, k_core_fixed
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(15), rng.randrange(15)) for _ in range(45)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    # 15 vertices bound the peel depth; enough rounds == the fixpoint
+    fixed = {
+        r["id"]: r["core_degree"] for r in k_core_fixed(df, 3, 15).collect()
+    }
+    full = {r["id"]: r["core_degree"] for r in k_core(df, 3).collect()}
+    assert fixed == full
+
+
+def test_k_core_fixed_validation(spark):
+    from blueetl_spark.operators.graph import k_core_fixed
+
+    tri = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="must be >= 1"):
+        k_core_fixed(tri, 0, 3)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        k_core_fixed(tri, 2, 0)

@@ -11,7 +11,6 @@ gate).
 
 from __future__ import annotations
 
-import math
 
 import pytest
 
@@ -31,19 +30,16 @@ def _ungraded_oracled() -> list[str]:
 
 
 def _canon(df):
-    """Column-name-sorted, row-sorted list of tuples with NaN→None."""
+    """Column-name-sorted, row-sorted list of serialized-value tuples.
+
+    Values are compared through their string serialization (same
+    hardening as ``tools/check_oracle.py``): the driver's gate hashes
+    serialized values, so int64 ``99111`` and float64 ``99111.0`` must
+    NOT compare equal — ``astype(str)`` keeps exactly that distinction
+    while staying insensitive to int32-vs-int64 width."""
     cols = sorted(df.columns)
-    out = []
-    for row in df[cols].itertuples(index=False, name=None):
-        out.append(
-            tuple(
-                None
-                if v is None or (isinstance(v, float) and math.isnan(v))
-                else (float(v) if isinstance(v, float) else v)
-                for v in row
-            )
-        )
-    return cols, sorted(out, key=repr)
+    s = df[cols].astype(str)
+    return cols, sorted(s.itertuples(index=False, name=None))
 
 
 @pytest.mark.parametrize("name", _ungraded_oracled())
