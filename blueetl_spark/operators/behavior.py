@@ -122,12 +122,23 @@ def funnel(
             for j in range(k)
         ]
     )
-    stack = ", ".join(
-        f"{j}L, '{steps[j]}', coalesce(__s{j}, 0L)" for j in range(k)
+    # typed lit() labels, not interpolated SQL literals: a quote in a
+    # step name can't break the generated plan
+    entries = [
+        F.struct(
+            F.lit(j).cast("long").alias("stage"),
+            F.lit(steps[j]).alias("step"),
+            F.coalesce(F.col(f"__s{j}"), F.lit(0))
+            .cast("long")
+            .alias("users"),
+        )
+        for j in range(k)
+    ]
+    return (
+        tallies.select(F.explode(F.array(*entries)).alias("__r"))
+        .select("__r.*")
+        .orderBy("stage")
     )
-    return tallies.selectExpr(
-        f"stack({k}, {stack}) as (stage, step, users)"
-    ).orderBy("stage")
 
 
 def funnel_times(
@@ -159,18 +170,26 @@ def funnel_times(
                 F.avg(gap).alias(f"__avg{j}"),
             ]
     wide = reached.agg(*aggs)
-    rows = ", ".join(
-        f"{j}L, '{steps[j]}', coalesce(__n{j}, 0L), "
-        + (
-            f"round(__med{j}, {round_to}), round(__avg{j}, {round_to})"
-            if j
-            else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+    null_d = F.lit(None).cast("double")
+    entries = [
+        F.struct(
+            F.lit(j).cast("long").alias("stage"),
+            F.lit(steps[j]).alias("step"),
+            F.coalesce(F.col(f"__n{j}"), F.lit(0))
+            .cast("long")
+            .alias("users"),
+            (F.round(F.col(f"__med{j}"), round_to) if j else null_d)
+            .alias("median_gap"),
+            (F.round(F.col(f"__avg{j}"), round_to) if j else null_d)
+            .alias("avg_gap"),
         )
         for j in range(k)
+    ]
+    return (
+        wide.select(F.explode(F.array(*entries)).alias("__r"))
+        .select("__r.*")
+        .orderBy("stage")
     )
-    return wide.selectExpr(
-        f"stack({k}, {rows}) as (stage, step, users, median_gap, avg_gap)"
-    ).orderBy("stage")
 
 
 def event_transitions(

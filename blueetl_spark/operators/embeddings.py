@@ -184,9 +184,17 @@ def random_projection(
     whole-stage codegen, bit-replayable by the SQL oracle. Output adds
     ``p0 … p{out_dim-1}`` double columns."""
     if d is None:
-        probe = df.select(F.size(vec_col)).first()
+        # skip NULL embeddings: a leading NULL row would yield a
+        # null/-1 dimension and a confusing downstream failure
+        probe = (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.size(vec_col))
+            .first()
+        )
         if probe is None:
-            raise ValueError("empty frame; pass d= explicitly")
+            raise ValueError(
+                "no non-null embeddings; pass d= explicitly"
+            )
         d = probe[0]
     signs = projection_signs(d, out_dim, seed)
     scale = 1.0 / float(out_dim) ** 0.5

@@ -41,7 +41,9 @@ def _rule_label(rule: Mapping) -> tuple[str, str]:
 
 def check_constraints(df: DataFrame, rules: Sequence[Mapping]) -> DataFrame:
     """Evaluate ``rules`` against ``df``; returns one row per rule:
-    ``(rule, column, n_checked, n_violations, passed)``.
+    ``(rule_idx, rule, column, n_checked, n_violations, passed)`` —
+    ``rule_idx`` is the rule's position in ``rules``, so two rules of
+    the same type on the same column stay distinguishable.
 
     Rule shapes (dicts)::
 
@@ -63,12 +65,12 @@ def check_constraints(df: DataFrame, rules: Sequence[Mapping]) -> DataFrame:
     if not rules:
         raise ValueError("rules must be non-empty")
     aggs: list[Column] = []
-    meta: list[tuple[str, str]] = []
-    ref_rules: list[Mapping] = []
+    meta: list[tuple[int, str, str]] = []
+    ref_rules: list[tuple[int, Mapping]] = []
     for i, rule in enumerate(rules):
         kind = rule["type"]
         if kind == "ref":
-            ref_rules.append(rule)
+            ref_rules.append((i, rule))
             continue
         label = _rule_label(rule)
         if kind == "unique":
@@ -82,7 +84,7 @@ def check_constraints(df: DataFrame, rules: Sequence[Mapping]) -> DataFrame:
                 nn.alias(f"__n{i}"),
                 (nn - F.countDistinct(*cols)).alias(f"__v{i}"),
             ]
-            meta.append(label)
+            meta.append((i, *label))
             continue
         c = F.col(rule["column"])
         if kind == "not_null":
@@ -106,25 +108,33 @@ def check_constraints(df: DataFrame, rules: Sequence[Mapping]) -> DataFrame:
         else:
             raise ValueError(f"unknown rule type {kind!r}")
         aggs += [checked.alias(f"__n{i}"), viol.alias(f"__v{i}")]
-        meta.append(label)
+        meta.append((i, *label))
 
     spark = df.sparkSession
     rows: list[DataFrame] = []
     if aggs:
         wide = df.agg(*aggs)
-        stack_args = ", ".join(
-            f"'{kind}', '{col}', coalesce(__n{i}, 0L), coalesce(__v{i}, 0L)"
-            for i, (kind, col) in zip(
-                [j for j, r in enumerate(rules) if r["type"] != "ref"], meta
+        # typed lit() labels, not interpolated SQL literals: a quote in
+        # a rule kind/column name can't break the generated plan
+        entries = [
+            F.struct(
+                F.lit(i).cast("long").alias("rule_idx"),
+                F.lit(kind).alias("rule"),
+                F.lit(col).alias("column"),
+                F.coalesce(F.col(f"__n{i}"), F.lit(0))
+                .cast("long")
+                .alias("n_checked"),
+                F.coalesce(F.col(f"__v{i}"), F.lit(0))
+                .cast("long")
+                .alias("n_violations"),
             )
-        )
+            for i, kind, col in meta
+        ]
         rows.append(
-            wide.selectExpr(
-                f"stack({len(meta)}, {stack_args}) as "
-                "(rule, column, n_checked, n_violations)"
-            )
+            wide.select(F.explode(F.array(*entries)).alias("__r"))
+            .select("__r.*")
         )
-    for rule in ref_rules:
+    for i, rule in ref_rules:
         c, ref, ref_col = rule["column"], rule["ref"], rule["ref_col"]
         present = df.filter(F.col(c).isNotNull())
         missing = present.join(
@@ -134,6 +144,7 @@ def check_constraints(df: DataFrame, rules: Sequence[Mapping]) -> DataFrame:
             present.agg(F.count(F.lit(1)).alias("__n"))
             .crossJoin(missing.agg(F.count(F.lit(1)).alias("__v")))
             .select(
+                F.lit(i).cast("long").alias("rule_idx"),
                 F.lit("ref").alias("rule"),
                 F.lit(c).alias("column"),
                 F.col("__n").alias("n_checked"),
@@ -144,6 +155,6 @@ def check_constraints(df: DataFrame, rules: Sequence[Mapping]) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.select(
-        "rule", "column", "n_checked", "n_violations",
+        "rule_idx", "rule", "column", "n_checked", "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )

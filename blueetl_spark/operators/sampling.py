@@ -443,10 +443,24 @@ def leakage_safe_split(
     as membership is unchanged. Cost: one aggregate on the group key
     plus a join that reuses the aggregate's own hash distribution —
     one effective shuffle at any scale.
+
+    Rows with a NULL ``group_col`` belong to no group: each is routed
+    through per-row :func:`split_assign` on its own ``key_col`` (the
+    group key coalesced to the row key), so every input row receives a
+    split — an inner join on a NULL group key would silently drop them
+    from a train/test splitter.
     """
-    canon = df.groupBy(group_col).agg(F.min(key_col).alias("__canon"))
-    joined = df.join(canon, group_col)
-    return split_assign(
+    grouped = df.filter(F.col(group_col).isNotNull())
+    ungrouped = df.filter(F.col(group_col).isNull())
+    canon = grouped.groupBy(group_col).agg(F.min(key_col).alias("__canon"))
+    joined = grouped.join(canon, group_col)
+    part = split_assign(
         joined, weights, key_col="__canon", seed=seed, method=method,
         out_col=out_col,
     ).drop("__canon")
+    return part.unionByName(
+        split_assign(
+            ungrouped, weights, key_col=key_col, seed=seed, method=method,
+            out_col=out_col,
+        )
+    )

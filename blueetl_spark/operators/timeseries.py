@@ -627,10 +627,12 @@ def ohlc_shard(
         raise ValueError("bucket_width must be positive")
     t = F.col(time_col).cast("double")
     v = F.col(value_col).cast("double")
-    tie = (
-        F.col(tie_col).cast("double") if tie_col is not None
-        else F.lit(0.0)
-    )
+    # keep the tie column's NATIVE type (like ohlc_resample): casting to
+    # double would NULL out string ties (silently losing the
+    # deterministic open/close tie-break) and lose precision on int ids
+    # above 2^53; struct ordering handles any orderable type, and a
+    # non-orderable one fails analysis with a clear Spark error
+    tie = F.col(tie_col) if tie_col is not None else F.lit(0.0)
     ordk = F.struct(t.alias("t"), tie.alias("tie"))
     bucket = F.floor(t / F.lit(bucket_width)).cast("long")
     return (

@@ -1921,19 +1921,29 @@ def q_knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=IVF_FIXED_PROBE,
         centroids=cents,
     )
+    import shutil
+
     index_path = tempfile.mkdtemp(prefix="ivf_index_")
-    similarity.build_ivf_index(emb, index_path, centroids=cents)
-    indexed = similarity.search_ivf_index(
-        spark, queries_df, index_path, k=KNN_K, n_probe=IVF_FIXED_PROBE
-    )
-    cols = lambda tag, df: df.select(  # noqa: E731
-        F.lit(tag).alias("path"),
-        "query_id",
-        "neighbor_id",
-        F.round("cosine", 6).alias("cosine"),
-        F.col("rank").cast("long").alias("rank"),
-    )
-    return cols("flat", flat).unionByName(cols("indexed", indexed))
+    try:
+        similarity.build_ivf_index(emb, index_path, centroids=cents)
+        indexed = similarity.search_ivf_index(
+            spark, queries_df, index_path, k=KNN_K, n_probe=IVF_FIXED_PROBE
+        )
+        cols = lambda tag, df: df.select(  # noqa: E731
+            F.lit(tag).alias("path"),
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        # materialize before the index dir vanishes (leak fix)
+        return (
+            cols("flat", flat)
+            .unionByName(cols("indexed", indexed))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(index_path, ignore_errors=True)
 
 
 def _knn_ivf_fixed_body() -> str:
@@ -4726,23 +4736,31 @@ def q_profile_shards_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the HLL-union estimate (sketch-library-specific), so the gate
     covers every additive/foldable stat and leaves cardinality to the
     pytest sketch checks."""
+    import shutil
     import tempfile
 
     from blueetl_spark.operators import profile as prof
 
     orders = tables.load(spark, sf_dir, "orders").select(*PROFILE_SHARD_COLS)
-    path = tempfile.mkdtemp(prefix="profile_shards_") + "/shards"
-    for i in range(3):
-        batch = orders.filter(F.pmod("o_orderkey", F.lit(3)) == i)
-        prof.write_profile_shard(batch, path, batch_id=f"b{i}")
-    # replay b1: same rows, same batch_id — must be invisible in the merge
-    prof.write_profile_shard(
-        orders.filter(F.pmod("o_orderkey", F.lit(3)) == 1), path, batch_id="b1"
-    )
-    return prof.merge_profile_shards(spark, path).select(
-        "column", "n_rows", "n_null",
-        "min_num", "max_num", "min_str", "max_str", "avg_value",
-    )
+    tmp = tempfile.mkdtemp(prefix="profile_shards_")
+    path = tmp + "/shards"
+    try:
+        for i in range(3):
+            batch = orders.filter(F.pmod("o_orderkey", F.lit(3)) == i)
+            prof.write_profile_shard(batch, path, batch_id=f"b{i}")
+        # replay b1: same rows, same batch_id — invisible in the merge
+        prof.write_profile_shard(
+            orders.filter(F.pmod("o_orderkey", F.lit(3)) == 1),
+            path,
+            batch_id="b1",
+        )
+        # materialize before the shard dir vanishes (leak fix)
+        return prof.merge_profile_shards(spark, path).select(
+            "column", "n_rows", "n_null",
+            "min_num", "max_num", "min_str", "max_str", "avg_value",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _profile_shard_col_sql(c: str, numeric: bool) -> str:
@@ -5086,31 +5104,38 @@ def q_ohlc_shards_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches, each appending mergeable partial bars whose open/close
     carry their (time, tie) endpoint keys; one batch REPLAYED verbatim;
     the merge must reproduce the whole-table bars exactly."""
+    import shutil
     import tempfile
 
     # four shard jobs consume the normalized events: pin once so the
     # parquet scan + ts normalization run once, not per batch
     ev = _events_norm(spark, sf_dir).localCheckpoint(eager=True)
-    path = tempfile.mkdtemp(prefix="ohlc_shards_") + "/shards"
-    for i in range(3):
-        batch = ev.filter(F.pmod("event_id", F.lit(3)) == i)
+    tmp = tempfile.mkdtemp(prefix="ohlc_shards_")
+    path = tmp + "/shards"
+    try:
+        for i in range(3):
+            batch = ev.filter(F.pmod("event_id", F.lit(3)) == i)
+            timeseries.ohlc_shard(
+                batch, "time", "value", OHLC_BUCKET_MS, by=["event_type"],
+                tie_col="event_id", batch_id=f"b{i}",
+            ).write.mode("append").parquet(path)
+        # replay b1: identical rows under the same batch_id — must fold out
         timeseries.ohlc_shard(
-            batch, "time", "value", OHLC_BUCKET_MS, by=["event_type"],
-            tie_col="event_id", batch_id=f"b{i}",
+            ev.filter(F.pmod("event_id", F.lit(3)) == 1), "time", "value",
+            OHLC_BUCKET_MS, by=["event_type"], tie_col="event_id",
+            batch_id="b1",
         ).write.mode("append").parquet(path)
-    # replay b1: identical rows under the same batch_id — must fold out
-    timeseries.ohlc_shard(
-        ev.filter(F.pmod("event_id", F.lit(3)) == 1), "time", "value",
-        OHLC_BUCKET_MS, by=["event_type"], tie_col="event_id",
-        batch_id="b1",
-    ).write.mode("append").parquet(path)
-    merged = timeseries.merge_ohlc_shards(
-        spark.read.parquet(path), by=["event_type"]
-    )
-    return merged.select(
-        "event_type", "bucket", "open", "high", "low", "close", "n",
-        F.round("mean", 6).alias("mean"),
-    )
+        merged = timeseries.merge_ohlc_shards(
+            spark.read.parquet(path), by=["event_type"]
+        )
+        # materialize before the shard dir vanishes (was leaking one
+        # temp dir of shard files per gate/bench invocation)
+        return merged.select(
+            "event_type", "bucket", "open", "high", "low", "close", "n",
+            F.round("mean", 6).alias("mean"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 SQL_OHLC_SHARDS_MERGE = f"""
@@ -5255,29 +5280,29 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_QUALITY_CHECKS = """
 WITH checks AS (
-  SELECT 'not_null' AS rule, 'l_orderkey' AS "column",
+  SELECT 0 AS rule_idx, 'not_null' AS rule, 'l_orderkey' AS "column",
          COUNT(*) AS n_checked,
          CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
               AS BIGINT) AS n_violations
   FROM lineitem
   UNION ALL
-  SELECT 'range', 'l_quantity', COUNT(l_quantity),
+  SELECT 1, 'range', 'l_quantity', COUNT(l_quantity),
          CAST(SUM(CASE WHEN l_quantity IS NOT NULL
                         AND NOT (l_quantity >= 1.0 AND l_quantity <= 30.0)
                        THEN 1 ELSE 0 END) AS BIGINT)
   FROM lineitem
   UNION ALL
-  SELECT 'regex', 'l_returnflag', COUNT(l_returnflag),
+  SELECT 2, 'regex', 'l_returnflag', COUNT(l_returnflag),
          CAST(SUM(CASE WHEN l_returnflag IS NOT NULL
                         AND NOT regexp_full_match(l_returnflag, '[ARN]')
                        THEN 1 ELSE 0 END) AS BIGINT)
   FROM lineitem
   UNION ALL
-  SELECT 'unique', 'l_orderkey', COUNT(l_orderkey),
+  SELECT 4, 'unique', 'l_orderkey', COUNT(l_orderkey),
          COUNT(l_orderkey) - COUNT(DISTINCT l_orderkey)
   FROM lineitem
   UNION ALL
-  SELECT 'unique', 'l_orderkey,l_linenumber',
+  SELECT 5, 'unique', 'l_orderkey,l_linenumber',
          (SELECT COUNT(*) FROM lineitem
           WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL),
          (SELECT COUNT(*) FROM lineitem
@@ -5286,19 +5311,20 @@ WITH checks AS (
               SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
               WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL))
   UNION ALL
-  SELECT 'isin', 'l_linestatus', COUNT(l_linestatus),
+  SELECT 3, 'isin', 'l_linestatus', COUNT(l_linestatus),
          CAST(SUM(CASE WHEN l_linestatus IS NOT NULL
                         AND l_linestatus NOT IN ('O', 'F')
                        THEN 1 ELSE 0 END) AS BIGINT)
   FROM lineitem
   UNION ALL
-  SELECT 'ref', 'l_orderkey',
+  SELECT 6, 'ref', 'l_orderkey',
          (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
          (SELECT COUNT(*) FROM lineitem l
           WHERE l_orderkey IS NOT NULL AND NOT EXISTS (
             SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
 )
-SELECT rule, "column", n_checked, n_violations,
+SELECT CAST(rule_idx AS BIGINT) AS rule_idx,
+       rule, "column", n_checked, n_violations,
        n_violations = 0 AS passed
 FROM checks
 """

@@ -212,3 +212,16 @@ def test_retention_cohorts_year_boundary(spark):
         for r in retention_cohorts(df, "u", "d").collect()
     }
     assert got == {("2023-12", 0): 1, ("2023-12", 1): 1}
+
+
+def test_funnel_quoted_step_names(spark):
+    """A quote in a step name must not break the generated plan (labels
+    are typed lit() columns, not interpolated SQL literals)."""
+    rows = [
+        (1, "sign'up", 1.0),
+        (1, "buy", 2.0),
+        (2, "sign'up", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, time double")
+    got = {r["step"]: r["users"] for r in funnel(df, ["sign'up", "buy"]).collect()}
+    assert got == {"sign'up": 2, "buy": 1}

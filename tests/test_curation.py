@@ -758,3 +758,39 @@ def test_curate_gopher_and_split_steps(spark):
     assert out.split.isin(["train", "test"]).all()
     assert [s["op"] for s in stats] == ["input", "gopher", "split"]
     assert stats[2]["rows"] == stats[1]["rows"]  # split never drops
+
+
+def test_leakage_safe_split_null_groups_get_per_row_splits(spark):
+    """Rows with a NULL group must not vanish (the inner join on the
+    group key would silently drop them): each is split per-row on its
+    own key, identically to split_assign."""
+    import pyspark.sql.functions as F
+
+    from blueetl_spark.operators.sampling import (
+        leakage_safe_split,
+        split_assign,
+    )
+
+    df = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, F.pmod("id", F.lit(37))).alias("grp"),
+    )
+    w = {"train": 0.8, "test": 0.2}
+    out = leakage_safe_split(
+        df, w, group_col="grp", key_col="doc_id", seed="s"
+    ).toPandas()
+    assert len(out) == 2_000  # every input row got a split
+    # NULL-group rows match per-row split_assign on doc_id exactly
+    nulls = out[out["grp"].isna()].set_index("doc_id")["split"].sort_index()
+    expect = (
+        split_assign(
+            df.filter(F.col("grp").isNull()), w, key_col="doc_id", seed="s"
+        )
+        .toPandas()
+        .set_index("doc_id")["split"]
+        .sort_index()
+    )
+    assert nulls.equals(expect)
+    # grouped rows still never straddle
+    grouped = out[out["grp"].notna()]
+    assert (grouped.groupby("grp")["split"].nunique() == 1).all()

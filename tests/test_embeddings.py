@@ -86,8 +86,25 @@ def test_random_projection_matches_manual_and_is_codegen(spark, df, mat):
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
     # d probe path (no d passed)
     assert E.random_projection(df.limit(3), 2, seed="t").count() == 3
-    with pytest.raises(ValueError, match="empty frame"):
+    with pytest.raises(ValueError, match="pass d= explicitly"):
         E.random_projection(df.filter("vec_id < 0"), 2, seed="t")
+
+
+def test_random_projection_probe_skips_null_embeddings(spark, df):
+    """A leading NULL embedding must not poison the dimension probe;
+    an all-NULL frame raises the actionable error."""
+    import pyspark.sql.functions as F
+
+    nulled = df.select(
+        "vec_id",
+        F.when(F.col("vec_id") >= 2, F.col("embedding")).alias("embedding"),
+    )
+    # rows 0-1 have NULL embeddings; probe must still find d=12
+    out = E.random_projection(nulled, 2, seed="t")
+    assert out.filter("vec_id >= 2").filter("p0 IS NULL").count() == 0
+    all_null = df.select("vec_id", F.lit(None).cast("array<double>").alias("embedding"))
+    with pytest.raises(ValueError, match="pass d= explicitly"):
+        E.random_projection(all_null, 2, seed="t")
 
 
 def test_projection_signs_deterministic():

@@ -87,3 +87,29 @@ def test_empty_frame_zero_counts(spark):
                 {"type": "unique", "columns": ["k"]}]
     ).collect()
     assert all(r.n_checked == 0 and r.passed for r in out)
+
+
+def test_rule_idx_distinguishes_duplicate_rules(spark, df):
+    """Two rules of the same (type, column) stay separate rows, keyed
+    by their position in the rules list."""
+    rules = [
+        {"type": "range", "column": "v", "lo": 0.0, "hi": 10.0},
+        {"type": "range", "column": "v", "lo": 0.0, "hi": 100.0},
+    ]
+    got = {
+        r.rule_idx: (r.n_checked, r.n_violations, r.passed)
+        for r in check_constraints(df, rules).collect()
+    }
+    assert got[0] == (3, 1, False)
+    assert got[1] == (3, 0, True)
+
+
+def test_quoted_column_names_are_safe(spark):
+    """A quote in a column name must not break the generated plan
+    (labels are typed lit() columns, not interpolated SQL literals)."""
+    df = spark.createDataFrame([(1,), (None,)], ["long"]).toDF("it's")
+    out = check_constraints(
+        df, [{"type": "not_null", "column": "it's"}]
+    ).collect()
+    assert out[0].column == "it's"
+    assert (out[0].n_checked, out[0].n_violations) == (2, 1)

@@ -439,3 +439,43 @@ def test_interval_overlap_end_bucket_no_epsilon(spark):
     assert ts.interval_overlap_join(
         spark.createDataFrame(lf), spark.createDataFrame(rf), bucket_width=1.0
     ).count() == 0
+
+
+def test_ohlc_shard_string_tie_column(spark):
+    """The shard path keeps the tie column's NATIVE type: a string tie
+    must still break equal-time open/close endpoints deterministically
+    (casting it to double would NULL it out and lose the tie-break),
+    and shards must merge to the same bars ohlc_resample produces."""
+    from blueetl_spark.operators import timeseries as ts
+
+    rows = [
+        # bucket 0 has a time tie at t=1.0: string ids "a" < "b"
+        ("s", 1.0, "a", 10.0),
+        ("s", 1.0, "b", 20.0),
+        ("s", 9.0, "c", 30.0),
+        ("s", 12.0, "d", 40.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t double, eid string, v double")
+    whole = {
+        (r["k"], r["bucket"]): (r["open"], r["close"])
+        for r in ts.ohlc_resample(
+            df, "t", "v", 10.0, by=["k"], tie_col="eid"
+        ).collect()
+    }
+    assert whole[("s", 0)] == (10.0, 30.0)  # open = tie-min "a"
+    shards = ts.ohlc_shard(
+        df.filter("t < 5"), "t", "v", 10.0, by=["k"], tie_col="eid",
+        batch_id="b0",
+    ).unionByName(
+        ts.ohlc_shard(
+            df.filter("t >= 5"), "t", "v", 10.0, by=["k"], tie_col="eid",
+            batch_id="b1",
+        )
+    )
+    # native type survives the shard schema
+    assert dict(shards.dtypes)["open_tie"] == "string"
+    merged = {
+        (r["k"], r["bucket"]): (r["open"], r["close"])
+        for r in ts.merge_ohlc_shards(shards, by=["k"]).collect()
+    }
+    assert merged == whole
