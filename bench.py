@@ -109,6 +109,8 @@ HEADLINE = [
     "funnel_gaps",
     "event_transitions",
     "event_trigrams",
+    "k_core_fixed",
+    "cusum_changepoint",
 ]
 
 
@@ -321,6 +323,66 @@ def run_stress(
             .mode("overwrite")
             .save(),
         )
+        # -- streaming-state path: foreachBatch near-dedup against a
+        # -- growing incremental MinHash index, 12 micro-batches x 5k
+        # -- docs (~15% cross-batch duplicates). Tracked value is the
+        # -- MEDIAN per-batch wall (robust to load spikes); the
+        # -- per-batch curve in stress_detail is the real signal — if
+        # -- append/search cost grows with history, the tail batches
+        # -- rise and the cross-round record shows exactly where.
+        from blueetl_spark.streaming.curate import near_dedup_batch
+
+        sd_batches, sd_rows = 12, 5_000
+
+        def _stream_batch(b: int):
+            base = spark.range(sd_rows).select(
+                (F.lit(b * sd_rows) + F.col("id")).alias("doc_id"),
+                F.when(
+                    F.pmod(F.xxhash64("id"), F.lit(100)) < 15,
+                    F.pmod(F.xxhash64("id"), F.lit(b * sd_rows + 1)),
+                )
+                .otherwise(F.lit(b * sd_rows) + F.col("id"))
+                .alias("seed"),
+            )
+            return base.select(
+                "doc_id",
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(59)),
+                        lambda j: F.pmod(
+                            F.xxhash64(F.col("seed") * 60 + j), F.lit(5_000)
+                        ).cast("string"),
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+
+        sd_index = f"{tmp}/stream_dedup_index"
+        shutil.rmtree(sd_index, ignore_errors=True)
+        per_batch = []
+        for b in range(sd_batches):
+            t0 = time.perf_counter()
+            near_dedup_batch(_stream_batch(b), b, sd_index).count()
+            per_batch.append(round(time.perf_counter() - t0, 3))
+        _stress_barrier(spark)
+        med = round(statistics.median(per_batch), 3)
+        timings["stream_near_dedup"] = med
+        detail["stream_near_dedup"] = {
+            "samples": per_batch,  # per-BATCH walls, batch 0 .. N-1
+            "min": min(per_batch),
+            "median": med,
+            "spread": round((max(per_batch) - min(per_batch)) / med, 2)
+            if med
+            else 0.0,
+            "batches": sd_batches,
+            "rows_per_batch": sd_rows,
+            "total_wall": round(sum(per_batch), 3),
+        }
+        print(
+            f"# stress stream_near_dedup: median batch {med}s of "
+            f"{per_batch} (total {sum(per_batch):.1f}s)",
+            file=sys.stderr,
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return timings, detail
@@ -472,18 +534,35 @@ def main() -> None:
     with open(local_path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"# full record -> {local_path}", file=sys.stderr)
-    # Compact printed line (~2 kB): full per-query map at 2 decimals,
-    # bulky fields (cold mins, stress samples, ratio maps) live in the
-    # local file only.
-    compact = {
-        "metric": out["metric"],
-        "value": round(total, 2),
-        "unit": "sec",
-        "sf": sf,
-        "queries": {n: round(t, 2) for n, t in timings.items()},
-        "detail": os.path.basename(local_path),
-    }
-    print(json.dumps(compact, separators=(",", ":")))
+    # Compact printed line (<2 kB — the driver's capture window cuts
+    # longer lines, see above): full per-query map at 1 decimal; full
+    # precision plus the bulky fields (cold mins, stress samples, ratio
+    # maps) live in the BENCH_LOCAL file.
+    q1 = {n: round(t, 1) for n, t in timings.items()}
+
+    def _line(qmap, omitted):
+        d = {
+            "metric": out["metric"],
+            "value": round(total, 2),
+            "unit": "sec",
+            "sf": sf,
+            "queries": qmap,
+        }
+        if omitted:
+            d["omitted_fastest"] = omitted
+        return json.dumps(d, separators=(",", ":"))
+
+    # if the full map doesn't fit the window, drop the FASTEST queries
+    # from the printed line (the total still covers them; per-query
+    # values live in the local file regardless)
+    by_speed = sorted(q1, key=lambda n: (q1[n], n))
+    omitted = 0
+    line = _line(q1, omitted)
+    while len(line) > 1950 and omitted < len(by_speed):
+        omitted += 1
+        keep = {n: q1[n] for n in q1 if n not in set(by_speed[:omitted])}
+        line = _line(keep, omitted)
+    print(line)
     spark.stop()
 
 

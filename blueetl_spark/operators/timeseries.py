@@ -753,3 +753,85 @@ def interval_overlap_join(
     )
     out = le.join(re_, on + ["__b"]).filter(cond).drop("__b")
     return out
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    value_col: str,
+    time_col: str = "time",
+    by: Sequence[str] = (),
+    tie_col: str | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """CUSUM level-shift detection per group: the classic screening
+    question "did this series' mean shift, and when?" for drifting
+    sensors / regime changes in event streams.
+
+    For each group, walk the series in time order and accumulate
+    ``S_i = Σ_{j≤i} (v_j − v̄)`` (the cumulative deviation from the
+    group mean — flat noise hovers near 0, a level shift makes |S|
+    ramp to a peak AT the shift point). Output one row per group:
+    ``(by…, n, mean, max_dev, t_at_max)`` where ``max_dev`` is
+    ``max|S_i|`` (compare against a bootstrap/threshold downstream)
+    and ``t_at_max`` its time — earliest on ties, tie_col as the
+    within-time order tie-break.
+
+    Scale shape: ONE shuffle — the group-mean aggregate broadcasts
+    back (config-sized rows per group), then a single ordered window
+    per group computes the running sum and a row_number picks the
+    peak; both windows share the same hash partitioning so Catalyst
+    plans one exchange. The running sum is sequential-in-time in any
+    engine, so the float result is replay-exact and the SQL oracle
+    reproduces it bit-for-bit (the mean is rounded to ``round_to + 3``
+    before differencing so the two engines' aggregate summation order
+    cannot leak last-ulp drift into the cumsum).
+    """
+    by = list(by)
+    v = F.col(value_col).cast("double")
+    means = (df.groupBy(*by) if by else df.groupBy()).agg(
+        F.avg(v).alias("__mean"), F.count(v).alias("__n")
+    )
+    j = (
+        df.join(F.broadcast(means), on=by)
+        if by
+        else df.crossJoin(F.broadcast(means))
+    )
+    mean = (
+        F.round(F.col("__mean"), round_to + 3)
+        if round_to is not None
+        else F.col("__mean")
+    )
+    order = [F.col(time_col).asc()]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc())
+    w_run = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = F.sum(v - mean).over(w_run)
+    ranked = j.filter(v.isNotNull()).select(
+        *by,
+        F.col(time_col).alias("__t"),
+        F.col("__n").alias("n"),
+        mean.alias("__m"),
+        F.abs(s).alias("__abs_s"),
+    )
+    w_pick = Window.partitionBy(*by).orderBy(
+        F.col("__abs_s").desc(), F.col("__t").asc()
+    )
+
+    def rnd(c):
+        return F.round(c, round_to) if round_to is not None else c
+
+    return (
+        ranked.withColumn("__rk", F.row_number().over(w_pick))
+        .filter(F.col("__rk") == 1)
+        .select(
+            *by,
+            "n",
+            rnd(F.col("__m")).alias("mean"),
+            rnd(F.col("__abs_s")).alias("max_dev"),
+            F.col("__t").alias("t_at_max"),
+        )
+    )

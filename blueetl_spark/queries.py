@@ -3373,6 +3373,49 @@ GROUP BY 1
 """
 
 
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift screen per event type
+    (``timeseries.cusum_changepoint``): max cumulative deviation from
+    the group mean and the time it peaks — one broadcast mean + one
+    ordered window pass, no self-joins. The mean is rounded to 9
+    digits before differencing so engine aggregate-summation order
+    can't leak into the sequential cumsum; outputs round to 6."""
+    ev = _events_norm(spark, sf_dir)
+    return timeseries.cusum_changepoint(
+        ev.select("event_type", "time", "value", "event_id"),
+        "value",
+        time_col="time",
+        by=["event_type"],
+        tie_col="event_id",
+    )
+
+
+SQL_CUSUM_CHANGEPOINT = f"""
+WITH {_E_CTE},
+m AS (
+  SELECT event_type, ROUND(AVG(value), 9) AS m, COUNT(value) AS n
+  FROM e GROUP BY 1
+),
+s AS (
+  SELECT e.event_type, e."time" AS t, m.n, m.m,
+         ABS(SUM(e.value - m.m) OVER (
+             PARTITION BY e.event_type
+             ORDER BY e."time", e.event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS abs_s
+  FROM e JOIN m USING (event_type)
+  WHERE e.value IS NOT NULL
+),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY event_type ORDER BY abs_s DESC, t ASC) AS rk
+  FROM s
+)
+SELECT event_type, n, ROUND(m, 6) AS mean,
+       ROUND(abs_s, 6) AS max_dev, t AS t_at_max
+FROM r WHERE rk = 1
+"""
+
+
 WINSOR_LO, WINSOR_HI = 0.05, 0.95
 
 
@@ -5740,6 +5783,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- round-9 new surface: fixed-round k-core peeling (the last
     # ---- graph operator without a SQL twin — VERDICT r8 #6)
     "k_core_fixed": q_k_core_fixed,
+    # ---- oracle tail head: round-9 additions past the 50-slot window
+    # ---- (r10 graded-window candidates), hash-checked every suite run
+    "cusum_changepoint": q_cusum_changepoint,
     # ---- oracle tail: gates rotated out after 2+ green driver
     # ---- gradings — all still hash-checked by
     # ---- tests/test_oracle_parity.py and tools/check_oracle.py ----
@@ -5933,6 +5979,7 @@ ORACLES: dict[str, str] = {
     "winsorize_stats": SQL_WINSORIZE_STATS,
     "triangle_counts": SQL_TRIANGLE_COUNTS,
     "k_core_fixed": SQL_K_CORE_FIXED,
+    "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

@@ -479,3 +479,93 @@ def test_ohlc_shard_string_tie_column(spark):
         for r in ts.merge_ohlc_shards(shards, by=["k"]).collect()
     }
     assert merged == whole
+
+
+def test_cusum_changepoint_finds_level_shift(spark):
+    """A clean level shift peaks |S| exactly at the last pre-shift
+    point; flat series stay near zero; matches a sequential replay."""
+    from blueetl_spark.operators import timeseries as ts
+
+    rows = []
+    # key "shift": 0,0,0,0,0 then 10,10,10,10,10 -> mean 5, S ramps to
+    # -25 at t=4 (the last low point)
+    for i in range(5):
+        rows.append(("shift", float(i), 0.0, i))
+    for i in range(5, 10):
+        rows.append(("shift", float(i), 10.0, i))
+    # key "flat": constant 3.0 -> every S_i == 0, earliest time wins
+    for i in range(6):
+        rows.append(("flat", float(i), 3.0, i))
+    df = spark.createDataFrame(rows, "k string, t double, v double, eid long")
+    got = {
+        r["k"]: (r["n"], r["mean"], r["max_dev"], r["t_at_max"])
+        for r in ts.cusum_changepoint(
+            df, "v", time_col="t", by=["k"], tie_col="eid"
+        ).collect()
+    }
+    assert got["shift"] == (10, 5.0, 25.0, 4.0)
+    assert got["flat"] == (6, 3.0, 0.0, 0.0)
+
+
+def test_cusum_changepoint_matches_sequential_replay(spark):
+    """Pseudo-random series: the Spark result equals a plain-Python
+    sequential fold (the CUSUM definition)."""
+    import random
+
+    from blueetl_spark.operators import timeseries as ts
+
+    rng = random.Random(3)
+    rows = [
+        (f"k{g}", float(t), round(rng.uniform(-5, 5), 3), t)
+        for g in range(4)
+        for t in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k string, t double, v double, eid long")
+    got = {
+        r["k"]: (r["n"], r["max_dev"], r["t_at_max"])
+        for r in ts.cusum_changepoint(
+            df, "v", time_col="t", by=["k"], tie_col="eid"
+        ).collect()
+    }
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for k, t, v, _ in rows:
+        series[k].append((t, v))
+    for k, pts in series.items():
+        pts.sort()
+        mean = round(sum(v for _, v in pts) / len(pts), 9)
+        s, best, best_t = 0.0, -1.0, None
+        for t, v in pts:
+            s += v - mean
+            if abs(s) > best:
+                best, best_t = abs(s), t
+        assert got[k][0] == len(pts)
+        assert abs(got[k][1] - round(best, 6)) < 1e-9, k
+        assert got[k][2] == best_t, k
+
+
+def test_cusum_changepoint_single_shuffle_plan(spark):
+    """The mean broadcast + both windows must plan ONE exchange of the
+    data (the mean side is a broadcast, the two windows share the same
+    partitioning)."""
+    from blueetl_spark.operators import timeseries as ts
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0, 1)], "k string, t double, v double, eid long"
+    )
+    plan = (
+        ts.cusum_changepoint(df, "v", time_col="t", by=["k"], tie_col="eid")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    data_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(data_exchanges) == 1, plan
+    assert "BroadcastExchange" in plan
