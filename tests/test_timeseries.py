@@ -545,10 +545,11 @@ def test_cusum_changepoint_matches_sequential_replay(spark):
         assert got[k][2] == best_t, k
 
 
-def test_cusum_changepoint_single_shuffle_plan(spark):
-    """The mean broadcast + both windows must plan ONE exchange of the
-    data (the mean side is a broadcast, the two windows share the same
-    partitioning)."""
+def test_cusum_changepoint_single_data_shuffle_plan(spark):
+    """The data crosses ONE hash exchange: the running-sum window and
+    the peak-picking window share the same (key) partitioning, and the
+    mean joins back as a broadcast. The only other exchange is the mean
+    aggregate's map-side-combined partials (group-count-sized)."""
     from blueetl_spark.operators import timeseries as ts
 
     df = spark.createDataFrame(
@@ -560,12 +561,14 @@ def test_cusum_changepoint_single_shuffle_plan(spark):
         .executedPlan()
         .toString()
     )
-    import re
-
-    data_exchanges = [
-        ln
-        for ln in plan.splitlines()
-        if "Exchange hashpartitioning" in ln
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
-    assert len(data_exchanges) == 1, plan
+    agg_partial_exchanges = sum(
+        "partial_avg" in ln for ln in plan.splitlines()
+    )
+    # 2 windows, but exactly 1 data exchange + 1 partial-agg exchange
+    assert len(exchanges) == 2, plan
+    assert agg_partial_exchanges >= 1, plan
+    assert plan.count("+- Window [") == 2, plan
     assert "BroadcastExchange" in plan
