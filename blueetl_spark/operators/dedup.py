@@ -387,6 +387,75 @@ def minhash_lsh_candidates(
     return out
 
 
+def containment_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Asymmetric near-duplicate (CONTAINMENT) candidates: Jaccard LSH
+    misses the "small doc quoted inside a big one" case (the union term
+    dilutes J below any banding threshold even at 100% containment of
+    the small side), but containment is recoverable from the SAME
+    signatures plus exact set sizes:
+
+        |A∩B| ≈ J/(1+J) · (|A|+|B|)        (from J = |A∩B|/|A∪B|)
+        C_A   = |A∩B| / |A|,  C_B = |A∩B| / |B|
+
+    Output: ``(id_a, id_b, est_jaccard, size_a, size_b,
+    est_containment_a, est_containment_b)`` over the banded candidate
+    pairs (estimates clamp to 1.0 — the MinHash estimator can
+    overshoot). Candidate RECALL is still the symmetric banding's: a
+    tiny doc inside a huge one may never share a band; for guaranteed
+    small-in-big recall, partition the corpus by size band upstream.
+
+    Cost over :func:`minhash_lsh_candidates`: one per-doc distinct-
+    shingle count (map-side-combined aggregate over the already-
+    exploded shingle pass) joined onto the candidate pairs — candidate-
+    sized, never corpus². ``hash_fn="md5"`` keeps every stage (and this
+    arithmetic) DuckDB-replayable.
+    """
+    sig = minhash_signatures(
+        df, text_col, id_col, n, num_hashes, hash_fn
+    ).localCheckpoint(eager=True)
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, n, num_hashes, bands, hash_fn,
+        max_bucket_size=max_bucket_size, sig=sig,
+    )
+    sizes = (
+        shingle_sets(df, text_col, id_col, n)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__sz"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("size_b"))
+    ej = F.col("est_jaccard")
+    inter = ej / (F.lit(1.0) + ej) * (F.col("size_a") + F.col("size_b"))
+
+    def clamp_round(c):
+        c = F.least(F.lit(1.0), c)
+        return F.round(c, round_to) if round_to is not None else c
+
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            "size_a",
+            "size_b",
+            clamp_round(inter / F.col("size_a")).alias("est_containment_a"),
+            clamp_round(inter / F.col("size_b")).alias("est_containment_b"),
+        )
+    )
+
+
 def cross_lsh_matches(
     train: DataFrame,
     eval_df: DataFrame,

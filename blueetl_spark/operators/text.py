@@ -1444,3 +1444,62 @@ def bpe_encode(
             yield pdf
 
     return df.mapInPandas(op, out_schema)
+
+
+def contamination_ratio(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    broadcast_eval: bool = True,
+    hashed: bool = False,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-document n-gram contamination SCORE — the lm-eval-harness
+    style refinement of :func:`ngram_overlap`'s boolean flag: the
+    fraction of a train document's distinct word n-grams that appear
+    anywhere in the eval corpus, so a pipeline can rank and threshold
+    ("drop > 80% overlap, audit 20–80%") instead of dropping on one
+    shared shingle.
+
+    Output: ``(id_col, n_grams, n_shared, ratio, contaminated)`` with
+    ``contaminated = ratio >= threshold``. Every train document appears
+    (zero-share docs score 0.0).
+
+    Scale shape is :func:`ngram_overlap`'s: the eval n-gram set
+    broadcasts (or shuffle-joins with ``broadcast_eval=False``), the
+    probe is a LEFT join on the exploded distinct shingles, and ONE
+    map-side-combined aggregate per train doc counts both the total
+    and the shared grams — the ratio costs nothing extra over the
+    flag. ``hashed=True`` probes on ``xxhash64(ngram)`` (8-byte keys;
+    collisions only ever add ~2⁻⁶⁴ false shared counts).
+    """
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError("threshold must be in [0, 1]")
+    ng = F.explode(F.array_distinct(shingles(text_col, n))).alias("__ng")
+    ev = eval_df.select(ng).distinct()
+    tr = train.select(F.col(id_col), ng)
+    if hashed:
+        ev = ev.select(F.xxhash64("__ng").alias("__ng"))
+        tr = tr.select(id_col, F.xxhash64("__ng").alias("__ng"))
+    ev = ev.withColumn("__hit", F.lit(1))
+    hits = tr.join(F.broadcast(ev) if broadcast_eval else ev, "__ng", "left")
+    ratio = F.col("n_shared") / F.col("n_grams")
+    if round_to is not None:
+        ratio = F.round(ratio, round_to)
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_shared"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "n_shared",
+            ratio.alias("ratio"),
+            (ratio >= F.lit(threshold)).alias("contaminated"),
+        )
+    )

@@ -1455,7 +1455,11 @@ def q_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("id_a", "id_b", "est_jaccard")
 
 
-def _minhash_lsh_md5_sql() -> str:
+def _minhash_md5_parts() -> tuple[str, str, int]:
+    """Shared md5 MinHash pipeline pieces: the WITH-body CTE chain
+    (shingles -> 60-bit md5 hashes -> k-permutation signature -> band
+    rows -> candidate pairs), the signature-match-count expression, and
+    k — assembled into the plain-LSH and containment oracles below."""
     k, bands = MINHASH_MD5_HASHES, MINHASH_MD5_BANDS
     rpb = k // bands
     shingle = (
@@ -1487,8 +1491,7 @@ def _minhash_lsh_md5_sql() -> str:
     matches = " + ".join(
         f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(k)
     )
-    return f"""
-WITH sh AS (SELECT doc_id, {shingle} AS shingle FROM documents),
+    ctes = f"""sh AS (SELECT doc_id, {shingle} AS shingle FROM documents),
 hashed AS (SELECT doc_id, {md5_60('shingle')} AS h FROM sh),
 sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
 banded AS ({band_rows}),
@@ -1497,7 +1500,14 @@ cand AS (
   FROM banded a
   JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
                AND a.doc_id < b.doc_id
-)
+)"""
+    return ctes, matches, k
+
+
+def _minhash_lsh_md5_sql() -> str:
+    ctes, matches, k = _minhash_md5_parts()
+    return f"""
+WITH {ctes}
 SELECT id_a, id_b, ({matches}) / {k}.0 AS est_jaccard
 FROM cand
 JOIN sig sa ON sa.doc_id = id_a
@@ -1506,6 +1516,49 @@ JOIN sig sb ON sb.doc_id = id_b
 
 
 SQL_MINHASH_LSH_MD5 = _minhash_lsh_md5_sql()
+
+
+def q_containment_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment estimates over the banded candidates
+    (``dedup.containment_candidates``, md5 family): est_jaccard plus
+    exact distinct-shingle sizes recover |A∩B| and both containment
+    directions — the "small doc quoted inside a big one" screen Jaccard
+    alone dilutes away. Fully SQL-replayed including the estimator
+    arithmetic."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup.containment_candidates(
+        docs,
+        n=JACCARD_NGRAM,
+        num_hashes=MINHASH_MD5_HASHES,
+        bands=MINHASH_MD5_BANDS,
+        hash_fn="md5",
+    )
+
+
+def _containment_md5_sql() -> str:
+    ctes, matches, k = _minhash_md5_parts()
+    cont = (
+        "LEAST(1.0, ej / (1.0 + ej) * (za.sz + zb.sz) / {d}.sz)"
+    )
+    return f"""
+WITH {ctes},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+j AS (
+  SELECT id_a, id_b, ({matches}) / {k}.0 AS ej
+  FROM cand
+  JOIN sig sa ON sa.doc_id = id_a
+  JOIN sig sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, ej AS est_jaccard, za.sz AS size_a, zb.sz AS size_b,
+       ROUND({cont.format(d='za')}, 6) AS est_containment_a,
+       ROUND({cont.format(d='zb')}, 6) AS est_containment_b
+FROM j
+JOIN sizes za ON za.doc_id = id_a
+JOIN sizes zb ON zb.doc_id = id_b
+"""
+
+
+SQL_CONTAINMENT_MD5 = _containment_md5_sql()
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4078,6 +4131,45 @@ LEFT JOIN c USING (doc_id)
 """
 
 
+CONTAM_THRESHOLD = 0.5
+
+
+def q_contamination_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-train-document contamination SCORE (``text.
+    contamination_ratio``): fraction of distinct 3-grams shared with
+    the eval slice, thresholded at 0.5 — the rankable refinement of the
+    boolean ``decontaminate`` flag. Same broadcast-eval probe; the
+    ratio rides the same single per-doc aggregate as the flag."""
+    docs = tables.load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+    tr = docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    return text.contamination_ratio(
+        tr, ev, n=JACCARD_NGRAM, threshold=CONTAM_THRESHOLD
+    )
+
+
+SQL_CONTAMINATION_RATIO = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+ng AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= {JACCARD_NGRAM}
+         THEN list_transform(range(1, len(tk) - {JACCARD_NGRAM - 2}),
+                             i -> array_to_string(tk[i:i+{JACCARD_NGRAM - 1}], ' '))
+         ELSE [array_to_string(tk, ' ')] END) AS ngs FROM t),
+ev AS (SELECT DISTINCT u.ng FROM ng, unnest(ngs) AS u(ng)
+       WHERE doc_id % {DECON_EVAL_MOD} = 0),
+tr AS (SELECT doc_id, u.ng FROM ng, unnest(ngs) AS u(ng)
+       WHERE doc_id % {DECON_EVAL_MOD} <> 0),
+c AS (SELECT tr.doc_id, COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN ev.ng IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_shared
+      FROM tr LEFT JOIN ev ON tr.ng = ev.ng GROUP BY 1)
+SELECT doc_id, n_grams, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / n_grams, 6) AS ratio,
+       ROUND(CAST(n_shared AS DOUBLE) / n_grams, 6)
+         >= {CONTAM_THRESHOLD!r} AS contaminated
+FROM c
+"""
+
+
 def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered decontamination: same split and output as
     ``decontaminate``, but the eval n-gram set folds into a fixed-size
@@ -5786,6 +5878,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- oracle tail head: round-9 additions past the 50-slot window
     # ---- (r10 graded-window candidates), hash-checked every suite run
     "cusum_changepoint": q_cusum_changepoint,
+    "contamination_ratio": q_contamination_ratio,
+    "containment_md5": q_containment_md5,
     # ---- oracle tail: gates rotated out after 2+ green driver
     # ---- gradings — all still hash-checked by
     # ---- tests/test_oracle_parity.py and tools/check_oracle.py ----
@@ -5980,6 +6074,8 @@ ORACLES: dict[str, str] = {
     "triangle_counts": SQL_TRIANGLE_COUNTS,
     "k_core_fixed": SQL_K_CORE_FIXED,
     "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
+    "contamination_ratio": SQL_CONTAMINATION_RATIO,
+    "containment_md5": SQL_CONTAINMENT_MD5,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

@@ -794,3 +794,35 @@ def test_leakage_safe_split_null_groups_get_per_row_splits(spark):
     # grouped rows still never straddle
     grouped = out[out["grp"].notna()]
     assert (grouped.groupby("grp")["split"].nunique() == 1).all()
+
+
+@pytest.mark.parametrize("hashed", [False, True])
+def test_contamination_ratio(spark, hashed):
+    """Ratio = shared distinct n-grams / total distinct n-grams; every
+    train doc appears; threshold applies to the ROUNDED ratio."""
+    train = spark.createDataFrame(
+        [
+            # 3 distinct trigrams, 1 shared -> ratio 1/3
+            (1, "the quick brown fox jumps here"),
+            (2, "totally different words in this doc"),  # ratio 0
+            # identical to an eval doc -> ratio 1.0
+            (3, "a quick brown fox ran"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "a quick brown fox ran")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.contamination_ratio(
+            train, ev, n=3, threshold=0.5, hashed=hashed
+        ).collect()
+    }
+    assert len(out) == 3
+    assert out[1]["n_grams"] == 4 and out[1]["n_shared"] == 1
+    assert out[1]["ratio"] == 0.25 and not out[1]["contaminated"]
+    assert out[2]["ratio"] == 0.0 and not out[2]["contaminated"]
+    assert out[3]["ratio"] == 1.0 and out[3]["contaminated"]
+    with pytest.raises(ValueError, match="threshold"):
+        text.contamination_ratio(train, ev, threshold=1.5)

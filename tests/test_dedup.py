@@ -1015,3 +1015,46 @@ def test_cross_lsh_broadcast_plan(spark):
     assert "BroadcastExchange" in plan
     assert "Exchange hashpartitioning(band" not in plan
     assert "Exchange hashpartitioning(__ev_id" not in plan
+
+
+def test_containment_candidates_arithmetic_and_clamp(spark):
+    """Containment estimates are the documented pure function of
+    (est_jaccard, sizes): identical docs hit 1.0 both ways; a doc whose
+    shingles are a subset of a bigger doc's scores higher containment
+    than Jaccard on its own side; estimates never exceed 1.0."""
+    from blueetl_spark.operators.dedup import (
+        containment_candidates,
+        minhash_lsh_candidates,
+        shingle_sets,
+    )
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, small)], "doc_id long, text string"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in containment_candidates(docs, n=3, num_hashes=16, bands=16).collect()
+    }
+    sizes = {
+        r["doc_id"]: r["n"]
+        for r in shingle_sets(docs, n=3)
+        .groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    ej = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_candidates(docs, n=3, num_hashes=16, bands=16).collect()
+    }
+    # identical docs: J=1, containment 1.0 both directions
+    assert out[(1, 3)]["est_containment_a"] == 1.0
+    assert out[(1, 3)]["est_containment_b"] == 1.0
+    # subset doc 1 inside doc 2: containment_a > est_jaccard, clamped
+    r = out[(1, 2)]
+    j = ej[(1, 2)]
+    inter = j / (1.0 + j) * (sizes[1] + sizes[2])
+    assert r["size_a"] == sizes[1] and r["size_b"] == sizes[2]
+    assert r["est_containment_a"] == round(min(1.0, inter / sizes[1]), 6)
+    assert r["est_containment_b"] == round(min(1.0, inter / sizes[2]), 6)
+    assert r["est_containment_a"] > r["est_jaccard"]
+    assert r["est_containment_a"] <= 1.0
