@@ -377,6 +377,99 @@ def clustering_coefficient(
     )
 
 
+def tree_closure(
+    edges: DataFrame,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    max_depth: int = 1 << 10,
+) -> DataFrame:
+    """Ancestor closure of a forest — the workload other engines write
+    as a RECURSIVE CTE (org charts, category trees, reply threads),
+    which Spark SQL lacks: for every node, the ROOT it hangs under and
+    its depth (edges to the root). Root nodes themselves appear with
+    ``depth 0``.
+
+    **Pointer doubling**, not per-level iteration: round r rewrites
+    every node's ancestor pointer to its ancestor's ancestor and adds
+    the two depths, so after r rounds each pointer has jumped
+    ``2^r`` levels — ``ceil(log2(max_depth))`` self-joins total
+    (10 rounds cover depth 1024), each ONE shuffle on the ancestor key
+    over a node-sized frame, pinned with ``localCheckpoint`` so lineage
+    stays one round deep. A per-level loop would cost ``max_depth``
+    joins; a recursive CTE in a single engine does the same work this
+    does, serially.
+
+    Input rows are (child, parent) pointers — at most one parent per
+    child (duplicates are dropped; a child with two distinct parents
+    raises, the structure isn't a forest). Nodes on a CYCLE never reach
+    a root; they finish with ``depth >= max_depth`` and are returned
+    with ``root = NULL`` so the caller can quarantine them (a silent
+    wrong root would poison every rollup over the hierarchy).
+    """
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    c, p = F.col(child_col), F.col(parent_col)
+    ptr = (
+        edges.select(c.alias("id"), p.alias("anc"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    multi = (
+        ptr.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if multi:
+        raise ValueError(
+            f"node {multi[0]['id']!r} has multiple parents — not a forest"
+        )
+    state = ptr.select("id", "anc", F.lit(1).cast("long").alias("depth"))
+    rounds = max(1, (max_depth - 1).bit_length())
+    for _ in range(rounds):
+        hop = state.select(
+            F.col("id").alias("__a"),
+            F.col("anc").alias("__anc2"),
+            F.col("depth").alias("__d2"),
+        )
+        state = (
+            state.join(hop, state["anc"] == hop["__a"], "left")
+            .select(
+                "id",
+                F.coalesce("__anc2", "anc").alias("anc"),
+                (
+                    F.col("depth") + F.coalesce("__d2", F.lit(0))
+                ).alias("depth"),
+            )
+            .localCheckpoint()
+        )
+    # a chain TERMINATED iff its final ancestor has no parent pointer of
+    # its own (anc not among ptr's children); anything still pointing at
+    # a child after full doubling sits on a cycle (or exceeds max_depth)
+    children = ptr.select("id")
+    unfinished = children.select(F.col("id").alias("__c"))
+    out = state.join(
+        unfinished, state["anc"] == unfinished["__c"], "left"
+    ).select(
+        "id",
+        F.when(F.col("__c").isNull(), F.col("anc")).alias("root"),
+        F.when(F.col("__c").isNull(), F.col("depth")).alias("depth"),
+    )
+    # roots: referenced as a parent but never a child — depth-0 rows
+    roots = (
+        ptr.select(F.col("anc").alias("id"))
+        .distinct()
+        .join(children, "id", "left_anti")
+    )
+    return out.unionByName(
+        roots.select(
+            "id",
+            F.col("id").alias("root"),
+            F.lit(0).cast("long").alias("depth"),
+        )
+    )
+
+
 def k_core_fixed(
     edges: DataFrame,
     k: int,

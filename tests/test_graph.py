@@ -375,3 +375,64 @@ def test_k_core_fixed_validation(spark):
         k_core_fixed(tri, 0, 3)
     with pytest.raises(ValueError, match="must be >= 1"):
         k_core_fixed(tri, 2, 0)
+
+
+def test_tree_closure_forest_roots_and_depths(spark):
+    from blueetl_spark.operators.graph import tree_closure
+
+    # two trees:  10 -> 1 -> 0   and   21 -> 2,  22 -> 2
+    edges = [(1, 0), (10, 1), (21, 2), (22, 2)]
+    df = spark.createDataFrame(edges, "child long, parent long")
+    got = {
+        r["id"]: (r["root"], r["depth"])
+        for r in tree_closure(df).collect()
+    }
+    assert got == {
+        0: (0, 0),
+        1: (0, 1),
+        10: (0, 2),
+        2: (2, 0),
+        21: (2, 1),
+        22: (2, 1),
+    }
+
+
+def test_tree_closure_deep_chain_pointer_doubling(spark):
+    from blueetl_spark.operators.graph import tree_closure
+
+    # chain 0 <- 1 <- 2 <- ... <- 40: depth 40 needs 6 doublings
+    edges = [(i + 1, i) for i in range(40)]
+    df = spark.createDataFrame(edges, "child long, parent long")
+    got = {
+        r["id"]: (r["root"], r["depth"])
+        for r in tree_closure(df, max_depth=64).collect()
+    }
+    assert got[40] == (0, 40)
+    assert got[1] == (0, 1)
+    assert got[0] == (0, 0)
+    assert len(got) == 41
+
+
+def test_tree_closure_cycle_quarantined(spark):
+    from blueetl_spark.operators.graph import tree_closure
+
+    # 5 -> 6 -> 7 -> 5 cycle plus a clean edge 9 -> 8
+    edges = [(5, 6), (6, 7), (7, 5), (9, 8)]
+    df = spark.createDataFrame(edges, "child long, parent long")
+    rows = {r["id"]: r for r in tree_closure(df).collect()}
+    for n in (5, 6, 7):
+        assert rows[n]["root"] is None and rows[n]["depth"] is None
+    assert (rows[9]["root"], rows[9]["depth"]) == (8, 1)
+    assert (rows[8]["root"], rows[8]["depth"]) == (8, 0)
+
+
+def test_tree_closure_rejects_multiple_parents(spark):
+    from blueetl_spark.operators.graph import tree_closure
+
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3)], "child long, parent long"
+    )
+    with pytest.raises(ValueError, match="multiple parents"):
+        tree_closure(df)
+    with pytest.raises(ValueError, match="max_depth"):
+        tree_closure(df.limit(1), max_depth=0)
