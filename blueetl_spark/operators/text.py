@@ -1503,3 +1503,77 @@ def contamination_ratio(
             (ratio >= F.lit(threshold)).alias("contaminated"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    broadcast_unigrams: bool = True,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Pointwise mutual information of ADJACENT token pairs — the
+    classic collocation extractor ("new york", "machine learning") for
+    vocabulary building and phrase-aware tokenization:
+
+        PMI(x, y) = ln( p(xy) / (p(x) · p(y)) )
+                  = ln( (c_xy · N · N) / (Nb · c_x · c_y) )
+
+    with ``c_xy`` the adjacent-pair count over all documents, ``c_x``
+    unigram counts, ``N`` total tokens, ``Nb`` total adjacent pairs.
+    Output: ``(w1, w2, n_pair, pmi)`` for pairs seen ≥ ``min_count``
+    times (rare pairs have unstable PMI — the standard cutoff).
+
+    Scale shape: ONE shuffle each for the pair and unigram counts (both
+    map-side-combined over the exploded token stream; the token explode
+    never re-runs — pairs and unigrams branch off one projection).
+    Unigram counts are vocab-sized and broadcast onto the (already
+    ``min_count``-thinned) pair table twice — pass
+    ``broadcast_unigrams=False`` for vocabularies too big to broadcast
+    (two shuffle joins on the word key instead). Totals ride a
+    broadcast scalar row. The PMI arithmetic is integer counts inside
+    ONE ``ln`` so the SQL oracle replays it bit-for-bit before the
+    rounding.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    tk = df.select(tokens(text_col).alias("__tk"))
+    pairs = tk.select(
+        F.explode(
+            F.transform(
+                F.slice(F.col("__tk"), 1, F.size("__tk") - 1),
+                lambda w, i: F.struct(
+                    w.alias("w1"),
+                    F.col("__tk")[i + 1].alias("w2"),
+                ),
+            )
+        ).alias("__p")
+    ).select("__p.w1", "__p.w2")
+    unis = tk.select(F.explode("__tk").alias("w"))
+    pair_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    uni_counts = unis.groupBy("w").agg(F.count(F.lit(1)).alias("__c"))
+    totals = unis.groupBy().agg(F.count(F.lit(1)).alias("__n")).crossJoin(
+        pairs.groupBy().agg(F.count(F.lit(1)).alias("__nb"))
+    )
+    u1 = uni_counts.select(F.col("w").alias("w1"), F.col("__c").alias("__c1"))
+    u2 = uni_counts.select(F.col("w").alias("w2"), F.col("__c").alias("__c2"))
+    if broadcast_unigrams:
+        u1, u2 = F.broadcast(u1), F.broadcast(u2)
+    n, nb = F.col("__n").cast("double"), F.col("__nb").cast("double")
+    pmi = F.log(
+        (F.col("n_pair").cast("double") * n * n)
+        / (nb * F.col("__c1") * F.col("__c2"))
+    )
+    joined = (
+        pair_counts.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    if round_to is not None:
+        pmi = F.round(pmi, round_to)
+    return joined.select("w1", "w2", "n_pair", pmi.alias("pmi"))

@@ -4166,6 +4166,37 @@ LEFT JOIN c USING (doc_id)
 """
 
 
+PMI_MIN_COUNT = 10
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair PMI collocations over the corpus
+    (``text.pmi_collocations``): one tokenize projection branches into
+    the pair and unigram counts (map-side combined), vocab-sized
+    unigram counts broadcast onto the thinned pair table, integer
+    counts inside one ``ln`` so the oracle replays the arithmetic
+    bit-for-bit before rounding."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return text.pmi_collocations(docs, min_count=PMI_MIN_COUNT)
+
+
+SQL_PMI_COLLOCATIONS = f"""
+WITH t AS (SELECT {_TOKS} AS tk FROM documents),
+p AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+      FROM t, unnest(range(1, len(tk))) AS r(i)),
+u AS (SELECT unnest(tk) AS w FROM t),
+uc AS (SELECT w, COUNT(*) AS c FROM u GROUP BY 1),
+pc AS (SELECT w1, w2, COUNT(*) AS n_pair FROM p GROUP BY 1, 2
+       HAVING COUNT(*) >= {PMI_MIN_COUNT}),
+tot AS (SELECT (SELECT COUNT(*) FROM u) AS n,
+               (SELECT COUNT(*) FROM p) AS nb)
+SELECT w1, w2, n_pair,
+       ROUND(ln((CAST(n_pair AS DOUBLE) * n * n)
+                / (CAST(nb AS DOUBLE) * a.c * b.c)), 6) AS pmi
+FROM pc JOIN uc a ON a.w = w1 JOIN uc b ON b.w = w2, tot
+"""
+
+
 CONTAM_THRESHOLD = 0.5
 
 
@@ -5916,6 +5947,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_ratio": q_contamination_ratio,
     "containment_md5": q_containment_md5,
     "tree_closure": q_tree_closure,
+    "pmi_collocations": q_pmi_collocations,
     # ---- oracle tail: gates rotated out after 2+ green driver
     # ---- gradings — all still hash-checked by
     # ---- tests/test_oracle_parity.py and tools/check_oracle.py ----
@@ -6113,6 +6145,7 @@ ORACLES: dict[str, str] = {
     "contamination_ratio": SQL_CONTAMINATION_RATIO,
     "containment_md5": SQL_CONTAINMENT_MD5,
     "tree_closure": SQL_TREE_CLOSURE,
+    "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

@@ -826,3 +826,42 @@ def test_contamination_ratio(spark, hashed):
     assert out[3]["ratio"] == 1.0 and out[3]["contaminated"]
     with pytest.raises(ValueError, match="threshold"):
         text.contamination_ratio(train, ev, threshold=1.5)
+
+
+@pytest.mark.parametrize("broadcast_unigrams", [True, False])
+def test_pmi_collocations_matches_python_replay(spark, broadcast_unigrams):
+    """PMI of adjacent pairs equals the textbook formula computed
+    sequentially; min_count thins rare pairs; single-token docs are
+    pair-free but still count unigrams."""
+    import math
+    from collections import Counter
+
+    docs = [
+        (1, "new york new york city"),
+        (2, "york new york is big"),
+        (3, "big apple"),
+        (4, "solo"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["pmi"])
+        for r in text.pmi_collocations(
+            df, min_count=2, broadcast_unigrams=broadcast_unigrams
+        ).collect()
+    }
+    toks = [t.split() for _, t in docs]
+    unis = Counter(w for tk in toks for w in tk)
+    prs = Counter(
+        (tk[i], tk[i + 1]) for tk in toks for i in range(len(tk) - 1)
+    )
+    n = sum(unis.values())
+    nb = sum(prs.values())
+    expect = {
+        p: (c, round(math.log((c * n * n) / (nb * unis[p[0]] * unis[p[1]])), 6))
+        for p, c in prs.items()
+        if c >= 2
+    }
+    assert got == expect
+    assert ("big", "apple") not in got  # count 1 < min_count
+    with pytest.raises(ValueError, match="min_count"):
+        text.pmi_collocations(df, min_count=0)
