@@ -4308,6 +4308,51 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def q_grouping_sets_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form ROLLUP/CUBE are sugar
+    for: per-status totals, per-priority totals, and the grand total in
+    ONE aggregate pass (one Expand node, one shuffle), with
+    ``grouping()`` flags distinguishing a genuine NULL key from a
+    subtotal row. Decimal sums keep the aggregate order-independent
+    across engines."""
+    orders = tables.load(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderstatus", "o_orderpriority", "o_totalprice")
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "g_status",
+            "g_priority",
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+SQL_GROUPING_SETS_MARGIN = """
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 ORDER_PRIORITIES = (
     "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
 )
@@ -5948,6 +5993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_md5": q_containment_md5,
     "tree_closure": q_tree_closure,
     "pmi_collocations": q_pmi_collocations,
+    "grouping_sets_margin": q_grouping_sets_margin,
     # ---- oracle tail: gates rotated out after 2+ green driver
     # ---- gradings — all still hash-checked by
     # ---- tests/test_oracle_parity.py and tools/check_oracle.py ----
@@ -6146,6 +6192,7 @@ ORACLES: dict[str, str] = {
     "containment_md5": SQL_CONTAINMENT_MD5,
     "tree_closure": SQL_TREE_CLOSURE,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
+    "grouping_sets_margin": SQL_GROUPING_SETS_MARGIN,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,
