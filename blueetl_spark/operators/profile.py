@@ -460,3 +460,137 @@ def histogram_quantiles(
         .select("p", F.round(est, round_to).alias("est"))
         .orderBy("p")
     )
+
+
+def _cms_slot(key, d: int, width: int, hash_fn: str):
+    """Row-d Count-Min slot for ``key``: hash of ``"d:key"`` mod width.
+    ``md5`` (top-60-bit prefix) is the engine-portable family — the
+    same expression in ANSI SQL reproduces every slot exactly."""
+    s = F.concat_ws(":", F.lit(str(d)), key.cast("string"))
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(s)
+    elif hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    return F.pmod(h, F.lit(width))
+
+
+def cms_shard(
+    df: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 4,
+    batch_id: str = "",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """One batch's Count-Min Sketch rows: ``depth`` rows of
+    ``(batch_id, d, counts[width], n_obs)`` — the mergeable
+    heavy-hitter/point-frequency sketch that complements the HLL
+    (distinct) and histogram (distribution) shards. Estimates are
+    upper bounds with error ≤ n/width at confidence 1−2^−depth; unlike
+    a t-digest the sketch is DETERMINISTIC (counter sums, no merge-
+    order dependence), so merged results stay oracle-verifiable.
+
+    Scale shape: the data crosses ONE map-side-combined aggregate
+    (after a ×depth row expansion of the KEY column only); rows per
+    batch = depth, each width longs — bytes, the same incremental
+    contract as :func:`profile_shard`/:func:`histogram_shard`.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError("need width >= 1 and depth >= 1")
+    k = F.col(key_col)
+    rows = df.filter(k.isNotNull()).select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).cast("long").alias("d"),
+                    _cms_slot(k, d, width, hash_fn).alias("slot"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("__e")
+    )
+    sparse = rows.groupBy(
+        F.col("__e.d").alias("d"), F.col("__e.slot").alias("slot")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    m = F.col("__m")
+    return (
+        sparse.groupBy("d")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("slot", "__c")))
+            ).alias("__m"),
+            F.sum("__c").alias("n_obs"),
+        )
+        .select(
+            F.lit(batch_id).alias("batch_id"),
+            "d",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(width - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(m, i.cast("long")), F.lit(0).cast("long")
+                ),
+            ).alias("counts"),
+            "n_obs",
+        )
+    )
+
+
+def merge_cms_shards(shards: DataFrame) -> DataFrame:
+    """Fold shard rows to one grid row per ``d``: element-wise counter
+    sum. Replay-safe like every shard merge here — a replayed
+    (batch_id, d)'s identical row is dropped before the fold. All
+    stages are sketch-sized."""
+    ex = (
+        shards.dropDuplicates(["batch_id", "d"])
+        .select("d", F.posexplode("counts").alias("pos", "c"))
+        .groupBy("d", "pos")
+        .agg(F.sum("c").alias("c"))
+    )
+    return ex.groupBy("d").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("counts"),
+        F.sum("c").alias("n_obs"),
+    )
+
+
+def cms_estimate(
+    grid: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Point-frequency estimates from a merged grid: for each key, the
+    MIN over the ``depth`` rows of its slot's counter (the Count-Min
+    upper bound). The grid is ``depth`` rows — broadcast onto the keys;
+    per key the probe is ``depth`` map-side lookups + one min, no
+    data-sized stage anywhere."""
+    k = F.col(key_col)
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).cast("long").alias("d"),
+                    _cms_slot(k, d, width, hash_fn).alias("slot"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("__e"),
+    ).select(key_col, F.col("__e.d").alias("d"), F.col("__e.slot").alias("slot"))
+    return (
+        probes.join(F.broadcast(grid), "d")
+        .select(
+            key_col,
+            F.element_at(
+                F.col("counts"), (F.col("slot") + 1).cast("int")
+            ).alias("__cell"),
+        )
+        .groupBy(key_col)
+        .agg(F.min("__cell").alias("est"))
+    )

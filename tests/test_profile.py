@@ -235,3 +235,66 @@ def test_histogram_quantiles_empty_and_bad_p(spark):
     assert all(r.est is None for r in rows)
     with pytest.raises(ValueError, match="in \\(0, 1\\]"):
         P.histogram_quantiles(empty, 0.0, 10.0, 5, [0.0, 0.5])
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_cms_upper_bound_and_exactness_when_wide(spark, hash_fn):
+    """Count-Min estimates are ALWAYS >= true counts, and exact when
+    the grid is wide enough that keys don't collide."""
+    from collections import Counter
+
+    from blueetl_spark.operators.profile import (
+        cms_estimate,
+        cms_shard,
+        merge_cms_shards,
+    )
+
+    vals = [i % 7 for i in range(300)]
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    true = Counter(vals)
+    keys = spark.createDataFrame([(k,) for k in true], "k long")
+    # narrow grid: upper bound
+    grid = merge_cms_shards(
+        cms_shard(df, "k", width=4, depth=3, batch_id="b0", hash_fn=hash_fn)
+    )
+    est = {
+        r["k"]: r["est"]
+        for r in cms_estimate(grid, keys, "k", 4, 3, hash_fn).collect()
+    }
+    assert all(est[k] >= c for k, c in true.items())
+    assert sum(est.values()) >= sum(true.values())
+    # wide grid: exact (7 keys over 512 slots x 4 rows)
+    wide = merge_cms_shards(
+        cms_shard(df, "k", width=512, depth=4, batch_id="b0", hash_fn=hash_fn)
+    )
+    est_w = {
+        r["k"]: r["est"]
+        for r in cms_estimate(wide, keys, "k", 512, 4, hash_fn).collect()
+    }
+    assert est_w == dict(true)
+
+
+def test_cms_shards_merge_split_invariant_and_replay_safe(spark):
+    """Sharding the input arbitrarily (and replaying one batch) merges
+    to the same grid as one whole-table shard."""
+    from blueetl_spark.operators.profile import cms_shard, merge_cms_shards
+
+    df = spark.range(1_000).select((F.col("id") % 37).alias("k"))
+    whole = merge_cms_shards(
+        cms_shard(df, "k", width=64, depth=4, batch_id="all")
+    )
+    parts = None
+    for i in range(3):
+        s = cms_shard(
+            df.filter(F.pmod("id", F.lit(3)) == i), "k", 64, 4, f"b{i}"
+        )
+        parts = s if parts is None else parts.unionByName(s)
+    parts = parts.unionByName(  # at-least-once replay of b2
+        cms_shard(df.filter(F.pmod("id", F.lit(3)) == 2), "k", 64, 4, "b2")
+    )
+    merged = merge_cms_shards(parts)
+    a = {r["d"]: (r["counts"], r["n_obs"]) for r in whole.collect()}
+    b = {r["d"]: (r["counts"], r["n_obs"]) for r in merged.collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="width"):
+        cms_shard(df, "k", width=0, depth=1)
