@@ -408,6 +408,46 @@ def streaming_ohlc_shards(
     return writer.start()
 
 
+def streaming_cms_shards(
+    stream_df: DataFrame,
+    key_col: str,
+    shard_path: str,
+    checkpoint: str,
+    width: int = 256,
+    depth: int = 4,
+    hash_fn: str = "xxhash64",
+    batch_prefix: str = "stream",
+    trigger: dict | None = None,
+):
+    """Count-Min twin of :func:`streaming_histogram_shards`: each
+    micro-batch appends its depth×width counter rows
+    (``operators/profile.py::cms_shard``), and
+    ``profile.merge_cms_shards`` + ``cms_estimate`` answer streaming
+    point-frequency / heavy-hitter queries at any moment from shard
+    rows bounded by batches × depth. Same foreachBatch seam, zero
+    cross-batch state; a replayed epoch re-appends identical rows
+    under the same batch_id, deduped before the fold (at-least-once →
+    effectively-once).
+    """
+    from blueetl_spark.operators.profile import cms_shard
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cms_shard(
+            batch_df, key_col, width, depth,
+            batch_id=f"{batch_prefix}-{epoch_id}", hash_fn=hash_fn,
+        ).coalesce(1).write.mode("append").parquet(shard_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def asof_enrich_static(
     events: DataFrame,
     dim: DataFrame,

@@ -1122,3 +1122,77 @@ def test_stream_stream_enrich_left_outer(spark, tmp_path):
     assert got == [(1.0, 10.0), (2.0, None), (3.0, 30.0)]
     with pytest.raises(ValueError, match="left_outer"):
         sw.stream_stream_enrich(ev, ref, how="full")
+
+
+def test_streaming_cms_shards(spark, tmp_path):
+    """Per-micro-batch Count-Min shards must merge to exactly the grid
+    of a single whole-table shard; restart appends nothing; a
+    crash-replayed epoch folds out on batch_id; estimates stay upper
+    bounds of the true counts."""
+    import pandas as pd
+
+    from blueetl_spark.operators.profile import (
+        cms_estimate,
+        cms_shard,
+        merge_cms_shards,
+    )
+    from blueetl_spark.streaming.windows import streaming_cms_shards
+
+    src = str(tmp_path / "src")
+    shards = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = pd.DataFrame({"k": [i % 23 for i in range(600)]})
+    spark.createDataFrame(pdf).repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_cms_shards(
+        stream, "k", shards, ckpt, width=32, depth=3,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+    whole = {
+        r.d: (r.counts, r.n_obs)
+        for r in merge_cms_shards(
+            cms_shard(spark.read.parquet(src), "k", 32, 3, "all")
+        ).collect()
+    }
+
+    def merged():
+        return {
+            r.d: (r.counts, r.n_obs)
+            for r in merge_cms_shards(spark.read.parquet(shards)).collect()
+        }
+
+    assert merged() == whole
+
+    # restart from the same checkpoint: nothing appended
+    before = spark.read.parquet(shards).count()
+    q2 = streaming_cms_shards(
+        stream, "k", shards, ckpt, width=32, depth=3,
+        trigger={"availableNow": True},
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(shards).count() == before
+
+    # crash-replay of one epoch's rows: identical (batch_id, d) -> fold out
+    one = spark.read.parquet(shards).limit(3)
+    one.write.mode("append").parquet(shards)
+    assert merged() == whole
+
+    # estimates from the streamed grid are upper bounds (width 32 > 23
+    # keys but collisions possible; true count per key is 600/23-ish)
+    keys = spark.createDataFrame([(k,) for k in range(23)], "k long")
+    grid = merge_cms_shards(spark.read.parquet(shards))
+    est = {
+        r.k: r.est
+        for r in cms_estimate(grid, keys, "k", 32, 3).collect()
+    }
+    from collections import Counter
+
+    true = Counter(pdf["k"])
+    assert all(est[k] >= true[k] for k in true)
