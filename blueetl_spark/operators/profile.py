@@ -594,3 +594,61 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("__cell").alias("est"))
     )
+
+
+def key_skew(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 5,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Shuffle-key skew diagnostics — the check to run BEFORE keying a
+    100 TB join/window on a column: one row of
+    ``(n_rows, n_keys, max_count, top_share, topk_share, entropy_ratio)``
+    where ``top_share`` is the heaviest key's row fraction (its
+    partition's floor no matter how many executors you add),
+    ``topk_share`` the top-``top_k`` keys' combined fraction, and
+    ``entropy_ratio`` the key distribution's Shannon entropy over its
+    uniform maximum ``ln(n_keys)`` (1.0 = perfectly spread, → 0 =
+    one hot key; the single-number salting signal).
+
+    Scale shape: one map-side-combined count per key, then one
+    aggregate over the KEY-sized count table (plus a top-k
+    ``TakeOrdered`` for the top-share terms) — the data itself crosses
+    exactly one exchange. NULL keys count as a key (they hash to one
+    partition like any other value — a NULL-heavy column is the most
+    common real-world skew).
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__c"))
+    c = F.col("__c").cast("double")
+    n = F.col("n_rows").cast("double")
+    agg = counts.agg(
+        F.sum("__c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__c").alias("max_count"),
+        F.sum(c * F.log(c)).alias("__clogc"),
+    )
+    topk = (
+        counts.orderBy(F.col("__c").desc(), F.col(key_col))
+        .limit(top_k)
+        .agg(F.sum("__c").alias("__topk"))
+    )
+    # H = ln(N) - (Σ c·ln c)/N over key counts; ratio vs ln(n_keys)
+    ent = F.log(n) - F.col("__clogc") / n
+    ratio = F.when(
+        F.col("n_keys") > 1, ent / F.log(F.col("n_keys").cast("double"))
+    ).otherwise(F.lit(0.0))
+
+    def rnd(x):
+        return F.round(x, round_to) if round_to is not None else x
+
+    return agg.crossJoin(F.broadcast(topk)).select(
+        "n_rows",
+        "n_keys",
+        "max_count",
+        rnd(F.col("max_count") / n).alias("top_share"),
+        rnd(F.col("__topk") / n).alias("topk_share"),
+        rnd(ratio).alias("entropy_ratio"),
+    )

@@ -4974,6 +4974,45 @@ PROFILE_SHARD_COLS = [
 ]
 
 
+SKEW_TOP_K = 3
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics (``profile.key_skew``) on the
+    events' ``event_type`` — heaviest-key share, top-k share, and the
+    entropy-vs-uniform ratio that signals when a keyed window/join
+    needs salting. One data exchange (per-key counts), everything
+    after is key-table-sized."""
+    ev = _events_norm(spark, sf_dir)
+    return profile.key_skew(
+        ev.select("event_type"), "event_type", top_k=SKEW_TOP_K
+    )
+
+
+SQL_KEY_SKEW = f"""
+WITH {_E_CTE},
+c AS (SELECT event_type AS k, COUNT(*) AS c FROM e GROUP BY 1),
+t AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+         MAX(c) AS max_count, SUM(c * ln(c)) AS clogc
+  FROM c
+),
+tk AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS topk FROM (
+    SELECT c FROM c ORDER BY c DESC, k LIMIT {SKEW_TOP_K})
+)
+SELECT n_rows, n_keys, max_count,
+       ROUND(max_count / CAST(n_rows AS DOUBLE), 6) AS top_share,
+       ROUND(topk / CAST(n_rows AS DOUBLE), 6) AS topk_share,
+       ROUND(CASE WHEN n_keys > 1
+                  THEN (ln(CAST(n_rows AS DOUBLE))
+                        - clogc / CAST(n_rows AS DOUBLE))
+                       / ln(CAST(n_keys AS DOUBLE))
+                  ELSE 0.0 END, 6) AS entropy_ratio
+FROM t, tk
+"""
+
+
 CMS_WIDTH, CMS_DEPTH = 128, 4
 CMS_QUERY_MAX_KEY = 200
 
@@ -6064,6 +6103,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_collocations": q_pmi_collocations,
     "grouping_sets_margin": q_grouping_sets_margin,
     "cms_estimates": q_cms_estimates,
+    "key_skew": q_key_skew,
     # ---- oracle tail: gates rotated out after 2+ green driver
     # ---- gradings — all still hash-checked by
     # ---- tests/test_oracle_parity.py and tools/check_oracle.py ----
@@ -6264,6 +6304,7 @@ ORACLES: dict[str, str] = {
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "grouping_sets_margin": SQL_GROUPING_SETS_MARGIN,
     "cms_estimates": SQL_CMS_ESTIMATES,
+    "key_skew": SQL_KEY_SKEW,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

@@ -298,3 +298,37 @@ def test_cms_shards_merge_split_invariant_and_replay_safe(spark):
     assert a == b
     with pytest.raises(ValueError, match="width"):
         cms_shard(df, "k", width=0, depth=1)
+
+
+def test_key_skew_uniform_vs_hot_key(spark):
+    """Uniform keys score entropy_ratio 1.0; a single dominant key
+    drives top_share up and the ratio down; NULL keys count as a key;
+    a one-key frame reports ratio 0."""
+    from blueetl_spark.operators.profile import key_skew
+
+    uniform = spark.range(900).select((F.col("id") % 9).alias("k"))
+    r = key_skew(uniform, "k", top_k=3).head()
+    assert (r.n_rows, r.n_keys, r.max_count) == (900, 9, 100)
+    assert r.entropy_ratio == 1.0
+    assert r.top_share == round(100 / 900, 6)
+    assert r.topk_share == round(300 / 900, 6)
+
+    hot = spark.range(1000).select(
+        F.when(F.col("id") < 910, 0).otherwise(F.col("id")).alias("k")
+    )
+    h = key_skew(hot, "k", top_k=3).head()
+    assert h.n_keys == 91 and h.max_count == 910
+    assert h.top_share == 0.91 and h.entropy_ratio < 0.2
+
+    withnull = spark.range(10).select(
+        F.when(F.col("id") < 9, None).otherwise(F.lit(1)).alias("k")
+    )
+    w = key_skew(withnull, "k").head()
+    assert w.n_keys == 2 and w.max_count == 9
+
+    one = key_skew(spark.range(5).select(F.lit(1).alias("k")), "k").head()
+    assert one.entropy_ratio == 0.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="top_k"):
+        key_skew(uniform, "k", top_k=0)
