@@ -11,6 +11,8 @@ DuckDB/Trino for auditing). No shuffle: sampling is a filter.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -132,6 +134,7 @@ def weighted_sample_k(
     method: str = "xxhash64",
     log_weights: bool = False,
     round_score: int | None = None,
+    by: Sequence[str] = (),
 ) -> DataFrame:
     """Exactly ``k`` rows sampled WITHOUT replacement with probability
     proportional to ``weight_col`` — Efraimidis–Spirakis (2006) weighted
@@ -157,6 +160,14 @@ def weighted_sample_k(
     replay under ``method="md5"`` selects the identical set even though
     the two engines' float summation order may differ in the weights'
     last ulp.
+
+    ``by`` turns the global budget into a PER-GROUP one ("k docs per
+    language, weighted by quality"): the race runs independently inside
+    each group via a rank window — one shuffle on the group keys, each
+    group's top-k in its own partition (the same scale caveat as
+    :func:`stratified_sample_k`'s window path). Without ``by`` the
+    global top-k is Spark's ``TakeOrderedAndProject`` (per-partition
+    heaps, no full sort).
     """
     if k <= 0:
         raise ValueError("k must be positive")
@@ -170,6 +181,19 @@ def weighted_sample_k(
         eligible = df.filter(wcol > 0)
     if round_score is not None:
         score = F.round(score, round_score)
+    by = list(by)
+    if by:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*by).orderBy(
+            F.col("__score").desc(), F.col(key_col)
+        )
+        return (
+            eligible.withColumn("__score", score)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .drop("__score", "__rk")
+        )
     return (
         eligible.withColumn("__score", score)
         .orderBy(F.col("__score").desc(), F.col(key_col))

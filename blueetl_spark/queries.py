@@ -4974,6 +4974,57 @@ PROFILE_SHARD_COLS = [
 ]
 
 
+WGS_K = 5
+WGS_SEED = "wgs"
+
+
+def q_weighted_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group weighted sampling without replacement
+    (``sampling.weighted_sample_k(by=...)``): exactly 5 customers per
+    nation with probability ∝ shifted account balance — the per-domain
+    budget form of the DSIR resampler (derandomized exponential race on
+    the md5 hash, rounded-score audit mode, rank window per nation)."""
+    from blueetl_spark.operators import sampling
+
+    cust = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_acctbal").cast("double") + 1000.0).alias("w"),
+    )
+    out = sampling.weighted_sample_k(
+        cust, k=WGS_K, weight_col="w", key_col="c_custkey",
+        seed=WGS_SEED, method="md5", round_score=9, by=["c_nationkey"],
+    )
+    return out.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_custkey").alias("custkey"),
+        F.round("w", 2).alias("w"),
+    )
+
+
+def _weighted_group_sample_sql() -> str:
+    from blueetl_spark.operators.sampling import BUCKETS
+
+    h = _MD5_60.format(e=f"concat('{WGS_SEED}', CAST(c_custkey AS VARCHAR))")
+    u = f"(({h} % {BUCKETS}) + {0.5!r}::DOUBLE) / {float(BUCKETS)!r}::DOUBLE"
+    return f"""
+WITH s AS (
+  SELECT c_nationkey AS nation, c_custkey AS custkey,
+         CAST(c_acctbal AS DOUBLE) + 1000.0 AS w,
+         round(ln({u}) / (CAST(c_acctbal AS DOUBLE) + 1000.0), 9) AS score
+  FROM customer
+  WHERE CAST(c_acctbal AS DOUBLE) + 1000.0 > 0
+)
+SELECT nation, custkey, ROUND(w, 2) AS w
+FROM s
+QUALIFY row_number() OVER (
+    PARTITION BY nation ORDER BY score DESC, custkey) <= {WGS_K}
+"""
+
+
+SQL_WEIGHTED_GROUP_SAMPLE = _weighted_group_sample_sql()
+
+
 SKEW_TOP_K = 3
 
 
@@ -6104,6 +6155,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_sets_margin": q_grouping_sets_margin,
     "cms_estimates": q_cms_estimates,
     "key_skew": q_key_skew,
+    "weighted_group_sample": q_weighted_group_sample,
     # ---- oracle tail: gates rotated out after 2+ green driver
     # ---- gradings — all still hash-checked by
     # ---- tests/test_oracle_parity.py and tools/check_oracle.py ----
@@ -6305,6 +6357,7 @@ ORACLES: dict[str, str] = {
     "grouping_sets_margin": SQL_GROUPING_SETS_MARGIN,
     "cms_estimates": SQL_CMS_ESTIMATES,
     "key_skew": SQL_KEY_SKEW,
+    "weighted_group_sample": SQL_WEIGHTED_GROUP_SAMPLE,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

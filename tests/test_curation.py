@@ -865,3 +865,43 @@ def test_pmi_collocations_matches_python_replay(spark, broadcast_unigrams):
     assert ("big", "apple") not in got  # count 1 < min_count
     with pytest.raises(ValueError, match="min_count"):
         text.pmi_collocations(df, min_count=0)
+
+
+def test_weighted_sample_k_grouped_budgets(spark):
+    """by= gives exactly min(k, group size) rows per group, each
+    group's selection identical to running the global sampler on that
+    group alone, invariant under repartitioning."""
+    from blueetl_spark.operators.sampling import weighted_sample_k
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).alias("grp"),
+        (F.pmod(F.xxhash64("id"), F.lit(100)) + 1.0).alias("w"),
+    )
+    tiny = spark.range(2).select(
+        (F.col("id") + 1000).alias("doc_id"),
+        F.lit(9).alias("grp"),
+        F.lit(1.0).alias("w"),
+    )
+    full = df.unionByName(tiny)
+    out = weighted_sample_k(
+        full, k=10, weight_col="w", key_col="doc_id", seed="s",
+        by=["grp"],
+    ).toPandas()
+    sizes = out.groupby("grp")["doc_id"].count().to_dict()
+    assert sizes == {0: 10, 1: 10, 2: 10, 3: 10, 9: 2}
+    # per-group equality with the global sampler restricted to the group
+    for g in (0, 3):
+        solo = weighted_sample_k(
+            full.filter(F.col("grp") == g), k=10, weight_col="w",
+            key_col="doc_id", seed="s",
+        ).toPandas()
+        assert set(solo["doc_id"]) == set(out[out["grp"] == g]["doc_id"])
+    # partition-layout invariance
+    out2 = weighted_sample_k(
+        full.repartition(13), k=10, weight_col="w", key_col="doc_id",
+        seed="s", by=["grp"],
+    ).toPandas()
+    assert set(map(tuple, out[["grp", "doc_id"]].values)) == set(
+        map(tuple, out2[["grp", "doc_id"]].values)
+    )
