@@ -111,6 +111,14 @@ HEADLINE = [
     "event_trigrams",
     "k_core_fixed",
     "cusum_changepoint",
+    "contamination_ratio",
+    "containment_md5",
+    "tree_closure",
+    "pmi_collocations",
+    "grouping_sets_margin",
+    "cms_estimates",
+    "key_skew",
+    "weighted_group_sample",
 ]
 
 
