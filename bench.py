@@ -119,6 +119,7 @@ HEADLINE = [
     "cms_estimates",
     "key_skew",
     "weighted_group_sample",
+    "ks_drift",
 ]
 
 

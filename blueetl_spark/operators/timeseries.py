@@ -835,3 +835,76 @@ def cusum_changepoint(
             F.col("__t").alias("t_at_max"),
         )
     )
+
+
+def ks_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic per group — "did
+    this column's distribution shift between corpus/feed versions?":
+    ``D = max_v |F_a(v) − F_b(v)|`` over the empirical CDFs, the
+    standard pre-retrain drift screen (compare D against the
+    ``c(α)·sqrt((n+m)/(n·m))`` threshold downstream).
+
+    Output: ``(by…, n_a, n_b, d_stat)``. NULL values are not
+    observations. Groups present in only one side get ``d_stat`` NULL
+    (no two-sample comparison exists) with the missing side's count 0
+    — dropping them would hide exactly the drift signal (a group
+    appearing/vanishing) the caller cares most about.
+
+    Scale shape: pre-aggregate to per-(group, value) counts (ONE
+    map-side-combined shuffle over the tagged union), then a single
+    ordered window over DISTINCT values per group computes both
+    running CDFs — tie-correct by construction (equal values fold into
+    one row, so the CDFs step together). Every post-aggregate stage is
+    distinct-value-sized. Numerically exact across engines: integer
+    cumulative counts, one division each, no summation-order
+    sensitivity anywhere.
+    """
+    by = list(by)
+    v = F.col(value_col)
+    a = df_a.filter(v.isNotNull()).select(
+        *by, v.alias("__v"), F.lit(1).alias("__a"), F.lit(0).alias("__b")
+    )
+    b = df_b.filter(v.isNotNull()).select(
+        *by, v.alias("__v"), F.lit(0).alias("__a"), F.lit(1).alias("__b")
+    )
+    g = (
+        a.unionByName(b)
+        .groupBy(*by, "__v")
+        .agg(F.sum("__a").alias("__ca"), F.sum("__b").alias("__cb"))
+    )
+    w_run = (
+        Window.partitionBy(*by)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*by)
+    cum_a, cum_b = F.sum("__ca").over(w_run), F.sum("__cb").over(w_run)
+    n_a, n_b = F.sum("__ca").over(w_all), F.sum("__cb").over(w_all)
+    # guard each CDF: a one-sided group would divide by zero under ANSI
+    # mode; NULL propagates through the difference so max() ignores it
+    f_a = F.when(n_a > 0, cum_a / n_a.cast("double"))
+    f_b = F.when(n_b > 0, cum_b / n_b.cast("double"))
+    d = F.abs(f_a - f_b)
+    stat = F.max(F.col("__d"))
+    if round_to is not None:
+        stat = F.round(stat, round_to)
+    return (
+        g.select(
+            *by,
+            n_a.alias("__na"),
+            n_b.alias("__nb"),
+            d.alias("__d"),
+        )
+        .groupBy(*by)
+        .agg(
+            F.first("__na").alias("n_a"),
+            F.first("__nb").alias("n_b"),
+            stat.alias("d_stat"),
+        )
+    )

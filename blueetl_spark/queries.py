@@ -4974,6 +4974,50 @@ PROFILE_SHARD_COLS = [
 ]
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift per event type (``timeseries.ks_drift``)
+    between the even/odd event-id halves — the distribution-shift
+    screen between corpus/feed versions. Integer cumulative CDFs over
+    distinct values (tie-correct by construction), one division each —
+    numerically exact across engines before the rounding."""
+    ev = _events_norm(spark, sf_dir).select("event_type", "event_id", "value")
+    half_a = ev.filter(F.pmod("event_id", F.lit(2)) == 0)
+    half_b = ev.filter(F.pmod("event_id", F.lit(2)) == 1)
+    return timeseries.ks_drift(half_a, half_b, "value", by=["event_type"])
+
+
+SQL_KS_DRIFT = f"""
+WITH {_E_CTE},
+u AS (
+  SELECT event_type, value AS v,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+         CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS ib
+  FROM e WHERE value IS NOT NULL
+),
+g AS (
+  SELECT event_type, v,
+         CAST(SUM(ia) AS BIGINT) AS ca, CAST(SUM(ib) AS BIGINT) AS cb
+  FROM u GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type,
+         SUM(ca) OVER (PARTITION BY event_type ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(cb) OVER (PARTITION BY event_type ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+         CAST(SUM(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+         CAST(SUM(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+  FROM g
+)
+SELECT event_type, ANY_VALUE(na) AS n_a, ANY_VALUE(nb) AS n_b,
+       ROUND(MAX(CASE WHEN na > 0 AND nb > 0
+                      THEN abs(cum_a / CAST(na AS DOUBLE)
+                               - cum_b / CAST(nb AS DOUBLE)) END),
+             6) AS d_stat
+FROM r GROUP BY 1
+"""
+
+
 WGS_K = 5
 WGS_SEED = "wgs"
 
@@ -6156,6 +6200,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_estimates": q_cms_estimates,
     "key_skew": q_key_skew,
     "weighted_group_sample": q_weighted_group_sample,
+    "ks_drift": q_ks_drift,
     # ---- oracle tail: gates rotated out after 2+ green driver
     # ---- gradings — all still hash-checked by
     # ---- tests/test_oracle_parity.py and tools/check_oracle.py ----
@@ -6358,6 +6403,7 @@ ORACLES: dict[str, str] = {
     "cms_estimates": SQL_CMS_ESTIMATES,
     "key_skew": SQL_KEY_SKEW,
     "weighted_group_sample": SQL_WEIGHTED_GROUP_SAMPLE,
+    "ks_drift": SQL_KS_DRIFT,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

@@ -572,3 +572,40 @@ def test_cusum_changepoint_single_data_shuffle_plan(spark):
     assert agg_partial_exchanges >= 1, plan
     assert plan.count("+- Window [") == 2, plan
     assert "BroadcastExchange" in plan
+
+
+def test_ks_drift_matches_scipy_style_replay(spark):
+    """D equals the sequential two-sample KS over sorted distinct
+    values (tie-correct); identical distributions give 0; disjoint
+    supports give 1; one-sided groups report NULL d_stat with the
+    missing side's count 0."""
+    from blueetl_spark.operators import timeseries as ts
+
+    a_rows = [("k", float(v)) for v in [1, 2, 2, 3, 5, 8]]
+    b_rows = [("k", float(v)) for v in [2, 3, 3, 4, 9]]
+    a = spark.createDataFrame(a_rows + [("same", 1.0), ("same", 2.0)]
+                              + [("disj", 1.0)] + [("only_a", 7.0)],
+                              "g string, v double")
+    b = spark.createDataFrame(b_rows + [("same", 1.0), ("same", 2.0)]
+                              + [("disj", 9.0)],
+                              "g string, v double")
+    got = {
+        r["g"]: (r["n_a"], r["n_b"], r["d_stat"])
+        for r in ts.ks_drift(a, b, "v", by=["g"]).collect()
+    }
+
+    def brute(xs, ys):
+        vals = sorted(set(xs) | set(ys))
+        best = 0.0
+        for v in vals:
+            fa = sum(1 for x in xs if x <= v) / len(xs)
+            fb = sum(1 for y in ys if y <= v) / len(ys)
+            best = max(best, abs(fa - fb))
+        return round(best, 6)
+
+    xs = [v for _, v in a_rows]
+    ys = [v for _, v in b_rows]
+    assert got["k"] == (6, 5, brute(xs, ys))
+    assert got["same"] == (2, 2, 0.0)
+    assert got["disj"] == (1, 1, 1.0)
+    assert got["only_a"] == (1, 0, None)
