@@ -402,9 +402,11 @@ def tree_closure(
     Input rows are (child, parent) pointers — at most one parent per
     child (duplicates are dropped; a child with two distinct parents
     raises, the structure isn't a forest). Nodes on a CYCLE never reach
-    a root; they finish with ``depth >= max_depth`` and are returned
-    with ``root = NULL`` so the caller can quarantine them (a silent
-    wrong root would poison every rollup over the hierarchy).
+    a root; any node still unresolved after the doubling rounds (on a
+    cycle, or deeper than ``max_depth``) is returned with ``root``
+    **and** ``depth`` both NULL so the caller can quarantine it (a
+    silent wrong root would poison every rollup over the hierarchy; a
+    partial depth for an unresolved node would be equally misleading).
     """
     if max_depth < 1:
         raise ValueError("max_depth must be >= 1")

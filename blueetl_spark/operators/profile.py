@@ -569,8 +569,29 @@ def cms_estimate(
     MIN over the ``depth`` rows of its slot's counter (the Count-Min
     upper bound). The grid is ``depth`` rows — broadcast onto the keys;
     per key the probe is ``depth`` map-side lookups + one min, no
-    data-sized stage anywhere."""
+    data-sized stage anywhere.
+
+    ``width``/``hash_fn`` MUST match the parameters the shards were
+    built with (``cms_shard``): the slot hash is re-derived here, so a
+    mismatched width would silently probe wrong slots and the estimates
+    would stop being upper bounds — ``width`` is validated against the
+    grid's actual array length and fails loudly on mismatch. (A
+    mismatched ``depth`` only widens/narrows the min over rows the
+    probe join actually finds — estimates stay upper bounds.)"""
     k = F.col(key_col)
+    grid = grid.withColumn(
+        "counts",
+        F.when(F.size("counts") == F.lit(width), F.col("counts")).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "cms_estimate: grid row has width %d but width=%d was "
+                    "passed — use the same width/depth as cms_shard",
+                    F.size("counts"),
+                    F.lit(width),
+                )
+            )
+        ),
+    )
     probes = keys.select(
         key_col,
         F.explode(
@@ -612,6 +633,14 @@ def key_skew(
     uniform maximum ``ln(n_keys)`` (1.0 = perfectly spread, → 0 =
     one hot key; the single-number salting signal).
 
+    Rounding: the share columns round to ``round_to`` digits (exact
+    integer ratios — engine-stable at any precision), but
+    ``entropy_ratio``'s ``Σ c·ln(c)`` term is an order-sensitive float
+    sum in ANY engine, so it rounds two digits coarser
+    (``round_to - 2``) to absorb last-ulp summation-order drift that
+    could otherwise flip a serialized-hash oracle gate at a rounding
+    boundary.
+
     Scale shape: one map-side-combined count per key, then one
     aggregate over the KEY-sized count table (plus a top-k
     ``TakeOrdered`` for the top-share terms) — the data itself crosses
@@ -641,14 +670,15 @@ def key_skew(
         F.col("n_keys") > 1, ent / F.log(F.col("n_keys").cast("double"))
     ).otherwise(F.lit(0.0))
 
-    def rnd(x):
-        return F.round(x, round_to) if round_to is not None else x
+    def rnd(x, digits):
+        return F.round(x, digits) if digits is not None else x
 
+    ent_digits = max(round_to - 2, 0) if round_to is not None else None
     return agg.crossJoin(F.broadcast(topk)).select(
         "n_rows",
         "n_keys",
         "max_count",
-        rnd(F.col("max_count") / n).alias("top_share"),
-        rnd(F.col("__topk") / n).alias("topk_share"),
-        rnd(ratio).alias("entropy_ratio"),
+        rnd(F.col("max_count") / n, round_to).alias("top_share"),
+        rnd(F.col("__topk") / n, round_to).alias("topk_share"),
+        rnd(ratio, ent_digits).alias("entropy_ratio"),
     )

@@ -622,6 +622,12 @@ def ohlc_shard(
     ``sum_v`` rides along so the merged mean never needs the raw data.
     Rows per batch are bounded by (groups × buckets touched) — the
     incremental contract of ``profile_shard``/``histogram_shard``.
+
+    Note: ``open_tie``/``close_tie`` carry the tie column's NATIVE type
+    (earlier builds cast to double) — appending into a shard dir
+    written by a pre-change build mixes parquet schemas; clear or
+    re-path such dirs when upgrading (see
+    ``streaming.windows.streaming_ohlc_shards``).
     """
     if not bucket_width > 0:
         raise ValueError("bucket_width must be positive")

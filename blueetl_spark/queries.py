@@ -5103,7 +5103,7 @@ SELECT n_rows, n_keys, max_count,
                   THEN (ln(CAST(n_rows AS DOUBLE))
                         - clogc / CAST(n_rows AS DOUBLE))
                        / ln(CAST(n_keys AS DOUBLE))
-                  ELSE 0.0 END, 6) AS entropy_ratio
+                  ELSE 0.0 END, 4) AS entropy_ratio
 FROM t, tk
 """
 

@@ -388,6 +388,14 @@ def streaming_ohlc_shards(
     foreachBatch seam, zero cross-batch state, and the at-least-once →
     effectively-once contract: a replayed epoch re-appends identical
     rows under the same batch_id, deduped before the fold.
+
+    Shard-schema compatibility: the ``open_tie``/``close_tie`` columns
+    keep the tie column's NATIVE type (a deliberate change — earlier
+    versions cast to double), so a shard dir written by a pre-change
+    build mixes incompatible parquet struct schemas with new appends
+    and the merge fails or mis-reads on restart. When upgrading across
+    that change, clear the shard dir and checkpoint (or start a new
+    ``shard_path``) before resuming the stream.
     """
     from blueetl_spark.operators.timeseries import ohlc_shard
 

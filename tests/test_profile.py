@@ -300,6 +300,26 @@ def test_cms_shards_merge_split_invariant_and_replay_safe(spark):
         cms_shard(df, "k", width=0, depth=1)
 
 
+def test_cms_estimate_rejects_mismatched_width(spark):
+    """A width different from the one the grid was built with would
+    probe wrong slots and silently break the upper-bound guarantee —
+    the estimate must fail loudly instead (advisor r9)."""
+    from blueetl_spark.operators.profile import (
+        cms_estimate,
+        cms_shard,
+        merge_cms_shards,
+    )
+
+    df = spark.range(100).select((F.col("id") % 5).alias("k"))
+    grid = merge_cms_shards(cms_shard(df, "k", width=8, depth=2, batch_id="b"))
+    keys = spark.range(5).select(F.col("id").alias("k"))
+    # matching width works
+    assert cms_estimate(grid, keys, "k", width=8, depth=2).count() == 5
+    # mismatched width fails loudly (Spark wraps the raise_error)
+    with pytest.raises(Exception, match="cms_estimate: grid row has width"):
+        cms_estimate(grid, keys, "k", width=16, depth=2).collect()
+
+
 def test_key_skew_uniform_vs_hot_key(spark):
     """Uniform keys score entropy_ratio 1.0; a single dominant key
     drives top_share up and the ratio down; NULL keys count as a key;
