@@ -849,6 +849,7 @@ def ks_drift(
     value_col: str,
     by: Sequence[str] = (),
     round_to: int | None = 6,
+    bins: int | None = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov drift statistic per group — "did
     this column's distribution shift between corpus/feed versions?":
@@ -870,6 +871,22 @@ def ks_drift(
     distinct-value-sized. Numerically exact across engines: integer
     cumulative counts, one division each, no summation-order
     sensitivity anywhere.
+
+    **Scale caveat / ``bins``:** the ordered window puts each group's
+    distinct values in ONE partition. That's the right shape for
+    per-entity / per-event-type series (distinct values per group stay
+    bounded), but on a continuous column with one giant group the
+    distinct count approaches the row count and a single task walks it
+    all — run ``profile.key_skew`` on the group key first if unsure.
+    Passing ``bins=N`` quantizes values into N equal-width buckets
+    between the group's min and max BEFORE the CDF window (one extra
+    group-sized aggregate, broadcast back), bounding the window input
+    to ≤ N rows per group at the cost of bounded statistic error (the
+    binned D understates the exact D by at most the largest
+    within-bucket CDF mass — ≲ 1/N for smooth distributions). Binning
+    requires a numeric value column; it is exactly replayable across
+    engines (min/max are exact selections and the bucket arithmetic is
+    a fixed IEEE expression, no order-sensitive float sums).
     """
     by = list(by)
     v = F.col(value_col)
@@ -879,9 +896,32 @@ def ks_drift(
     b = df_b.filter(v.isNotNull()).select(
         *by, v.alias("__v"), F.lit(0).alias("__a"), F.lit(1).alias("__b")
     )
+    u = a.unionByName(b)
+    if bins is not None:
+        if bins < 1:
+            raise ValueError("bins must be >= 1")
+        ext = (u.groupBy(*by) if by else u.groupBy()).agg(
+            F.min(F.col("__v").cast("double")).alias("__lo"),
+            F.max(F.col("__v").cast("double")).alias("__hi"),
+        )
+        j = (
+            u.join(F.broadcast(ext), on=by)
+            if by
+            else u.crossJoin(F.broadcast(ext))
+        )
+        vv = F.col("__v").cast("double")
+        lo, hi = F.col("__lo"), F.col("__hi")
+        width = (hi - lo) / F.lit(float(bins))
+        bucket = (
+            F.when(hi == lo, F.lit(0))
+            .otherwise(
+                F.least(F.floor((vv - lo) / width), F.lit(bins - 1))
+            )
+            .cast("long")
+        )
+        u = j.select(*by, bucket.alias("__v"), "__a", "__b")
     g = (
-        a.unionByName(b)
-        .groupBy(*by, "__v")
+        u.groupBy(*by, "__v")
         .agg(F.sum("__a").alias("__ca"), F.sum("__b").alias("__cb"))
     )
     w_run = (

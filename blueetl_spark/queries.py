@@ -5018,6 +5018,67 @@ FROM r GROUP BY 1
 """
 
 
+KSB_BINS = 64
+
+
+def q_ks_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS drift (``timeseries.ks_drift(bins=...)``)
+    between the even/odd event-id halves: values quantize into 64
+    equal-width buckets per group BEFORE the CDF window, so the
+    window input is ≤ 64 rows per group no matter how many distinct
+    values the column holds — the scale-safe variant for continuous
+    columns with giant groups (exact variant: ``ks_drift``). The
+    bucket arithmetic is a fixed IEEE expression over exact min/max,
+    so the oracle replays it bit-for-bit."""
+    ev = _events_norm(spark, sf_dir).select("event_type", "event_id", "value")
+    half_a = ev.filter(F.pmod("event_id", F.lit(2)) == 0)
+    half_b = ev.filter(F.pmod("event_id", F.lit(2)) == 1)
+    return timeseries.ks_drift(
+        half_a, half_b, "value", by=["event_type"], bins=KSB_BINS
+    )
+
+
+SQL_KS_DRIFT_BINNED = f"""
+WITH {_E_CTE},
+u AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+         CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS ib
+  FROM e WHERE value IS NOT NULL
+),
+ext AS (SELECT event_type, MIN(v) AS lo, MAX(v) AS hi FROM u GROUP BY 1),
+q AS (
+  SELECT u.event_type,
+         CASE WHEN hi = lo THEN 0
+              ELSE CAST(least(floor((v - lo) / ((hi - lo) / {float(KSB_BINS)!r})),
+                        {KSB_BINS - 1}) AS BIGINT) END AS v,
+         ia, ib
+  FROM u JOIN ext ON u.event_type = ext.event_type
+),
+g AS (
+  SELECT event_type, v,
+         CAST(SUM(ia) AS BIGINT) AS ca, CAST(SUM(ib) AS BIGINT) AS cb
+  FROM q GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type,
+         SUM(ca) OVER (PARTITION BY event_type ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(cb) OVER (PARTITION BY event_type ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+         CAST(SUM(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+         CAST(SUM(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+  FROM g
+)
+SELECT event_type, ANY_VALUE(na) AS n_a, ANY_VALUE(nb) AS n_b,
+       ROUND(MAX(CASE WHEN na > 0 AND nb > 0
+                      THEN abs(cum_a / CAST(na AS DOUBLE)
+                               - cum_b / CAST(nb AS DOUBLE)) END),
+             6) AS d_stat
+FROM r GROUP BY 1
+"""
+
+
 WGS_K = 5
 WGS_SEED = "wgs"
 
@@ -6201,6 +6262,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_skew": q_key_skew,
     "weighted_group_sample": q_weighted_group_sample,
     "ks_drift": q_ks_drift,
+    "ks_drift_binned": q_ks_drift_binned,
     # ---- oracle tail: gates rotated out after 2+ green driver
     # ---- gradings — all still hash-checked by
     # ---- tests/test_oracle_parity.py and tools/check_oracle.py ----
@@ -6404,6 +6466,7 @@ ORACLES: dict[str, str] = {
     "key_skew": SQL_KEY_SKEW,
     "weighted_group_sample": SQL_WEIGHTED_GROUP_SAMPLE,
     "ks_drift": SQL_KS_DRIFT,
+    "ks_drift_binned": SQL_KS_DRIFT_BINNED,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

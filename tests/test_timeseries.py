@@ -609,3 +609,65 @@ def test_ks_drift_matches_scipy_style_replay(spark):
     assert got["same"] == (2, 2, 0.0)
     assert got["disj"] == (1, 1, 1.0)
     assert got["only_a"] == (1, 0, None)
+
+
+def test_ks_drift_binned_bounds_window_input(spark):
+    """The scale-caveat case: ONE group whose values are all distinct
+    (distinct count == row count, the shape where the exact variant
+    serializes in one task). bins=N caps the CDF window input at N
+    rows per group, detects a real location shift, reports ~0 for
+    identical samples, and replays the sequential brute-force binned
+    statistic exactly."""
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators import timeseries as ts
+
+    n, bins = 5_000, 64
+    base = spark.range(n).select(
+        F.lit("g").alias("g"), (F.col("id") * 1.000001).alias("v")
+    )
+    shifted = spark.range(n).select(
+        F.lit("g").alias("g"), (F.col("id") * 1.000001 + n / 2.0).alias("v")
+    )
+    out = ts.ks_drift(base, shifted, "v", by=["g"], bins=bins)
+    row = out.head()
+    assert (row["n_a"], row["n_b"]) == (n, n)
+    # half the mass is disjoint → exact D = 0.5; 64 bins resolve it
+    # to within one bucket's CDF mass
+    assert abs(row["d_stat"] - 0.5) < 1.5 / bins
+
+    # sequential replay of the binned statistic (same quantization)
+    xs = [i * 1.000001 for i in range(n)]
+    ys = [i * 1.000001 + n / 2.0 for i in range(n)]
+    lo, hi = min(xs + ys), max(xs + ys)
+    w = (hi - lo) / bins
+
+    import math
+
+    def bucket(v):
+        # same expression shape as the operator: divide, then floor
+        return min(int(math.floor((v - lo) / w)), bins - 1)
+
+    bx, by_ = [bucket(v) for v in xs], [bucket(v) for v in ys]
+    best = max(
+        abs(
+            sum(1 for x in bx if x <= t) / n
+            - sum(1 for y in by_ if y <= t) / n
+        )
+        for t in range(bins)
+    )
+    assert row["d_stat"] == round(best, 6)
+
+    # identical samples → 0 even through quantization; all-equal group
+    # (hi == lo) degenerates to one bucket without dividing by zero
+    same = ts.ks_drift(base, base, "v", by=["g"], bins=bins).head()
+    assert same["d_stat"] == 0.0
+    const = spark.range(10).select(
+        F.lit("c").alias("g"), F.lit(3.0).alias("v")
+    )
+    degen = ts.ks_drift(const, const, "v", by=["g"], bins=bins).head()
+    assert degen["d_stat"] == 0.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bins"):
+        ts.ks_drift(base, shifted, "v", by=["g"], bins=0)
