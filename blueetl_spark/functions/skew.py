@@ -53,6 +53,34 @@ def salted_join(
     return out.drop("__salt")
 
 
+def diagnose_and_salt(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    threshold: float = 4.0,
+    salt: int = 16,
+) -> tuple[DataFrame, float, bool]:
+    """The measure-then-decide join planner: run :func:`skew_ratio` on
+    the big side's key and route through :func:`salted_join` when the
+    ratio is at or above ``threshold``, else a plain equi-join. This is
+    the helper that turns ``operators/profile.key_skew``'s diagnostic
+    into an action — measure first, salt only when the data says so
+    (blind salting replicates the small side ``salt``× for nothing on
+    a flat key).
+
+    Returns ``(joined, ratio, salted)`` so the caller can log the
+    decision. Cost of the diagnosis: ONE extra aggregation job over the
+    big side's key column (key-count-sized after the map-side combine)
+    — at 100 TB, run it on a sample or reuse a cached ``key_skew`` row
+    instead and call :func:`salted_join` directly.
+    """
+    ratio = skew_ratio(big, on)
+    if ratio >= threshold:
+        return salted_join(big, small, on, how, salt), ratio, True
+    return big.join(small, on, how), ratio, False
+
+
 def top_keys(df: DataFrame, key: str, n: int = 20) -> DataFrame:
     """The n heaviest keys with their row counts — the diagnosis step
     before choosing broadcast / salting / AQE."""

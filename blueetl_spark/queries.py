@@ -5131,6 +5131,56 @@ SQL_WEIGHTED_GROUP_SAMPLE = _weighted_group_sample_sql()
 
 
 SKEW_TOP_K = 3
+SKJ_THRESHOLD = 2.0
+SKJ_SALT = 8
+
+
+def q_skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``key_skew`` → ``salted_join`` pipeline with a graded
+    consumer (``functions/skew.diagnose_and_salt``): events are keyed
+    so ~70% of rows land on ONE key (the hot-key shape AQE can't fix
+    when the dim side isn't broadcastable), the helper measures the
+    skew ratio (~2.8 here) and routes through the salted join — big
+    side salted uniformly, nation dim exploded ``salt``×, so the hot
+    key spreads over ``salt`` tasks. Join results are salt-invariant
+    (every (key, salt) bucket finds its dim copy), and the aggregate
+    sums an integer millivalue so no engine's summation order can leak
+    into the gate."""
+    from blueetl_spark.functions import skew
+
+    ev = _events_norm(spark, sf_dir)
+    key = (
+        F.when(F.pmod("event_id", F.lit(10)) < 7, F.lit(0))
+        .otherwise(F.pmod("event_id", F.lit(10)))
+        .cast("long")
+    )
+    big = ev.select(
+        key.alias("nkey"),
+        F.floor(F.col("value") * 1000).cast("long").alias("__vm"),
+    )
+    dim = tables.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nkey"), "n_name"
+    )
+    joined, _ratio, _salted = skew.diagnose_and_salt(
+        big, dim, "nkey", threshold=SKJ_THRESHOLD, salt=SKJ_SALT
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__vm").alias("sum_v_milli"),
+    )
+
+
+SQL_SKEWED_JOIN_SALTED = f"""
+WITH {_E_CTE},
+b AS (
+  SELECT CASE WHEN event_id % 10 < 7 THEN 0 ELSE event_id % 10 END AS nkey,
+         CAST(FLOOR(value * 1000) AS BIGINT) AS vm
+  FROM e
+)
+SELECT n_name, COUNT(*) AS n_rows, CAST(SUM(vm) AS BIGINT) AS sum_v_milli
+FROM b JOIN nation ON b.nkey = nation.n_nationkey
+GROUP BY 1
+"""
 
 
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6263,6 +6313,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_group_sample": q_weighted_group_sample,
     "ks_drift": q_ks_drift,
     "ks_drift_binned": q_ks_drift_binned,
+    "skewed_join_salted": q_skewed_join_salted,
     # ---- oracle tail: gates rotated out after 2+ green driver
     # ---- gradings — all still hash-checked by
     # ---- tests/test_oracle_parity.py and tools/check_oracle.py ----
@@ -6467,6 +6518,7 @@ ORACLES: dict[str, str] = {
     "weighted_group_sample": SQL_WEIGHTED_GROUP_SAMPLE,
     "ks_drift": SQL_KS_DRIFT,
     "ks_drift_binned": SQL_KS_DRIFT_BINNED,
+    "skewed_join_salted": SQL_SKEWED_JOIN_SALTED,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

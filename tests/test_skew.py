@@ -47,6 +47,33 @@ def test_skew_diagnostics(skewed):
     assert hot.k == 0 and hot["count"] == 902
 
 
+def test_diagnose_and_salt_routes_on_measured_ratio(skewed):
+    """At or above the threshold the helper salts (plan shows the salt
+    explode + two-column join key); below it, a plain single-key join —
+    and both routes return the same rows."""
+    from blueetl_spark.functions.skew import diagnose_and_salt
+
+    big, small = skewed
+    hot, ratio, salted = diagnose_and_salt(big, small, "k", threshold=5.0)
+    assert salted and ratio > 10
+    plan = hot._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan and "explode" in plan.lower()
+
+    flat = big.select((F.col("payload") % 50).alias("k"), "payload")
+    cold, flat_ratio, flat_salted = diagnose_and_salt(
+        flat, small, "k", threshold=5.0
+    )
+    assert not flat_salted and flat_ratio < 2.0
+    assert "__salt" not in cold._jdf.queryExecution().executedPlan().toString()
+
+    key = ["k", "payload", "label"]
+    plain = big.join(small, "k").select(*key).toPandas()
+    got = hot.select(*key).toPandas()
+    assert sorted(map(tuple, got[key].values.tolist())) == sorted(
+        map(tuple, plain[key].values.tolist())
+    )
+
+
 def test_salted_join_rejects_outer_joins(skewed):
     big, small = skewed
     with pytest.raises(ValueError, match="salt value"):
