@@ -221,6 +221,31 @@ def deterministic_fake_gray(payload: bytes, w: int = 9, h: int = 8) -> np.ndarra
     return np.frombuffer(digest, dtype=np.uint8).reshape(h, w).astype(np.float64)
 
 
+def md5_replayable_gray(payload: bytes, w: int = 9, h: int = 8) -> np.ndarray:
+    """SQL-replayable codec stub for the dHash thumbnail: 'pixels' are
+    the hex digits (0-15) of three chained md5 digests of the payload,
+    so an ANSI-SQL oracle can reproduce the dHash bit-for-bit (md5 is
+    in every engine; ``deterministic_fake_gray``'s shake_256 XOF is
+    not). A payload ending in the ``0x01`` marker byte is a "variant":
+    the marker is stripped before hashing and pixel (0,0) is
+    brightened +16 — a reproducible small-edit stand-in that flips at
+    most ONE dHash bit (pixel (0,0) participates only in bit (0,0)),
+    giving the near-dup join genuine hamming-1 pairs to find. Same
+    contract as the other stubs: swap in a real decode+grayscale+resize
+    in production; everything downstream is codec-agnostic.
+    """
+    variant = payload.endswith(b"\x01")
+    base = payload[:-1] if variant else payload
+    hexcat = "".join(
+        hashlib.md5(base + str(i).encode()).hexdigest() for i in range(3)
+    )
+    vals = [int(ch, 16) for ch in hexcat[: w * h]]
+    g = np.array(vals, dtype=np.float64).reshape(h, w)
+    if variant:
+        g[0, 0] += 16.0
+    return g
+
+
 def perceptual_hash(
     media: DataFrame,
     decode_gray: Callable[[bytes], np.ndarray] = deterministic_fake_gray,

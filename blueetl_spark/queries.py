@@ -5018,6 +5018,85 @@ FROM r GROUP BY 1
 """
 
 
+IND_HAMMING = 3
+IND_VARIANT_MOD = 5
+
+
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image detection over opaque binary payloads
+    (``multimodal.image_near_dup``): documents stand in for an image
+    corpus — every doc's text bytes become a payload, and every 5th doc
+    also ships a 'variant' copy (marker byte appended; the codec stub
+    brightens one pixel, flipping ≤1 dHash bit — a re-encode/small-edit
+    stand-in). The REAL Spark surface under test is the production
+    plumbing: Arrow-batched ``mapInPandas`` dHash (64-bit per image, so
+    downstream shuffles 8-byte hashes, never payloads), pigeonhole
+    banded LSH (4 bands × 16 bits — exact recall at hamming ≤ 3), band
+    equi-join + JVM ``bit_count`` verify. The codec is the
+    SQL-replayable md5 stub (``multimodal.md5_replayable_gray``), so
+    the DuckDB oracle reproduces every dHash bit and the exact
+    all-pairs hamming — pigeonhole recall means banded candidates ==
+    all-pairs truth at this radius."""
+    from blueetl_spark.operators import multimodal
+
+    docs = tables.load(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("image").alias("media_type"),
+    )
+    variants = docs.filter(F.pmod("doc_id", F.lit(IND_VARIANT_MOD)) == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("media_id"),
+        F.concat(
+            F.encode("text", "UTF-8"), F.lit(bytearray(b"\x01"))
+        ).alias("payload"),
+        F.lit("image").alias("media_type"),
+    )
+    return multimodal.image_near_dup(
+        base.unionByName(variants),
+        max_hamming=IND_HAMMING,
+        decode_gray=multimodal.md5_replayable_gray,
+    )
+
+
+SQL_IMAGE_NEAR_DUP = f"""
+WITH media AS (
+  SELECT doc_id AS media_id, text AS base, FALSE AS variant FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, TRUE FROM documents
+  WHERE doc_id % {IND_VARIANT_MOD} = 0
+),
+hexes AS (
+  SELECT media_id, variant,
+         md5(base || '0') || md5(base || '1') || md5(base || '2') AS h
+  FROM media
+),
+px AS (
+  SELECT media_id, variant,
+         list_transform(range(1, 73), p ->
+           strpos('0123456789abcdef', substr(h, CAST(p AS INT), 1)) - 1
+           + CASE WHEN variant AND p = 1 THEN 16 ELSE 0 END) AS v
+  FROM hexes
+),
+bits AS (
+  SELECT media_id,
+         list_transform(range(64), k ->
+           CASE WHEN v[CAST(k // 8 * 9 + k % 8 + 2 AS INT)]
+                     > v[CAST(k // 8 * 9 + k % 8 + 1 AS INT)]
+                THEN 1 ELSE 0 END) AS bv
+  FROM px
+),
+pairs AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         CAST(list_sum(list_transform(range(1, 65),
+              k -> CASE WHEN a.bv[CAST(k AS INT)] <> b.bv[CAST(k AS INT)]
+                        THEN 1 ELSE 0 END)) AS INT) AS hamming
+  FROM bits a JOIN bits b ON a.media_id < b.media_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {IND_HAMMING}
+"""
+
+
 KSB_BINS = 64
 
 
@@ -6314,6 +6393,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ks_drift": q_ks_drift,
     "ks_drift_binned": q_ks_drift_binned,
     "skewed_join_salted": q_skewed_join_salted,
+    "image_near_dup": q_image_near_dup,
     # ---- oracle tail: gates rotated out after 2+ green driver
     # ---- gradings — all still hash-checked by
     # ---- tests/test_oracle_parity.py and tools/check_oracle.py ----
@@ -6519,6 +6599,7 @@ ORACLES: dict[str, str] = {
     "ks_drift": SQL_KS_DRIFT,
     "ks_drift_binned": SQL_KS_DRIFT_BINNED,
     "skewed_join_salted": SQL_SKEWED_JOIN_SALTED,
+    "image_near_dup": SQL_IMAGE_NEAR_DUP,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

@@ -131,3 +131,30 @@ def test_image_near_dup_exact_duplicate_and_determinism(spark):
     one = sorted(map(tuple, mm.image_near_dup(media).collect()))
     two = sorted(map(tuple, mm.image_near_dup(media).collect()))
     assert one == two == [(1, 2, 0)]
+
+
+def test_md5_replayable_gray_variant_flips_at_most_one_bit(spark):
+    """The SQL-replayable codec stub: a variant payload (0x01 marker)
+    differs from its base by exactly the (0,0) pixel, so the dHash
+    moves by at most ONE bit and the banded near-dup join pairs every
+    variant with its base at hamming <= 1."""
+    base_g = mm.md5_replayable_gray(b"some doc text")
+    var_g = mm.md5_replayable_gray(b"some doc text\x01")
+    assert base_g.shape == var_g.shape == (8, 9)
+    diff = base_g != var_g
+    assert diff.sum() == 1 and diff[0, 0]
+
+    media = spark.createDataFrame(
+        [(1, "image", b"some doc text", None),
+         (2, "image", b"some doc text\x01", None),
+         (3, "image", b"unrelated words here", None)],
+        mm.MEDIA_SCHEMA,
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.image_near_dup(
+            media, max_hamming=3, decode_gray=mm.md5_replayable_gray
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 1
+    assert all(k == (1, 2) for k in pairs)
