@@ -392,6 +392,63 @@ def run_stress(
             f"{per_batch} (total {sum(per_batch):.1f}s)",
             file=sys.stderr,
         )
+        # -- streaming Count-Min path: the foreachBatch shard-append seam
+        # -- (same write streaming_cms_shards performs), 12 micro-batches
+        # -- x 500k keyed rows, then ONE whole-stream merge + estimate
+        # -- probe. Tracked value is the MEDIAN per-batch wall; the curve
+        # -- must stay FLAT (each batch's cost is one map-side-combined
+        # -- aggregate + a depth-row parquet append — independent of how
+        # -- many shards history holds). merge_t is the end-of-stream
+        # -- fold over batches x depth shard rows — the only term that
+        # -- grows with history, recorded separately so cross-round eyes
+        # -- catch superlinearity in either half.
+        from blueetl_spark.operators.profile import (
+            cms_estimate,
+            cms_shard,
+            merge_cms_shards,
+        )
+
+        cms_batches, cms_rows = 12, 500_000
+        cms_path = f"{tmp}/stream_cms_shards"
+        cms_walls = []
+        for b in range(cms_batches):
+            t0 = time.perf_counter()
+            batch = spark.range(cms_rows).select(
+                F.pmod(
+                    F.xxhash64(F.col("id") + b * cms_rows), F.lit(50_000)
+                ).alias("k")
+            )
+            cms_shard(
+                batch, "k", width=256, depth=4, batch_id=f"b{b}"
+            ).coalesce(1).write.mode("append").parquet(cms_path)
+            cms_walls.append(round(time.perf_counter() - t0, 3))
+        t0 = time.perf_counter()
+        grid = merge_cms_shards(spark.read.parquet(cms_path))
+        probe_keys = spark.range(1_000).select(F.col("id").alias("k"))
+        cms_estimate(grid, probe_keys, "k", width=256, depth=4).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        cms_merge_t = round(time.perf_counter() - t0, 3)
+        _stress_barrier(spark)
+        med = round(statistics.median(cms_walls), 3)
+        timings["stream_cms"] = med
+        detail["stream_cms"] = {
+            "samples": cms_walls,  # per-BATCH walls, batch 0 .. N-1
+            "min": min(cms_walls),
+            "median": med,
+            "spread": round((max(cms_walls) - min(cms_walls)) / med, 2)
+            if med
+            else 0.0,
+            "batches": cms_batches,
+            "rows_per_batch": cms_rows,
+            "merge_estimate_t": cms_merge_t,
+            "total_wall": round(sum(cms_walls), 3),
+        }
+        print(
+            f"# stress stream_cms: median batch {med}s of {cms_walls} "
+            f"(merge+estimate {cms_merge_t}s)",
+            file=sys.stderr,
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return timings, detail
