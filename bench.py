@@ -120,6 +120,10 @@ HEADLINE = [
     "key_skew",
     "weighted_group_sample",
     "ks_drift",
+    # round-10 additions
+    "ks_drift_binned",
+    "skewed_join_salted",
+    "image_near_dup",
 ]
 
 

@@ -6282,36 +6282,48 @@ SELECT seq, COUNT(*) AS n_occ FROM tri GROUP BY 1
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- round-8 new surface: funnel (sequential-min HOF fold) and the
-    # ---- distributed Pareto frontier take the slots of report_extract
-    # ---- and customer_class_index (graded green 7 and 5 consecutive
-    # ---- rounds; both stay in the oracle tail below)
-    "funnel_conversion": q_funnel_conversion,
-    "pareto_parts": q_pareto_parts,
-    "language_id": q_language_id,
-    "semantic_decontaminate": q_semantic_decontaminate,
-    "stratified_sample": q_stratified_sample,
-    "chunk_documents": q_chunk_documents,
-    "simhash_candidates": q_simhash_candidates,
-    "profile_shards_merge": q_profile_shards_merge,
-    # ---- round-8 rotation: the 14 late-round-7 gates never yet
-    # ---- driver-graded (split/winsorize, graph triangle/coefficient,
-    # ---- EXISTS/set-ops/unpivot/scalar-subquery SQL surface, JSON
-    # ---- extraction, median/MAD outliers, CCNet terciles, SCD2
-    # ---- history, interval overlap, mergeable profile shards) take the
-    # ---- slots of 14 gates stable >=3 rounds (histogram, isi_stats,
-    # ---- correlation_pairs, multi_sim_rates, dedup_embedding,
-    # ---- quality_features, curation_pipeline, dedup_components,
-    # ---- knn_bruteforce, knn_lsh, knn_ivf_fixed, dynamic_onset_windows,
-    # ---- sessionization, value_quantiles), which stay hash-checked in
-    # ---- the oracle tail below.  scd2_latest_order and
-    # ---- session_window_overlap also gate this round's advisor fixes
-    # ---- (SCD2 broadcast direction, epsilon-free interval buckets).
-    "train_split": q_train_split,
-    "winsorize_stats": q_winsorize_stats,
-    "triangle_counts": q_triangle_counts,
-    "clustering_coeff": q_clustering_coeff,
-    "sole_fault_suppliers": q_sole_fault_suppliers,
+    # ---- round-10 rotation (VERDICT r9 #1): the 10 round-9 gates the
+    # ---- driver has never graded (CMS estimates, MinHash containment,
+    # ---- contamination ratio, CUSUM changepoint, GROUPING SETS
+    # ---- margins, key-skew diagnostics, KS drift, PMI collocations,
+    # ---- recursive ancestor closure, per-group weighted budgets) move
+    # ---- into the graded window — all pre-verified repr-exact at
+    # ---- sf0.01 — taking the slots of 13 gates graded green twice
+    # ---- (r8+r9) and the 5 SURVEY-core gates re-graded green in r9,
+    # ---- which all stay hash-checked in the oracle tail below.
+    "cms_estimates": q_cms_estimates,
+    "containment_md5": q_containment_md5,
+    "contamination_ratio": q_contamination_ratio,
+    "cusum_changepoint": q_cusum_changepoint,
+    "grouping_sets_margin": q_grouping_sets_margin,
+    "key_skew": q_key_skew,
+    "ks_drift": q_ks_drift,
+    "pmi_collocations": q_pmi_collocations,
+    "tree_closure": q_tree_closure,
+    "weighted_group_sample": q_weighted_group_sample,
+    # ---- round-10 new surface: binned KS (the scale-safe drift screen
+    # ---- for continuous columns), the measure-then-salt join planner
+    # ---- (key_skew wired into salted_join with a graded consumer), and
+    # ---- the first multimodal gate (md5-replayable dHash near-dup)
+    "ks_drift_binned": q_ks_drift_binned,
+    "skewed_join_salted": q_skewed_join_salted,
+    "image_near_dup": q_image_near_dup,
+    # ---- SURVEY-core rotation (standing cycle, VERDICT r9 #1): the
+    # ---- next five reference-surface gates return for fresh driver
+    # ---- evidence (ISI/CV/LV features, per-class firing rates,
+    # ---- frame-report soma means, Welch PSD vs a naive-DFT SQL twin,
+    # ---- window materialization); they stayed hash-checked in the
+    # ---- tail while out
+    "isi_stats": q_isi_stats,
+    "event_rates": q_event_rates,
+    "soma_mean_value": q_soma_mean_value,
+    "psd_welch": q_psd_welch,
+    "windows_materialize": q_windows_materialize,
+    # ---- retained for a 2nd/3rd green grading: props_json_stats and
+    # ---- robust_outliers gate the round-8 oracle HUGEINT fix (one
+    # ---- post-fix green so far), k_core_fixed and the 13 round-8
+    # ---- addendum gates (retention_cohorts .. event_trigrams) have
+    # ---- one green each (r9)
     "repeat_customers_setops": q_repeat_customers_setops,
     "part_unpivot": q_part_unpivot,
     "small_quantity_revenue": q_small_quantity_revenue,
@@ -6321,14 +6333,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_latest_order": q_scd2_latest_order,
     "session_window_overlap": q_session_window_overlap,
     "profile_orders": q_profile_orders,
-    # ---- round-7 rotation, third pass: the 9 gates added late this
-    # ---- round (SQL surface: ROLLUP/pivot/LAG-gaps/CUBE; RANGE-frame
-    # ---- rolling aggs; equi-depth deciles; the mergeable histogram
-    # ---- sketch; personalized PageRank) take the slots of 9 gates
-    # ---- stable >=4 rounds (qdsl_filter, event_rates, feature_by_gid,
-    # ---- complexity_pdf, soma_mean_value, dedup_keep_canonical,
-    # ---- minhash_lsh_md5, simhash_md5, knn_pq), which stay
-    # ---- hash-checked in the oracle tail below.
     "rollup_revenue": q_rollup_revenue,
     "status_priority_pivot": q_status_priority_pivot,
     "order_gaps": q_order_gaps,
@@ -6338,18 +6342,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_sketch_merge": q_histogram_sketch_merge,
     "histogram_sketch_quantiles": q_histogram_sketch_quantiles,
     "pagerank_personalized": q_pagerank_personalized,
-    # ---- round-9 rotation: the 13 round-8-addendum gates never yet
-    # ---- driver-graded (cohort retention, OHLC resample + mergeable
-    # ---- shards, TPC-H Q8 market share, Deequ-style one-pass quality
-    # ---- rules, embedding covariance/JL projection, leakage-safe
-    # ---- split, OLS trend, basket association rules, funnel gap
-    # ---- timings, Markov transitions, path trigrams) take the slots
-    # ---- of the 13 round-7 gates graded green twice (r7+r8:
-    # ---- semdedup_fixed, bm25, lm_perplexity, dsir_weights,
-    # ---- classifier_score, pagerank_fixed, dsir_resample,
-    # ---- gopher_rules, decontaminate_bloom, fuzzy_decontaminate,
-    # ---- edit_distance_pairs, phrase_search, bm25_search), which stay
-    # ---- hash-checked in the oracle tail below.
     "retention_cohorts": q_retention_cohorts,
     "ohlc_events": q_ohlc_events,
     "ohlc_shards_merge": q_ohlc_shards_merge,
@@ -6363,37 +6355,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_gaps": q_funnel_gaps,
     "event_transitions": q_event_transitions,
     "event_trigrams": q_event_trigrams,
-    # ---- SURVEY-core rotation (VERDICT r8 #5): five reference-surface
-    # ---- gates return to the graded window on a standing cycle so
-    # ---- driver-level sf0.01 evidence for the reference surface never
-    # ---- goes stale (they remained hash-checked in the tail while
-    # ---- out); they take the slots of the six r7 second-pass gates
-    # ---- graded green twice (simhash_band_stats, dedup_spans,
-    # ---- epoch_mixture, temperature_mixture, corpus_diff,
-    # ---- frequent_priority).
+    "k_core_fixed": q_k_core_fixed,
+    # ---- end of the driver's 50-slot graded window ----
+    # ---- oracle tail head, rotated out this round: 13 r8-surface
+    # ---- gates graded green twice (r8+r9) and the 5 SURVEY-core gates
+    # ---- whose cycle slot passed to the five above; hash-checked
+    # ---- every suite run like the rest of the tail
+    "funnel_conversion": q_funnel_conversion,
+    "pareto_parts": q_pareto_parts,
+    "language_id": q_language_id,
+    "semantic_decontaminate": q_semantic_decontaminate,
+    "stratified_sample": q_stratified_sample,
+    "chunk_documents": q_chunk_documents,
+    "simhash_candidates": q_simhash_candidates,
+    "profile_shards_merge": q_profile_shards_merge,
+    "train_split": q_train_split,
+    "winsorize_stats": q_winsorize_stats,
+    "triangle_counts": q_triangle_counts,
+    "clustering_coeff": q_clustering_coeff,
+    "sole_fault_suppliers": q_sole_fault_suppliers,
     "report_extract": q_report_extract,
     "histogram": q_histogram,
     "feature_by_gid": q_feature_by_gid,
     "correlation_pairs": q_correlation_pairs,
     "dynamic_onset_windows": q_dynamic_onset_windows,
-    # ---- round-9 new surface: fixed-round k-core peeling (the last
-    # ---- graph operator without a SQL twin — VERDICT r8 #6)
-    "k_core_fixed": q_k_core_fixed,
-    # ---- oracle tail head: round-9 additions past the 50-slot window
-    # ---- (r10 graded-window candidates), hash-checked every suite run
-    "cusum_changepoint": q_cusum_changepoint,
-    "contamination_ratio": q_contamination_ratio,
-    "containment_md5": q_containment_md5,
-    "tree_closure": q_tree_closure,
-    "pmi_collocations": q_pmi_collocations,
-    "grouping_sets_margin": q_grouping_sets_margin,
-    "cms_estimates": q_cms_estimates,
-    "key_skew": q_key_skew,
-    "weighted_group_sample": q_weighted_group_sample,
-    "ks_drift": q_ks_drift,
-    "ks_drift_binned": q_ks_drift_binned,
-    "skewed_join_salted": q_skewed_join_salted,
-    "image_near_dup": q_image_near_dup,
     # ---- oracle tail: gates rotated out after 2+ green driver
     # ---- gradings — all still hash-checked by
     # ---- tests/test_oracle_parity.py and tools/check_oracle.py ----
@@ -6417,7 +6402,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_diff": q_corpus_diff,
     "frequent_priority": q_frequent_priority,
     "customer_class_index": q_customer_class_index,
-    "isi_stats": q_isi_stats,
     "multi_sim_rates": q_multi_sim_rates,
     "dedup_embedding": q_dedup_embedding,
     "quality_features": q_quality_features,
@@ -6429,9 +6413,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionization": q_sessionization,
     "value_quantiles": q_value_quantiles,
     "qdsl_filter": q_qdsl_filter,
-    "event_rates": q_event_rates,
     "complexity_pdf": q_complexity_pdf,
-    "soma_mean_value": q_soma_mean_value,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "minhash_lsh_md5": q_minhash_lsh_md5,
     "simhash_md5": q_simhash_md5,
@@ -6457,7 +6439,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "winnowing_md5": q_winnowing_md5,
     "resample_events": q_resample_events,
-    "windows_materialize": q_windows_materialize,
     "spike_distances_fixed": q_spike_distances_fixed,
     "segment_active_customers": q_segment_active_customers,
     "decontaminate": q_decontaminate,
@@ -6465,7 +6446,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": q_mixture_sample,
     # rotated out in round 7's second pass (>=3 rounds stable) for the
     # 13 round-7 gates above; still fully oracled here
-    "psd_welch": q_psd_welch,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "pii_scrub": q_pii_scrub,
