@@ -124,6 +124,9 @@ HEADLINE = [
     "ks_drift_binned",
     "skewed_join_salted",
     "image_near_dup",
+    "heavy_hitters_shards",
+    "embedding_drift",
+    "pack_sequences",
 ]
 
 

@@ -30,7 +30,7 @@ Scale design:
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -218,3 +218,64 @@ def random_projection(
             expr = F.round(expr, round_to)
         outs.append(expr.alias(f"p{j}"))
     return df.select(*df.columns, *outs)
+
+
+def centroid_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str = "embedding",
+    by: Sequence[str] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Embedding-space drift between two corpus/feed versions per
+    group: the cosine similarity of the two sides' centroid vectors —
+    the vector twin of ``timeseries.ks_drift`` (scalars drift in
+    distribution; embeddings drift in direction). 1.0 = same mean
+    direction, → 0/negative = the corpus moved. Output:
+    ``(by…, n_a, n_b, cosine)``; a side with zero rows or a zero-norm
+    sum yields NULL cosine (no direction to compare) rather than
+    vanishing.
+
+    Cosine is scale-invariant, so the centroids are never divided by
+    n: the per-dim SUM vectors feed the cosine directly (one less
+    float op for the oracle to mismatch). Scale shape: tag + union,
+    ONE map-side-combined shuffle to per-(group, dim) sums (rows out:
+    groups × d, data crosses one exchange), then a groups-sized
+    reduction to (dot, |a|², |b|²) and a broadcast join of the per-side
+    row counts. All JVM; no UDFs, no collect.
+    """
+    by = list(by)
+    v = F.col(vec_col)
+    a = df_a.filter(v.isNotNull()).select(
+        *by, v.alias("__v"), F.lit(1).alias("__a"), F.lit(0).alias("__b")
+    )
+    b = df_b.filter(v.isNotNull()).select(
+        *by, v.alias("__v"), F.lit(0).alias("__a"), F.lit(1).alias("__b")
+    )
+    u = a.unionByName(b)
+    n = u.groupBy(*by).agg(
+        F.sum("__a").alias("n_a"), F.sum("__b").alias("n_b")
+    )
+    e = u.select(
+        *by, "__a", "__b", F.posexplode("__v").alias("__d", "__x")
+    )
+    x = F.col("__x").cast("double")
+    g = e.groupBy(*by, "__d").agg(
+        F.sum(F.when(F.col("__a") == 1, x).otherwise(0.0)).alias("__sa"),
+        F.sum(F.when(F.col("__b") == 1, x).otherwise(0.0)).alias("__sb"),
+    )
+    sa, sb = F.col("__sa"), F.col("__sb")
+    c = g.groupBy(*by).agg(
+        F.sum(sa * sb).alias("__dot"),
+        F.sum(sa * sa).alias("__qa"),
+        F.sum(sb * sb).alias("__qb"),
+    )
+    cos = F.when(
+        (F.col("__qa") > 0) & (F.col("__qb") > 0),
+        F.col("__dot") / F.sqrt(F.col("__qa") * F.col("__qb")),
+    )
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return c.join(F.broadcast(n), on=by).select(
+        *by, "n_a", "n_b", cos.alias("cosine")
+    )

@@ -682,3 +682,93 @@ def key_skew(
         rnd(F.col("__topk") / n, round_to).alias("topk_share"),
         rnd(ratio, ent_digits).alias("entropy_ratio"),
     )
+
+
+def topk_shard(
+    df: DataFrame,
+    key_col: str,
+    m: int = 64,
+    batch_id: str = "",
+) -> DataFrame:
+    """Per-shard exact top-``m`` heavy-hitter summary — the mergeable,
+    bounds-honest alternative to shipping full per-key counts when the
+    key space is huge (the distributed form of a Misra–Gries/SpaceSaving
+    summary, but DETERMINISTIC: per-shard counts are exact and the
+    kept set is a deterministic top-m with a (count desc, key) tie-break,
+    so replays and oracles reproduce it bit-for-bit — stream-order-
+    sensitive MG counters could not be SQL-replayed).
+
+    One tiny frame per batch: ``(batch_id, key, c, n_kept, bound)``
+    where ``c`` is the key's exact in-shard count, ``n_kept`` how many
+    keys this shard kept, and ``bound`` the shard's contribution cap
+    for keys it did NOT keep — ``kept_min`` (the m-th count) when the
+    shard kept a full ``m`` (an unkept key can hide at most that many
+    rows), else 0 (fewer distinct keys than m means every key was kept,
+    so absence proves count 0).
+
+    Scale shape: ONE map-side-combined count per key, then a
+    ``TakeOrdered`` top-m over the key-sized count table (no full
+    sort), then two scalar aggregates broadcast back. Rows out: ≤ m per
+    batch, independent of data size — the incremental contract of
+    ``profile_shard``/``cms_shard``.
+    """
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("c"))
+    kept = counts.orderBy(F.col("c").desc(), F.col(key_col)).limit(m)
+    stats = kept.agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.min("c").alias("__kept_min"),
+    ).select(
+        "n_kept",
+        F.when(F.col("n_kept") == m, F.col("__kept_min"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("bound"),
+    )
+    return kept.crossJoin(F.broadcast(stats)).select(
+        F.lit(batch_id).alias("batch_id"),
+        key_col,
+        "c",
+        "n_kept",
+        "bound",
+    )
+
+
+def merge_topk_shards(shards: DataFrame, key_col: str) -> DataFrame:
+    """Fold :func:`topk_shard` rows into per-key count intervals over
+    the whole stream: ``count_lb`` sums the key's counts from every
+    shard that kept it (a true lower bound), and ``count_ub`` adds each
+    *other* shard's ``bound`` (the most rows the key could hide in a
+    shard that didn't keep it) — so the TRUE total count always lies in
+    ``[count_lb, count_ub]``, and ``exact`` marks keys every shard
+    accounted for. Sort by ``count_lb`` downstream for certified heavy
+    hitters (a key is a guaranteed top-k hit when its lb beats the k-th
+    largest ub among the rest).
+
+    Replay-safe like every shard merge here: a replayed batch's
+    identical rows reduce to one per (batch_id, key) before any sum.
+    All stages are summary-sized (shards × m rows), never data-sized;
+    the one-row bound total broadcasts.
+    """
+    dedup = shards.dropDuplicates(["batch_id", key_col])
+    total = (
+        shards.dropDuplicates(["batch_id"])
+        .agg(F.sum("bound").alias("__total_bound"))
+    )
+    agg = dedup.groupBy(key_col).agg(
+        F.sum("c").alias("count_lb"),
+        F.sum("bound").alias("__present_bound"),
+    )
+    return agg.crossJoin(F.broadcast(total)).select(
+        key_col,
+        "count_lb",
+        (
+            F.col("count_lb")
+            + F.col("__total_bound")
+            - F.col("__present_bound")
+        ).alias("count_ub"),
+        (
+            F.col("__total_bound") == F.col("__present_bound")
+        ).alias("exact"),
+    )

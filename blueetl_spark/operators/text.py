@@ -9,6 +9,8 @@ n_chars``) but parameterized on column names.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1577,3 +1579,71 @@ def pmi_collocations(
     if round_to is not None:
         pmi = F.round(pmi, round_to)
     return joined.select("w1", "w2", "n_pair", pmi.alias("pmi"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    len_col: str,
+    seq_len: int,
+    by: Sequence[str] = (),
+    order: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Concat-then-split sequence packing — how pretraining pipelines
+    turn a document corpus into fixed-length training sequences: within
+    each group, documents concatenate in a deterministic order and the
+    token stream splits into back-to-back bins of ``seq_len`` tokens.
+    Output is the PACKING MANIFEST: one row per (document × bin it
+    overlaps) with in-bin offsets —
+    ``(by…, order…, bin, seg_start, seg_end)`` — everything a loader
+    needs to materialize sequence ``bin`` without re-deriving global
+    offsets (``seg_end`` is exclusive; a document longer than
+    ``seq_len`` simply spans several bins).
+
+    Chosen over greedy first-fit no-split packing deliberately: greedy
+    packing is an inherently sequential recurrence (bin state feeds the
+    next decision) that cannot be expressed as a window function, while
+    concat-then-split is pure prefix-sum arithmetic — ONE ordered
+    window per group computes every document's global token interval
+    ``[cum − len, cum)``, and the bin overlap explodes from integer
+    division. All integer math end to end: bit-exact on any engine,
+    zero padding waste (greedy leaves tail gaps; splitting leaves none).
+
+    Scale caveat (same as every per-group ordered window here): each
+    group's prefix sum is one partition. Group by a shard/epoch key of
+    bounded size at 100 TB — packing is embarrassingly parallel across
+    shards because bins are per-group; run ``profile.key_skew`` on the
+    group key when unsure.
+    """
+    from pyspark.sql import Window
+
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    by, order = list(by), list(order)
+    w = Window.partitionBy(*by).orderBy(*[F.col(c).asc() for c in order])
+    n = F.col(len_col).cast("long")
+    src = df.filter(n > 0).select(*by, *order, n.alias("__n"))
+    cum = F.sum("__n").over(w)
+    s = src.select(
+        *by,
+        *order,
+        (cum - F.col("__n")).alias("__st"),
+        cum.alias("__en"),
+    )
+    lit_l = F.lit(int(seq_len)).cast("long")
+    binned = s.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__st") / lit_l),
+                F.floor((F.col("__en") - 1) / lit_l),
+            )
+        ),
+    )
+    b = F.col("bin")
+    return binned.select(
+        *by,
+        *order,
+        "bin",
+        (F.greatest(F.col("__st"), b * lit_l) - b * lit_l).alias("seg_start"),
+        (F.least(F.col("__en"), (b + 1) * lit_l) - b * lit_l).alias("seg_end"),
+    )

@@ -5209,6 +5209,152 @@ QUALIFY row_number() OVER (
 SQL_WEIGHTED_GROUP_SAMPLE = _weighted_group_sample_sql()
 
 
+PACK_L = 2048
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing (``text.pack_sequences``):
+    per-language concat-then-split of the document corpus into
+    2048-token bins (n_chars as the token proxy), emitting the packing
+    manifest (doc × bin segments with in-bin offsets). One ordered
+    prefix-sum window per language + an integer-division explode —
+    all-integer math, bit-exact on any engine."""
+    from blueetl_spark.operators import text as txt
+
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    return txt.pack_sequences(
+        docs, "n_chars", PACK_L, by=["lang"], order=["doc_id"]
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH c AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM documents WHERE n_chars > 0
+),
+s AS (SELECT lang, doc_id, cum - n_chars AS st, cum AS en FROM c)
+SELECT lang, doc_id, b AS bin,
+       GREATEST(st, b * {PACK_L}) - b * {PACK_L} AS seg_start,
+       LEAST(en, (b + 1) * {PACK_L}) - b * {PACK_L} AS seg_end
+FROM s, unnest(generate_series(st // {PACK_L}, (en - 1) // {PACK_L}))
+     AS t(b)
+"""
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift per label (``embeddings.centroid_drift``)
+    between the even/odd vec_id halves — the vector twin of the KS
+    screen: cosine similarity of the two halves' centroid (sum)
+    vectors. One tagged-union shuffle to (label, dim) sums, then
+    label-sized reductions; the oracle mirrors the exact SUM/cosine
+    shape, rounded at audit precision."""
+    from blueetl_spark.operators import embeddings as emb
+
+    vecs = tables.load(spark, sf_dir, "embeddings")
+    half_a = vecs.filter(F.pmod("vec_id", F.lit(2)) == 0)
+    half_b = vecs.filter(F.pmod("vec_id", F.lit(2)) == 1)
+    return emb.centroid_drift(half_a, half_b, "embedding", by=["label"])
+
+
+SQL_EMBEDDING_DRIFT = """
+WITH u AS (
+  SELECT label, vec_id % 2 AS half,
+         generate_subscripts(embedding, 1) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+g AS (
+  SELECT label, d,
+         SUM(CASE WHEN half = 0 THEN x ELSE 0.0 END) AS sa,
+         SUM(CASE WHEN half = 1 THEN x ELSE 0.0 END) AS sb
+  FROM u GROUP BY 1, 2
+),
+c AS (
+  SELECT label, SUM(sa * sb) AS dot,
+         SUM(sa * sa) AS qa, SUM(sb * sb) AS qb
+  FROM g GROUP BY 1
+),
+n AS (
+  SELECT label,
+         CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_a,
+         CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_b
+  FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1
+)
+SELECT label, n_a, n_b,
+       ROUND(CASE WHEN qa > 0 AND qb > 0
+                  THEN dot / sqrt(qa * qb) END, 6) AS cosine
+FROM c JOIN n USING (label)
+"""
+
+
+HH_M = 50
+HH_TOPN = 10
+HH_SHARDS = 3
+
+
+def q_heavy_hitters_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bounded heavy hitters (``profile.topk_shard`` +
+    ``merge_topk_shards``): orders split into 3 batches, each reduced
+    to a ≤50-row exact top-m summary with an honest absence bound, then
+    folded into per-customer count INTERVALS — the deterministic,
+    SQL-replayable answer to "who are the heaviest keys across a stream
+    of batches" when shipping full per-key counts is too big. Top 10 by
+    lower bound, tie-broken to a total order; every true count is
+    guaranteed inside [count_lb, count_ub]."""
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey")
+    )
+    parts = None
+    for s in range(HH_SHARDS):
+        sh = profile.topk_shard(
+            orders.filter(F.pmod("o_orderkey", F.lit(HH_SHARDS)) == s),
+            "custkey",
+            m=HH_M,
+            batch_id=f"s{s}",
+        )
+        parts = sh if parts is None else parts.unionByName(sh)
+    merged = profile.merge_topk_shards(parts, "custkey")
+    return merged.orderBy(
+        F.col("count_lb").desc(), F.col("count_ub").desc(), "custkey"
+    ).limit(HH_TOPN)
+
+
+SQL_HEAVY_HITTERS_SHARDS = f"""
+WITH o AS (SELECT o_custkey AS custkey, o_orderkey % {HH_SHARDS} AS sh
+           FROM orders),
+c AS (SELECT sh, custkey, COUNT(*) AS c FROM o GROUP BY 1, 2),
+kept AS (
+  SELECT sh, custkey, c FROM c
+  QUALIFY row_number() OVER (PARTITION BY sh ORDER BY c DESC, custkey)
+          <= {HH_M}
+),
+stats AS (SELECT sh, COUNT(*) AS n_kept, MIN(c) AS kept_min
+          FROM kept GROUP BY 1),
+bounds AS (SELECT sh, CASE WHEN n_kept = {HH_M} THEN kept_min ELSE 0 END
+                  AS bound
+           FROM stats),
+tot AS (SELECT CAST(SUM(bound) AS BIGINT) AS total_bound FROM bounds),
+agg AS (
+  SELECT custkey, CAST(SUM(c) AS BIGINT) AS count_lb,
+         CAST(SUM(b.bound) AS BIGINT) AS present_bound
+  FROM kept JOIN bounds b USING (sh) GROUP BY 1
+)
+SELECT custkey, count_lb,
+       count_lb + total_bound - present_bound AS count_ub,
+       total_bound = present_bound AS exact
+FROM agg, tot
+ORDER BY count_lb DESC, count_ub DESC, custkey
+LIMIT {HH_TOPN}
+"""
+
+
 SKEW_TOP_K = 3
 SKJ_THRESHOLD = 2.0
 SKJ_SALT = 8
@@ -6357,6 +6503,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_trigrams": q_event_trigrams,
     "k_core_fixed": q_k_core_fixed,
     # ---- end of the driver's 50-slot graded window ----
+    # ---- oracle tail head: round-10 additions landed after the
+    # ---- window was frozen (r11 graded-window candidates) —
+    # ---- hash-checked every suite run like the rest of the tail
+    "heavy_hitters_shards": q_heavy_hitters_shards,
+    "embedding_drift": q_embedding_drift,
+    "pack_sequences": q_pack_sequences,
     # ---- oracle tail head, rotated out this round: 13 r8-surface
     # ---- gates graded green twice (r8+r9) and the 5 SURVEY-core gates
     # ---- whose cycle slot passed to the five above; hash-checked
@@ -6580,6 +6732,9 @@ ORACLES: dict[str, str] = {
     "ks_drift_binned": SQL_KS_DRIFT_BINNED,
     "skewed_join_salted": SQL_SKEWED_JOIN_SALTED,
     "image_near_dup": SQL_IMAGE_NEAR_DUP,
+    "heavy_hitters_shards": SQL_HEAVY_HITTERS_SHARDS,
+    "embedding_drift": SQL_EMBEDDING_DRIFT,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

