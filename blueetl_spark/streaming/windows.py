@@ -456,6 +456,43 @@ def streaming_cms_shards(
     return writer.start()
 
 
+def streaming_topk_shards(
+    stream_df: DataFrame,
+    key_col: str,
+    shard_path: str,
+    checkpoint: str,
+    m: int = 64,
+    batch_prefix: str = "stream",
+    trigger: dict | None = None,
+):
+    """Heavy-hitters twin of :func:`streaming_cms_shards`: each
+    micro-batch appends its ≤``m``-row exact top-m summary
+    (``operators/profile.py::topk_shard`` — per-key count plus the
+    shard's absence bound), and ``profile.merge_topk_shards`` answers
+    "heaviest keys so far, with guaranteed count intervals" at any
+    moment from shard rows bounded by batches × m. Same foreachBatch
+    seam, zero cross-batch state; a replayed epoch re-appends identical
+    rows under the same batch_id, deduped before the fold
+    (at-least-once → effectively-once).
+    """
+    from blueetl_spark.operators.profile import topk_shard
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        topk_shard(
+            batch_df, key_col, m=m, batch_id=f"{batch_prefix}-{epoch_id}"
+        ).coalesce(1).write.mode("append").parquet(shard_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def asof_enrich_static(
     events: DataFrame,
     dim: DataFrame,

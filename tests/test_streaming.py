@@ -1196,3 +1196,68 @@ def test_streaming_cms_shards(spark, tmp_path):
 
     true = Counter(pdf["k"])
     assert all(est[k] >= true[k] for k in true)
+
+
+def test_streaming_topk_shards(spark, tmp_path):
+    """Per-micro-batch top-m summaries must bound every true count
+    after the merge; restart from the checkpoint appends nothing; a
+    crash-replayed epoch's rows fold out on batch_id; wide-m shards
+    (m >= distinct keys) make every merged count exact."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from blueetl_spark.operators.profile import merge_topk_shards
+    from blueetl_spark.streaming.windows import streaming_topk_shards
+
+    src = str(tmp_path / "src")
+    shards = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    vals = [0] * 200 + [1] * 90 + [2] * 60 + [i % 40 for i in range(250)]
+    pdf = pd.DataFrame({"k": vals})
+    spark.createDataFrame(pdf).repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_topk_shards(
+        stream, "k", shards, ckpt, m=5, trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+
+    true = Counter(vals)
+
+    def merged():
+        return {
+            r.k: r
+            for r in merge_topk_shards(
+                spark.read.parquet(shards), "k"
+            ).collect()
+        }
+
+    got = merged()
+    for k, r in got.items():
+        assert r.count_lb <= true[k] <= r.count_ub, (k, r, true[k])
+    # the dominant key is certified top-1: lb beats every other ub
+    others_ub = max(r.count_ub for k, r in got.items() if k != 0)
+    assert got[0].count_lb == true[0] > others_ub
+
+    # restart from the same checkpoint: nothing appended
+    before = spark.read.parquet(shards).count()
+    q2 = streaming_topk_shards(
+        stream, "k", shards, ckpt, m=5, trigger={"availableNow": True}
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(shards).count() == before
+
+    # crash-replay of one epoch's rows: identical (batch_id, k) fold out
+    one = spark.read.parquet(shards).limit(2)
+    one.write.mode("append").parquet(shards)
+    replayed = merged()
+    for k, r in got.items():
+        assert (replayed[k].count_lb, replayed[k].count_ub) == (
+            r.count_lb,
+            r.count_ub,
+        )
