@@ -127,6 +127,7 @@ HEADLINE = [
     "heavy_hitters_shards",
     "embedding_drift",
     "pack_sequences",
+    "psi_drift",
 ]
 
 

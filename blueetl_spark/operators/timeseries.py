@@ -954,3 +954,154 @@ def ks_drift(
             stat.alias("d_stat"),
         )
     )
+
+
+def psi_drift(
+    df_ref: DataFrame,
+    df_new: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    buckets: int = 10,
+    eps: float = 1e-6,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Population Stability Index per group — the scorecard-industry
+    drift metric that complements :func:`ks_drift` (KS reports the
+    worst single CDF gap; PSI sums relative shifts over the whole
+    distribution): bucket the REFERENCE sample into ``buckets``
+    equal-population bins (discrete quantile edges), share both samples
+    across those bins, and report
+    ``PSI = Σ_j (p_j − q_j) · ln(p_j / q_j)`` with both shares floored
+    at ``eps`` so empty bins stay finite (rule of thumb: < 0.1 stable,
+    0.1–0.25 drifting, > 0.25 shifted). Output:
+    ``(by…, n_ref, n_new, psi)``; a group with no NEW rows reports
+    NULL psi (nothing to compare) with ``n_new`` 0, and a group absent
+    from the REFERENCE is omitted entirely (there is no binning basis
+    — surface those with an anti-join upstream if they matter).
+
+    Engine-exact by construction, stage by stage: (1) edge SELECTION is
+    pure integer arithmetic — over the reference's per-(group, value)
+    counts, cumulative count ``cum`` makes value ``v`` the ``i``-th
+    discrete ``b``-quantile edge exactly when
+    ``i ∈ (prev·b div n, cum·b div n]`` (BIGINT products, no float
+    rank); (2) bucket ASSIGNMENT is "count of edges strictly below v"
+    (ties fall to the lower bucket in any engine); (3) the PSI sum is a
+    LEFT FOLD over bucket-ordered terms, not a commutative aggregate,
+    so float summation order cannot differ between engines.
+
+    Scale shape: per-(group, value) count aggregates (ONE
+    map-side-combined exchange per side's tagged union), one ordered
+    window over the reference's DISTINCT values for the edges (same
+    per-group partition caveat as :func:`ks_drift` — distinct-value-
+    sized, not row-sized; pre-quantize or screen with
+    ``profile.key_skew`` for one giant continuous group), a broadcast
+    of the (groups × buckets)-sized edge arrays, then bucket-sized
+    everything.
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    by = list(by)
+    v = F.col(value_col)
+    ref = df_ref.filter(v.isNotNull()).select(*by, v.alias("__v"))
+    new = df_new.filter(v.isNotNull()).select(*by, v.alias("__v"))
+
+    # --- 1) reference edge values: discrete i/b quantiles, i=1..b-1 ---
+    g = ref.groupBy(*by, "__v").agg(F.count(F.lit(1)).alias("__c"))
+    w_run = (
+        Window.partitionBy(*by)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*by)
+    cum = F.sum("__c").over(w_run)
+    n_ref = F.sum("__c").over(w_all)
+    ranked = g.select(
+        *by,
+        "__v",
+        (cum - F.col("__c")).alias("__prev"),
+        cum.alias("__cum"),
+        n_ref.alias("__n_ref"),
+    ).select(
+        *by,
+        "__v",
+        "__n_ref",
+        # BIGINT `div`, never float division: an exact boundary like
+        # cum*b == k*n must land on k in every engine
+        F.expr(f"__prev * {int(buckets)} div __n_ref").alias("__lo"),
+        F.expr(f"__cum * {int(buckets)} div __n_ref").alias("__hi"),
+    )
+    i_from = F.greatest(F.col("__lo") + 1, F.lit(1).cast("long"))
+    i_to = F.least(F.col("__hi"), F.lit(int(buckets) - 1).cast("long"))
+    edges = (
+        # Spark's sequence(a, b) DESCENDS when a > b (DuckDB's
+        # generate_series is empty) — gate the explode explicitly
+        ranked.filter(i_from <= i_to)
+        .withColumn("__i", F.explode(F.sequence(i_from, i_to)))
+        .groupBy(*by)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__i", "__v"))),
+                lambda s: s["__v"],
+            ).alias("__edges"),
+            F.first("__n_ref").alias("n_ref"),
+        )
+    )
+
+    # --- 2) bucket both sides against the broadcast edges ---
+    def bucketed(df, tag):
+        j = df.join(F.broadcast(edges.select(*by, "__edges")), on=by)
+        bucket = F.aggregate(
+            F.col("__edges"),
+            F.lit(0),
+            lambda acc, e: acc
+            + F.when(F.col("__v") > e, F.lit(1)).otherwise(F.lit(0)),
+        )
+        return (
+            j.select(*by, bucket.alias("__b"))
+            .groupBy(*by, "__b")
+            .agg(F.count(F.lit(1)).alias(f"__c_{tag}"))
+        )
+
+    rc = bucketed(ref, "ref")
+    nc = bucketed(new, "new")
+
+    # --- 3) densify buckets 0..b-1, shares, eps floor, ordered fold ---
+    grid = edges.select(*by, "n_ref").withColumn(
+        "__b", F.explode(F.sequence(F.lit(0), F.lit(int(buckets) - 1)))
+    )
+    n_new = new.groupBy(*by).agg(F.count(F.lit(1)).alias("n_new"))
+    full = (
+        grid.join(rc, on=by + ["__b"], how="left")
+        .join(nc, on=by + ["__b"], how="left")
+        .join(F.broadcast(n_new), on=by, how="left")
+        .fillna(0, subset=["__c_ref", "__c_new", "n_new"])
+    )
+    p = F.greatest(
+        F.col("__c_ref").cast("double") / F.col("n_ref").cast("double"),
+        F.lit(float(eps)),
+    )
+    q = F.greatest(
+        F.when(
+            F.col("n_new") > 0,
+            F.col("__c_new").cast("double") / F.col("n_new").cast("double"),
+        ),
+        F.lit(float(eps)),
+    )
+    term = F.when(
+        F.col("n_new") > 0, (p - q) * F.log(p / q)
+    )  # NULL when the new side is empty -> NULL psi
+    psi = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("__b"), term.alias("t")))),
+            lambda s: s["t"],
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    if round_to is not None:
+        psi = F.round(psi, round_to)
+    return full.groupBy(*by).agg(
+        F.first("n_ref").alias("n_ref"),
+        F.first("n_new").alias("n_new"),
+        psi.alias("psi"),
+    )

@@ -5209,6 +5209,103 @@ QUALIFY row_number() OVER (
 SQL_WEIGHTED_GROUP_SAMPLE = _weighted_group_sample_sql()
 
 
+PSI_BUCKETS = 10
+PSI_EPS = 1e-6
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type
+    (``timeseries.psi_drift``) between the even/odd event-id halves —
+    the scorecard-industry drift score next to the KS gap: reference
+    deciles by pure-integer order statistics, tie-to-lower bucket
+    assignment against broadcast edges, eps-floored shares, and a
+    bucket-ordered LEFT FOLD for the sum so no engine's float
+    summation order leaks into the gate."""
+    ev = _events_norm(spark, sf_dir).select("event_type", "event_id", "value")
+    ref = ev.filter(F.pmod("event_id", F.lit(2)) == 0)
+    new = ev.filter(F.pmod("event_id", F.lit(2)) == 1)
+    return timeseries.psi_drift(
+        ref, new, "value", by=["event_type"],
+        buckets=PSI_BUCKETS, eps=PSI_EPS,
+    )
+
+
+SQL_PSI_DRIFT = f"""
+WITH {_E_CTE},
+ref AS (SELECT event_type, value AS v FROM e
+        WHERE value IS NOT NULL AND event_id % 2 = 0),
+nw AS (SELECT event_type, value AS v FROM e
+       WHERE value IS NOT NULL AND event_id % 2 = 1),
+g AS (SELECT event_type, v, COUNT(*) AS c FROM ref GROUP BY 1, 2),
+r AS (
+  SELECT event_type, v, c,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n_ref
+  FROM g
+),
+pos AS (
+  SELECT event_type, v, n_ref,
+         (cum - c) * {PSI_BUCKETS} // n_ref AS lo,
+         cum * {PSI_BUCKETS} // n_ref AS hi
+  FROM r
+),
+ed AS (
+  SELECT event_type, v, n_ref, i
+  FROM pos, unnest(generate_series(GREATEST(lo + 1, 1),
+                                   LEAST(hi, {PSI_BUCKETS - 1}))) AS t(i)
+),
+edges AS (
+  SELECT event_type, list(v ORDER BY i) AS edges,
+         ANY_VALUE(n_ref) AS n_ref
+  FROM ed GROUP BY 1
+),
+rc AS (
+  SELECT ref.event_type,
+         len(list_filter(edges, x -> v > x)) AS b, COUNT(*) AS c_ref
+  FROM ref JOIN edges ON ref.event_type = edges.event_type
+  GROUP BY 1, 2
+),
+ncnt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_new
+         FROM nw GROUP BY 1),
+nc AS (
+  SELECT nw.event_type,
+         len(list_filter(edges, x -> v > x)) AS b, COUNT(*) AS c_new
+  FROM nw JOIN edges ON nw.event_type = edges.event_type
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT event_type, n_ref, t.b
+  FROM edges, unnest(generate_series(0, {PSI_BUCKETS - 1})) AS t(b)
+),
+filled AS (
+  SELECT grid.event_type, grid.n_ref, grid.b,
+         COALESCE(rc.c_ref, 0) AS c_ref,
+         COALESCE(nc.c_new, 0) AS c_new,
+         COALESCE(ncnt.n_new, 0) AS n_new
+  FROM grid
+  LEFT JOIN rc ON grid.event_type = rc.event_type AND grid.b = rc.b
+  LEFT JOIN nc ON grid.event_type = nc.event_type AND grid.b = nc.b
+  LEFT JOIN ncnt ON grid.event_type = ncnt.event_type
+),
+terms AS (
+  SELECT event_type, n_ref, n_new, b,
+         CASE WHEN n_new > 0 THEN
+           (GREATEST(c_ref / CAST(n_ref AS DOUBLE), {PSI_EPS!r})
+            - GREATEST(c_new / CAST(n_new AS DOUBLE), {PSI_EPS!r}))
+           * ln(GREATEST(c_ref / CAST(n_ref AS DOUBLE), {PSI_EPS!r})
+                / GREATEST(c_new / CAST(n_new AS DOUBLE), {PSI_EPS!r}))
+         END AS t
+  FROM filled
+)
+SELECT event_type, ANY_VALUE(n_ref) AS n_ref, ANY_VALUE(n_new) AS n_new,
+       ROUND(list_reduce(list_prepend(0.0, list(t ORDER BY b)),
+                         (x, y) -> x + y), 6) AS psi
+FROM terms GROUP BY 1
+"""
+
+
 PACK_L = 2048
 
 
@@ -6509,6 +6606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters_shards": q_heavy_hitters_shards,
     "embedding_drift": q_embedding_drift,
     "pack_sequences": q_pack_sequences,
+    "psi_drift": q_psi_drift,
     # ---- oracle tail head, rotated out this round: 13 r8-surface
     # ---- gates graded green twice (r8+r9) and the 5 SURVEY-core gates
     # ---- whose cycle slot passed to the five above; hash-checked
@@ -6735,6 +6833,7 @@ ORACLES: dict[str, str] = {
     "heavy_hitters_shards": SQL_HEAVY_HITTERS_SHARDS,
     "embedding_drift": SQL_EMBEDDING_DRIFT,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "psi_drift": SQL_PSI_DRIFT,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

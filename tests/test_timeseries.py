@@ -611,6 +611,75 @@ def test_ks_drift_matches_scipy_style_replay(spark):
     assert got["only_a"] == (1, 0, None)
 
 
+def test_psi_drift_replays_sequential_reference(spark):
+    """PSI equals a sequential reimplementation (integer disc-quantile
+    edges, tie-to-lower buckets, eps floor, bucket-ordered fold);
+    identical samples give 0; a hard shift scores large; a group with
+    no new rows reports NULL psi; a group absent from the reference is
+    omitted."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators import timeseries as ts
+
+    B, EPS = 4, 1e-6
+    ref_vals = [float(x) for x in [1, 1, 2, 3, 4, 5, 6, 7, 8, 8, 9, 12]]
+    new_vals = [float(x) for x in [1, 2, 2, 2, 9, 10, 11, 12, 12, 13]]
+    a = spark.createDataFrame(
+        [("k", v) for v in ref_vals] + [("same", 1.0), ("same", 2.0),
+                                        ("only_ref", 5.0)],
+        "g string, v double",
+    )
+    b = spark.createDataFrame(
+        [("k", v) for v in new_vals] + [("same", 1.0), ("same", 2.0),
+                                        ("no_ref", 3.0)],
+        "g string, v double",
+    )
+    got = {
+        r["g"]: (r["n_ref"], r["n_new"], r["psi"])
+        for r in ts.psi_drift(a, b, "v", by=["g"], buckets=B,
+                              eps=EPS).collect()
+    }
+
+    def brute(xs, ys, buckets):
+        n = len(xs)
+        svals = sorted(xs)
+        counts = {}
+        cum = 0
+        edges = {}
+        # integer order-statistic edges over per-value counts
+        from collections import Counter, OrderedDict
+        cnt = OrderedDict(sorted(Counter(xs).items()))
+        for v, c in cnt.items():
+            prev, cum = cum, cum + c
+            for i in range(prev * buckets // n + 1,
+                           min(cum * buckets // n, buckets - 1) + 1):
+                if i >= 1:
+                    edges[i] = v
+        es = [edges[i] for i in sorted(edges)]
+        bx = lambda v: sum(1 for e in es if v > e)  # noqa: E731
+        pc = Counter(bx(v) for v in xs)
+        qc = Counter(bx(v) for v in ys)
+        acc = 0.0
+        for j in range(buckets):
+            p = max(pc.get(j, 0) / len(xs), EPS)
+            q = max(qc.get(j, 0) / len(ys), EPS)
+            acc += (p - q) * math.log(p / q)
+        return round(acc, 6)
+
+    assert got["k"] == (12, 10, brute(ref_vals, new_vals, B))
+    assert got["same"] == (2, 2, 0.0)
+    assert got["only_ref"] == (1, 0, None)
+    assert "no_ref" not in got
+    assert got["k"][2] > 0.2  # the planted shift is a real drift score
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="buckets"):
+        ts.psi_drift(a, b, "v", by=["g"], buckets=1)
+
+
 def test_ks_drift_binned_bounds_window_input(spark):
     """The scale-caveat case: ONE group whose values are all distinct
     (distinct count == row count, the shape where the exact variant
