@@ -128,6 +128,7 @@ HEADLINE = [
     "embedding_drift",
     "pack_sequences",
     "psi_drift",
+    "ann_recall_lsh",
 ]
 
 

@@ -807,3 +807,47 @@ def compact_ivf_index(spark, index_path: str) -> int:
         f"{index_path}/tombstones.parquet",
         f"{index_path}/.compact-assignments.parquet",
     )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Recall audit of an approximate-neighbor result against its exact
+    baseline — the quality gate that belongs NEXT TO every ANN index
+    (LSH/IVF/PQ trade recall for speed; untracked recall is how a
+    near-dup or retrieval pipeline silently degrades). Per query:
+    ``n_exact`` baseline neighbors, ``n_hit`` of them the approximate
+    index also returned, ``recall = n_hit / n_exact``. Aggregate (mean
+    recall, share of queries above a floor) downstream; per-query rows
+    are where the failures hide (one orphaned query tells you which
+    bucket/probe is starved — a corpus mean hides it).
+
+    Run it on a QUERY SAMPLE at 100 TB: both inputs are result-shaped
+    (queries × k rows, never corpus-sized), so the audit costs one
+    equi-join + one aggregate on frames the size of the answer — the
+    bruteforce baseline over a few hundred sampled queries is the only
+    real cost, and that's the point of sampling.
+    """
+    a = (
+        approx.select(query_col, neighbor_col)
+        .dropDuplicates()
+        .withColumn("__hit", F.lit(1))
+    )
+    j = exact.select(query_col, neighbor_col).join(
+        a, [query_col, neighbor_col], "left"
+    )
+    recall = F.col("n_hit").cast("double") / F.col("n_exact").cast("double")
+    if round_to is not None:
+        recall = F.round(recall, round_to)
+    return (
+        j.groupBy(query_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(query_col, "n_exact", "n_hit", recall.alias("recall"))
+    )

@@ -5209,6 +5209,33 @@ QUALIFY row_number() OVER (
 SQL_WEIGHTED_GROUP_SAMPLE = _weighted_group_sample_sql()
 
 
+def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the hyperplane-LSH index against the bruteforce
+    baseline (``similarity.ann_recall``) — the ANN quality gate: one
+    row per query with n_exact/n_hit/recall, so a starved bucket or
+    probe shows up as an individual low-recall query rather than
+    vanishing into a corpus mean. Both inputs are result-shaped; the
+    audit itself is one equi-join + one aggregate."""
+    return similarity.ann_recall(
+        q_knn_lsh(spark, sf_dir), q_knn_bruteforce(spark, sf_dir)
+    )
+
+
+SQL_ANN_RECALL_LSH = f"""
+WITH ex AS ({SQL_KNN_BRUTEFORCE}),
+ap AS ({SQL_KNN_LSH})
+SELECT ex.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       ROUND(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+FROM ex LEFT JOIN ap
+  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+GROUP BY 1
+"""
+
+
 PSI_BUCKETS = 10
 PSI_EPS = 1e-6
 
@@ -6607,6 +6634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_drift": q_embedding_drift,
     "pack_sequences": q_pack_sequences,
     "psi_drift": q_psi_drift,
+    "ann_recall_lsh": q_ann_recall_lsh,
     # ---- oracle tail head, rotated out this round: 13 r8-surface
     # ---- gates graded green twice (r8+r9) and the 5 SURVEY-core gates
     # ---- whose cycle slot passed to the five above; hash-checked
@@ -6834,6 +6862,7 @@ ORACLES: dict[str, str] = {
     "embedding_drift": SQL_EMBEDDING_DRIFT,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "psi_drift": SQL_PSI_DRIFT,
+    "ann_recall_lsh": SQL_ANN_RECALL_LSH,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

@@ -115,3 +115,31 @@ def test_replay_duplicate_appends_fold_out(spark, index):
     assert {(r.neighbor_id, r.rank) for r in after} == {
         (r.neighbor_id, r.rank) for r in out
     }
+
+
+def test_ann_recall_counts_hits_per_query(spark):
+    """Recall is per-query hit fraction against the exact baseline:
+    full overlap -> 1.0, partial -> the exact ratio, disjoint -> 0.0;
+    duplicate approximate rows don't double-count; approximate-only
+    neighbors never inflate n_exact."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from blueetl_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (3, 30)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 11), (1, 99),   # dup + false positive
+         (2, 22),                              # all misses
+         (3, 30)],
+        "query_id long, neighbor_id long",
+    )
+    got = {
+        r["query_id"]: (r["n_exact"], r["n_hit"], r["recall"])
+        for r in ann_recall(approx, exact).collect()
+    }
+    assert got[1] == (3, 2, round(2 / 3, 6))
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (1, 1, 1.0)
