@@ -129,6 +129,8 @@ HEADLINE = [
     "pack_sequences",
     "psi_drift",
     "ann_recall_lsh",
+    "cdc_snapshot",
+    "ewma_levels",
 ]
 
 

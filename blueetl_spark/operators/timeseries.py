@@ -1105,3 +1105,52 @@ def psi_drift(
         F.first("n_new").alias("n_new"),
         psi.alias("psi"),
     )
+
+
+def ewma_level(
+    df: DataFrame,
+    value_col: str,
+    time_col: str = "time",
+    by: Sequence[str] = (),
+    alpha: float = 0.2,
+    tie_col: str | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exponentially weighted moving-average LEVEL per group — "where
+    is this series now, smoothed": the classic recurrence
+    ``y_i = α·x_i + (1−α)·y_{i−1}`` seeded with the first observation,
+    folded over the time-ordered series, one row out per group
+    ``(by…, n, ewma)``. The per-step form is used verbatim (not the
+    closed-form ``α·Σ(1−α)^{i−j}x_j``, whose powers overflow for long
+    series), so the result is replay-exact: a LEFT FOLD over the same
+    ordered values is the same float sequence in any engine.
+
+    Scale shape: one map-side-combined ``collect_list`` per group — the
+    group's series is materialized in one task's memory, which is the
+    honest cost of an order-dependent recurrence (the same contract as
+    every bounded per-group kernel here). Right for per-entity series
+    (sensor, SKU, user); for one giant group, window the input (e.g.
+    EWMA of per-hour OHLC closes from ``ohlc_resample``) instead of
+    feeding raw ticks.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    by = list(by)
+    v = F.col(value_col).cast("double")
+    order = [F.col(time_col)] + ([F.col(tie_col)] if tie_col else [])
+    src = df.filter(v.isNotNull()).select(
+        *by, F.struct(*order, v.alias("__x")).alias("__s")
+    )
+    xs = F.transform(F.array_sort(F.collect_list("__s")), lambda s: s["__x"])
+    a, ia = F.lit(float(alpha)), F.lit(1.0 - float(alpha))
+    agg = src.groupBy(*by).agg(xs.alias("__xs"))
+    fold = F.aggregate(
+        F.slice(F.col("__xs"), 2, F.greatest(F.size("__xs") - 1, F.lit(0))),
+        F.element_at("__xs", 1),
+        lambda acc, y: a * y + ia * acc,
+    )
+    if round_to is not None:
+        fold = F.round(fold, round_to)
+    return agg.select(
+        *by, F.size("__xs").cast("long").alias("n"), fold.alias("ewma")
+    )

@@ -447,3 +447,68 @@ def scd2_snapshot(spark: SparkSession, path: str | Path, at: float | None = None
             )
         )
     return out.drop("__valid_from", "__valid_to")
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str | list[str],
+    order_col: str,
+    op_col: str = "op",
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """Apply a change-data-capture batch to a snapshot — the lakehouse
+    MERGE pattern for upstream-database feeds: ``changes`` rows carry an
+    op code (``I``/``U`` upsert, ``D`` delete) and a version/order
+    column; within the batch the LAST writer per key wins (a key
+    inserted then deleted in one batch ends deleted; updated twice ends
+    at the later version), then the surviving ops apply to ``base`` in
+    one pass. Returns the new snapshot with ``base``'s columns.
+
+    Deterministic by contract: ``(order_col, op precedence)`` must give
+    a TOTAL order per key — two change rows for one key with the same
+    order value raise (silently picking one would apply different
+    snapshots on different runs; upstream CDC streams have an LSN/
+    sequence precisely so consumers never tie-break).
+
+    Scale shape: one window over the CHANGES (batch-sized, never
+    snapshot-sized) picks survivors, one ``left_anti`` join removes
+    every touched key from the snapshot, one union appends the
+    non-delete survivors. With ``broadcast_keys`` (default — CDC
+    batches are tiny next to the snapshot) the base table never
+    shuffles at all; set it False for a giant backfill batch and the
+    anti join becomes the base's single shuffle. No read-modify-write
+    per row anywhere.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    keys = [key] if isinstance(key, str) else list(key)
+    payload = [c for c in base.columns if c not in keys]
+    missing = [c for c in (*keys, *payload, op_col, order_col)
+               if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing columns: {missing}")
+
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    ranked = changes.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__ties",
+        F.count(F.lit(1)).over(
+            Window.partitionBy(*keys, order_col)
+        ),
+    )
+    dup = ranked.filter((F.col("__rn") == 1) & (F.col("__ties") > 1)).limit(1)
+    if dup.count() > 0:
+        r = dup.first()
+        raise ValueError(
+            f"apply_cdc: tied {order_col} for key "
+            f"{[r[k] for k in keys]} — the change feed must carry a "
+            "total per-key order (LSN / sequence number)"
+        )
+    latest = ranked.filter(F.col("__rn") == 1)
+    touched = latest.select(*keys).distinct()
+    if broadcast_keys:
+        touched = F.broadcast(touched)
+    kept = base.join(touched, keys, "left_anti")
+    upserts = latest.filter(F.col(op_col) != "D").select(*keys, *payload)
+    return kept.unionByName(upserts)

@@ -5209,6 +5209,119 @@ QUALIFY row_number() OVER (
 SQL_WEIGHTED_GROUP_SAMPLE = _weighted_group_sample_sql()
 
 
+EWMA_ALPHA = 0.2
+
+
+def q_ewma_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity EWMA level (``timeseries.ewma_level``): the smoothed
+    current value of each gid's event series, the classic recurrence
+    folded left-to-right over the (time, event_id)-ordered values —
+    the same float sequence in any engine, so the oracle's
+    ``list_reduce`` replays it bit-for-bit."""
+    ev = _events_norm(spark, sf_dir)
+    return timeseries.ewma_level(
+        ev, "value", time_col="time", by=["gid"],
+        alpha=EWMA_ALPHA, tie_col="event_id",
+    )
+
+
+SQL_EWMA_LEVELS = f"""
+WITH {_E_CTE},
+l AS (
+  SELECT gid, list(CAST(value AS DOUBLE) ORDER BY "time", event_id) AS xs
+  FROM e WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT gid, CAST(len(xs) AS BIGINT) AS n,
+       ROUND(list_reduce(xs, (acc, y) -> {EWMA_ALPHA!r} * y
+                                         + {1.0 - EWMA_ALPHA!r} * acc),
+             6) AS ewma
+FROM l
+"""
+
+
+def q_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC batch apply (``plans/stores.apply_cdc``): a synthetic change
+    feed over the orders snapshot exercises every MERGE path — deletes,
+    double-updates where the later sequence wins, inserts of new keys,
+    and an update-then-delete that must end deleted. Prices enter the
+    gate as FLOOR(price*100) BIGINT cents (floor, not cast — Spark's
+    double→long cast truncates where DuckDB's rounds); the result
+    folds to per-status totals to keep the graded frame compact while
+    staying sensitive to any mis-applied row."""
+    from blueetl_spark.plans.stores import apply_cdc
+
+    base = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    k = F.col("o_orderkey")
+    pc = F.col("price_c")
+
+    def ch(cond, key, status, price, op, seq):
+        return base.filter(cond).select(
+            key.alias("o_orderkey"),
+            status.alias("status"),
+            price.cast("long").alias("price_c"),
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("int").alias("seq"),
+        )
+
+    st = F.col("status")
+    changes = (
+        ch(k % 10 == 0, k, st, pc, "D", 1)
+        .unionByName(ch(k % 10 == 1, k, st, pc + 111, "U", 1))
+        .unionByName(ch(k % 10 == 1, k, st, pc + 222, "U", 2))
+        .unionByName(ch(k % 10 == 2, k + 10_000_000, F.lit("N"), pc + 5, "I", 1))
+        .unionByName(ch(k % 10 == 3, k, st, pc + 999, "U", 1))
+        .unionByName(ch(k % 10 == 3, k, st, pc, "D", 2))
+    )
+    snap = apply_cdc(base, changes, "o_orderkey", "seq")
+    return snap.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price_c").alias("sum_price_c"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+SQL_CDC_SNAPSHOT = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+),
+ch AS (
+  SELECT o_orderkey, status, price_c, 'D' AS op, 1 AS seq
+  FROM base WHERE o_orderkey % 10 = 0
+  UNION ALL SELECT o_orderkey, status, price_c + 111, 'U', 1
+  FROM base WHERE o_orderkey % 10 = 1
+  UNION ALL SELECT o_orderkey, status, price_c + 222, 'U', 2
+  FROM base WHERE o_orderkey % 10 = 1
+  UNION ALL SELECT o_orderkey + 10000000, 'N', price_c + 5, 'I', 1
+  FROM base WHERE o_orderkey % 10 = 2
+  UNION ALL SELECT o_orderkey, status, price_c + 999, 'U', 1
+  FROM base WHERE o_orderkey % 10 = 3
+  UNION ALL SELECT o_orderkey, status, price_c, 'D', 2
+  FROM base WHERE o_orderkey % 10 = 3
+),
+latest AS (
+  SELECT * FROM ch
+  QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1
+),
+snap AS (
+  SELECT b.o_orderkey, b.status, b.price_c
+  FROM base b ANTI JOIN latest l ON b.o_orderkey = l.o_orderkey
+  UNION ALL
+  SELECT o_orderkey, status, price_c FROM latest WHERE op <> 'D'
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM snap GROUP BY 1
+"""
+
+
 def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall audit of the hyperplane-LSH index against the bruteforce
     baseline (``similarity.ann_recall``) — the ANN quality gate: one
@@ -6635,6 +6748,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "psi_drift": q_psi_drift,
     "ann_recall_lsh": q_ann_recall_lsh,
+    "cdc_snapshot": q_cdc_snapshot,
+    "ewma_levels": q_ewma_levels,
     # ---- oracle tail head, rotated out this round: 13 r8-surface
     # ---- gates graded green twice (r8+r9) and the 5 SURVEY-core gates
     # ---- whose cycle slot passed to the five above; hash-checked
@@ -6863,6 +6978,8 @@ ORACLES: dict[str, str] = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "psi_drift": SQL_PSI_DRIFT,
     "ann_recall_lsh": SQL_ANN_RECALL_LSH,
+    "cdc_snapshot": SQL_CDC_SNAPSHOT,
+    "ewma_levels": SQL_EWMA_LEVELS,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

@@ -596,3 +596,45 @@ def test_scd2_never_broadcasts_table_slice(spark, tmp_path):
            if r.k in (1, 999)}
     assert (1, "new", None) in got and (999, "ins", None) in got
     assert (1, "v1", 20.0) in got
+
+
+def test_apply_cdc_last_writer_wins_and_contract(spark):
+    """CDC apply: deletes remove, the later sequence wins a
+    double-update, insert-then-delete in one batch ends deleted,
+    untouched rows pass through unchanged, new keys append — and a tied
+    per-key sequence raises instead of picking a winner silently."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from blueetl_spark.plans.stores import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k long, s string, v long",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a", 10, "D", 1),          # delete
+            (2, "b", 21, "U", 1),          # stale update...
+            (2, "b", 22, "U", 2),          # ...later one wins
+            (5, "e", 50, "I", 1),          # new key
+            (6, "f", 60, "I", 1),          # insert...
+            (6, "f", 60, "D", 2),          # ...then delete: ends absent
+        ],
+        "k long, s string, v long, op string, seq int",
+    )
+    snap = {
+        r["k"]: (r["s"], r["v"])
+        for r in apply_cdc(base, changes, "k", "seq").collect()
+    }
+    assert snap == {2: ("b", 22), 3: ("c", 30), 4: ("d", 40), 5: ("e", 50)}
+
+    tied = spark.createDataFrame(
+        [(7, "g", 1, "U", 1), (7, "g", 2, "U", 1)],
+        "k long, s string, v long, op string, seq int",
+    )
+    with _pytest.raises(ValueError, match="tied seq"):
+        apply_cdc(base, tied, "k", "seq")
+
+    with _pytest.raises(ValueError, match="missing columns"):
+        apply_cdc(base, changes.drop("op"), "k", "seq")

@@ -611,6 +611,36 @@ def test_ks_drift_matches_scipy_style_replay(spark):
     assert got["only_a"] == (1, 0, None)
 
 
+def test_ewma_level_replays_sequential_recurrence(spark):
+    """The folded EWMA equals the sequential per-step recurrence seeded
+    with the first observation; a one-point series returns that point;
+    nulls are not observations; ties break on the tie column."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from blueetl_spark.operators import timeseries as ts
+
+    rows = [("a", 1.0, 0, 10.0), ("a", 2.0, 0, 20.0), ("a", 3.0, 0, 5.0),
+            ("a", 3.0, 1, 7.0),            # tie on time -> event order
+            ("a", 4.0, 0, None),           # null: not an observation
+            ("b", 1.0, 0, 42.0)]
+    df = spark.createDataFrame(rows, "g string, t double, e int, v double")
+    got = {
+        r["g"]: (r["n"], r["ewma"])
+        for r in ts.ewma_level(df, "v", time_col="t", by=["g"],
+                               alpha=0.3, tie_col="e").collect()
+    }
+    acc = 10.0
+    for x in [20.0, 5.0, 7.0]:
+        acc = 0.3 * x + 0.7 * acc
+    assert got["a"] == (4, round(acc, 6))
+    assert got["b"] == (1, 42.0)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        ts.ewma_level(df, "v", time_col="t", alpha=0.0)
+
+
 def test_psi_drift_replays_sequential_reference(spark):
     """PSI equals a sequential reimplementation (integer disc-quantile
     edges, tie-to-lower buckets, eps floor, bucket-ordered fold);
