@@ -131,6 +131,7 @@ HEADLINE = [
     "ann_recall_lsh",
     "cdc_snapshot",
     "ewma_levels",
+    "jaccard_prefix",
 ]
 
 

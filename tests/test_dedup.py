@@ -1058,3 +1058,67 @@ def test_containment_candidates_arithmetic_and_clamp(spark):
     assert r["est_containment_b"] == round(min(1.0, inter / sizes[2]), 6)
     assert r["est_containment_a"] > r["est_jaccard"]
     assert r["est_containment_a"] <= 1.0
+
+
+def test_jaccard_prefix_matches_brute_with_fewer_candidates(spark):
+    """Prefix filtering must return exactly the brute-force pair set at
+    every threshold (exact recall by the prefix theorem), while its
+    prefix self-join emits strictly fewer shingle-collision rows than
+    the full self-join on a corpus with hot shingles."""
+    from blueetl_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+        shingle_sets,
+    )
+
+    # 30 docs sharing a hot phrase + distinct tails; a few near-dups
+    rows = []
+    for i in range(30):
+        tail = " ".join(f"w{i}x{j}" for j in range(6))
+        rows.append((i, f"the common hot phrase here {tail}"))
+    rows.append((100, rows[0][1]))              # exact dup of doc 0
+    rows.append((101, rows[1][1] + " extra"))   # near dup of doc 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for t in (0.3, 0.5, 0.8):
+        brute = sorted(map(tuple, jaccard_pairs(df, n=3, threshold=t)
+                           .collect()))
+        pref = sorted(map(tuple, jaccard_pairs_prefix(df, n=3, threshold=t)
+                          .collect()))
+        assert pref == brute, t
+
+    # candidate-generation work: full self-join collisions vs prefix ones
+    s = shingle_sets(df, "text", "doc_id", 3)
+    full_collisions = (
+        s.select(F.col("doc_id").alias("a"), "shingle")
+        .join(s.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .count()
+    )
+    pref_pairs = jaccard_pairs_prefix(df, n=3, threshold=0.5)  # noqa: F841
+    # the hot shared phrase makes every doc collide with every other in
+    # the full join; prefixes are rarest-first, so the distinct candidate
+    # set stays near the true near-dup pairs
+    from blueetl_spark.operators import dedup as dd
+
+    sizes = s.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    freq = s.groupBy("shingle").agg(F.count("*").alias("__df"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("__df").asc(),
+                                        F.col("shingle").asc())
+    ranked = (s.join(freq, "shingle")
+              .withColumn("rk", F.row_number().over(w))
+              .join(sizes, "doc_id"))
+    plen = (F.col("set_size")
+            - F.floor(F.lit(0.5) * F.col("set_size")).cast("long") + 1)
+    pref_sh = ranked.filter(F.col("rk") <= plen).select("doc_id", "shingle")
+    pref_collisions = (
+        pref_sh.select(F.col("doc_id").alias("a"), "shingle")
+        .join(pref_sh.select(F.col("doc_id").alias("b"), "shingle"),
+              "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .count()
+    )
+    assert pref_collisions < full_collisions / 3, (
+        pref_collisions, full_collisions)
