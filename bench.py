@@ -344,6 +344,29 @@ def run_stress(
             .mode("overwrite")
             .save(),
         )
+        # -- sequence packing over the full 20M events (gid as the
+        # -- shard key): ONE per-gid prefix-sum window + the integer
+        # -- bin explode — the concat-then-split manifest cost at the
+        # -- stress tier
+        from blueetl_spark.operators.text import pack_sequences
+
+        clock(
+            "pack_20m",
+            lambda: pack_sequences(
+                events.select(
+                    "gid", F.col("time").alias("doc_id"),
+                    (F.pmod(F.xxhash64("gid", "time"), F.lit(900)) + 100
+                     ).alias("n_tok"),
+                ),
+                "n_tok",
+                2048,
+                by=("gid",),
+                order=("doc_id",),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
         # -- streaming-state path: foreachBatch near-dedup against a
         # -- growing incremental MinHash index, 12 micro-batches x 5k
         # -- docs (~15% cross-batch duplicates). Tracked value is the
