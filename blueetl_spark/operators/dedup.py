@@ -229,21 +229,38 @@ def jaccard_pairs_prefix(
     only. ``⌊t·|x|⌋`` is used instead of ``⌈·⌉`` so a float
     last-ulp can only LENGTHEN a prefix (more candidates), never
     shorten one (lost recall).
+
+    When to use which: this variant pays a CONSTANT overhead (the rank
+    pass + candidate-restricted verify ≈ 2 extra stages) to buy an
+    ASYMPTOTIC win — on a corpus with hot shingles (boilerplate,
+    shared headers) the brute self-join's biggest bucket grows
+    quadratically while the prefix join never touches it. On a corpus
+    whose shingles are already near-unique the brute join is cheap and
+    this overhead isn't repaid; and prefix filtering is a
+    HIGH-threshold technique (prefix length ``≈ (1−t)·|x|`` — at
+    t=0.2 prefixes are 80% of each set). Brute for small/clean, prefix
+    for hot-key corpora at t ≥ ~0.5, MinHash when probabilistic recall
+    is acceptable.
     """
     s = shingle_sets(df, text_col, id_col, n).localCheckpoint(eager=True)
     sizes = s.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    # document-frequency map: distinct-shingle-sized (a vocabulary, not
+    # a corpus) — broadcast it so the ranking pass costs ONE shuffle
+    # (the per-doc window) instead of two; for a vocabulary too big to
+    # broadcast, drop the hint and AQE falls back to a shuffle join
     freq = s.groupBy("shingle").agg(F.count("*").alias("__df"))
     w = Window.partitionBy(id_col).orderBy(
         F.col("__df").asc(), F.col("shingle").asc()
     )
     ranked = (
-        s.join(freq, "shingle")
+        s.join(F.broadcast(freq), "shingle")
         .withColumn("__rk", F.row_number().over(w))
-        .join(sizes, id_col)
+        # set size from the same window partition — no extra sizes join
+        .withColumn("__sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
     )
     prefix_len = (
-        F.col("set_size")
-        - F.floor(F.lit(float(threshold)) * F.col("set_size")).cast("long")
+        F.col("__sz")
+        - F.floor(F.lit(float(threshold)) * F.col("__sz")).cast("long")
         + 1
     )
     pref = ranked.filter(F.col("__rk") <= prefix_len).select(id_col, "shingle")

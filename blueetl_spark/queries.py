@@ -5209,16 +5209,23 @@ QUALIFY row_number() OVER (
 SQL_WEIGHTED_GROUP_SAMPLE = _weighted_group_sample_sql()
 
 
+JACCARD_PREFIX_THRESHOLD = 0.8
+
+
 def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard pairs via PPJoin-style prefix filtering
     (``dedup.jaccard_pairs_prefix``) — provably the SAME answer as the
-    brute shingle self-join (the oracle IS the brute twin), but the
-    self-join touches only rarest-first prefixes, never the hot
-    frequent-shingle buckets where the brute join's cost concentrates.
-    The exact-recall middle path between brute force and MinHash."""
+    brute shingle self-join (the oracle IS the brute construction at
+    this threshold), but the self-join touches only rarest-first
+    prefixes, never the hot frequent-shingle buckets where the brute
+    join's cost concentrates. Gated at t=0.8 — prefix length is
+    ``|x| − ⌊t·|x|⌋ + 1``, so prefix filtering is a HIGH-threshold
+    technique (at t=0.8 prefixes are ~20% of each set; at t=0.2 they
+    would be ~80% and the extra rank pass would cost more than it
+    saves — use the brute join or MinHash there)."""
     docs = tables.load(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs_prefix(
-        docs, n=JACCARD_NGRAM, threshold=JACCARD_THRESHOLD
+        docs, n=JACCARD_NGRAM, threshold=JACCARD_PREFIX_THRESHOLD
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
 
@@ -6995,8 +7002,11 @@ ORACLES: dict[str, str] = {
     "ann_recall_lsh": SQL_ANN_RECALL_LSH,
     "cdc_snapshot": SQL_CDC_SNAPSHOT,
     "ewma_levels": SQL_EWMA_LEVELS,
-    # same answer by theorem: the brute twin IS the prefix variant's oracle
-    "jaccard_prefix": SQL_JACCARD_PAIRS,
+    # same answer by theorem: the brute construction IS the prefix
+    # variant's oracle (at the prefix gate's own threshold)
+    "jaccard_prefix": SQL_JACCARD_PAIRS.replace(
+        f">= {JACCARD_THRESHOLD!r}", f">= {JACCARD_PREFIX_THRESHOLD!r}"
+    ),
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,
