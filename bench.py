@@ -132,6 +132,7 @@ HEADLINE = [
     "cdc_snapshot",
     "ewma_levels",
     "jaccard_prefix",
+    "mutual_info",
 ]
 
 

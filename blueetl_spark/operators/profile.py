@@ -772,3 +772,86 @@ def merge_topk_shards(shards: DataFrame, key_col: str) -> DataFrame:
             F.col("__total_bound") == F.col("__present_bound")
         ).alias("exact"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Mutual information between two categorical columns, in nats —
+    the feature-dependence screen next to :func:`key_skew`'s
+    single-column entropy: "does knowing X tell me anything about Y"
+    (0 = independent; min(H(X), H(Y)) = fully determined). One row out:
+    ``(n_rows, n_x, n_y, mi, h_x, h_y, npmi)`` where ``npmi`` is the
+    normalized form ``MI / sqrt(H(X)·H(Y))`` in [0, 1]-ish for easy
+    thresholding (NULL when either marginal entropy is 0 — a constant
+    column carries no information to normalize by).
+
+    NULL categories count as categories (same rationale as key_skew: a
+    NULL-heavy column is real structure, not missing data to drop).
+
+    Engine-exact: every entropy term is ``Σ c·ln(c)`` over INTEGER
+    counts with the identity
+    ``MI = ln(n) + (Σ_xy c·ln c − Σ_x c·ln c − Σ_y c·ln c)/n`` — the
+    three sums are computed as ORDERED LEFT FOLDS over their
+    (category-sorted) term lists, never commutative float aggregates,
+    so no engine's summation order can leak into a serialized-hash
+    gate. Scale shape: ONE map-side-combined count per (x, y) pair;
+    the marginals re-aggregate the PAIR table (pair-cardinality-sized,
+    not data-sized); the folds run over category-sized arrays.
+    """
+    x, y = F.col(col_x), F.col(col_y)
+    pairs = df.select(
+        x.cast("string").alias("__x"), y.cast("string").alias("__y")
+    ).groupBy("__x", "__y").agg(F.count(F.lit(1)).alias("__c"))
+
+    def fold_clogc(order_cols):
+        """Σ c·ln(c) as a left fold over category-ordered terms."""
+        lst = F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(*order_cols, F.col("__c").alias("c")))
+            ),
+            lambda s: s["c"].cast("double") * F.log(s["c"].cast("double")),
+        )
+        return F.aggregate(lst, F.lit(0.0), lambda acc, t: acc + t)
+
+    xy = pairs.agg(
+        fold_clogc([F.col("__x"), F.col("__y")]).alias("__sxy"),
+        F.sum("__c").alias("n_rows"),
+        F.count(F.lit(1)).alias("__n_pairs"),
+    )
+    xm = (
+        pairs.groupBy("__x").agg(F.sum("__c").alias("__c"))
+        .agg(fold_clogc([F.col("__x")]).alias("__sx"),
+             F.count(F.lit(1)).alias("n_x"))
+    )
+    ym = (
+        pairs.groupBy("__y").agg(F.sum("__c").alias("__c"))
+        .agg(fold_clogc([F.col("__y")]).alias("__sy"),
+             F.count(F.lit(1)).alias("n_y"))
+    )
+    j = xy.crossJoin(F.broadcast(xm)).crossJoin(F.broadcast(ym))
+    n = F.col("n_rows").cast("double")
+    mi = F.log(n) + (F.col("__sxy") - F.col("__sx") - F.col("__sy")) / n
+    h_x = F.log(n) - F.col("__sx") / n
+    h_y = F.log(n) - F.col("__sy") / n
+    npmi = F.when(
+        (h_x > 0) & (h_y > 0), mi / F.sqrt(h_x * h_y)
+    )
+
+    def rnd(c):
+        # `+ 0.0` normalizes a rounded -0.0 (MI within one ulp below 0
+        # on independent data) so both engines serialize "0.0"
+        return (F.round(c, round_to) + 0.0) if round_to is not None else c
+
+    return j.select(
+        "n_rows",
+        "n_x",
+        "n_y",
+        rnd(mi).alias("mi"),
+        rnd(h_x).alias("h_x"),
+        rnd(h_y).alias("h_y"),
+        rnd(npmi).alias("npmi"),
+    )

@@ -5209,6 +5209,70 @@ QUALIFY row_number() OVER (
 SQL_WEIGHTED_GROUP_SAMPLE = _weighted_group_sample_sql()
 
 
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical mutual information (``profile.mutual_information``)
+    between order status and priority — the feature-dependence screen
+    next to key_skew's single-column entropy. Integer pair counts, the
+    three Σc·ln(c) terms as category-ordered LEFT FOLDS (no commutative
+    float aggregate), one (x,y)-pair exchange of the data."""
+    o = tables.load(spark, sf_dir, "orders")
+    return profile.mutual_information(o, "o_orderstatus", "o_orderpriority")
+
+
+SQL_MUTUAL_INFO = """
+WITH p AS (
+  SELECT CAST(o_orderstatus AS VARCHAR) AS x,
+         CAST(o_orderpriority AS VARCHAR) AS y, COUNT(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+xy AS (
+  SELECT list_reduce(list_prepend(0.0,
+           list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                ORDER BY x NULLS FIRST, y NULLS FIRST)),
+           (a, b) -> a + b) AS sxy,
+         CAST(SUM(c) AS BIGINT) AS n_rows
+  FROM p
+),
+xs AS (SELECT x, SUM(c) AS c FROM p GROUP BY 1),
+xm AS (
+  SELECT list_reduce(list_prepend(0.0,
+           list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                ORDER BY x NULLS FIRST)),
+           (a, b) -> a + b) AS sx,
+         COUNT(*) AS n_x
+  FROM xs
+),
+ys AS (SELECT y, SUM(c) AS c FROM p GROUP BY 1),
+ym AS (
+  SELECT list_reduce(list_prepend(0.0,
+           list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                ORDER BY y NULLS FIRST)),
+           (a, b) -> a + b) AS sy,
+         COUNT(*) AS n_y
+  FROM ys
+)
+SELECT n_rows, n_x, n_y,
+       ROUND(ln(CAST(n_rows AS DOUBLE))
+             + (sxy - sx - sy) / CAST(n_rows AS DOUBLE), 6) + 0.0 AS mi,
+       ROUND(ln(CAST(n_rows AS DOUBLE)) - sx / CAST(n_rows AS DOUBLE), 6)
+         + 0.0 AS h_x,
+       ROUND(ln(CAST(n_rows AS DOUBLE)) - sy / CAST(n_rows AS DOUBLE), 6)
+         + 0.0 AS h_y,
+       ROUND(CASE WHEN (ln(CAST(n_rows AS DOUBLE))
+                        - sx / CAST(n_rows AS DOUBLE)) > 0
+                   AND (ln(CAST(n_rows AS DOUBLE))
+                        - sy / CAST(n_rows AS DOUBLE)) > 0
+                  THEN (ln(CAST(n_rows AS DOUBLE))
+                        + (sxy - sx - sy) / CAST(n_rows AS DOUBLE))
+                       / sqrt((ln(CAST(n_rows AS DOUBLE))
+                               - sx / CAST(n_rows AS DOUBLE))
+                              * (ln(CAST(n_rows AS DOUBLE))
+                                 - sy / CAST(n_rows AS DOUBLE)))
+             END, 6) + 0.0 AS npmi
+FROM xy, xm, ym
+"""
+
+
 JACCARD_PREFIX_THRESHOLD = 0.8
 
 
@@ -6772,6 +6836,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_snapshot": q_cdc_snapshot,
     "ewma_levels": q_ewma_levels,
     "jaccard_prefix": q_jaccard_prefix,
+    "mutual_info": q_mutual_info,
     # ---- oracle tail head, rotated out this round: 13 r8-surface
     # ---- gates graded green twice (r8+r9) and the 5 SURVEY-core gates
     # ---- whose cycle slot passed to the five above; hash-checked
@@ -7007,6 +7072,7 @@ ORACLES: dict[str, str] = {
     "jaccard_prefix": SQL_JACCARD_PAIRS.replace(
         f">= {JACCARD_THRESHOLD!r}", f">= {JACCARD_PREFIX_THRESHOLD!r}"
     ),
+    "mutual_info": SQL_MUTUAL_INFO,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

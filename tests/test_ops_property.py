@@ -122,3 +122,91 @@ def test_winsorize_property(spark, vals):
     got = out.w
     assert got.isna().sum() == pdf.v.isna().sum()
     assert got.dropna().between(nn.min(), nn.max()).all()
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # group
+            st.integers(min_value=0, max_value=99),  # doc order key
+            st.integers(min_value=0, max_value=30),  # token count (0 drops)
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    seq_len=st.integers(min_value=1, max_value=16),
+)
+def test_pack_sequences_property(spark, rows, seq_len):
+    """On random corpora: segments tile each group's token stream with
+    no gaps or overlaps (per-group lengths sum to total tokens; every
+    bin except the last is exactly full), per-doc segments sum to the
+    doc's own length, and offsets stay inside [0, seq_len]."""
+    from blueetl_spark.operators.text import pack_sequences
+
+    pdf = pd.DataFrame(rows, columns=["g", "doc_id", "n"])
+    out = pack_sequences(
+        spark.createDataFrame(pdf), "n", seq_len, by=["g"],
+        order=["doc_id"],
+    ).toPandas()
+    live = pdf[pdf.n > 0]
+    assert out.seg_start.between(0, seq_len).all()
+    assert out.seg_end.between(0, seq_len).all()
+    assert (out.seg_end > out.seg_start).all()
+    seg_len = out.seg_end - out.seg_start
+    # per-doc segments reassemble the doc
+    per_doc = seg_len.groupby([out.g, out.doc_id]).sum()
+    for (g, d), tot in per_doc.items():
+        assert tot == int(live[(live.g == g) & (live.doc_id == d)].n.iloc[0])
+    # per-(group, bin) tiling: all bins full except possibly the last
+    for g, sub in out.assign(sl=seg_len).groupby("g"):
+        per_bin = sub.groupby("bin").sl.sum()
+        n_tok = int(live[live.g == g].n.sum())
+        assert per_bin.sum() == n_tok
+        last = per_bin.index.max()
+        assert (per_bin.drop(index=last) == seq_len).all()
+
+
+@SLOW
+@given(
+    xs=st.lists(st.integers(min_value=-20, max_value=20),
+                min_size=2, max_size=50),
+    ys=st.lists(st.integers(min_value=-20, max_value=20),
+                min_size=2, max_size=50),
+    buckets=st.integers(min_value=2, max_value=8),
+)
+def test_psi_drift_property(spark, xs, ys, buckets):
+    """PSI on random integer samples equals the sequential reference
+    (integer disc-quantile edges, tie-to-lower buckets, eps floor,
+    ordered fold) to the rounding digit."""
+    import math
+    from collections import Counter, OrderedDict
+
+    from blueetl_spark.operators.timeseries import psi_drift
+
+    a = spark.createDataFrame([("g", float(v)) for v in xs],
+                              "g string, v double")
+    b = spark.createDataFrame([("g", float(v)) for v in ys],
+                              "g string, v double")
+    row = psi_drift(a, b, "v", by=["g"], buckets=buckets).head()
+
+    n = len(xs)
+    cnt = OrderedDict(sorted(Counter(xs).items()))
+    cum, edges = 0, {}
+    for v, c in cnt.items():
+        prev, cum = cum, cum + c
+        for i in range(prev * buckets // n + 1,
+                       min(cum * buckets // n, buckets - 1) + 1):
+            if i >= 1:
+                edges[i] = v
+    es = [edges[i] for i in sorted(edges)]
+    bx = lambda v: sum(1 for e in es if v > e)  # noqa: E731
+    pc, qc = Counter(bx(v) for v in xs), Counter(bx(v) for v in ys)
+    acc = 0.0
+    for j in range(buckets):
+        p = max(pc.get(j, 0) / len(xs), 1e-6)
+        q = max(qc.get(j, 0) / len(ys), 1e-6)
+        acc += (p - q) * math.log(p / q)
+    assert row["psi"] == pytest.approx(round(acc, 6), abs=2e-6)
+    assert (row["n_ref"], row["n_new"]) == (len(xs), len(ys))

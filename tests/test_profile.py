@@ -367,6 +367,55 @@ def test_topk_shards_bounds_contain_truth_and_merge_replay_safe(spark):
         topk_shard(df.select("k"), "k", m=0)
 
 
+def test_mutual_information_known_cases(spark):
+    """MI: 0 for independent columns, H(X) when Y fully determines X
+    (npmi 1 for a bijection); NULL categories count; a constant column
+    reports NULL npmi (no entropy to normalize by). Checked against a
+    sequential entropy reference."""
+    import math
+    from collections import Counter
+
+    from blueetl_spark.operators.profile import mutual_information
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "x string, y string")
+
+    # independent 2x2 uniform grid, 25 rows per cell
+    indep = mk([(str(i % 2), str((i // 2) % 2)) for i in range(100)])
+    r = mutual_information(indep, "x", "y").head()
+    assert (r.n_rows, r.n_x, r.n_y) == (100, 2, 2)
+    assert r.mi == 0.0 and r.npmi == 0.0
+    assert r.h_x == round(math.log(2), 6)
+
+    # bijection: y = f(x) -> MI = H(X), npmi = 1
+    bij = mk([(str(i % 3), str((i % 3) * 7)) for i in range(90)])
+    b = mutual_information(bij, "x", "y").head()
+    assert b.mi == b.h_x == b.h_y == round(math.log(3), 6)
+    assert b.npmi == 1.0
+
+    # skewed dependent case vs a sequential reference
+    rows = [("a", "p")] * 30 + [("a", "q")] * 10 + [("b", "q")] * 50 + [
+        (None, "r")] * 10
+    dep = mk(rows)
+    d = mutual_information(dep, "x", "y").head()
+
+    n = len(rows)
+    cxy = Counter(rows)
+    cx = Counter(r_[0] for r_ in rows)
+    cy = Counter(r_[1] for r_ in rows)
+    mi = sum(
+        (c / n) * math.log((c / n) / ((cx[x] / n) * (cy[y] / n)))
+        for (x, y), c in cxy.items()
+    )
+    assert d.n_x == 3 and d.n_y == 3  # NULL is a category
+    assert abs(d.mi - mi) < 1e-6
+
+    # constant column: h == 0 -> npmi NULL, mi 0
+    const = mk([("k", str(i % 4)) for i in range(40)])
+    c = mutual_information(const, "x", "y").head()
+    assert c.mi == 0.0 and c.h_x == 0.0 and c.npmi is None
+
+
 def test_key_skew_uniform_vs_hot_key(spark):
     """Uniform keys score entropy_ratio 1.0; a single dominant key
     drives top_share up and the ratio down; NULL keys count as a key;
