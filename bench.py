@@ -133,6 +133,7 @@ HEADLINE = [
     "ewma_levels",
     "jaccard_prefix",
     "mutual_info",
+    "touch_attribution",
 ]
 
 

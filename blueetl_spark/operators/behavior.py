@@ -316,3 +316,49 @@ def retention_cohorts(
         )
         .agg(F.countDistinct("__u").alias("n_users"))
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    user_col: str = "gid",
+    type_col: str = "event_type",
+    time_col: str = "time",
+    tie_col: str | None = None,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """First- and last-touch attribution: for every CONVERSION event,
+    the first touch the user ever made before it and the latest touch
+    preceding it — the two classic credit-assignment answers ("which
+    channel started this user" vs "which channel closed the sale").
+    Output: one row per conversion with ``first_touch`` / ``last_touch``
+    (the touch's ``type_col`` value; NULL when the user converted with
+    no prior touch) plus any ``keep_cols`` carried through for the
+    downstream revenue rollup.
+
+    One pass, ONE user-key exchange: a single ordered window per user
+    computes both answers with ``first``/``last(..., ignorenulls=True)``
+    over a CASE that nulls out conversion rows — so conversions never
+    attribute to each other, equal-time touches resolve by the
+    ``tie_col`` total order (pass the event id; without it, equal-time
+    attribution is engine-arbitrary), and no self-join of the event
+    table anywhere (the textbook implementation joins conversions to
+    touches as-of, shuffling the table twice).
+    """
+    order = [F.col(time_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(F.col(type_col) != conversion_type, F.col(type_col))
+    out = events.select(
+        user_col,
+        type_col,
+        time_col,
+        *([tie_col] if tie_col else []),
+        *keep_cols,
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    return out.filter(F.col(type_col) == conversion_type).drop(type_col)

@@ -5209,6 +5209,53 @@ QUALIFY row_number() OVER (
 SQL_WEIGHTED_GROUP_SAMPLE = _weighted_group_sample_sql()
 
 
+ATTR_CONV = "purchase"
+
+
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion credit assignment (``behavior.touch_attribution``):
+    every purchase event attributed to the user's FIRST touch ever and
+    the LAST touch before the purchase, rolled up to
+    (first_touch, last_touch) cells with conversion counts and exact
+    integer millivalue revenue. One user-key exchange, one window —
+    no conversion×touch self-join."""
+    ev = _events_norm(spark, sf_dir)
+    conv = behavior.touch_attribution(
+        ev, ATTR_CONV, user_col="gid", type_col="event_type",
+        time_col="time", tie_col="event_id", keep_cols=["value"],
+    )
+    return conv.groupBy("first_touch", "last_touch").agg(
+        F.count(F.lit(1)).alias("n_conv"),
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).alias(
+            "sum_v_milli"
+        ),
+    )
+
+
+SQL_TOUCH_ATTRIBUTION = f"""
+WITH {_E_CTE},
+t AS (
+  SELECT gid, event_type, value,
+         first_value(CASE WHEN event_type <> '{ATTR_CONV}'
+                          THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY gid ORDER BY "time", event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS first_touch,
+         last_value(CASE WHEN event_type <> '{ATTR_CONV}'
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY gid ORDER BY "time", event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_touch
+  FROM e
+)
+SELECT first_touch, last_touch, COUNT(*) AS n_conv,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+         AS sum_v_milli
+FROM t WHERE event_type = '{ATTR_CONV}'
+GROUP BY 1, 2
+"""
+
+
 def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical mutual information (``profile.mutual_information``)
     between order status and priority — the feature-dependence screen
@@ -6837,6 +6884,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ewma_levels": q_ewma_levels,
     "jaccard_prefix": q_jaccard_prefix,
     "mutual_info": q_mutual_info,
+    "touch_attribution": q_touch_attribution,
     # ---- oracle tail head, rotated out this round: 13 r8-surface
     # ---- gates graded green twice (r8+r9) and the 5 SURVEY-core gates
     # ---- whose cycle slot passed to the five above; hash-checked
@@ -7073,6 +7121,7 @@ ORACLES: dict[str, str] = {
         f">= {JACCARD_THRESHOLD!r}", f">= {JACCARD_PREFIX_THRESHOLD!r}"
     ),
     "mutual_info": SQL_MUTUAL_INFO,
+    "touch_attribution": SQL_TOUCH_ATTRIBUTION,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

@@ -225,3 +225,39 @@ def test_funnel_quoted_step_names(spark):
     df = spark.createDataFrame(rows, "user_id long, event_type string, time double")
     got = {r["step"]: r["users"] for r in funnel(df, ["sign'up", "buy"]).collect()}
     assert got == {"sign'up": 2, "buy": 1}
+
+
+def test_touch_attribution_first_and_last(spark):
+    """Per conversion: first touch ever, latest touch before it;
+    conversions never attribute to each other; a conversion with no
+    prior touch gets NULL; equal-time ties resolve on the tie column."""
+    from blueetl_spark.operators.behavior import touch_attribution
+
+    rows = [
+        # user A: view -> click -> BUY -> email -> BUY
+        ("A", 1.0, 1, "view", 0.0),
+        ("A", 2.0, 2, "click", 0.0),
+        ("A", 3.0, 3, "purchase", 9.0),
+        ("A", 4.0, 4, "email", 0.0),
+        ("A", 5.0, 5, "purchase", 5.0),
+        # user B: cold conversion (no touches)
+        ("B", 1.0, 6, "purchase", 3.0),
+        # user C: touch and purchase at the SAME time -> tie on event_id
+        ("C", 1.0, 7, "ad", 0.0),
+        ("C", 1.0, 8, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "gid string, time double, event_id long, "
+              "event_type string, value double"
+    )
+    out = {
+        (r["gid"], r["event_id"]): (r["first_touch"], r["last_touch"])
+        for r in touch_attribution(
+            df, "purchase", user_col="gid", time_col="time",
+            tie_col="event_id", keep_cols=["value"],
+        ).collect()
+    }
+    assert out[("A", 3)] == ("view", "click")
+    assert out[("A", 5)] == ("view", "email")   # first ever, latest before
+    assert out[("B", 6)] == (None, None)        # cold conversion
+    assert out[("C", 8)] == ("ad", "ad")        # same-time touch counts
