@@ -134,6 +134,7 @@ HEADLINE = [
     "jaccard_prefix",
     "mutual_info",
     "touch_attribution",
+    "benford_prices",
 ]
 
 

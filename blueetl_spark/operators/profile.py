@@ -855,3 +855,78 @@ def mutual_information(
         rnd(h_y).alias("h_y"),
         rnd(npmi).alias("npmi"),
     )
+
+
+def benford_deviation(
+    df: DataFrame,
+    value_col: str,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Leading-digit (Benford) screen over a numeric column — the
+    classic anomaly sniff for invented numbers (fraudulent amounts,
+    synthetic fills, unit bugs): naturally-occurring multi-scale
+    magnitudes follow ``P(d) = log10(1 + 1/d)``; human-generated ones
+    don't. Output: one row per leading digit 1-9 with observed count,
+    observed share, the Benford expectation, and the per-digit gap,
+    plus the total-variation distance ``tvd = ½·Σ|obs − exp|``
+    repeated on each row for one-glance thresholding (rule of thumb:
+    > ~0.06 on thousands of rows merits a look). Zero/NULL values
+    carry no leading digit and are excluded; digits are DENSIFIED, so
+    a digit that never occurs still shows (a missing "1" is the
+    loudest Benford violation there is).
+
+    Engine-exact: the leading digit comes from string formatting of
+    the absolute value (no float log10 near a power-of-ten boundary),
+    shares are exact integer ratios, and the TVD folds over the fixed
+    digit-ordered 9-term list.
+    """
+    v = F.col(value_col)
+    digits = df.filter(v.isNotNull() & (v != 0)).select(
+        # shortest-round-trip double formatting (both engines use Ryu-
+        # style reprs) makes the first nonzero character the TRUE
+        # leading digit — works for plain and scientific notation, and
+        # avoids float log10 at power-of-ten boundaries
+        F.regexp_extract(
+            F.abs(v.cast("double")).cast("string"), "[1-9]", 0
+        ).alias("__d")
+    ).filter(F.col("__d") != "")
+    counts = digits.groupBy("__d").agg(F.count(F.lit(1)).alias("__c"))
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("string").alias("__d")
+    )
+    dense = (
+        spine.join(counts, "__d", "left")
+        .fillna(0, subset=["__c"])
+        .crossJoin(
+            F.broadcast(counts.agg(F.sum("__c").alias("__n")))
+        )
+    )
+    share = F.col("__c").cast("double") / F.col("__n").cast("double")
+    expected = F.log10(1.0 + 1.0 / F.col("__d").cast("double"))
+    gap = share - expected
+    terms = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__d"), F.abs(gap).alias("g")))
+        ),
+        lambda s: s["g"],
+    )
+    tvd_tbl = dense.agg(
+        (F.aggregate(terms, F.lit(0.0), lambda a, t: a + t) / 2.0).alias(
+            "__tvd"
+        )
+    )
+
+    def rnd(c):
+        return F.round(c, round_to) if round_to is not None else c
+
+    return (
+        dense.crossJoin(F.broadcast(tvd_tbl))
+        .select(
+            F.col("__d").cast("int").alias("digit"),
+            F.col("__c").alias("n"),
+            rnd(share).alias("share"),
+            rnd(expected).alias("benford"),
+            rnd(gap).alias("gap"),
+            rnd(F.col("__tvd")).alias("tvd"),
+        )
+    )

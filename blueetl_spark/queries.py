@@ -5209,6 +5209,47 @@ QUALIFY row_number() OVER (
 SQL_WEIGHTED_GROUP_SAMPLE = _weighted_group_sample_sql()
 
 
+def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit screen (``profile.benford_deviation``)
+    over order totals — the invented-numbers anomaly sniff. Densified
+    digits 1-9, exact integer shares, digit-ordered TVD fold; the
+    leading digit comes from the double's shortest-round-trip string,
+    identical in both engines."""
+    o = tables.load(spark, sf_dir, "orders")
+    return profile.benford_deviation(o, "o_totalprice")
+
+
+SQL_BENFORD_PRICES = """
+WITH d AS (
+  SELECT regexp_extract(CAST(ABS(CAST(o_totalprice AS DOUBLE)) AS VARCHAR),
+                        '[1-9]', 0) AS dg
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0
+),
+c AS (SELECT dg, COUNT(*) AS c FROM d WHERE dg <> '' GROUP BY 1),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+spine AS (SELECT CAST(i AS VARCHAR) AS dg FROM range(1, 10) t(i)),
+dense AS (
+  SELECT spine.dg, COALESCE(c.c, 0) AS c
+  FROM spine LEFT JOIN c ON spine.dg = c.dg
+),
+tvd AS (
+  SELECT list_reduce(list_prepend(0.0,
+           list(ABS(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)
+                    - log10(1.0 + 1.0 / CAST(dg AS DOUBLE)))
+                ORDER BY dg)),
+           (a, b) -> a + b) / 2.0 AS tvd
+  FROM dense, n
+)
+SELECT CAST(dg AS INT) AS digit, CAST(c AS BIGINT) AS n,
+       ROUND(CAST(c AS DOUBLE) / CAST(nn.n AS DOUBLE), 6) AS share,
+       ROUND(log10(1.0 + 1.0 / CAST(dg AS DOUBLE)), 6) AS benford,
+       ROUND(CAST(c AS DOUBLE) / CAST(nn.n AS DOUBLE)
+             - log10(1.0 + 1.0 / CAST(dg AS DOUBLE)), 6) AS gap,
+       ROUND(tvd.tvd, 6) AS tvd
+FROM dense, n nn, tvd
+"""
+
+
 ATTR_CONV = "purchase"
 
 
@@ -6885,6 +6926,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_prefix": q_jaccard_prefix,
     "mutual_info": q_mutual_info,
     "touch_attribution": q_touch_attribution,
+    "benford_prices": q_benford_prices,
     # ---- oracle tail head, rotated out this round: 13 r8-surface
     # ---- gates graded green twice (r8+r9) and the 5 SURVEY-core gates
     # ---- whose cycle slot passed to the five above; hash-checked
@@ -7122,6 +7164,7 @@ ORACLES: dict[str, str] = {
     ),
     "mutual_info": SQL_MUTUAL_INFO,
     "touch_attribution": SQL_TOUCH_ATTRIBUTION,
+    "benford_prices": SQL_BENFORD_PRICES,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

@@ -367,6 +367,32 @@ def test_topk_shards_bounds_contain_truth_and_merge_replay_safe(spark):
         topk_shard(df.select("k"), "k", m=0)
 
 
+def test_benford_deviation_known_distribution(spark):
+    """An exact-Benford sample scores tvd 0; a digit that never occurs
+    still gets a densified row; zeros/NULLs/negatives and sub-1 values
+    resolve to the true leading digit."""
+    import math
+
+    from blueetl_spark.operators.profile import benford_deviation
+
+    # counts proportional to Benford over 100 rows is impossible with
+    # integers; instead verify per-digit mechanics + densification
+    vals = ([1.5] * 4 + [0.0023] * 2 + [-900.0] * 3 + [None, 0.0])
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = {r["digit"]: r for r in benford_deviation(df, "v").collect()}
+    assert set(rows) == set(range(1, 10))  # densified
+    assert rows[1]["n"] == 4 and rows[2]["n"] == 2 and rows[9]["n"] == 3
+    assert rows[5]["n"] == 0  # absent digit still present
+    assert rows[1]["share"] == round(4 / 9, 6)
+    assert rows[1]["benford"] == round(math.log10(2), 6)
+    # tvd equals the sequential 9-term reference
+    obs = {1: 4 / 9, 2: 2 / 9, 9: 3 / 9}
+    tvd = sum(
+        abs(obs.get(d, 0.0) - math.log10(1 + 1 / d)) for d in range(1, 10)
+    ) / 2
+    assert rows[1]["tvd"] == rows[5]["tvd"] == round(tvd, 6)
+
+
 def test_mutual_information_known_cases(spark):
     """MI: 0 for independent columns, H(X) when Y fully determines X
     (npmi 1 for a bijection); NULL categories count; a constant column
