@@ -135,6 +135,7 @@ HEADLINE = [
     "mutual_info",
     "touch_attribution",
     "benford_prices",
+    "theil_sen_trend",
 ]
 
 

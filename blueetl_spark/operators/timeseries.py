@@ -1154,3 +1154,76 @@ def ewma_level(
     return agg.select(
         *by, F.size("__xs").cast("long").alias("n"), fold.alias("ewma")
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    value_col: str,
+    time_col: str = "time",
+    by: Sequence[str] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Theil–Sen robust trend per group — the median of all pairwise
+    slopes ``(v_j − v_i) / (t_j − t_i)``: the estimator to reach for
+    when :func:`ols_trend`-style least squares gets dragged by
+    outliers (TS has a 29% breakdown point; OLS has 0). Output:
+    ``(by…, n, n_pairs, slope)`` — ``n`` points, ``n_pairs`` finite
+    slopes (pairs sharing a timestamp are skipped: no slope exists),
+    NULL slope when no pair has distinct times.
+
+    Deterministic median: the LOWER median (element ``⌈m/2⌉`` of the
+    sorted slope list) — an order statistic, not an interpolated
+    average, so the result is a value the data actually produced and
+    every engine picks the same one. All arithmetic is fixed IEEE
+    expressions over identical values; no summation anywhere.
+
+    Scale shape: one ``collect_list`` per group, pairwise slopes as a
+    nested JVM array transform (``O(n²)`` values in one task's
+    memory) — the honest cost of an all-pairs order statistic, same
+    bounded per-group contract as :func:`ewma_level`. For long series
+    downsample first or use ``ols_trend`` with winsorized inputs; for
+    the classic scalable compromise, run TS over fixed time windows
+    and aggregate window slopes.
+    """
+    by = list(by)
+    t = F.col(time_col).cast("double")
+    v = F.col(value_col).cast("double")
+    src = df.filter(t.isNotNull() & v.isNotNull()).select(
+        *by, F.struct(t.alias("t"), v.alias("v")).alias("__p")
+    )
+    pts = F.array_sort(F.collect_list("__p"))
+    agg = src.groupBy(*by).agg(pts.alias("__pts"))
+    slopes = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("__pts"),
+                lambda p, i: F.transform(
+                    F.slice(
+                        F.col("__pts"),
+                        i + F.lit(2),
+                        F.greatest(
+                            F.size("__pts") - i - 1, F.lit(0)
+                        ),
+                    ),
+                    lambda q: F.when(
+                        q["t"] != p["t"],
+                        (q["v"] - p["v"]) / (q["t"] - p["t"]),
+                    ),
+                ),
+            )
+        ),
+        lambda x: x.isNotNull(),
+    )
+    sorted_slopes = F.array_sort(slopes)
+    m = F.size(sorted_slopes)
+    med = F.when(
+        m > 0, F.element_at(sorted_slopes, ((m + 1) / 2).cast("int"))
+    )
+    if round_to is not None:
+        med = F.round(med, round_to)
+    return agg.select(
+        *by,
+        F.size("__pts").cast("long").alias("n"),
+        m.cast("long").alias("n_pairs"),
+        med.alias("slope"),
+    )

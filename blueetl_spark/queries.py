@@ -5209,6 +5209,45 @@ QUALIFY row_number() OVER (
 SQL_WEIGHTED_GROUP_SAMPLE = _weighted_group_sample_sql()
 
 
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-gid trend (``timeseries.theil_sen``): lower-median of
+    all pairwise slopes — the outlier-proof complement to the OLS
+    ``value_trend`` gate. Order statistic, not an average: every
+    engine picks the same data-produced value."""
+    ev = _events_norm(spark, sf_dir)
+    # round_to=None: the median slope is an exact data-produced value
+    # (identical IEEE division in both engines) — rounding would only
+    # ADD cross-engine drift (the engines' ROUND implementations differ
+    # by an ulp at decimal boundaries)
+    return timeseries.theil_sen(
+        ev, "value", time_col="time", by=["gid"], round_to=None
+    )
+
+
+SQL_THEIL_SEN = f"""
+WITH {_E_CTE},
+p AS (
+  SELECT gid, CAST("time" AS DOUBLE) AS t, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY gid
+             ORDER BY CAST("time" AS DOUBLE), CAST(value AS DOUBLE)) AS rn
+  FROM e WHERE value IS NOT NULL AND "time" IS NOT NULL
+),
+sl AS (
+  SELECT a.gid, (b.v - a.v) / (b.t - a.t) AS s
+  FROM p a JOIN p b ON a.gid = b.gid AND a.rn < b.rn AND a.t <> b.t
+),
+np AS (SELECT gid, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1),
+med AS (
+  SELECT gid, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         list(s ORDER BY s)[CAST((COUNT(*) + 1) // 2 AS INT)] AS slope
+  FROM sl GROUP BY 1
+)
+SELECT np.gid, np.n, COALESCE(med.n_pairs, 0) AS n_pairs,
+       med.slope AS slope
+FROM np LEFT JOIN med ON np.gid = med.gid
+"""
+
+
 def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford leading-digit screen (``profile.benford_deviation``)
     over order totals — the invented-numbers anomaly sniff. Densified
@@ -6927,6 +6966,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mutual_info": q_mutual_info,
     "touch_attribution": q_touch_attribution,
     "benford_prices": q_benford_prices,
+    "theil_sen_trend": q_theil_sen,
     # ---- oracle tail head, rotated out this round: 13 r8-surface
     # ---- gates graded green twice (r8+r9) and the 5 SURVEY-core gates
     # ---- whose cycle slot passed to the five above; hash-checked
@@ -7165,6 +7205,7 @@ ORACLES: dict[str, str] = {
     "mutual_info": SQL_MUTUAL_INFO,
     "touch_attribution": SQL_TOUCH_ATTRIBUTION,
     "benford_prices": SQL_BENFORD_PRICES,
+    "theil_sen_trend": SQL_THEIL_SEN,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

@@ -611,6 +611,38 @@ def test_ks_drift_matches_scipy_style_replay(spark):
     assert got["only_a"] == (1, 0, None)
 
 
+def test_theil_sen_robust_to_outliers(spark):
+    """The median pairwise slope matches a sequential reference, shrugs
+    off an outlier that wrecks OLS, skips same-timestamp pairs, and
+    reports NULL slope when no pair has distinct times."""
+    from itertools import combinations
+
+    from blueetl_spark.operators import timeseries as ts
+
+    # clean slope 2 with one wild outlier
+    pts = [(0.0, 1.0), (1.0, 3.0), (2.0, 5.0), (3.0, 7.0), (4.0, 1000.0),
+           (2.0, 5.0)]  # duplicate timestamp too
+    rows = [("g", t, v) for t, v in pts] + [("const_t", 1.0, 5.0),
+                                            ("const_t", 1.0, 9.0)]
+    df = spark.createDataFrame(rows, "g string, t double, v double")
+    got = {
+        r["g"]: (r["n"], r["n_pairs"], r["slope"])
+        for r in ts.theil_sen(df, "v", time_col="t", by=["g"],
+                              round_to=None).collect()
+    }
+
+    srt = sorted(pts)
+    slopes = sorted(
+        (b[1] - a[1]) / (b[0] - a[0])
+        for a, b in combinations(srt, 2)
+        if a[0] != b[0]
+    )
+    ref = slopes[(len(slopes) + 1) // 2 - 1]  # lower median
+    assert got["g"] == (6, len(slopes), ref)
+    assert got["g"][2] == 2.0  # the outlier does not drag the median
+    assert got["const_t"] == (2, 0, None)
+
+
 def test_ewma_level_replays_sequential_recurrence(spark):
     """The folded EWMA equals the sequential per-step recurrence seeded
     with the first observation; a one-point series returns that point;
