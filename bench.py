@@ -136,6 +136,8 @@ HEADLINE = [
     "touch_attribution",
     "benford_prices",
     "theil_sen_trend",
+    "gini_balances",
+    "rfm_segments",
 ]
 
 

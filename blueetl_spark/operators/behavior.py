@@ -362,3 +362,55 @@ def touch_attribution(
         F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
     )
     return out.filter(F.col(type_col) == conversion_type).drop(type_col)
+
+
+def rfm_scores(
+    df: DataFrame,
+    user_col: str,
+    time_col: str,
+    value_col: str,
+    bins: int = 5,
+) -> DataFrame:
+    """RFM segmentation — the classic customer-value grid: per user,
+    Recency (latest activity), Frequency (event count), Monetary
+    (value sum), each scored 1..``bins`` by EXACT rank-based binning
+    (``score = (rank−1)·bins div n + 1`` — pure integer arithmetic, no
+    float quantile), higher = better on every axis (most recent, most
+    frequent, biggest spender = ``bins,bins,bins``). Output: one row
+    per user with the raw metrics, the three scores, and ``segment``
+    (the concatenated score code, e.g. ``"543"``).
+
+    Determinism: ranks order by (metric, user) — a total order — so
+    tied metrics split across a bin boundary identically in every
+    engine. Pass an INTEGER value column (quantize money to cents
+    upstream) so the monetary sum is exact.
+
+    Scale shape: one groupBy to the user-sized summary, then three
+    rank windows over that summary. The windows are GLOBAL (scoring is
+    a whole-population statement), so the user summary passes through
+    single partitions — fine for summaries up to tens of millions;
+    shard by a coarse key and score within shards beyond that.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    per_user = df.groupBy(user_col).agg(
+        F.max(F.col(time_col)).alias("recency"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(value_col).cast("long")).alias("monetary"),
+    )
+    n = per_user.agg(F.count(F.lit(1)).alias("__n"))
+    out = per_user.crossJoin(F.broadcast(n))
+    for metric, score in (
+        ("recency", "r_score"),
+        ("frequency", "f_score"),
+        ("monetary", "m_score"),
+    ):
+        w = Window.orderBy(F.col(metric).asc(), F.col(user_col).asc())
+        out = out.withColumn("__rk", F.row_number().over(w)).withColumn(
+            score,
+            F.expr(f"(__rk - 1) * {int(bins)} div __n + 1").cast("int"),
+        ).drop("__rk")
+    return out.drop("__n").withColumn(
+        "segment",
+        F.concat_ws("", "r_score", "f_score", "m_score"),
+    )

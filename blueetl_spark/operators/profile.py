@@ -41,7 +41,7 @@ formatting in the contract).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -930,3 +930,56 @@ def benford_deviation(
             rnd(F.col("__tvd")).alias("tvd"),
         )
     )
+
+
+def gini(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Gini concentration coefficient per group — "how unequal is this
+    value's distribution" (0 = perfectly even, → 1 = one row holds
+    everything): revenue concentration per region, token-count
+    concentration per source, load concentration per shard. Output:
+    ``(by…, n, total, gini)``; a group whose values sum to 0 reports
+    NULL (no distribution to measure).
+
+    INTEGER-VALUED contract: pass whole numbers (quantize floats first,
+    e.g. ``F.floor(v * 1000)`` for millivalue cents) and NON-NEGATIVE
+    values (Gini is undefined below zero). That buys full
+    distributivity AND exactness at once: with integer values both
+    moments — ``Σx`` and the rank-weighted ``Σ i·x_i`` — are exact
+    BIGINT sums (no float summation order anywhere), so the one float
+    expression is the final ``G = 2·Σi·x / (n·Σx) − (n+1)/n``. Ties
+    are rank-assignment-invariant (a tie block contributes
+    ``x · Σ(block ranks)`` however the ranks land inside it), so the
+    nondeterministic row_number order among equal values cannot change
+    the answer.
+
+    Scale shape: ONE ordered window per group for the rank (the usual
+    per-group-partition caveat), then one map-side-combined aggregate.
+    No collects, no folds — this one is exact AND fully distributed
+    within the window's limits.
+    """
+    by = list(by)
+    v = F.col(value_col).cast("long")
+    w = Window.partitionBy(*by).orderBy(v)
+    src = df.filter(v.isNotNull()).select(
+        *by, v.alias("__x"), F.row_number().over(w).alias("__i")
+    )
+    agg = src.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("total"),
+        F.sum(F.col("__i") * F.col("__x")).alias("__ix"),
+    )
+    n = F.col("n").cast("double")
+    g = F.when(
+        F.col("total") > 0,
+        2.0 * F.col("__ix").cast("double")
+        / (n * F.col("total").cast("double"))
+        - (n + 1.0) / n,
+    )
+    if round_to is not None:
+        g = F.round(g, round_to)
+    return agg.select(*by, "n", "total", g.alias("gini"))

@@ -5209,6 +5209,89 @@ QUALIFY row_number() OVER (
 SQL_WEIGHTED_GROUP_SAMPLE = _weighted_group_sample_sql()
 
 
+def q_gini_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini concentration (``profile.gini``) of customer
+    account balances (shifted nonneg, quantized to integer cents so
+    both moments are exact BIGINT sums — the operator's
+    integer-valued contract). One rank window + one aggregate; ties
+    are rank-assignment-invariant by construction."""
+    cust = tables.load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.floor((F.col("c_acctbal") + 1000.0) * 100).cast("long").alias("x"),
+    )
+    return profile.gini(cust, "x", by=["nation"])
+
+
+SQL_GINI_BALANCES = """
+WITH v AS (
+  SELECT c_nationkey AS nation,
+         CAST(FLOOR((c_acctbal + 1000.0) * 100) AS BIGINT) AS x
+  FROM customer WHERE c_acctbal IS NOT NULL
+),
+r AS (
+  SELECT nation, x,
+         row_number() OVER (PARTITION BY nation ORDER BY x) AS i
+  FROM v
+)
+SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS total,
+       ROUND(CASE WHEN SUM(x) > 0 THEN
+               2.0 * CAST(SUM(i * x) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+               - (CAST(COUNT(*) AS DOUBLE) + 1.0)
+                 / CAST(COUNT(*) AS DOUBLE)
+             END, 6) AS gini
+FROM r GROUP BY 1
+"""
+
+
+RFM_BINS = 5
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (``behavior.rfm_scores``): recency /
+    frequency / monetary quintiles by exact integer rank binning with
+    a (metric, user) total order, rolled up to segment-code cells with
+    user counts and exact cent totals."""
+    o = tables.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    r = behavior.rfm_scores(
+        o, "o_custkey", "o_orderdate", "cents", bins=RFM_BINS
+    )
+    return r.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("monetary").alias("sum_monetary"),
+    )
+
+
+SQL_RFM_SEGMENTS = f"""
+WITH pu AS (
+  SELECT o_custkey AS u, MAX(o_orderdate) AS rec, COUNT(*) AS freq,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS mon
+  FROM orders GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n FROM pu),
+s AS (
+  SELECT u, mon,
+    CAST((row_number() OVER (ORDER BY rec, u) - 1) * {RFM_BINS} // n.n + 1
+         AS INT) AS r_score,
+    CAST((row_number() OVER (ORDER BY freq, u) - 1) * {RFM_BINS} // n.n + 1
+         AS INT) AS f_score,
+    CAST((row_number() OVER (ORDER BY mon, u) - 1) * {RFM_BINS} // n.n + 1
+         AS INT) AS m_score
+  FROM pu, n
+)
+SELECT concat(r_score, f_score, m_score) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(mon) AS BIGINT) AS sum_monetary
+FROM s GROUP BY 1
+"""
+
+
 def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-gid trend (``timeseries.theil_sen``): lower-median of
     all pairwise slopes — the outlier-proof complement to the OLS
@@ -6967,6 +7050,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "touch_attribution": q_touch_attribution,
     "benford_prices": q_benford_prices,
     "theil_sen_trend": q_theil_sen,
+    "gini_balances": q_gini_balances,
+    "rfm_segments": q_rfm_segments,
     # ---- oracle tail head, rotated out this round: 13 r8-surface
     # ---- gates graded green twice (r8+r9) and the 5 SURVEY-core gates
     # ---- whose cycle slot passed to the five above; hash-checked
@@ -7206,6 +7291,8 @@ ORACLES: dict[str, str] = {
     "touch_attribution": SQL_TOUCH_ATTRIBUTION,
     "benford_prices": SQL_BENFORD_PRICES,
     "theil_sen_trend": SQL_THEIL_SEN,
+    "gini_balances": SQL_GINI_BALANCES,
+    "rfm_segments": SQL_RFM_SEGMENTS,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

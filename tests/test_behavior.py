@@ -261,3 +261,37 @@ def test_touch_attribution_first_and_last(spark):
     assert out[("A", 5)] == ("view", "email")   # first ever, latest before
     assert out[("B", 6)] == (None, None)        # cold conversion
     assert out[("C", 8)] == ("ad", "ad")        # same-time touch counts
+
+
+def test_rfm_scores_exact_rank_binning(spark):
+    """Scores are exact integer rank quintiles with a (metric, user)
+    total order: the top spender/most frequent/most recent user lands
+    in the top bin, the weakest in bin 1, and the segment code
+    concatenates the three scores."""
+    from blueetl_spark.operators.behavior import rfm_scores
+
+    rows = []
+    for u in range(10):
+        # user u: u+1 events at times 1..u+1 with value 10*(u+1)
+        for t in range(u + 1):
+            rows.append((u, float(t + 1), 10 * (u + 1)))
+    df = spark.createDataFrame(rows, "u long, t double, v long")
+    got = {r["u"]: r for r in
+           rfm_scores(df, "u", "t", "v", bins=5).collect()}
+    # user 9: latest time 10, 10 events, monetary 1000 -> top on all
+    assert got[9]["segment"] == "555"
+    assert got[0]["segment"] == "111"
+    # metrics are exact
+    assert (got[9]["frequency"], got[9]["monetary"]) == (10, 1000)
+    # exact rank binning: 10 users over 5 bins = 2 per bin on every axis
+    from collections import Counter
+
+    for col in ("r_score", "f_score", "m_score"):
+        assert Counter(r[col] for r in got.values()) == Counter(
+            {1: 2, 2: 2, 3: 2, 4: 2, 5: 2}
+        )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bins"):
+        rfm_scores(df, "u", "t", "v", bins=0)

@@ -474,3 +474,30 @@ def test_key_skew_uniform_vs_hot_key(spark):
 
     with _pytest.raises(ValueError, match="top_k"):
         key_skew(uniform, "k", top_k=0)
+
+
+def test_gini_known_distributions(spark):
+    """Gini: 0 for perfectly even values, (n-1)/n for one-holder
+    concentration, matches the sequential formula on a mixed case;
+    ties are rank-assignment-invariant; all-zero groups report NULL."""
+    from blueetl_spark.operators.profile import gini
+
+    rows = (
+        [("even", 10)] * 5
+        + [("one", 0)] * 4 + [("one", 100)]
+        + [("mix", v) for v in [1, 2, 2, 5, 10]]
+        + [("zero", 0)] * 3
+    )
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {r["g"]: (r["n"], r["total"], r["gini"])
+           for r in gini(df, "x", by=["g"]).collect()}
+    assert got["even"] == (5, 50, 0.0)
+    assert got["one"] == (5, 100, round(4 / 5, 6))  # (n-1)/n
+    xs = sorted([1, 2, 2, 5, 10])
+    n, tot = len(xs), sum(xs)
+    ref = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * tot) \
+        - (n + 1) / n
+    assert got["mix"] == (5, 20, round(ref, 6))
+    assert got["zero"] == (3, 0, None)
+
+
