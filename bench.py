@@ -138,6 +138,7 @@ HEADLINE = [
     "theil_sen_trend",
     "gini_balances",
     "rfm_segments",
+    "compact_states",
 ]
 
 

@@ -1227,3 +1227,50 @@ def theil_sen(
         m.cast("long").alias("n_pairs"),
         med.alias("slope"),
     )
+
+
+def compact_states(
+    df: DataFrame,
+    state_cols: Sequence[str],
+    time_col: str = "time",
+    by: Sequence[str] = (),
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Change-log compaction: per key, keep only the rows where the
+    tracked state ACTUALLY CHANGED (the first row of every run of
+    identical consecutive states) — the standard shrink for sensor
+    feeds and CDC state streams that re-report unchanged values every
+    poll. Keeps every column of the kept rows; a key's first row is
+    always kept (it starts the first run).
+
+    NULL-safe by construction: the change test is per-column
+    ``NOT (value <=> previous)`` (IS DISTINCT FROM), so NULL→NULL is
+    "unchanged" and NULL→value is a real change — the two cases a
+    naive ``!=`` silently drops. Ordering uses (time, tie) — pass the
+    event id; without it, equal-time runs compact in engine-arbitrary
+    order.
+
+    Scale shape: ONE keyed ordered window (lag per tracked column),
+    one filter — output size is the true change count, which is the
+    entire point.
+    """
+    state_cols = list(state_cols)
+    if not state_cols:
+        raise ValueError("state_cols must be non-empty")
+    by = list(by)
+    order = [F.col(time_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(*by).orderBy(*order)
+    changed = F.lit(False)
+    out = df
+    for i, c in enumerate(state_cols):
+        out = out.withColumn(f"__prev_{i}", F.lag(c).over(w))
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"__prev_{i}"))
+    kept = (
+        out.withColumn(
+            "__keep", (F.row_number().over(w) == 1) | changed
+        )
+        .filter(F.col("__keep"))
+    )
+    return kept.drop(
+        "__keep", *[f"__prev_{i}" for i in range(len(state_cols))]
+    )

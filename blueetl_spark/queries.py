@@ -5245,6 +5245,43 @@ FROM r GROUP BY 1
 """
 
 
+def q_compact_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log compaction (``timeseries.compact_states``): per gid,
+    keep only the events whose event_type differs from the previous
+    event's — the poll-stream shrink — rolled up to per-gid kept/total
+    counts. One keyed ordered window, NULL-safe change test."""
+    ev = _events_norm(spark, sf_dir)
+    kept = timeseries.compact_states(
+        ev, ["event_type"], time_col="time", by=["gid"],
+        tie_col="event_id",
+    )
+    totals = ev.groupBy("gid").agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        kept.groupBy("gid")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .join(totals, "gid")
+        .select("gid", "n_rows", "n_kept")
+    )
+
+
+SQL_COMPACT_STATES = f"""
+WITH {_E_CTE},
+l AS (
+  SELECT gid, event_type,
+         lag(event_type) OVER (PARTITION BY gid
+             ORDER BY "time", event_id) AS prev,
+         row_number() OVER (PARTITION BY gid
+             ORDER BY "time", event_id) AS rn
+  FROM e
+)
+SELECT gid, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN rn = 1
+                      OR event_type IS DISTINCT FROM prev
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM l GROUP BY 1
+"""
+
+
 RFM_BINS = 5
 
 
@@ -7052,6 +7089,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen_trend": q_theil_sen,
     "gini_balances": q_gini_balances,
     "rfm_segments": q_rfm_segments,
+    "compact_states": q_compact_states,
     # ---- oracle tail head, rotated out this round: 13 r8-surface
     # ---- gates graded green twice (r8+r9) and the 5 SURVEY-core gates
     # ---- whose cycle slot passed to the five above; hash-checked
@@ -7293,6 +7331,7 @@ ORACLES: dict[str, str] = {
     "theil_sen_trend": SQL_THEIL_SEN,
     "gini_balances": SQL_GINI_BALANCES,
     "rfm_segments": SQL_RFM_SEGMENTS,
+    "compact_states": SQL_COMPACT_STATES,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

@@ -611,6 +611,44 @@ def test_ks_drift_matches_scipy_style_replay(spark):
     assert got["only_a"] == (1, 0, None)
 
 
+def test_compact_states_keeps_only_changes(spark):
+    """Runs of identical state compact to their first row; NULL→NULL is
+    unchanged while NULL→value is a change; multi-column state changes
+    on ANY tracked column; ties order on the tie column; all original
+    columns survive."""
+    from blueetl_spark.operators import timeseries as ts
+
+    rows = [
+        ("a", 1.0, 1, "on", 5),
+        ("a", 2.0, 2, "on", 5),      # unchanged -> dropped
+        ("a", 3.0, 3, "off", 5),     # type changed -> kept
+        ("a", 4.0, 4, "off", 6),     # second col changed -> kept
+        ("a", 5.0, 5, None, 6),      # value -> NULL: a change
+        ("a", 6.0, 6, None, 6),      # NULL -> NULL: unchanged
+        ("b", 1.0, 7, "x", 1),       # first row of a key: kept
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, t double, e long, state string, lvl int"
+    )
+    kept = sorted(
+        r["e"]
+        for r in ts.compact_states(
+            df, ["state", "lvl"], time_col="t", by=["g"], tie_col="e"
+        ).collect()
+    )
+    assert kept == [1, 3, 4, 5, 7]
+    # columns survive intact
+    cols = ts.compact_states(
+        df, ["state"], time_col="t", by=["g"], tie_col="e"
+    ).columns
+    assert cols == ["g", "t", "e", "state", "lvl"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="state_cols"):
+        ts.compact_states(df, [], time_col="t", by=["g"])
+
+
 def test_theil_sen_robust_to_outliers(spark):
     """The median pairwise slope matches a sequential reference, shrugs
     off an outlier that wrecks OLS, skips same-timestamp pairs, and
