@@ -41,6 +41,8 @@ formatting in the contract).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -855,6 +857,154 @@ def mutual_information(
         rnd(h_y).alias("h_y"),
         rnd(npmi).alias("npmi"),
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V — the thresholded companion to
+    :func:`mutual_information` (MI measures dependence in nats; chi²/V
+    come with the classic significance machinery and a [0, 1] effect
+    size). One row out: ``(n_rows, n_x, n_y, dof, chi2, cramers_v)``;
+    ``cramers_v = sqrt(chi2 / (n·min(n_x−1, n_y−1)))``, NULL when
+    either column is constant (no independence question to ask).
+
+    NULL categories count as categories (same stance as key_skew /
+    mutual_information).
+
+    Engine-exact: zero-observed cells are folded away with the
+    identity ``chi2 = n·(Σ_observed o²/(r_x·c_y)) − n`` (each term a
+    ratio of exact integers — o ≤ n and r_x·c_y ≤ n² both fit BIGINT
+    for n < 3·10⁹), and the float term sum is an ORDERED LEFT FOLD
+    over the (x, y)-sorted cell list, never a commutative float
+    aggregate. Scale shape: ONE map-side-combined count per (x, y)
+    pair; margins re-aggregate the pair table; the fold runs over a
+    cell-count-sized array (categorical cardinalities, not data).
+    """
+    x, y = F.col(col_x), F.col(col_y)
+    pairs = (
+        df.select(x.cast("string").alias("__x"), y.cast("string").alias("__y"))
+        .groupBy("__x", "__y")
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    xm = pairs.groupBy("__x").agg(F.sum("__o").alias("__rx"))
+    ym = pairs.groupBy("__y").agg(F.sum("__o").alias("__cy"))
+    cells = pairs.join(F.broadcast(xm), "__x").join(F.broadcast(ym), "__y")
+    terms = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("__x"),
+                    F.col("__y"),
+                    F.col("__o"),
+                    (F.col("__rx") * F.col("__cy")).alias("__e2"),
+                )
+            )
+        ),
+        lambda s: (s["__o"] * s["__o"]).cast("double")
+        / s["__e2"].cast("double"),
+    )
+    agg = cells.agg(
+        F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t).alias("__s"),
+        F.sum("__o").alias("n_rows"),
+    ).crossJoin(
+        F.broadcast(xm.agg(F.count(F.lit(1)).alias("n_x")))
+    ).crossJoin(
+        F.broadcast(ym.agg(F.count(F.lit(1)).alias("n_y")))
+    )
+    n = F.col("n_rows").cast("double")
+    chi2 = n * F.col("__s") - n
+    mindim = F.least(F.col("n_x") - 1, F.col("n_y") - 1)
+    v = F.when(mindim > 0, F.sqrt(F.greatest(chi2, F.lit(0.0)) / (n * mindim)))
+
+    def rnd(c):
+        return (F.round(c, round_to) + 0.0) if round_to is not None else c
+
+    return agg.select(
+        "n_rows",
+        "n_x",
+        "n_y",
+        ((F.col("n_x") - 1) * (F.col("n_y") - 1)).alias("dof"),
+        rnd(chi2).alias("chi2"),
+        rnd(v).alias("cramers_v"),
+    )
+
+
+def spearman(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    by: Sequence[str] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns per group
+    — the monotone-association screen that survives outliers and
+    nonlinearity (Pearson on average ranks, the tie-correct
+    definition). Output: ``(by…, n_rows, rho)``; ``rho`` NULL when
+    either column is constant within the group (zero rank variance) or
+    the group has fewer than 2 complete rows. Rows with a NULL on
+    either side are excluded (a rank needs both coordinates).
+
+    Engine-exact: average ranks are carried as ``2·rank`` INTEGERS
+    (``2·cum_before + t + 1`` per tie run), so all five moments
+    (Σr_x, Σr_y, Σr_x², Σr_y², Σr_x·r_y) are exact BIGINT sums —
+    order-insensitive — and only the terminal correlation expression
+    touches floats (each moment cast once, a fixed IEEE tree).
+    Exactness bound: Σ(2r)² ≤ 4n³ must fit BIGINT → n ≲ 1.3·10⁶ rows
+    per group; beyond that, bucket values first (ks_drift's ``bins``
+    construction) or accept double-sum moments.
+
+    Scale shape: per column, ONE map-side-combined count per (group,
+    value) + one ordered window over DISTINCT values builds the
+    rank map, joined back on (group, value) — the data-sized stages
+    are the two rank-map joins and the final moment aggregate, all
+    shuffling on the group key. Same giant-single-group caveat as
+    ks_drift; screen with :func:`key_skew` when unsure.
+    """
+    by = list(by)
+    x, y = F.col(col_x), F.col(col_y)
+    rows = df.filter(x.isNotNull() & y.isNotNull()).select(
+        *by, x.alias("__x"), y.alias("__y")
+    )
+
+    def rank2_map(col: str, out: str) -> DataFrame:
+        per_v = rows.groupBy(*by, col).agg(F.count(F.lit(1)).alias("__c"))
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        c = F.col("__c").cast("long")
+        cum = F.sum("__c").over(w).cast("long")
+        return per_v.select(*by, col, (2 * (cum - c) + c + 1).alias(out))
+
+    j = rows.join(rank2_map("__x", "__rx"), [*by, "__x"]).join(
+        rank2_map("__y", "__ry"), [*by, "__y"]
+    )
+    rx, ry = F.col("__rx"), F.col("__ry")
+    agg = (j.groupBy(*by) if by else j.groupBy()).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(rx).alias("__sx"),
+        F.sum(ry).alias("__sy"),
+        F.sum(rx * rx).alias("__sxx"),
+        F.sum(ry * ry).alias("__syy"),
+        F.sum(rx * ry).alias("__sxy"),
+    )
+    n = F.col("n_rows").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    rho = F.when(den > 0, (n * sxy - sx * sy) / F.sqrt(den))
+
+    def rnd(c):
+        return (F.round(c, round_to) + 0.0) if round_to is not None else c
+
+    return agg.select(*by, "n_rows", rnd(rho).alias("rho"))
 
 
 def benford_deviation(

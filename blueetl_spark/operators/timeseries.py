@@ -956,6 +956,113 @@ def ks_drift(
     )
 
 
+def mann_whitney(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Two-sample Mann–Whitney U (Wilcoxon rank-sum) per group — the
+    rank-based complement to :func:`ks_drift`: KS reports the worst
+    CDF gap anywhere; U asks the directional question "do values from
+    B stochastically dominate values from A?" (the standard
+    nonparametric A/B screen when the distribution is skewed and a
+    t-test's mean is the wrong summary).
+
+    Output: ``(by…, n_a, n_b, u_a, u_b, z)`` where ``u_a`` counts
+    (a, b) pairs with a > b (ties ½), ``u_b = n_a·n_b − u_a``, and
+    ``z`` is the tie-corrected normal approximation
+    ``(u_a − n_a·n_b/2) / sqrt(n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1))))``
+    (compare |z| against 1.96/2.58 downstream; the exact-permutation
+    p-value is a driver-side lookup for tiny samples, out of scope).
+    NULL values are not observations. One-sided groups report NULL
+    ``u_a``/``u_b``/``z`` with the missing side's count 0 (same
+    rationale as ks_drift: appearing/vanishing groups ARE the
+    signal); ``z`` is also NULL when every value ties (zero variance).
+
+    Engine-exact: average ranks are computed as ``2·rank`` INTEGERS
+    (``2·cum_before + t + 1`` for a run of ``t`` ties), so the rank
+    sum, U numerator, and the tie term ``Σ(t³−t)`` are all exact
+    BIGINT arithmetic; the single division and sqrt at the end are
+    fixed IEEE expressions — no summation-order sensitivity anywhere
+    before the one terminal rounding.
+
+    Scale shape: identical to :func:`ks_drift` — ONE map-side-combined
+    shuffle of the tagged union to per-(group, value) counts, then one
+    ordered window over DISTINCT values per group. Same scale caveat:
+    a continuous column with one giant group serializes its distinct
+    values through one task — quantize upstream (ks_drift's ``bins``
+    construction applies verbatim) or screen with ``profile.key_skew``
+    first.
+    """
+    by = list(by)
+    v = F.col(value_col)
+    a = df_a.filter(v.isNotNull()).select(
+        *by, v.alias("__v"), F.lit(1).alias("__a"), F.lit(0).alias("__b")
+    )
+    b = df_b.filter(v.isNotNull()).select(
+        *by, v.alias("__v"), F.lit(0).alias("__a"), F.lit(1).alias("__b")
+    )
+    g = (
+        a.unionByName(b)
+        .groupBy(*by, "__v")
+        .agg(F.sum("__a").alias("__ca"), F.sum("__b").alias("__cb"))
+    )
+    w_run = (
+        Window.partitionBy(*by)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = (F.col("__ca") + F.col("__cb")).cast("long")
+    cum = F.sum(F.col("__ca") + F.col("__cb")).over(w_run).cast("long")
+    # twice the average 1-based rank of a value in a run of t ties
+    # starting after (cum - t) smaller observations — an exact integer
+    rank2 = 2 * (cum - t) + t + 1
+    per_v = g.select(
+        *by,
+        F.col("__ca").cast("long").alias("__ca"),
+        F.col("__cb").cast("long").alias("__cb"),
+        (F.col("__ca").cast("long") * rank2).alias("__r2a"),
+        (t * t * t - t).alias("__tie"),
+    )
+    agg = per_v.groupBy(*by).agg(
+        F.sum("__ca").alias("n_a"),
+        F.sum("__cb").alias("n_b"),
+        F.sum("__r2a").alias("__r2a"),
+        F.sum("__tie").alias("__ties"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    # 2·U_a = 2·R_a − n_a(n_a+1); halving is exact (one power-of-two div)
+    u2a = F.col("__r2a") - na * (na + 1)
+    u_a = u2a.cast("double") / 2.0
+    u_b = (na * nb).cast("double") - u_a
+    # tie divisor guarded: a group with a single observation (one-sided,
+    # so z is NULL anyway) would divide by n(n-1) = 0 under ANSI mode
+    tie_adj = F.when(
+        n > 1, F.col("__ties").cast("double") / (n * (n - 1)).cast("double")
+    ).otherwise(F.lit(0.0))
+    var = (na * nb).cast("double") / 12.0 * ((n + 1).cast("double") - tie_adj)
+    z = F.when(
+        (na > 0) & (nb > 0) & (var > 0),
+        (u_a - (na * nb).cast("double") / 2.0) / F.sqrt(var),
+    )
+    both = (na > 0) & (nb > 0)
+
+    def rnd(c):
+        return (F.round(c, round_to) + 0.0) if round_to is not None else c
+
+    return agg.select(
+        *by,
+        "n_a",
+        "n_b",
+        F.when(both, rnd(u_a)).alias("u_a"),
+        F.when(both, rnd(u_b)).alias("u_b"),
+        rnd(z).alias("z"),
+    )
+
+
 def psi_drift(
     df_ref: DataFrame,
     df_new: DataFrame,

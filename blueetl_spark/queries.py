@@ -5018,6 +5018,67 @@ FROM r GROUP BY 1
 """
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann–Whitney U per event type
+    (``timeseries.mann_whitney``) between the even/odd event-id halves
+    — the rank-based directional screen next to ks_drift's worst-gap
+    statistic. Integer doubled-average-ranks make the rank sum, both U
+    statistics, and the tie term exact BIGINT arithmetic; only the
+    terminal z expression touches floats."""
+    ev = _events_norm(spark, sf_dir).select("event_type", "event_id", "value")
+    half_a = ev.filter(F.pmod("event_id", F.lit(2)) == 0)
+    half_b = ev.filter(F.pmod("event_id", F.lit(2)) == 1)
+    return timeseries.mann_whitney(half_a, half_b, "value", by=["event_type"])
+
+
+_MW_VAR = (
+    "CAST(n_a * n_b AS DOUBLE) / 12.0 * ((n_a + n_b + 1) - "
+    "CASE WHEN n_a + n_b > 1 THEN CAST(ties AS DOUBLE) / "
+    "CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE) ELSE 0.0 END)"
+)
+
+SQL_MANN_WHITNEY = f"""
+WITH {_E_CTE},
+u AS (
+  SELECT event_type, value AS v,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+         CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS ib
+  FROM e WHERE value IS NOT NULL
+),
+g AS (
+  SELECT event_type, v,
+         CAST(SUM(ia) AS BIGINT) AS ca, CAST(SUM(ib) AS BIGINT) AS cb
+  FROM u GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, ca, cb, ca + cb AS t,
+         SUM(ca + cb) OVER (PARTITION BY event_type ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM g
+),
+a AS (
+  SELECT event_type,
+         CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+         CAST(SUM(ca * (2 * (cum - t) + t + 1)) AS BIGINT) AS r2a,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+  FROM r GROUP BY 1
+)
+SELECT event_type, n_a, n_b,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN ROUND(CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0, 6) + 0.0
+       END AS u_a,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN ROUND(CAST(n_a * n_b AS DOUBLE)
+                       - CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0, 6) + 0.0
+       END AS u_b,
+       ROUND(CASE WHEN n_a > 0 AND n_b > 0 AND {_MW_VAR} > 0
+                  THEN (CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+                        - CAST(n_a * n_b AS DOUBLE) / 2.0) / sqrt({_MW_VAR})
+             END, 6) + 0.0 AS z
+FROM a
+"""
+
+
 IND_HAMMING = 3
 IND_VARIANT_MOD = 5
 
@@ -5517,6 +5578,99 @@ SELECT n_rows, n_x, n_y,
                                  - sy / CAST(n_rows AS DOUBLE)))
              END, 6) + 0.0 AS npmi
 FROM xy, xm, ym
+"""
+
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence + Cramér's V (``profile.
+    chi2_independence``) between order status and priority — the
+    significance-tested companion to mutual_info on the same pair.
+    Zero cells folded away via ``chi2 = n·Σ o²/(r·c) − n`` (exact
+    integer numerators/denominators), term sum as a category-ordered
+    left fold."""
+    o = tables.load(spark, sf_dir, "orders")
+    return profile.chi2_independence(o, "o_orderstatus", "o_orderpriority")
+
+
+SQL_CHI2_INDEPENDENCE = """
+WITH p AS (
+  SELECT CAST(o_orderstatus AS VARCHAR) AS x,
+         CAST(o_orderpriority AS VARCHAR) AS y, COUNT(*) AS o
+  FROM orders GROUP BY 1, 2
+),
+m AS (SELECT x, SUM(o) AS rx FROM p GROUP BY 1),
+c AS (SELECT y, SUM(o) AS cy FROM p GROUP BY 1),
+cell AS (
+  SELECT p.x, p.y, p.o, m.rx * c.cy AS e2
+  FROM p JOIN m USING (x) JOIN c USING (y)
+),
+s AS (
+  SELECT list_reduce(list_prepend(0.0,
+           list(CAST(o * o AS DOUBLE) / CAST(e2 AS DOUBLE)
+                ORDER BY x NULLS FIRST, y NULLS FIRST)),
+           (a, b) -> a + b) AS s,
+         CAST(SUM(o) AS BIGINT) AS n_rows
+  FROM cell
+),
+d AS (SELECT (SELECT COUNT(*) FROM m) AS n_x, (SELECT COUNT(*) FROM c) AS n_y)
+SELECT n_rows, n_x, n_y, (n_x - 1) * (n_y - 1) AS dof,
+       ROUND(CAST(n_rows AS DOUBLE) * s - CAST(n_rows AS DOUBLE), 6) + 0.0
+         AS chi2,
+       ROUND(CASE WHEN least(n_x - 1, n_y - 1) > 0
+                  THEN sqrt(greatest(CAST(n_rows AS DOUBLE) * s
+                                     - CAST(n_rows AS DOUBLE), 0.0)
+                            / (CAST(n_rows AS DOUBLE)
+                               * least(n_x - 1, n_y - 1)))
+             END, 6) + 0.0 AS cramers_v
+FROM s, d
+"""
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (``profile.spearman``) between
+    quantity and extended price per return flag — the outlier-proof
+    monotone-association screen. Doubled average ranks keep all five
+    moments exact BIGINT sums; only the terminal correlation
+    expression touches floats."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return profile.spearman(
+        li, "l_quantity", "l_extendedprice", by=["l_returnflag"]
+    )
+
+
+SQL_SPEARMAN_CORR = """
+WITH r AS (
+  SELECT l_returnflag,
+         2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+           + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx,
+         2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+           + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1
+           AS ry
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+a AS (
+  SELECT l_returnflag, COUNT(*) AS n_rows,
+         CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+         CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+         CAST(SUM(ry * ry) AS BIGINT) AS syy,
+         CAST(SUM(rx * ry) AS BIGINT) AS sxy
+  FROM r GROUP BY 1
+)
+SELECT l_returnflag, n_rows,
+       ROUND(CASE WHEN (CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                  THEN (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(n_rows AS DOUBLE)
+                                 * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             END, 6) + 0.0 AS rho
+FROM a
 """
 
 
@@ -7090,6 +7244,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gini_balances": q_gini_balances,
     "rfm_segments": q_rfm_segments,
     "compact_states": q_compact_states,
+    "mann_whitney": q_mann_whitney,
+    "chi2_independence": q_chi2_independence,
+    "spearman_corr": q_spearman_corr,
     # ---- oracle tail head, rotated out this round: 13 r8-surface
     # ---- gates graded green twice (r8+r9) and the 5 SURVEY-core gates
     # ---- whose cycle slot passed to the five above; hash-checked
@@ -7332,6 +7489,9 @@ ORACLES: dict[str, str] = {
     "gini_balances": SQL_GINI_BALANCES,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "compact_states": SQL_COMPACT_STATES,
+    "mann_whitney": SQL_MANN_WHITNEY,
+    "chi2_independence": SQL_CHI2_INDEPENDENCE,
+    "spearman_corr": SQL_SPEARMAN_CORR,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

@@ -501,3 +501,100 @@ def test_gini_known_distributions(spark):
     assert got["zero"] == (3, 0, None)
 
 
+
+
+def test_chi2_independence_known_cases(spark):
+    """chi2 matches the textbook 2x2 computation (zero-observed cells
+    included via the o²/e identity); independent columns give ~0;
+    a constant column gives dof 0 and NULL cramers_v."""
+    from blueetl_spark.operators.profile import chi2_independence
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "x string, y string")
+
+    # 2x2 with counts [[10, 20], [20, 10]]: e = 15 everywhere,
+    # chi2 = 4 * 25/15 = 20/3, V = sqrt(chi2 / (60 * 1))
+    dep = mk(
+        [("a", "p")] * 10 + [("a", "q")] * 20
+        + [("b", "p")] * 20 + [("b", "q")] * 10
+    )
+    r = chi2_independence(dep, "x", "y").head()
+    assert (r.n_rows, r.n_x, r.n_y, r.dof) == (60, 2, 2, 1)
+    assert r.chi2 == round(20 / 3, 6)
+    assert r.cramers_v == round((20 / 3 / 60) ** 0.5, 6)
+
+    # independent uniform grid -> chi2 exactly 0
+    indep = mk([(str(i % 2), str((i // 2) % 2)) for i in range(100)])
+    i = chi2_independence(indep, "x", "y").head()
+    assert i.chi2 == 0.0 and i.cramers_v == 0.0
+
+    # a zero-observed cell: x=b never sees y=r
+    gap = mk(
+        [("a", "p")] * 5 + [("a", "r")] * 5 + [("b", "p")] * 5
+    )
+    g = chi2_independence(gap, "x", "y").head()
+    # sequential reference over the FULL grid including the zero cell
+    n, cells = 15, {("a", "p"): 5, ("a", "r"): 5, ("b", "p"): 5}
+    rx = {"a": 10, "b": 5}
+    cy = {"p": 10, "r": 5}
+    chi2 = sum(
+        (cells.get((xx, yy), 0) - rx[xx] * cy[yy] / n) ** 2
+        / (rx[xx] * cy[yy] / n)
+        for xx in rx
+        for yy in cy
+    )
+    assert abs(g.chi2 - chi2) < 1e-6
+
+    # constant y: dof 0, V NULL
+    const = chi2_independence(mk([("k", str(i % 4)) for i in range(40)]),
+                              "y", "x").head()
+    assert const.dof == 0 and const.cramers_v is None and const.chi2 == 0.0
+
+
+def test_spearman_known_cases(spark):
+    """rho is 1 for any monotone map, -1 reversed, matches a sequential
+    average-rank Pearson reference under ties, NULL for a constant
+    column, and NULL-coordinate rows are excluded."""
+    from blueetl_spark.operators.profile import spearman
+
+    rows = (
+        [("mono", float(i), float(i * i)) for i in range(10)]
+        + [("anti", float(i), float(-i)) for i in range(8)]
+        + [("tied", 1.0, 2.0), ("tied", 1.0, 3.0), ("tied", 2.0, 3.0),
+           ("tied", 3.0, 1.0), ("tied", 3.0, 1.0)]
+        + [("const", float(i), 5.0) for i in range(5)]
+        + [("nulls", 1.0, 1.0), ("nulls", 2.0, 2.0), ("nulls", 3.0, None)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {
+        r["g"]: (r["n_rows"], r["rho"])
+        for r in spearman(df, "x", "y", by=["g"]).collect()
+    }
+    assert got["mono"] == (10, 1.0)
+    assert got["anti"] == (8, -1.0)
+    assert got["const"] == (5, None)
+    assert got["nulls"] == (2, 1.0)
+
+    def brute(pairs):
+        from collections import Counter
+
+        def avg_ranks(vs):
+            cnt = Counter(vs)
+            out, before = {}, 0
+            for v in sorted(cnt):
+                out[v] = before + (cnt[v] + 1) / 2
+                before += cnt[v]
+            return [out[v] for v in vs]
+
+        xs = avg_ranks([p[0] for p in pairs])
+        ys = avg_ranks([p[1] for p in pairs])
+        n = len(pairs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        syy = sum(v * v for v in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        return round((n * sxy - sx * sy) / den**0.5, 6)
+
+    tied = [(p[1], p[2]) for p in rows if p[0] == "tied"]
+    assert got["tied"] == (5, brute(tied))

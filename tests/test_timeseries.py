@@ -840,3 +840,85 @@ def test_ks_drift_binned_bounds_window_input(spark):
 
     with _pytest.raises(ValueError, match="bins"):
         ts.ks_drift(base, shifted, "v", by=["g"], bins=0)
+
+
+def test_mann_whitney_known_case_and_edges(spark):
+    """U and tie-corrected z match a sequential average-rank reference;
+    identical samples give z 0 with u_a = n_a*n_b/2; an all-tied group
+    gives NULL z (zero variance) but a defined U; one-sided groups
+    report NULL u/z with the missing side's count 0."""
+    from blueetl_spark.operators import timeseries as ts
+
+    a_rows = [1.0, 2.0, 3.0]
+    b_rows = [2.0, 3.0, 4.0]
+    a = spark.createDataFrame(
+        [("k", v) for v in a_rows]
+        + [("same", 1.0), ("same", 2.0)]
+        + [("tied", 5.0), ("tied", 5.0)]
+        + [("only_a", 7.0)],
+        "g string, v double",
+    )
+    b = spark.createDataFrame(
+        [("k", v) for v in b_rows]
+        + [("same", 1.0), ("same", 2.0)]
+        + [("tied", 5.0), ("tied", 5.0)],
+        "g string, v double",
+    )
+    got = {
+        r["g"]: (r["n_a"], r["n_b"], r["u_a"], r["u_b"], r["z"])
+        for r in ts.mann_whitney(a, b, "v", by=["g"]).collect()
+    }
+
+    def brute(xs, ys):
+        import math
+        from collections import Counter
+
+        allv = sorted(xs + ys)
+        ranks = {}
+        cnt = Counter(allv)
+        before = 0
+        for v in sorted(cnt):
+            ranks[v] = before + (cnt[v] + 1) / 2
+            before += cnt[v]
+        na, nb, n = len(xs), len(ys), len(xs) + len(ys)
+        ra = sum(ranks[v] for v in xs)
+        ua = ra - na * (na + 1) / 2
+        ties = sum(t**3 - t for t in cnt.values())
+        var = na * nb / 12 * ((n + 1) - ties / (n * (n - 1)))
+        z = (ua - na * nb / 2) / math.sqrt(var) if var > 0 else None
+        return (
+            na,
+            nb,
+            round(ua, 6),
+            round(na * nb - ua, 6),
+            round(z, 6) if z is not None else None,
+        )
+
+    assert got["k"] == brute(a_rows, b_rows)
+    # hand numbers for the docstring case: ranks 1, 2.5, 2.5, 4.5, 4.5, 6
+    assert got["k"][2] == 2.0 and got["k"][3] == 7.0
+    assert got["same"][2:] == (2.0, 2.0, 0.0)
+    assert got["tied"] == (2, 2, 2.0, 2.0, None)
+    assert got["only_a"] == (1, 0, None, None, None)
+
+
+def test_mann_whitney_single_exchange_plan(spark):
+    """The tagged union pre-aggregates to per-(group, value) counts in
+    ONE data-sized exchange; the rank window and the final group
+    aggregate reuse that partitioning (no second data shuffle)."""
+    from blueetl_spark.operators import timeseries as ts
+
+    a = spark.range(1000).selectExpr("id % 7 AS g", "id % 31 AS v")
+    b = spark.range(1000).selectExpr("id % 7 AS g", "(id + 3) % 29 AS v")
+    plan = (
+        ts.mann_whitney(a, b, "v", by=["g"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    # one exchange on (g, v) for the pre-agg; the window repartitions to
+    # (g) once; the final aggregate rides the window's partitioning
+    assert len(exchanges) <= 2, plan
