@@ -472,6 +472,70 @@ def tree_closure(
     )
 
 
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any source to every
+    node reachable within ``max_hops`` — "blast radius" queries
+    (how far does an incident/spam seed spread), influence
+    neighborhoods, and feature engineering ("distance to nearest
+    flagged account"). Returns ``(id, dist)`` with ``dist`` in
+    ``[0, max_hops]``; unreachable-within-k nodes are absent (LEFT
+    JOIN downstream if a dense frame is needed). Sources not present
+    in the edge set still report ``dist`` 0 (a seed is at distance 0
+    of itself regardless of degree).
+
+    Level-synchronous frontier expansion, ``max_hops`` fixed rounds
+    (the SQL-replayable contract shared with ``k_core_fixed`` /
+    ``pagerank``: a recursive-CTE oracle replays round-for-round; BFS
+    is idempotent past convergence, so extra rounds only run empty
+    joins). Each round is ONE shuffle join of the frontier against the
+    adjacency list + one anti-join against the settled set — all
+    frontier-sized, never path-enumerating (the naive recursive walk
+    explodes paths; settling each node once is what makes BFS linear
+    in edges). ``localCheckpoint`` pins each round so lineage stays
+    one round deep. At cluster scale, pre-partition the adjacency list
+    on ``src`` once (bucketing) so every round's join reuses the
+    layout instead of reshuffling the full edge set per level.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    s, d = F.col(src_col), F.col(dst_col)
+    adj = edges.filter(s != d).select(s.alias("src"), d.alias("dst"))
+    if not directed:
+        adj = adj.unionAll(
+            edges.filter(s != d).select(d.alias("src"), s.alias("dst"))
+        )
+    adj = adj.distinct().localCheckpoint(eager=False)
+    dist = (
+        sources.select(F.col(id_col).alias("id"))
+        .distinct()
+        .select("id", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        reached = (
+            frontier.join(adj, frontier["id"] == adj["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        new = (
+            reached.join(dist.select("id"), "id", "left_anti")
+            .select("id", F.lit(hop).cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionAll(new).localCheckpoint(eager=True)
+        frontier = new
+    return dist
+
+
 def k_core_fixed(
     edges: DataFrame,
     k: int,

@@ -246,6 +246,96 @@ def md5_replayable_gray(payload: bytes, w: int = 9, h: int = 8) -> np.ndarray:
     return g
 
 
+def md5_replayable_wave(payload: bytes, n_samples: int = 64) -> np.ndarray:
+    """SQL-replayable codec stub for audio: 'samples' are integer
+    amplitudes derived from the hex digits (0-15) of chained md5
+    digests of the payload — ``2·d − 15`` (odd integers in [−15, 15]),
+    so every downstream energy sum is EXACT integer arithmetic an
+    ANSI-SQL oracle replays digit-for-digit. A payload ending in the
+    ``0x02`` marker byte is a "silent" clip: the marker is stripped
+    before hashing and amplitudes collapse to ±1 (digit parity), so
+    every frame's energy is exactly the frame length — the
+    reproducible stand-in for dead air / a broken decode. Swap in a
+    real decoder (PCM floats) in production; the stats operator is
+    codec-agnostic.
+    """
+    silent = payload.endswith(b"\x02")
+    base = payload[:-1] if silent else payload
+    hexcat = "".join(
+        hashlib.md5(base + str(i).encode()).hexdigest()
+        for i in range((n_samples + 31) // 32)
+    )
+    d = np.array([int(ch, 16) for ch in hexcat[:n_samples]], dtype=np.int64)
+    if silent:
+        return (d % 2) * 2 - 1
+    return 2 * d - 15
+
+
+AUDIO_ENERGY_SCHEMA = (
+    "media_id long, n_frames int, total_energy long, min_frame_energy long, "
+    "max_frame_energy long, silent_frames int, silence_ratio double"
+)
+
+
+def audio_energy_stats(
+    media: DataFrame,
+    n_frames: int = 4,
+    silence_threshold: int = 64,
+    decode_wave: Callable[[bytes], np.ndarray] = md5_replayable_wave,
+) -> DataFrame:
+    """Per-clip frame-energy statistics over audio payloads — the
+    standard audio-curation screen (drop dead-air/broken clips, flag
+    clipped ones) before a speech/audio training mix. One row per
+    clip: ``(media_id, n_frames, total_energy, min_frame_energy,
+    max_frame_energy, silent_frames, silence_ratio)`` where a frame is
+    silent when its energy ``Σ a²`` ≤ ``silence_threshold``.
+
+    Arrow-batched ``mapInPandas`` (same plumbing rules as
+    :func:`perceptual_hash`: binaries stay inside the task, only
+    fixed-width stats leave); with the default integer-amplitude codec
+    stub every statistic is exact integer arithmetic except the one
+    terminal ratio — fully SQL-replayable.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                wave = decode_wave(payload)
+                energies = [
+                    int((c.astype(np.int64) ** 2).sum())
+                    for c in np.array_split(wave, n_frames)
+                ]
+                n_silent = sum(e <= silence_threshold for e in energies)
+                rows.append(
+                    (
+                        int(mid),
+                        n_frames,
+                        int(sum(energies)),
+                        min(energies),
+                        max(energies),
+                        n_silent,
+                        n_silent / n_frames,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_frames",
+                    "total_energy",
+                    "min_frame_energy",
+                    "max_frame_energy",
+                    "silent_frames",
+                    "silence_ratio",
+                ],
+            )
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        op, AUDIO_ENERGY_SCHEMA
+    )
+
+
 def perceptual_hash(
     media: DataFrame,
     decode_gray: Callable[[bytes], np.ndarray] = deterministic_fake_gray,

@@ -5158,6 +5158,125 @@ SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {IND_HAMMING}
 """
 
 
+AUD_SILENT_MOD = 7  # every 7th doc also ships a silent-variant clip
+
+
+def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio curation screen over opaque binary payloads
+    (``multimodal.audio_energy_stats``): per-clip frame energies,
+    dead-air detection, silence ratio — documents stand in for an
+    audio corpus (text bytes as payload; every 7th doc also ships a
+    marker-suffixed 'silent' variant). The REAL surface under test is
+    the Arrow-batched ``mapInPandas`` plumbing (binaries never leave
+    the task; only fixed-width stats shuffle); the codec is the
+    integer-amplitude md5 stub, so every energy is an exact integer
+    the DuckDB oracle replays digit-for-digit."""
+    from blueetl_spark.operators import multimodal
+
+    docs = tables.load(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("audio").alias("media_type"),
+    )
+    silent = docs.filter(F.pmod("doc_id", F.lit(AUD_SILENT_MOD)) == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("media_id"),
+        F.concat(
+            F.encode("text", "UTF-8"), F.lit(bytearray(b"\x02"))
+        ).alias("payload"),
+        F.lit("audio").alias("media_type"),
+    )
+    return multimodal.audio_energy_stats(base.unionByName(silent))
+
+
+SQL_AUDIO_ENERGY = f"""
+WITH media AS (
+  SELECT doc_id AS media_id, text AS base, FALSE AS silent FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text, TRUE FROM documents
+  WHERE doc_id % {AUD_SILENT_MOD} = 0
+),
+hexes AS (
+  SELECT media_id, silent, md5(base || '0') || md5(base || '1') AS h
+  FROM media
+),
+digs AS (
+  SELECT media_id, silent,
+         list_transform(range(1, 65), p ->
+           strpos('0123456789abcdef', substr(h, CAST(p AS INT), 1)) - 1)
+           AS dg
+  FROM hexes
+),
+fr AS (
+  SELECT media_id, f,
+         CAST(CASE WHEN silent THEN 16
+              ELSE list_sum(list_transform(range(1, 17), i ->
+                   (2 * dg[CAST(f * 16 + i AS INT)] - 15)
+                   * (2 * dg[CAST(f * 16 + i AS INT)] - 15)))
+         END AS BIGINT) AS energy
+  FROM digs CROSS JOIN (SELECT unnest(range(4)) AS f)
+)
+SELECT media_id, CAST(4 AS INT) AS n_frames,
+       CAST(SUM(energy) AS BIGINT) AS total_energy,
+       MIN(energy) AS min_frame_energy,
+       MAX(energy) AS max_frame_energy,
+       CAST(SUM(CASE WHEN energy <= 64 THEN 1 ELSE 0 END) AS INT)
+         AS silent_frames,
+       CAST(SUM(CASE WHEN energy <= 64 THEN 1 ELSE 0 END) AS DOUBLE) / 4.0
+         AS silence_ratio
+FROM fr GROUP BY 1
+"""
+
+
+BFS_HOPS = 3
+BFS_SEED_MOD = 50  # seed set: suppliers with suppkey % 50 == 0
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (``graph.bfs_hops``) on the
+    sampled supplier co-occurrence graph from a deterministic seed
+    set — the blast-radius / distance-to-nearest-flagged query.
+    Level-synchronous fixed rounds (frontier join + settled anti-join
+    per hop, all frontier-sized); the oracle is a genuine recursive
+    CTE with dedup, pinning the equivalence."""
+    sup = tables.load(spark, sf_dir, "supplier")
+    seeds = sup.filter(F.pmod("s_suppkey", F.lit(BFS_SEED_MOD)) == 0).select(
+        F.col("s_suppkey").alias("id")
+    )
+    return graph.bfs_hops(
+        _tri_edges(spark, sf_dir), seeds, max_hops=BFS_HOPS
+    )
+
+
+SQL_BFS_HOPS = f"""
+WITH RECURSIVE li AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+  WHERE CAST(concat('0x', substring(md5(CAST(l_orderkey AS VARCHAR)),
+                                    1, 15)) AS BIGINT)
+        % {TRI_ORDER_MOD} = 0
+),
+und AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.s < b.s
+),
+adj AS (
+  SELECT u AS src, v AS dst FROM und
+  UNION ALL SELECT v, u FROM und
+),
+seeds AS (
+  SELECT s_suppkey AS id FROM supplier WHERE s_suppkey % {BFS_SEED_MOD} = 0
+),
+walk AS (
+  SELECT id, CAST(0 AS BIGINT) AS dist FROM seeds
+  UNION
+  SELECT a.dst, w.dist + 1
+  FROM walk w JOIN adj a ON a.src = w.id
+  WHERE w.dist < {BFS_HOPS}
+)
+SELECT id, MIN(dist) AS dist FROM walk GROUP BY 1
+"""
+
+
 KSB_BINS = 64
 
 
@@ -7247,6 +7366,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mann_whitney": q_mann_whitney,
     "chi2_independence": q_chi2_independence,
     "spearman_corr": q_spearman_corr,
+    "audio_energy": q_audio_energy,
+    "bfs_hops": q_bfs_hops,
     # ---- oracle tail head, rotated out this round: 13 r8-surface
     # ---- gates graded green twice (r8+r9) and the 5 SURVEY-core gates
     # ---- whose cycle slot passed to the five above; hash-checked
@@ -7492,6 +7613,8 @@ ORACLES: dict[str, str] = {
     "mann_whitney": SQL_MANN_WHITNEY,
     "chi2_independence": SQL_CHI2_INDEPENDENCE,
     "spearman_corr": SQL_SPEARMAN_CORR,
+    "audio_energy": SQL_AUDIO_ENERGY,
+    "bfs_hops": SQL_BFS_HOPS,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

@@ -436,3 +436,36 @@ def test_tree_closure_rejects_multiple_parents(spark):
         tree_closure(df)
     with pytest.raises(ValueError, match="max_depth"):
         tree_closure(df.limit(1), max_depth=0)
+
+
+def test_bfs_hops_min_distance_and_edges(spark):
+    """Min hop distance from any seed; two seeds race correctly; a
+    seed with no edges still reports 0; nodes beyond max_hops are
+    absent; the directed flag respects edge orientation."""
+    from blueetl_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (8,), (99,)], "id long")
+    got = {
+        r["id"]: r["dist"]
+        for r in bfs_hops(edges, seeds, max_hops=2).collect()
+    }
+    # undirected: 3 is 1 hop from seed 8 (not 2 from seed 1); 5 is
+    # 3 hops from everything -> absent; isolated seed 99 reports 0
+    assert got == {1: 0, 8: 0, 99: 0, 2: 1, 3: 1, 4: 2}
+
+    directed = {
+        r["id"]: r["dist"]
+        for r in bfs_hops(
+            edges, spark.createDataFrame([(3,)], "id long"),
+            max_hops=3, directed=True,
+        ).collect()
+    }
+    # forward only: 3 -> 4 -> 5; the 8->3 and 2->3 in-edges don't count
+    assert directed == {3: 0, 4: 1, 5: 2}
+
+    zero = bfs_hops(edges, seeds, max_hops=0).collect()
+    assert {r["id"] for r in zero} == {1, 8, 99}
+    assert all(r["dist"] == 0 for r in zero)

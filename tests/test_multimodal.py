@@ -158,3 +158,52 @@ def test_md5_replayable_gray_variant_flips_at_most_one_bit(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] <= 1
     assert all(k == (1, 2) for k in pairs)
+
+
+def test_audio_energy_stats_replayable_integers(spark):
+    """Energies match a sequential md5-digit reference; silent-marker
+    clips report energy 16 per frame and ratio 1.0; non-audio rows are
+    ignored; stats are exact integers."""
+    import hashlib
+
+    from blueetl_spark.operators.multimodal import audio_energy_stats
+
+    payloads = [b"hello world", b"abc", b"abc\x02"]
+    rows = [
+        (i, "audio" if i < 3 else "image", p)
+        for i, p in enumerate(payloads + [b"not audio"])
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    got = {
+        r["media_id"]: r
+        for r in audio_energy_stats(media).collect()
+    }
+    assert set(got) == {0, 1, 2}
+
+    def ref(payload):
+        silent = payload.endswith(b"\x02")
+        base = payload[:-1] if silent else payload
+        hx = "".join(
+            hashlib.md5(base + str(i).encode()).hexdigest() for i in range(2)
+        )
+        d = [int(c, 16) for c in hx]
+        amps = [(v % 2) * 2 - 1 for v in d] if silent else [2 * v - 15 for v in d]
+        return [sum(a * a for a in amps[f * 16:(f + 1) * 16]) for f in range(4)]
+
+    for mid, payload in [(0, payloads[0]), (1, payloads[1])]:
+        e = ref(payload)
+        r = got[mid]
+        assert r["total_energy"] == sum(e)
+        assert r["min_frame_energy"] == min(e)
+        assert r["max_frame_energy"] == max(e)
+
+    s = got[2]
+    assert (
+        s["total_energy"],
+        s["min_frame_energy"],
+        s["max_frame_energy"],
+        s["silent_frames"],
+        s["silence_ratio"],
+    ) == (64, 16, 16, 4, 1.0)
