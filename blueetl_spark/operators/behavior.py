@@ -414,3 +414,85 @@ def rfm_scores(
         "segment",
         F.concat_ws("", "r_score", "f_score", "m_score"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    by: Sequence[str] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator per group — time-to-event
+    analytics with right-censoring done correctly (naive "mean time to
+    conversion over converters only" is biased by exactly the users
+    who never converted): churn/retention curves, time-to-first-
+    purchase, incident time-to-resolution. Input: ONE ROW PER SUBJECT
+    with a numeric ``duration`` and an ``event`` flag (truthy = the
+    event was observed, falsy = censored at that duration). Output:
+    one row per (group, distinct event time): ``(by…, t, n_risk,
+    n_events, n_censored, survival)`` with
+    ``S(t) = Π_{t_i ≤ t} (n_i − d_i)/n_i`` over event times —
+    censor-only times don't step the curve (their factor is exactly
+    1.0, multiplicatively invisible) but DO shrink the at-risk set,
+    which is the entire point of KM.
+
+    Engine-exact: ``n_risk``/``d``/``c`` are integer window sums; the
+    survival product is a RUNNING window product of per-time factors —
+    both engines fold a cumulative frame sequentially in time order
+    over identical IEEE ratios, and censor-only times contribute an
+    exact 1.0, so the float sequence is bit-identical cross-engine.
+
+    Scale shape: ONE map-side-combined aggregate to per-(group,
+    duration) event/censor counts, then one ordered window over
+    DISTINCT durations per group (same shape and same giant-group
+    caveat as ``timeseries.ks_drift`` — durations are usually
+    quantized; bucket upstream if not).
+    """
+    by = list(by)
+    dur, ev = F.col(duration_col), F.col(event_col)
+    g = (
+        df.filter(dur.isNotNull())
+        .select(
+            *by,
+            dur.alias("__t"),
+            F.when(ev.cast("boolean"), 1).otherwise(0).alias("__e"),
+        )
+        .groupBy(*by, "__t")
+        .agg(
+            F.sum("__e").alias("__d"),
+            F.sum(1 - F.col("__e")).alias("__c"),
+        )
+    )
+    w_all = Window.partitionBy(*by)
+    w_run = (
+        Window.partitionBy(*by)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum(F.col("__d") + F.col("__c")).over(w_all)
+    cum = F.sum(F.col("__d") + F.col("__c")).over(w_run)
+    n_risk = total - cum + (F.col("__d") + F.col("__c"))
+    factor = (n_risk - F.col("__d")).cast("double") / n_risk.cast("double")
+    surv = F.product(F.col("__f")).over(w_run)
+    if round_to is not None:
+        surv = F.round(surv, round_to) + 0.0
+    stepped = g.select(
+        *by,
+        "__t",
+        "__d",
+        "__c",
+        n_risk.alias("n_risk"),
+        factor.alias("__f"),
+    )
+    return (
+        stepped.select(
+            *by,
+            F.col("__t").alias("t"),
+            "n_risk",
+            F.col("__d").alias("n_events"),
+            F.col("__c").alias("n_censored"),
+            surv.alias("survival"),
+        )
+        .filter(F.col("n_events") > 0)
+    )

@@ -259,3 +259,99 @@ def filter_by_quality(
     )
     keep = scores.filter(F.col("quality_prob") >= threshold).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error for a
+    probabilistic scorer — "when the model says 0.8, is it right 80%
+    of the time?", the standard health check before using a quality
+    classifier's scores as sampling weights or thresholds. Scores must
+    lie in [0, 1]. One row per bin (DENSIFIED — an empty bin still
+    shows; a score distribution that never visits half its range is
+    itself a finding): ``(bin, lo, hi, n, n_pos, mean_score,
+    pos_rate, ece)`` with ``ece = Σ_b (n_b/n)·|pos_rate_b −
+    mean_score_b|`` repeated on every row for one-glance thresholding
+    (same presentation as the Benford screen's tvd). Rows with a NULL
+    score or label are excluded; empty bins report NULL rates and
+    contribute 0 to ECE.
+
+    Engine-exact: bin assignment is one floor on a fixed IEEE
+    product; per-bin score mass is summed as ``floor(score·10⁹)``
+    BIGINT nanos (order-insensitive), labels as integer counts; the
+    ECE folds over the ≤ ``bins`` bin-ordered terms. Scale shape: ONE
+    map-side-combined aggregate over the data; everything after is
+    bin-count-sized.
+    """
+    s, y = F.col(score_col).cast("double"), F.col(label_col)
+    rows = df.filter(s.isNotNull() & y.isNotNull()).select(
+        F.least(F.floor(s * bins), F.lit(bins - 1)).cast("long").alias("__b"),
+        F.floor(s * F.lit(1e9)).cast("long").alias("__nano"),
+        F.when(y.cast("boolean"), 1).otherwise(0).alias("__y"),
+    )
+    per_bin = rows.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").alias("n_pos"),
+        F.sum("__nano").alias("__nanos"),
+    )
+    spine = df.sparkSession.range(bins).select(F.col("id").alias("__b"))
+    dense = spine.join(per_bin, "__b", "left").select(
+        "__b",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("n_pos", F.lit(0)).alias("n_pos"),
+        F.coalesce("__nanos", F.lit(0)).alias("__nanos"),
+    )
+    mean_score = F.when(
+        F.col("n") > 0,
+        F.col("__nanos").cast("double") / 1e9 / F.col("n").cast("double"),
+    )
+    pos_rate = F.when(
+        F.col("n") > 0, F.col("n_pos").cast("double") / F.col("n").cast("double")
+    )
+    terms = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("__b"), F.col("n"), F.col("n_pos"), F.col("__nanos")
+                )
+            )
+        ),
+        lambda t: F.when(
+            t["n"] > 0,
+            t["n"].cast("double")
+            * F.abs(
+                t["n_pos"].cast("double") / t["n"].cast("double")
+                - t["__nanos"].cast("double") / 1e9 / t["n"].cast("double")
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+    tot = dense.agg(
+        F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t).alias("__num"),
+        F.sum("n").alias("__n_tot"),
+    ).select(
+        F.when(
+            F.col("__n_tot") > 0, F.col("__num") / F.col("__n_tot").cast("double")
+        ).alias("__ece")
+    )
+
+    def rnd(c):
+        return (F.round(c, round_to) + 0.0) if round_to is not None else c
+
+    return (
+        dense.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("__b").alias("bin"),
+            (F.col("__b").cast("double") / bins).alias("lo"),
+            ((F.col("__b") + 1).cast("double") / bins).alias("hi"),
+            "n",
+            "n_pos",
+            rnd(mean_score).alias("mean_score"),
+            rnd(pos_rate).alias("pos_rate"),
+            rnd(F.col("__ece")).alias("ece"),
+        )
+    )

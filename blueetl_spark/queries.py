@@ -5793,6 +5793,148 @@ FROM a
 """
 
 
+KM_EVENT = "purchase"
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-first-purchase per neuron class
+    (``behavior.kaplan_meier``): each gid's duration runs from its
+    first event to its first purchase (event) or last observed event
+    (censored) — the right-censoring-correct answer to "how long until
+    users convert", biased-mean-free. The survival product is a
+    sequential running-window fold of exact integer ratios, replayed
+    by the oracle as an ordered list fold."""
+    ev = _events_norm(spark, sf_dir)
+    per = ev.groupBy("gid", "neuron_class").agg(
+        F.min("time").alias("t0"),
+        F.max("time").alias("t_last"),
+        F.min(
+            F.when(F.col("event_type") == KM_EVENT, F.col("time"))
+        ).alias("tp"),
+    )
+    subj = per.select(
+        "neuron_class",
+        (F.coalesce(F.col("tp"), F.col("t_last")) - F.col("t0")).alias(
+            "duration"
+        ),
+        F.col("tp").isNotNull().alias("event"),
+    )
+    return behavior.kaplan_meier(subj, "duration", "event", by=["neuron_class"])
+
+
+SQL_KAPLAN_MEIER = f"""
+WITH {_E_CTE},
+per AS (
+  SELECT gid, neuron_class, MIN("time") AS t0, MAX("time") AS t_last,
+         MIN(CASE WHEN event_type = '{KM_EVENT}' THEN "time" END) AS tp
+  FROM e GROUP BY 1, 2
+),
+subj AS (
+  SELECT neuron_class, COALESCE(tp, t_last) - t0 AS t,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM per
+),
+g AS (
+  SELECT neuron_class, t, CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(SUM(1 - ev) AS BIGINT) AS c
+  FROM subj GROUP BY 1, 2
+),
+r AS (
+  SELECT neuron_class, t, d, c,
+         CAST(SUM(d + c) OVER (PARTITION BY neuron_class)
+              - SUM(d + c) OVER (PARTITION BY neuron_class ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              + (d + c) AS BIGINT) AS n_risk
+  FROM g
+),
+s AS (
+  SELECT neuron_class, t, d, c, n_risk,
+         list_reduce(list_prepend(1.0,
+           list(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+             OVER (PARTITION BY neuron_class ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           (a, b) -> a * b) AS surv
+  FROM r
+)
+SELECT neuron_class, t, n_risk, d AS n_events, c AS n_censored,
+       ROUND(surv, 6) + 0.0 AS survival
+FROM s WHERE d > 0
+"""
+
+
+CAL_BINS = 10
+
+
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE (``classifier.calibration_bins``) for
+    the hashed linear quality scorer against the lang='en' label —
+    the health check before using scores as sampling weights. Densified
+    bins, integer nano-sums for score mass, bin-ordered ECE fold."""
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    scored = classifier.score_linear_hashed(
+        docs.select("doc_id", "text"),
+        CLS_WEIGHTS,
+        hash_fn="md5",
+        intercept=CLS_INTERCEPT,
+    )
+    j = scored.select("doc_id", F.round("quality_score", 9).alias("sc")).join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("y")), "doc_id"
+    )
+    return classifier.calibration_bins(j, "sc", "y", bins=CAL_BINS)
+
+
+def _score_calibration_sql() -> str:
+    return f"""
+WITH scores AS ({_classifier_score_sql()}),
+lab AS (
+  SELECT s.quality_score AS sc,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents d JOIN scores s USING (doc_id)
+),
+rows_ AS (
+  SELECT CAST(least(floor(sc * {CAL_BINS}), {CAL_BINS - 1}) AS BIGINT)
+           AS bin,
+         CAST(floor(sc * 1e9) AS BIGINT) AS nano, y
+  FROM lab WHERE sc IS NOT NULL
+),
+pb AS (
+  SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(nano) AS BIGINT) AS nanos
+  FROM rows_ GROUP BY 1
+),
+dense AS (
+  SELECT sp.bin, COALESCE(n, 0) AS n, COALESCE(n_pos, 0) AS n_pos,
+         COALESCE(nanos, 0) AS nanos
+  FROM (SELECT unnest(range({CAL_BINS})) AS bin) sp LEFT JOIN pb USING (bin)
+),
+e AS (
+  SELECT list_reduce(list_prepend(0.0, list(
+           CASE WHEN n > 0
+                THEN CAST(n AS DOUBLE)
+                     * abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                           - CAST(nanos AS DOUBLE) / 1e9
+                             / CAST(n AS DOUBLE))
+                ELSE 0.0 END ORDER BY bin)),
+           (a, b) -> a + b) AS num,
+         CAST(SUM(n) AS BIGINT) AS n_tot
+  FROM dense
+)
+SELECT bin, CAST(bin AS DOUBLE) / {CAL_BINS} AS lo,
+       CAST(bin + 1 AS DOUBLE) / {CAL_BINS} AS hi, n, n_pos,
+       CASE WHEN n > 0
+            THEN ROUND(CAST(nanos AS DOUBLE) / 1e9 / CAST(n AS DOUBLE), 6)
+                 + 0.0 END AS mean_score,
+       CASE WHEN n > 0
+            THEN ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0
+       END AS pos_rate,
+       ROUND(CASE WHEN n_tot > 0 THEN num / CAST(n_tot AS DOUBLE) END, 6)
+         + 0.0 AS ece
+FROM dense, e
+"""
+
+
 JACCARD_PREFIX_THRESHOLD = 0.8
 
 
@@ -7368,6 +7510,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spearman_corr": q_spearman_corr,
     "audio_energy": q_audio_energy,
     "bfs_hops": q_bfs_hops,
+    "kaplan_meier": q_kaplan_meier,
+    "score_calibration": q_score_calibration,
     # ---- oracle tail head, rotated out this round: 13 r8-surface
     # ---- gates graded green twice (r8+r9) and the 5 SURVEY-core gates
     # ---- whose cycle slot passed to the five above; hash-checked
@@ -7615,6 +7759,8 @@ ORACLES: dict[str, str] = {
     "spearman_corr": SQL_SPEARMAN_CORR,
     "audio_energy": SQL_AUDIO_ENERGY,
     "bfs_hops": SQL_BFS_HOPS,
+    "kaplan_meier": SQL_KAPLAN_MEIER,
+    "score_calibration": _score_calibration_sql(),
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

@@ -295,3 +295,32 @@ def test_rfm_scores_exact_rank_binning(spark):
 
     with _pytest.raises(ValueError, match="bins"):
         rfm_scores(df, "u", "t", "v", bins=0)
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    """Matches the hand-computed KM curve: censor-only times don't
+    step the curve but shrink the at-risk set; tied events share a
+    step; the curve hits 0 when the last at-risk subject events; a
+    censored-only group emits no rows."""
+    from blueetl_spark.operators.behavior import kaplan_meier
+
+    rows = [
+        ("g", 1.0, True), ("g", 2.0, True), ("g", 3.0, False),
+        ("g", 4.0, True), ("g", 5.0, False), ("g", 6.0, True),
+        ("tie", 1.0, True), ("tie", 1.0, True), ("tie", 2.0, False),
+        ("cens", 1.0, False), ("cens", 2.0, False),
+    ]
+    df = spark.createDataFrame(rows, "grp string, duration double, event boolean")
+    out = kaplan_meier(df, "duration", "event", by=["grp"]).collect()
+    got = {
+        (r["grp"], r["t"]): (r["n_risk"], r["n_events"], r["n_censored"],
+                             r["survival"])
+        for r in out
+    }
+    assert got[("g", 1.0)] == (6, 1, 0, round(5 / 6, 6))
+    assert got[("g", 2.0)] == (5, 1, 0, round(5 / 6 * 4 / 5, 6))
+    assert ("g", 3.0) not in got  # censor-only time: no step
+    assert got[("g", 4.0)] == (3, 1, 0, round(5 / 6 * 4 / 5 * 2 / 3, 6))
+    assert got[("g", 6.0)] == (1, 1, 0, 0.0)
+    assert got[("tie", 1.0)] == (3, 2, 0, round(1 / 3, 6))
+    assert not any(g == "cens" for g, _ in got)

@@ -192,3 +192,28 @@ def test_score_linear_hashed_validates_inputs(spark):
         score_linear_hashed(docs, [])
     with pytest.raises(ValueError, match="hash_fn"):
         score_linear_hashed(docs, [0.1], hash_fn="sha9")
+
+
+def test_calibration_bins_hand_example(spark):
+    """A perfectly calibrated bin contributes 0 to ECE; a confident
+    wrong bin dominates it; bins are densified with NULL rates; NULL
+    scores/labels are excluded."""
+    from blueetl_spark.operators.classifier import calibration_bins
+
+    rows = (
+        [(0.25, True)] + [(0.25, False)] * 3   # bin 2: mean .25, rate .25
+        + [(0.95, False)] * 2                  # bin 9: mean .95, rate 0
+        + [(None, True), (0.5, None)]          # excluded
+    )
+    df = spark.createDataFrame(rows, "sc double, y boolean")
+    out = {r["bin"]: r for r in calibration_bins(df, "sc", "y").collect()}
+    assert len(out) == 10
+    assert (out[2]["n"], out[2]["n_pos"]) == (4, 1)
+    assert out[2]["mean_score"] == 0.25 and out[2]["pos_rate"] == 0.25
+    assert (out[9]["n"], out[9]["n_pos"]) == (2, 0)
+    assert out[9]["pos_rate"] == 0.0 and out[9]["mean_score"] == 0.95
+    assert out[0]["n"] == 0 and out[0]["pos_rate"] is None
+    # ECE = (4*0 + 2*0.95) / 6
+    expected = round(2 * 0.95 / 6, 6)
+    assert all(r["ece"] == expected for r in out.values())
+    assert out[2]["lo"] == 0.2 and out[2]["hi"] == 0.3
