@@ -35,7 +35,9 @@ API directly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from blueetl_spark.operators.text import shingles, tokens
@@ -355,3 +357,75 @@ def calibration_bins(
             rnd(F.col("__ece")).alias("ece"),
         )
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: Sequence[str] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ROC-AUC per group via the rank (Mann–Whitney) identity — the
+    ranking-quality companion to :func:`calibration_bins` (calibration
+    asks "are the probabilities honest", AUC asks "does sorting by
+    score separate the classes"):
+    ``AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻)`` over average ranks, which
+    equals the trapezoidal area under the tie-corrected ROC curve.
+    Output: ``(by…, n_pos, n_neg, auc)``; one-class groups report
+    NULL auc with the missing side's count 0. Rows with a NULL score
+    or label are excluded.
+
+    Engine-exact: average ranks are carried as ``2·rank`` INTEGERS, so
+    the positive rank sum is an exact BIGINT and
+    ``auc = (Σ 2r⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻)`` is a single terminal
+    division. Scale shape: ONE map-side-combined shuffle to
+    per-(group, score) pos/neg counts, then one ordered window over
+    DISTINCT scores per group — same shape and same giant-group caveat
+    as ``timeseries.ks_drift`` (scores are near-continuous; quantize
+    upstream if one group dominates).
+    """
+    by = list(by)
+    s, y = F.col(score_col), F.col(label_col)
+    g = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .select(
+            *by,
+            s.alias("__s"),
+            F.when(y.cast("boolean"), 1).otherwise(0).alias("__p"),
+        )
+        .groupBy(*by, "__s")
+        .agg(
+            F.sum("__p").alias("__cp"),
+            F.sum(1 - F.col("__p")).alias("__cn"),
+        )
+    )
+    w_run = (
+        Window.partitionBy(*by)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = (F.col("__cp") + F.col("__cn")).cast("long")
+    cum = F.sum(F.col("__cp") + F.col("__cn")).over(w_run).cast("long")
+    rank2 = 2 * (cum - t) + t + 1
+    agg = g.select(
+        *by,
+        F.col("__cp").cast("long").alias("__cp"),
+        F.col("__cn").cast("long").alias("__cn"),
+        (F.col("__cp").cast("long") * rank2).alias("__r2p"),
+    ).groupBy(*by).agg(
+        F.sum("__cp").alias("n_pos"),
+        F.sum("__cn").alias("n_neg"),
+        F.sum("__r2p").alias("__r2p"),
+    )
+    np_, nn = F.col("n_pos"), F.col("n_neg")
+    auc = F.when(
+        (np_ > 0) & (nn > 0),
+        (F.col("__r2p") - np_ * (np_ + 1)).cast("double")
+        / (2 * np_ * nn).cast("double"),
+    )
+
+    def rnd(c):
+        return (F.round(c, round_to) + 0.0) if round_to is not None else c
+
+    return agg.select(*by, "n_pos", "n_neg", rnd(auc).alias("auc"))

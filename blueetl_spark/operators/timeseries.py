@@ -1381,3 +1381,84 @@ def compact_states(
     return kept.drop(
         "__keep", *[f"__prev_{i}" for i in range(len(state_cols))]
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    by: Sequence[str] = (),
+    period: float = 86_400_000.0,
+    bucket: float = 3_600_000.0,
+    z_thresh: float = 2.0,
+    scale: int = 1000,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Seasonal anomaly screen — "which hours behaved unlike that hour
+    usually does": bucket each observation into (period index, phase)
+    cells (day × hour-of-day by default), build a per-phase baseline
+    from ALL periods, and flag cells whose mean deviates from their
+    phase's baseline by ``|z| ≥ z_thresh`` population standard
+    deviations. The seasonality-aware version of a plain global
+    z-screen: a quiet 3 AM and a busy 1 PM each get judged against
+    their own hour. Output: one row per anomalous cell ``(by…, phase,
+    period_idx, n, cell_mean, base_mean, z)``.
+
+    The baseline includes the flagged cell itself (the simple
+    estimator; at many periods the dilution is negligible, and a
+    leave-one-out variant is one subtraction downstream). A phase with
+    zero variance reports no anomalies (z undefined → NULL → filtered).
+
+    Engine-exact: values quantize to ``floor(value·scale)`` BIGINT
+    units, so cell sums, baseline sums, and squared sums are all exact
+    integers; z is one fixed float expression over six integers (the
+    quantization scale cancels). Scale shape: ONE map-side-combined
+    aggregate to cells, a cell-table re-aggregate for baselines
+    (period-count × phase-count sized), one broadcast join back.
+    """
+    by = list(by)
+    t, v = F.col(time_col), F.col(value_col)
+    p_idx = F.floor(t / F.lit(period)).cast("long")
+    phase = F.floor((t % F.lit(period)) / F.lit(bucket)).cast("long")
+    milli = F.floor(v * F.lit(scale)).cast("long")
+    cells = (
+        df.filter(t.isNotNull() & v.isNotNull())
+        .select(
+            *by,
+            p_idx.alias("period_idx"),
+            phase.alias("phase"),
+            milli.alias("__m"),
+        )
+        .groupBy(*by, "phase", "period_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__m").alias("__s1"),
+            F.sum(F.col("__m") * F.col("__m")).alias("__s2"),
+        )
+    )
+    base = cells.groupBy(*by, "phase").agg(
+        F.sum("n").alias("__bn"),
+        F.sum("__s1").alias("__bs1"),
+        F.sum("__s2").alias("__bs2"),
+    )
+    j = cells.join(F.broadcast(base), [*by, "phase"])
+    mu = F.col("__bs1").cast("double") / F.col("__bn").cast("double")
+    var = F.col("__bs2").cast("double") / F.col("__bn").cast("double") - mu * mu
+    m_c = F.col("__s1").cast("double") / F.col("n").cast("double")
+    z = F.when(var > 0, (m_c - mu) / F.sqrt(var))
+
+    def rnd(c):
+        return (F.round(c, round_to) + 0.0) if round_to is not None else c
+
+    return (
+        j.select(
+            *by,
+            "phase",
+            "period_idx",
+            "n",
+            rnd(m_c / scale).alias("cell_mean"),
+            rnd(mu / scale).alias("base_mean"),
+            rnd(z).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= F.lit(z_thresh))
+    )

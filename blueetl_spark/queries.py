@@ -5935,6 +5935,125 @@ FROM dense, e
 """
 
 
+def q_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC (``classifier.roc_auc``) of the hashed linear scorer
+    against the lang='en' label — the ranking-quality metric next to
+    the calibration gate (same scores, different question). Doubled
+    average ranks make the positive rank sum exact BIGINT; one
+    terminal division."""
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    scored = classifier.score_linear_hashed(
+        docs.select("doc_id", "text"),
+        CLS_WEIGHTS,
+        hash_fn="md5",
+        intercept=CLS_INTERCEPT,
+    )
+    j = scored.select("doc_id", F.round("quality_score", 9).alias("sc")).join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("y")), "doc_id"
+    )
+    return classifier.roc_auc(j, "sc", "y")
+
+
+def _score_auc_sql() -> str:
+    return f"""
+WITH scores AS ({_classifier_score_sql()}),
+lab AS (
+  SELECT s.quality_score AS sc,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents d JOIN scores s USING (doc_id)
+  WHERE s.quality_score IS NOT NULL
+),
+g AS (
+  SELECT sc, CAST(SUM(y) AS BIGINT) AS cp,
+         CAST(SUM(1 - y) AS BIGINT) AS cn
+  FROM lab GROUP BY 1
+),
+r AS (
+  SELECT cp, cn, cp + cn AS t,
+         SUM(cp + cn) OVER (ORDER BY sc
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM g
+),
+a AS (
+  SELECT CAST(SUM(cp) AS BIGINT) AS n_pos, CAST(SUM(cn) AS BIGINT) AS n_neg,
+         CAST(SUM(cp * (2 * (cum - t) + t + 1)) AS BIGINT) AS r2p
+  FROM r
+)
+SELECT n_pos, n_neg,
+       ROUND(CASE WHEN n_pos > 0 AND n_neg > 0
+                  THEN CAST(r2p - n_pos * (n_pos + 1) AS DOUBLE)
+                       / CAST(2 * n_pos * n_neg AS DOUBLE)
+             END, 6) + 0.0 AS auc
+FROM a
+"""
+
+
+SEAS_PERIOD = 86_400_000.0  # one day in ms
+SEAS_BUCKET = 3_600_000.0  # one hour in ms
+SEAS_Z = 2.0
+
+
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly screen (``timeseries.seasonal_anomalies``):
+    day×hour cells of the event stream judged against their own
+    hour-of-day baseline per event type — the telemetry question "which
+    hours behaved unlike that hour usually does". Integer milli-sums
+    make every moment exact; z is one fixed float expression."""
+    ev = _events_norm(spark, sf_dir)
+    return timeseries.seasonal_anomalies(
+        ev,
+        "time",
+        "value",
+        by=["event_type"],
+        period=SEAS_PERIOD,
+        bucket=SEAS_BUCKET,
+        z_thresh=SEAS_Z,
+    )
+
+
+SQL_SEASONAL_ANOMALIES = f"""
+WITH {_E_CTE},
+c AS (
+  SELECT event_type,
+         CAST(FLOOR(("time" % {SEAS_PERIOD!r}) / {SEAS_BUCKET!r}) AS BIGINT)
+           AS phase,
+         CAST(FLOOR("time" / {SEAS_PERIOD!r}) AS BIGINT) AS period_idx,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)
+                  * CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS s2
+  FROM e WHERE "time" IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+b AS (
+  SELECT event_type, phase, CAST(SUM(n) AS BIGINT) AS bn,
+         CAST(SUM(s1) AS BIGINT) AS bs1, CAST(SUM(s2) AS BIGINT) AS bs2
+  FROM c GROUP BY 1, 2
+),
+z AS (
+  SELECT c.event_type, c.phase, c.period_idx, c.n,
+         ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000, 6) + 0.0
+           AS cell_mean,
+         ROUND(CAST(bs1 AS DOUBLE) / CAST(bn AS DOUBLE) / 1000, 6) + 0.0
+           AS base_mean,
+         ROUND(CASE WHEN CAST(bs2 AS DOUBLE) / CAST(bn AS DOUBLE)
+                         - (CAST(bs1 AS DOUBLE) / CAST(bn AS DOUBLE))
+                           * (CAST(bs1 AS DOUBLE) / CAST(bn AS DOUBLE)) > 0
+                    THEN (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                          - CAST(bs1 AS DOUBLE) / CAST(bn AS DOUBLE))
+                         / sqrt(CAST(bs2 AS DOUBLE) / CAST(bn AS DOUBLE)
+                                - (CAST(bs1 AS DOUBLE) / CAST(bn AS DOUBLE))
+                                  * (CAST(bs1 AS DOUBLE)
+                                     / CAST(bn AS DOUBLE)))
+               END, 6) + 0.0 AS z
+  FROM c JOIN b USING (event_type, phase)
+)
+SELECT * FROM z WHERE abs(z) >= {SEAS_Z!r}
+"""
+
+
 JACCARD_PREFIX_THRESHOLD = 0.8
 
 
@@ -7512,6 +7631,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_hops": q_bfs_hops,
     "kaplan_meier": q_kaplan_meier,
     "score_calibration": q_score_calibration,
+    "score_auc": q_score_auc,
+    "seasonal_anomalies": q_seasonal_anomalies,
     # ---- oracle tail head, rotated out this round: 13 r8-surface
     # ---- gates graded green twice (r8+r9) and the 5 SURVEY-core gates
     # ---- whose cycle slot passed to the five above; hash-checked
@@ -7761,6 +7882,8 @@ ORACLES: dict[str, str] = {
     "bfs_hops": SQL_BFS_HOPS,
     "kaplan_meier": SQL_KAPLAN_MEIER,
     "score_calibration": _score_calibration_sql(),
+    "score_auc": _score_auc_sql(),
+    "seasonal_anomalies": SQL_SEASONAL_ANOMALIES,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

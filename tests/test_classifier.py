@@ -217,3 +217,41 @@ def test_calibration_bins_hand_example(spark):
     expected = round(2 * 0.95 / 6, 6)
     assert all(r["ece"] == expected for r in out.values())
     assert out[2]["lo"] == 0.2 and out[2]["hi"] == 0.3
+
+
+def test_roc_auc_known_cases(spark):
+    """Perfect separation gives 1, inverted gives 0, random-tie block
+    gives 0.5; ties across classes get half credit (matches the
+    sequential average-rank reference); one-class groups report NULL."""
+    from blueetl_spark.operators.classifier import roc_auc
+
+    rows = (
+        [("sep", 0.9, True), ("sep", 0.8, True), ("sep", 0.2, False),
+         ("sep", 0.1, False)]
+        + [("inv", 0.1, True), ("inv", 0.9, False)]
+        + [("tie", 0.5, True), ("tie", 0.5, False)]
+        + [("one", 0.7, True)]
+        + [("mix", 0.9, True), ("mix", 0.5, True), ("mix", 0.5, False),
+           ("mix", 0.3, False), ("mix", 0.1, True)]
+    )
+    df = spark.createDataFrame(rows, "g string, sc double, y boolean")
+    got = {
+        r["g"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in roc_auc(df, "sc", "y", by=["g"]).collect()
+    }
+    assert got["sep"] == (2, 2, 1.0)
+    assert got["inv"] == (1, 1, 0.0)
+    assert got["tie"] == (1, 1, 0.5)
+    assert got["one"] == (1, 0, None)
+
+    def brute(pairs):
+        pos = [s for s, yy in pairs if yy]
+        neg = [s for s, yy in pairs if not yy]
+        wins = sum(
+            1.0 if p > q else 0.5 if p == q else 0.0
+            for p in pos for q in neg
+        )
+        return round(wins / (len(pos) * len(neg)), 6)
+
+    mix = [(s, yy) for g, s, yy in rows if g == "mix"]
+    assert got["mix"] == (3, 2, brute(mix))

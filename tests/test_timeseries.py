@@ -922,3 +922,34 @@ def test_mann_whitney_single_exchange_plan(spark):
     # one exchange on (g, v) for the pre-agg; the window repartitions to
     # (g) once; the final aggregate rides the window's partitioning
     assert len(exchanges) <= 2, plan
+
+
+def test_seasonal_anomalies_flags_shifted_hour(spark):
+    """A cell whose mean deviates from its own phase's baseline is
+    flagged with the reference z; cells in line with their phase are
+    not; zero-variance phases flag nothing."""
+    from blueetl_spark.operators import timeseries as ts
+
+    period, bucket = 100.0, 10.0
+    rows = []
+    # phase 0: baseline value 10 across 10 periods, but period 3 runs hot
+    for p in range(10):
+        for i in range(5):
+            rows.append(("a", p * period + i, 100.0 if p == 3 else 10.0))
+    # phase 1: identical everywhere -> zero variance, never flagged
+    for p in range(10):
+        rows.append(("a", p * period + 10.0, 7.0))
+    df = spark.createDataFrame(rows, "g string, t double, v double")
+    out = ts.seasonal_anomalies(
+        df, "t", "v", by=["g"], period=period, bucket=bucket, z_thresh=2.0,
+        scale=1000,
+    ).collect()
+    flagged = {(r["phase"], r["period_idx"]): r for r in out}
+    assert (0, 3) in flagged
+    r = flagged[(0, 3)]
+    # milli-space reference over 45x10000 + 5x100000
+    mu = (45 * 10000 + 5 * 100000) / 50
+    var = (45 * 10000**2 + 5 * 100000**2) / 50 - mu * mu
+    assert r["cell_mean"] == 100.0 and r["base_mean"] == round(mu / 1000, 6)
+    assert r["z"] == round((100000 - mu) / var**0.5, 6)
+    assert all(ph == 0 for ph, _ in flagged)
