@@ -5870,17 +5870,15 @@ def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hashed linear quality scorer against the lang='en' label —
     the health check before using scores as sampling weights. Densified
     bins, integer nano-sums for score mass, bin-ordered ECE fold."""
-    docs = tables.load(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang"
-    )
+    docs = tables.load(spark, sf_dir, "documents").select("text", "lang")
     scored = classifier.score_linear_hashed(
-        docs.select("doc_id", "text"),
-        CLS_WEIGHTS,
-        hash_fn="md5",
-        intercept=CLS_INTERCEPT,
+        docs, CLS_WEIGHTS, hash_fn="md5", intercept=CLS_INTERCEPT
     )
-    j = scored.select("doc_id", F.round("quality_score", 9).alias("sc")).join(
-        docs.select("doc_id", (F.col("lang") == "en").alias("y")), "doc_id"
+    # scoring is a withColumn — the label rides the same map stage, so
+    # no re-join on doc_id (a 100 TB corpus would pay an SMJ for it)
+    j = scored.select(
+        F.round("quality_score", 9).alias("sc"),
+        (F.col("lang") == "en").alias("y"),
     )
     return classifier.calibration_bins(j, "sc", "y", bins=CAL_BINS)
 
@@ -5941,17 +5939,15 @@ def q_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the calibration gate (same scores, different question). Doubled
     average ranks make the positive rank sum exact BIGINT; one
     terminal division."""
-    docs = tables.load(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang"
-    )
+    docs = tables.load(spark, sf_dir, "documents").select("text", "lang")
     scored = classifier.score_linear_hashed(
-        docs.select("doc_id", "text"),
-        CLS_WEIGHTS,
-        hash_fn="md5",
-        intercept=CLS_INTERCEPT,
+        docs, CLS_WEIGHTS, hash_fn="md5", intercept=CLS_INTERCEPT
     )
-    j = scored.select("doc_id", F.round("quality_score", 9).alias("sc")).join(
-        docs.select("doc_id", (F.col("lang") == "en").alias("y")), "doc_id"
+    # label rides the scoring map stage — no doc_id re-join (see
+    # q_score_calibration)
+    j = scored.select(
+        F.round("quality_score", 9).alias("sc"),
+        (F.col("lang") == "en").alias("y"),
     )
     return classifier.roc_auc(j, "sc", "y")
 
