@@ -1155,8 +1155,13 @@ def psi_drift(
     )
 
     # --- 2) bucket both sides against the broadcast edges ---
+    # with no group keys the "join on by" degenerates to attaching the
+    # single global row — crossJoin (both broadcast sides are one row)
+    def by_join(left, right, how="inner"):
+        return left.join(right, on=by, how=how) if by else left.crossJoin(right)
+
     def bucketed(df, tag):
-        j = df.join(F.broadcast(edges.select(*by, "__edges")), on=by)
+        j = by_join(df, F.broadcast(edges.select(*by, "__edges")))
         bucket = F.aggregate(
             F.col("__edges"),
             F.lit(0),
@@ -1177,12 +1182,12 @@ def psi_drift(
         "__b", F.explode(F.sequence(F.lit(0), F.lit(int(buckets) - 1)))
     )
     n_new = new.groupBy(*by).agg(F.count(F.lit(1)).alias("n_new"))
-    full = (
+    full = by_join(
         grid.join(rc, on=by + ["__b"], how="left")
-        .join(nc, on=by + ["__b"], how="left")
-        .join(F.broadcast(n_new), on=by, how="left")
-        .fillna(0, subset=["__c_ref", "__c_new", "n_new"])
-    )
+        .join(nc, on=by + ["__b"], how="left"),
+        F.broadcast(n_new),  # global agg: exactly one row even when
+        how="left",          # the new side is empty, so crossJoin is safe
+    ).fillna(0, subset=["__c_ref", "__c_new", "n_new"])
     p = F.greatest(
         F.col("__c_ref").cast("double") / F.col("n_ref").cast("double"),
         F.lit(float(eps)),

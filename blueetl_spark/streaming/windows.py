@@ -493,6 +493,72 @@ def streaming_topk_shards(
     return writer.start()
 
 
+def streaming_psi_monitor(
+    stream_df: DataFrame,
+    ref_df: DataFrame,
+    value_col: str,
+    shard_path: str,
+    checkpoint: str,
+    by: tuple = (),
+    buckets: int = 10,
+    eps: float = 1e-6,
+    batch_prefix: str = "stream",
+    trigger: dict | None = None,
+):
+    """Live drift monitor: every micro-batch is PSI-scored against a
+    FIXED reference sample (``operators/timeseries.py::psi_drift``) and
+    appends one ``(batch_id, by…, n_ref, n_new, psi)`` row per group —
+    the model-monitoring timeline ("when did the feed drift, and for
+    which segment") readable at any moment from rows bounded by
+    batches × groups, never by rescanning the stream. Same foreachBatch
+    seam and at-least-once → effectively-once contract as the other
+    shard families: a replayed epoch recomputes the identical
+    deterministic row under the same batch_id;
+    :func:`read_psi_timeline` dedups on (batch_id, group) before use.
+
+    The reference frame is persisted here and each batch's PSI job
+    reuses the cached blocks; the reference EDGE computation replays
+    per batch over that cache (distinct-value-sized work — pre-quantize
+    a continuous reference upstream, same caveat as ``psi_drift``).
+    Stop the query and ``ref_df.unpersist()`` when retiring the
+    monitor, or re-baseline by starting a new monitor with a fresh
+    reference and shard path.
+    """
+    from blueetl_spark.operators.timeseries import psi_drift
+
+    ref = ref_df.persist()
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            psi_drift(ref, batch_df, value_col, by=list(by),
+                      buckets=buckets, eps=eps)
+            .withColumn("batch_id", F.lit(f"{batch_prefix}-{epoch_id}"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(shard_path)
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def read_psi_timeline(spark, shard_path: str, by: tuple = ()) -> DataFrame:
+    """Read a :func:`streaming_psi_monitor` shard dir as the drift
+    timeline: one row per (batch, group), crash-replayed duplicates
+    folded out on (batch_id, group)."""
+    return (
+        spark.read.parquet(shard_path)
+        .dropDuplicates(["batch_id", *by])
+    )
+
+
 def asof_enrich_static(
     events: DataFrame,
     dim: DataFrame,
