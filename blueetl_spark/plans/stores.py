@@ -512,3 +512,74 @@ def apply_cdc(
     kept = base.join(touched, keys, "left_anti")
     upserts = latest.filter(F.col(op_col) != "D").select(*keys, *payload)
     return kept.unionByName(upserts)
+
+
+def incremental_rollup(
+    agg: DataFrame,
+    delta: DataFrame,
+    keys: str | list[str],
+    sum_cols: list[str],
+    sign_col: str = "sign",
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Maintain a stored COUNT/SUM rollup from a SIGNED row delta —
+    incremental view maintenance, the refresh pattern that keeps a
+    key-sized aggregate current without rescanning history: ``delta``
+    carries base-table row images with ``sign_col`` +1 (row arrived) /
+    −1 (row retracted; the CDC update is a −old +new pair). Returns the
+    new rollup: counts and sums merged per key, keys whose count
+    reaches zero dropped, keys first seen in the delta added.
+
+    Only DECOMPOSABLE aggregates maintain this way (COUNT, SUM, and
+    anything derived from them — AVG, ratios); MIN/MAX/COUNT DISTINCT
+    need a rescan or a different sketch (that asymmetry is inherent,
+    not an implementation gap). A delta that retracts more rows than a
+    key ever had would drive its count negative — that is a corrupt
+    feed, and the plan RAISES on it (a silently negative rollup row
+    poisons every downstream read).
+
+    Scale shape: ONE map-side-combined aggregate over the delta
+    (batch-sized), then one key join against the stored rollup. The
+    join shuffles on the keys — store the rollup BUCKETED on the same
+    keys and the refresh becomes shuffle-free on the stored side,
+    which is the point of maintaining it incrementally.
+    """
+    from pyspark.sql import functions as F
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    for c in (count_col, *(f"sum_{c}" for c in sum_cols)):
+        if c not in agg.columns:
+            raise ValueError(f"stored rollup is missing column {c!r}")
+    sgn = F.col(sign_col).cast("long")
+    d = delta.groupBy(*keys).agg(
+        F.sum(sgn).alias("__dn"),
+        *[
+            F.sum(sgn * F.col(c)).alias(f"__ds_{c}")
+            for c in sum_cols
+        ],
+    )
+    merged = agg.join(d, keys, "full_outer")
+    n_new = F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(
+        F.col("__dn"), F.lit(0)
+    )
+    checked = F.when(n_new >= 0, n_new).otherwise(
+        F.raise_error(
+            F.format_string(
+                "incremental_rollup: count for a key went negative (%d) — "
+                "the delta retracts rows the rollup never counted",
+                n_new,
+            )
+        )
+    )
+    out = merged.select(
+        *keys,
+        checked.alias(count_col),
+        *[
+            (
+                F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+                + F.coalesce(F.col(f"__ds_{c}"), F.lit(0))
+            ).alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    )
+    return out.filter(F.col(count_col) > 0)

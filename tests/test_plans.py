@@ -488,3 +488,41 @@ def test_registry_wide_no_row_python_udfs(spark):
         if "BatchEvalPython" in plan:
             offenders[name] = "BatchEvalPython"
     assert not offenders, offenders
+
+
+def test_incremental_rollup_maintenance_identity(spark):
+    """The incrementally maintained rollup equals a recompute from the
+    patched base: updates as -old/+new pairs, full retraction drops the
+    key, first-seen keys appear; a delta that over-retracts raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.plans.stores import incremental_rollup
+
+    base = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5), ("c", 7)], "k string, v long"
+    )
+    agg0 = base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v")
+    )
+    delta = spark.createDataFrame(
+        [
+            ("a", 20, -1), ("a", 25, 1),   # update 20 -> 25
+            ("b", 5, -1),                  # retract b entirely
+            ("d", 100, 1), ("d", 1, 1),    # brand-new key
+        ],
+        "k string, v long, sign long",
+    )
+    got = {
+        r["k"]: (r["n_rows"], r["sum_v"])
+        for r in incremental_rollup(agg0, delta, "k", ["v"]).collect()
+    }
+    assert got == {"a": (2, 35), "c": (1, 7), "d": (2, 101)}
+
+    bad = spark.createDataFrame([("c", 7, -1), ("c", 9, -1)],
+                                "k string, v long, sign long")
+    with pytest.raises(Exception, match="negative"):
+        incremental_rollup(agg0, bad, "k", ["v"]).collect()
+
+    with pytest.raises(ValueError, match="missing column"):
+        incremental_rollup(agg0.drop("sum_v"), delta, "k", ["v"])
