@@ -210,3 +210,131 @@ def test_psi_drift_property(spark, xs, ys, buckets):
         acc += (p - q) * math.log(p / q)
     assert row["psi"] == pytest.approx(round(acc, 6), abs=2e-6)
     assert (row["n_ref"], row["n_new"]) == (len(xs), len(ys))
+
+
+RANK_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # group
+        st.integers(min_value=0, max_value=6),   # value (small pool -> ties)
+        st.booleans(),                           # side / label
+    ),
+    min_size=2,
+    max_size=50,
+)
+
+
+def _avg_ranks(vals):
+    from collections import Counter
+
+    cnt = Counter(vals)
+    out, before = {}, 0
+    for v in sorted(cnt):
+        out[v] = before + (cnt[v] + 1) / 2
+        before += cnt[v]
+    return out
+
+
+@SLOW
+@given(rows=RANK_ROWS)
+def test_mann_whitney_property(spark, rows):
+    """U, its complement, and the tie-corrected z agree with a direct
+    average-rank evaluation on random tied data, including one-sided
+    and zero-variance groups."""
+    import math
+
+    from collections import Counter
+
+    from blueetl_spark.operators.timeseries import mann_whitney
+
+    pdf = pd.DataFrame(rows, columns=["g", "v", "side"]).astype(
+        {"g": "int64", "v": "float64"}
+    )
+    a = spark.createDataFrame(pdf[pdf.side][["g", "v"]], "g long, v double")
+    b = spark.createDataFrame(pdf[~pdf.side][["g", "v"]], "g long, v double")
+    got = {
+        r["g"]: (r["n_a"], r["n_b"], r["u_a"], r["u_b"], r["z"])
+        for r in mann_whitney(a, b, "v", by=["g"]).collect()
+    }
+    for g in sorted(pdf.g.unique()):
+        xs = list(pdf[(pdf.g == g) & pdf.side].v)
+        ys = list(pdf[(pdf.g == g) & ~pdf.side].v)
+        na, nb, n = len(xs), len(ys), len(xs) + len(ys)
+        if na == 0 or nb == 0:
+            assert got[g] == (na, nb, None, None, None)
+            continue
+        ranks = _avg_ranks(xs + ys)
+        ua = sum(ranks[v] for v in xs) - na * (na + 1) / 2
+        ties = sum(t**3 - t for t in Counter(xs + ys).values())
+        var = na * nb / 12 * ((n + 1) - ties / (n * (n - 1)))
+        z = (
+            round((ua - na * nb / 2) / math.sqrt(var), 6)
+            if var > 0
+            else None
+        )
+        assert got[g] == (na, nb, round(ua, 6), round(na * nb - ua, 6), z)
+
+
+@SLOW
+@given(rows=RANK_ROWS)
+def test_roc_auc_property(spark, rows):
+    """AUC equals the pairwise win/tie probability on random tied
+    scores; one-class groups are NULL."""
+    from blueetl_spark.operators.classifier import roc_auc
+
+    pdf = pd.DataFrame(rows, columns=["g", "sc", "y"]).astype(
+        {"g": "int64", "sc": "float64"}
+    )
+    got = {
+        r["g"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in roc_auc(
+            spark.createDataFrame(pdf), "sc", "y", by=["g"]
+        ).collect()
+    }
+    for g in sorted(pdf.g.unique()):
+        pos = list(pdf[(pdf.g == g) & pdf.y].sc)
+        neg = list(pdf[(pdf.g == g) & ~pdf.y].sc)
+        if not pos or not neg:
+            assert got[g] == (len(pos), len(neg), None)
+            continue
+        wins = sum(
+            1.0 if p > q else 0.5 if p == q else 0.0
+            for p in pos
+            for q in neg
+        )
+        assert got[g] == (
+            len(pos),
+            len(neg),
+            round(wins / (len(pos) * len(neg)), 6),
+        )
+
+
+@SLOW
+@given(rows=RANK_ROWS)
+def test_spearman_property(spark, rows):
+    """rho agrees with Pearson over average ranks on random tied data;
+    constant columns and sub-2-row groups are NULL."""
+    from blueetl_spark.operators.profile import spearman
+
+    pdf = pd.DataFrame(rows, columns=["g", "x", "yb"]).astype(
+        {"g": "int64", "x": "float64"}
+    )
+    pdf["y"] = pdf.yb.astype("int64").astype("float64") * 3 - pdf.x
+    df = spark.createDataFrame(pdf[["g", "x", "y"]], "g long, x double, y double")
+    got = {
+        r["g"]: (r["n_rows"], r["rho"])
+        for r in spearman(df, "x", "y", by=["g"]).collect()
+    }
+    for g in sorted(pdf.g.unique()):
+        sub = pdf[pdf.g == g]
+        xs, ys = list(sub.x), list(sub.y)
+        n = len(xs)
+        rx_map, ry_map = _avg_ranks(xs), _avg_ranks(ys)
+        rx = [rx_map[v] for v in xs]
+        ry = [ry_map[v] for v in ys]
+        sx, sy = sum(rx), sum(ry)
+        sxx = sum(v * v for v in rx)
+        syy = sum(v * v for v in ry)
+        sxy = sum(p * q for p, q in zip(rx, ry))
+        den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        rho = round((n * sxy - sx * sy) / den**0.5, 6) if den > 0 else None
+        assert got[g] == (n, rho)
