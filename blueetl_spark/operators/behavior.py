@@ -496,3 +496,116 @@ def kaplan_meier(
         )
         .filter(F.col("n_events") > 0)
     )
+
+
+def log_rank(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    duration_col: str,
+    event_col: str,
+    by: Sequence[str] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Log-rank test per group — "do these two survival curves differ?",
+    the significance companion to :func:`kaplan_meier` (eyeballing two
+    KM curves is not a test; censoring breaks naive mean comparisons).
+    Inputs are two subject frames with the same (duration, event)
+    contract as ``kaplan_meier``. Output: ``(by…, n_a, n_b, chi2)``
+    where ``chi2 = (Σ_t (d_a − E_a))² / Σ_t V_t`` over distinct pooled
+    event times, with the hypergeometric mean
+    ``E_a = d·n_a/n`` and variance
+    ``V = d·(n_a/n)·(n_b/n)·(n−d)/(n−1)`` at each time (compare
+    against χ²₁: 3.84 at α=0.05). Groups with either side empty report
+    NULL chi2; a group with NO pooled events emits no row at all (there
+    is no curve to compare — every subject is censored).
+
+    Engine-exact: at-risk counts, event counts, and censor counts are
+    integer window sums over the pooled per-(group, duration) table;
+    each time's E and V terms are fixed float expressions over those
+    integers, and both float sums fold over TIME-ORDERED term lists
+    (never commutative float aggregates). Scale shape: one
+    map-side-combined pre-agg of the tagged union, one ordered window
+    over distinct durations per group, then a duration-count-sized
+    fold — the ks_drift shape, with its same giant-group caveat.
+    """
+    by = list(by)
+    dur, ev = F.col(duration_col), F.col(event_col)
+
+    def side(df, tag):
+        return df.filter(dur.isNotNull()).select(
+            *by,
+            dur.alias("__t"),
+            F.when(ev.cast("boolean"), 1).otherwise(0).alias("__e"),
+            F.lit(tag).alias("__side"),
+        )
+
+    u = side(df_a, 0).unionByName(side(df_b, 1))
+    g = u.groupBy(*by, "__t").agg(
+        F.sum(F.when(F.col("__side") == 0, F.col("__e")).otherwise(0)).alias("__da"),
+        F.sum(F.when(F.col("__side") == 1, F.col("__e")).otherwise(0)).alias("__db"),
+        F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).alias("__ta"),
+        F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("__tb"),
+    )
+    w_all = Window.partitionBy(*by)
+    w_run = (
+        Window.partitionBy(*by)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    na_risk = (
+        F.sum("__ta").over(w_all) - F.sum("__ta").over(w_run) + F.col("__ta")
+    ).cast("long")
+    nb_risk = (
+        F.sum("__tb").over(w_all) - F.sum("__tb").over(w_run) + F.col("__tb")
+    ).cast("long")
+    rows = g.select(
+        *by,
+        "__t",
+        F.col("__da").cast("long").alias("__da"),
+        (F.col("__da") + F.col("__db")).cast("long").alias("__d"),
+        na_risk.alias("__na"),
+        (na_risk + nb_risk).alias("__n"),
+        F.sum("__ta").over(w_all).cast("long").alias("n_a"),
+        F.sum("__tb").over(w_all).cast("long").alias("n_b"),
+    ).filter(F.col("__d") > 0)
+    # E and V at each event time are fixed float expressions over exact
+    # integers; both sums fold in time order
+    folded = rows.groupBy(*by).agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.array_sort(
+            F.collect_list(F.struct("__t", "__da", "__d", "__na", "__n"))
+        ).alias("__terms"),
+    )
+    term_u = lambda s: (  # noqa: E731
+        s["__da"].cast("double")
+        - s["__d"].cast("double") * s["__na"].cast("double") / s["__n"].cast("double")
+    )
+    term_v = lambda s: F.when(  # noqa: E731
+        s["__n"] > 1,
+        s["__d"].cast("double")
+        * (s["__na"].cast("double") / s["__n"].cast("double"))
+        * ((s["__n"] - s["__na"]).cast("double") / s["__n"].cast("double"))
+        * ((s["__n"] - s["__d"]).cast("double") / (s["__n"] - 1).cast("double")),
+    ).otherwise(F.lit(0.0))
+    usum = F.aggregate(
+        F.transform(F.col("__terms"), term_u), F.lit(0.0), lambda a, t: a + t
+    )
+    vsum = F.aggregate(
+        F.transform(F.col("__terms"), term_v), F.lit(0.0), lambda a, t: a + t
+    )
+    chi2 = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (vsum > 0),
+        usum * usum / vsum,
+    )
+
+    def rnd(c):
+        return (F.round(c, round_to) + 0.0) if round_to is not None else c
+
+    return (
+        folded.select(*by, "n_a", "n_b", rnd(chi2).alias("chi2"))
+        # an ungrouped aggregate over zero event times still emits one
+        # all-NULL row (Spark's global-agg semantics) — drop it so the
+        # no-events contract holds with and without group keys
+        .filter(F.col("n_a").isNotNull())
+    )

@@ -5862,6 +5862,96 @@ FROM s WHERE d > 0
 """
 
 
+def q_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (``behavior.log_rank``) comparing the EXC vs INH
+    time-to-first-purchase survival curves — the significance
+    companion to the kaplan_meier gate on the same subject frames.
+    Integer at-risk/event counts; E and V terms as fixed float
+    expressions folded in time order."""
+    ev = _events_norm(spark, sf_dir)
+    per = ev.groupBy("gid", "neuron_class").agg(
+        F.min("time").alias("t0"),
+        F.max("time").alias("t_last"),
+        F.min(
+            F.when(F.col("event_type") == KM_EVENT, F.col("time"))
+        ).alias("tp"),
+    )
+    subj = per.select(
+        "neuron_class",
+        (F.coalesce(F.col("tp"), F.col("t_last")) - F.col("t0")).alias(
+            "duration"
+        ),
+        F.col("tp").isNotNull().alias("event"),
+    )
+    return behavior.log_rank(
+        subj.filter(F.col("neuron_class") == "EXC"),
+        subj.filter(F.col("neuron_class") == "INH"),
+        "duration",
+        "event",
+    )
+
+
+SQL_LOG_RANK = f"""
+WITH {_E_CTE},
+per AS (
+  SELECT gid, neuron_class, MIN("time") AS t0, MAX("time") AS t_last,
+         MIN(CASE WHEN event_type = '{KM_EVENT}' THEN "time" END) AS tp
+  FROM e GROUP BY 1, 2
+),
+subj AS (
+  SELECT neuron_class, COALESCE(tp, t_last) - t0 AS t,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM per
+),
+g AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN neuron_class = 'EXC' THEN ev ELSE 0 END)
+              AS BIGINT) AS da,
+         CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN neuron_class = 'EXC' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ta,
+         CAST(COUNT(*) AS BIGINT) AS tt
+  FROM subj GROUP BY 1
+),
+r AS (
+  SELECT t, da, d,
+         CAST(SUM(ta) OVER ()
+              - SUM(ta) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              + ta AS BIGINT) AS na,
+         CAST(SUM(tt) OVER ()
+              - SUM(tt) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              + tt AS BIGINT) AS n,
+         CAST(SUM(ta) OVER () AS BIGINT) AS n_a,
+         CAST(SUM(tt) OVER () - SUM(ta) OVER () AS BIGINT) AS n_b
+  FROM g
+),
+f AS (SELECT * FROM r WHERE d > 0),
+s AS (
+  SELECT ANY_VALUE(n_a) AS n_a, ANY_VALUE(n_b) AS n_b,
+         list_reduce(list_prepend(0.0,
+           list(CAST(da AS DOUBLE)
+                - CAST(d AS DOUBLE) * CAST(na AS DOUBLE) / CAST(n AS DOUBLE)
+                ORDER BY t)),
+           (a, b) -> a + b) AS u,
+         list_reduce(list_prepend(0.0,
+           list(CASE WHEN n > 1
+                     THEN CAST(d AS DOUBLE)
+                          * (CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(n - na AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+                     ELSE 0.0 END ORDER BY t)),
+           (a, b) -> a + b) AS v
+  FROM f
+)
+SELECT n_a, n_b,
+       ROUND(CASE WHEN n_a > 0 AND n_b > 0 AND v > 0
+                  THEN u * u / v END, 6) + 0.0 AS chi2
+FROM s
+"""
+
+
 CAL_BINS = 10
 
 
@@ -7694,6 +7784,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "score_auc": q_score_auc,
     "seasonal_anomalies": q_seasonal_anomalies,
     "incremental_rollup": q_incremental_rollup,
+    "log_rank": q_log_rank,
     # ---- oracle tail head, rotated out this round: 13 r8-surface
     # ---- gates graded green twice (r8+r9) and the 5 SURVEY-core gates
     # ---- whose cycle slot passed to the five above; hash-checked
@@ -7946,6 +8037,7 @@ ORACLES: dict[str, str] = {
     "score_auc": _score_auc_sql(),
     "seasonal_anomalies": SQL_SEASONAL_ANOMALIES,
     "incremental_rollup": SQL_INCREMENTAL_ROLLUP,
+    "log_rank": SQL_LOG_RANK,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

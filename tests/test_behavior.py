@@ -324,3 +324,48 @@ def test_kaplan_meier_textbook_curve(spark):
     assert got[("g", 6.0)] == (1, 1, 0, 0.0)
     assert got[("tie", 1.0)] == (3, 2, 0, round(1 / 3, 6))
     assert not any(g == "cens" for g, _ in got)
+
+
+def test_log_rank_reference_and_edges(spark):
+    """chi2 matches a sequential hypergeometric reference; identical
+    samples give ~0; a one-sided comparison is NULL; an all-censored
+    pair emits no row."""
+    import pytest
+
+    from blueetl_spark.operators.behavior import log_rank
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "duration double, event boolean")
+
+    a = mk([(1.0, True), (2.0, True), (4.0, False), (6.0, True)])
+    b = mk([(3.0, True), (5.0, True), (5.0, False), (7.0, True), (8.0, False)])
+    r = log_rank(a, b, "duration", "event").head()
+
+    def brute(xs, ys):
+        times = sorted({t for t, e in xs + ys if e})
+        u = v = 0.0
+        for t in times:
+            na = sum(1 for d, _ in xs if d >= t)
+            nb = sum(1 for d, _ in ys if d >= t)
+            da = sum(1 for d, e in xs if d == t and e)
+            db = sum(1 for d, e in ys if d == t and e)
+            n, d = na + nb, da + db
+            u += da - d * na / n
+            if n > 1:
+                v += d * (na / n) * ((n - na) / n) * ((n - d) / (n - 1))
+        return u * u / v
+
+    xs = [(1.0, True), (2.0, True), (4.0, False), (6.0, True)]
+    ys = [(3.0, True), (5.0, True), (5.0, False), (7.0, True), (8.0, False)]
+    assert (r.n_a, r.n_b) == (4, 5)
+    assert r.chi2 == pytest.approx(brute(xs, ys), abs=1e-6)
+
+    same = mk([(1.0, True), (2.0, True), (3.0, False)])
+    s = log_rank(same, same, "duration", "event").head()
+    assert s.chi2 == 0.0
+
+    one = log_rank(a, mk([]), "duration", "event").head()
+    assert (one.n_a, one.n_b, one.chi2) == (4, 0, None)
+
+    cens = mk([(1.0, False), (2.0, False)])
+    assert log_rank(cens, cens, "duration", "event").count() == 0
