@@ -526,3 +526,39 @@ def test_incremental_rollup_maintenance_identity(spark):
 
     with pytest.raises(ValueError, match="missing column"):
         incremental_rollup(agg0.drop("sum_v"), delta, "k", ["v"])
+
+
+def test_continuation_gates_plan_shapes(spark):
+    """Exchange-count pins for the round-10 continuation gates: the
+    rank statistics ride one pre-agg exchange + one window partition;
+    the scorer-eval gates never re-join documents on doc_id (no SMJ);
+    KM keeps its three keyed stages; no row-at-a-time Python anywhere."""
+    from blueetl_spark import queries as Q
+
+    def exchanges(plan):
+        return sum(
+            "Exchange hashpartitioning" in l for l in plan.splitlines()
+        )
+
+    mw = _formatted_plan(Q.q_mann_whitney(spark, SF))
+    assert exchanges(mw) <= 2, mw
+    assert "BatchEvalPython" not in mw
+
+    auc = _formatted_plan(Q.q_score_auc(spark, SF))
+    assert exchanges(auc) <= 2, auc
+    assert "SortMergeJoin" not in auc, "doc_id re-join crept back in"
+
+    cal = _formatted_plan(Q.q_score_calibration(spark, SF))
+    assert "SortMergeJoin" not in cal, "doc_id re-join crept back in"
+    assert exchanges(cal) <= 3, cal
+
+    km = _formatted_plan(Q.q_kaplan_meier(spark, SF))
+    assert exchanges(km) <= 3, km
+
+    sa = _formatted_plan(Q.q_seasonal_anomalies(spark, SF))
+    assert exchanges(sa) <= 3, sa
+    # baseline attaches via broadcast, never a data-sized shuffle join
+    assert "BroadcastHashJoin" in sa, sa
+
+    for q in (mw, auc, cal, km, sa):
+        assert "BatchEvalPython" not in q
