@@ -536,6 +536,73 @@ def bfs_hops(
     return dist
 
 
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    id_col: str = "id",
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source weighted shortest paths, Bellman–Ford unrolled to
+    exactly ``rounds`` relaxation rounds — the cost-aware sibling of
+    :func:`bfs_hops` (hops answer "how far"; weighted costs answer
+    "how expensive": latency-weighted network paths, trust-discounted
+    influence, cheapest multi-leg routes). Returns ``(id, cost)`` =
+    the minimum total weight over paths of ≤ ``rounds`` edges from any
+    source; nodes unreachable within that bound are absent, sources
+    cost 0. Non-negative weights recommended (negative weights are
+    admitted — the fixed round count bounds path length so there is no
+    cycle divergence — but then ``cost`` is only the ≤-rounds optimum,
+    not the global one).
+
+    Each round relaxes the WHOLE frontier-so-far: one join of the
+    current distance frame against the adjacency list (shuffle on the
+    join key) + one min-aggregate on the destination (second
+    exchange), both distance-frame-sized — never path-enumerating
+    (the oracle's recursive CTE enumerates path costs and dedups;
+    this keeps one row per node throughout). ``localCheckpoint`` pins
+    each round. At cluster scale, bucket the adjacency list on
+    ``src`` so every round's join reuses the layout; the min-agg
+    exchange is the inherent per-round cost of min-plus iteration.
+    """
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    s, d, w = F.col(src_col), F.col(dst_col), F.col(weight_col)
+    adj = edges.filter(s != d).select(
+        s.alias("src"), d.alias("dst"), w.alias("w")
+    )
+    if not directed:
+        adj = adj.unionAll(
+            edges.filter(s != d).select(
+                d.alias("src"), s.alias("dst"), w.alias("w")
+            )
+        )
+    adj = adj.groupBy("src", "dst").agg(F.min("w").alias("w")).localCheckpoint(
+        eager=False
+    )
+    dist = (
+        sources.select(F.col(id_col).alias("id"))
+        .distinct()
+        .select("id", F.lit(0).cast("long").alias("cost"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(adj, dist["id"] == adj["src"])
+            .select(F.col("dst").alias("id"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
 def k_core_fixed(
     edges: DataFrame,
     k: int,

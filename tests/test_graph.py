@@ -469,3 +469,44 @@ def test_bfs_hops_min_distance_and_edges(spark):
     zero = bfs_hops(edges, seeds, max_hops=0).collect()
     assert {r["id"] for r in zero} == {1, 8, 99}
     assert all(r["dist"] == 0 for r in zero)
+
+
+def test_shortest_paths_min_cost_and_bounds(spark):
+    """Cheapest-within-k costs beat fewest-hops when a detour is
+    cheaper; parallel edges keep the lighter weight; the round bound
+    excludes longer paths; directed respects orientation; seeds cost
+    0 even when isolated."""
+    from blueetl_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 10), (2, 4, 10),        # 2-hop cost 20 to node 4
+            (1, 3, 1), (3, 5, 1), (5, 4, 1),  # 3-hop cost 3 detour
+            (1, 2, 7),                      # parallel edge, lighter
+        ],
+        "src long, dst long, weight long",
+    )
+    seeds = spark.createDataFrame([(1,), (99,)], "id long")
+    got = {
+        r["id"]: r["cost"]
+        for r in shortest_paths(edges, seeds, rounds=3).collect()
+    }
+    assert got[1] == 0 and got[99] == 0
+    assert got[2] == 7          # parallel-edge min
+    assert got[4] == 3          # the cheap 3-hop detour wins within k=3
+    assert got[3] == 1 and got[5] == 2
+
+    two = {
+        r["id"]: r["cost"]
+        for r in shortest_paths(edges, seeds, rounds=2).collect()
+    }
+    assert two[4] == 17         # detour needs 3 hops; 2-hop best is 7+10
+
+    directed = {
+        r["id"]: r["cost"]
+        for r in shortest_paths(
+            edges, spark.createDataFrame([(4,)], "id long"),
+            rounds=3, directed=True,
+        ).collect()
+    }
+    assert directed == {4: 0}   # node 4 has no out-edges
