@@ -1133,3 +1133,80 @@ def gini(
     if round_to is not None:
         g = F.round(g, round_to)
     return agg.select(*by, "n", "total", g.alias("gini"))
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str] | str,
+    top_k: int = 5,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """EXACT inner-join output size by key-count convolution — the
+    pre-shuffle answer to "how big does this join get" (run it before
+    committing a 100 TB shuffle; a 50× expansion factor is a modeling
+    bug you want to see on key-count-sized tables, not as a blown-up
+    stage). One row out: ``(n_left, n_right, n_join_keys, join_rows,
+    expansion, topk_share)`` where ``join_rows = Σ_k c_left(k)·
+    c_right(k)`` (the exact inner-join cardinality), ``expansion =
+    join_rows / max(n_left, n_right)``, and ``topk_share`` is the
+    fraction of join output produced by the ``top_k`` heaviest keys —
+    the skew signal: a high share means salting the join
+    (``functions.skew.salted_join``) beats adding executors. NULL keys
+    never join (SQL semantics) and are excluded.
+
+    Scale shape: one map-side-combined count per side (each its own
+    exchange on the keys — the same partitioning the real join would
+    need, at count-row cost), one key-count-sized join of the two
+    count tables, one tiny aggregate. All integer arithmetic except
+    the two terminal ratios.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def counts(df, name):
+        cond = None
+        for k in keys:
+            c = F.col(k).isNotNull()
+            cond = c if cond is None else (cond & c)
+        return (
+            df.filter(cond)
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+    cl = counts(left, "__cl")
+    cr = counts(right, "__cr")
+    per_key = cl.join(cr, keys).select(
+        (F.col("__cl") * F.col("__cr")).alias("__rows")
+    )
+    topk = per_key.orderBy(F.col("__rows").desc()).limit(top_k)
+    agg = per_key.agg(
+        F.count(F.lit(1)).alias("n_join_keys"),
+        F.sum("__rows").alias("join_rows"),
+    ).crossJoin(
+        F.broadcast(topk.agg(F.sum("__rows").alias("__top_rows")))
+    ).crossJoin(
+        F.broadcast(cl.agg(F.sum("__cl").alias("n_left")))
+    ).crossJoin(
+        F.broadcast(cr.agg(F.sum("__cr").alias("n_right")))
+    )
+    expansion = F.when(
+        F.greatest("n_left", "n_right") > 0,
+        F.col("join_rows").cast("double")
+        / F.greatest("n_left", "n_right").cast("double"),
+    )
+    topk_share = F.when(
+        F.col("join_rows") > 0,
+        F.col("__top_rows").cast("double") / F.col("join_rows").cast("double"),
+    )
+
+    def rnd(c):
+        return (F.round(c, round_to) + 0.0) if round_to is not None else c
+
+    return agg.select(
+        F.coalesce("n_left", F.lit(0)).alias("n_left"),
+        F.coalesce("n_right", F.lit(0)).alias("n_right"),
+        "n_join_keys",
+        F.coalesce("join_rows", F.lit(0)).alias("join_rows"),
+        rnd(expansion).alias("expansion"),
+        rnd(topk_share).alias("topk_share"),
+    )

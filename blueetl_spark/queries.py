@@ -5277,6 +5277,55 @@ SELECT id, MIN(dist) AS dist FROM walk GROUP BY 1
 """
 
 
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact inner-join cardinality by key-count convolution
+    (``profile.join_size_estimate``) for orders⋈lineitem on the order
+    key — the pre-shuffle planner check next to key_skew: expansion
+    factor and top-key output share on key-count-sized tables, before
+    any data-sized shuffle is committed."""
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    return profile.join_size_estimate(
+        o.select(F.col("o_orderkey").alias("k")),
+        li.select(F.col("l_orderkey").alias("k")),
+        "k",
+    )
+
+
+SQL_JOIN_SIZE_ESTIMATE = """
+WITH cl AS (
+  SELECT o_orderkey AS k, COUNT(*) AS c FROM orders
+  WHERE o_orderkey IS NOT NULL GROUP BY 1
+),
+cr AS (
+  SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem
+  WHERE l_orderkey IS NOT NULL GROUP BY 1
+),
+pk AS (SELECT cl.c * cr.c AS rows_ FROM cl JOIN cr USING (k)),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_join_keys,
+         CAST(SUM(rows_) AS BIGINT) AS join_rows
+  FROM pk
+),
+tk AS (
+  SELECT CAST(SUM(rows_) AS BIGINT) AS top_rows
+  FROM (SELECT rows_ FROM pk ORDER BY rows_ DESC LIMIT 5)
+),
+nl AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_left FROM cl),
+nr AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_right FROM cr)
+SELECT n_left, n_right, n_join_keys,
+       CAST(COALESCE(join_rows, 0) AS BIGINT) AS join_rows,
+       ROUND(CASE WHEN greatest(n_left, n_right) > 0
+                  THEN CAST(join_rows AS DOUBLE)
+                       / CAST(greatest(n_left, n_right) AS DOUBLE)
+             END, 6) + 0.0 AS expansion,
+       ROUND(CASE WHEN join_rows > 0
+                  THEN CAST(top_rows AS DOUBLE) / CAST(join_rows AS DOUBLE)
+             END, 6) + 0.0 AS topk_share
+FROM t, tk, nl, nr
+"""
+
+
 SP_ROUNDS = 3
 
 
@@ -7837,6 +7886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_rollup": q_incremental_rollup,
     "log_rank": q_log_rank,
     "shortest_paths": q_shortest_paths,
+    "join_size_estimate": q_join_size_estimate,
     # ---- oracle tail head, rotated out this round: 13 r8-surface
     # ---- gates graded green twice (r8+r9) and the 5 SURVEY-core gates
     # ---- whose cycle slot passed to the five above; hash-checked
@@ -8091,6 +8141,7 @@ ORACLES: dict[str, str] = {
     "incremental_rollup": SQL_INCREMENTAL_ROLLUP,
     "log_rank": SQL_LOG_RANK,
     "shortest_paths": SQL_SHORTEST_PATHS,
+    "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

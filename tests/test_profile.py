@@ -598,3 +598,29 @@ def test_spearman_known_cases(spark):
 
     tied = [(p[1], p[2]) for p in rows if p[0] == "tied"]
     assert got["tied"] == (5, brute(tied))
+
+
+def test_join_size_estimate_exact_convolution(spark):
+    """The estimate IS the inner-join cardinality: hot keys convolve
+    multiplicatively, NULL keys never count, disjoint key sets give 0
+    with NULL ratios, and topk_share isolates the skew mass."""
+    from blueetl_spark.operators.profile import join_size_estimate
+
+    left = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 2 + [("c",)] + [(None,)], "k string"
+    )
+    right = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] * 1 + [("d",)] * 5 + [(None,)], "k string"
+    )
+    r = join_size_estimate(left, right, "k", top_k=1).head()
+    true_join = left.join(right, "k").count()
+    assert r.join_rows == true_join == 3 * 4 + 2 * 1
+    assert (r.n_left, r.n_right, r.n_join_keys) == (6, 10, 2)
+    assert r.expansion == round(14 / 10, 6)
+    assert r.topk_share == round(12 / 14, 6)  # key 'a' dominates
+
+    disjoint = join_size_estimate(
+        left, spark.createDataFrame([("z",)], "k string"), "k"
+    ).head()
+    assert disjoint.join_rows == 0
+    assert disjoint.topk_share is None
