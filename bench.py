@@ -151,6 +151,8 @@ HEADLINE = [
     "seasonal_anomalies",
     "incremental_rollup",
     "log_rank",
+    "shortest_paths",
+    "join_size_estimate",
 ]
 
 
