@@ -153,6 +153,8 @@ HEADLINE = [
     "log_rank",
     "shortest_paths",
     "join_size_estimate",
+    "cohort_ltv",
+    "video_scene_cuts",
 ]
 
 

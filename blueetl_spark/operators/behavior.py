@@ -609,3 +609,78 @@ def log_rank(
         # no-events contract holds with and without group keys
         .filter(F.col("n_a").isNotNull())
     )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    user_col: str,
+    date_col: str,
+    value_col: str,
+    scale: int = 100,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Cumulative cohort LTV curves — the revenue companion to
+    :func:`retention_cohorts` (retention asks "did they come back";
+    LTV asks "what are they worth by month N", the number payback
+    windows and acquisition budgets are set against). Users cohort by
+    the calendar month of their first activity; for each (cohort,
+    month_offset) cell: active distinct users, the cell's value, the
+    cohort's CUMULATIVE value through that offset, and cumulative
+    value per cohort user (cohort size = month-0 distinct users, the
+    denominator fixed at acquisition so curves are comparable across
+    cohorts). Returns ``(cohort, month_offset, cohort_size, n_active,
+    value_c, cum_value_c, ltv_per_user)`` with values in integer
+    ``floor(value·scale)`` units (cents by default) — sums stay exact
+    and mergeable; only the terminal per-user ratio touches floats.
+
+    Scale shape: one first-activity aggregate (reusing its
+    distribution for the join back, same as retention_cohorts), one
+    (cohort, offset) cell aggregate, then a running window over the
+    months²-bounded cell table — every post-join stage is
+    calendar-sized, never user-sized.
+    """
+    u, d, v = F.col(user_col), F.col(date_col), F.col(value_col)
+    months = F.year(d) * 12 + F.month(d)
+    first = df.groupBy(u.alias("__u")).agg(
+        F.min(d).alias("__first_dt"), F.min(months).alias("__first_m")
+    )
+    joined = df.select(
+        u.alias("__u"),
+        months.alias("__m"),
+        F.floor(v * F.lit(scale)).cast("long").alias("__vc"),
+    ).join(first, "__u")
+    cells = joined.groupBy(
+        F.date_format(
+            F.date_trunc("month", F.col("__first_dt")), "yyyy-MM"
+        ).alias("cohort"),
+        (F.col("__m") - F.col("__first_m")).cast("long").alias("month_offset"),
+    ).agg(
+        F.countDistinct("__u").alias("n_active"),
+        F.sum("__vc").alias("value_c"),
+    )
+    w_run = (
+        Window.partitionBy("cohort")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("cohort")
+    size = F.max(
+        F.when(F.col("month_offset") == 0, F.col("n_active"))
+    ).over(w_all)
+    cum = F.sum("value_c").over(w_run)
+    ltv = F.when(
+        size > 0, cum.cast("double") / F.lit(float(scale)) / size.cast("double")
+    )
+
+    def rnd(c):
+        return (F.round(c, round_to) + 0.0) if round_to is not None else c
+
+    return cells.select(
+        "cohort",
+        "month_offset",
+        size.alias("cohort_size"),
+        "n_active",
+        "value_c",
+        cum.alias("cum_value_c"),
+        rnd(ltv).alias("ltv_per_user"),
+    )

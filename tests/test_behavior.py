@@ -369,3 +369,38 @@ def test_log_rank_reference_and_edges(spark):
 
     cens = mk([(1.0, False), (2.0, False)])
     assert log_rank(cens, cens, "duration", "event").count() == 0
+
+
+def test_cohort_ltv_hand_curve(spark):
+    """Cumulative value accrues per cohort in offset order; the per-user
+    denominator is frozen at month-0 size; cents are floor-exact; a
+    second cohort gets its own curve."""
+    from datetime import datetime
+
+    from blueetl_spark.operators.behavior import cohort_ltv
+
+    d = datetime
+    rows = [
+        # cohort 2024-01: users 1, 2 acquired; u1 spends again in March
+        (1, d(2024, 1, 5), 10.00), (2, d(2024, 1, 20), 5.559),
+        (1, d(2024, 3, 1), 4.00),
+        # cohort 2024-02: user 3 alone
+        (3, d(2024, 2, 2), 7.00),
+    ]
+    df = spark.createDataFrame(rows, "u long, dt timestamp, v double")
+    out = {
+        (r["cohort"], r["month_offset"]): r
+        for r in cohort_ltv(df, "u", "dt", "v").collect()
+    }
+    m0 = out[("2024-01", 0)]
+    assert (m0["cohort_size"], m0["n_active"]) == (2, 2)
+    assert m0["value_c"] == 1000 + 555  # floor(5.559*100) = 555
+    assert m0["cum_value_c"] == 1555
+    assert m0["ltv_per_user"] == round(15.55 / 2, 6)
+    m2 = out[("2024-01", 2)]
+    assert (m2["n_active"], m2["value_c"]) == (1, 400)
+    assert m2["cum_value_c"] == 1955
+    assert m2["ltv_per_user"] == round(19.55 / 2, 6)
+    assert ("2024-01", 1) not in out  # no activity that month
+    b0 = out[("2024-02", 0)]
+    assert (b0["cohort_size"], b0["cum_value_c"]) == (1, 700)

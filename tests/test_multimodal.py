@@ -207,3 +207,43 @@ def test_audio_energy_stats_replayable_integers(spark):
         s["silent_frames"],
         s["silence_ratio"],
     ) == (64, 16, 16, 4, 1.0)
+
+
+def test_video_scene_cuts_structure(spark):
+    """Cut stats match a sequential replay of the codec stub: scenes
+    share signatures (no cut inside a scene), cuts appear exactly at
+    scene breaks with hamming > threshold, first_cut is NULL for a
+    single-scene clip; non-video rows are ignored."""
+    import hashlib
+
+    from blueetl_spark.operators.multimodal import (
+        md5_replayable_frame_sigs,
+        video_scene_cuts,
+    )
+
+    payloads = [b"clip one", b"another clip", b"third"]
+    media = spark.createDataFrame(
+        [(i, "video", p) for i, p in enumerate(payloads)]
+        + [(9, "audio", b"not video")],
+        "media_id long, media_type string, payload binary",
+    )
+    got = {r["media_id"]: r for r in video_scene_cuts(media).collect()}
+    assert set(got) == {0, 1, 2}
+
+    for mid, payload in enumerate(payloads):
+        sigs = md5_replayable_frame_sigs(payload)
+        hams = [
+            bin(int(sigs[i - 1]) ^ int(sigs[i])).count("1")
+            for i in range(1, len(sigs))
+        ]
+        cuts = [(i + 1, h) for i, h in enumerate(hams) if h > 3]
+        r = got[mid]
+        assert r["n_frames"] == 8
+        assert r["n_cuts"] == len(cuts)
+        assert r["first_cut"] == (cuts[0][0] if cuts else None)
+        assert r["sum_cut_hamming"] == sum(h for _, h in cuts)
+        # scene structure: within-scene consecutive hamming is exactly 0
+        bd = hashlib.md5(payload + b"b").hexdigest()
+        for i in range(1, 8):
+            if int(bd[i], 16) >= 4:  # no break -> same scene
+                assert bin(int(sigs[i - 1]) ^ int(sigs[i])).count("1") == 0
