@@ -1173,6 +1173,12 @@ def join_size_estimate(
             .groupBy(*keys)
             .agg(F.count(F.lit(1)).alias(name))
         )
+    # each count table feeds the convolution join AND its side-total
+    # aggregate; Spark plans no CSE across aggregates, so each input is
+    # scanned twice (count-pass cost only). Measured FASTER than pinning
+    # the count tables with localCheckpoint at sf0.1 (1.3s vs 6.0s —
+    # block materialization dwarfs the rescan); if your key cardinality
+    # approaches row count, persist() the inputs before calling instead.
     cl = counts(left, "__cl")
     cr = counts(right, "__cr")
     per_key = cl.join(cr, keys).select(
