@@ -155,6 +155,7 @@ HEADLINE = [
     "join_size_estimate",
     "cohort_ltv",
     "video_scene_cuts",
+    "grouped_ols2",
 ]
 
 

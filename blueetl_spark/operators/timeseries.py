@@ -1467,3 +1467,99 @@ def seasonal_anomalies(
         )
         .filter(F.abs(F.col("z")) >= F.lit(z_thresh))
     )
+
+
+def grouped_ols2(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    by: Sequence[str] = (),
+    scales: tuple[int, int, int] = (1000, 1000, 1000),
+    ridge: float = 0.0,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-group TWO-feature linear fit ``y ~ x1 + x2`` by the
+    closed-form Cramer solve of the normal equations — the
+    multi-feature step past :func:`grouped_linear_fit` (price ~
+    quantity + discount per segment; latency ~ load + payload per
+    service), still ONE map-side-combined aggregate for millions of
+    groups (per-group ``ml.LinearRegression`` is a job per group; a
+    3×3 system needs no iterative solver at all). Output: ``(by…, n,
+    b0, b1, b2, r2)``; degenerate groups (n < 3 or a singular normal
+    matrix — collinear or constant features) yield NULL coefficients.
+
+    ``ridge`` adds a λ·n penalty to the two slope diagonals (intercept
+    unpenalized) — the standard conditioning fix for near-collinear
+    features; coefficients are then shrunk, and r2 is reported against
+    the penalized fit's predictions. For more than two features, fall
+    back to the driver-side normal-equation solve over a k×k moment
+    matrix (the ``embeddings.pca`` pattern) — Cramer past 3×3 is
+    numerically and syntactically the wrong tool.
+
+    Engine-exact: values quantize to ``floor(v·scale)`` integers
+    (per-column ``scales`` — size them so Σv² fits BIGINT), so all
+    NINE moments are exact integer sums; every determinant is one
+    fixed float polynomial over those integers (identical IEEE tree in
+    any engine), and the de-quantization factors cancel exactly where
+    units cancel. Rows with any NULL among (y, x1, x2) are excluded
+    (complete-case, the multi-feature ``regr_*`` convention).
+    """
+    by = list(by)
+    s1, s2, sy_sc = (int(s) for s in scales)
+    cy, c1, c2 = F.col(y_col), F.col(x1_col), F.col(x2_col)
+    complete = cy.isNotNull() & c1.isNotNull() & c2.isNotNull()
+    ym = F.when(complete, F.floor(cy * sy_sc).cast("long"))
+    x1m = F.when(complete, F.floor(c1 * s1).cast("long"))
+    x2m = F.when(complete, F.floor(c2 * s2).cast("long"))
+    agg = df.groupBy(*by).agg(
+        F.count(ym).alias("n"),
+        F.sum(x1m).alias("__s1"),
+        F.sum(x2m).alias("__s2"),
+        F.sum(ym).alias("__sy"),
+        F.sum(x1m * x1m).alias("__s11"),
+        F.sum(x1m * x2m).alias("__s12"),
+        F.sum(x2m * x2m).alias("__s22"),
+        F.sum(x1m * ym).alias("__s1y"),
+        F.sum(x2m * ym).alias("__s2y"),
+        F.sum(ym * ym).alias("__syy"),
+    )
+    nd = F.col("n").cast("double")
+    d = {k: F.col(f"__{k}").cast("double")
+         for k in ("s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy")}
+    lam = F.lit(float(ridge)) * nd
+    a11, a22 = d["s11"] + lam, d["s22"] + lam
+
+    def det3(a, b, c, p, q, r, u, v, w):
+        return a * (q * w - r * v) - b * (p * w - r * u) + c * (p * v - q * u)
+
+    det = det3(nd, d["s1"], d["s2"], d["s1"], a11, d["s12"],
+               d["s2"], d["s12"], a22)
+    det0 = det3(d["sy"], d["s1"], d["s2"], d["s1y"], a11, d["s12"],
+                d["s2y"], d["s12"], a22)
+    det1 = det3(nd, d["sy"], d["s2"], d["s1"], d["s1y"], d["s12"],
+                d["s2"], d["s2y"], a22)
+    det2 = det3(nd, d["s1"], d["sy"], d["s1"], a11, d["s1y"],
+                d["s2"], d["s12"], d["s2y"])
+    ok = (F.col("n") >= 3) & (det != 0)
+    b0m, b1m, b2m = det0 / det, det1 / det, det2 / det
+    # unit conversion: slopes are milli-y per milli-x_i, so multiply by
+    # scale_i/scale_y; the intercept is in milli-y
+    b0 = b0m / F.lit(float(sy_sc))
+    b1 = b1m * F.lit(float(s1) / float(sy_sc))
+    b2 = b2m * F.lit(float(s2) / float(sy_sc))
+    sse = d["syy"] - (b0m * d["sy"] + b1m * d["s1y"] + b2m * d["s2y"])
+    sst = d["syy"] - d["sy"] * d["sy"] / nd
+    r2 = F.when(ok & (sst > 0), F.lit(1.0) - sse / sst)
+
+    def rnd(c):
+        return (F.round(c, round_to) + 0.0) if round_to is not None else c
+
+    return agg.select(
+        *by,
+        "n",
+        rnd(F.when(ok, b0)).alias("b0"),
+        rnd(F.when(ok, b1)).alias("b1"),
+        rnd(F.when(ok, b2)).alias("b2"),
+        rnd(r2).alias("r2"),
+    )

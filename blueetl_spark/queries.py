@@ -5377,6 +5377,99 @@ SELECT id, CAST(MIN(cost) AS BIGINT) AS cost FROM walk GROUP BY 1
 """
 
 
+OLS2_SCALES = (1000, 1000, 10)  # quantity, discount, extendedprice
+
+
+def q_grouped_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature grouped OLS (``timeseries.grouped_ols2``):
+    extendedprice ~ quantity + discount per return flag by the
+    closed-form Cramer solve over exact integer moments — one
+    map-side-combined aggregate for any number of groups, no iterative
+    solver. Every determinant is a fixed float polynomial over BIGINT
+    moments, generated from the SAME det3 template on both sides."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return timeseries.grouped_ols2(
+        li,
+        "l_extendedprice",
+        "l_quantity",
+        "l_discount",
+        by=["l_returnflag"],
+        scales=OLS2_SCALES,
+    )
+
+
+def _ols2_sql() -> str:
+    s1_sc, s2_sc, sy_sc = OLS2_SCALES
+
+    def det3(a, b, c, p, q, r, u, v, w):
+        return (
+            f"({a} * ({q} * {w} - {r} * {v}) - {b} * ({p} * {w} - {r} * {u})"
+            f" + {c} * ({p} * {v} - {q} * {u}))"
+        )
+
+    nd = "CAST(n AS DOUBLE)"
+    m = {
+        k: f"CAST({k} AS DOUBLE)"
+        for k in ("s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy")
+    }
+    a11 = f"({m['s11']} + (0.0 * {nd}))"
+    a22 = f"({m['s22']} + (0.0 * {nd}))"
+    det = det3(nd, m["s1"], m["s2"], m["s1"], a11, m["s12"],
+               m["s2"], m["s12"], a22)
+    det0 = det3(m["sy"], m["s1"], m["s2"], m["s1y"], a11, m["s12"],
+                m["s2y"], m["s12"], a22)
+    det1 = det3(nd, m["sy"], m["s2"], m["s1"], m["s1y"], m["s12"],
+                m["s2"], m["s2y"], a22)
+    det2 = det3(nd, m["s1"], m["sy"], m["s1"], a11, m["s1y"],
+                m["s2"], m["s12"], m["s2y"])
+    b0m, b1m, b2m = (
+        f"({det0} / {det})",
+        f"({det1} / {det})",
+        f"({det2} / {det})",
+    )
+    sse = (
+        f"({m['syy']} - ({b0m} * {m['sy']} + {b1m} * {m['s1y']}"
+        f" + {b2m} * {m['s2y']}))"
+    )
+    sst = f"({m['syy']} - {m['sy']} * {m['sy']} / {nd})"
+    ok = f"n >= 3 AND {det} <> 0"
+    return f"""
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_quantity * {s1_sc}) AS BIGINT) AS x1,
+         CAST(FLOOR(l_discount * {s2_sc}) AS BIGINT) AS x2,
+         CAST(FLOOR(l_extendedprice * {sy_sc}) AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_extendedprice IS NOT NULL
+),
+mo AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+         CAST(SUM(x2 * y) AS BIGINT) AS s2y,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM q GROUP BY 1
+)
+SELECT l_returnflag, n,
+       ROUND(CASE WHEN {ok} THEN {b0m} / {float(sy_sc)!r} END, 6) + 0.0
+         AS b0,
+       ROUND(CASE WHEN {ok}
+                  THEN {b1m} * {float(s1_sc) / float(sy_sc)!r} END, 6) + 0.0
+         AS b1,
+       ROUND(CASE WHEN {ok}
+                  THEN {b2m} * {float(s2_sc) / float(sy_sc)!r} END, 6) + 0.0
+         AS b2,
+       ROUND(CASE WHEN {ok} AND {sst} > 0
+                  THEN 1.0 - {sse} / {sst} END, 6) + 0.0 AS r2
+FROM mo
+"""
+
+
 VSC_FRAMES = 8
 VSC_THRESH = 3
 
@@ -8007,6 +8100,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_size_estimate": q_join_size_estimate,
     "cohort_ltv": q_cohort_ltv,
     "video_scene_cuts": q_video_scene_cuts,
+    "grouped_ols2": q_grouped_ols2,
     # ---- oracle tail head, rotated out this round: 13 r8-surface
     # ---- gates graded green twice (r8+r9) and the 5 SURVEY-core gates
     # ---- whose cycle slot passed to the five above; hash-checked
@@ -8264,6 +8358,7 @@ ORACLES: dict[str, str] = {
     "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
     "cohort_ltv": SQL_COHORT_LTV,
     "video_scene_cuts": SQL_VIDEO_SCENE_CUTS,
+    "grouped_ols2": _ols2_sql(),
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "sole_fault_suppliers": SQL_SOLE_FAULT_SUPPLIERS,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,

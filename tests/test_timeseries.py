@@ -953,3 +953,52 @@ def test_seasonal_anomalies_flags_shifted_hour(spark):
     assert r["cell_mean"] == 100.0 and r["base_mean"] == round(mu / 1000, 6)
     assert r["z"] == round((100000 - mu) / var**0.5, 6)
     assert all(ph == 0 for ph, _ in flagged)
+
+
+def test_grouped_ols2_matches_lstsq(spark):
+    """Coefficients and R² match numpy's normal-equation solve on
+    integer-quantization-exact data; collinear features and n<3 groups
+    report NULLs; ridge shrinks slopes toward zero."""
+    import numpy as np
+
+    from blueetl_spark.operators import timeseries as ts
+
+    rng_rows = []
+    # integer-valued features/targets so quantization is lossless
+    for i in range(40):
+        x1, x2 = i % 7, (i * 3) % 5
+        y = 2 * x1 - 3 * x2 + 5 + (i % 4)  # deterministic "noise"
+        rng_rows.append(("g", float(y), float(x1), float(x2)))
+    rng_rows += [("col", float(i), float(i), float(2 * i)) for i in range(9)]
+    rng_rows += [("tiny", 1.0, 1.0, 2.0), ("tiny", 2.0, 2.0, 3.0)]
+    df = spark.createDataFrame(rng_rows, "g string, y double, x1 double, x2 double")
+    got = {
+        r["g"]: r
+        for r in ts.grouped_ols2(df, "y", "x1", "x2", by=["g"]).collect()
+    }
+
+    sub = [(y, x1, x2) for g, y, x1, x2 in rng_rows if g == "g"]
+    A = np.array([[1.0, x1, x2] for _, x1, x2 in sub])
+    yv = np.array([y for y, _, _ in sub])
+    beta = np.linalg.solve(A.T @ A, A.T @ yv)
+    pred = A @ beta
+    r2 = 1 - ((yv - pred) ** 2).sum() / ((yv - yv.mean()) ** 2).sum()
+    r = got["g"]
+    assert abs(r["b0"] - beta[0]) < 1e-4
+    assert abs(r["b1"] - beta[1]) < 1e-4
+    assert abs(r["b2"] - beta[2]) < 1e-4
+    assert abs(r["r2"] - r2) < 1e-4
+
+    assert got["col"]["b1"] is None and got["col"]["r2"] is None
+    assert got["tiny"]["b0"] is None
+
+    shrunk = {
+        r["g"]: r
+        for r in ts.grouped_ols2(
+            df, "y", "x1", "x2", by=["g"], ridge=10.0
+        ).collect()
+    }
+    assert abs(shrunk["g"]["b1"]) < abs(got["g"]["b1"])
+    assert abs(shrunk["g"]["b2"]) < abs(got["g"]["b2"])
+    # ridge regularizes the collinear group into a solvable system
+    assert shrunk["col"]["b1"] is not None
