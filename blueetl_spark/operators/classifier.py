@@ -281,7 +281,10 @@ def calibration_bins(
     mean_score_b|`` repeated on every row for one-glance thresholding
     (same presentation as the Benford screen's tvd). Rows with a NULL
     score or label are excluded; empty bins report NULL rates and
-    contribute 0 to ECE.
+    contribute 0 to ECE. Out-of-range scores clamp SYMMETRICALLY into
+    the edge bins (< 0 into bin 0, > 1 into bin ``bins-1``) so a
+    miscalibrated scorer shows up as edge-bin mass instead of rows
+    silently vanishing from every bin and the ECE denominator.
 
     Engine-exact: bin assignment is one floor on a fixed IEEE
     product; per-bin score mass is summed as ``floor(score·10⁹)``
@@ -292,7 +295,9 @@ def calibration_bins(
     """
     s, y = F.col(score_col).cast("double"), F.col(label_col)
     rows = df.filter(s.isNotNull() & y.isNotNull()).select(
-        F.least(F.floor(s * bins), F.lit(bins - 1)).cast("long").alias("__b"),
+        F.greatest(F.least(F.floor(s * bins), F.lit(bins - 1)), F.lit(0))
+        .cast("long")
+        .alias("__b"),
         F.floor(s * F.lit(1e9)).cast("long").alias("__nano"),
         F.when(y.cast("boolean"), 1).otherwise(0).alias("__y"),
     )

@@ -436,11 +436,18 @@ def md5_replayable_frame_sigs(payload: bytes, n_frames: int = 8) -> np.ndarray:
     structure to find. Scene breaks are content-derived: break before
     frame ``i`` iff hex digit ``i`` of ``md5(payload ++ 'b')`` is < 4
     (~1/4 of positions); the scene's signature is the first 4 hex
-    digits of ``md5(payload ++ 's' ++ scene_idx)``. Swap in a real
-    decoder (per-frame dHash of sampled frames) in production —
-    everything downstream consumes only the integer signature array.
+    digits of ``md5(payload ++ 's' ++ scene_idx)``. Clips longer than
+    32 frames chain break-digests exactly like ``md5_replayable_wave``
+    (chunk k >= 1 appends ``str(k)`` to the seed; chunk 0 stays the
+    plain digest so existing <= 32-frame oracles replay unchanged) —
+    no IndexError at any ``n_frames``. Swap in a real decoder
+    (per-frame dHash of sampled frames) in production — everything
+    downstream consumes only the integer signature array.
     """
-    bdigits = hashlib.md5(payload + b"b").hexdigest()
+    bdigits = "".join(
+        hashlib.md5(payload + b"b" + (str(k).encode() if k else b"")).hexdigest()
+        for k in range((n_frames + 31) // 32)
+    )
     scene = 0
     sigs = []
     for i in range(n_frames):

@@ -874,7 +874,13 @@ def chi2_independence(
     either column is constant (no independence question to ask).
 
     NULL categories count as categories (same stance as key_skew /
-    mutual_information).
+    mutual_information): margins are attached with window sums over
+    the pair table — window partitions group NULLs exactly like
+    groupBy does, so a NULL-x or NULL-y cell keeps its row/column
+    margin instead of silently dropping out of the statistic (an
+    equi-join on ``__x``/``__y`` would lose those cells while the
+    marginal counts still included them, corrupting chi² whenever
+    either column has NULLs).
 
     Engine-exact: zero-observed cells are folded away with the
     identity ``chi2 = n·(Σ_observed o²/(r_x·c_y)) − n`` (each term a
@@ -882,8 +888,9 @@ def chi2_independence(
     for n < 3·10⁹), and the float term sum is an ORDERED LEFT FOLD
     over the (x, y)-sorted cell list, never a commutative float
     aggregate. Scale shape: ONE map-side-combined count per (x, y)
-    pair; margins re-aggregate the pair table; the fold runs over a
-    cell-count-sized array (categorical cardinalities, not data).
+    pair; margins are two window passes over the PAIR table
+    (categorical-cardinality-sized, not data-sized); the fold runs
+    over a cell-count-sized array.
     """
     x, y = F.col(col_x), F.col(col_y)
     pairs = (
@@ -893,7 +900,9 @@ def chi2_independence(
     )
     xm = pairs.groupBy("__x").agg(F.sum("__o").alias("__rx"))
     ym = pairs.groupBy("__y").agg(F.sum("__o").alias("__cy"))
-    cells = pairs.join(F.broadcast(xm), "__x").join(F.broadcast(ym), "__y")
+    cells = pairs.withColumn(
+        "__rx", F.sum("__o").over(Window.partitionBy("__x"))
+    ).withColumn("__cy", F.sum("__o").over(Window.partitionBy("__y")))
     terms = F.transform(
         F.array_sort(
             F.collect_list(
@@ -1162,6 +1171,8 @@ def join_size_estimate(
     the two terminal ratios.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
+    if not keys:
+        raise ValueError("keys must be non-empty")
 
     def counts(df, name):
         cond = None

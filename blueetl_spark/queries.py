@@ -5983,8 +5983,11 @@ WITH p AS (
 m AS (SELECT x, SUM(o) AS rx FROM p GROUP BY 1),
 c AS (SELECT y, SUM(o) AS cy FROM p GROUP BY 1),
 cell AS (
-  SELECT p.x, p.y, p.o, m.rx * c.cy AS e2
-  FROM p JOIN m USING (x) JOIN c USING (y)
+  -- window sums (NOT equi-joins on x/y): NULL categories keep their
+  -- margins, matching the Spark side's null-safe window attachment
+  SELECT x, y, o,
+         SUM(o) OVER (PARTITION BY x) * SUM(o) OVER (PARTITION BY y) AS e2
+  FROM p
 ),
 s AS (
   SELECT list_reduce(list_prepend(0.0,
@@ -6245,8 +6248,8 @@ lab AS (
   FROM documents d JOIN scores s USING (doc_id)
 ),
 rows_ AS (
-  SELECT CAST(least(floor(sc * {CAL_BINS}), {CAL_BINS - 1}) AS BIGINT)
-           AS bin,
+  SELECT CAST(greatest(least(floor(sc * {CAL_BINS}), {CAL_BINS - 1}), 0)
+              AS BIGINT) AS bin,
          CAST(floor(sc * 1e9) AS BIGINT) AS nano, y
   FROM lab WHERE sc IS NOT NULL
 ),

@@ -219,6 +219,25 @@ def test_calibration_bins_hand_example(spark):
     assert out[2]["lo"] == 0.2 and out[2]["hi"] == 0.3
 
 
+def test_calibration_bins_out_of_range_clamps_symmetrically(spark):
+    """Scores outside [0, 1] clamp into the EDGE bins on both sides —
+    the r10-advice regression where scores > 1 clamped into the top
+    bin but negative scores produced negative bin ids that vanished
+    in the spine left-join (excluded from n and the ECE denominator
+    with no error)."""
+    from blueetl_spark.operators.classifier import calibration_bins
+
+    rows = [(-0.3, False), (-0.01, False), (1.7, True), (0.55, True)]
+    df = spark.createDataFrame(rows, "sc double, y boolean")
+    out = {r["bin"]: r for r in calibration_bins(df, "sc", "y").collect()}
+    assert len(out) == 10
+    assert (out[0]["n"], out[0]["n_pos"]) == (2, 0)   # both negatives
+    assert (out[9]["n"], out[9]["n_pos"]) == (1, 1)   # the > 1 score
+    assert out[5]["n"] == 1
+    # every input row is accounted for in the ECE denominator
+    assert sum(r["n"] for r in out.values()) == 4
+
+
 def test_roc_auc_known_cases(spark):
     """Perfect separation gives 1, inverted gives 0, random-tie block
     gives 0.5; ties across classes get half credit (matches the

@@ -247,3 +247,33 @@ def test_video_scene_cuts_structure(spark):
         for i in range(1, 8):
             if int(bd[i], 16) >= 4:  # no break -> same scene
                 assert bin(int(sigs[i - 1]) ^ int(sigs[i])).count("1") == 0
+
+
+def test_frame_sigs_chain_past_32_frames():
+    """Clips longer than one md5 digest (32 frames) chain break-digests
+    like md5_replayable_wave instead of raising IndexError inside the
+    Arrow task (r10 advice); the first 32 frames are bit-identical to
+    the unchained digest so existing oracles replay unchanged."""
+    import hashlib
+
+    from blueetl_spark.operators.multimodal import md5_replayable_frame_sigs
+
+    payload = b"long clip"
+    long = md5_replayable_frame_sigs(payload, n_frames=80)
+    assert long.shape == (80,)
+    short = md5_replayable_frame_sigs(payload, n_frames=32)
+    assert (long[:32] == short).all()
+    # the sequential replay of the chained scheme agrees frame-by-frame
+    bd = "".join(
+        hashlib.md5(payload + b"b" + (str(k).encode() if k else b"")).hexdigest()
+        for k in range(3)
+    )
+    scene = 0
+    for i in range(80):
+        if i > 0 and int(bd[i], 16) < 4:
+            scene += 1
+        sig = int(
+            hashlib.md5(payload + b"s" + str(scene).encode()).hexdigest()[:4],
+            16,
+        )
+        assert long[i] == sig

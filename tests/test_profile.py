@@ -551,6 +551,58 @@ def test_chi2_independence_known_cases(spark):
     assert const.dof == 0 and const.cramers_v is None and const.chi2 == 0.0
 
 
+def test_chi2_independence_null_categories(spark):
+    """NULL categories COUNT as categories (the docstring's contract):
+    20 perfectly-dependent rows plus 5 NULL-x rows must keep all 25
+    rows in n_rows AND in the chi2 sum — the r10-advice regression
+    where a non-null-safe margin join dropped the NULL-x cells from
+    the statistic while the margins still counted them (chi2=0.0,
+    n_rows=15 on this exact input)."""
+    from blueetl_spark.operators.profile import chi2_independence
+
+    rows = (
+        [("a", "p")] * 10 + [("b", "q")] * 10 + [(None, "p")] * 5
+    )
+    r = chi2_independence(
+        spark.createDataFrame(rows, "x string, y string"), "x", "y"
+    ).head()
+    assert (r.n_rows, r.n_x, r.n_y, r.dof) == (25, 3, 2, 2)
+    # sequential reference over the full 3x2 grid, NULL as a category
+    cells = {("a", "p"): 10, ("b", "q"): 10, (None, "p"): 5}
+    rx = {"a": 10, "b": 10, None: 5}
+    cy = {"p": 15, "q": 10}
+    chi2 = sum(
+        (cells.get((xx, yy), 0) - rx[xx] * cy[yy] / 25) ** 2
+        / (rx[xx] * cy[yy] / 25)
+        for xx in rx
+        for yy in cy
+    )
+    assert abs(r.chi2 - chi2) < 1e-6 and r.chi2 > 10  # strongly dependent
+    # NULL on BOTH sides simultaneously stays a real cell too
+    both = chi2_independence(
+        spark.createDataFrame(
+            [("a", "p")] * 6 + [(None, None)] * 4, "x string, y string"
+        ),
+        "x",
+        "y",
+    ).head()
+    assert (both.n_rows, both.n_x, both.n_y) == (10, 2, 2)
+    # perfect 2x2 dependence: chi2 = n
+    assert both.chi2 == 10.0
+
+
+def test_join_size_estimate_empty_keys_raises(spark):
+    """An empty keys sequence raises a ValueError at entry instead of
+    the opaque TypeError DataFrame.filter(None) used to produce."""
+    import pytest as _pytest
+
+    from blueetl_spark.operators.profile import join_size_estimate
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError, match="keys must be non-empty"):
+        join_size_estimate(df, df, [])
+
+
 def test_spearman_known_cases(spark):
     """rho is 1 for any monotone map, -1 reversed, matches a sequential
     average-rank Pearson reference under ties, NULL for a constant
