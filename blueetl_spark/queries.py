@@ -7995,15 +7995,74 @@ SELECT seq, COUNT(*) AS n_occ FROM tri GROUP BY 1
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- round-10 rotation (VERDICT r9 #1): the 10 round-9 gates the
-    # ---- driver has never graded (CMS estimates, MinHash containment,
-    # ---- contamination ratio, CUSUM changepoint, GROUPING SETS
-    # ---- margins, key-skew diagnostics, KS drift, PMI collocations,
-    # ---- recursive ancestor closure, per-group weighted budgets) move
-    # ---- into the graded window — all pre-verified repr-exact at
-    # ---- sf0.01 — taking the slots of 13 gates graded green twice
-    # ---- (r8+r9) and the 5 SURVEY-core gates re-graded green in r9,
-    # ---- which all stay hash-checked in the oracle tail below.
+    # ---- round-11 rotation (VERDICT r10 #1): the 31 continuation
+    # ---- gates the driver has never graded take slots 1-31 in the
+    # ---- verdict's order — all pre-verified repr-exact at sf0.01 by
+    # ---- the r10 judge and re-checked by tools/check_oracle.py this
+    # ---- round (chi2_independence after its null-safe margin fix).
+    "mann_whitney": q_mann_whitney,
+    "chi2_independence": q_chi2_independence,
+    "spearman_corr": q_spearman_corr,
+    "audio_energy": q_audio_energy,
+    "bfs_hops": q_bfs_hops,
+    "kaplan_meier": q_kaplan_meier,
+    "score_calibration": q_score_calibration,
+    "score_auc": q_score_auc,
+    "seasonal_anomalies": q_seasonal_anomalies,
+    "incremental_rollup": q_incremental_rollup,
+    "log_rank": q_log_rank,
+    "shortest_paths": q_shortest_paths,
+    "join_size_estimate": q_join_size_estimate,
+    "cohort_ltv": q_cohort_ltv,
+    "video_scene_cuts": q_video_scene_cuts,
+    "grouped_ols2": q_grouped_ols2,
+    "heavy_hitters_shards": q_heavy_hitters_shards,
+    "embedding_drift": q_embedding_drift,
+    "pack_sequences": q_pack_sequences,
+    "psi_drift": q_psi_drift,
+    "ann_recall_lsh": q_ann_recall_lsh,
+    "cdc_snapshot": q_cdc_snapshot,
+    "ewma_levels": q_ewma_levels,
+    "jaccard_prefix": q_jaccard_prefix,
+    "mutual_info": q_mutual_info,
+    "touch_attribution": q_touch_attribution,
+    "benford_prices": q_benford_prices,
+    "theil_sen_trend": q_theil_sen,
+    "gini_balances": q_gini_balances,
+    "rfm_segments": q_rfm_segments,
+    "compact_states": q_compact_states,
+    # ---- SURVEY-core rotation (standing cycle): 19 reference-surface
+    # ---- gates return for fresh driver evidence (frame-report
+    # ---- extraction, histograms, per-gid features, pairwise
+    # ---- correlation, latency, the q-DSL, onset windows, complexity
+    # ---- PDF, spike distances, compartment report, grouped lists,
+    # ---- condition codes, semi/anti joins, dense class index, nested
+    # ---- re-aggregation, TPC-H Q1/Q5, exact dedup, PII scrub); all
+    # ---- stayed hash-checked in the oracle tail while out
+    "report_extract": q_report_extract,
+    "histogram": q_histogram,
+    "feature_by_gid": q_feature_by_gid,
+    "correlation_pairs": q_correlation_pairs,
+    "latency": q_latency,
+    "qdsl_filter": q_qdsl_filter,
+    "dynamic_onset_windows": q_dynamic_onset_windows,
+    "complexity_pdf": q_complexity_pdf,
+    "spike_distances_fixed": q_spike_distances_fixed,
+    "compartment_report": q_compartment_report,
+    "group_list": q_group_list,
+    "condition_codes": q_condition_codes,
+    "segment_active_customers": q_segment_active_customers,
+    "customer_class_index": q_customer_class_index,
+    "multi_sim_rates": q_multi_sim_rates,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "dedup_exact": q_dedup_exact,
+    "pii_scrub": q_pii_scrub,
+    # ---- end of the driver's 50-slot graded window ----
+    # ---- oracle tail head, rotated out this round: the full r10
+    # ---- graded window — every gate green rows+schema+hash in r10
+    # ---- (most with 2-3 green rounds by now); hash-checked every
+    # ---- suite run like the rest of the tail
     "cms_estimates": q_cms_estimates,
     "containment_md5": q_containment_md5,
     "contamination_ratio": q_contamination_ratio,
@@ -8014,29 +8073,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_collocations": q_pmi_collocations,
     "tree_closure": q_tree_closure,
     "weighted_group_sample": q_weighted_group_sample,
-    # ---- round-10 new surface: binned KS (the scale-safe drift screen
-    # ---- for continuous columns), the measure-then-salt join planner
-    # ---- (key_skew wired into salted_join with a graded consumer), and
-    # ---- the first multimodal gate (md5-replayable dHash near-dup)
     "ks_drift_binned": q_ks_drift_binned,
     "skewed_join_salted": q_skewed_join_salted,
     "image_near_dup": q_image_near_dup,
-    # ---- SURVEY-core rotation (standing cycle, VERDICT r9 #1): the
-    # ---- next five reference-surface gates return for fresh driver
-    # ---- evidence (ISI/CV/LV features, per-class firing rates,
-    # ---- frame-report soma means, Welch PSD vs a naive-DFT SQL twin,
-    # ---- window materialization); they stayed hash-checked in the
-    # ---- tail while out
     "isi_stats": q_isi_stats,
     "event_rates": q_event_rates,
     "soma_mean_value": q_soma_mean_value,
     "psd_welch": q_psd_welch,
     "windows_materialize": q_windows_materialize,
-    # ---- retained for a 2nd/3rd green grading: props_json_stats and
-    # ---- robust_outliers gate the round-8 oracle HUGEINT fix (one
-    # ---- post-fix green so far), k_core_fixed and the 13 round-8
-    # ---- addendum gates (retention_cohorts .. event_trigrams) have
-    # ---- one green each (r9)
     "repeat_customers_setops": q_repeat_customers_setops,
     "part_unpivot": q_part_unpivot,
     "small_quantity_revenue": q_small_quantity_revenue,
@@ -8069,45 +8113,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transitions": q_event_transitions,
     "event_trigrams": q_event_trigrams,
     "k_core_fixed": q_k_core_fixed,
-    # ---- end of the driver's 50-slot graded window ----
-    # ---- oracle tail head: round-10 additions landed after the
-    # ---- window was frozen (r11 graded-window candidates) —
+    # ---- 13 r8-surface gates graded green twice (r8+r9);
     # ---- hash-checked every suite run like the rest of the tail
-    "heavy_hitters_shards": q_heavy_hitters_shards,
-    "embedding_drift": q_embedding_drift,
-    "pack_sequences": q_pack_sequences,
-    "psi_drift": q_psi_drift,
-    "ann_recall_lsh": q_ann_recall_lsh,
-    "cdc_snapshot": q_cdc_snapshot,
-    "ewma_levels": q_ewma_levels,
-    "jaccard_prefix": q_jaccard_prefix,
-    "mutual_info": q_mutual_info,
-    "touch_attribution": q_touch_attribution,
-    "benford_prices": q_benford_prices,
-    "theil_sen_trend": q_theil_sen,
-    "gini_balances": q_gini_balances,
-    "rfm_segments": q_rfm_segments,
-    "compact_states": q_compact_states,
-    "mann_whitney": q_mann_whitney,
-    "chi2_independence": q_chi2_independence,
-    "spearman_corr": q_spearman_corr,
-    "audio_energy": q_audio_energy,
-    "bfs_hops": q_bfs_hops,
-    "kaplan_meier": q_kaplan_meier,
-    "score_calibration": q_score_calibration,
-    "score_auc": q_score_auc,
-    "seasonal_anomalies": q_seasonal_anomalies,
-    "incremental_rollup": q_incremental_rollup,
-    "log_rank": q_log_rank,
-    "shortest_paths": q_shortest_paths,
-    "join_size_estimate": q_join_size_estimate,
-    "cohort_ltv": q_cohort_ltv,
-    "video_scene_cuts": q_video_scene_cuts,
-    "grouped_ols2": q_grouped_ols2,
-    # ---- oracle tail head, rotated out this round: 13 r8-surface
-    # ---- gates graded green twice (r8+r9) and the 5 SURVEY-core gates
-    # ---- whose cycle slot passed to the five above; hash-checked
-    # ---- every suite run like the rest of the tail
     "funnel_conversion": q_funnel_conversion,
     "pareto_parts": q_pareto_parts,
     "language_id": q_language_id,
@@ -8121,11 +8128,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_counts": q_triangle_counts,
     "clustering_coeff": q_clustering_coeff,
     "sole_fault_suppliers": q_sole_fault_suppliers,
-    "report_extract": q_report_extract,
-    "histogram": q_histogram,
-    "feature_by_gid": q_feature_by_gid,
-    "correlation_pairs": q_correlation_pairs,
-    "dynamic_onset_windows": q_dynamic_onset_windows,
     # ---- oracle tail: gates rotated out after 2+ green driver
     # ---- gradings — all still hash-checked by
     # ---- tests/test_oracle_parity.py and tools/check_oracle.py ----
@@ -8148,8 +8150,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mixture": q_temperature_mixture,
     "corpus_diff": q_corpus_diff,
     "frequent_priority": q_frequent_priority,
-    "customer_class_index": q_customer_class_index,
-    "multi_sim_rates": q_multi_sim_rates,
     "dedup_embedding": q_dedup_embedding,
     "quality_features": q_quality_features,
     "curation_pipeline": q_curation_pipeline,
@@ -8159,8 +8159,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ivf_fixed": q_knn_ivf_fixed,
     "sessionization": q_sessionization,
     "value_quantiles": q_value_quantiles,
-    "qdsl_filter": q_qdsl_filter,
-    "complexity_pdf": q_complexity_pdf,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "minhash_lsh_md5": q_minhash_lsh_md5,
     "simhash_md5": q_simhash_md5,
@@ -8180,25 +8178,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- rotated out of the graded window in rounds 6-7 (stable for 3+
     # ---- rounds) to make room for newer surface; still fully oracled
     # ---- via tests/test_oracle_parity.py + tools/check_oracle.py
-    "latency": q_latency,
-    "group_list": q_group_list,
-    "condition_codes": q_condition_codes,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "winnowing_md5": q_winnowing_md5,
     "resample_events": q_resample_events,
-    "spike_distances_fixed": q_spike_distances_fixed,
-    "segment_active_customers": q_segment_active_customers,
     "decontaminate": q_decontaminate,
     "vocab": q_vocab,
     "mixture_sample": q_mixture_sample,
     # rotated out in round 7's second pass (>=3 rounds stable) for the
     # 13 round-7 gates above; still fully oracled here
-    "pricing_summary": q_pricing_summary,
-    "revenue_by_nation": q_revenue_by_nation,
-    "pii_scrub": q_pii_scrub,
     "orders_topk_per_customer": q_orders_topk_per_customer,
-    "compartment_report": q_compartment_report,
-    "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
     "tf_idf": q_tf_idf,
     "jaccard_pairs": q_jaccard_pairs,
