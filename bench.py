@@ -414,6 +414,68 @@ def run_stress(
             .mode("overwrite")
             .save(),
         )
+        # -- windowed Theil-Sen over the full 20M events: the scale
+        # -- path's bound in action — EXACT TS on these groups would be
+        # -- ~20k gids x C(1000, 2) ≈ 10^10 pairwise slopes; with
+        # -- window=1000ms (100 windows x ~10 points per gid) the pair
+        # -- count drops to ~9x10^7, each window's all-pairs kernel
+        # -- bounded by the width the caller controls
+        from blueetl_spark.operators.timeseries import theil_sen
+
+        clock(
+            "theil_sen_win_20m",
+            lambda: theil_sen(
+                events.select(
+                    "gid",
+                    "time",
+                    F.pmod(F.xxhash64("gid", "time"), F.lit(1_000))
+                    .cast("double")
+                    .alias("value"),
+                ),
+                "value",
+                time_col="time",
+                by=("gid",),
+                window=1_000.0,
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+        # -- graph family at the 20M-edge tier (VERDICT r10 #6): range-
+        # -- generated edges over 2M nodes (avg degree 10) plus the
+        # -- stress_triangles hot hub (100k-degree node 0). pagerank: 5
+        # -- forced iterations (tol=0) of the edge-join + agg loop;
+        # -- triangles: degree-oriented wedge join — orientation makes
+        # -- the hub contribute only its out-side, so runtime tracks
+        # -- global wedge mass (~5x10^7 here), not deg(hub)^2.
+        from blueetl_spark.operators.graph import pagerank, triangle_count
+
+        g_nodes = 2_000_000
+        g_edges = spark.range(n_events).select(
+            F.pmod(F.col("id"), F.lit(g_nodes)).alias("src"),
+            F.pmod(F.xxhash64("id"), F.lit(g_nodes)).alias("dst"),
+        ).unionAll(
+            spark.range(100_000).select(
+                F.lit(0).cast("long").alias("src"),
+                F.pmod(F.xxhash64(F.col("id") + 7), F.lit(g_nodes)).alias(
+                    "dst"
+                ),
+            )
+        )
+        clock(
+            "pagerank_20m",
+            lambda: pagerank(g_edges, max_iter=5, tol=0.0)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+        clock(
+            "triangles_20m",
+            lambda: triangle_count(g_edges, per_node=False)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
         # -- streaming-state path: foreachBatch near-dedup against a
         # -- growing incremental MinHash index, 12 micro-batches x 5k
         # -- docs (~15% cross-batch duplicates). Tracked value is the

@@ -605,6 +605,12 @@ def grouped_linear_fit(
     )
 
 
+#: Bump when ohlc_shard's row layout changes semantically. v1 (the
+#: unmarked era) cast open_tie/close_tie to double; v2 keeps the tie
+#: column's native type and carries this marker.
+OHLC_SHARD_SCHEMA_VERSION = 2
+
+
 def ohlc_shard(
     df: DataFrame,
     time_col: str,
@@ -623,11 +629,13 @@ def ohlc_shard(
     Rows per batch are bounded by (groups × buckets touched) — the
     incremental contract of ``profile_shard``/``histogram_shard``.
 
-    Note: ``open_tie``/``close_tie`` carry the tie column's NATIVE type
-    (earlier builds cast to double) — appending into a shard dir
-    written by a pre-change build mixes parquet schemas; clear or
-    re-path such dirs when upgrading (see
-    ``streaming.windows.streaming_ohlc_shards``).
+    Every shard row carries a ``__schema_version`` marker column
+    (current: :data:`OHLC_SHARD_SCHEMA_VERSION`). Version history:
+    v1 (unmarked) cast ``open_tie``/``close_tie`` to double; v2 keeps
+    the tie column's NATIVE type. :func:`merge_ohlc_shards` refuses
+    unmarked or mixed-version shard frames with an actionable error
+    instead of silently mis-merging a dir that accumulated appends
+    from two builds.
     """
     if not bucket_width > 0:
         raise ValueError("bucket_width must be positive")
@@ -668,6 +676,7 @@ def ohlc_shard(
             "close",
             "n",
             "sum_v",
+            F.lit(OHLC_SHARD_SCHEMA_VERSION).alias("__schema_version"),
         )
     )
 
@@ -677,7 +686,38 @@ def merge_ohlc_shards(shards: DataFrame, by: Sequence[str] = ()) -> DataFrame:
     at-least-once writer re-appends an IDENTICAL row under the same
     (keys…, bucket, batch_id) — deduped before the fold. One aggregate
     over shard rows (bounded by batches × groups × buckets, never by
-    the ingested data)."""
+    the ingested data).
+
+    Version-guarded: shard rows must carry the current
+    ``__schema_version`` marker. A frame with no marker column (a dir
+    written entirely by a pre-versioning build), a NULL marker (a
+    mixed dir read with ``mergeSchema`` — old rows surface as NULL),
+    or a stale/unknown version raises a ValueError naming the fix
+    (re-shard from source or start a new shard path) instead of
+    silently folding incompatible tie encodings. The check is one
+    distinct over a single int column — parquet column stats make it
+    a metadata-cheap scan of a table already bounded by batches ×
+    groups × buckets.
+    """
+    if "__schema_version" not in shards.columns:
+        raise ValueError(
+            "ohlc shard frame has no __schema_version column: this shard "
+            "dir was written by a pre-versioning build (v1, double-cast "
+            "tie keys). Re-shard from source with the current ohlc_shard, "
+            "or point the stream at a fresh shard_path."
+        )
+    versions = {
+        r[0] for r in shards.select("__schema_version").distinct().collect()
+    }
+    stale = versions - {OHLC_SHARD_SCHEMA_VERSION}
+    if stale:
+        raise ValueError(
+            f"ohlc shard frame mixes schema versions {sorted(versions, key=str)} "
+            f"(current: {OHLC_SHARD_SCHEMA_VERSION}; NULL means rows from an "
+            "unmarked pre-versioning build merged in via mergeSchema). "
+            "Re-shard from source with the current ohlc_shard, or start a "
+            "new shard_path and let old dirs age out."
+        )
     keys = [*by, "bucket"]
     return (
         shards.dropDuplicates([*keys, "batch_id"])
@@ -1268,12 +1308,47 @@ def ewma_level(
     )
 
 
+def _pairwise_slopes(pts):
+    """Sorted finite pairwise slopes of a (t, v)-struct array — the
+    shared kernel of the exact and windowed Theil–Sen paths. Pairs
+    sharing a timestamp are skipped (no slope exists)."""
+    return F.array_sort(
+        F.filter(
+            F.flatten(
+                F.transform(
+                    pts,
+                    lambda p, i: F.transform(
+                        F.slice(
+                            pts,
+                            i + F.lit(2),
+                            F.greatest(F.size(pts) - i - 1, F.lit(0)),
+                        ),
+                        lambda q: F.when(
+                            q["t"] != p["t"],
+                            (q["v"] - p["v"]) / (q["t"] - p["t"]),
+                        ),
+                    ),
+                )
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+
+
+def _lower_median(sorted_arr):
+    """Element ⌈m/2⌉ of a sorted array (NULL when empty) — an order
+    statistic the data actually produced, identical in every engine."""
+    m = F.size(sorted_arr)
+    return F.when(m > 0, F.element_at(sorted_arr, ((m + 1) / 2).cast("int")))
+
+
 def theil_sen(
     df: DataFrame,
     value_col: str,
     time_col: str = "time",
     by: Sequence[str] = (),
     round_to: int | None = 6,
+    window: float | None = None,
 ) -> DataFrame:
     """Theil–Sen robust trend per group — the median of all pairwise
     slopes ``(v_j − v_i) / (t_j − t_i)``: the estimator to reach for
@@ -1289,48 +1364,73 @@ def theil_sen(
     every engine picks the same one. All arithmetic is fixed IEEE
     expressions over identical values; no summation anywhere.
 
-    Scale shape: one ``collect_list`` per group, pairwise slopes as a
-    nested JVM array transform (``O(n²)`` values in one task's
-    memory) — the honest cost of an all-pairs order statistic, same
-    bounded per-group contract as :func:`ewma_level`. For long series
-    downsample first or use ``ols_trend`` with winsorized inputs; for
-    the classic scalable compromise, run TS over fixed time windows
-    and aggregate window slopes.
+    Scale shape (exact path): one ``collect_list`` per group, pairwise
+    slopes as a nested JVM array transform (``O(n²)`` values in one
+    task's memory) — the honest cost of an all-pairs order statistic,
+    same bounded per-group contract as :func:`ewma_level`.
+
+    ``window`` — the classic scalable compromise for LONG series:
+    points are bucketed into fixed time windows of that width
+    (``floor(t / window)``), Theil–Sen runs exactly per window, and
+    the group's slope is the lower median of the per-window slopes.
+    Cost drops from ``O(n²)`` per group to ``O(w·k²)`` for ``w``
+    windows of ``k`` points — bounded by the window width the caller
+    controls, so one giant series no longer concentrates all-pairs
+    work in one task. Output gains ``n_windows`` (windows that
+    produced a slope): ``(by…, n, n_windows, n_pairs, slope)``;
+    ``n_pairs`` counts within-window pairs only. Not the same
+    estimator as the exact path (cross-window pairs are never
+    considered — that is the entire point), but the standard one:
+    median-of-window-medians keeps the 29% breakdown inside every
+    window and adds a second robustness layer across windows.
     """
     by = list(by)
     t = F.col(time_col).cast("double")
     v = F.col(value_col).cast("double")
+    if window is not None:
+        if not window > 0:
+            raise ValueError("window must be positive")
+        src = df.filter(t.isNotNull() & v.isNotNull()).select(
+            *by,
+            F.floor(t / F.lit(float(window))).cast("long").alias("__w"),
+            F.struct(t.alias("t"), v.alias("v")).alias("__p"),
+        )
+        per_w = src.groupBy(*by, "__w").agg(
+            F.array_sort(F.collect_list("__p")).alias("__pts")
+        )
+        sl = _pairwise_slopes(F.col("__pts"))
+        per_w = per_w.select(
+            *by,
+            F.size("__pts").cast("long").alias("__n"),
+            F.size(sl).cast("long").alias("__m"),
+            _lower_median(sl).alias("__s"),
+        )
+        # second level: window-count-sized — collect the per-window
+        # slopes (collect_list skips NULL-slope windows) and take the
+        # lower median again
+        agg = per_w.groupBy(*by).agg(
+            F.sum("__n").cast("long").alias("n"),
+            F.sort_array(F.collect_list("__s")).alias("__ws"),
+            F.sum("__m").cast("long").alias("n_pairs"),
+        )
+        med = _lower_median(F.col("__ws"))
+        if round_to is not None:
+            med = F.round(med, round_to)
+        return agg.select(
+            *by,
+            "n",
+            F.size("__ws").cast("long").alias("n_windows"),
+            "n_pairs",
+            med.alias("slope"),
+        )
     src = df.filter(t.isNotNull() & v.isNotNull()).select(
         *by, F.struct(t.alias("t"), v.alias("v")).alias("__p")
     )
     pts = F.array_sort(F.collect_list("__p"))
     agg = src.groupBy(*by).agg(pts.alias("__pts"))
-    slopes = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("__pts"),
-                lambda p, i: F.transform(
-                    F.slice(
-                        F.col("__pts"),
-                        i + F.lit(2),
-                        F.greatest(
-                            F.size("__pts") - i - 1, F.lit(0)
-                        ),
-                    ),
-                    lambda q: F.when(
-                        q["t"] != p["t"],
-                        (q["v"] - p["v"]) / (q["t"] - p["t"]),
-                    ),
-                ),
-            )
-        ),
-        lambda x: x.isNotNull(),
-    )
-    sorted_slopes = F.array_sort(slopes)
+    sorted_slopes = _pairwise_slopes(F.col("__pts"))
     m = F.size(sorted_slopes)
-    med = F.when(
-        m > 0, F.element_at(sorted_slopes, ((m + 1) / 2).cast("int"))
-    )
+    med = _lower_median(sorted_slopes)
     if round_to is not None:
         med = F.round(med, round_to)
     return agg.select(

@@ -5811,6 +5811,60 @@ FROM np LEFT JOIN med ON np.gid = med.gid
 """
 
 
+TS_WINDOW_MS = 259_200_000.0  # 3 days: ~10 windows across the 30-day feed
+
+
+def q_theil_sen_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed Theil–Sen (``timeseries.theil_sen(window=...)``): exact
+    TS per fixed 3-day window, lower median of the window slopes — the
+    scale path for long series, O(w·k²) instead of O(n²) per group.
+    Both median levels are order statistics the oracle replays as
+    ordered list indexing."""
+    ev = _events_norm(spark, sf_dir)
+    # round_to=None for the same reason as the exact gate: the median
+    # is a data-produced value; rounding only adds cross-engine drift
+    return timeseries.theil_sen(
+        ev, "value", time_col="time", by=["gid"], round_to=None,
+        window=TS_WINDOW_MS,
+    )
+
+
+SQL_THEIL_SEN_WINDOWED = f"""
+WITH {_E_CTE},
+p0 AS (
+  SELECT gid, CAST("time" AS DOUBLE) AS t, CAST(value AS DOUBLE) AS v
+  FROM e WHERE value IS NOT NULL AND "time" IS NOT NULL
+),
+p AS (
+  SELECT gid, t, v, CAST(FLOOR(t / {TS_WINDOW_MS}) AS BIGINT) AS w,
+         row_number() OVER (
+             PARTITION BY gid, CAST(FLOOR(t / {TS_WINDOW_MS}) AS BIGINT)
+             ORDER BY t, v) AS rn
+  FROM p0
+),
+sl AS (
+  SELECT a.gid, a.w, (b.v - a.v) / (b.t - a.t) AS s
+  FROM p a JOIN p b
+    ON a.gid = b.gid AND a.w = b.w AND a.rn < b.rn AND a.t <> b.t
+),
+wm AS (
+  SELECT gid, w, CAST(COUNT(*) AS BIGINT) AS m,
+         list(s ORDER BY s)[CAST((COUNT(*) + 1) // 2 AS INT)] AS ws
+  FROM sl GROUP BY 1, 2
+),
+np AS (SELECT gid, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1),
+fin AS (
+  SELECT gid, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(m) AS BIGINT) AS n_pairs,
+         list(ws ORDER BY ws)[CAST((COUNT(*) + 1) // 2 AS INT)] AS slope
+  FROM wm GROUP BY 1
+)
+SELECT np.gid, np.n, COALESCE(fin.n_windows, 0) AS n_windows,
+       COALESCE(fin.n_pairs, 0) AS n_pairs, fin.slope AS slope
+FROM np LEFT JOIN fin ON np.gid = fin.gid
+"""
+
+
 def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford leading-digit screen (``profile.benford_deviation``)
     over order totals — the invented-numbers anomaly sniff. Densified
@@ -8059,6 +8113,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "pii_scrub": q_pii_scrub,
     # ---- end of the driver's 50-slot graded window ----
+    # ---- oracle tail head: round-11 additions landed after the
+    # ---- window was frozen (r12 graded-window candidates) —
+    # ---- hash-checked every suite run like the rest of the tail
+    "theil_sen_windowed": q_theil_sen_windowed,
     # ---- oracle tail head, rotated out this round: the full r10
     # ---- graded window — every gate green rows+schema+hash in r10
     # ---- (most with 2-3 green rounds by now); hash-checked every
@@ -8331,6 +8389,7 @@ ORACLES: dict[str, str] = {
     "touch_attribution": SQL_TOUCH_ATTRIBUTION,
     "benford_prices": SQL_BENFORD_PRICES,
     "theil_sen_trend": SQL_THEIL_SEN,
+    "theil_sen_windowed": SQL_THEIL_SEN_WINDOWED,
     "gini_balances": SQL_GINI_BALANCES,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "compact_states": SQL_COMPACT_STATES,

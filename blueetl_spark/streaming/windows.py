@@ -389,13 +389,14 @@ def streaming_ohlc_shards(
     effectively-once contract: a replayed epoch re-appends identical
     rows under the same batch_id, deduped before the fold.
 
-    Shard-schema compatibility: the ``open_tie``/``close_tie`` columns
-    keep the tie column's NATIVE type (a deliberate change — earlier
-    versions cast to double), so a shard dir written by a pre-change
-    build mixes incompatible parquet struct schemas with new appends
-    and the merge fails or mis-reads on restart. When upgrading across
-    that change, clear the shard dir and checkpoint (or start a new
-    ``shard_path``) before resuming the stream.
+    Shard-schema compatibility: every appended row carries
+    ``__schema_version`` (``timeseries.OHLC_SHARD_SCHEMA_VERSION``),
+    and ``merge_ohlc_shards`` REFUSES unmarked or mixed-version shard
+    frames with an error naming the fix — so a dir that accumulated
+    appends from an old build (v1 cast tie keys to double; v2 keeps
+    the native type) fails loudly at merge time instead of silently
+    mis-folding. On upgrade, re-shard from source or start a new
+    ``shard_path``; the stream itself needs no checkpoint surgery.
     """
     from blueetl_spark.operators.timeseries import ohlc_shard
 

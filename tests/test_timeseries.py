@@ -481,6 +481,47 @@ def test_ohlc_shard_string_tie_column(spark):
     assert merged == whole
 
 
+def test_merge_ohlc_shards_rejects_old_and_mixed_schema_dirs(spark, tmp_path):
+    """merge_ohlc_shards refuses shard dirs from pre-versioning builds:
+    a dir with NO __schema_version column (written entirely by a v1
+    build) and a MIXED dir (v1 rows surfacing as NULL markers under
+    mergeSchema) both raise actionable ValueErrors at merge time —
+    replacing the old 'clear your shard dirs when upgrading' footnote
+    with an enforced check. Current-version shards still merge."""
+    import pytest as _pytest
+
+    from blueetl_spark.operators import timeseries as ts
+
+    df = spark.createDataFrame(
+        [("s", 1.0, 10.0), ("s", 9.0, 30.0)], "k string, t double, v double"
+    )
+    cur = ts.ohlc_shard(df, "t", "v", 10.0, by=["k"], batch_id="b0")
+    assert "__schema_version" in cur.columns
+
+    # v-old dir: the exact layout a pre-versioning build wrote
+    old_dir = str(tmp_path / "old_shards")
+    cur.drop("__schema_version").write.parquet(old_dir)
+    with _pytest.raises(ValueError, match="pre-versioning build"):
+        ts.merge_ohlc_shards(spark.read.parquet(old_dir), by=["k"])
+
+    # mixed dir: old appends + new appends, read the way a restart
+    # reads it (mergeSchema) — old rows carry NULL markers
+    mixed_dir = str(tmp_path / "mixed_shards")
+    cur.drop("__schema_version").write.parquet(mixed_dir)
+    ts.ohlc_shard(df, "t", "v", 10.0, by=["k"], batch_id="b1").write.mode(
+        "append"
+    ).parquet(mixed_dir)
+    mixed = spark.read.option("mergeSchema", "true").parquet(mixed_dir)
+    with _pytest.raises(ValueError, match="mixes schema versions"):
+        ts.merge_ohlc_shards(mixed, by=["k"])
+
+    # happy path: a current-version round-tripped dir merges fine
+    ok_dir = str(tmp_path / "ok_shards")
+    cur.write.parquet(ok_dir)
+    out = ts.merge_ohlc_shards(spark.read.parquet(ok_dir), by=["k"]).head()
+    assert (out["open"], out["close"], out["n"]) == (10.0, 30.0, 2)
+
+
 def test_cusum_changepoint_finds_level_shift(spark):
     """A clean level shift peaks |S| exactly at the last pre-shift
     point; flat series stay near zero; matches a sequential replay."""
@@ -679,6 +720,57 @@ def test_theil_sen_robust_to_outliers(spark):
     assert got["g"] == (6, len(slopes), ref)
     assert got["g"][2] == 2.0  # the outlier does not drag the median
     assert got["const_t"] == (2, 0, None)
+
+
+def test_theil_sen_windowed_matches_sequential_reference(spark):
+    """window= buckets points into fixed time windows, runs exact TS
+    per window, and returns the lower median of window slopes —
+    matching a sequential two-level replay; cross-window pairs are
+    never considered; single-point windows contribute points but no
+    slope; window<=0 raises."""
+    from itertools import combinations
+
+    import pytest as _pytest
+
+    from blueetl_spark.operators import timeseries as ts
+
+    # 3 windows of width 10: slopes 1, 3, and a single-point window
+    pts = [(0.0, 0.0), (2.0, 2.0), (4.0, 4.0),          # w0: slope 1
+           (10.0, 0.0), (13.0, 9.0), (16.0, 18.0),      # w1: slope 3
+           (25.0, 7.0)]                                  # w2: no pair
+    df = spark.createDataFrame([("g", t, v) for t, v in pts],
+                               "g string, t double, v double")
+    r = ts.theil_sen(df, "v", time_col="t", by=["g"], round_to=None,
+                     window=10.0).head()
+
+    # sequential reference
+    def lower_median(xs):
+        xs = sorted(xs)
+        return xs[(len(xs) + 1) // 2 - 1]
+
+    wins = {}
+    for t_, v_ in pts:
+        wins.setdefault(int(t_ // 10), []).append((t_, v_))
+    wslopes, n_pairs = [], 0
+    for w in wins.values():
+        sl = [(b[1] - a[1]) / (b[0] - a[0])
+              for a, b in combinations(sorted(w), 2) if a[0] != b[0]]
+        n_pairs += len(sl)
+        if sl:
+            wslopes.append(lower_median(sl))
+    assert (r["n"], r["n_windows"], r["n_pairs"]) == (7, 2, n_pairs)
+    assert r["slope"] == lower_median(wslopes) == 1.0
+
+    # a group whose only window has no distinct-time pair: NULL slope
+    flat = spark.createDataFrame([("h", 1.0, 5.0), ("h", 1.0, 9.0)],
+                                 "g string, t double, v double")
+    fr = ts.theil_sen(flat, "v", time_col="t", by=["g"], round_to=None,
+                      window=10.0).head()
+    assert (fr["n"], fr["n_windows"], fr["n_pairs"], fr["slope"]) == (
+        2, 0, 0, None)
+
+    with _pytest.raises(ValueError, match="window must be positive"):
+        ts.theil_sen(df, "v", time_col="t", by=["g"], window=0.0)
 
 
 def test_ewma_level_replays_sequential_recurrence(spark):
