@@ -38,6 +38,98 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Real-codec seam (optional dependencies, probe-gated like
+# plans/stores.py::_have_pytables): when Pillow / soundfile are
+# installed, these decoders drop into the same decode= hooks the
+# md5-replayable stubs fill; when absent, callers get an actionable
+# error naming the install, never a bare ImportError from inside an
+# Arrow task.
+# ---------------------------------------------------------------------------
+
+
+def _have_pillow() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _have_soundfile() -> bool:
+    try:
+        import soundfile  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def pillow_decode(payload: bytes) -> dict:
+    """Real image decode for :func:`extract_image_features` (requires
+    Pillow): true dimensions/channels, mean luma from the L-converted
+    pixels, and a content hash of the decoded pixel array (so two
+    encodings of the same pixels collide — unlike hashing the bytes).
+    """
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    img.load()
+    arr = np.asarray(img.convert("L"), dtype=np.float64)
+    return {
+        "width": img.width,
+        "height": img.height,
+        "n_channels": len(img.getbands()),
+        "mean_luma": float(arr.mean() / 255.0),
+        "feature_hash": hashlib.blake2b(
+            arr.astype(np.uint8).tobytes(), digest_size=16
+        ).hexdigest(),
+    }
+
+
+def pillow_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Real resize for :func:`resize_images` (requires Pillow):
+    re-encodes in the source's own format (falling back to PNG for
+    format-less in-memory images)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    fmt = img.format or "PNG"
+    out = io.BytesIO()
+    img.resize((w, h)).save(out, format=fmt)
+    return out.getvalue()
+
+
+def pillow_gray(payload: bytes, w: int = 9, h: int = 8) -> np.ndarray:
+    """Real decode+grayscale+resize for the dHash thumbnail — the
+    production drop-in for ``decode_gray=`` in :func:`perceptual_hash`
+    / :func:`image_near_dup` (requires Pillow)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((w, h))
+    return np.asarray(img, dtype=np.float64)
+
+
+def soundfile_wave(payload: bytes) -> np.ndarray:
+    """Real audio decode for ``decode_wave=`` in
+    :func:`audio_energy_stats` (requires soundfile): channel 0 as
+    int16 PCM widened to int64 — INTEGER amplitudes, honoring the
+    operator's exact-integer energy contract."""
+    import io
+
+    import soundfile as sf
+
+    data, _sr = sf.read(io.BytesIO(payload), dtype="int16", always_2d=True)
+    return data[:, 0].astype(np.int64)
+
+
 def deterministic_fake_decode(payload: bytes) -> dict:
     """Stand-in for a real image decode: derives stable pseudo-dimensions
     and statistics from the payload bytes. Replace with PIL/cv2 in prod."""
@@ -180,18 +272,19 @@ def resize_images(
 ) -> DataFrame:
     """Resize pass-through: payload → payload with updated meta.
 
-    The real resize is a library call (NotImplementedError by default —
-    clearly marked stub); the plumbing (schema preservation, meta update,
-    batch iteration) is exercised by tests with an identity resizer.
+    Default resizer: :func:`pillow_resize` when Pillow is installed
+    (probe-gated, same discipline as the HDF store); without it, a
+    build-time NotImplementedError names the fix instead of a bare
+    ImportError surfacing from inside an Arrow task. The plumbing
+    (schema preservation, meta update, batch iteration) is also
+    exercised by tests with an identity resizer.
     """
-
-    def default_resize(payload: bytes, w: int, h: int) -> bytes:
+    if resize is None and not _have_pillow():
         raise NotImplementedError(
-            "image resize requires PIL/cv2 — not in this container; "
-            "pass resize= explicitly"
+            "image resize requires Pillow (PIL)/cv2 — not installed here; "
+            "pip install pillow or pass resize= explicitly"
         )
-
-    rs = resize or default_resize
+    rs = resize or pillow_resize
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -35,8 +35,10 @@ def test_audio_frame_sampling(media):
 
 
 def test_resize_stub_raises_without_decoder(media):
-    with pytest.raises(Exception, match="PIL/cv2"):
-        mm.resize_images(media, 32, 32).collect()
+    if mm._have_pillow():
+        pytest.skip("Pillow installed: resize_images has a real default")
+    with pytest.raises(NotImplementedError, match="PIL"):
+        mm.resize_images(media, 32, 32)
 
 
 def test_resize_with_identity_resizer(media):
@@ -247,6 +249,88 @@ def test_video_scene_cuts_structure(spark):
         for i in range(1, 8):
             if int(bd[i], 16) >= 4:  # no break -> same scene
                 assert bin(int(sigs[i - 1]) ^ int(sigs[i])).count("1") == 0
+
+
+needs_pillow = pytest.mark.skipif(
+    not mm._have_pillow(),
+    reason="Pillow not installed (pip install pillow enables the "
+    "real-codec image seam tests)",
+)
+needs_soundfile = pytest.mark.skipif(
+    not mm._have_soundfile(),
+    reason="soundfile not installed (pip install soundfile enables the "
+    "real-codec audio seam tests)",
+)
+
+
+@needs_pillow
+def test_real_jpeg_roundtrip_through_image_operators(spark):
+    """Probe-gated real-codec seam (reference discipline: per-format
+    round-trips in its store tests): generate a real JPEG in-test,
+    push it through extract_image_features / resize_images /
+    perceptual_hash with the Pillow decoders, and check true
+    dimensions survive the Spark plumbing."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    px = (rng.random((48, 64, 3)) * 255).astype("uint8")
+    buf = io.BytesIO()
+    Image.fromarray(px).save(buf, format="JPEG")
+    payload = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "image", payload, None)], mm.MEDIA_SCHEMA
+    )
+
+    feat = mm.extract_image_features(media, decode=mm.pillow_decode).head()
+    assert (feat["width"], feat["height"], feat["n_channels"]) == (64, 48, 3)
+    assert 0.0 < feat["mean_luma"] < 1.0
+
+    resized = mm.resize_images(media, 16, 12).head()  # Pillow default
+    out = Image.open(io.BytesIO(bytes(resized["payload"])))
+    assert (out.width, out.height) == (16, 12)
+    assert out.format == "JPEG"  # re-encoded in the source format
+    assert resized["meta"]["width"] == "16"
+
+    ph = mm.perceptual_hash(media, decode_gray=mm.pillow_gray).head()
+    ref = mm.pillow_gray(payload)
+    # replay the dHash bits sequentially from the real thumbnail
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            bits = (bits << 1) | int(ref[r, c + 1] > ref[r, c])
+    assert ph["phash"] % (1 << 64) == bits
+
+
+@needs_soundfile
+def test_real_wav_roundtrip_through_audio_energy(spark):
+    """Probe-gated: generate a real 16-bit WAV in-test, decode it with
+    the soundfile seam, and check the exact-integer energy stats match
+    a numpy replay of the same PCM samples."""
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    rng = np.random.default_rng(11)
+    pcm = (rng.integers(-2000, 2000, size=256)).astype("int16")
+    buf = io.BytesIO()
+    sf.write(buf, pcm, 8000, format="WAV", subtype="PCM_16")
+    payload = buf.getvalue()
+    media = spark.createDataFrame(
+        [(7, "audio", payload, None)], mm.MEDIA_SCHEMA
+    )
+    got = mm.audio_energy_stats(
+        media, n_frames=4, decode_wave=mm.soundfile_wave
+    ).head()
+    frames = np.array_split(pcm.astype(np.int64), 4)
+    energies = [int((f**2).sum()) for f in frames]
+    assert got["total_energy"] == sum(energies)
+    assert got["min_frame_energy"] == min(energies)
+    assert got["max_frame_energy"] == max(energies)
+    assert got["silent_frames"] == 0
 
 
 def test_frame_sigs_chain_past_32_frames():
