@@ -156,6 +156,9 @@ HEADLINE = [
     "cohort_ltv",
     "video_scene_cuts",
     "grouped_ols2",
+    # round-11 additions
+    "theil_sen_windowed",
+    "hll_distinct",
 ]
 
 

@@ -619,6 +619,137 @@ def cms_estimate(
     )
 
 
+HLL_P = 8  # 2^8 = 256 registers — ~6.5% standard error, 256-row shards
+
+#: alpha * m^2 for the 256-register estimator — computed ONCE here and
+#: embedded verbatim (repr) in the SQL oracle so the terminal division
+#: is the identical IEEE expression in both engines (re-deriving it
+#: with a different multiply order can differ by an ulp).
+HLL_AM2 = 0.7213 / (1.0 + 1.079 / (1 << HLL_P)) * float((1 << HLL_P) ** 2)
+
+
+def _hll_bucket_rho(k):
+    """(bucket, rho) for one key from its md5: bucket = the first 2 hex
+    digits (8 bits, 256 registers); rho = 1 + the number of leading
+    zero BITS in the next 13 hex digits (52 bits), 53 when all 52 are
+    zero. Pure string/integer ops — no float log2 anywhere (log2 on a
+    double rounds UP across power-of-two boundaries for values like
+    2^50−1, which would corrupt rho exactly where it matters), so an
+    ANSI-SQL oracle replays the pair digit-for-digit with ltrim + a
+    16-way CASE."""
+    h = F.md5(k.cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+    rest = F.substring(h, 3, 13)
+    stripped = F.regexp_replace(rest, "^0+", "")
+    lz_hex = F.lit(13) - F.length(stripped)
+    first = F.substring(stripped, 1, 1)
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(F.length(stripped) == 0, F.lit(53)).otherwise(
+        lz_hex * 4 + extra + 1
+    )
+    return bucket, rho.cast("int")
+
+
+def hll_shard(
+    df: DataFrame,
+    key_col: str,
+    batch_id: str = "",
+) -> DataFrame:
+    """One batch's HyperLogLog registers: ≤ 256 rows of ``(batch_id,
+    bucket, rho)`` — the mergeable COUNT-DISTINCT sketch completing the
+    shard trio next to :func:`histogram_shard` (distribution) and
+    :func:`cms_shard` (point frequency). Unlike Spark's native
+    DataSketches path (:func:`profile_sketch`, whose binary blobs only
+    that library can read), these registers are plain integer rows ANY
+    engine can merge and estimate from — and the md5-derived (bucket,
+    rho) pair is SQL-replayable, so merged estimates stay inside the
+    DuckDB-oracle contract instead of the rows-only check the sketch
+    blobs get.
+
+    Scale shape: the key column crosses ONE map-side-combined max
+    aggregate; rows per batch ≤ 256 — bytes, the same incremental
+    contract as the other shard writers. NULL keys are excluded (SQL
+    COUNT(DISTINCT) stance).
+    """
+    k = F.col(key_col)
+    bucket, rho = _hll_bucket_rho(k)
+    return (
+        df.filter(k.isNotNull())
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit(batch_id).alias("batch_id"), "bucket", "rho")
+    )
+
+
+def merge_hll_shards(shards: DataFrame) -> DataFrame:
+    """Fold shard rows to one register row per bucket: element-wise
+    MAX. Stronger than replay-safe: max is IDEMPOTENT, so an
+    at-least-once writer re-appending a whole batch changes nothing —
+    no batch_id dedup needed (the CMS merge must dedup because counter
+    SUMS double-count replays; register maxima cannot). One
+    sketch-sized aggregate."""
+    return shards.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Cardinality estimate from merged registers — classic
+    Flajolet HLL with the small-range linear-counting correction. One
+    row out: ``(m, n_zero, estimate, method)`` where ``method`` is
+    ``'linear'`` when the correction fired (raw estimate ≤ 2.5·m with
+    empty registers — the regime where raw HLL biases high) else
+    ``'hll'``. The large-range correction is omitted on purpose: it
+    exists for 32-bit hashes saturating near 2^32; these registers
+    consume 52 hash bits, unreachable territory.
+
+    Engine-exact: ``Z = Σ 2^−rho`` is an ORDERED LEFT FOLD over the
+    bucket-sorted dense register list (2^−rho is exact in a double for
+    rho ≤ 53, but the SUM order must be pinned); the terminal
+    alpha·m²/Z and m·ln(m/V) expressions are fixed IEEE trees. Every
+    stage after the registers is 256-row-sized.
+    """
+    m = 1 << HLL_P
+    spark = registers.sparkSession
+    spine = spark.range(m).select(F.col("id").alias("bucket"))
+    dense = spine.join(registers, "bucket", "left").select(
+        "bucket", F.coalesce("rho", F.lit(0)).alias("rho")
+    )
+    z = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket", "rho"))),
+            lambda s: F.pow(F.lit(2.0), -s["rho"].cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    agg = dense.agg(
+        z.alias("__z"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("n_zero"),
+    )
+    raw = F.lit(HLL_AM2) / F.col("__z")
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero"))
+    use_linear = (raw <= F.lit(2.5 * m)) & (F.col("n_zero") > 0)
+    est = F.when(use_linear, lin).otherwise(raw)
+    if round_to is not None:
+        est = F.round(est, round_to)
+    return agg.select(
+        F.lit(m).alias("m"),
+        F.col("n_zero").cast("int").alias("n_zero"),
+        est.alias("estimate"),
+        F.when(use_linear, F.lit("linear")).otherwise(F.lit("hll")).alias(
+            "method"
+        ),
+    )
+
+
 def key_skew(
     df: DataFrame,
     key_col: str,

@@ -7086,6 +7086,77 @@ GROUP BY 1
 SQL_CMS_ESTIMATES = _cms_sql()
 
 
+# alpha * m^2 for the 256-register md5 HLL — profile.HLL_AM2 embedded
+# verbatim (repr) so the terminal division is the identical IEEE
+# expression in both engines
+_HLL_AM2 = profile.HLL_AM2
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded HyperLogLog count-distinct (``profile.hll_shard`` /
+    ``merge_hll_shards`` / ``hll_estimate``) of order customers: two
+    disjoint batches (orderkey parity) each write ≤256 register rows,
+    one batch is REPLAYED verbatim (merge is idempotent max — the
+    at-least-once case needs no dedup), and the estimate comes off the
+    merged registers. The md5-derived (bucket, rho) pair and the
+    bucket-ordered 2^-rho fold replay digit-for-digit in SQL — the
+    oracle-exact twin of the DataSketches path in ``profile_sketch``.
+    """
+    o = tables.load(spark, sf_dir, "orders")
+    s0 = profile.hll_shard(
+        o.filter(F.col("o_orderkey") % 2 == 0), "o_custkey", batch_id="b0"
+    )
+    s1 = profile.hll_shard(
+        o.filter(F.col("o_orderkey") % 2 == 1), "o_custkey", batch_id="b1"
+    )
+    shards = s0.unionByName(s1).unionByName(s1)  # replayed batch
+    return profile.hll_estimate(profile.merge_hll_shards(shards))
+
+
+SQL_HLL_DISTINCT = f"""
+WITH r AS (
+  SELECT md5(CAST(o_custkey AS VARCHAR)) AS h
+  FROM orders WHERE o_custkey IS NOT NULL
+),
+br AS (
+  SELECT (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+         CASE WHEN ltrim(substr(h, 3, 13), '0') = '' THEN 53
+              ELSE (13 - length(ltrim(substr(h, 3, 13), '0'))) * 4
+                   + CASE substr(ltrim(substr(h, 3, 13), '0'), 1, 1)
+                       WHEN '1' THEN 3
+                       WHEN '2' THEN 2 WHEN '3' THEN 2
+                       WHEN '4' THEN 1 WHEN '5' THEN 1
+                       WHEN '6' THEN 1 WHEN '7' THEN 1
+                       ELSE 0 END + 1
+         END AS rho
+  FROM r
+),
+reg AS (SELECT bucket, MAX(rho) AS rho FROM br GROUP BY 1),
+dense AS (
+  SELECT sp.bucket, COALESCE(reg.rho, 0) AS rho
+  FROM (SELECT unnest(range(256)) AS bucket) sp LEFT JOIN reg USING (bucket)
+),
+agg AS (
+  SELECT list_reduce(list_prepend(0.0,
+           list(power(2.0, -CAST(rho AS DOUBLE)) ORDER BY bucket)),
+           (a, b) -> a + b) AS z,
+         CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS INT) AS n_zero
+  FROM dense
+),
+fin AS (
+  SELECT n_zero, {_HLL_AM2!r} / z AS raw, z FROM agg
+)
+SELECT 256 AS m, n_zero,
+       ROUND(CASE WHEN raw <= 640.0 AND n_zero > 0
+                  THEN 256.0 * ln(256.0 / n_zero) ELSE raw END, 6) + 0.0
+         AS estimate,
+       CASE WHEN raw <= 640.0 AND n_zero > 0 THEN 'linear' ELSE 'hll' END
+         AS method
+FROM fin
+"""
+
+
 def q_profile_shards_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The incremental-profiling contract under the oracle: orders is
     sliced into 3 disjoint batches, each writes its mergeable shard rows,
@@ -8117,6 +8188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window was frozen (r12 graded-window candidates) —
     # ---- hash-checked every suite run like the rest of the tail
     "theil_sen_windowed": q_theil_sen_windowed,
+    "hll_distinct": q_hll_distinct,
     # ---- oracle tail head, rotated out this round: the full r10
     # ---- graded window — every gate green rows+schema+hash in r10
     # ---- (most with 2-3 green rounds by now); hash-checked every
@@ -8390,6 +8462,7 @@ ORACLES: dict[str, str] = {
     "benford_prices": SQL_BENFORD_PRICES,
     "theil_sen_trend": SQL_THEIL_SEN,
     "theil_sen_windowed": SQL_THEIL_SEN_WINDOWED,
+    "hll_distinct": SQL_HLL_DISTINCT,
     "gini_balances": SQL_GINI_BALANCES,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "compact_states": SQL_COMPACT_STATES,

@@ -457,6 +457,44 @@ def streaming_cms_shards(
     return writer.start()
 
 
+def streaming_hll_shards(
+    stream_df: DataFrame,
+    key_col: str,
+    shard_path: str,
+    checkpoint: str,
+    batch_prefix: str = "stream",
+    trigger: dict | None = None,
+):
+    """Count-distinct twin of :func:`streaming_cms_shards`: each
+    micro-batch appends its ≤256 HyperLogLog register rows
+    (``operators/profile.py::hll_shard`` — md5-derived, SQL-replayable,
+    readable by any engine unlike DataSketches blobs), and
+    ``profile.merge_hll_shards`` + ``hll_estimate`` answer "distinct
+    keys so far" at any moment from shard rows bounded by batches ×
+    256. Same foreachBatch seam, zero cross-batch state — and the
+    merge is register-MAX, which is IDEMPOTENT: a replayed epoch's
+    identical rows change nothing, so this twin needs no batch_id
+    dedup at all (the strongest at-least-once story of the shard
+    family).
+    """
+    from blueetl_spark.operators.profile import hll_shard
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hll_shard(
+            batch_df, key_col, batch_id=f"{batch_prefix}-{epoch_id}"
+        ).coalesce(1).write.mode("append").parquet(shard_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def streaming_topk_shards(
     stream_df: DataFrame,
     key_col: str,

@@ -1124,6 +1124,69 @@ def test_stream_stream_enrich_left_outer(spark, tmp_path):
         sw.stream_stream_enrich(ev, ref, how="full")
 
 
+def test_streaming_hll_shards(spark, tmp_path):
+    """Per-micro-batch HLL register shards merge to exactly the
+    registers of a whole-table shard; restart appends nothing; a
+    crash-replayed epoch changes nothing (max-merge idempotence); the
+    streamed estimate equals the batch estimate."""
+    import pandas as pd
+
+    from blueetl_spark.operators.profile import (
+        hll_estimate,
+        hll_shard,
+        merge_hll_shards,
+    )
+    from blueetl_spark.streaming.windows import streaming_hll_shards
+
+    src = str(tmp_path / "src")
+    shards = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = pd.DataFrame({"k": [i % 331 for i in range(900)]})
+    spark.createDataFrame(pdf).repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_hll_shards(stream, "k", shards, ckpt,
+                             trigger={"availableNow": True})
+    q.awaitTermination(120)
+
+    whole = {
+        r.bucket: r.rho
+        for r in merge_hll_shards(
+            hll_shard(spark.read.parquet(src), "k", "all")
+        ).collect()
+    }
+
+    def merged():
+        return {
+            r.bucket: r.rho
+            for r in merge_hll_shards(spark.read.parquet(shards)).collect()
+        }
+
+    assert merged() == whole
+
+    # restart from the same checkpoint: nothing appended
+    before = spark.read.parquet(shards).count()
+    q2 = streaming_hll_shards(stream, "k", shards, ckpt,
+                              trigger={"availableNow": True})
+    q2.awaitTermination(120)
+    assert spark.read.parquet(shards).count() == before
+
+    # crash-replay of some epoch rows: registers unchanged (idempotent)
+    spark.read.parquet(shards).limit(5).write.mode("append").parquet(shards)
+    assert merged() == whole
+
+    est = hll_estimate(merge_hll_shards(spark.read.parquet(shards))).head()
+    ref = hll_estimate(
+        merge_hll_shards(hll_shard(spark.read.parquet(src), "k", "all"))
+    ).head()
+    assert est["estimate"] == ref["estimate"]
+    assert abs(est["estimate"] - 331) / 331 < 0.20
+
+
 def test_streaming_cms_shards(spark, tmp_path):
     """Per-micro-batch Count-Min shards must merge to exactly the grid
     of a single whole-table shard; restart appends nothing; a
