@@ -159,6 +159,8 @@ HEADLINE = [
     # round-11 additions
     "theil_sen_windowed",
     "hll_distinct",
+    "lang_id_kappa",
+    "cuped_experiment",
 ]
 
 

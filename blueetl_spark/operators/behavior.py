@@ -684,3 +684,98 @@ def cohort_ltv(
         cum.alias("cum_value_c"),
         rnd(ltv).alias("ltv_per_user"),
     )
+
+
+def cuped(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+    variant_col: str,
+    by: Sequence[str] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """CUPED variance reduction for experiment readouts (Deng et al.,
+    WSDM'13: Controlled experiments Using Pre-Experiment Data) — the
+    standard trick that shrinks an A/B metric's variance by regressing
+    out a pre-period covariate: ``theta = cov(x, y)/var(x)`` POOLED
+    across variants (per ``by`` group), ``y_cuped = y − θ·(x − x̄)``.
+    One row per (by…, variant): ``(by…, variant, n, theta, mean_y,
+    mean_y_cuped, var_y, var_y_cuped, var_reduction)`` where
+    ``var_reduction = 1 − var_cuped/var_y`` (population variances;
+    NULL when ``var_y = 0``). When the pooled covariate is constant
+    (``var(x) = 0``) there is nothing to regress out: theta and the
+    cuped columns are NULL. Rows missing any of metric / covariate /
+    variant are excluded (the adjustment needs all three).
+
+    Engine-exact: per-variant moments (n, Σy, Σx, Σxy, Σx², Σy²) are
+    order-insensitive sums — EXACT BIGINTs when the inputs are
+    integers (quantize money to integer units first; Σx² must fit
+    BIGINT → |x| ≲ 10⁶ over 10⁶ rows), and every output is a fixed
+    IEEE expression over the once-cast moments (the spearman
+    discipline), so no float ever enters a sum. Scale shape: ONE
+    map-side-combined aggregate per (by…, variant); the pooled moments
+    re-aggregate the VARIANT table (group-count-sized) and broadcast
+    back — no second data pass.
+    """
+    by = list(by)
+    y = F.col(metric_col).cast("long")
+    x = F.col(covariate_col).cast("long")
+    v = F.col(variant_col)
+    src = df.filter(
+        y.isNotNull() & x.isNotNull() & v.isNotNull()
+    ).select(*by, v.alias("variant"), y.alias("__y"), x.alias("__x"))
+    per_v = src.groupBy(*by, "variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").alias("__sy"),
+        F.sum("__x").alias("__sx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    pooled = per_v.groupBy(*by).agg(
+        F.sum("n").alias("__pn"),
+        F.sum("__sy").alias("__psy"),
+        F.sum("__sx").alias("__psx"),
+        F.sum("__sxy").alias("__psxy"),
+        F.sum("__sxx").alias("__psxx"),
+    )
+    j = (
+        per_v.join(F.broadcast(pooled), by)
+        if by
+        else per_v.crossJoin(F.broadcast(pooled))
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    # pooled theta and mean_x: fixed float trees over once-cast moments
+    pvarx_num = d("__pn") * d("__psxx") - d("__psx") * d("__psx")
+    theta = F.when(
+        pvarx_num != 0.0,
+        (d("__pn") * d("__psxy") - d("__psx") * d("__psy")) / pvarx_num,
+    )
+    pmean_x = d("__psx") / d("__pn")
+    n, sy, sx = d("n"), d("__sy"), d("__sx")
+    mean_y = sy / n
+    mean_x = sx / n
+    var_y = d("__syy") / n - mean_y * mean_y
+    var_x = d("__sxx") / n - mean_x * mean_x
+    cov = d("__sxy") / n - mean_x * mean_y
+    mean_y_cuped = mean_y - theta * (mean_x - pmean_x)
+    var_y_cuped = var_y - 2.0 * theta * cov + theta * theta * var_x
+    var_reduction = F.when(var_y > 0.0, 1.0 - var_y_cuped / var_y)
+
+    def rnd(c):
+        return (F.round(c, round_to) + 0.0) if round_to is not None else c
+
+    return j.select(
+        *by,
+        "variant",
+        "n",
+        rnd(theta).alias("theta"),
+        rnd(mean_y).alias("mean_y"),
+        rnd(mean_y_cuped).alias("mean_y_cuped"),
+        rnd(var_y).alias("var_y"),
+        rnd(var_y_cuped).alias("var_y_cuped"),
+        rnd(var_reduction).alias("var_reduction"),
+    )

@@ -1074,6 +1074,83 @@ def chi2_independence(
     )
 
 
+def cohens_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Cohen's kappa between two categorical rating columns — the
+    chance-corrected agreement screen for labeled-data QA ("do the
+    model's labels agree with the gold labels beyond what marginal
+    label frequencies alone would produce"): 1 = perfect agreement,
+    0 = chance level, negative = systematic disagreement. One row out:
+    ``(n_rows, n_cats, po, pe, kappa)`` — observed agreement, expected
+    agreement, and ``kappa = (po − pe)/(1 − pe)``; kappa is NULL when
+    ``pe = 1`` (both raters constant and identical — no
+    chance-corrected question to ask). Rows with a NULL on either side
+    are excluded (an agreement needs both ratings — the spearman
+    stance, not the chi2 one: a missing rating is not a rating).
+
+    Engine-exact with NO float fold anywhere: ``diag`` (agreeing
+    rows), ``S = Σ_c row_c·col_c`` and ``n`` are exact BIGINT sums
+    (order-insensitive; each product ≤ n², safe for n < 3·10⁹), and
+    the three outputs are single divisions of exact integers —
+    ``kappa = (n·diag − S)/(n² − S)`` algebraically, so no
+    intermediate float ever enters a sum. Scale shape: ONE
+    map-side-combined count per (a, b) pair; margins re-aggregate the
+    pair table; the margin convolution is a broadcast join on
+    category values (categorical-cardinality-sized).
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    pairs = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .select(a.cast("string").alias("__a"), b.cast("string").alias("__b"))
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    tot = pairs.agg(
+        F.sum("__c").alias("n_rows"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))).alias(
+            "__diag"
+        ),
+    ).select("n_rows", F.coalesce("__diag", F.lit(0)).alias("__diag"))
+    ra = pairs.groupBy("__a").agg(F.sum("__c").alias("__ra"))
+    rb = pairs.groupBy("__b").agg(F.sum("__c").alias("__rb"))
+    s = (
+        ra.join(F.broadcast(rb), ra["__a"] == rb["__b"])
+        .agg(F.sum(F.col("__ra") * F.col("__rb")).alias("__s"))
+        .select(F.coalesce("__s", F.lit(0)).alias("__s"))
+    )
+    cats = (
+        ra.select(F.col("__a").alias("__cat"))
+        .unionByName(rb.select(F.col("__b").alias("__cat")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_cats"))
+    )
+    j = tot.crossJoin(F.broadcast(s)).crossJoin(F.broadcast(cats))
+    n = F.col("n_rows")
+    nd = n.cast("double")
+    po = F.col("__diag").cast("double") / nd
+    pe = F.col("__s").cast("double") / (nd * nd)
+    kappa = F.when(
+        n * n != F.col("__s"),
+        (n * F.col("__diag") - F.col("__s")).cast("double")
+        / (n * n - F.col("__s")).cast("double"),
+    )
+
+    def rnd(c):
+        return (F.round(c, round_to) + 0.0) if round_to is not None else c
+
+    return j.select(
+        "n_rows",
+        "n_cats",
+        rnd(po).alias("po"),
+        rnd(pe).alias("pe"),
+        rnd(kappa).alias("kappa"),
+    )
+
+
 def spearman(
     df: DataFrame,
     col_x: str,

@@ -7157,6 +7157,110 @@ FROM fin
 """
 
 
+def q_cuped_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (``behavior.cuped``) on a deterministic
+    md5-split A/B over customers: metric = 1995+ order dollars,
+    covariate = pre-1995 dollars. Integer-dollar moments are exact
+    BIGINT sums; theta and every variance are fixed float trees over
+    the once-cast moments — hash-exact by construction."""
+    o = tables.load(spark, sf_dir, "orders")
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") < F.lit("1995-01-01").cast("date"),
+                    F.floor("o_totalprice"),
+                ).otherwise(F.lit(0))
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"),
+                    F.floor("o_totalprice"),
+                ).otherwise(F.lit(0))
+            ).alias("y"),
+        )
+        .select(
+            "x",
+            "y",
+            F.when(
+                F.substring(
+                    F.md5(F.col("o_custkey").cast("string")), 1, 1
+                ).isin(*"01234567"),
+                "A",
+            )
+            .otherwise("B")
+            .alias("variant"),
+        )
+    )
+    return behavior.cuped(per_cust, "y", "x", "variant")
+
+
+SQL_CUPED_EXPERIMENT = """
+WITH pc AS (
+  SELECT CAST(SUM(CASE WHEN o_orderdate < DATE '1995-01-01'
+                       THEN CAST(FLOOR(o_totalprice) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN o_orderdate >= DATE '1995-01-01'
+                       THEN CAST(FLOOR(o_totalprice) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y,
+         CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 'A' ELSE 'B' END AS variant
+  FROM orders GROUP BY o_custkey
+),
+pv AS (
+  SELECT variant, COUNT(*) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pc GROUP BY 1
+),
+pool AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS pn, CAST(SUM(sy) AS BIGINT) AS psy,
+         CAST(SUM(sx) AS BIGINT) AS psx, CAST(SUM(sxy) AS BIGINT) AS psxy,
+         CAST(SUM(sxx) AS BIGINT) AS psxx
+  FROM pv
+),
+ex AS (
+  SELECT variant, n,
+         CASE WHEN CAST(pn AS DOUBLE) * CAST(psxx AS DOUBLE)
+                   - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE) <> 0.0
+              THEN (CAST(pn AS DOUBLE) * CAST(psxy AS DOUBLE)
+                    - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE))
+                   / (CAST(pn AS DOUBLE) * CAST(psxx AS DOUBLE)
+                      - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE))
+         END AS theta,
+         CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE) AS pmean_x,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+         CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS var_y,
+         CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS var_x,
+         CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cov
+  FROM pv, pool
+)
+SELECT variant, n,
+       ROUND(theta, 6) + 0.0 AS theta,
+       ROUND(mean_y, 6) + 0.0 AS mean_y,
+       ROUND(mean_y - theta * (mean_x - pmean_x), 6) + 0.0 AS mean_y_cuped,
+       ROUND(var_y, 6) + 0.0 AS var_y,
+       ROUND(var_y - 2.0 * theta * cov + theta * theta * var_x, 6) + 0.0
+         AS var_y_cuped,
+       ROUND(CASE WHEN var_y > 0.0
+                  THEN 1.0 - (var_y - 2.0 * theta * cov
+                              + theta * theta * var_x) / var_y
+             END, 6) + 0.0 AS var_reduction
+FROM ex
+"""
+
+
 def q_profile_shards_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The incremental-profiling contract under the oracle: orders is
     sliced into 3 disjoint batches, each writes its mergeable shard rows,
@@ -7321,6 +7425,56 @@ SELECT b.doc_id, d.lang, b.lang_pred, ROUND(b.score, 6) AS score
 FROM best b JOIN documents d ON d.doc_id = b.doc_id
 WHERE b.rk = 1
 """
+
+
+def q_lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (``profile.cohens_kappa``) between the n-gram
+    language-ID prediction and the gold ``lang`` column — the
+    chance-corrected agreement number a labeling-QA pass reports next
+    to raw accuracy (marginal-frequency agreement subtracted out). All
+    integer moments; kappa is one division of exact BIGINTs."""
+    from blueetl_spark.operators import text
+
+    docs = tables.load(spark, sf_dir, "documents")
+    pred = text.language_id_pipeline(docs, top_k=LANG_ID_TOP_K)
+    j = pred.join(docs.select("doc_id", "lang"), "doc_id")
+    return profile.cohens_kappa(j, "lang", "lang_pred")
+
+
+SQL_LANG_ID_KAPPA = f"""
+WITH pred AS ({SQL_LANGUAGE_ID}),
+p AS (
+  SELECT CAST(lang AS VARCHAR) AS a, CAST(lang_pred AS VARCHAR) AS b,
+         COUNT(*) AS c
+  FROM pred WHERE lang IS NOT NULL AND lang_pred IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(CASE WHEN a = b THEN c END), 0) AS BIGINT) AS diag
+  FROM p
+),
+ra AS (SELECT a, SUM(c) AS ra FROM p GROUP BY 1),
+rb AS (SELECT b, SUM(c) AS rb FROM p GROUP BY 1),
+sconv AS (
+  SELECT CAST(COALESCE(SUM(ra.ra * rb.rb), 0) AS BIGINT) AS s
+  FROM ra JOIN rb ON ra.a = rb.b
+),
+cats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cats
+  FROM (SELECT a FROM ra UNION SELECT b FROM rb)
+)
+SELECT n AS n_rows, n_cats,
+       ROUND(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS po,
+       ROUND(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+         + 0.0 AS pe,
+       ROUND(CASE WHEN n * n <> s
+                  THEN CAST(n * diag - s AS DOUBLE)
+                       / CAST(n * n - s AS DOUBLE) END, 6) + 0.0 AS kappa
+FROM tot, sconv, cats
+"""
+
+
 
 
 EPOCH_PLAN = {"en": 2.25, "de": 1.0, "fr": 0.5, "zh": 3.0}
@@ -8189,6 +8343,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- hash-checked every suite run like the rest of the tail
     "theil_sen_windowed": q_theil_sen_windowed,
     "hll_distinct": q_hll_distinct,
+    "lang_id_kappa": q_lang_id_kappa,
+    "cuped_experiment": q_cuped_experiment,
     # ---- oracle tail head, rotated out this round: the full r10
     # ---- graded window — every gate green rows+schema+hash in r10
     # ---- (most with 2-3 green rounds by now); hash-checked every
@@ -8463,6 +8619,8 @@ ORACLES: dict[str, str] = {
     "theil_sen_trend": SQL_THEIL_SEN,
     "theil_sen_windowed": SQL_THEIL_SEN_WINDOWED,
     "hll_distinct": SQL_HLL_DISTINCT,
+    "lang_id_kappa": SQL_LANG_ID_KAPPA,
+    "cuped_experiment": SQL_CUPED_EXPERIMENT,
     "gini_balances": SQL_GINI_BALANCES,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "compact_states": SQL_COMPACT_STATES,

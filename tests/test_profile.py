@@ -664,6 +664,48 @@ def test_join_size_estimate_empty_keys_raises(spark):
         join_size_estimate(df, df, [])
 
 
+def test_cohens_kappa_known_cases(spark):
+    """kappa matches the textbook computation (classic 2-rater
+    example), is 1 on perfect agreement, ~0 on independent margins,
+    negative on systematic disagreement, NULL when both raters are the
+    same constant (pe = 1), and NULL-rated rows are excluded."""
+    from blueetl_spark.operators.profile import cohens_kappa
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "a string, b string")
+
+    # classic example: 50 items, counts [[20, 5], [10, 15]]
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5
+        + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    r = cohens_kappa(mk(rows), "a", "b").head()
+    po = 35 / 50
+    pe = (25 * 30 + 25 * 20) / 50**2
+    assert (r["n_rows"], r["n_cats"]) == (50, 2)
+    assert r["po"] == round(po, 6) and r["pe"] == round(pe, 6)
+    assert r["kappa"] == round((po - pe) / (1 - pe), 6)
+
+    perfect = cohens_kappa(
+        mk([("x", "x")] * 3 + [("y", "y")] * 7), "a", "b"
+    ).head()
+    assert perfect["kappa"] == 1.0
+
+    # disjoint label use: diag 0, kappa negative
+    disj = cohens_kappa(mk([("x", "y")] * 5 + [("y", "x")] * 5), "a", "b").head()
+    assert disj["kappa"] < 0 and disj["po"] == 0.0
+
+    # same constant on both sides: pe = 1 -> NULL kappa, po = 1
+    const = cohens_kappa(mk([("k", "k")] * 9), "a", "b").head()
+    assert const["kappa"] is None and const["po"] == 1.0
+
+    # NULL ratings are excluded from everything
+    withnull = cohens_kappa(
+        mk([("y", "y")] * 4 + [(None, "y"), ("y", None)]), "a", "b"
+    ).head()
+    assert (withnull["n_rows"], withnull["kappa"]) == (4, None)  # pe=1 again
+
+
 def test_spearman_known_cases(spark):
     """rho is 1 for any monotone map, -1 reversed, matches a sequential
     average-rank Pearson reference under ties, NULL for a constant
