@@ -161,6 +161,8 @@ HEADLINE = [
     "hll_distinct",
     "lang_id_kappa",
     "cuped_experiment",
+    "target_encode",
+    "jackknife_rpo",
 ]
 
 

@@ -488,3 +488,108 @@ def leakage_safe_split(
             out_col=out_col,
         )
     )
+
+
+def target_encode_kfold(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    key_col: str = "doc_id",
+    k: int = 5,
+    alpha: float = 20.0,
+    seed: str = "",
+    method: str = "md5",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Leakage-free K-fold target encoding — the classic high-
+    cardinality-categorical feature for tabular models, computed so
+    that no row's own target leaks into its feature: fold membership
+    is a pure hash of the row key (``split_assign`` discipline — stable
+    across runs, partitionings and engines), and the encoding a fold
+    sees is built ONLY from the other folds' rows, smoothed toward the
+    other folds' global mean:
+    ``enc(c, f) = (sum_other + alpha * prior_f) / (n_other + alpha)``
+    with ``prior_f = mean(target over all rows outside fold f)``.
+    Output is the DENSIFIED encoding table — one row per (category,
+    fold) including categories absent from a fold (``n_other`` = the
+    category's full count; apply-time joins must always find a row):
+    ``(category, fold, n_other, encoded)``. Apply with a broadcast
+    join on (category, fold of each row's key). NULL categories encode
+    like any other category (apply time can't drop them); rows with a
+    NULL target are excluded from the sums.
+
+    Engine-exact: all sums are order-insensitive BIGINTs when the
+    target is integer (quantize money first); ``encoded`` is one fixed
+    float tree per row over once-cast moments. Scale shape: ONE
+    map-side-combined count per (category, fold); everything after
+    re-aggregates that table (category-cardinality x k sized); the
+    fold spine is a k-row cross join.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 (leave-one-fold-out needs folds)")
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    c = F.col(cat_col).cast("string")
+    t = F.col(target_col).cast("long")
+    fold = F.pmod(hash_bucket(key_col, seed, method), F.lit(k)).alias("fold")
+    src = df.filter(t.isNotNull()).select(
+        c.alias("category"), fold, t.alias("__t")
+    )
+    cf = src.groupBy("category", "fold").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__t").alias("__s")
+    )
+    cat_tot = cf.groupBy("category").agg(
+        F.sum("__n").alias("__nc"), F.sum("__s").alias("__sc")
+    )
+    fold_tot = cf.groupBy("fold").agg(
+        F.sum("__n").alias("__nf"), F.sum("__s").alias("__sf")
+    )
+    grand = cf.agg(F.sum("__n").alias("__ng"), F.sum("__s").alias("__sg"))
+    spark = df.sparkSession
+    spine = cat_tot.crossJoin(
+        F.broadcast(spark.range(k).select(F.col("id").alias("fold")))
+    )
+    # eqNullSafe on category (the r10-advice chi2 lesson): a NULL
+    # category must find its own per-fold counts, or its rows silently
+    # self-leak (n=0 -> n_other = the full count, own fold included)
+    dense = (
+        spine.join(
+            cf.select(
+                F.col("category").alias("__cfc"),
+                F.col("fold").alias("__cff"),
+                "__n",
+                "__s",
+            ),
+            spine["category"].eqNullSafe(F.col("__cfc"))
+            & (spine["fold"] == F.col("__cff")),
+            "left",
+        )
+        .select(
+            "category",
+            "fold",
+            "__nc",
+            "__sc",
+            F.coalesce("__n", F.lit(0)).alias("__n"),
+            F.coalesce("__s", F.lit(0)).alias("__s"),
+        )
+        .join(F.broadcast(fold_tot), "fold", "left")
+        .crossJoin(F.broadcast(grand))
+    )
+    n_other = F.col("__nc") - F.col("__n")
+    s_other = F.col("__sc") - F.col("__s")
+    ng_other = F.col("__ng") - F.coalesce("__nf", F.lit(0))
+    sg_other = F.col("__sg") - F.coalesce("__sf", F.lit(0))
+    prior = F.when(
+        ng_other > 0, sg_other.cast("double") / ng_other.cast("double")
+    )
+    enc = (s_other.cast("double") + F.lit(float(alpha)) * prior) / (
+        n_other.cast("double") + F.lit(float(alpha))
+    )
+    if round_to is not None:
+        enc = F.round(enc, round_to) + 0.0
+    return dense.select(
+        "category",
+        "fold",
+        n_other.alias("n_other"),
+        enc.alias("encoded"),
+    )

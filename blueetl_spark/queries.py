@@ -2956,6 +2956,80 @@ def _split_sql() -> str:
 SQL_TRAIN_SPLIT = _split_sql()
 
 
+TE_K, TE_ALPHA, TE_SEED = 5, 10.0, "te"
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free K-fold target encoding (``sampling.
+    target_encode_kfold``) of document language against text length —
+    the high-cardinality-categorical feature built so no row's own
+    target reaches its own fold. Densified (category x fold) table;
+    md5 fold assignment and integer target sums replay exactly."""
+    from blueetl_spark.operators import sampling as smp
+
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").alias("tlen")
+    )
+    return smp.target_encode_kfold(
+        docs, "lang", "tlen", key_col="doc_id", k=TE_K, alpha=TE_ALPHA,
+        seed=TE_SEED, method="md5",
+    )
+
+
+def _target_encode_sql() -> str:
+    from blueetl_spark.operators.sampling import BUCKETS
+
+    fold = (
+        f"CAST(concat('0x', substring(md5(concat('{TE_SEED}', "
+        f"CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % {BUCKETS} % {TE_K}"
+    )
+    return f"""
+WITH src AS (
+  SELECT CAST(lang AS VARCHAR) AS category, {fold} AS fold,
+         CAST(length(text) AS BIGINT) AS t
+  FROM documents WHERE length(text) IS NOT NULL
+),
+cf AS (
+  SELECT category, fold, COUNT(*) AS n, CAST(SUM(t) AS BIGINT) AS s
+  FROM src GROUP BY 1, 2
+),
+ct AS (
+  SELECT category, CAST(SUM(n) AS BIGINT) AS nc,
+         CAST(SUM(s) AS BIGINT) AS sc
+  FROM cf GROUP BY 1
+),
+ft AS (
+  SELECT fold, CAST(SUM(n) AS BIGINT) AS nf, CAST(SUM(s) AS BIGINT) AS sf
+  FROM cf GROUP BY 1
+),
+g AS (SELECT CAST(SUM(n) AS BIGINT) AS ng, CAST(SUM(s) AS BIGINT) AS sg
+      FROM cf),
+spine AS (
+  SELECT ct.category, f.fold, ct.nc, ct.sc
+  FROM ct CROSS JOIN (SELECT unnest(range({TE_K})) AS fold) f
+),
+dense AS (
+  SELECT sp.category, sp.fold, sp.nc, sp.sc,
+         COALESCE(cf.n, 0) AS n, COALESCE(cf.s, 0) AS s,
+         COALESCE(ft.nf, 0) AS nf, COALESCE(ft.sf, 0) AS sf
+  FROM spine sp
+  LEFT JOIN cf ON cf.category IS NOT DISTINCT FROM sp.category
+              AND cf.fold = sp.fold
+  LEFT JOIN ft ON ft.fold = sp.fold
+)
+SELECT category, fold, nc - n AS n_other,
+       ROUND((CAST(sc - s AS DOUBLE)
+              + {TE_ALPHA!r} * (CASE WHEN ng - nf > 0
+                                     THEN CAST(sg - sf AS DOUBLE)
+                                          / CAST(ng - nf AS DOUBLE) END))
+             / (CAST(nc - n AS DOUBLE) + {TE_ALPHA!r}), 6) + 0.0 AS encoded
+FROM dense, g
+"""
+
+
+SQL_TARGET_ENCODE = _target_encode_sql()
+
+
 TRI_ORDER_MOD = 20  # portable md5 gate keeps ~5% of orders
 
 
@@ -7261,6 +7335,101 @@ FROM ex
 """
 
 
+JK_BUCKETS = 30
+
+
+def q_jackknife_rpo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-jackknife CI (``profile.jackknife_ratio``) for revenue
+    per order by market segment — the ratio-metric standard error an
+    experiment platform reports (iid-row t-intervals are wrong for
+    ratios of per-unit sums). Customers hash into 30 md5 buckets;
+    every leave-one-out replica and both folds replay in SQL."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor("o_totalprice")).alias("num"),
+        F.count(F.lit(1)).alias("den"),
+    )
+    j = per_cust.join(
+        F.broadcast(
+            c.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+        ),
+        "o_custkey",
+    )
+    return profile.jackknife_ratio(
+        j, "o_custkey", "num", "den", by=["c_mktsegment"],
+        n_buckets=JK_BUCKETS,
+    )
+
+
+def _jackknife_sql() -> str:
+    from blueetl_spark.operators.sampling import BUCKETS
+
+    b = (
+        "CAST(concat('0x', substring(md5(concat('', "
+        f"CAST(o_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % {BUCKETS} "
+        f"% {JK_BUCKETS}"
+    )
+    return f"""
+WITH pc AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS num,
+         COUNT(*) AS den
+  FROM orders GROUP BY 1
+),
+u AS (
+  SELECT c.c_mktsegment AS seg, pc.num, pc.den, {b} AS b
+  FROM pc JOIN customer c ON c.c_custkey = pc.o_custkey
+),
+pb AS (
+  SELECT seg, b, COUNT(*) AS nu, CAST(SUM(num) AS BIGINT) AS nb,
+         CAST(SUM(den) AS BIGINT) AS db
+  FROM u GROUP BY 1, 2
+),
+tot AS (
+  SELECT seg, CAST(SUM(nu) AS BIGINT) AS n_units,
+         CAST(SUM(nb) AS BIGINT) AS nn, CAST(SUM(db) AS BIGINT) AS dd,
+         CAST(COUNT(*) AS BIGINT) AS bb
+  FROM pb GROUP BY 1
+),
+rl AS (
+  SELECT pb.seg,
+         list(CASE WHEN tot.dd - pb.db <> 0
+                   THEN CAST(tot.nn - pb.nb AS DOUBLE)
+                        / CAST(tot.dd - pb.db AS DOUBLE) END
+              ORDER BY pb.b) AS ris
+  FROM pb JOIN tot USING (seg) GROUP BY 1
+),
+st AS (
+  SELECT tot.seg, tot.n_units, tot.bb, tot.nn, tot.dd, rl.ris,
+         len(list_filter(rl.ris, x -> x IS NULL)) > 0 OR tot.bb < 2 AS bad,
+         list_reduce(list_prepend(0.0, rl.ris), (a, t) -> a + t)
+           / CAST(tot.bb AS DOUBLE) AS rbar
+  FROM tot JOIN rl USING (seg)
+),
+fin AS (
+  SELECT seg, n_units, bb,
+         CASE WHEN dd <> 0
+              THEN CAST(nn AS DOUBLE) / CAST(dd AS DOUBLE) END AS ratio,
+         CASE WHEN NOT bad THEN
+           sqrt((CAST(bb - 1 AS DOUBLE) / CAST(bb AS DOUBLE))
+                * list_reduce(list_prepend(0.0,
+                    list_transform(ris, t -> (t - rbar) * (t - rbar))),
+                    (a, t) -> a + t))
+         END AS se
+  FROM st
+)
+SELECT seg AS c_mktsegment, n_units, bb AS n_buckets_used,
+       ROUND(ratio, 6) + 0.0 AS ratio, ROUND(se, 6) + 0.0 AS se,
+       ROUND(ratio - 1.96 * se, 6) + 0.0 AS ci_lo,
+       ROUND(ratio + 1.96 * se, 6) + 0.0 AS ci_hi
+FROM fin
+"""
+
+
+SQL_JACKKNIFE_RPO = _jackknife_sql()
+
+
 def q_profile_shards_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The incremental-profiling contract under the oracle: orders is
     sliced into 3 disjoint batches, each writes its mergeable shard rows,
@@ -8345,6 +8514,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct": q_hll_distinct,
     "lang_id_kappa": q_lang_id_kappa,
     "cuped_experiment": q_cuped_experiment,
+    "target_encode": q_target_encode,
+    "jackknife_rpo": q_jackknife_rpo,
     # ---- oracle tail head, rotated out this round: the full r10
     # ---- graded window — every gate green rows+schema+hash in r10
     # ---- (most with 2-3 green rounds by now); hash-checked every
@@ -8621,6 +8792,8 @@ ORACLES: dict[str, str] = {
     "hll_distinct": SQL_HLL_DISTINCT,
     "lang_id_kappa": SQL_LANG_ID_KAPPA,
     "cuped_experiment": SQL_CUPED_EXPERIMENT,
+    "target_encode": SQL_TARGET_ENCODE,
+    "jackknife_rpo": SQL_JACKKNIFE_RPO,
     "gini_balances": SQL_GINI_BALANCES,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "compact_states": SQL_COMPACT_STATES,

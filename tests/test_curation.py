@@ -905,3 +905,70 @@ def test_weighted_sample_k_grouped_budgets(spark):
     assert set(map(tuple, out[["grp", "doc_id"]].values)) == set(
         map(tuple, out2[["grp", "doc_id"]].values)
     )
+
+
+def test_target_encode_kfold_leakage_free_and_null_safe(spark):
+    """The encoding a fold sees is built ONLY from other folds
+    (sequential replay agrees); a category seen in just one fold gets
+    the pure smoothed prior in that fold; NULL categories keep their
+    own counts (eqNullSafe spine join — the chi2-advice bug class);
+    k < 2 and negative alpha raise."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from blueetl_spark.operators.sampling import BUCKETS, target_encode_kfold
+
+    k, alpha, seed = 3, 4.0, "s"
+
+    def fold_of(key):
+        h = int(hashlib.md5((seed + str(key)).encode()).hexdigest()[:15], 16)
+        return (h % BUCKETS) % k
+
+    rows = []
+    for i in range(120):
+        cat = ["a", "b", None][i % 3]
+        rows.append((i, cat, 10 * (i % 7)))
+    rows.append((999, "lonely", 500))  # appears in exactly one fold
+    df = spark.createDataFrame(rows, "doc_id long, cat string, t long")
+    got = {
+        (r["category"], r["fold"]): (r["n_other"], r["encoded"])
+        for r in target_encode_kfold(
+            df, "cat", "t", key_col="doc_id", k=k, alpha=alpha, seed=seed
+        ).collect()
+    }
+    assert len(got) == 4 * k  # densified: every (category, fold)
+
+    # sequential replay
+    from collections import defaultdict
+
+    cf_n, cf_s = defaultdict(int), defaultdict(int)
+    for key, cat, t in rows:
+        f = fold_of(key)
+        cf_n[(cat, f)] += 1
+        cf_s[(cat, f)] += t
+    cats = {c for _, c, _ in rows}
+    for cat in cats:
+        nc = sum(cf_n[(cat, f)] for f in range(k))
+        sc = sum(cf_s[(cat, f)] for f in range(k))
+        for f in range(k):
+            ng_o = sum(v for (c2, f2), v in cf_n.items() if f2 != f)
+            sg_o = sum(v for (c2, f2), v in cf_s.items() if f2 != f)
+            prior = sg_o / ng_o
+            n_o = nc - cf_n[(cat, f)]
+            s_o = sc - cf_s[(cat, f)]
+            enc = round((s_o + alpha * prior) / (n_o + alpha), 6)
+            assert got[(cat, f)] == (n_o, enc), (cat, f)
+
+    # the lonely category's own fold sees NO self-leak: pure prior
+    lf = fold_of(999)
+    n_o, enc = got[("lonely", lf)]
+    assert n_o == 0
+    ng_o = sum(v for (c2, f2), v in cf_n.items() if f2 != lf)
+    sg_o = sum(v for (c2, f2), v in cf_s.items() if f2 != lf)
+    assert enc == round(sg_o / ng_o, 6)  # (0 + a*prior)/(0 + a)
+
+    with _pytest.raises(ValueError, match="k must be"):
+        target_encode_kfold(df, "cat", "t", k=1)
+    with _pytest.raises(ValueError, match="alpha"):
+        target_encode_kfold(df, "cat", "t", alpha=-1)

@@ -779,3 +779,68 @@ def test_join_size_estimate_exact_convolution(spark):
     ).head()
     assert disjoint.join_rows == 0
     assert disjoint.topk_share is None
+
+
+def test_jackknife_ratio_matches_sequential_replay(spark):
+    """ratio/se/CI match a sequential delete-one-bucket replay with the
+    same md5 bucket assignment; a group where one bucket owns the whole
+    denominator reports NULL se; n_buckets < 2 raises."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from blueetl_spark.operators.profile import jackknife_ratio
+    from blueetl_spark.operators.sampling import BUCKETS
+
+    nb = 7
+
+    def bucket_of(u):
+        return (int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+                % BUCKETS) % nb
+
+    rows = [("g", u, 10 + (u * 13) % 50, 1 + u % 4) for u in range(200)]
+    # concentrated group: all denominator mass in one unit/bucket
+    rows += [("solo", 999, 50, 5)]
+    df = spark.createDataFrame(rows, "g string, u long, num long, den long")
+    got = {
+        r["g"]: r
+        for r in jackknife_ratio(
+            df, "u", "num", "den", by=["g"], n_buckets=nb
+        ).collect()
+    }
+
+    from collections import defaultdict
+
+    nbk, dbk = defaultdict(int), defaultdict(int)
+    for g, u, num, den in rows:
+        if g != "g":
+            continue
+        b = bucket_of(u)
+        nbk[b] += num
+        dbk[b] += den
+    n_tot, d_tot = sum(nbk.values()), sum(dbk.values())
+    buckets = sorted(nbk)
+    ris = [(n_tot - nbk[b]) / (d_tot - dbk[b]) for b in buckets]
+    bcount = len(buckets)
+    rbar = 0.0
+    for r_ in ris:
+        rbar += r_
+    rbar /= bcount
+    var = 0.0
+    for r_ in ris:
+        var += (r_ - rbar) ** 2
+    var *= (bcount - 1) / bcount
+    se = var**0.5
+    r = got["g"]
+    assert r["n_units"] == 200 and r["n_buckets_used"] == bcount
+    assert r["ratio"] == round(n_tot / d_tot, 6)
+    assert r["se"] == round(se, 6)
+    assert r["ci_lo"] == round(n_tot / d_tot - 1.96 * se, 6)
+    assert r["ci_hi"] == round(n_tot / d_tot + 1.96 * se, 6)
+
+    s = got["solo"]
+    assert s["ratio"] == 10.0  # 50/5
+    assert s["se"] is None and s["ci_lo"] is None  # B < 2
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        jackknife_ratio(df, "u", "num", "den", n_buckets=1)
