@@ -562,3 +562,36 @@ def test_continuation_gates_plan_shapes(spark):
 
     for q in (mw, auc, cal, km, sa):
         assert "BatchEvalPython" not in q
+
+
+def test_round11_gates_plan_shapes(spark):
+    """Plan pins for the round-11 gates: the HLL shard path is one
+    map-side-combined max per shard with a broadcast register merge;
+    kappa/CUPED/jackknife/target-encode attach their small re-aggregated
+    sides by broadcast (no SortMergeJoin anywhere — a data-sized SMJ
+    would mean a stats table stopped being category/bucket-sized); no
+    row-at-a-time Python anywhere."""
+    from blueetl_spark import queries as Q
+
+    plans = {
+        name: _formatted_plan(fn(spark, SF))
+        for name, fn in [
+            ("hll_distinct", Q.q_hll_distinct),
+            ("cuped_experiment", Q.q_cuped_experiment),
+            ("jackknife_rpo", Q.q_jackknife_rpo),
+            ("target_encode", Q.q_target_encode),
+            ("theil_sen_windowed", Q.q_theil_sen_windowed),
+        ]
+    }
+    for name, p in plans.items():
+        assert "BatchEvalPython" not in p, name
+        assert "SortMergeJoin" not in p, (name, "data-sized join crept in")
+    # jackknife: the customer dim attaches by broadcast
+    assert "BroadcastHashJoin" in plans["jackknife_rpo"]
+    # windowed TS: exactly the two keyed exchanges of the two-level
+    # design (per-(gid, window) then per-gid)
+    ts_ex = sum(
+        "Exchange hashpartitioning" in l
+        for l in plans["theil_sen_windowed"].splitlines()
+    )
+    assert ts_ex <= 2, plans["theil_sen_windowed"]
