@@ -163,6 +163,7 @@ HEADLINE = [
     "cuped_experiment",
     "target_encode",
     "jackknife_rpo",
+    "bloom_join_revenue",
 ]
 
 

@@ -99,3 +99,118 @@ def skew_ratio(df: DataFrame, key: str) -> float:
     if row is None or not row.avg:
         return 1.0
     return float(row.mx / row.avg)
+
+
+def _bloom_bit(p):
+    """2^(p & 31) as an exact long column. shiftleft() takes only a
+    Python-int shift, so the per-row bit mask goes through pow(2, b):
+    powers of two are exact doubles, and b ≤ 31 keeps the long cast
+    trivially safe — hence 32-bit words."""
+    return F.pow(F.lit(2.0), p.bitwiseAND(F.lit(31)).cast("double")).cast(
+        "long"
+    )
+
+
+def bloom_bitmap(small: DataFrame, on: str, m_bits: int = 1 << 20, k: int = 5) -> DataFrame:
+    """ONE-row bitmap frame (``array<long>`` of ``m_bits/32`` 32-bit
+    words) — a Bloom filter of ``small``'s join keys built entirely
+    with DataFrame ops (explode k positions → bit_or per word →
+    densify), so it works on any Spark without relying on the engine's
+    internal runtime-filter machinery. 1M bits = 32k words = 256 KB —
+    broadcast change."""
+    if m_bits % 32 != 0 or m_bits <= 0:
+        raise ValueError("m_bits must be a positive multiple of 32")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    key = F.col(on)
+    pos = small.filter(key.isNotNull()).select(
+        F.explode(
+            F.array(*[
+                F.pmod(F.xxhash64(F.lit(i), key), F.lit(m_bits))
+                for i in range(k)
+            ])
+        ).alias("__p")
+    )
+    words = (
+        pos.select(
+            F.shiftrightunsigned("__p", 5).alias("__w"),
+            _bloom_bit(F.col("__p")).alias("__bit"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__bit").alias("__bits"))
+    )
+    m = F.col("__m")
+    return words.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("__w", "__bits")))
+        ).alias("__m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m_bits // 32 - 1)),
+            lambda i: F.coalesce(
+                F.element_at(m, i.cast("long")), F.lit(0).cast("long")
+            ),
+        ).alias("__bloom")
+    )
+
+
+def bloom_might_contain(on: str, m_bits: int = 1 << 20, k: int = 5):
+    """The membership predicate matching :func:`bloom_bitmap` — AND of
+    the k bit probes against the broadcast ``__bloom`` array column."""
+    key = F.col(on)
+    cond = None
+    for i in range(k):
+        p = F.pmod(F.xxhash64(F.lit(i), key), F.lit(m_bits))
+        word = F.element_at(
+            F.col("__bloom"), (F.shiftrightunsigned(p, 5) + 1).cast("int")
+        )
+        c = word.bitwiseAND(_bloom_bit(p)) != 0
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def bloom_prejoin(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    how: str = "inner",
+) -> DataFrame:
+    """Bloom-runtime-filtered join for the case BETWEEN broadcast and
+    raw shuffle: the dimension side is too big to broadcast, but its
+    key BLOOM (128 KB at the default 1M bits) is not — so the fact
+    side is pre-filtered map-side against the broadcast bitmap and
+    only surviving rows pay the shuffle. EXACT by construction: a
+    Bloom false positive just rides into the real join and falls out
+    there, so the result is identical to ``big.join(small, on, how)``
+    — the filter only removes rows that provably cannot match.
+
+    Restricted to ``inner``/``left_semi`` (the joins where dropping
+    non-matching big-side rows early is sound; a left/outer join must
+    keep them). False-positive rate ≈ (1 − e^{−k·n/m})^k — at the
+    defaults, ~0.1% for n = 50k keys; size ``m_bits`` ≈ 10–15 bits per
+    expected key (the bitmap is ``m_bits/32`` longs: 256 KB at 1M
+    bits). NULL big-side keys are pruned (they cannot match an inner
+    join anyway).
+
+    Scale shape: one aggregate over the dim side's KEY column builds
+    the bitmap (word-count-sized shuffle, ≤ 16k rows); the probe is a
+    broadcast nested-loop of ONE row + a JVM-side bit test per fact
+    row; the real join then runs on the pruned side. At 100 TB this is
+    the shuffle-mass killer when the dim has 10⁵–10⁸ keys and the fact
+    matches only a slice of them.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            "bloom_prejoin supports how='inner' or 'left_semi' only: a "
+            "left/outer join must keep non-matching big-side rows, which "
+            "the pre-filter removes"
+        )
+    bitmap = bloom_bitmap(small, on, m_bits=m_bits, k=k)
+    pruned = (
+        big.crossJoin(F.broadcast(bitmap))
+        .filter(bloom_might_contain(on, m_bits=m_bits, k=k))
+        .drop("__bloom")
+    )
+    return pruned.join(small, on, how)

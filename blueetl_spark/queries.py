@@ -7335,6 +7335,44 @@ FROM ex
 """
 
 
+def q_bloom_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-runtime-filtered join (``functions.skew.bloom_prejoin``)
+    for the between-broadcast-and-shuffle regime: lineitem pre-filters
+    map-side against a 128 KB broadcast bitmap of the selective
+    supplier slice's keys, then joins exactly — false positives fall
+    out in the real join, so the oracle is the PLAIN SQL join (the
+    whole point: the filter is invisible to correctness)."""
+    from blueetl_spark.functions import skew
+
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    s = (
+        tables.load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
+    )
+    return (
+        skew.bloom_prejoin(li, s, "l_suppkey")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+SQL_BLOOM_JOIN_REVENUE = """
+SELECT s_nationkey, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+WHERE s_acctbal > 9000
+GROUP BY 1
+"""
+
+
 JK_BUCKETS = 30
 
 
@@ -8516,6 +8554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cuped_experiment": q_cuped_experiment,
     "target_encode": q_target_encode,
     "jackknife_rpo": q_jackknife_rpo,
+    "bloom_join_revenue": q_bloom_join_revenue,
     # ---- oracle tail head, rotated out this round: the full r10
     # ---- graded window — every gate green rows+schema+hash in r10
     # ---- (most with 2-3 green rounds by now); hash-checked every
@@ -8794,6 +8833,7 @@ ORACLES: dict[str, str] = {
     "cuped_experiment": SQL_CUPED_EXPERIMENT,
     "target_encode": SQL_TARGET_ENCODE,
     "jackknife_rpo": SQL_JACKKNIFE_RPO,
+    "bloom_join_revenue": SQL_BLOOM_JOIN_REVENUE,
     "gini_balances": SQL_GINI_BALANCES,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "compact_states": SQL_COMPACT_STATES,

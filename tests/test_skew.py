@@ -80,3 +80,55 @@ def test_salted_join_rejects_outer_joins(skewed):
         salted_join(big, small, "k", how="full")
     with pytest.raises(ValueError, match="salt value"):
         salted_join(big, small, "k", how="right")
+
+
+def test_bloom_prejoin_exact_and_pruning(spark):
+    """bloom_prejoin's result is IDENTICAL to the plain join (false
+    positives fall out in the real join); the bitmap actually prunes
+    non-member rows at a low false-positive rate; NULL big-side keys
+    never pass; left/outer joins are rejected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.functions.skew import (
+        bloom_bitmap,
+        bloom_might_contain,
+        bloom_prejoin,
+    )
+
+    big = spark.range(20_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(5_000)).alias("k"),
+        F.col("id").alias("v"),
+    ).unionByName(
+        spark.createDataFrame([(None, -1)], "k long, v long")
+    )
+    small = spark.range(200).select(
+        (F.col("id") * 25).alias("k"), F.lit("dim").alias("d")
+    )
+
+    plain = big.join(small, "k", "inner")
+    bloomed = bloom_prejoin(big, small, "k", m_bits=1 << 14, k=5)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, bloomed.collect())
+    )
+    # semi variant too
+    ps = big.join(small, "k", "left_semi")
+    bs = bloom_prejoin(big, small, "k", m_bits=1 << 14, how="left_semi")
+    assert sorted(map(tuple, ps.collect())) == sorted(map(tuple, bs.collect()))
+
+    # pruning power: survivors of the bitmap filter alone are close to
+    # the true member count (2^14 bits / 200 keys -> fpp ~ 1e-4)
+    bm = bloom_bitmap(small, "k", m_bits=1 << 14, k=5)
+    survivors = (
+        big.crossJoin(F.broadcast(bm))
+        .filter(bloom_might_contain("k", m_bits=1 << 14, k=5))
+        .count()
+    )
+    true_members = plain.count()
+    assert true_members <= survivors <= true_members + 50
+    assert survivors < big.count() / 10  # it genuinely prunes
+
+    with _pytest.raises(ValueError, match="inner"):
+        bloom_prejoin(big, small, "k", how="left")
+    with _pytest.raises(ValueError, match="m_bits"):
+        bloom_bitmap(small, "k", m_bits=33)
