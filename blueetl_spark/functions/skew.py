@@ -104,20 +104,21 @@ def skew_ratio(df: DataFrame, key: str) -> float:
 def _bloom_bit(p):
     """2^(p & 31) as an exact long column. shiftleft() takes only a
     Python-int shift, so the per-row bit mask goes through pow(2, b):
-    powers of two are exact doubles, and b ≤ 31 keeps the long cast
+    powers of two are exact doubles, and b <= 31 keeps the long cast
     trivially safe — hence 32-bit words."""
     return F.pow(F.lit(2.0), p.bitwiseAND(F.lit(31)).cast("double")).cast(
         "long"
     )
 
 
-def bloom_bitmap(small: DataFrame, on: str, m_bits: int = 1 << 20, k: int = 5) -> DataFrame:
-    """ONE-row bitmap frame (``array<long>`` of ``m_bits/32`` 32-bit
-    words) — a Bloom filter of ``small``'s join keys built entirely
-    with DataFrame ops (explode k positions → bit_or per word →
-    densify), so it works on any Spark without relying on the engine's
-    internal runtime-filter machinery. 1M bits = 32k words = 256 KB —
-    broadcast change."""
+def bloom_words(small: DataFrame, on: str, m_bits: int = 1 << 20, k: int = 5) -> DataFrame:
+    """SPARSE Bloom bitmap of ``small``'s join keys as a word table
+    ``(__w, __bits)`` — one row per 32-bit word with at least one bit
+    set (<= min(m_bits/32, k*n_keys) rows), built entirely with
+    DataFrame ops (explode k positions -> bit_or per word). Sparse is
+    the point: an absent word means "no member hashes here", which an
+    inner probe-join rejects for free — no dense spine, no arrays.
+    """
     if m_bits % 32 != 0 or m_bits <= 0:
         raise ValueError("m_bits must be a positive multiple of 32")
     if k < 1:
@@ -131,7 +132,7 @@ def bloom_bitmap(small: DataFrame, on: str, m_bits: int = 1 << 20, k: int = 5) -
             ])
         ).alias("__p")
     )
-    words = (
+    return (
         pos.select(
             F.shiftrightunsigned("__p", 5).alias("__w"),
             _bloom_bit(F.col("__p")).alias("__bit"),
@@ -139,34 +140,42 @@ def bloom_bitmap(small: DataFrame, on: str, m_bits: int = 1 << 20, k: int = 5) -
         .groupBy("__w")
         .agg(F.bit_or("__bit").alias("__bits"))
     )
-    m = F.col("__m")
-    return words.agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("__w", "__bits")))
-        ).alias("__m")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m_bits // 32 - 1)),
-            lambda i: F.coalesce(
-                F.element_at(m, i.cast("long")), F.lit(0).cast("long")
-            ),
-        ).alias("__bloom")
-    )
 
 
-def bloom_might_contain(on: str, m_bits: int = 1 << 20, k: int = 5):
-    """The membership predicate matching :func:`bloom_bitmap` — AND of
-    the k bit probes against the broadcast ``__bloom`` array column."""
-    key = F.col(on)
-    cond = None
+def bloom_prefilter(
+    big: DataFrame,
+    words: DataFrame,
+    on: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Prune ``big`` to rows whose key MIGHT be in the Bloom word table
+    (same columns out). Each of the k probes is one broadcast HASH join
+    on the word index + a JVM bit test — whole-stage-codegen hash
+    lookups, no arrays anywhere. Two earlier forms measured 10-40x
+    slower on 600k rows: a cross-joined dense array column copies the
+    256 KB bitmap into every fact row before the filter can drop it,
+    and a 32k-element array literal lowers to CreateArray with 32k
+    child expressions evaluated PER ROW. The probe-join form is the
+    one that scales. ``m_bits``/``k`` MUST match the build.
+    """
+    pruned = big
     for i in range(k):
-        p = F.pmod(F.xxhash64(F.lit(i), key), F.lit(m_bits))
-        word = F.element_at(
-            F.col("__bloom"), (F.shiftrightunsigned(p, 5) + 1).cast("int")
+        p = F.pmod(F.xxhash64(F.lit(i), F.col(on)), F.lit(m_bits))
+        wt = F.broadcast(
+            words.select(
+                F.col("__w").alias(f"__w{i}"),
+                F.col("__bits").alias(f"__bits{i}"),
+            )
         )
-        c = word.bitwiseAND(_bloom_bit(p)) != 0
-        cond = c if cond is None else (cond & c)
-    return cond
+        pruned = (
+            pruned.join(
+                wt, F.shiftrightunsigned(p, 5) == F.col(f"__w{i}"), "inner"
+            )
+            .filter(F.col(f"__bits{i}").bitwiseAND(_bloom_bit(p)) != 0)
+            .drop(f"__w{i}", f"__bits{i}")
+        )
+    return pruned
 
 
 def bloom_prejoin(
@@ -179,27 +188,26 @@ def bloom_prejoin(
 ) -> DataFrame:
     """Bloom-runtime-filtered join for the case BETWEEN broadcast and
     raw shuffle: the dimension side is too big to broadcast, but its
-    key BLOOM (128 KB at the default 1M bits) is not — so the fact
-    side is pre-filtered map-side against the broadcast bitmap and
-    only surviving rows pay the shuffle. EXACT by construction: a
-    Bloom false positive just rides into the real join and falls out
-    there, so the result is identical to ``big.join(small, on, how)``
-    — the filter only removes rows that provably cannot match.
+    key BLOOM is not — the sparse word table (<= m_bits/32 rows of two
+    longs) broadcasts, the fact side is pre-filtered map-side with k
+    probe-joins (:func:`bloom_prefilter`), and only surviving rows pay
+    the shuffle. EXACT by construction: a Bloom false positive just
+    rides into the real join and falls out there, so the result is
+    identical to ``big.join(small, on, how)`` — the filter only
+    removes rows that provably cannot match.
 
     Restricted to ``inner``/``left_semi`` (the joins where dropping
     non-matching big-side rows early is sound; a left/outer join must
-    keep them). False-positive rate ≈ (1 − e^{−k·n/m})^k — at the
-    defaults, ~0.1% for n = 50k keys; size ``m_bits`` ≈ 10–15 bits per
-    expected key (the bitmap is ``m_bits/32`` longs: 256 KB at 1M
-    bits). NULL big-side keys are pruned (they cannot match an inner
-    join anyway).
+    keep them). False-positive rate ~ (1 - e^{-k*n/m})^k — at the
+    defaults, ~0.1% for n = 50k keys; size ``m_bits`` at 10-15 bits
+    per expected key. NULL big-side keys are pruned (they cannot match
+    an inner join anyway).
 
     Scale shape: one aggregate over the dim side's KEY column builds
-    the bitmap (word-count-sized shuffle, ≤ 16k rows); the probe is a
-    broadcast nested-loop of ONE row + a JVM-side bit test per fact
-    row; the real join then runs on the pruned side. At 100 TB this is
-    the shuffle-mass killer when the dim has 10⁵–10⁸ keys and the fact
-    matches only a slice of them.
+    the word table (word-count-sized); k broadcast hash probes per
+    fact row (codegen'd); the real join then runs on the pruned side.
+    At 100 TB this is the shuffle-mass killer when the dim has
+    10^5-10^8 keys and the fact matches only a slice of them.
     """
     if how not in ("inner", "left_semi"):
         raise ValueError(
@@ -207,10 +215,7 @@ def bloom_prejoin(
             "left/outer join must keep non-matching big-side rows, which "
             "the pre-filter removes"
         )
-    bitmap = bloom_bitmap(small, on, m_bits=m_bits, k=k)
-    pruned = (
-        big.crossJoin(F.broadcast(bitmap))
-        .filter(bloom_might_contain(on, m_bits=m_bits, k=k))
-        .drop("__bloom")
+    words = bloom_words(small, on, m_bits=m_bits, k=k)
+    return bloom_prefilter(big, words, on, m_bits=m_bits, k=k).join(
+        small, on, how
     )
-    return pruned.join(small, on, how)

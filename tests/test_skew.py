@@ -91,9 +91,9 @@ def test_bloom_prejoin_exact_and_pruning(spark):
     from pyspark.sql import functions as F
 
     from blueetl_spark.functions.skew import (
-        bloom_bitmap,
-        bloom_might_contain,
+        bloom_prefilter,
         bloom_prejoin,
+        bloom_words,
     )
 
     big = spark.range(20_000).select(
@@ -116,14 +116,10 @@ def test_bloom_prejoin_exact_and_pruning(spark):
     bs = bloom_prejoin(big, small, "k", m_bits=1 << 14, how="left_semi")
     assert sorted(map(tuple, ps.collect())) == sorted(map(tuple, bs.collect()))
 
-    # pruning power: survivors of the bitmap filter alone are close to
-    # the true member count (2^14 bits / 200 keys -> fpp ~ 1e-4)
-    bm = bloom_bitmap(small, "k", m_bits=1 << 14, k=5)
-    survivors = (
-        big.crossJoin(F.broadcast(bm))
-        .filter(bloom_might_contain("k", m_bits=1 << 14, k=5))
-        .count()
-    )
+    # pruning power: survivors of the word-table prefilter alone are
+    # close to the true member count (2^14 bits / 200 keys -> low fpp)
+    words = bloom_words(small, "k", m_bits=1 << 14, k=5)
+    survivors = bloom_prefilter(big, words, "k", m_bits=1 << 14, k=5).count()
     true_members = plain.count()
     assert true_members <= survivors <= true_members + 50
     assert survivors < big.count() / 10  # it genuinely prunes
@@ -131,4 +127,4 @@ def test_bloom_prejoin_exact_and_pruning(spark):
     with _pytest.raises(ValueError, match="inner"):
         bloom_prejoin(big, small, "k", how="left")
     with _pytest.raises(ValueError, match="m_bits"):
-        bloom_bitmap(small, "k", m_bits=33)
+        bloom_words(small, "k", m_bits=33)
