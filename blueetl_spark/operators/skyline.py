@@ -16,9 +16,12 @@ dominance is transitive:
    is typically orders of magnitude smaller than the partition —
    frontier size grows ~log^(d-1)(n) for independent dims.
 2. **Global frontier**: the surviving candidates collapse to ONE
-   partition (size-gated: the candidate count is measured first and a
-   too-big frontier raises with the bound to tune, never OOMs an
-   executor) and the same kernel runs once more.
+   partition and the same kernel runs once more. The pass is size-gated
+   INSIDE the kernel: the streamed row count is checked against
+   ``max_candidate_rows`` before any concat, so a too-big frontier
+   raises with the bound to tune instead of OOMing the executor — and
+   the whole operator is one lazy plan (no eager checkpoint/count jobs
+   at call time).
 
 The kernel is a vectorized two-pass numpy filter: a sorted sweep drops
 most dominated rows in O(n·|frontier|), then an exact pairwise pass
@@ -109,8 +112,22 @@ def pareto_frontier(
     out_schema = clean.schema
     obj = [(c, 1.0) for c in minimize] + [(c, -1.0) for c in maximize]
 
-    def local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parts = list(batches)
+    def _kernel(
+        batches: Iterator[pd.DataFrame], bound: int | None
+    ) -> Iterator[pd.DataFrame]:
+        parts, n = [], 0
+        for b in batches:
+            n += len(b)
+            if bound is not None and n > bound:
+                # raise BEFORE concatenating everything: the guard must
+                # fire on row count, not after an OOM-sized concat
+                raise ValueError(
+                    f">{bound} local-frontier candidates exceed "
+                    f"max_candidate_rows={bound}; the objectives are too "
+                    "anti-correlated for a single-partition global pass — "
+                    "raise the bound or reduce dimensionality"
+                )
+            parts.append(b)
         if not parts:  # empty partition
             return
         pdf = pd.concat(parts, ignore_index=True)
@@ -121,13 +138,21 @@ def pareto_frontier(
         )
         yield pdf[_frontier_mask(x)]
 
-    candidates = clean.mapInPandas(local, out_schema).localCheckpoint(eager=True)
-    n_cand = candidates.count()
-    if n_cand > max_candidate_rows:
-        raise ValueError(
-            f"{n_cand} local-frontier candidates exceed max_candidate_rows="
-            f"{max_candidate_rows}; the objectives are too anti-correlated "
-            "for a single-partition global pass — raise the bound or reduce "
-            "dimensionality"
-        )
-    return candidates.repartition(1).mapInPandas(local, out_schema)
+    def local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _kernel(batches, None)
+
+    def global_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _kernel(batches, max_candidate_rows)
+
+    # Single lazy plan: local frontiers -> one small exchange -> global
+    # pass. The candidate-size gate runs INSIDE the global kernel (raises
+    # on the streamed row count before concat), replacing the former
+    # eager localCheckpoint + count() + repartition triple that cost two
+    # extra materializations of the input per call (r11 verdict #1).
+    # repartition(1), not coalesce(1): coalesce would propagate the
+    # 1-partition constraint upstream and serialize the local pass.
+    return (
+        clean.mapInPandas(local, out_schema)
+        .repartition(1)
+        .mapInPandas(global_pass, out_schema)
+    )

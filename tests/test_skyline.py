@@ -73,8 +73,11 @@ def test_candidate_size_gate(spark):
     # an anti-diagonal: every point is on the frontier
     pdf = pd.DataFrame({"a": np.arange(100.0), "b": -np.arange(100.0)})
     df = spark.createDataFrame(pdf)
-    with pytest.raises(ValueError, match="max_candidate_rows"):
-        pareto_frontier(df, minimize=["a", "b"], max_candidate_rows=10)
+    # the gate fires inside the single-partition global kernel at action
+    # time (the operator is one lazy plan now), so the ValueError arrives
+    # wrapped in Spark's PythonException — match on the message
+    with pytest.raises(Exception, match="max_candidate_rows"):
+        pareto_frontier(df, minimize=["a", "b"], max_candidate_rows=10).count()
     # within the gate it returns everything
     assert pareto_frontier(df, minimize=["a", "b"]).count() == 100
 
