@@ -111,6 +111,25 @@ def _bloom_bit(p):
     )
 
 
+_INTEGRAL = ("byte", "short", "int", "integer", "bigint", "long", "smallint", "tinyint")
+
+
+def _bloom_key(df: DataFrame, on: str):
+    """Canonical hash input for the join key: integral types collapse to
+    long, everything else to string. xxhash64 is TYPE-SENSITIVE in Spark
+    (int 5 and bigint 5 hash differently), so without this an int build
+    side + bigint probe side would silently prune genuinely matching
+    rows — a plain join would have type-coerced them. Canonicalizing on
+    BOTH sides makes any integral/integral or same-category pairing
+    safe; cross-category pairs (e.g. int vs double) are rejected up
+    front by :func:`bloom_prejoin`."""
+    t = dict(df.dtypes)[on]
+    base = t.split("(")[0]
+    if base in _INTEGRAL:
+        return F.col(on).cast("long"), "integral"
+    return F.col(on).cast("string"), t
+
+
 def bloom_words(small: DataFrame, on: str, m_bits: int = 1 << 20, k: int = 5) -> DataFrame:
     """SPARSE Bloom bitmap of ``small``'s join keys as a word table
     ``(__w, __bits)`` — one row per 32-bit word with at least one bit
@@ -123,7 +142,7 @@ def bloom_words(small: DataFrame, on: str, m_bits: int = 1 << 20, k: int = 5) ->
         raise ValueError("m_bits must be a positive multiple of 32")
     if k < 1:
         raise ValueError("k must be >= 1")
-    key = F.col(on)
+    key, _ = _bloom_key(small, on)
     pos = small.filter(key.isNotNull()).select(
         F.explode(
             F.array(*[
@@ -157,11 +176,17 @@ def bloom_prefilter(
     256 KB bitmap into every fact row before the filter can drop it,
     and a 32k-element array literal lowers to CreateArray with 32k
     child expressions evaluated PER ROW. The probe-join form is the
-    one that scales. ``m_bits``/``k`` MUST match the build.
+    one that scales. ``m_bits``/``k`` MUST match the build, and the key
+    is hashed through the same canonicalization as :func:`bloom_words`
+    (integral -> long, else string), so an int build side + bigint
+    probe side stays correct. NULL big-side keys are dropped here
+    (xxhash64 skips NULL args, so an unfiltered NULL would probe fixed
+    positions and could pass all k bit tests).
     """
-    pruned = big
+    key, _ = _bloom_key(big, on)
+    pruned = big.filter(key.isNotNull())
     for i in range(k):
-        p = F.pmod(F.xxhash64(F.lit(i), F.col(on)), F.lit(m_bits))
+        p = F.pmod(F.xxhash64(F.lit(i), key), F.lit(m_bits))
         wt = F.broadcast(
             words.select(
                 F.col("__w").alias(f"__w{i}"),
@@ -214,6 +239,16 @@ def bloom_prejoin(
             "bloom_prejoin supports how='inner' or 'left_semi' only: a "
             "left/outer join must keep non-matching big-side rows, which "
             "the pre-filter removes"
+        )
+    _, big_cat = _bloom_key(big, on)
+    _, small_cat = _bloom_key(small, on)
+    if big_cat != small_cat:
+        raise ValueError(
+            f"bloom_prejoin key dtype mismatch on {on!r}: big side is "
+            f"{big_cat}, small side is {small_cat}. The Bloom probe hashes "
+            "canonicalized values (integral -> long, else string), so "
+            "cross-category keys (e.g. int vs double) would silently prune "
+            "matches a plain type-coercing join keeps — cast one side first"
         )
     words = bloom_words(small, on, m_bits=m_bits, k=k)
     return bloom_prefilter(big, words, on, m_bits=m_bits, k=k).join(

@@ -717,6 +717,9 @@ def cuped(
     re-aggregate the VARIANT table (group-count-sized) and broadcast
     back — no second data pass.
     """
+    from blueetl_spark.schemas import require_integral
+
+    require_integral(df, metric_col, covariate_col, op="cuped")
     by = list(by)
     y = F.col(metric_col).cast("long")
     x = F.col(covariate_col).cast("long")

@@ -1108,6 +1108,9 @@ def jackknife_ratio(
 
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
+    from blueetl_spark.schemas import require_integral
+
+    require_integral(df, num_col, den_col, op="jackknife_ratio")
     by = list(by)
     num = F.col(num_col).cast("long")
     den = F.col(den_col).cast("long")

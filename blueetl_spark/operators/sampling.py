@@ -529,6 +529,9 @@ def target_encode_kfold(
         raise ValueError("k must be >= 2 (leave-one-fold-out needs folds)")
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
+    from blueetl_spark.schemas import require_integral
+
+    require_integral(df, target_col, op="target_encode_kfold")
     c = F.col(cat_col).cast("string")
     t = F.col(target_col).cast("long")
     fold = F.pmod(hash_bucket(key_col, seed, method), F.lit(k)).alias("fold")

@@ -690,14 +690,17 @@ def merge_ohlc_shards(shards: DataFrame, by: Sequence[str] = ()) -> DataFrame:
 
     Version-guarded: shard rows must carry the current
     ``__schema_version`` marker. A frame with no marker column (a dir
-    written entirely by a pre-versioning build), a NULL marker (a
-    mixed dir read with ``mergeSchema`` — old rows surface as NULL),
-    or a stale/unknown version raises a ValueError naming the fix
-    (re-shard from source or start a new shard path) instead of
-    silently folding incompatible tie encodings. The check is one
-    distinct over a single int column — parquet column stats make it
-    a metadata-cheap scan of a table already bounded by batches ×
-    groups × buckets.
+    written entirely by a pre-versioning build) raises immediately
+    (schema-only check, no job). A NULL marker (a mixed dir read with
+    ``mergeSchema`` — old rows surface as NULL) or a stale/unknown
+    version fails LAZILY, inside the merge plan itself: the marker is
+    checked per-row by a ``raise_error`` guard folded into the ``n``
+    column, so the merge stays a lazy plan builder (no eager
+    distinct/collect job at call time — ADVICE r11) and a caller
+    composing merges inside a larger pipeline pays nothing until the
+    pipeline actually runs; the first offending row aborts the job
+    with the fix named (re-shard from source or start a new shard
+    path) instead of silently folding incompatible tie encodings.
     """
     if "__schema_version" not in shards.columns:
         raise ValueError(
@@ -706,21 +709,31 @@ def merge_ohlc_shards(shards: DataFrame, by: Sequence[str] = ()) -> DataFrame:
             "tie keys). Re-shard from source with the current ohlc_shard, "
             "or point the stream at a fresh shard_path."
         )
-    versions = {
-        r[0] for r in shards.select("__schema_version").distinct().collect()
-    }
-    stale = versions - {OHLC_SHARD_SCHEMA_VERSION}
-    if stale:
-        raise ValueError(
-            f"ohlc shard frame mixes schema versions {sorted(versions, key=str)} "
-            f"(current: {OHLC_SHARD_SCHEMA_VERSION}; NULL means rows from an "
-            "unmarked pre-versioning build merged in via mergeSchema). "
-            "Re-shard from source with the current ohlc_shard, or start a "
-            "new shard_path and let old dirs age out."
-        )
+    bad_version = F.col("__schema_version").isNull() | (
+        F.col("__schema_version") != F.lit(OHLC_SHARD_SCHEMA_VERSION)
+    )
+    version_guard = F.when(
+        bad_version,
+        F.raise_error(
+            F.concat(
+                F.lit("ohlc shard frame carries schema version "),
+                F.coalesce(
+                    F.col("__schema_version").cast("string"),
+                    F.lit("NULL (unmarked pre-versioning rows merged in "
+                          "via mergeSchema)"),
+                ),
+                F.lit(
+                    f" (current: {OHLC_SHARD_SCHEMA_VERSION}). Re-shard "
+                    "from source with the current ohlc_shard, or start a "
+                    "new shard_path and let old dirs age out."
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n"))
     keys = [*by, "bucket"]
     return (
-        shards.dropDuplicates([*keys, "batch_id"])
+        shards.withColumn("n", version_guard)
+        .dropDuplicates([*keys, "batch_id"])
         .groupBy(*keys)
         .agg(
             F.min_by("open", F.struct("open_t", "open_tie")).alias("open"),

@@ -149,3 +149,33 @@ def validate_windows(windows: DataFrame) -> None:
     from blueetl_spark.operators.windows import validate_windows as _validate
 
     _validate(windows)
+
+
+def require_integral(df: DataFrame, *cols: str, op: str) -> None:
+    """Raise when any named column is fractional (float/double, or
+    decimal with a nonzero scale). The engine-exact estimators (cuped,
+    jackknife_ratio, target_encode_kfold, mann_whitney's designed
+    path, ...) cast their value columns to BIGINT so every sum is
+    exact; on a fractional input that cast TRUNCATES (0.9 -> 0) and
+    produces confidently wrong moments. The integer-quantization
+    precondition is documented on each operator — this makes it
+    enforced (ADVICE r11): quantize upstream (e.g. cents via
+    ``F.round(col * 100).cast('long')``) and pass the integer column.
+    """
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        t = dtypes.get(c)
+        if t is None:
+            raise SchemaError(f"{op}: column {c!r} not found in frame")
+        base = t.split("(")[0]
+        fractional = base in ("float", "double") or (
+            base == "decimal" and "," in t and t.rstrip(")").split(",")[-1].strip() != "0"
+        )
+        if fractional:
+            raise SchemaError(
+                f"{op}: column {c!r} has fractional type {t}; the "
+                "engine-exact BIGINT moments would silently truncate "
+                "(0.9 -> 0). Quantize to integer units upstream "
+                "(e.g. F.round(col * 100).cast('long') for cents) and "
+                "pass the integer column."
+            )

@@ -455,3 +455,38 @@ def test_cuped_matches_numpy_reference_and_reduces_variance(spark):
     ).collect()
     assert all(r["theta"] is None and r["mean_y_cuped"] is None for r in const)
     assert all(r["mean_y"] is not None for r in const)
+
+
+def test_exact_moment_ops_reject_fractional_inputs(spark):
+    """ADVICE r11: cuped / jackknife_ratio / target_encode_kfold cast
+    their value columns to BIGINT for exact moments; a fractional input
+    would silently truncate (0.9 -> 0). The documented integer-
+    quantization precondition is now enforced with an actionable
+    SchemaError naming the quantize recipe."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators.behavior import cuped
+    from blueetl_spark.operators.profile import jackknife_ratio
+    from blueetl_spark.operators.sampling import target_encode_kfold
+
+    df = spark.range(10).select(
+        F.col("id").alias("unit"),
+        (F.col("id") % 2).cast("string").alias("variant"),
+        (F.col("id") * 0.9).alias("y_frac"),
+        F.col("id").alias("y_int"),
+        F.col("id").alias("x_int"),
+        F.lit("c").alias("cat"),
+    )
+    with _pytest.raises(Exception, match="fractional"):
+        cuped(df, "y_frac", "x_int", "variant")
+    with _pytest.raises(Exception, match="fractional"):
+        cuped(df, "y_int", "y_frac", "variant")
+    with _pytest.raises(Exception, match="fractional"):
+        jackknife_ratio(df, "unit", "y_frac", "x_int")
+    with _pytest.raises(Exception, match="fractional"):
+        target_encode_kfold(df, "cat", "y_frac", key_col="unit")
+    # integer inputs still pass construction
+    assert cuped(df, "y_int", "x_int", "variant").count() > 0
+    assert jackknife_ratio(df, "unit", "y_int", "x_int").count() > 0
+    assert target_encode_kfold(df, "cat", "y_int", key_col="unit").count() > 0

@@ -128,3 +128,43 @@ def test_bloom_prejoin_exact_and_pruning(spark):
         bloom_prejoin(big, small, "k", how="left")
     with _pytest.raises(ValueError, match="m_bits"):
         bloom_words(small, "k", m_bits=33)
+
+
+def test_bloom_prejoin_mixed_key_types_and_null_prune(spark):
+    """ADVICE r11: (1) int build side + bigint probe side must behave
+    like the plain type-coercing join (keys are canonicalized to long
+    before hashing); (2) cross-category keys (long vs double) raise
+    instead of silently pruning; (3) a standalone bloom_prefilter drops
+    NULL big-side keys, as its docstring promises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.functions.skew import (
+        bloom_prefilter,
+        bloom_prejoin,
+        bloom_words,
+    )
+
+    big = spark.range(2_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(500)).cast("long").alias("k"),
+        F.col("id").alias("v"),
+    )
+    small_int = spark.range(50).select(
+        (F.col("id") * 7).cast("int").alias("k"), F.lit("d").alias("d")
+    )
+    plain = big.join(small_int, "k", "inner")
+    bloomed = bloom_prejoin(big, small_int, "k", m_bits=1 << 14, k=5)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, bloomed.collect())
+    )
+
+    small_dbl = small_int.select(F.col("k").cast("double").alias("k"), "d")
+    with _pytest.raises(ValueError, match="dtype mismatch"):
+        bloom_prejoin(big, small_dbl, "k")
+
+    big_null = big.unionByName(
+        spark.createDataFrame([(None, -1)], "k long, v long")
+    )
+    words = bloom_words(small_int, "k", m_bits=1 << 14, k=5)
+    pre = bloom_prefilter(big_null, words, "k", m_bits=1 << 14, k=5)
+    assert pre.filter(F.col("k").isNull()).count() == 0

@@ -512,8 +512,12 @@ def test_merge_ohlc_shards_rejects_old_and_mixed_schema_dirs(spark, tmp_path):
         "append"
     ).parquet(mixed_dir)
     mixed = spark.read.option("mergeSchema", "true").parquet(mixed_dir)
-    with _pytest.raises(ValueError, match="mixes schema versions"):
-        ts.merge_ohlc_shards(mixed, by=["k"])
+    # version check is LAZY now (ADVICE r11: no eager job at call
+    # time): building the merge plan succeeds; the raise_error guard
+    # fires at action time, wrapped in Spark's job failure
+    merged = ts.merge_ohlc_shards(mixed, by=["k"])
+    with _pytest.raises(Exception, match="schema version"):
+        merged.collect()
 
     # happy path: a current-version round-tripped dir merges fine
     ok_dir = str(tmp_path / "ok_shards")
