@@ -8480,7 +8480,10 @@ SELECT seq, COUNT(*) AS n_occ FROM tri GROUP BY 1
 # Registry
 # ---------------------------------------------------------------------------
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # Insertion order here is historical; the driver-graded 50-slot
+    # window is the explicit GRADED_WINDOW list below (rotation is a
+    # list edit, not a dict reshuffle).
     # ---- round-11 rotation (VERDICT r10 #1): the 31 continuation
     # ---- gates the driver has never graded take slots 1-31 in the
     # ---- verdict's order — all pre-verified repr-exact at sf0.01 by
@@ -8689,6 +8692,87 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "asof_purchase": q_asof_purchase,
     "repetition_stats": q_repetition_stats,
+}
+
+# ---------------------------------------------------------------------------
+# Driver-graded window (the driver grades the FIRST 50 of queries()).
+# Round-12 rotation (VERDICT r11 #2): slots 1-7 are the round-11
+# additions that landed after the r11 window froze (all judge-verified
+# repr-exact at sf0.01); slots 8-50 backfill with the gates longest out
+# of a graded window — last graded r3-r7 (the knn/dedup/text tail, all
+# exactly oracled; the five xxhash64-only rows-checked twins stay in the
+# oracle tail since their md5/_fixed exact twins are in-window) — plus
+# the verdict-named SURVEY-core cycle (isi_stats, event_rates,
+# soma_mean_value, psd_welch, windows_materialize), the TPC-H tail and
+# the set-ops/pivot/rollup family (last graded r9-r10).
+# ---------------------------------------------------------------------------
+GRADED_WINDOW: list[str] = [
+    # 1-7: round-11 additions (verdict order)
+    "theil_sen_windowed",
+    "hll_distinct",
+    "lang_id_kappa",
+    "cuped_experiment",
+    "target_encode",
+    "jackknife_rpo",
+    "bloom_join_revenue",
+    # 8-35: longest-ungraded exact-oracled gates (r3-r7)
+    "embedding_norms",
+    "top_orders",
+    "dedup_embedding_lsh",
+    "resample_events",
+    "winnowing_md5",
+    "asof_purchase",
+    "decontaminate",
+    "dedup_keep_canonical",
+    "hard_negatives",
+    "jaccard_pairs",
+    "knn_pq",
+    "minhash_lsh_md5",
+    "mixture_sample",
+    "orders_topk_per_customer",
+    "repetition_stats",
+    "simhash_md5",
+    "tf_idf",
+    "token_stats",
+    "vocab",
+    "curation_pipeline",
+    "dedup_components",
+    "dedup_embedding",
+    "knn_bruteforce",
+    "knn_ivf_fixed",
+    "knn_lsh",
+    "quality_features",
+    "sessionization",
+    "value_quantiles",
+    # 36-40: verdict-named SURVEY-core cycle
+    "isi_stats",
+    "event_rates",
+    "soma_mean_value",
+    "psd_welch",
+    "windows_materialize",
+    # 41-46: set-ops / pivot / rollup family
+    "repeat_customers_setops",
+    "part_unpivot",
+    "status_priority_pivot",
+    "cube_status_priority",
+    "rollup_revenue",
+    "grouping_sets_margin",
+    # 47-50: TPC-H tail
+    "small_quantity_revenue",
+    "sole_fault_suppliers",
+    "market_share",
+    "order_gaps",
+]
+
+assert len(GRADED_WINDOW) == 50, len(GRADED_WINDOW)
+assert len(set(GRADED_WINDOW)) == 50
+assert not set(GRADED_WINDOW) - set(_REGISTRY), (
+    set(GRADED_WINDOW) - set(_REGISTRY)
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    **{k: _REGISTRY[k] for k in GRADED_WINDOW},
+    **{k: v for k, v in _REGISTRY.items() if k not in set(GRADED_WINDOW)},
 }
 
 ORACLES: dict[str, str] = {
