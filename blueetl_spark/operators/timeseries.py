@@ -1362,6 +1362,7 @@ def theil_sen(
     by: Sequence[str] = (),
     round_to: int | None = 6,
     window: float | None = None,
+    max_group_points: int = 8192,
 ) -> DataFrame:
     """Theil–Sen robust trend per group — the median of all pairwise
     slopes ``(v_j − v_i) / (t_j − t_i)``: the estimator to reach for
@@ -1380,7 +1381,15 @@ def theil_sen(
     Scale shape (exact path): one ``collect_list`` per group, pairwise
     slopes as a nested JVM array transform (``O(n²)`` values in one
     task's memory) — the honest cost of an all-pairs order statistic,
-    same bounded per-group contract as :func:`ewma_level`.
+    same bounded per-group contract as :func:`ewma_level`. That
+    contract is ENFORCED, not assumed (the ``pareto_frontier``
+    candidate-gate discipline, ``operators/skyline.py``): a group
+    bigger than ``max_group_points`` (default 8192 → ~3.4e7 slopes,
+    a few hundred MB in one task) fails the job with an error naming
+    the fix — pass ``window=`` for the bounded estimator below, or
+    raise the bound deliberately. The guard is a per-group
+    ``raise_error`` inside the plan, evaluated BEFORE the quadratic
+    slope array is built for that group.
 
     ``window`` — the classic scalable compromise for LONG series:
     points are bucketed into fixed time windows of that width
@@ -1436,11 +1445,32 @@ def theil_sen(
             "n_pairs",
             med.alias("slope"),
         )
+    if max_group_points < 2:
+        raise ValueError("max_group_points must be >= 2")
     src = df.filter(t.isNotNull() & v.isNotNull()).select(
         *by, F.struct(t.alias("t"), v.alias("v")).alias("__p")
     )
     pts = F.array_sort(F.collect_list("__p"))
     agg = src.groupBy(*by).agg(pts.alias("__pts"))
+    # per-group gate on the O(n^2) exact path (see docstring): checked
+    # BEFORE the pairwise transform consumes the array
+    guard = F.when(
+        F.size("__pts") > max_group_points,
+        F.raise_error(
+            F.concat(
+                F.lit("theil_sen exact path: a group has "),
+                F.size("__pts").cast("string"),
+                F.lit(
+                    f" points > max_group_points={max_group_points}; the "
+                    "all-pairs slope list is O(n^2) in one task. Pass "
+                    "window=<time width> for the bounded "
+                    "median-of-window-medians estimator, or raise "
+                    "max_group_points deliberately."
+                ),
+            )
+        ).cast("array<struct<t:double,v:double>>"),
+    ).otherwise(F.col("__pts"))
+    agg = agg.select(*by, guard.alias("__pts"))
     sorted_slopes = _pairwise_slopes(F.col("__pts"))
     m = F.size(sorted_slopes)
     med = _lower_median(sorted_slopes)

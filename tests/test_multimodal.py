@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from blueetl_spark.operators import multimodal as mm
 
@@ -361,3 +362,105 @@ def test_frame_sigs_chain_past_32_frames():
             16,
         )
         assert long[i] == sig
+
+
+@needs_soundfile
+def test_audio_energy_gate_real_decoder_twin(spark):
+    """VERDICT r11 #5: the `audio_energy` gate's pipeline shape (many
+    clips, some silent) re-run with the REAL codec — 12 in-test WAV
+    clips (every 4th pure dead air), decoded through the soundfile
+    seam, checked clip-by-clip against a numpy replay of the identical
+    PCM. Mirrors q_audio_energy's silent-variant structure so the
+    curation columns (silent_frames, silence_ratio) are exercised with
+    true zero-energy frames, not just the md5 stub's markers."""
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    rng = np.random.default_rng(42)
+    clips, expect = [], {}
+    for mid in range(12):
+        if mid % 4 == 0:
+            pcm = np.zeros(240, dtype="int16")  # dead air
+        else:
+            pcm = rng.integers(-3000, 3000, size=240).astype("int16")
+        buf = io.BytesIO()
+        sf.write(buf, pcm, 8000, format="WAV", subtype="PCM_16")
+        clips.append((mid, "audio", buf.getvalue(), None))
+        frames = np.array_split(pcm.astype(np.int64), 4)
+        energies = [int((f**2).sum()) for f in frames]
+        n_silent = sum(e <= 64 for e in energies)
+        expect[mid] = (
+            sum(energies), min(energies), max(energies),
+            n_silent, n_silent / 4,
+        )
+    media = spark.createDataFrame(clips, mm.MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: (
+            r["total_energy"], r["min_frame_energy"], r["max_frame_energy"],
+            r["silent_frames"], r["silence_ratio"],
+        )
+        for r in mm.audio_energy_stats(
+            media, n_frames=4, decode_wave=mm.soundfile_wave
+        ).collect()
+    }
+    assert got == expect
+    assert got[0][3] == 4 and got[0][4] == 1.0  # dead-air clip fully silent
+
+
+@needs_pillow
+def test_sample_video_frames_real_frame_fixtures(spark):
+    """VERDICT r11 #5: sample_video_frames with REAL frame bytes — the
+    in-test 'container' is length-prefixed JPEG frames (no video codec
+    ships in this sandbox; the decode= seam is exactly where PyAV/ffmpeg
+    would plug in), and the emitted per-frame rows chain into the REAL
+    Pillow feature extractor, proving frame binaries survive the
+    row-per-frame fan-out intact."""
+    import io
+    import struct
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+
+    def jpeg(w, h):
+        px = (rng.random((h, w, 3)) * 255).astype("uint8")
+        b = io.BytesIO()
+        Image.fromarray(px).save(b, format="JPEG")
+        return b.getvalue()
+
+    sizes = [(32, 24), (48, 32), (64, 48)]
+    frames = [jpeg(w, h) for w, h in sizes]
+    payload = b"".join(struct.pack(">I", len(f)) + f for f in frames)
+
+    def unpack_frames(data: bytes, n: int) -> list[tuple[float, bytes]]:
+        out, off, i = [], 0, 0
+        while off < len(data) and i < n:
+            (ln,) = struct.unpack_from(">I", data, off)
+            out.append((float(i), bytes(data[off + 4 : off + 4 + ln])))
+            off += 4 + ln
+            i += 1
+        return out
+
+    media = spark.createDataFrame(
+        [(5, "video", payload, None)], mm.MEDIA_SCHEMA
+    )
+    sampled = mm.sample_video_frames(media, n_frames=3, decode=unpack_frames)
+    rows = sampled.orderBy("frame_index").collect()
+    assert [bytes(r["frame"]) for r in rows] == frames
+
+    as_images = sampled.select(
+        (F.col("media_id") * 10 + F.col("frame_index")).alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.col("frame").alias("payload"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    feats = {
+        r["media_id"]: (r["width"], r["height"])
+        for r in mm.extract_image_features(
+            as_images, decode=mm.pillow_decode
+        ).collect()
+    }
+    assert feats == {50 + i: wh for i, wh in enumerate(sizes)}

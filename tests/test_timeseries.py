@@ -1098,3 +1098,32 @@ def test_grouped_ols2_matches_lstsq(spark):
     assert abs(shrunk["g"]["b2"]) < abs(got["g"]["b2"])
     # ridge regularizes the collinear group into a solvable system
     assert shrunk["col"]["b1"] is not None
+
+
+def test_theil_sen_exact_path_group_bound(spark):
+    """VERDICT r11 #6: the exact O(n^2) path enforces its bounded-group
+    contract — a group past max_group_points fails the job with an
+    error naming the window= escape hatch (pareto_frontier candidate-
+    gate discipline); the window path is the documented default for
+    unbounded groups and ignores the bound by construction."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators.timeseries import theil_sen
+
+    df = spark.range(100).select(
+        (F.col("id") % 2).alias("g"),
+        F.col("id").cast("double").alias("time"),
+        (F.col("id") * 2).cast("double").alias("v"),
+    )
+    with _pytest.raises(Exception, match="max_group_points=10.*window="):
+        theil_sen(df, "v", by=["g"], max_group_points=10).collect()
+    with _pytest.raises(ValueError, match="max_group_points"):
+        theil_sen(df, "v", by=["g"], max_group_points=1)
+    # within the bound: exact slope of the clean line
+    rows = theil_sen(df, "v", by=["g"]).collect()
+    assert all(r.slope == 2.0 for r in rows)
+    # bounded estimator unaffected by the gate
+    assert theil_sen(
+        df, "v", by=["g"], window=25.0, max_group_points=10
+    ).count() == 2
