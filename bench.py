@@ -167,6 +167,34 @@ HEADLINE = [
 ]
 
 
+def _calib_probe(spark) -> float:
+    """One wall-clock sample of the fixed 20M-row hash+groupBy
+    calibration workload — the same workload `host_calib_s` has always
+    recorded, now sampled THROUGHOUT the run (VERDICT r11 #3) so each
+    query/stress sample carries the host-load band it was measured in.
+    ~0.6 s at idle on this box."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    spark.range(20_000_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("k")
+    ).groupBy("k").count().collect()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _accepted_min(samples: list[dict], med_calib: float, band: float = 1.5):
+    """Min wall over samples taken OUTSIDE a load spike (per-sample
+    calib <= band x the run's median calib). Falls back to the min over
+    all samples when every sample was spiked — a value is always
+    produced, but `rejected` says how trustworthy it is."""
+    ok = [s for s in samples if s["calib"] <= band * med_calib]
+    pool = ok if ok else samples
+    return (
+        round(min(s["wall"] for s in pool), 3),
+        len(samples) - len(ok),
+    )
+
+
 def _stress_barrier(spark) -> None:
     """Inter-rep cleanup barrier (VERDICT r5 #1): each rep must start from
     the state a fresh job submission would see. clearCache drops cached
@@ -186,7 +214,7 @@ def _stress_barrier(spark) -> None:
 
 
 def run_stress(
-    spark, n_events: int, n_docs: int, reps: int = 3
+    spark, n_events: int, n_docs: int, reps: int = 3, sf_dir: str | None = None
 ) -> tuple[dict[str, float], dict[str, dict]]:
     """Stress tier: the operators whose scaling matters most, at ~200× the
     sf0.1 event count (20M rows) / 200k docs, on synthetic range-generated
@@ -218,16 +246,18 @@ def run_stress(
     detail: dict[str, dict] = {}
 
     def clock(name, thunk):
-        samples = []
+        samples, calibs = [], []
         for _ in range(reps):
             t0 = time.perf_counter()
             thunk()
             samples.append(round(time.perf_counter() - t0, 3))
             _stress_barrier(spark)
+            calibs.append(_calib_probe(spark))
         med = round(statistics.median(samples), 3)
         timings[name] = med
         detail[name] = {
             "samples": samples,
+            "calib": calibs,  # per-rep host-load probe (VERDICT r11 #3)
             "min": min(samples),
             "median": med,
             "spread": round((max(samples) - min(samples)) / med, 2) if med else 0.0,
@@ -342,6 +372,96 @@ def run_stress(
             .mode("overwrite")
             .save(),
         )
+        # -- staged-IO gates promoted into the stress tier (VERDICT r11
+        # -- #4): scd2_latest_order drifted 5.1 -> 7.2 s across two
+        # -- rounds on empty diffs; 3-rep medians with per-rep calib
+        # -- give the drift a cross-round ratio instead of anecdotes.
+        if sf_dir is not None:
+            from blueetl_spark.queries import QUERIES as _Q
+
+            for gate in ("scd2_latest_order", "edit_distance_pairs"):
+                clock(
+                    gate,
+                    lambda gate=gate: _Q[gate](spark, sf_dir)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save(),
+                )
+        # -- incremental near-dup ingest against a BUCKETED history
+        # -- index (VERDICT r11 #7): 3 batches x n_docs docs through
+        # -- incremental_minhash(storage="bucketed"); ~5% of every later
+        # -- batch repeats batch-0 content so cross-batch matches exist.
+        # -- Walls are per-batch (batch 0 seeds; 1-2 probe + append a
+        # -- growing index). The no-Exchange-on-history property is
+        # -- asserted IN-RUN on the executed plan, not only in pytest.
+        from blueetl_spark.operators.dedup import incremental_minhash
+
+        prefix = "stress_incr_idx"
+        for t in ("_signatures", "_buckets", "_tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}__compact")
+
+        def _incr_batch(i):
+            uniq = (F.col("id") + i * n_docs) * 60
+            dup0 = F.col("id") * 60  # batch-0's token stream
+            base = F.when(F.col("id") % 20 == 0, dup0).otherwise(uniq)
+            return spark.range(n_docs).select(
+                (F.col("id") + i * n_docs).alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(59)),
+                        lambda j: F.pmod(
+                            F.xxhash64(base + j), F.lit(5_000)
+                        ).cast("string"),
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+
+        try:
+            incr_walls, incr_calibs = [], []
+            for i in range(3):
+                t0 = time.perf_counter()
+                incremental_minhash(
+                    _incr_batch(i), prefix, storage="bucketed", n_buckets=64
+                ).write.format("noop").mode("overwrite").save()
+                incr_walls.append(round(time.perf_counter() - t0, 3))
+                _stress_barrier(spark)
+                incr_calibs.append(_calib_probe(spark))
+            plan = (
+                incremental_minhash(
+                    _incr_batch(0), prefix, storage="bucketed",
+                    n_buckets=64, update=False,
+                )
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "Bucketed: true" in plan, (
+                "incr_dedup history side lost its bucketed scan"
+            )
+            med = round(statistics.median(incr_walls), 3)
+            timings["incr_dedup_20m"] = med
+            detail["incr_dedup_20m"] = {
+                "samples": incr_walls,  # per-BATCH walls, batch 0 .. 2
+                "calib": incr_calibs,
+                "min": min(incr_walls),
+                "median": med,
+                "spread": round(
+                    (max(incr_walls) - min(incr_walls)) / med, 2
+                ) if med else 0.0,
+                "rows_per_batch": n_docs,
+                "history_bucketed_scan": True,
+            }
+            print(
+                f"# stress incr_dedup_20m: median batch {med}s of "
+                f"{incr_walls} (bucketed history, no re-exchange)",
+                file=sys.stderr,
+            )
+        finally:
+            for t in ("_signatures", "_buckets", "_tombstones"):
+                spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")
+                spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}__compact")
         # -- dense class index: 20M gids over 2 classes (10M gids/class, the
         # -- two-phase range-partitioned path — the window variant sorts each
         # -- class in ONE task and measured 3.5x slower here)
@@ -603,6 +723,26 @@ def run_stress(
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    # Load-band rejection (VERDICT r11 #3): recompute each op's median
+    # over the reps whose per-rep calib probe sat inside 1.5x the run's
+    # median calib; a rep measured inside a host load spike no longer
+    # drags the headline median. All raw samples stay in the detail.
+    all_calibs = [c for d in detail.values() for c in d.get("calib", [])]
+    if all_calibs:
+        med_calib = statistics.median(all_calibs)
+        for name, d in detail.items():
+            if "calib" not in d or len(d["calib"]) != len(d["samples"]):
+                d.setdefault("rejected", 0)
+                continue
+            ok = [
+                w
+                for w, c in zip(d["samples"], d["calib"])
+                if c <= 1.5 * med_calib
+            ]
+            d["rejected"] = len(d["samples"]) - len(ok)
+            med = round(statistics.median(ok or d["samples"]), 3)
+            d["median"] = med
+            timings[name] = med
     return timings, detail
 
 
@@ -619,7 +759,7 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     if "--tier=stress" in sys.argv:  # stress-only run for iterating
-        stress, stress_detail = run_stress(spark, n_events, n_docs)
+        stress, stress_detail = run_stress(spark, n_events, n_docs, sf_dir=sf_dir)
         # timings go under "stress" (matching the full-run record shape),
         # NOT "queries": stress names overlap headline names at 200x the
         # rows, and _load_prev_round(key="queries") on a saved stress-only
@@ -656,17 +796,13 @@ def main() -> None:
     # vs_prev ratios are only meaningful relative to the calib ratio.
     # Divide vs_prev by (host_calib_s / prev host_calib_s) before
     # calling anything a regression.
-    from pyspark.sql import functions as _F
-
-    calib_samples = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        spark.range(20_000_000).select(
-            _F.pmod(_F.xxhash64("id"), _F.lit(1000)).alias("k")
-        ).groupBy("k").count().collect()
-        calib_samples.append(round(time.perf_counter() - t0, 3))
-    host_calib_s = min(calib_samples)
-    print(f"# host_calib_s: {host_calib_s} of {calib_samples}", file=sys.stderr)
+    # The probe is now INTERLEAVED through the whole run (every
+    # PROBE_EVERY queries, VERDICT r11 #3) so each sample carries the
+    # load band it was measured in; `host_calib_s` stays the min over
+    # all probes (same workload, same meaning as every prior round).
+    warmup_probes = [_calib_probe(spark) for _ in range(2)]
+    print(f"# calib warmup (JIT, discarded): {warmup_probes}", file=sys.stderr)
+    calib_probes: list[float] = []
 
     # Best-of-3 per query, one sample per PASS over the whole list: this
     # shared host shows multi-second load spikes that easily cover three
@@ -686,27 +822,56 @@ def main() -> None:
     # Cold samples are tracked separately: the round-5 bisect showed the
     # overall min rides the warm pass-1 rep for queries that self-persist
     # intermediates (minhash_lsh reported 1.1 s while its cold path was
-    # 25-30 s). `queries` keeps the historical min-of-all contract for
-    # cross-round comparability; `queries_cold` is the min over
-    # post-clearCache samples only, so cold-path regressions are visible
-    # in the record instead of needing a manual bisect.
-    timings: dict[str, float] = {n: float("inf") for n in HEADLINE}
-    cold: dict[str, float] = {n: float("inf") for n in HEADLINE}
+    # 25-30 s). `queries` keeps the min contract for cross-round
+    # comparability — but since round 12 it is the min over ACCEPTED
+    # samples only (per-sample calib <= 1.5x the run's median calib),
+    # so a sample taken inside a host load spike can no longer set OR
+    # poison a query's number; three straight rounds of
+    # flagged-then-retracted "regressions" were this instrument gap.
+    # `queries_cold` is the accepted-min over post-clearCache samples.
+    PROBE_EVERY = 8  # ~0.6 s probe per 8 queries (~1-2 s each): <5% overhead
+    samples: dict[str, list[dict]] = {n: [] for n in HEADLINE}
     for _pass in range(3):
-        for name in HEADLINE:
+        for qi, name in enumerate(HEADLINE):
+            if qi % PROBE_EVERY == 0:
+                calib_probes.append(_calib_probe(spark))
             for _rep in range(2 if _pass == 0 else 1):
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
-                timings[name] = min(timings[name], dt)
-                if not (_pass == 0 and _rep == 1):  # p1r2 is the warm rep
-                    cold[name] = min(cold[name], dt)
+                samples[name].append(
+                    {
+                        "wall": round(dt, 3),
+                        "calib": calib_probes[-1],
+                        "warm": _pass == 0 and _rep == 1,
+                    }
+                )
             spark.catalog.clearCache()
-    timings = {n: round(t, 3) for n, t in timings.items()}
-    cold = {n: round(t, 3) for n, t in cold.items()}
+    calib_probes.append(_calib_probe(spark))
+    host_calib_s = min(calib_probes)
+    import statistics as _stats
+
+    calib_median = round(_stats.median(calib_probes), 3)
+    print(
+        f"# host_calib_s: {host_calib_s} (median {calib_median} over "
+        f"{len(calib_probes)} interleaved probes)",
+        file=sys.stderr,
+    )
+    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    rejected: dict[str, int] = {}
     for name in HEADLINE:
-        print(f"# {name}: {timings[name]}s (cold {cold[name]}s)", file=sys.stderr)
-    stress, stress_detail = run_stress(spark, n_events, n_docs)
+        timings[name], rejected[name] = _accepted_min(samples[name], calib_median)
+        cold[name], _ = _accepted_min(
+            [s for s in samples[name] if not s["warm"]], calib_median
+        )
+    for name in HEADLINE:
+        rej = f" [{rejected[name]} spiked]" if rejected[name] else ""
+        print(
+            f"# {name}: {timings[name]}s (cold {cold[name]}s){rej}",
+            file=sys.stderr,
+        )
+    stress, stress_detail = run_stress(spark, n_events, n_docs, sf_dir=sf_dir)
     total = round(sum(timings.values()), 3)
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     out = {
@@ -717,6 +882,12 @@ def main() -> None:
         "queries_cold": cold,
         "sf": sf,
         "host_calib_s": host_calib_s,
+        "calib_median": calib_median,
+        "calib_probes": calib_probes,
+        "queries_rejected_samples": {
+            q: r for q, r in rejected.items() if r
+        },
+        "queries_samples": samples,
         "stress": stress,
         "stress_detail": stress_detail,
         "stress_rows": n_events,
@@ -729,11 +900,16 @@ def main() -> None:
             if prev.get(q)
         }
         out["vs_prev"] = vs_prev
-        # flag only ratio > 1.5 AND > 1 s absolute: sub-second queries on
-        # this shared box carry ±0.4 s scheduler noise, and whole-run
-        # comparisons additionally drift ~1.4x with host load — a ratio
-        # alone flags a different arbitrary subset every run (verified by
-        # three same-code runs flagging disjoint sets)
+        # vs_prev (and hence `regressions`) is computed on the
+        # ACCEPTED mins — samples measured inside a load spike were
+        # already dropped above, so a pareto_parts-class false flag
+        # (three rounds of flagged-then-retracted regressions) is
+        # structurally impossible unless EVERY sample of a query
+        # spiked, which queries_rejected_samples makes visible.
+        # Flag only ratio > 1.5 AND > 1 s absolute: sub-second queries
+        # on this shared box carry ±0.4 s scheduler noise — a ratio
+        # alone flags a different arbitrary subset every run (verified
+        # by three same-code runs flagging disjoint sets)
         regressions = sorted(
             (
                 q
@@ -786,6 +962,8 @@ def main() -> None:
             "unit": "sec",
             "sf": sf,
             "host_calib_s": host_calib_s,
+            "calib_median": calib_median,
+            "rejected_samples": sum(rejected.values()),
             "queries": qmap,
         }
         if omitted:
