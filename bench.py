@@ -164,6 +164,12 @@ HEADLINE = [
     "target_encode",
     "jackknife_rpo",
     "bloom_join_revenue",
+    # round-12 additions
+    "fdr_correction",
+    "nelson_aalen",
+    "conformal_thresholds",
+    "qnorm_shards",
+    "jsd_shards",
 ]
 
 

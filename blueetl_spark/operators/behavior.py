@@ -782,3 +782,78 @@ def cuped(
         rnd(var_y_cuped).alias("var_y_cuped"),
         rnd(var_reduction).alias("var_reduction"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    by: Sequence[str] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator per group — the
+    additive companion to :func:`kaplan_meier` (same one-row-per-
+    subject duration/censor-flag contract): ``H(t) = Σ_{t_i ≤ t}
+    d_i/n_i`` over event times. Preferred over ``-log(KM)`` for small
+    at-risk sets, and the quantity whose between-group DIFFERENCE is
+    the integrated hazard contrast the :func:`log_rank` test weighs.
+    Output: one row per (group, event time): ``(by…, t, n_risk,
+    n_events, n_censored, cum_hazard, var_hazard)`` with the standard
+    variance ``Σ d_i/n_i²``.
+
+    Engine-exact: the same integer window sums as ``kaplan_meier``;
+    the two running totals are ordered cumulative SUMS over identical
+    IEEE ratios (censor-only times add exactly 0.0), so both engines
+    fold the same floats in time order.
+
+    Scale shape: identical to ``kaplan_meier`` — one map-side-combined
+    aggregate to (group, duration) grain, one ordered window over
+    distinct durations.
+    """
+    by = list(by)
+    dur, ev = F.col(duration_col), F.col(event_col)
+    g = (
+        df.filter(dur.isNotNull())
+        .select(
+            *by,
+            dur.alias("__t"),
+            F.when(ev.cast("boolean"), 1).otherwise(0).alias("__e"),
+        )
+        .groupBy(*by, "__t")
+        .agg(
+            F.sum("__e").alias("__d"),
+            F.sum(1 - F.col("__e")).alias("__c"),
+        )
+    )
+    w_all = Window.partitionBy(*by)
+    w_run = (
+        Window.partitionBy(*by)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum(F.col("__d") + F.col("__c")).over(w_all)
+    cum = F.sum(F.col("__d") + F.col("__c")).over(w_run)
+    n_risk = total - cum + (F.col("__d") + F.col("__c"))
+    dn = F.col("__d").cast("double") / n_risk.cast("double")
+    dn2 = F.col("__d").cast("double") / (n_risk * n_risk).cast("double")
+    stepped = g.select(
+        *by, "__t", "__d", "__c", n_risk.alias("n_risk"),
+        dn.alias("__h"), dn2.alias("__v"),
+    )
+    haz = F.sum("__h").over(w_run)
+    var = F.sum("__v").over(w_run)
+    if round_to is not None:
+        haz = F.round(haz, round_to) + 0.0
+        var = F.round(var, round_to) + 0.0
+    return (
+        stepped.select(
+            *by,
+            F.col("__t").alias("t"),
+            "n_risk",
+            F.col("__d").alias("n_events"),
+            F.col("__c").alias("n_censored"),
+            haz.alias("cum_hazard"),
+            var.alias("var_hazard"),
+        )
+        .filter(F.col("n_events") > 0)
+    )

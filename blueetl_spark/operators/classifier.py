@@ -434,3 +434,60 @@ def roc_auc(
         return (F.round(c, round_to) + 0.0) if round_to is not None else c
 
     return agg.select(*by, "n_pos", "n_neg", rnd(auc).alias("auc"))
+
+
+def conformal_calibrate(
+    df: DataFrame,
+    score_col: str,
+    by: Sequence[str] = (),
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal calibration threshold per group — the
+    distribution-free way to turn ANY model's nonconformity scores
+    into sets with guaranteed ``1 − alpha`` coverage (Vovk et al.;
+    Angelopoulos & Bates 2021 survey): given a held-out calibration
+    frame of scores, ``qhat`` is the ``k``-th smallest score with
+    ``k = ceil((n+1)(1−alpha))`` — the finite-sample-corrected
+    quantile. At serving time, keep every candidate whose score is
+    ``<= qhat``; marginal coverage ``>= 1 − alpha`` holds for
+    exchangeable data regardless of the model. One row per group:
+    ``(by…, n, k, qhat)`` — ``qhat`` NULL when ``k > n`` (calibration
+    set too small for this alpha: every candidate must be kept).
+
+    Engine-exact: ``qhat`` is an ORDER STATISTIC (no interpolation,
+    no summation) — both engines pick the same element; ``k`` is
+    integer arithmetic (``ceil`` of an exact rational via integer
+    ceil-division on the alpha expressed as a fraction of 1e6).
+
+    Scale shape: one count per group + one ordered window to the
+    k-th element — per-group sort, same giant-group caveat as every
+    rank statistic here; quantize scores upstream if a single group
+    holds billions of rows.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    by = list(by)
+    # a constant internal group key keeps the no-`by` path on the same
+    # left-join plan (a missing k-th row must yield NULL qhat, which a
+    # crossJoin against an empty frame would silently drop)
+    grp = by if by else ["__g"]
+    s = F.col(score_col).cast("double")
+    src = df.filter(s.isNotNull()).select(
+        *by, *([] if by else [F.lit(1).alias("__g")]), s.alias("__s")
+    )
+    # k = ceil((n+1)(1-alpha)) with alpha as an exact micro-fraction:
+    # integer ceil-division, no float round-trip near the boundary
+    a_micro = round(alpha * 1_000_000)
+    n_grp = src.groupBy(*grp).agg(F.count(F.lit(1)).alias("n"))
+    k_expr = -F.floor(
+        -((F.col("n") + 1) * F.lit(1_000_000 - a_micro)) / F.lit(1_000_000)
+    ).cast("long")
+    n_grp = n_grp.select(*grp, "n", k_expr.alias("k"))
+    w = Window.partitionBy(*grp).orderBy("__s")
+    ranked = src.select(*grp, "__s", F.row_number().over(w).alias("__r"))
+    at_k = (
+        ranked.join(F.broadcast(n_grp), grp)
+        .filter(F.col("__r") == F.col("k"))
+        .select(*grp, F.col("__s").alias("qhat"))
+    )
+    return n_grp.join(at_k, grp, "left").select(*by, "n", "k", "qhat")

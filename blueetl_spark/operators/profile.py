@@ -1541,3 +1541,267 @@ def join_size_estimate(
         rnd(expansion).alias("expansion"),
         rnd(topk_share).alias("topk_share"),
     )
+
+
+def fdr_bh(
+    df: DataFrame,
+    p_col: str,
+    by: Sequence[str] = (),
+    alpha: float = 0.05,
+    tie_col: str | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR correction per group — the multiple-
+    testing control every metrics sweep needs once it runs
+    :func:`chi2_independence` / ``mann_whitney`` over hundreds of
+    segments (at alpha=0.05, fifty true-null tests yield ~2.5 bogus
+    "significant" hits; BH caps the expected FALSE-DISCOVERY share of
+    the rejections at alpha instead of inflating per-test error).
+    Input: one row per test with a p-value. Output: every input row
+    (all columns pass through) plus ``(m, p_rank, q_value,
+    rejected)`` where ``q_value`` is the BH-adjusted p
+    (``min_{j>=rank}(m·p_(j)/j)`` capped at 1) and ``rejected`` marks
+    the step-up set ``q <= alpha``. NULL p-values are excluded (no
+    test happened).
+
+    Deterministic: rows order by (p, tie_col) — pass the test id so
+    ``p_rank`` is stable under tied p-values; ``q_value`` is
+    tie-invariant regardless (tied p's share the suffix min).
+    Engine-exact: each term is one fixed IEEE expression
+    ``m·p/rank``; the suffix min is an ordered-window MIN — order
+    statistics, no summation.
+
+    Scale shape: ONE ordered window pass per group (rank + running
+    min over the p-descending frame); per-group state is a sort, same
+    giant-group caveat as ``timeseries.ks_drift``.
+    """
+    by = list(by)
+    p = F.col(p_col).cast("double")
+    src = df.filter(p.isNotNull())
+    order_desc = [F.col(p_col).cast("double").desc()]
+    order_asc = [F.col(p_col).cast("double").asc()]
+    if tie_col is not None:
+        order_desc.append(F.col(tie_col).desc())
+        order_asc.append(F.col(tie_col).asc())
+    w_all = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))
+    w_desc = w_all.orderBy(*order_desc).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_asc = w_all.orderBy(*order_asc)
+    m = F.count(F.lit(1)).over(w_all)
+    rank = F.row_number().over(w_asc)
+    term = m.cast("double") * p / rank.cast("double")
+    q = F.least(F.lit(1.0), F.min(term).over(w_desc))
+    if round_to is not None:
+        q = F.round(q, round_to) + 0.0
+    return src.select(
+        "*",
+        m.cast("long").alias("m"),
+        rank.cast("long").alias("p_rank"),
+        q.alias("q_value"),
+    ).withColumn("rejected", F.col("q_value") <= F.lit(float(alpha)))
+
+
+def js_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    by: Sequence[str] = (),
+    n_buckets: int = 256,
+    hash_fn: str = "xxhash64",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Jensen–Shannon divergence between two shards' key distributions
+    (base-2: 0 = identical, 1 = disjoint) — the bounded, symmetric
+    drift score for comparing token/category mixes across corpus
+    snapshots where KL blows up on any key one side lacks (every
+    fresh crawl has novel tokens; JSD's mixture midpoint keeps those
+    finite). Complements ``timeseries.psi_drift`` (which needs binned
+    numerics) and ``ks_drift`` (ordered values): JSD works on raw
+    categorical mass.
+
+    Keys are hashed into ``n_buckets`` fixed buckets first (exact
+    integer counts per bucket) — the standard sketch that bounds both
+    state and the terminal fold regardless of vocabulary size; two
+    keys colliding merges their mass, a DOWNWARD-biased (never
+    alarm-raising) approximation that vanishes as n_buckets grows.
+    Output: one row per group: ``(by…, n_a, n_b, n_buckets_used,
+    jsd)``; NULL jsd when either side is empty.
+
+    Engine-exact: bucket counts are integer sums; each bucket's term
+    is a fixed IEEE expression over (count_a, count_b, totals); the
+    cross-bucket sum is an ORDERED LEFT FOLD over the bucket-sorted
+    term list (the ``jackknife_ratio`` discipline), so both engines
+    add the same floats in the same order.
+
+    Scale shape: one map-side-combined count per (group, bucket) per
+    side, a bucket-grain outer join, then a group-grain fold over
+    <= n_buckets terms. Nothing downstream of the first aggregate
+    sees data-sized rows.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    by = list(by)
+    from blueetl_spark.operators.sampling import hash_bucket
+
+    def counts(d, name):
+        k = F.col(key_col)
+        return (
+            d.filter(k.isNotNull())
+            .select(
+                *by,
+                F.pmod(
+                    hash_bucket(k, method=hash_fn), F.lit(n_buckets)
+                ).alias("__b"),
+            )
+            .groupBy(*by, "__b")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+    ca, cb = counts(df_a, "__na"), counts(df_b, "__nb")
+    joined = ca.join(cb, [*by, "__b"], "full_outer").select(
+        *by,
+        "__b",
+        F.coalesce("__na", F.lit(0)).alias("__na"),
+        F.coalesce("__nb", F.lit(0)).alias("__nb"),
+    )
+    agg = joined.groupBy(*by).agg(
+        F.sum("__na").alias("n_a"),
+        F.sum("__nb").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets_used"),
+        F.array_sort(
+            F.collect_list(F.struct("__b", "__na", "__nb"))
+        ).alias("__cells"),
+    )
+    ln2 = 0.6931471805599453  # log(2): JSD in bits
+
+    def jsd_term(c):
+        p = c["__na"].cast("double") / F.col("n_a").cast("double")
+        q = c["__nb"].cast("double") / F.col("n_b").cast("double")
+        m = (p + q) / F.lit(2.0)
+        ta = F.when(c["__na"] > 0, p * F.log(p / m) / F.lit(ln2)).otherwise(
+            F.lit(0.0)
+        )
+        tb = F.when(c["__nb"] > 0, q * F.log(q / m) / F.lit(ln2)).otherwise(
+            F.lit(0.0)
+        )
+        return F.lit(0.5) * ta + F.lit(0.5) * tb
+
+    jsd = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.aggregate(
+            F.col("__cells"),
+            F.lit(0.0),
+            lambda acc, c: acc + jsd_term(c),
+        ),
+    )
+    if round_to is not None:
+        jsd = F.round(jsd, round_to) + 0.0
+    return agg.select(*by, "n_a", "n_b", "n_buckets_used", jsd.alias("jsd"))
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    by: Sequence[str] = (),
+    tie_col: str | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Quantile normalization across equal-sized groups — force every
+    group's value distribution onto the shared reference distribution
+    (the mean of the per-rank order statistics across groups): the
+    classic batch-effect remover for scores produced by different
+    annotators/models/shards before they are compared or mixed.
+    Input: one row per (group, observation); all groups under one
+    ``by`` key must have the SAME row count (quantile normalization
+    is undefined otherwise — enforced IN-PLAN, the job fails naming
+    the offending sizes). Output: every input row plus ``(v_rank,
+    normalized)``; ties within a group get the MEAN of the reference
+    values over their tied ranks (the standard tie rule, keeps tied
+    inputs tied after normalization).
+
+    Engine-exact: the reference value at each rank is an integer-free
+    fixed expression only when inputs are integers — LIKE the other
+    exact-moment operators, fractional inputs are the caller's
+    quantization problem; here we allow doubles but make every
+    cross-row sum an ORDERED LEFT FOLD over a rank- or group-sorted
+    list, so both engines add identical floats in identical order.
+
+    Scale shape: one ordered window per (by, group) for ranks, one
+    rank-grain aggregate across groups (state = n_groups values), one
+    (group, value)-grain aggregate for ties, two broadcast-friendly
+    joins back. Rank tables are data-sized but narrow; per-group sort
+    is the inherent cost of ranking.
+    """
+    by = list(by)
+    v = F.col(value_col).cast("double")
+    order = [v.asc()]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc())
+    w_grp = Window.partitionBy(*by, group_col).orderBy(*order)
+    ranked = df.filter(v.isNotNull()).select(
+        "*", F.row_number().over(w_grp).alias("v_rank")
+    )
+    # reference distribution: per rank, ordered fold over the
+    # group-sorted values + the equal-size guard (every rank must be
+    # present in every group). The group count is the MAX rank
+    # occupancy per `by` key — an unequal group always leaves its top
+    # ranks under-occupied relative to that max, so the comparison is
+    # equivalent to a distinct-group count without the extra input
+    # scan the distinct would plan (no CSE across aggregates).
+    ref = ranked.groupBy(*by, "v_rank").agg(
+        F.count(F.lit(1)).alias("__n_at_rank"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(group_col).alias("g"), v.alias("v"))
+            )
+        ).alias("__gv"),
+    )
+    w_by = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))
+    ref = ref.select(
+        "*", F.max("__n_at_rank").over(w_by).alias("__ng")
+    )
+    size_guard = F.when(
+        F.col("__n_at_rank") != F.col("__ng"),
+        F.raise_error(
+            F.concat(
+                F.lit("quantile_normalize: rank "),
+                F.col("v_rank").cast("string"),
+                F.lit(" present in "),
+                F.col("__n_at_rank").cast("string"),
+                F.lit(" of "),
+                F.col("__ng").cast("string"),
+                F.lit(
+                    " groups — quantile normalization needs EQUAL group"
+                    " sizes; trim or resample the groups first."
+                ),
+            )
+        ).cast("double"),
+    ).otherwise(
+        F.aggregate(
+            F.col("__gv"), F.lit(0.0), lambda acc, c: acc + c["v"]
+        )
+        / F.col("__ng").cast("double")
+    )
+    ref = ref.select(*by, "v_rank", size_guard.alias("__ref"))
+    ranked_ref = ranked.join(ref, [*by, "v_rank"])
+    # tie rule: mean of __ref over rows sharing (by, group, value) — as
+    # ONE window pass (not a groupBy + join-back, which re-scans and
+    # re-sorts the ranked frame: 13 exchanges / 6 input scans in the
+    # first cut vs 4/2 here). collect_list over a window is
+    # order-nondeterministic, so the list is array_sort'ed before the
+    # fold — both engines then add identical floats in rank order.
+    w_tie = Window.partitionBy(*by, group_col, value_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    refs_sorted = F.array_sort(
+        F.collect_list(F.struct("v_rank", F.col("__ref").alias("r"))).over(
+            w_tie
+        )
+    )
+    norm = F.aggregate(
+        refs_sorted, F.lit(0.0), lambda acc, c: acc + c["r"]
+    ) / F.size(refs_sorted).cast("double")
+    if round_to is not None:
+        norm = F.round(norm, round_to) + 0.0
+    return ranked_ref.select("*", norm.alias("normalized")).drop("__ref")

@@ -8477,6 +8477,368 @@ SELECT seq, COUNT(*) AS n_occ FROM tri GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Group R12 — multiple testing / survival / conformal / normalization / drift
+# ---------------------------------------------------------------------------
+
+
+def _md5b(expr: str) -> str:
+    """DuckDB replay of ``sampling.hash_bucket(…, method='md5')``: top 60
+    bits of the md5 hex as a BIGINT, mod the sampler's bucket space."""
+    return (
+        f"CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT) "
+        f"% {1 << 20}"
+    )
+
+
+FDR_TESTS_PER_PRIORITY = 12
+FDR_ALPHA = 0.05
+
+
+def q_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction (``profile.fdr_bh``) over a
+    deterministic battery of 60 tests (5 priorities x 12 md5-derived
+    customer buckets, p-values md5-uniform per test id — engine-portable,
+    so the oracle replays the battery bit-for-bit): per-priority
+    q-values via the rank + suffix-min window, step-up rejection at
+    alpha=0.05. Order statistics and fixed IEEE terms only."""
+    from blueetl_spark.operators.sampling import hash_bucket
+
+    orders = tables.load(spark, sf_dir, "orders")
+    tests = (
+        orders.select(
+            "o_orderpriority",
+            F.pmod(
+                hash_bucket(F.col("o_custkey"), method="md5"),
+                F.lit(FDR_TESTS_PER_PRIORITY),
+            ).alias("test_bucket"),
+        )
+        .distinct()
+        .select(
+            "o_orderpriority",
+            "test_bucket",
+            (
+                F.pmod(
+                    hash_bucket(
+                        F.concat(
+                            F.col("o_orderpriority"),
+                            F.lit("|"),
+                            F.col("test_bucket").cast("string"),
+                        ),
+                        method="md5",
+                    ),
+                    F.lit(1_000_000),
+                ).cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("p_value"),
+        )
+    )
+    return profile.fdr_bh(
+        tests,
+        "p_value",
+        by=["o_orderpriority"],
+        alpha=FDR_ALPHA,
+        tie_col="test_bucket",
+    ).select(
+        "o_orderpriority", "test_bucket", "p_value",
+        "m", "p_rank", "q_value", "rejected",
+    )
+
+
+SQL_FDR_CORRECTION = f"""
+WITH t AS (
+  SELECT DISTINCT o_orderpriority,
+         {_md5b("CAST(o_custkey AS VARCHAR)")} % {FDR_TESTS_PER_PRIORITY}
+           AS test_bucket
+  FROM orders
+),
+p AS (
+  SELECT o_orderpriority, test_bucket,
+         CAST({_md5b("concat(o_orderpriority, '|', CAST(test_bucket AS VARCHAR))")}
+              % 1000000 AS DOUBLE) / 1000000.0 AS p_value
+  FROM t
+),
+r AS (
+  SELECT *,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS m,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY p_value, test_bucket) AS p_rank
+  FROM p
+),
+qv AS (
+  SELECT *,
+         LEAST(1.0, MIN(CAST(m AS DOUBLE) * p_value / CAST(p_rank AS DOUBLE))
+           OVER (PARTITION BY o_orderpriority
+                 ORDER BY p_value DESC, test_bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS q0
+  FROM r
+)
+SELECT o_orderpriority, test_bucket, p_value,
+       CAST(m AS BIGINT) AS m, CAST(p_rank AS BIGINT) AS p_rank,
+       ROUND(q0, 6) + 0.0 AS q_value,
+       ROUND(q0, 6) + 0.0 <= {FDR_ALPHA} AS rejected
+FROM qv
+"""
+
+
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard (``behavior.nelson_aalen``) on the
+    SAME censored time-to-first-purchase subject frame as the
+    kaplan_meier gate — H(t) and its variance as ordered cumulative
+    sums of exact integer ratios, replayed by the oracle as ordered
+    list folds."""
+    ev = _events_norm(spark, sf_dir)
+    per = ev.groupBy("gid", "neuron_class").agg(
+        F.min("time").alias("t0"),
+        F.max("time").alias("t_last"),
+        F.min(
+            F.when(F.col("event_type") == KM_EVENT, F.col("time"))
+        ).alias("tp"),
+    )
+    subj = per.select(
+        "neuron_class",
+        (F.coalesce(F.col("tp"), F.col("t_last")) - F.col("t0")).alias(
+            "duration"
+        ),
+        F.col("tp").isNotNull().alias("event"),
+    )
+    return behavior.nelson_aalen(subj, "duration", "event", by=["neuron_class"])
+
+
+SQL_NELSON_AALEN = f"""
+WITH {_E_CTE},
+per AS (
+  SELECT gid, neuron_class, MIN("time") AS t0, MAX("time") AS t_last,
+         MIN(CASE WHEN event_type = '{KM_EVENT}' THEN "time" END) AS tp
+  FROM e GROUP BY 1, 2
+),
+subj AS (
+  SELECT neuron_class, COALESCE(tp, t_last) - t0 AS t,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM per
+),
+g AS (
+  SELECT neuron_class, t, CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(SUM(1 - ev) AS BIGINT) AS c
+  FROM subj GROUP BY 1, 2
+),
+r AS (
+  SELECT neuron_class, t, d, c,
+         CAST(SUM(d + c) OVER (PARTITION BY neuron_class)
+              - SUM(d + c) OVER (PARTITION BY neuron_class ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              + (d + c) AS BIGINT) AS n_risk
+  FROM g
+),
+s AS (
+  SELECT neuron_class, t, d, c, n_risk,
+         list_reduce(list_prepend(0.0,
+           list(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+             OVER (PARTITION BY neuron_class ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           (a, b) -> a + b) AS haz,
+         list_reduce(list_prepend(0.0,
+           list(CAST(d AS DOUBLE) / CAST(n_risk * n_risk AS DOUBLE))
+             OVER (PARTITION BY neuron_class ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           (a, b) -> a + b) AS var
+  FROM r
+)
+SELECT neuron_class, t, n_risk, d AS n_events, c AS n_censored,
+       ROUND(haz, 6) + 0.0 AS cum_hazard,
+       ROUND(var, 6) + 0.0 AS var_hazard
+FROM s WHERE d > 0
+"""
+
+
+CONFORMAL_ALPHA = 0.1
+
+
+def q_conformal_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration (``classifier.conformal_calibrate``):
+    per order priority, the finite-sample-corrected k = ceil((n+1)·0.9)
+    order statistic of the price scores — the serving-time keep
+    threshold with distribution-free >=90% coverage. Pure order
+    statistic + integer ceil-division; no summation anywhere."""
+    orders = tables.load(spark, sf_dir, "orders")
+    scores = orders.select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("score")
+    )
+    return classifier.conformal_calibrate(
+        scores, "score", by=["o_orderpriority"], alpha=CONFORMAL_ALPHA
+    )
+
+
+SQL_CONFORMAL_THRESHOLDS = f"""
+WITH s AS (
+  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS sc
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+n AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY 1
+),
+k AS (
+  SELECT o_orderpriority, n,
+         CAST(-FLOOR(-((n + 1) * {round((1 - CONFORMAL_ALPHA) * 1_000_000)})
+                     / 1000000.0) AS BIGINT) AS k
+  FROM n
+),
+r AS (
+  SELECT o_orderpriority, sc,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY sc) AS rn
+  FROM s
+)
+SELECT k.o_orderpriority, k.n, k.k, r.sc AS qhat
+FROM k LEFT JOIN r
+  ON r.o_orderpriority = k.o_orderpriority AND r.rn = k.k
+"""
+
+
+QN_ROWS = 2000
+QN_SHARDS = 3
+
+
+def q_qnorm_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (``profile.quantile_normalize``) of order
+    prices across 3 equal-sized shards (first 2000 orders per
+    ``o_orderkey % 3`` shard) — every shard's price distribution is
+    forced onto the shared per-rank reference. The cross-shard and
+    tie means are ORDERED LEFT FOLDS (jackknife discipline), so the
+    oracle adds identical floats in identical order."""
+    from pyspark.sql import Window
+
+    orders = tables.load(spark, sf_dir, "orders")
+    shards = orders.select(
+        F.pmod(F.col("o_orderkey"), F.lit(QN_SHARDS)).alias("shard"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    eq = (
+        shards.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("shard").orderBy("o_orderkey")
+            ),
+        )
+        .filter(F.col("__rn") <= QN_ROWS)
+        .drop("__rn")
+    )
+    return profile.quantile_normalize(
+        eq, "v", "shard", tie_col="o_orderkey"
+    ).select("shard", "o_orderkey", "v", "v_rank", "normalized")
+
+
+SQL_QNORM_SHARDS = f"""
+WITH sh AS (
+  SELECT o_orderkey % {QN_SHARDS} AS shard, o_orderkey,
+         CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders
+),
+eq AS (
+  SELECT shard, o_orderkey, v FROM (
+    SELECT sh.*, ROW_NUMBER() OVER (PARTITION BY shard
+                                    ORDER BY o_orderkey) AS rn
+    FROM sh
+  ) WHERE rn <= {QN_ROWS}
+),
+rk AS (
+  SELECT shard, o_orderkey, v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                 ORDER BY v, o_orderkey) AS BIGINT) AS v_rank
+  FROM eq
+),
+ref AS (
+  SELECT v_rank,
+         list_reduce(list_prepend(0.0, list(v ORDER BY shard, v)),
+                     (a, b) -> a + b)
+           / CAST({QN_SHARDS} AS DOUBLE) AS refv
+  FROM rk GROUP BY v_rank
+),
+nrm AS (
+  SELECT rk.shard, rk.v,
+         list_reduce(list_prepend(0.0, list(ref.refv ORDER BY rk.v_rank)),
+                     (a, b) -> a + b)
+           / CAST(COUNT(*) AS DOUBLE) AS normalized
+  FROM rk JOIN ref USING (v_rank)
+  GROUP BY rk.shard, rk.v
+)
+SELECT rk.shard, rk.o_orderkey, rk.v, rk.v_rank,
+       ROUND(nrm.normalized, 6) + 0.0 AS normalized
+FROM rk JOIN nrm ON nrm.shard = rk.shard AND nrm.v = rk.v
+"""
+
+
+JSD_BUCKETS = 64
+_LN2 = 0.6931471805599453
+
+
+def q_jsd_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence (``profile.js_divergence``) between the
+    even- and odd-doc token distributions, md5-bucketed to 64 cells so
+    the oracle replays the hash: exact integer cell counts, fixed IEEE
+    per-cell terms, one ordered fold."""
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens("text")).alias("tok")
+    )
+    return profile.js_divergence(
+        toks.filter(F.pmod("doc_id", F.lit(2)) == 0),
+        toks.filter(F.pmod("doc_id", F.lit(2)) == 1),
+        "tok",
+        n_buckets=JSD_BUCKETS,
+        hash_fn="md5",
+    )
+
+
+SQL_JSD_SHARDS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+bk AS (
+  SELECT doc_id % 2 AS side,
+         {_md5b("tok")} % {JSD_BUCKETS} AS b
+  FROM toks WHERE tok IS NOT NULL
+),
+ca AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS na FROM bk WHERE side = 0 GROUP BY 1),
+cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nb FROM bk WHERE side = 1 GROUP BY 1),
+j AS (
+  SELECT COALESCE(ca.b, cb.b) AS b, COALESCE(na, 0) AS na,
+         COALESCE(nb, 0) AS nb
+  FROM ca FULL OUTER JOIN cb ON ca.b = cb.b
+),
+tot AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS n_a, CAST(SUM(nb) AS BIGINT) AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+         list(struct_pack(b := b, na := na, nb := nb) ORDER BY b) AS cells
+  FROM j
+),
+terms AS (
+  SELECT n_a, n_b, n_buckets_used,
+         list_reduce(list_prepend(0.0, list_transform(cells, c ->
+           0.5 * (CASE WHEN c.na > 0
+                  THEN (CAST(c.na AS DOUBLE) / CAST(n_a AS DOUBLE))
+                       * ln((CAST(c.na AS DOUBLE) / CAST(n_a AS DOUBLE))
+                            / ((CAST(c.na AS DOUBLE) / CAST(n_a AS DOUBLE)
+                                + CAST(c.nb AS DOUBLE) / CAST(n_b AS DOUBLE))
+                               / 2.0)) / {_LN2!r}
+                  ELSE 0.0 END)
+           + 0.5 * (CASE WHEN c.nb > 0
+                  THEN (CAST(c.nb AS DOUBLE) / CAST(n_b AS DOUBLE))
+                       * ln((CAST(c.nb AS DOUBLE) / CAST(n_b AS DOUBLE))
+                            / ((CAST(c.na AS DOUBLE) / CAST(n_a AS DOUBLE)
+                                + CAST(c.nb AS DOUBLE) / CAST(n_b AS DOUBLE))
+                               / 2.0)) / {_LN2!r}
+                  ELSE 0.0 END))),
+           (acc, t) -> acc + t) AS jsd0
+  FROM tot
+)
+SELECT n_a, n_b, n_buckets_used,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN ROUND(jsd0, 6) + 0.0 END AS jsd
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -8692,6 +9054,12 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "asof_purchase": q_asof_purchase,
     "repetition_stats": q_repetition_stats,
+    # round-12 additions (graded this round via GRADED_WINDOW below)
+    "fdr_correction": q_fdr_correction,
+    "nelson_aalen": q_nelson_aalen,
+    "conformal_thresholds": q_conformal_thresholds,
+    "qnorm_shards": q_qnorm_shards,
+    "jsd_shards": q_jsd_shards,
 }
 
 # ---------------------------------------------------------------------------
@@ -8704,7 +9072,11 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # oracle tail since their md5/_fixed exact twins are in-window) — plus
 # the verdict-named SURVEY-core cycle (isi_stats, event_rates,
 # soma_mean_value, psd_welch, windows_materialize), the TPC-H tail and
-# the set-ops/pivot/rollup family (last graded r9-r10).
+# the set-ops/pivot/rollup family (last graded r9-r10). The five
+# round-12 additions take slots 8-12 (never-graded beats stale-graded —
+# the r10→r11 lesson); five r6-graded text/sampling gates rotate to the
+# oracle tail to make room (tf_idf, token_stats, vocab, hard_negatives,
+# mixture_sample — all still hash-checked every suite run).
 # ---------------------------------------------------------------------------
 GRADED_WINDOW: list[str] = [
     # 1-7: round-11 additions (verdict order)
@@ -8715,7 +9087,13 @@ GRADED_WINDOW: list[str] = [
     "target_encode",
     "jackknife_rpo",
     "bloom_join_revenue",
-    # 8-35: longest-ungraded exact-oracled gates (r3-r7)
+    # 8-12: round-12 additions (never driver-graded)
+    "fdr_correction",
+    "nelson_aalen",
+    "conformal_thresholds",
+    "qnorm_shards",
+    "jsd_shards",
+    # 13-35: longest-ungraded exact-oracled gates (r3-r7)
     "embedding_norms",
     "top_orders",
     "dedup_embedding_lsh",
@@ -8724,17 +9102,12 @@ GRADED_WINDOW: list[str] = [
     "asof_purchase",
     "decontaminate",
     "dedup_keep_canonical",
-    "hard_negatives",
     "jaccard_pairs",
     "knn_pq",
     "minhash_lsh_md5",
-    "mixture_sample",
     "orders_topk_per_customer",
     "repetition_stats",
     "simhash_md5",
-    "tf_idf",
-    "token_stats",
-    "vocab",
     "curation_pipeline",
     "dedup_components",
     "dedup_embedding",
@@ -8947,6 +9320,12 @@ ORACLES: dict[str, str] = {
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "scd2_latest_order": SQL_SCD2_LATEST_ORDER,
     "session_window_overlap": SQL_SESSION_WINDOW_OVERLAP,
+    # round-12 additions
+    "fdr_correction": SQL_FDR_CORRECTION,
+    "nelson_aalen": SQL_NELSON_AALEN,
+    "conformal_thresholds": SQL_CONFORMAL_THRESHOLDS,
+    "qnorm_shards": SQL_QNORM_SHARDS,
+    "jsd_shards": SQL_JSD_SHARDS,
 }
 
 

@@ -490,3 +490,44 @@ def test_exact_moment_ops_reject_fractional_inputs(spark):
     assert cuped(df, "y_int", "x_int", "variant").count() > 0
     assert jackknife_ratio(df, "unit", "y_int", "x_int").count() > 0
     assert target_encode_kfold(df, "cat", "y_int", key_col="unit").count() > 0
+
+
+def test_nelson_aalen_hand_example(spark):
+    """H(t) and its variance replicate the textbook hand calculation on
+    a small censored cohort; censor-only times never emit a row but do
+    shrink the at-risk set."""
+    data = [(6, 1), (6, 1), (6, 1), (6, 0), (7, 1), (9, 0), (10, 1),
+            (10, 0), (11, 0), (13, 1)]
+    df = spark.createDataFrame(data, "d int, e int")
+    from blueetl_spark.operators.behavior import nelson_aalen
+
+    rows = {r.t: r for r in nelson_aalen(df, "d", "e").collect()}
+    assert set(rows) == {6, 7, 10, 13}  # t=9,11 censor-only: no step
+    assert (rows[6].n_risk, rows[6].n_events, rows[6].n_censored) == (10, 3, 1)
+    assert rows[6].cum_hazard == 0.3
+    assert rows[7].cum_hazard == 0.466667   # 0.3 + 1/6
+    assert rows[10].cum_hazard == 0.716667  # + 1/4
+    assert rows[13].cum_hazard == 1.716667  # + 1/1
+    assert rows[6].var_hazard == 0.03       # 3/100
+    assert rows[13].var_hazard == 1.120278
+
+
+def test_nelson_aalen_tracks_kaplan_meier(spark):
+    """-log(S_KM) ~= H_NA on a no-tie cohort (the estimators agree to
+    first order); both see identical at-risk/event columns."""
+    import math
+
+    from blueetl_spark.operators.behavior import kaplan_meier, nelson_aalen
+
+    data = [(float(t), int(t % 3 != 0)) for t in range(1, 40)]
+    df = spark.createDataFrame(data, "d double, e int")
+    km = {r.t: r for r in kaplan_meier(df, "d", "e").collect()}
+    na = {r.t: r for r in nelson_aalen(df, "d", "e").collect()}
+    assert set(km) == set(na)
+    for t in km:
+        assert (km[t].n_risk, km[t].n_events) == (na[t].n_risk, na[t].n_events)
+        # -log(1-x) >= x term-by-term, so H is always below -log(S);
+        # the gap accumulates Sum d/(2n^2) and only blows up in the tail
+        assert na[t].cum_hazard <= -math.log(km[t].survival) + 1e-9
+        if na[t].n_risk >= 5:
+            assert -math.log(km[t].survival) - na[t].cum_hazard < 0.1

