@@ -170,6 +170,7 @@ HEADLINE = [
     "conformal_thresholds",
     "qnorm_shards",
     "jsd_shards",
+    "auc_delong",
 ]
 
 

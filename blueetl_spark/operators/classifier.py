@@ -491,3 +491,122 @@ def conformal_calibrate(
         .select(*grp, F.col("__s").alias("qhat"))
     )
     return n_grp.join(at_k, grp, "left").select(*by, "n", "k", "qhat")
+
+
+def auc_delong(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: Sequence[str] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ROC-AUC with DeLong variance and 95% CI per group — the answer
+    to "is this 0.71 vs 0.69 AUC difference real or noise" that a bare
+    :func:`roc_auc` point estimate cannot give (DeLong, DeLong &
+    Clarke-Pearson 1988: the AUC is a two-sample U-statistic; its
+    variance comes from the per-observation PLACEMENT values, no
+    bootstrap needed). Output: ``(by…, n_pos, n_neg, auc, var_auc, se,
+    ci_lo, ci_hi)`` (normal interval, clamped to [0, 1]); ``var_auc``
+    and the interval are NULL when either class has < 2 observations.
+
+    Engine-exact: each positive's placement ``(#neg below + ½·#neg
+    tied)/n`` is carried as the INTEGER ``2·cum_neg − neg_at`` (and
+    symmetrically for negatives), so all four moment sums are exact
+    BIGINTs and every output is one fixed float tree over them —
+    the ``roc_auc``/``spearman`` discipline. Bound: ``Σ w·P²`` needs
+    ``4·n²·m < 2^63`` (n·√m ≲ 1.5e9 — quantize scores upstream long
+    before that).
+
+    Scale shape: identical to :func:`roc_auc` — ONE map-side-combined
+    shuffle to per-(group, score) class counts, one ordered window
+    over distinct scores, one final aggregate.
+    """
+    by = list(by)
+    s, y = F.col(score_col), F.col(label_col)
+    g = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .select(
+            *by,
+            s.alias("__s"),
+            F.when(y.cast("boolean"), 1).otherwise(0).alias("__p"),
+        )
+        .groupBy(*by, "__s")
+        .agg(
+            F.sum("__p").cast("long").alias("__cp"),
+            F.sum(1 - F.col("__p")).cast("long").alias("__cn"),
+        )
+    )
+    w_all = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))
+    w_run = w_all.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_cn = F.sum("__cn").over(w_run)
+    cum_cp = F.sum("__cp").over(w_run)
+    tot_cp = F.sum("__cp").over(w_all)
+    # integer placement twins: P10 = 2·(neg strictly below) + neg tied,
+    # P01 = 2·(pos strictly above) + pos tied
+    p10 = 2 * cum_cn - F.col("__cn")
+    p01 = 2 * tot_cp - 2 * cum_cp + F.col("__cp")
+    agg = g.select(
+        *by,
+        "__cp",
+        "__cn",
+        (F.col("__cp") * p10).alias("__sp"),
+        (F.col("__cp") * p10 * p10).alias("__spp"),
+        (F.col("__cn") * p01).alias("__sq"),
+        (F.col("__cn") * p01 * p01).alias("__sqq"),
+    ).groupBy(*by).agg(
+        F.sum("__cp").alias("n_pos"),
+        F.sum("__cn").alias("n_neg"),
+        F.sum("__sp").alias("__sp"),
+        F.sum("__spp").alias("__spp"),
+        F.sum("__sq").alias("__sq"),
+        F.sum("__sqq").alias("__sqq"),
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    m, n = d("n_pos"), d("n_neg")
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        d("__sp") / (2.0 * n * m),
+    )
+    s10 = (
+        (d("__spp") - d("__sp") * d("__sp") / m)
+        / (m - 1.0)
+        / (2.0 * n * (2.0 * n))
+    )
+    s01 = (
+        (d("__sqq") - d("__sq") * d("__sq") / n)
+        / (n - 1.0)
+        / (2.0 * m * (2.0 * m))
+    )
+    var = F.when(
+        (F.col("n_pos") > 1) & (F.col("n_neg") > 1), s10 / m + s01 / n
+    )
+    se = F.sqrt(var)
+    z975 = 1.959963984540054
+    # explicit NULL guard: Spark's greatest() IGNORES nulls, so an
+    # unguarded greatest(0.0, NULL) would report ci_lo = 0.0 for a
+    # group whose variance is undefined
+    ci_lo = F.when(
+        se.isNotNull(), F.greatest(F.lit(0.0), auc - F.lit(z975) * se)
+    )
+    ci_hi = F.when(
+        se.isNotNull(), F.least(F.lit(1.0), auc + F.lit(z975) * se)
+    )
+
+    def rnd(c):
+        return (F.round(c, round_to) + 0.0) if round_to is not None else c
+
+    return agg.select(
+        *by,
+        "n_pos",
+        "n_neg",
+        rnd(auc).alias("auc"),
+        rnd(var).alias("var_auc"),
+        rnd(se).alias("se"),
+        rnd(ci_lo).alias("ci_lo"),
+        rnd(ci_hi).alias("ci_hi"),
+    )

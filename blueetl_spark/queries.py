@@ -6470,6 +6470,102 @@ FROM a
 """
 
 
+def q_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC with DeLong variance + 95% CI (``classifier.auc_delong``)
+    per 3-way doc shard — "is the scorer's ranking quality difference
+    between shards real?" next to the point-estimate score_auc gate.
+    Integer placement twins (2·cum−tied) make all four moment sums
+    exact BIGINTs; every output is one fixed float tree."""
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    scored = classifier.score_linear_hashed(
+        docs, CLS_WEIGHTS, hash_fn="md5", intercept=CLS_INTERCEPT
+    )
+    j = scored.select(
+        F.pmod("doc_id", F.lit(3)).alias("shard"),
+        F.round("quality_score", 9).alias("sc"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return classifier.auc_delong(j, "sc", "y", by=["shard"])
+
+
+def _auc_delong_sql() -> str:
+    return f"""
+WITH scores AS ({_classifier_score_sql()}),
+lab AS (
+  SELECT d.doc_id % 3 AS shard, s.quality_score AS sc,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents d JOIN scores s USING (doc_id)
+  WHERE s.quality_score IS NOT NULL
+),
+g AS (
+  SELECT shard, sc, CAST(SUM(y) AS BIGINT) AS cp,
+         CAST(SUM(1 - y) AS BIGINT) AS cn
+  FROM lab GROUP BY 1, 2
+),
+r AS (
+  SELECT shard, cp, cn,
+         SUM(cn) OVER (PARTITION BY shard ORDER BY sc
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cn,
+         SUM(cp) OVER (PARTITION BY shard ORDER BY sc
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cp,
+         SUM(cp) OVER (PARTITION BY shard) AS tot_cp
+  FROM g
+),
+a AS (
+  SELECT shard,
+         CAST(SUM(cp) AS BIGINT) AS n_pos,
+         CAST(SUM(cn) AS BIGINT) AS n_neg,
+         CAST(SUM(cp * (2 * cum_cn - cn)) AS BIGINT) AS sp,
+         CAST(SUM(cp * (2 * cum_cn - cn) * (2 * cum_cn - cn)) AS BIGINT)
+           AS spp,
+         CAST(SUM(cn * (2 * tot_cp - 2 * cum_cp + cp)) AS BIGINT) AS sq,
+         CAST(SUM(cn * (2 * tot_cp - 2 * cum_cp + cp)
+                     * (2 * tot_cp - 2 * cum_cp + cp)) AS BIGINT) AS sqq
+  FROM r GROUP BY 1
+),
+fin AS (
+  SELECT shard, n_pos, n_neg,
+         CAST(n_pos AS DOUBLE) AS m, CAST(n_neg AS DOUBLE) AS n,
+         CASE WHEN n_pos > 0 AND n_neg > 0
+              THEN CAST(sp AS DOUBLE) / (2.0 * CAST(n_neg AS DOUBLE)
+                                             * CAST(n_pos AS DOUBLE)) END
+           AS auc,
+         CASE WHEN n_pos > 1 AND n_neg > 1 THEN
+           (CAST(spp AS DOUBLE)
+              - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
+                / CAST(n_pos AS DOUBLE))
+             / (CAST(n_pos AS DOUBLE) - 1.0)
+             / (2.0 * CAST(n_neg AS DOUBLE) * (2.0 * CAST(n_neg AS DOUBLE)))
+             / CAST(n_pos AS DOUBLE)
+           + (CAST(sqq AS DOUBLE)
+              - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+                / CAST(n_neg AS DOUBLE))
+             / (CAST(n_neg AS DOUBLE) - 1.0)
+             / (2.0 * CAST(n_pos AS DOUBLE) * (2.0 * CAST(n_pos AS DOUBLE)))
+             / CAST(n_neg AS DOUBLE)
+         END AS var_auc
+  FROM a
+),
+ci AS (
+  SELECT shard, n_pos, n_neg, auc, var_auc, sqrt(var_auc) AS se
+  FROM fin
+)
+SELECT shard, n_pos, n_neg,
+       ROUND(auc, 6) + 0.0 AS auc,
+       ROUND(var_auc, 6) + 0.0 AS var_auc,
+       ROUND(se, 6) + 0.0 AS se,
+       CASE WHEN se IS NOT NULL THEN
+         ROUND(GREATEST(0.0, auc - 1.959963984540054 * se), 6) + 0.0 END
+         AS ci_lo,
+       CASE WHEN se IS NOT NULL THEN
+         ROUND(LEAST(1.0, auc + 1.959963984540054 * se), 6) + 0.0 END
+         AS ci_hi
+FROM ci
+"""
+
+
 SEAS_PERIOD = 86_400_000.0  # one day in ms
 SEAS_BUCKET = 3_600_000.0  # one hour in ms
 SEAS_Z = 2.0
@@ -9060,6 +9156,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conformal_thresholds": q_conformal_thresholds,
     "qnorm_shards": q_qnorm_shards,
     "jsd_shards": q_jsd_shards,
+    "auc_delong": q_auc_delong,
 }
 
 # ---------------------------------------------------------------------------
@@ -9093,14 +9190,14 @@ GRADED_WINDOW: list[str] = [
     "conformal_thresholds",
     "qnorm_shards",
     "jsd_shards",
-    # 13-35: longest-ungraded exact-oracled gates (r3-r7)
+    "auc_delong",
+    # 14-35: longest-ungraded exact-oracled gates (r3-r7)
     "embedding_norms",
     "top_orders",
     "dedup_embedding_lsh",
     "resample_events",
     "winnowing_md5",
     "asof_purchase",
-    "decontaminate",
     "dedup_keep_canonical",
     "jaccard_pairs",
     "knn_pq",
@@ -9326,6 +9423,7 @@ ORACLES: dict[str, str] = {
     "conformal_thresholds": SQL_CONFORMAL_THRESHOLDS,
     "qnorm_shards": SQL_QNORM_SHARDS,
     "jsd_shards": SQL_JSD_SHARDS,
+    "auc_delong": _auc_delong_sql(),
 }
 
 

@@ -311,3 +311,48 @@ def test_conformal_calibrate_threshold_and_coverage(spark):
 
     with _pytest.raises(ValueError, match="alpha"):
         conformal_calibrate(tiny, "s", alpha=1.5)
+
+
+def test_auc_delong_matches_numpy_placements(spark):
+    """DeLong variance replicates an independent numpy placement replay
+    (ties included); the point estimate agrees with roc_auc exactly;
+    one-class and singleton groups degrade to NULLs, not garbage."""
+    import numpy as np
+
+    from blueetl_spark.operators.classifier import auc_delong, roc_auc
+
+    rng = np.random.default_rng(5)
+    n = 300
+    y = (rng.random(n) < 0.4).astype(int)
+    s = np.round(rng.random(n) + 0.7 * y, 2)  # discriminative, with ties
+    df = spark.createDataFrame(
+        [(float(si), int(yi)) for si, yi in zip(s, y)], "s double, y int"
+    )
+    row = auc_delong(df, "s", "y").head()
+    pos, neg = s[y == 1], s[y == 0]
+    m, nn = len(pos), len(neg)
+    v10 = np.array(
+        [(np.sum(neg < p) + 0.5 * np.sum(neg == p)) / nn for p in pos]
+    )
+    v01 = np.array(
+        [(np.sum(pos > q) + 0.5 * np.sum(pos == q)) / m for q in neg]
+    )
+    var = v10.var(ddof=1) / m + v01.var(ddof=1) / nn
+    assert (row.n_pos, row.n_neg) == (m, nn)
+    assert abs(row.auc - v10.mean()) < 1e-6
+    assert abs(row.var_auc - var) < 1e-6
+    assert abs(row.se - np.sqrt(var)) < 1e-6
+    assert row.ci_lo < row.auc < row.ci_hi
+    assert row.auc == roc_auc(df, "s", "y").head().auc
+
+    # degenerate groups: one-class -> NULL auc; singletons -> NULL var/CI
+    deg = spark.createDataFrame(
+        [("one_class", 1.0, 1), ("one_class", 2.0, 1),
+         ("single", 2.0, 1), ("single", 1.0, 0)],
+        "g string, s double, y int",
+    )
+    got = {r.g: r for r in auc_delong(deg, "s", "y", by=["g"]).collect()}
+    assert got["one_class"].auc is None
+    assert got["single"].auc == 1.0
+    assert got["single"].var_auc is None
+    assert got["single"].ci_lo is None and got["single"].ci_hi is None
