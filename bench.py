@@ -171,6 +171,7 @@ HEADLINE = [
     "qnorm_shards",
     "jsd_shards",
     "auc_delong",
+    "k_anonymity",
 ]
 
 

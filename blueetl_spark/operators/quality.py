@@ -158,3 +158,85 @@ def check_constraints(df: DataFrame, rules: Sequence[Mapping]) -> DataFrame:
         "rule_idx", "rule", "column", "n_checked", "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Per-equivalence-class k-anonymity audit (Sweeney 2002) — the
+    re-identification screen a dataset needs BEFORE it ships to
+    training or release: rows sharing the same quasi-identifier tuple
+    (zip+age+gender-style columns) form an equivalence class, and any
+    class smaller than ``k`` marks its members as re-identifiable by
+    linkage. One row per class: ``(quasi…, class_size, violates_k)``
+    plus, with ``sensitive_col``, ``l_distinct`` — the class's count
+    of distinct sensitive values (l-diversity, Machanavajjhala 2007:
+    a k-anonymous class with ONE distinct diagnosis still leaks it).
+    NULL quasi values form their own classes (SQL grouping semantics —
+    a NULL zip is itself a linkable signature).
+
+    Scale shape: ONE map-side-combined aggregate on the quasi tuple
+    (count + optional count-distinct — the distinct adds Spark's
+    Expand but it's still a single scan). Output is class-count-sized.
+    All integer; trivially oracle-exact.
+    """
+    quasi = list(quasi_cols)
+    if not quasi:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 2:
+        raise ValueError("k must be >= 2 (k=1 is vacuous)")
+    aggs = [F.count(F.lit(1)).alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(F.countDistinct(sensitive_col).alias("l_distinct"))
+    out = df.groupBy(*quasi).agg(*aggs)
+    return out.select(
+        *quasi,
+        "class_size",
+        (F.col("class_size") < k).alias("violates_k"),
+        *(["l_distinct"] if sensitive_col is not None else []),
+    )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+    l: int = 2,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """One-row release-gate summary over :func:`k_anonymity`:
+    ``(n_rows, n_classes, min_class_size, violating_classes,
+    violating_rows, at_risk_fraction)`` and, with a sensitive column,
+    ``l_violating_classes`` (classes with < ``l`` distinct sensitive
+    values — counted over ALL classes, k-anonymous or not). The
+    dataset passes k-anonymity iff ``min_class_size >= k``, i.e.
+    ``violating_classes = 0``. Class-count-sized input, one terminal
+    aggregate; only ``at_risk_fraction`` is float.
+    """
+    classes = k_anonymity(df, quasi_cols, k=k, sensitive_col=sensitive_col)
+    aggs = [
+        F.sum("class_size").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("class_size").alias("min_class_size"),
+        F.sum(F.col("violates_k").cast("long")).alias("violating_classes"),
+        F.sum(
+            F.when(F.col("violates_k"), F.col("class_size")).otherwise(0)
+        ).alias("violating_rows"),
+    ]
+    if sensitive_col is not None:
+        aggs.append(
+            F.sum((F.col("l_distinct") < l).cast("long")).alias(
+                "l_violating_classes"
+            )
+        )
+    out = classes.agg(*aggs)
+    frac = F.col("violating_rows").cast("double") / F.col("n_rows").cast(
+        "double"
+    )
+    if round_to is not None:
+        frac = F.round(frac, round_to) + 0.0
+    return out.select("*", frac.alias("at_risk_fraction"))

@@ -6566,6 +6566,36 @@ FROM ci
 """
 
 
+KANON_K = 10
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (``quality.k_anonymity``) over
+    customers with quasi-identifiers (nation, market segment) and
+    account balance as the sensitive attribute — every equivalence
+    class with its size, k=10 violation flag, and distinct-sensitive
+    count. One map-side-combined aggregate; all integer."""
+    from blueetl_spark.operators import quality
+
+    cust = tables.load(spark, sf_dir, "customer")
+    return quality.k_anonymity(
+        cust,
+        ["c_nationkey", "c_mktsegment"],
+        k=KANON_K,
+        sensitive_col="c_acctbal",
+    )
+
+
+SQL_K_ANONYMITY = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       COUNT(*) < {KANON_K} AS violates_k,
+       CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS l_distinct
+FROM customer
+GROUP BY 1, 2
+"""
+
+
 SEAS_PERIOD = 86_400_000.0  # one day in ms
 SEAS_BUCKET = 3_600_000.0  # one hour in ms
 SEAS_Z = 2.0
@@ -9157,6 +9187,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qnorm_shards": q_qnorm_shards,
     "jsd_shards": q_jsd_shards,
     "auc_delong": q_auc_delong,
+    "k_anonymity": q_k_anonymity,
 }
 
 # ---------------------------------------------------------------------------
@@ -9191,12 +9222,12 @@ GRADED_WINDOW: list[str] = [
     "qnorm_shards",
     "jsd_shards",
     "auc_delong",
-    # 14-35: longest-ungraded exact-oracled gates (r3-r7)
+    "k_anonymity",
+    # 15-35: longest-ungraded exact-oracled gates (r3-r7)
     "embedding_norms",
     "top_orders",
     "dedup_embedding_lsh",
     "resample_events",
-    "winnowing_md5",
     "asof_purchase",
     "dedup_keep_canonical",
     "jaccard_pairs",
@@ -9424,6 +9455,7 @@ ORACLES: dict[str, str] = {
     "qnorm_shards": SQL_QNORM_SHARDS,
     "jsd_shards": SQL_JSD_SHARDS,
     "auc_delong": _auc_delong_sql(),
+    "k_anonymity": SQL_K_ANONYMITY,
 }
 
 

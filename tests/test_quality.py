@@ -113,3 +113,44 @@ def test_quoted_column_names_are_safe(spark):
     ).collect()
     assert out[0].column == "it's"
     assert (out[0].n_checked, out[0].n_violations) == (2, 1)
+
+
+def test_k_anonymity_classes_and_report(spark):
+    """Class sizes, k-violation flags, l-diversity counts and the
+    release-gate summary all replicate a hand-checkable fixture; NULL
+    quasi values form their own class; guards raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators.quality import k_anonymity, k_anonymity_report
+
+    rows = (
+        [("10001", "M", "flu") for _ in range(5)]
+        + [("10001", "F", "flu"), ("10001", "F", "cold")]
+        + [("10002", "M", "flu"), (None, "F", "cold")]
+    )
+    df = spark.createDataFrame(rows, "zip string, sex string, dx string")
+    classes = {
+        (r.zip, r.sex): (r.class_size, r.violates_k, r.l_distinct)
+        for r in k_anonymity(
+            df, ["zip", "sex"], k=3, sensitive_col="dx"
+        ).collect()
+    }
+    assert classes == {
+        ("10001", "M"): (5, False, 1),   # k-anonymous but l=1: leaks dx
+        ("10001", "F"): (2, True, 2),
+        ("10002", "M"): (1, True, 1),
+        (None, "F"): (1, True, 1),       # NULL zip is its own class
+    }
+    rep = k_anonymity_report(
+        df, ["zip", "sex"], k=3, sensitive_col="dx", l=2
+    ).head()
+    assert (rep.n_rows, rep.n_classes, rep.min_class_size) == (9, 4, 1)
+    assert (rep.violating_classes, rep.violating_rows) == (3, 4)
+    assert rep.l_violating_classes == 3
+    assert rep.at_risk_fraction == round(4 / 9, 6)
+
+    with _pytest.raises(ValueError, match="quasi_cols"):
+        k_anonymity(df, [])
+    with _pytest.raises(ValueError, match="k must"):
+        k_anonymity(df, ["zip"], k=1)
