@@ -172,6 +172,8 @@ HEADLINE = [
     "jsd_shards",
     "auc_delong",
     "k_anonymity",
+    "isotonic_curve",
+    "mmr_diverse",
 ]
 
 

@@ -610,3 +610,96 @@ def auc_delong(
         rnd(ci_lo).alias("ci_lo"),
         rnd(ci_hi).alias("ci_hi"),
     )
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Isotonic (PAV) probability calibration per group — the
+    non-parametric companion to :func:`calibration_bins`: instead of
+    fixed-width bins, pool-adjacent-violators finds the best
+    monotone-nondecreasing fit of the empirical positive rate to the
+    score (Zadrozny & Elkan 2002 — the standard when a model's scores
+    rank well but their magnitudes are dishonest, which
+    :func:`roc_auc` vs :func:`calibration_bins` disagreement reveals).
+    Output: one row per pooled block: ``(by…, x_lo, x_hi, n, n_pos,
+    rate)`` with ``rate = n_pos/n`` strictly increasing block-to-block
+    (equal-rate neighbors pool). Calibrate a serving score by looking
+    up the block whose ``[x_lo, x_hi]`` brackets it (step function;
+    broadcast-join friendly — the block table is tiny).
+
+    Exactness: the per-block rate is ONE division of exact integer
+    sums (PAV pooling only ever adds integer (n, n_pos) pairs), so
+    the output is engine-portable even though the pooling itself is a
+    sequential stack algorithm with no SQL twin (rows-only gate; the
+    pytest pins a hand-replayable reference).
+
+    Scale shape: one map-side-combined aggregate to per-(group, score)
+    grain, then an Arrow ``applyInPandas`` PAV over DISTINCT scores
+    per group — kernel input is distinct-score-sized, not row-sized
+    (quantize scores upstream if a group has billions of distinct
+    scores; same contract as ``roc_auc``).
+    """
+    import numpy as np
+    import pandas as pd
+
+    by = list(by)
+    s, y = F.col(score_col), F.col(label_col)
+    g = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .select(
+            *by,
+            s.cast("double").alias("__s"),
+            F.when(y.cast("boolean"), 1).otherwise(0).alias("__p"),
+        )
+        .groupBy(*by, "__s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__p").cast("long").alias("__np"),
+        )
+    )
+    by_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*by).schema
+    )
+    out_schema = (
+        (by_fields + ", " if by_fields else "")
+        + "x_lo double, x_hi double, n long, n_pos long, rate double"
+    )
+
+    def pav(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__s", ignore_index=True)
+        # stack of blocks [x_lo, x_hi, n, n_pos]; pool while the new
+        # block's rate <= the top's (weighted-average merge keeps
+        # integer sums exact)
+        stack: list[list] = []
+        for xs, n, np_ in zip(pdf["__s"], pdf["__n"], pdf["__np"]):
+            blk = [xs, xs, int(n), int(np_)]
+            while stack and blk[3] * stack[-1][2] <= stack[-1][3] * blk[2]:
+                top = stack.pop()
+                blk = [top[0], blk[1], top[2] + blk[2], top[3] + blk[3]]
+            stack.append(blk)
+        out = pd.DataFrame(
+            stack, columns=["x_lo", "x_hi", "n", "n_pos"]
+        )
+        out["rate"] = out["n_pos"] / out["n"]
+        for c in by:
+            out[c] = pdf[c].iloc[0]
+        return out[[*by, "x_lo", "x_hi", "n", "n_pos", "rate"]]
+
+    if by:
+        return g.groupBy(*by).applyInPandas(pav, out_schema)
+    # no-`by` path: one synthetic constant group so the same grouped
+    # kernel runs (and the schema stays identical after the drop)
+    return (
+        g.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(
+            lambda pdf: pav(pdf.drop(columns="__g")).assign(__g=1),
+            "__g int, " + out_schema,
+        )
+        .drop("__g")
+    )

@@ -851,3 +851,118 @@ def ann_recall(
         )
         .select(query_col, "n_exact", "n_hit", recall.alias("recall"))
     )
+
+
+def mmr_select(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    score_col: str = "score",
+    id_col: str = "vec_id",
+    k: int = 10,
+    lam: float = 0.7,
+    by: Sequence[str] = (),
+    max_candidates: int = 100_000,
+) -> DataFrame:
+    """Maximal-marginal-relevance selection per group (Carbonell &
+    Goldstein 1998) — pick ``k`` items that are RELEVANT but not
+    redundant: greedy argmax of ``lam·rel − (1−lam)·max_cos_to_
+    selected``. The training-data-selection / RAG-rerank step that
+    plain top-k by score cannot do (top-k returns k near-duplicates of
+    the best item; MMR's second term pushes each pick away from what
+    is already chosen).
+
+    This is a RERANK operator: each group must already be a bounded
+    candidate set (an ANN result list, a cluster, a stratum) —
+    enforced by ``max_candidates`` (the kernel raises, naming the
+    bound, if a group exceeds it; run :func:`knn_lsh` /
+    ``clustering.kmeans`` upstream to block first). Output: the
+    selected rows ``(by…, id, score, mmr_rank, mmr_score)`` with
+    ``mmr_rank`` 0-based in pick order; ``mmr_score`` is the objective
+    at pick time (rank 0 = pure relevance). Deterministic: candidates
+    are processed in id order, ties pick the smallest id.
+
+    Scale shape: one Arrow ``applyInPandas`` per group; the kernel is
+    k vectorized numpy passes (O(k·n·d) flops, no n×n matrix — the
+    running ``max_sim`` vector is updated with one matvec per pick).
+    """
+    import numpy as np
+    import pandas as pd
+
+    by = list(by)
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    src = df.select(
+        *by,
+        F.col(id_col).alias("__id"),
+        F.col(score_col).cast("double").alias("__rel"),
+        F.col(vec_col).alias("__v"),
+    ).filter(F.col("__rel").isNotNull() & F.col("__v").isNotNull())
+    by_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*by).schema
+    )
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = (
+        (by_fields + ", " if by_fields else "")
+        + f"{id_col} {id_type}, {score_col} double, "
+        + "mmr_rank int, mmr_score double"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_candidates:
+            raise ValueError(
+                f"mmr_select: group of {n} candidates exceeds "
+                f"max_candidates={max_candidates}; MMR is a rerank over "
+                "bounded candidate sets — block upstream (ANN top-N, "
+                "cluster, stratum) or raise the bound"
+            )
+        pdf = pdf.sort_values("__id", ignore_index=True)
+        x = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+        )
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors: cos := 0 to everything
+        xn = x / norms[:, None]
+        rel = pdf["__rel"].to_numpy(dtype=np.float64)
+        kk = min(k, n)
+        chosen, objs = [], []
+        max_sim = np.full(n, -np.inf)
+        alive = np.ones(n, dtype=bool)
+        for step in range(kk):
+            obj = rel if step == 0 else lam * rel - (1.0 - lam) * max_sim
+            obj = np.where(alive, obj, -np.inf)
+            i = int(np.argmax(obj))  # first max = smallest id on ties
+            chosen.append(i)
+            objs.append(float(obj[i]))
+            alive[i] = False
+            sims = xn @ xn[i]
+            if step == 0:
+                max_sim = np.where(alive, sims, -np.inf)
+            else:
+                max_sim = np.maximum(max_sim, sims)
+        out = pd.DataFrame(
+            {
+                id_col: pdf["__id"].iloc[chosen].to_numpy(),
+                score_col: rel[chosen],
+                "mmr_rank": np.arange(kk, dtype=np.int32),
+                "mmr_score": objs,
+            }
+        )
+        for c in by:
+            out[c] = pdf[c].iloc[0]
+        return out[[*by, id_col, score_col, "mmr_rank", "mmr_score"]]
+
+    if by:
+        return src.groupBy(*by).applyInPandas(kernel, out_schema)
+    return (
+        src.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(
+            lambda pdf: kernel(pdf.drop(columns="__g")).assign(__g=1),
+            "__g int, " + out_schema,
+        )
+        .drop("__g")
+    )

@@ -6566,6 +6566,112 @@ FROM ci
 """
 
 
+def q_isotonic_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration curve (``classifier.isotonic_
+    calibrate``) of the hashed linear scorer against the lang='en'
+    label, scores quantized to 2 decimals so the distinct-score grid
+    stays small. The PAV pooling is a sequential stack with no direct
+    SQL twin, but its OUTPUT has the classic minimax characterization
+    ``fit_i = max_{j<=i} min_{k>=i} mean(y[j..k])`` — every candidate
+    ratio is one division of exact integer cumsums and min/max
+    rounding is monotone, so the quadratic SQL replay is EXACT, the
+    same discipline as pareto_parts' NOT-EXISTS oracle."""
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    scored = classifier.score_linear_hashed(
+        docs, CLS_WEIGHTS, hash_fn="md5", intercept=CLS_INTERCEPT
+    )
+    j = scored.select(
+        F.round("quality_score", 2).alias("sc"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return classifier.isotonic_calibrate(j, "sc", "y")
+
+
+def _isotonic_sql() -> str:
+    return f"""
+WITH scores AS ({_classifier_score_sql()}),
+lab AS (
+  SELECT ROUND(s.quality_score, 2) AS sc,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents d JOIN scores s USING (doc_id)
+  WHERE s.quality_score IS NOT NULL
+),
+g AS (
+  SELECT sc, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS np
+  FROM lab GROUP BY 1
+),
+idx AS (
+  SELECT sc, n, np,
+         ROW_NUMBER() OVER (ORDER BY sc) AS rn,
+         SUM(n) OVER (ORDER BY sc
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+         SUM(np) OVER (ORDER BY sc
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+  FROM g
+),
+seg AS (
+  SELECT a.rn AS ja, b.rn AS kb,
+         CAST(b.cp - (a.cp - a.np) AS DOUBLE)
+           / CAST(b.cn - (a.cn - a.n) AS DOUBLE) AS ratio
+  FROM idx a JOIN idx b ON b.rn >= a.rn
+),
+inner_min AS (
+  SELECT i.rn AS ri, s.ja, MIN(s.ratio) AS mn
+  FROM idx i JOIN seg s ON s.ja <= i.rn AND s.kb >= i.rn
+  GROUP BY 1, 2
+),
+fit AS (SELECT ri, MAX(mn) AS fitv FROM inner_min GROUP BY 1),
+runs AS (
+  SELECT idx.rn, idx.sc, idx.n, idx.np, f.fitv,
+         CASE WHEN LAG(f.fitv) OVER (ORDER BY idx.rn) = f.fitv
+              THEN 0 ELSE 1 END AS brk
+  FROM idx JOIN fit f ON f.ri = idx.rn
+),
+blk AS (
+  SELECT *, SUM(brk) OVER (ORDER BY rn
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bid
+  FROM runs
+)
+SELECT MIN(sc) AS x_lo, MAX(sc) AS x_hi,
+       CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(np) AS BIGINT) AS n_pos,
+       CAST(SUM(np) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS rate
+FROM blk GROUP BY bid
+"""
+
+
+MMR_K = 10
+MMR_LAM = 0.7
+
+
+def q_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance selection (``similarity.mmr_select``)
+    of 10 diverse-but-relevant vectors per label class, relevance =
+    cosine to the first axis. Greedy argmax with a per-pick running
+    max-sim update has no tractable SQL twin (rows-only gate); the
+    pytest pins the kernel against an independent numpy replay."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    rel = emb.select(
+        "label",
+        "vec_id",
+        F.col("embedding").alias("embedding"),
+        (
+            F.col("embedding")[0].cast("double")
+            / F.sqrt(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double"),
+                )
+            )
+        ).alias("score"),
+    )
+    return similarity.mmr_select(
+        rel, k=MMR_K, lam=MMR_LAM, by=["label"]
+    )
+
+
 KANON_K = 10
 
 
@@ -9188,6 +9294,8 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jsd_shards": q_jsd_shards,
     "auc_delong": q_auc_delong,
     "k_anonymity": q_k_anonymity,
+    "isotonic_curve": q_isotonic_curve,
+    "mmr_diverse": q_mmr_diverse,
 }
 
 # ---------------------------------------------------------------------------
@@ -9223,11 +9331,11 @@ GRADED_WINDOW: list[str] = [
     "jsd_shards",
     "auc_delong",
     "k_anonymity",
-    # 15-35: longest-ungraded exact-oracled gates (r3-r7)
+    "isotonic_curve",
+    "mmr_diverse",
+    # 17-35: longest-ungraded exact-oracled gates (r3-r7)
     "embedding_norms",
     "top_orders",
-    "dedup_embedding_lsh",
-    "resample_events",
     "asof_purchase",
     "dedup_keep_canonical",
     "jaccard_pairs",
@@ -9456,6 +9564,8 @@ ORACLES: dict[str, str] = {
     "jsd_shards": SQL_JSD_SHARDS,
     "auc_delong": _auc_delong_sql(),
     "k_anonymity": SQL_K_ANONYMITY,
+    "isotonic_curve": _isotonic_sql(),
+    # mmr_diverse: greedy rerank, rows-only by design (no SQL twin)
 }
 
 

@@ -143,3 +143,72 @@ def test_ann_recall_counts_hits_per_query(spark):
     assert got[1] == (3, 2, round(2 / 3, 6))
     assert got[2] == (2, 0, 0.0)
     assert got[3] == (1, 1, 1.0)
+
+
+def test_mmr_select_diversity_and_reference(spark):
+    """MMR picks relevant-but-diverse items (plain top-k would take the
+    whole top cluster), matches an independent numpy greedy replay,
+    respects per-group isolation, and enforces the rerank candidate
+    bound."""
+    import numpy as np
+    import pytest as _pytest
+
+    from blueetl_spark.operators.similarity import mmr_select
+
+    rows = [
+        (1, [1.0, 0.0], 0.9), (2, [0.99, 0.14], 0.89), (3, [0.98, 0.2], 0.88),
+        (4, [0.0, 1.0], 0.5), (5, [0.1, 0.99], 0.49), (6, [-1.0, 0.0], 0.2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, score double"
+    )
+    out = mmr_select(df, k=3, lam=0.5).orderBy("mmr_rank").collect()
+    assert [r.vec_id for r in out] == [1, 6, 4]  # top cluster NOT swept
+    assert out[0].mmr_score == 0.9  # rank 0 = pure relevance
+
+    def ref(rows, k, lam):
+        ids = [r[0] for r in rows]
+        x = np.array([r[1] for r in rows], float)
+        rel = np.array([r[2] for r in rows])
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        alive = np.ones(len(ids), bool)
+        max_sim = np.full(len(ids), -np.inf)
+        sel = []
+        for step in range(k):
+            obj = rel if step == 0 else lam * rel - (1 - lam) * max_sim
+            obj = np.where(alive, obj, -np.inf)
+            i = int(np.argmax(obj))
+            sel.append(ids[i])
+            alive[i] = False
+            sims = xn @ xn[i]
+            max_sim = (
+                np.where(alive, sims, -np.inf)
+                if step == 0
+                else np.maximum(max_sim, sims)
+            )
+        return sel
+
+    rng = np.random.default_rng(11)
+    big = [
+        (int(i), rng.normal(size=4).tolist(), float(rng.random()))
+        for i in range(60)
+    ]
+    bdf = spark.createDataFrame(
+        big, "vec_id long, embedding array<double>, score double"
+    )
+    got = [
+        r.vec_id
+        for r in mmr_select(bdf, k=8, lam=0.7).orderBy("mmr_rank").collect()
+    ]
+    assert got == ref(big, 8, 0.7)
+
+    grouped = bdf.withColumn("g", (F.col("vec_id") % 2).cast("int"))
+    gout = mmr_select(grouped, k=5, by=["g"]).collect()
+    assert len(gout) == 10
+    for r in gout:
+        assert r.vec_id % 2 == r.g  # picks never cross groups
+
+    with _pytest.raises(Exception, match="max_candidates"):
+        mmr_select(bdf, k=3, max_candidates=10).collect()
+    with _pytest.raises(ValueError, match="lam"):
+        mmr_select(bdf, k=3, lam=1.5)

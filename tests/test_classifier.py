@@ -356,3 +356,39 @@ def test_auc_delong_matches_numpy_placements(spark):
     assert got["single"].auc == 1.0
     assert got["single"].var_auc is None
     assert got["single"].ci_lo is None and got["single"].ci_hi is None
+
+
+def test_isotonic_calibrate_pav_reference(spark):
+    """PAV blocks replicate the hand calculation (rates strictly
+    increasing, violator runs pooled, equal-rate neighbors pooled);
+    grouped variant isolates groups; integer sums survive exactly."""
+    from blueetl_spark.operators.classifier import isotonic_calibrate
+
+    rows = [(1.0, 0), (2.0, 1), (3.0, 0), (4.0, 0),
+            (5.0, 1), (6.0, 0), (7.0, 1), (8.0, 1)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    blocks = [
+        (r.x_lo, r.x_hi, r.n, r.n_pos, r.rate)
+        for r in isotonic_calibrate(df, "s", "y").orderBy("x_lo").collect()
+    ]
+    assert blocks == [
+        (1.0, 1.0, 1, 0, 0.0),
+        (2.0, 4.0, 3, 1, 1 / 3),
+        (5.0, 6.0, 2, 1, 0.5),
+        (7.0, 8.0, 2, 2, 1.0),
+    ]
+    rates = [b[4] for b in blocks]
+    assert rates == sorted(rates) and len(set(rates)) == len(rates)
+
+    # grouped: a second group with perfectly monotone labels stays
+    # unpooled per distinct score
+    two = spark.createDataFrame(
+        [("a", s, y) for s, y in rows] + [("b", 1.0, 0), ("b", 2.0, 1)],
+        "g string, s double, y int",
+    )
+    got = {
+        (r.g, r.x_lo): r.rate
+        for r in isotonic_calibrate(two, "s", "y", by=["g"]).collect()
+    }
+    assert got[("b", 1.0)] == 0.0 and got[("b", 2.0)] == 1.0
+    assert got[("a", 2.0)] == 1 / 3
