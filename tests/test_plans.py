@@ -597,3 +597,48 @@ def test_round11_gates_plan_shapes(spark):
         for l in plans["theil_sen_windowed"].splitlines()
     )
     assert ts_ex <= 2, plans["theil_sen_windowed"]
+
+
+def test_round12_gates_plan_shapes(spark):
+    """Plan pins for the round-12 gates: no row-at-a-time Python
+    anywhere; the windowed/statistical gates keep their data-sized
+    sides out of SortMergeJoins (jsd's bucket-grain full-outer SMJ and
+    qnorm's rank-grain joins are the two deliberate exceptions — both
+    join frames are already aggregate-bounded); pareto-style kernels
+    stay two Arrow passes; the quantile-normalize rework holds at 4
+    exchanges / 4 scans (first cut: 13 / 6)."""
+    import re
+
+    from blueetl_spark import queries as Q
+
+    plans = {
+        name: _formatted_plan(Q.QUERIES[name](spark, SF))
+        for name in [
+            "fdr_correction",
+            "nelson_aalen",
+            "conformal_thresholds",
+            "qnorm_shards",
+            "jsd_shards",
+            "auc_delong",
+            "k_anonymity",
+            "isotonic_curve",
+            "mmr_diverse",
+        ]
+    }
+    for name, p in plans.items():
+        assert "BatchEvalPython" not in p, name
+    # single-scan single-window families
+    for name in ("fdr_correction", "nelson_aalen", "auc_delong"):
+        assert len(re.findall(r"\(\d+\) Scan parquet", plans[name])) == 1, name
+        assert "SortMergeJoin" not in plans[name], name
+    # k-anonymity: one aggregate, no join at all
+    assert "Join" not in plans["k_anonymity"]
+    ka_ex = len(re.findall(r"\(\d+\) Exchange", plans["k_anonymity"]))
+    assert ka_ex <= 2, plans["k_anonymity"]  # count + countDistinct Expand
+    # qnorm rework pin: the groupBy+join-back tie rule would re-inflate
+    # these counts (13 exchanges / 6 scans before the window rework)
+    assert len(re.findall(r"\(\d+\) Exchange", plans["qnorm_shards"])) <= 5
+    assert len(re.findall(r"\(\d+\) Scan parquet", plans["qnorm_shards"])) <= 4
+    # Arrow (not row) Python kernels where Python is used at all
+    assert "FlatMapGroupsInPandas" in plans["mmr_diverse"]
+    assert "FlatMapGroupsInPandas" in plans["isotonic_curve"]
