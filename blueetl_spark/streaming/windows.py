@@ -647,3 +647,61 @@ def asof_enrich_static(
         F.col(f"__m.__t").alias(f"{on}{suffix}"),
         *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in payload],
     )
+
+
+def streaming_jsd_monitor(
+    stream_df: DataFrame,
+    ref_df: DataFrame,
+    key_col: str,
+    shard_path: str,
+    checkpoint: str,
+    by: tuple = (),
+    n_buckets: int = 256,
+    hash_fn: str = "xxhash64",
+    batch_prefix: str = "stream",
+    trigger: dict | None = None,
+):
+    """Categorical twin of :func:`streaming_psi_monitor`: every
+    micro-batch is Jensen–Shannon-scored against a FIXED reference
+    key distribution (``operators/profile.py::js_divergence`` — raw
+    token/category mass, no binning needed, bounded [0,1] even when a
+    batch carries keys the reference never saw) and appends one
+    ``(batch_id, by…, n_a, n_b, n_buckets_used, jsd)`` row per group.
+    Same foreachBatch seam, same at-least-once → effectively-once
+    contract (deterministic row per batch_id; dedup at read via
+    :func:`read_jsd_timeline`). The reference is persisted once; each
+    batch's job re-aggregates only ITS OWN rows plus the cached
+    reference bucket counts (bucket-grain work per batch).
+    """
+    from blueetl_spark.operators.profile import js_divergence
+
+    ref = ref_df.persist()
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            js_divergence(ref, batch_df, key_col, by=list(by),
+                          n_buckets=n_buckets, hash_fn=hash_fn)
+            .withColumn("batch_id", F.lit(f"{batch_prefix}-{epoch_id}"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(shard_path)
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def read_jsd_timeline(spark, shard_path: str, by: tuple = ()) -> DataFrame:
+    """Read a :func:`streaming_jsd_monitor` shard dir as the drift
+    timeline, crash-replayed duplicates folded out on (batch_id, group)."""
+    return (
+        spark.read.parquet(shard_path)
+        .dropDuplicates(["batch_id", *by])
+    )

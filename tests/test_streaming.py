@@ -1386,3 +1386,62 @@ def test_streaming_psi_monitor(spark, tmp_path):
     # crash-replay: duplicate rows fold out in the reader
     spark.read.parquet(shards).limit(1).write.mode("append").parquet(shards)
     assert len(read_psi_timeline(spark, shards).toPandas()) == 2
+
+
+def test_streaming_jsd_monitor(spark, tmp_path):
+    """Categorical drift twin: each micro-batch's JSD row equals the
+    batch js_divergence against the same reference; a disjoint-token
+    batch scores strictly higher than an in-distribution one; restart
+    appends nothing; replayed rows fold out."""
+    import pandas as pd
+
+    from blueetl_spark.operators.profile import js_divergence
+    from blueetl_spark.streaming.windows import (
+        read_jsd_timeline,
+        streaming_jsd_monitor,
+    )
+
+    src = str(tmp_path / "src")
+    shards = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    ref = spark.createDataFrame(
+        pd.DataFrame({"tok": [f"t{i % 20}" for i in range(400)]})
+    )
+    pd_a = pd.DataFrame({"tok": [f"t{i % 20}" for i in range(100)]})
+    pd_b = pd.DataFrame({"tok": [f"u{i % 20}" for i in range(100)]})
+    spark.createDataFrame(pd_a).coalesce(1).write.parquet(src)
+    spark.createDataFrame(pd_b).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_jsd_monitor(
+        stream, ref, "tok", shards, ckpt, n_buckets=1 << 12,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+    timeline = read_jsd_timeline(spark, shards).toPandas()
+    assert len(timeline) == 2
+    jsds = sorted(timeline["jsd"])
+    expect = sorted(
+        js_divergence(
+            ref, spark.createDataFrame(p), "tok", n_buckets=1 << 12
+        ).collect()[0]["jsd"]
+        for p in (pd_a, pd_b)
+    )
+    assert jsds == expect
+    assert jsds == [0.0, 1.0]  # identical mix vs disjoint vocabulary
+
+    before = spark.read.parquet(shards).count()
+    q2 = streaming_jsd_monitor(
+        stream, ref, "tok", shards, ckpt, n_buckets=1 << 12,
+        trigger={"availableNow": True},
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(shards).count() == before
+
+    spark.read.parquet(shards).limit(1).write.mode("append").parquet(shards)
+    assert len(read_jsd_timeline(spark, shards).toPandas()) == 2
