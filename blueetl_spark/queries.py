@@ -6648,9 +6648,11 @@ MMR_LAM = 0.7
 def q_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance selection (``similarity.mmr_select``)
     of 10 diverse-but-relevant vectors per label class, relevance =
-    cosine to the first axis. Greedy argmax with a per-pick running
-    max-sim update has no tractable SQL twin (rows-only gate); the
-    pytest pins the kernel against an independent numpy replay."""
+    cosine to the first axis. The greedy trace is replayed EXACTLY by a
+    DuckDB recursive CTE (one iteration per pick; the pick's unit
+    vector is broadcast to its group via FIRST_VALUE so each surviving
+    candidate updates its running max-sim — the spike_distances /
+    isotonic precedent); floats rounded to 6 on both sides."""
     emb = tables.load(spark, sf_dir, "embeddings")
     rel = emb.select(
         "label",
@@ -6667,9 +6669,76 @@ def q_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("score"),
     )
-    return similarity.mmr_select(
+    out = similarity.mmr_select(
         rel, k=MMR_K, lam=MMR_LAM, by=["label"]
     )
+    return out.select(
+        "label",
+        "vec_id",
+        F.round("score", 6).alias("score"),
+        "mmr_rank",
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )
+
+
+# Exact replay of mmr_select's greedy argmax: the recursive state is one
+# row per (label, alive candidate) carrying its running max-sim; each
+# iteration ranks candidates by the MMR objective, emits the winner as a
+# kind=1 pick row, and hands every survivor the winner's unit vector via
+# FIRST_VALUE over the same ranking window (single self-reference — no
+# join against the recursive table). Accumulated pick rows are the
+# result. Ties break to the smallest vec_id, matching the kernel's
+# sort-by-id + first-argmax.
+SQL_MMR_DIVERSE = f"""
+WITH RECURSIVE
+base AS (
+  SELECT label, vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT label, vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM base
+),
+normed AS (
+  SELECT label, vec_id,
+         v[1] / nrm AS rel,
+         CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x / nrm)
+              END AS vn
+  FROM scored
+),
+mmr(step, label, vec_id, rel, vn, max_sim, kind, obj) AS (
+  SELECT 0, label, vec_id, rel, vn, CAST(NULL AS DOUBLE), 0,
+         CAST(NULL AS DOUBLE)
+  FROM normed
+  UNION ALL
+  SELECT step + 1, label, vec_id, rel, vn,
+         CASE WHEN rn = 1 THEN max_sim
+              WHEN max_sim IS NULL THEN list_dot_product(vn, pick_vn)
+              ELSE greatest(max_sim, list_dot_product(vn, pick_vn)) END,
+         CASE WHEN rn = 1 THEN 1 ELSE 0 END,
+         CASE WHEN rn = 1 THEN cur_obj ELSE CAST(NULL AS DOUBLE) END
+  FROM (
+    SELECT *,
+           ROW_NUMBER() OVER
+             (PARTITION BY label ORDER BY cur_obj DESC, vec_id) AS rn,
+           FIRST_VALUE(vn) OVER
+             (PARTITION BY label ORDER BY cur_obj DESC, vec_id) AS pick_vn
+    FROM (
+      SELECT *,
+             CASE WHEN max_sim IS NULL THEN rel
+                  ELSE {MMR_LAM} * rel
+                       - (1 - {MMR_LAM}) * max_sim END AS cur_obj
+      FROM mmr
+      WHERE kind = 0 AND step < {MMR_K}
+    )
+  )
+)
+SELECT label, vec_id, ROUND(rel, 6) AS score,
+       CAST(step - 1 AS INT) AS mmr_rank, ROUND(obj, 6) AS mmr_score
+FROM mmr WHERE kind = 1
+"""
 
 
 KANON_K = 10
@@ -9565,7 +9634,8 @@ ORACLES: dict[str, str] = {
     "auc_delong": _auc_delong_sql(),
     "k_anonymity": SQL_K_ANONYMITY,
     "isotonic_curve": _isotonic_sql(),
-    # mmr_diverse: greedy rerank, rows-only by design (no SQL twin)
+    # round-13: the greedy rerank got its exact recursive-CTE replay
+    "mmr_diverse": SQL_MMR_DIVERSE,
 }
 
 
