@@ -1,0 +1,165 @@
+"""Ranking-evaluation metrics over (query, doc, rank, relevance) frames.
+
+The retrieval-eval kit any RAG / training-data pipeline audits its
+retriever with — joins :func:`similarity.ann_recall` (set overlap vs a
+bruteforce baseline) and :func:`text.bm25_search` (the retriever) as the
+*graded* evaluation side:
+
+- :func:`ranking_metrics` — per-query nDCG@k, reciprocal rank@k,
+  average precision@k, precision@k, recall@k from ONE aggregation: the
+  (rank, rel) pairs are collected per query (retrieval lists are bounded
+  — tens to low thousands of rows), sorted by rank, and every metric is
+  a JVM higher-order-function fold over that array. No join, no window
+  function, no Python — one shuffle on the query key, map-side combined.
+- :func:`ranking_summary` — corpus-level macro means (mean nDCG, MAP,
+  MRR, mean P@k/R@k) over the per-query frame; one tiny aggregate.
+
+Conventions (documented because every IR library picks differently):
+
+- ``rank_col`` is 1-based and unique per query (build it with
+  ``row_number`` over the retriever's score — ties broken by doc id).
+- A doc is *relevant* iff ``rel_col > 0``; graded gains use
+  ``2^rel - 1`` (exponential, the nDCG default; ``graded=False`` gives
+  linear gains ``rel``).
+- DCG discounts by ``log2(rank + 1)``; IDCG re-sorts ALL judged rels
+  descending and truncates at k, so nDCG is comparable across queries
+  with different list lengths.
+- ``precision = n_relevant_in_top_k / k`` (k, not list length — an
+  under-filled list is penalized, matching sklearn).
+- ``recall = n_relevant_in_top_k / n_relevant_judged`` over the whole
+  judged frame for the query; NULL when the query has no relevant doc
+  (undefined, rather than a silently-perfect 0/0).
+- ``ap`` (average precision@k) sums precision-at-each-relevant-rank up
+  to k and divides by n_relevant_judged (TREC-style recall base); 0.0
+  when nothing is relevant. ``rr`` is 1/first-relevant-rank within k,
+  else 0.0; nDCG is 0.0 when IDCG = 0.
+
+Scale shape: the only shuffle is the groupBy on the query key; per-query
+state is the (rank, rel) list — bounded by the retrieval list length,
+independent of corpus size. At 100 TB the frame arrives already blocked
+per query (a retriever's top-k output), so the aggregate is map-side
+combined and the reduce side carries k-element arrays only.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _gain(rel, graded: bool):
+    rel = rel.cast("double")
+    if graded:
+        return F.pow(F.lit(2.0), rel) - F.lit(1.0)
+    return rel
+
+
+def ranking_metrics(
+    df: DataFrame,
+    query_cols: Sequence[str],
+    rank_col: str = "rank",
+    rel_col: str = "relevance",
+    k: int = 10,
+    graded: bool = True,
+) -> DataFrame:
+    """Per-query ranking metrics; see the module docstring for the
+    exact conventions. Output columns: ``query_cols…, n_judged,
+    n_relevant, ndcg, rr, ap, precision, recall`` (floats unrounded —
+    callers round for serialization)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    query_cols = list(query_cols)
+    pairs = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(rank_col).cast("long").alias("rank"),
+                F.col(rel_col).cast("double").alias("rel"),
+            )
+        )
+    )
+    agg = df.groupBy(*query_cols).agg(pairs.alias("__pairs"))
+
+    arr = F.col("__pairs")
+    at_k = F.filter(arr, lambda s: s["rank"] <= k)
+    rel_ranks = F.transform(
+        F.filter(at_k, lambda s: s["rel"] > 0), lambda s: s["rank"]
+    )
+    n_rel_k = F.size(rel_ranks)
+    n_rel_total = F.size(F.filter(arr, lambda s: s["rel"] > 0))
+
+    dcg = F.aggregate(
+        at_k,
+        F.lit(0.0),
+        lambda a, s: a
+        + _gain(s["rel"], graded) / F.log2(s["rank"].cast("double") + 1.0),
+    )
+    # ideal ordering: all judged rels sorted descending, truncated at k;
+    # transform's 0-based index i puts the i-th best at discount
+    # log2(i + 2) — equal rels commute, so tie order is immaterial
+    ideal = F.slice(
+        F.reverse(F.array_sort(F.transform(arr, lambda s: s["rel"]))), 1, k
+    )
+    idcg = F.aggregate(
+        F.transform(
+            ideal,
+            lambda x, i: _gain(x, graded) / F.log2(i.cast("double") + 2.0),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    first_rel = F.array_min(rel_ranks)
+    # AP fold carries (hits-so-far, partial sum); each relevant rank r
+    # contributes (hits_including_it / r) — ranks are unique so the
+    # item's own rank is its position
+    ap_sum = F.aggregate(
+        at_k,
+        F.struct(F.lit(0.0).alias("hits"), F.lit(0.0).alias("s")),
+        lambda acc, s: F.struct(
+            (
+                acc["hits"] + F.when(s["rel"] > 0, 1.0).otherwise(0.0)
+            ).alias("hits"),
+            (
+                acc["s"]
+                + F.when(
+                    s["rel"] > 0,
+                    (acc["hits"] + 1.0) / s["rank"].cast("double"),
+                ).otherwise(0.0)
+            ).alias("s"),
+        ),
+        lambda acc: acc["s"],
+    )
+
+    return agg.select(
+        *query_cols,
+        F.size(arr).cast("long").alias("n_judged"),
+        n_rel_total.cast("long").alias("n_relevant"),
+        F.when(idcg > 0.0, dcg / idcg).otherwise(0.0).alias("ndcg"),
+        F.when(first_rel.isNotNull(), 1.0 / first_rel.cast("double"))
+        .otherwise(0.0)
+        .alias("rr"),
+        F.when(n_rel_total > 0, ap_sum / n_rel_total.cast("double"))
+        .otherwise(0.0)
+        .alias("ap"),
+        (n_rel_k.cast("double") / F.lit(float(k))).alias("precision"),
+        F.when(
+            n_rel_total > 0, n_rel_k.cast("double") / n_rel_total.cast("double")
+        ).alias("recall"),
+    )
+
+
+def ranking_summary(metrics: DataFrame) -> DataFrame:
+    """Corpus-level macro means over a :func:`ranking_metrics` frame:
+    one row ``(n_queries, mean_ndcg, map, mrr, mean_precision,
+    mean_recall)``. Means are over all queries except ``mean_recall``,
+    which skips undefined (NULL, zero-relevant) queries — Spark/SQL AVG
+    null-skipping, stated here so the oracle matches by construction."""
+    return metrics.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.avg("ndcg").alias("mean_ndcg"),
+        F.avg("ap").alias("map"),
+        F.avg("rr").alias("mrr"),
+        F.avg("precision").alias("mean_precision"),
+        F.avg("recall").alias("mean_recall"),
+    )

@@ -6771,6 +6771,256 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Ranking-evaluation kit (round 13): nDCG@k / MRR / AP / P@k / R@k over
+# (query, rank, relevance) frames — the graded retrieval eval joining
+# ann_recall (set overlap) and bm25_search (the retriever).
+# ---------------------------------------------------------------------------
+
+RANKEVAL_K = 10
+RANKEVAL_ANN_QUERIES = 50  # embeddings vec_id < 50 act as queries
+
+
+def _ranking_metrics_sql(judged: str, qcol: str, k: int) -> str:
+    """Per-query metric SQL over a judged CTE ``(qcol, rnk, rel)`` with
+    1-based unique ranks — mirrors ``ranking.ranking_metrics`` exactly
+    (same conventions: exponential gains, log2(rank+1) discounts, IDCG
+    over ALL judged rels truncated at k, P@k over k, recall NULL when no
+    relevant doc). Emits UNROUNDED doubles; callers round."""
+    return f"""
+judged AS ({judged}),
+run AS (
+  SELECT *, SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY {qcol} ORDER BY rnk) AS hits
+  FROM judged
+),
+ideal AS (
+  SELECT {qcol}, rel,
+         ROW_NUMBER() OVER (PARTITION BY {qcol} ORDER BY rel DESC) AS irank
+  FROM judged
+),
+idcg AS (
+  SELECT {qcol},
+         SUM((POWER(2.0, rel) - 1.0) / LOG2(irank + 1.0)) AS idcg
+  FROM ideal WHERE irank <= {k} GROUP BY 1
+),
+per AS (
+  SELECT {qcol},
+         CAST(COUNT(*) AS BIGINT) AS n_judged,
+         CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_relevant,
+         SUM(CASE WHEN rnk <= {k}
+                  THEN (POWER(2.0, rel) - 1.0) / LOG2(rnk + 1.0)
+                  ELSE 0.0 END) AS dcg,
+         MIN(CASE WHEN rnk <= {k} AND rel > 0 THEN rnk END) AS first_rel,
+         SUM(CASE WHEN rnk <= {k} AND rel > 0
+                  THEN hits * 1.0 / rnk ELSE 0.0 END) AS ap_sum,
+         SUM(CASE WHEN rnk <= {k} AND rel > 0 THEN 1 ELSE 0 END) AS n_rel_k
+  FROM run GROUP BY 1
+),
+metrics AS (
+  SELECT p.{qcol}, p.n_judged, p.n_relevant,
+         CASE WHEN i.idcg > 0.0 THEN p.dcg / i.idcg ELSE 0.0 END AS ndcg,
+         CASE WHEN p.first_rel IS NOT NULL THEN 1.0 / p.first_rel
+              ELSE 0.0 END AS rr,
+         CASE WHEN p.n_relevant > 0 THEN p.ap_sum / p.n_relevant
+              ELSE 0.0 END AS ap,
+         p.n_rel_k / {k}.0 AS precision,
+         CASE WHEN p.n_relevant > 0 THEN p.n_rel_k * 1.0 / p.n_relevant
+              END AS recall
+  FROM per p JOIN idcg i USING ({qcol})
+)"""
+
+
+_RANKEVAL_ORDERS_JUDGED = """
+  SELECT o_custkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 2.0
+              WHEN o_orderpriority = '2-HIGH' THEN 1.0
+              ELSE 0.0 END AS rel
+  FROM orders"""
+
+
+def _ranking_orders_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged frame: each customer is a query, their orders ranked by
+    totalprice desc (does spending surface urgency?), graded relevance
+    from o_orderpriority (URGENT=2, HIGH=1, else 0)."""
+    from pyspark.sql import Window
+
+    orders = tables.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        F.row_number().over(w).alias("rnk"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 2.0)
+        .when(F.col("o_orderpriority") == "2-HIGH", 1.0)
+        .otherwise(0.0)
+        .alias("rel"),
+    )
+
+
+def q_ranking_eval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query ranking evaluation (``ranking.ranking_metrics``):
+    nDCG@10, RR@10, AP@10, P@10, R@10 for every customer's
+    price-ranked order list against priority-graded relevance. One
+    window pass to rank + ONE collect_list aggregate for all five
+    metrics (JVM array folds; no join, no Python)."""
+    from blueetl_spark.operators import ranking
+
+    out = ranking.ranking_metrics(
+        _ranking_orders_frame(spark, sf_dir),
+        ["o_custkey"],
+        rank_col="rnk",
+        rel_col="rel",
+        k=RANKEVAL_K,
+    )
+    return out.select(
+        "o_custkey",
+        "n_judged",
+        "n_relevant",
+        F.round("ndcg", 6).alias("ndcg"),
+        F.round("rr", 6).alias("rr"),
+        F.round("ap", 6).alias("ap"),
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+    )
+
+
+SQL_RANKING_EVAL_ORDERS = f"""
+WITH {_ranking_metrics_sql(_RANKEVAL_ORDERS_JUDGED, "o_custkey", RANKEVAL_K)}
+SELECT o_custkey, n_judged, n_relevant,
+       ROUND(ndcg, 6) AS ndcg, ROUND(rr, 6) AS rr, ROUND(ap, 6) AS ap,
+       ROUND(precision, 6) AS precision, ROUND(recall, 6) AS recall
+FROM metrics
+"""
+
+
+def q_retrieval_eval_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level retrieval eval (``ranking.ranking_summary``): macro
+    mean nDCG / MAP / MRR / mean P@k / mean R@k over the per-customer
+    frame — the one-row scorecard a retriever A/B reads. mean_recall
+    averages only queries where recall is defined (has >=1 relevant)."""
+    from blueetl_spark.operators import ranking
+
+    metrics = ranking.ranking_metrics(
+        _ranking_orders_frame(spark, sf_dir),
+        ["o_custkey"],
+        rank_col="rnk",
+        rel_col="rel",
+        k=RANKEVAL_K,
+    )
+    out = ranking.ranking_summary(metrics)
+    return out.select(
+        "n_queries",
+        F.round("mean_ndcg", 6).alias("mean_ndcg"),
+        F.round("map", 6).alias("map"),
+        F.round("mrr", 6).alias("mrr"),
+        F.round("mean_precision", 6).alias("mean_precision"),
+        F.round("mean_recall", 6).alias("mean_recall"),
+    )
+
+
+SQL_RETRIEVAL_EVAL_SUMMARY = f"""
+WITH {_ranking_metrics_sql(_RANKEVAL_ORDERS_JUDGED, "o_custkey", RANKEVAL_K)}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(AVG(ndcg), 6) AS mean_ndcg,
+       ROUND(AVG(ap), 6) AS map,
+       ROUND(AVG(rr), 6) AS mrr,
+       ROUND(AVG(precision), 6) AS mean_precision,
+       ROUND(AVG(recall), 6) AS mean_recall
+FROM metrics
+"""
+
+
+def q_retrieval_eval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded eval of the bruteforce ANN retriever: 50 query vectors,
+    top-10 cosine neighbors each, relevance 2 when the neighbor shares
+    the query's label. The judged frame is the retriever's own top-k
+    (recall is within-list). Broadcast label lookups on both sides of
+    the knn output; metrics from one aggregate."""
+    from blueetl_spark.operators import ranking
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < RANKEVAL_ANN_QUERIES)
+    knn = similarity.knn_bruteforce(qs, emb, k=RANKEVAL_K)
+    labels = emb.select("vec_id", "label")
+    judged = (
+        knn.join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("qlabel"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("nlabel"),
+                )
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            F.col("rank").alias("rnk"),
+            F.when(F.col("qlabel") == F.col("nlabel"), 2.0)
+            .otherwise(0.0)
+            .alias("rel"),
+        )
+    )
+    out = ranking.ranking_metrics(
+        judged, ["query_id"], rank_col="rnk", rel_col="rel", k=RANKEVAL_K
+    )
+    return out.select(
+        "query_id",
+        "n_judged",
+        "n_relevant",
+        F.round("ndcg", 6).alias("ndcg"),
+        F.round("rr", 6).alias("rr"),
+        F.round("ap", 6).alias("ap"),
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+    )
+
+
+_RANKEVAL_ANN_JUDGED = f"""
+  WITH q AS (SELECT vec_id AS query_id, label, embedding FROM embeddings
+             WHERE vec_id < {RANKEVAL_ANN_QUERIES}),
+  s AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           CASE WHEN q.label = c.label THEN 2.0 ELSE 0.0 END AS rel,
+           list_sum(list_transform(range(1, len(q.embedding) + 1),
+             i -> CAST(q.embedding[i] AS DOUBLE)
+                  * CAST(c.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cosine
+    FROM q, embeddings c WHERE q.query_id <> c.vec_id
+  ),
+  r AS (SELECT query_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM s)
+  SELECT query_id, rnk, rel FROM r WHERE rnk <= {RANKEVAL_K}"""
+
+
+SQL_RETRIEVAL_EVAL_ANN = f"""
+WITH {_ranking_metrics_sql(_RANKEVAL_ANN_JUDGED, "query_id", RANKEVAL_K)}
+SELECT query_id, n_judged, n_relevant,
+       ROUND(ndcg, 6) AS ndcg, ROUND(rr, 6) AS rr, ROUND(ap, 6) AS ap,
+       ROUND(precision, 6) AS precision, ROUND(recall, 6) AS recall
+FROM metrics
+"""
+
+
 SEAS_PERIOD = 86_400_000.0  # one day in ms
 SEAS_BUCKET = 3_600_000.0  # one hour in ms
 SEAS_Z = 2.0
@@ -9365,6 +9615,10 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_anonymity": q_k_anonymity,
     "isotonic_curve": q_isotonic_curve,
     "mmr_diverse": q_mmr_diverse,
+    # round-13 additions: ranking-evaluation kit
+    "ranking_eval_orders": q_ranking_eval_orders,
+    "retrieval_eval_ann": q_retrieval_eval_ann,
+    "retrieval_eval_summary": q_retrieval_eval_summary,
 }
 
 # ---------------------------------------------------------------------------
@@ -9636,6 +9890,10 @@ ORACLES: dict[str, str] = {
     "isotonic_curve": _isotonic_sql(),
     # round-13: the greedy rerank got its exact recursive-CTE replay
     "mmr_diverse": SQL_MMR_DIVERSE,
+    # round-13 additions: ranking-evaluation kit
+    "ranking_eval_orders": SQL_RANKING_EVAL_ORDERS,
+    "retrieval_eval_ann": SQL_RETRIEVAL_EVAL_ANN,
+    "retrieval_eval_summary": SQL_RETRIEVAL_EVAL_SUMMARY,
 }
 
 

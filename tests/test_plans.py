@@ -642,3 +642,35 @@ def test_round12_gates_plan_shapes(spark):
     # Arrow (not row) Python kernels where Python is used at all
     assert "FlatMapGroupsInPandas" in plans["mmr_diverse"]
     assert "FlatMapGroupsInPandas" in plans["isotonic_curve"]
+
+
+def test_round13_ranking_gates_plan_shapes(spark):
+    """Plan pins for the round-13 ranking-eval kit: the metric kernel is
+    ONE scan + one rank window + one collect_list aggregate — pure JVM
+    (no Python of any kind), no join; the summary adds one scalar
+    aggregate on top, nothing else. The ANN eval's two label lookups
+    attach by broadcast (never a data-sized SMJ)."""
+    import re
+
+    from blueetl_spark import queries as Q
+
+    plans = {
+        name: _formatted_plan(Q.QUERIES[name](spark, SF))
+        for name in [
+            "ranking_eval_orders",
+            "retrieval_eval_ann",
+            "retrieval_eval_summary",
+        ]
+    }
+    for name, p in plans.items():
+        assert "BatchEvalPython" not in p, name
+        assert "FlatMapGroupsInPandas" not in p, (name, "metric is JVM-only")
+    for name in ("ranking_eval_orders", "retrieval_eval_summary"):
+        p = plans[name]
+        assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, name
+        assert "Join" not in p, (name, "metrics never need a join")
+        # rank window shuffle + metric groupBy (+ AQE singles)
+        assert len(re.findall(r"\(\d+\) Exchange hashpartitioning", p)) <= 2, p
+    ann = plans["retrieval_eval_ann"]
+    assert "SortMergeJoin" not in ann, ann
+    assert "BroadcastHashJoin" in ann, ann

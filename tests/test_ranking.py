@@ -1,0 +1,106 @@
+"""Hand-computed pins for the ranking-evaluation kit
+(``operators/ranking.py``) — every metric checked against values worked
+out on paper for a tiny judged frame, plus the degenerate cases (no
+relevant doc, under-filled list, linear gains)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def _frame(spark):
+    # q1: 5 docs ranked 1..5, rels 0,1,0,2,0  (k=3 sees 0,1,0)
+    # q2: nothing relevant
+    # q3: 2 docs (under-filled vs k=3), both relevant
+    rows = [
+        ("q1", 1, 0.0),
+        ("q1", 2, 1.0),
+        ("q1", 3, 0.0),
+        ("q1", 4, 2.0),
+        ("q1", 5, 0.0),
+        ("q2", 1, 0.0),
+        ("q2", 2, 0.0),
+        ("q3", 1, 1.0),
+        ("q3", 2, 1.0),
+    ]
+    return spark.createDataFrame(rows, "q string, rnk int, rel double")
+
+
+def test_ranking_metrics_hand_computed(spark):
+    from blueetl_spark.operators.ranking import ranking_metrics
+
+    out = {
+        r["q"]: r
+        for r in ranking_metrics(
+            _frame(spark), ["q"], rank_col="rnk", rel_col="rel", k=3
+        ).collect()
+    }
+
+    q1 = out["q1"]
+    assert q1["n_judged"] == 5 and q1["n_relevant"] == 2
+    dcg = 1.0 / math.log2(3.0)  # rel 1 at rank 2
+    idcg = 3.0 / math.log2(2.0) + 1.0 / math.log2(3.0)  # ideal [2,1,0]
+    assert q1["ndcg"] == pytest.approx(dcg / idcg, abs=1e-12)
+    assert q1["rr"] == pytest.approx(0.5)
+    assert q1["ap"] == pytest.approx((1.0 / 2.0) / 2.0)  # one hit at rank 2
+    assert q1["precision"] == pytest.approx(1.0 / 3.0)
+    assert q1["recall"] == pytest.approx(0.5)
+
+    q2 = out["q2"]
+    assert q2["n_relevant"] == 0
+    assert q2["ndcg"] == 0.0 and q2["rr"] == 0.0 and q2["ap"] == 0.0
+    assert q2["precision"] == 0.0
+    assert q2["recall"] is None  # undefined, not silently perfect
+
+    q3 = out["q3"]
+    dcg3 = 1.0 / math.log2(2.0) + 1.0 / math.log2(3.0)
+    assert q3["ndcg"] == pytest.approx(1.0)  # already ideal
+    assert q3["rr"] == 1.0
+    assert q3["ap"] == pytest.approx((1.0 / 1.0 + 2.0 / 2.0) / 2.0)
+    assert q3["precision"] == pytest.approx(2.0 / 3.0)  # k, not list length
+    assert q3["recall"] == 1.0
+    assert dcg3 > 0  # sanity on the hand formula
+
+
+def test_ranking_metrics_linear_gains(spark):
+    from blueetl_spark.operators.ranking import ranking_metrics
+
+    out = {
+        r["q"]: r
+        for r in ranking_metrics(
+            _frame(spark), ["q"], rank_col="rnk", rel_col="rel", k=3,
+            graded=False,
+        ).collect()
+    }
+    dcg = 1.0 / math.log2(3.0)
+    idcg = 2.0 / math.log2(2.0) + 1.0 / math.log2(3.0)
+    assert out["q1"]["ndcg"] == pytest.approx(dcg / idcg, abs=1e-12)
+
+
+def test_ranking_metrics_k_validation(spark):
+    from blueetl_spark.operators.ranking import ranking_metrics
+
+    with pytest.raises(ValueError, match="k must be"):
+        ranking_metrics(_frame(spark), ["q"], k=0)
+
+
+def test_ranking_summary_macro_means(spark):
+    from blueetl_spark.operators.ranking import (
+        ranking_metrics,
+        ranking_summary,
+    )
+
+    m = ranking_metrics(
+        _frame(spark), ["q"], rank_col="rnk", rel_col="rel", k=3
+    )
+    s = ranking_summary(m).collect()[0]
+    per = {r["q"]: r for r in m.collect()}
+    assert s["n_queries"] == 3
+    assert s["mean_ndcg"] == pytest.approx(
+        (per["q1"]["ndcg"] + per["q2"]["ndcg"] + per["q3"]["ndcg"]) / 3.0
+    )
+    # mean_recall skips the undefined q2 (NULL), averaging q1 and q3 only
+    assert s["mean_recall"] == pytest.approx((0.5 + 1.0) / 2.0)
+    assert s["mrr"] == pytest.approx((0.5 + 0.0 + 1.0) / 3.0)
