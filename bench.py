@@ -10,6 +10,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -197,7 +198,12 @@ def _accepted_min(samples: list[dict], med_calib: float, band: float = 1.5):
     calib <= band x the run's median calib). Falls back to the min over
     all samples when every sample was spiked — a value is always
     produced, but `rejected` says how trustworthy it is."""
-    ok = [s for s in samples if s["calib"] <= band * med_calib]
+    ok = [
+        s
+        for s in samples
+        if min(s["calib"], s.get("calib_fresh", float("inf")))
+        <= band * med_calib
+    ]
     pool = ok if ok else samples
     return (
         round(min(s["wall"] for s in pool), 3),
@@ -750,6 +756,19 @@ def run_stress(
                 if c <= 1.5 * med_calib
             ]
             d["rejected"] = len(d["samples"]) - len(ok)
+            if name == "incr_dedup_20m":
+                # Per-batch walls are HETEROGENEOUS (batch 0 seeds an
+                # empty index; later batches join real history) — a
+                # median over a subset of batch indices is a different
+                # metric, not the same one measured on a quieter box.
+                # Keep the full-sample median; record which batches were
+                # spike-tagged so adjudication can weigh the label.
+                d["rejected_batches"] = [
+                    i
+                    for i, c in enumerate(d["calib"])
+                    if c > 1.5 * med_calib
+                ]
+                continue
             med = round(statistics.median(ok or d["samples"]), 3)
             d["median"] = med
             timings[name] = med
@@ -841,21 +860,45 @@ def main() -> None:
     # `queries_cold` is the accepted-min over post-clearCache samples.
     PROBE_EVERY = 8  # ~0.6 s probe per 8 queries (~1-2 s each): <5% overhead
     samples: dict[str, list[dict]] = {n: [] for n in HEADLINE}
+    best_wall: dict[str, float] = {}
+    probe_age = 0  # queries measured since the tagged probe ran
     for _pass in range(3):
         for qi, name in enumerate(HEADLINE):
             if qi % PROBE_EVERY == 0:
                 calib_probes.append(_calib_probe(spark))
+                probe_age = 0
             for _rep in range(2 if _pass == 0 else 1):
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
-                samples[name].append(
-                    {
-                        "wall": round(dt, 3),
-                        "calib": calib_probes[-1],
-                        "warm": _pass == 0 and _rep == 1,
-                    }
-                )
+                sample = {
+                    "wall": round(dt, 3),
+                    "calib": calib_probes[-1],
+                    "probe_age": probe_age,
+                    "warm": _pass == 0 and _rep == 1,
+                }
+                # Stale-probe guard: the tagged probe can be ~10-15 s
+                # old; only the case where that misclassification can
+                # MOVE a headline number is a would-be-min sample tagged
+                # with a spiked (rejectable) probe — a clean fast sample
+                # rejected off a spike that had already ended inflates
+                # the accepted min (a spiked sample wrongly accepted
+                # merely adds a high sample the min ignores). For those,
+                # re-probe NOW and let _accepted_min use the better of
+                # the two labels.
+                run_med = statistics.median(calib_probes)
+                if (
+                    probe_age > 0
+                    and dt <= best_wall.get(name, float("inf")) * 1.05
+                    and calib_probes[-1] > 1.35 * run_med
+                ):
+                    fresh = _calib_probe(spark)
+                    calib_probes.append(fresh)
+                    probe_age = 0
+                    sample["calib_fresh"] = fresh
+                best_wall[name] = min(best_wall.get(name, float("inf")), dt)
+                samples[name].append(sample)
+            probe_age += 1
             spark.catalog.clearCache()
     calib_probes.append(_calib_probe(spark))
     host_calib_s = min(calib_probes)

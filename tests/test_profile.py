@@ -897,7 +897,9 @@ def test_js_divergence_bounds_and_symmetry(spark):
     ba = js_divergence(b, a, "k", n_buckets=64).head()
     assert ab.jsd == ba.jsd and 0.0 < ab.jsd <= 1.0
     empty = spark.createDataFrame([], "k string")
-    assert js_divergence(a, empty, "k").head() is None or True
+    vs_empty = js_divergence(a, empty, "k").head()
+    assert vs_empty.jsd is None  # empty side: NULL, not 0 or 1
+    assert vs_empty.n_a == 400 and vs_empty.n_b == 0
     md5 = js_divergence(a, b, "k", n_buckets=big, hash_fn="md5").head()
     assert md5.jsd == 1.0
 
