@@ -119,15 +119,42 @@ def pillow_gray(payload: bytes, w: int = 9, h: int = 8) -> np.ndarray:
 
 def soundfile_wave(payload: bytes) -> np.ndarray:
     """Real audio decode for ``decode_wave=`` in
-    :func:`audio_energy_stats` (requires soundfile): channel 0 as
-    int16 PCM widened to int64 — INTEGER amplitudes, honoring the
-    operator's exact-integer energy contract."""
+    :func:`audio_energy_stats`: channel 0 as int16 PCM widened to
+    int64 — INTEGER amplitudes, honoring the operator's exact-integer
+    energy contract. Uses soundfile when installed (any libsndfile
+    format); without it, 16-bit PCM WAV decodes through the stdlib
+    ``wave`` fallback below, so the real-decoder path runs even in
+    codec-less sandboxes."""
     import io
 
-    import soundfile as sf
+    try:
+        import soundfile as sf
+    except ImportError:
+        return _stdlib_pcm16_wave(payload)
 
     data, _sr = sf.read(io.BytesIO(payload), dtype="int16", always_2d=True)
     return data[:, 0].astype(np.int64)
+
+
+def _stdlib_pcm16_wave(payload: bytes) -> np.ndarray:
+    """Pure-stdlib 16-bit PCM WAV decode (``wave`` + numpy): channel 0
+    as int64, byte-identical to the soundfile path on the same file.
+    Other sample widths / compressed formats need soundfile — raise the
+    install hint rather than mis-decode."""
+    import io
+    import wave as wave_mod
+
+    with wave_mod.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError(
+                "stdlib WAV fallback handles 16-bit PCM only "
+                f"(got sample width {w.getsampwidth()}); "
+                "pip install soundfile for other formats"
+            )
+        n_channels = w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    arr = np.frombuffer(raw, dtype="<i2").reshape(-1, n_channels)
+    return arr[:, 0].astype(np.int64)
 
 
 def deterministic_fake_decode(payload: bytes) -> dict:

@@ -1639,25 +1639,60 @@ def js_divergence(
     <= n_buckets terms. Nothing downstream of the first aggregate
     sees data-sized rows.
     """
+    ca = jsd_bucket_counts(
+        df_a, key_col, by=by, n_buckets=n_buckets, hash_fn=hash_fn,
+        count_name="__na",
+    )
+    cb = jsd_bucket_counts(
+        df_b, key_col, by=by, n_buckets=n_buckets, hash_fn=hash_fn,
+        count_name="__nb",
+    )
+    return js_divergence_counts(ca, cb, by=by, round_to=round_to)
+
+
+def jsd_bucket_counts(
+    df: DataFrame,
+    key_col: str,
+    by: Sequence[str] = (),
+    n_buckets: int = 256,
+    hash_fn: str = "xxhash64",
+    count_name: str = "__na",
+) -> DataFrame:
+    """The exact integer (group, bucket) counts :func:`js_divergence`
+    pre-aggregates each side to — public so a FIXED reference can be
+    aggregated ONCE and cached at bucket grain (<= n_buckets rows per
+    group) instead of re-aggregating its raw rows per comparison, as
+    the streaming JSD monitor does per micro-batch."""
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
     by = list(by)
     from blueetl_spark.operators.sampling import hash_bucket
 
-    def counts(d, name):
-        k = F.col(key_col)
-        return (
-            d.filter(k.isNotNull())
-            .select(
-                *by,
-                F.pmod(
-                    hash_bucket(k, method=hash_fn), F.lit(n_buckets)
-                ).alias("__b"),
-            )
-            .groupBy(*by, "__b")
-            .agg(F.count(F.lit(1)).alias(name))
+    k = F.col(key_col)
+    return (
+        df.filter(k.isNotNull())
+        .select(
+            *by,
+            F.pmod(
+                hash_bucket(k, method=hash_fn), F.lit(n_buckets)
+            ).alias("__b"),
         )
-    ca, cb = counts(df_a, "__na"), counts(df_b, "__nb")
+        .groupBy(*by, "__b")
+        .agg(F.count(F.lit(1)).alias(count_name))
+    )
+
+
+def js_divergence_counts(
+    ca: DataFrame,
+    cb: DataFrame,
+    by: Sequence[str] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """JSD from two pre-bucketed count frames (``by…, __b, __na`` and
+    ``by…, __b, __nb`` — built with :func:`jsd_bucket_counts`); the
+    bucket-grain outer join + ordered-fold tail of
+    :func:`js_divergence`, identical results by construction."""
+    by = list(by)
     joined = ca.join(cb, [*by, "__b"], "full_outer").select(
         *by,
         "__b",

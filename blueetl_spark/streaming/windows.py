@@ -669,20 +669,33 @@ def streaming_jsd_monitor(
     ``(batch_id, by…, n_a, n_b, n_buckets_used, jsd)`` row per group.
     Same foreachBatch seam, same at-least-once → effectively-once
     contract (deterministic row per batch_id; dedup at read via
-    :func:`read_jsd_timeline`). The reference is persisted once; each
-    batch's job re-aggregates only ITS OWN rows plus the cached
-    reference bucket counts (bucket-grain work per batch).
+    :func:`read_jsd_timeline`). The reference is pre-aggregated to its
+    (group, bucket) integer counts ONCE and that <=
+    ``len(groups) × n_buckets``-row frame is what gets persisted — each
+    batch's job aggregates only ITS OWN rows and joins the cached
+    bucket counts; the raw reference rows are never re-read. The cached
+    frame is unpersisted automatically when this query terminates
+    (a listener keyed on the query id).
     """
-    from blueetl_spark.operators.profile import js_divergence
+    from blueetl_spark.operators.profile import (
+        js_divergence_counts,
+        jsd_bucket_counts,
+    )
 
-    ref = ref_df.persist()
+    ref_counts = jsd_bucket_counts(
+        ref_df, key_col, by=list(by), n_buckets=n_buckets,
+        hash_fn=hash_fn, count_name="__na",
+    ).persist()
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        cb = jsd_bucket_counts(
+            batch_df, key_col, by=list(by), n_buckets=n_buckets,
+            hash_fn=hash_fn, count_name="__nb",
+        )
         (
-            js_divergence(ref, batch_df, key_col, by=list(by),
-                          n_buckets=n_buckets, hash_fn=hash_fn)
+            js_divergence_counts(ref_counts, cb, by=list(by))
             .withColumn("batch_id", F.lit(f"{batch_prefix}-{epoch_id}"))
             .coalesce(1)
             .write.mode("append")
@@ -695,7 +708,50 @@ def streaming_jsd_monitor(
     )
     if trigger:
         writer = writer.trigger(**trigger)
-    return writer.start()
+    query = writer.start()
+    _unpersist_on_termination(ref_df.sparkSession, query, ref_counts)
+    return query
+
+
+def _unpersist_on_termination(spark, query, frame: DataFrame) -> None:
+    """Release a monitor's cached reference frame when ITS query
+    terminates: a StreamingQueryListener keyed on the query id that
+    unpersists the frame and removes itself. Failure-safe — if the
+    listener API is unavailable (e.g. Connect), the cache simply lives
+    until the session ends, which is the pre-round-13 behavior."""
+    try:
+        from pyspark.sql.streaming import StreamingQueryListener
+    except ImportError:  # pragma: no cover - very old pyspark
+        return
+
+    qid = str(query.id)
+
+    class _Release(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            if str(event.id) != qid:
+                return
+            try:
+                frame.unpersist()
+            finally:
+                try:
+                    spark.streams.removeListener(listener)
+                except Exception:  # noqa: BLE001 - already removed
+                    pass
+
+    listener = _Release()
+    try:
+        spark.streams.addListener(listener)
+    except Exception:  # noqa: BLE001 - listener seam unavailable
+        pass
 
 
 def read_jsd_timeline(spark, shard_path: str, by: tuple = ()) -> DataFrame:

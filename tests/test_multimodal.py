@@ -257,11 +257,20 @@ needs_pillow = pytest.mark.skipif(
     reason="Pillow not installed (pip install pillow enables the "
     "real-codec image seam tests)",
 )
-needs_soundfile = pytest.mark.skipif(
-    not mm._have_soundfile(),
-    reason="soundfile not installed (pip install soundfile enables the "
-    "real-codec audio seam tests)",
-)
+def _write_pcm16_wav(pcm, rate: int = 8000) -> bytes:
+    """16-bit PCM WAV bytes via stdlib ``wave`` — lets the real-decoder
+    audio tests generate fixtures (and soundfile_wave decode them
+    through its stdlib fallback) without soundfile installed."""
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
 
 
 @needs_pillow
@@ -305,21 +314,16 @@ def test_real_jpeg_roundtrip_through_image_operators(spark):
     assert ph["phash"] % (1 << 64) == bits
 
 
-@needs_soundfile
 def test_real_wav_roundtrip_through_audio_energy(spark):
-    """Probe-gated: generate a real 16-bit WAV in-test, decode it with
-    the soundfile seam, and check the exact-integer energy stats match
-    a numpy replay of the same PCM samples."""
-    import io
-
+    """Generate a real 16-bit WAV in-test (stdlib ``wave``), decode it
+    with the soundfile_wave seam (soundfile when installed, stdlib
+    fallback otherwise — r12 verdict #7), and check the exact-integer
+    energy stats match a numpy replay of the same PCM samples."""
     import numpy as np
-    import soundfile as sf
 
     rng = np.random.default_rng(11)
     pcm = (rng.integers(-2000, 2000, size=256)).astype("int16")
-    buf = io.BytesIO()
-    sf.write(buf, pcm, 8000, format="WAV", subtype="PCM_16")
-    payload = buf.getvalue()
+    payload = _write_pcm16_wav(pcm)
     media = spark.createDataFrame(
         [(7, "audio", payload, None)], mm.MEDIA_SCHEMA
     )
@@ -364,19 +368,16 @@ def test_frame_sigs_chain_past_32_frames():
         assert long[i] == sig
 
 
-@needs_soundfile
 def test_audio_energy_gate_real_decoder_twin(spark):
     """VERDICT r11 #5: the `audio_energy` gate's pipeline shape (many
     clips, some silent) re-run with the REAL codec — 12 in-test WAV
-    clips (every 4th pure dead air), decoded through the soundfile
-    seam, checked clip-by-clip against a numpy replay of the identical
-    PCM. Mirrors q_audio_energy's silent-variant structure so the
-    curation columns (silent_frames, silence_ratio) are exercised with
-    true zero-energy frames, not just the md5 stub's markers."""
-    import io
-
+    clips (every 4th pure dead air), decoded through the soundfile_wave
+    seam (stdlib fallback when soundfile is absent), checked
+    clip-by-clip against a numpy replay of the identical PCM. Mirrors
+    q_audio_energy's silent-variant structure so the curation columns
+    (silent_frames, silence_ratio) are exercised with true zero-energy
+    frames, not just the md5 stub's markers."""
     import numpy as np
-    import soundfile as sf
 
     rng = np.random.default_rng(42)
     clips, expect = [], {}
@@ -385,9 +386,7 @@ def test_audio_energy_gate_real_decoder_twin(spark):
             pcm = np.zeros(240, dtype="int16")  # dead air
         else:
             pcm = rng.integers(-3000, 3000, size=240).astype("int16")
-        buf = io.BytesIO()
-        sf.write(buf, pcm, 8000, format="WAV", subtype="PCM_16")
-        clips.append((mid, "audio", buf.getvalue(), None))
+        clips.append((mid, "audio", _write_pcm16_wav(pcm), None))
         frames = np.array_split(pcm.astype(np.int64), 4)
         energies = [int((f**2).sum()) for f in frames]
         n_silent = sum(e <= 64 for e in energies)
