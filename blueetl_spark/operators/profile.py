@@ -1257,6 +1257,100 @@ def cohens_kappa(
     )
 
 
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Fleiss' kappa over a votes frame (one row per rater assignment,
+    ``(item, category)``) — :func:`cohens_kappa`'s multi-rater
+    generalization, the agreement screen for crowd/ensemble-labeled
+    training data where every item gets r independent votes and rater
+    identity is not tracked. 1 = perfect, 0 = chance, negative =
+    systematic disagreement. One row out: ``(n_items, n_raters,
+    n_cats, p_bar, p_e, kappa)``; kappa NULL when ``p_e = 1`` (all
+    votes one category). Requires a CONSTANT vote count per item —
+    enforced in-plan (``raise_error`` naming both counts) because a
+    ragged panel silently biases P̄ downward.
+
+    Engine-exact with no float fold: with ``S2 = Σ_i Σ_j n_ij²`` and
+    ``S2C = Σ_j (Σ_i n_ij)²`` exact BIGINT moments,
+    ``P̄ = (S2 − N·r)/(N·r·(r−1))`` and ``P_e = S2C/(N·r)²`` are single
+    divisions of exact integers, and kappa is a fixed IEEE expression
+    over them (valid while S2C < 2⁵³ ≈ items·r up to ~95M votes per
+    category — raise ``round_to`` awareness, not the vote count,
+    beyond that). Scale shape: one map-side-combined count per
+    (item, category), an item-grain re-aggregate, a category-grain
+    re-aggregate, then three scalar broadcasts — nothing downstream of
+    the first aggregate sees vote-sized rows.
+    """
+    votes = df.filter(
+        F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
+    ).select(
+        F.col(item_col).alias("__i"),
+        F.col(category_col).cast("string").alias("__j"),
+    )
+    nij = votes.groupBy("__i", "__j").agg(F.count(F.lit(1)).alias("__n"))
+    per_item = nij.groupBy("__i").agg(
+        F.sum("__n").alias("__r"),
+        F.sum(F.col("__n") * F.col("__n")).alias("__s2i"),
+    )
+    items = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("__r").alias("__rmin"),
+        F.max("__r").alias("__rmax"),
+        F.sum("__s2i").alias("__s2"),
+    )
+    per_cat = nij.groupBy("__j").agg(F.sum("__n").alias("__cj"))
+    cats = per_cat.agg(
+        F.count(F.lit(1)).alias("n_cats"),
+        F.sum(F.col("__cj") * F.col("__cj")).alias("__s2c"),
+    )
+    j = items.crossJoin(F.broadcast(cats))
+    r = F.when(
+        (F.col("__rmin") == F.col("__rmax")) & (F.col("__rmax") >= 2),
+        F.col("__rmax"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "fleiss_kappa: vote counts per item must be constant "
+                "and >= 2 (got min %d, max %d) — filter to the "
+                "complete panel first",
+                F.col("__rmin"),
+                F.col("__rmax"),
+            )
+        )
+    )
+    j = j.select(
+        "n_items",
+        r.alias("n_raters"),
+        "n_cats",
+        "__s2",
+        "__s2c",
+    )
+    n = F.col("n_items").cast("double")
+    rr = F.col("n_raters").cast("double")
+    nr = n * rr
+    p_bar = (F.col("__s2") - F.col("n_items") * F.col("n_raters")).cast(
+        "double"
+    ) / (nr * (rr - 1.0))
+    p_e = F.col("__s2c").cast("double") / (nr * nr)
+
+    def rnd(c):
+        return (F.round(c, round_to) + 0.0) if round_to is not None else c
+
+    kappa = F.when(p_e != 1.0, (p_bar - p_e) / (1.0 - p_e))
+    return j.select(
+        "n_items",
+        "n_raters",
+        "n_cats",
+        rnd(p_bar).alias("p_bar"),
+        rnd(p_e).alias("p_e"),
+        rnd(kappa).alias("kappa"),
+    )
+
+
 def spearman(
     df: DataFrame,
     col_x: str,

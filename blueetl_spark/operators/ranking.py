@@ -149,6 +149,79 @@ def ranking_metrics(
     )
 
 
+def rrf_fuse(
+    frames: Sequence[DataFrame],
+    query_cols: Sequence[str],
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    of N ranked lists per query — the standard score-free way to
+    combine retrievers (BM25 + ANN + recency…) in a RAG stack:
+    ``rrf_score(d) = Σ_systems 1/(k + rank_s(d))``, higher is better,
+    ``k=60`` the published default damping. A doc missing from a
+    system's list simply contributes no term (no imputation).
+
+    Output: ``(query_cols…, doc_col, n_systems, rrf_score,
+    fused_rank)`` with ``fused_rank`` 1-based per query, ordered by
+    score descending then doc id (ORDERING USES THE SCORE ROUNDED TO
+    9 — identical term multisets can associate differently across
+    engines at the last ulp; at 9 decimals they cannot, so the fused
+    order is engine-reproducible). The per-doc score itself is an
+    ordered fold over the rank-sorted term list, deterministic for any
+    system count; with exactly two systems it is a single IEEE add of
+    two exact divisions — bit-exact.
+
+    Scale shape: one union (no shuffle), one groupBy on
+    (query, doc) — map-side combined, state = one float — and the
+    per-query rank window; input lists are retriever top-k's, so
+    per-query state stays k·n_systems-bounded.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    frames = list(frames)
+    if len(frames) < 2:
+        raise ValueError("rrf_fuse needs >= 2 ranked lists to fuse")
+    query_cols = list(query_cols)
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    parts = [
+        f.select(
+            *query_cols,
+            F.col(doc_col).alias("__doc"),
+            F.col(rank_col).cast("long").alias("__rnk"),
+        )
+        for f in frames
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    fused = u.groupBy(*query_cols, "__doc").agg(
+        F.count(F.lit(1)).cast("int").alias("n_systems"),
+        F.aggregate(
+            F.sort_array(F.collect_list("__rnk")),
+            F.lit(0.0),
+            lambda acc, r_: acc
+            + F.lit(1.0) / (F.lit(float(k)) + r_.cast("double")),
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy(*query_cols).orderBy(
+        F.round(F.col("rrf_score"), 9).desc(), F.col("__doc")
+    )
+    out = fused.withColumn("fused_rank", F.row_number().over(w))
+    if top_n is not None:
+        out = out.filter(F.col("fused_rank") <= top_n)
+    return out.select(
+        *query_cols,
+        F.col("__doc").alias(doc_col),
+        "n_systems",
+        "rrf_score",
+        "fused_rank",
+    )
+
+
 def ranking_summary(metrics: DataFrame) -> DataFrame:
     """Corpus-level macro means over a :func:`ranking_metrics` frame:
     one row ``(n_queries, mean_ndcg, map, mrr, mean_precision,

@@ -7021,6 +7021,173 @@ FROM metrics
 """
 
 
+RRF_K = 60
+RRF_TOP_N = 5
+
+
+def q_rrf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (``ranking.rrf_fuse``) of two retrievers
+    over each customer's orders — a value ranking (totalprice desc) and
+    a recency ranking (orderdate desc) — top-5 fused per customer with
+    the published k=60 damping. With two systems the score is a single
+    IEEE add of two exact divisions (bit-exact across engines); the
+    fused order ranks on the score rounded to 9."""
+    from pyspark.sql import Window
+
+    from blueetl_spark.operators import ranking
+
+    orders = tables.load(spark, sf_dir, "orders")
+
+    def ranked(order_col):
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col(order_col).desc(), F.col("o_orderkey")
+        )
+        return orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rank"),
+        )
+
+    fused = ranking.rrf_fuse(
+        [ranked("o_totalprice"), ranked("o_orderdate")],
+        ["o_custkey"],
+        doc_col="o_orderkey",
+        rank_col="rank",
+        k=RRF_K,
+        top_n=RRF_TOP_N,
+    )
+    return fused.select(
+        "o_custkey",
+        "o_orderkey",
+        "n_systems",
+        F.round("rrf_score", 6).alias("rrf_score"),
+        F.col("fused_rank").cast("long").alias("fused_rank"),
+    )
+
+
+SQL_RRF_ORDERS = f"""
+WITH a AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+),
+b AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey) AS rnk
+  FROM orders
+),
+u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+f AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(COUNT(*) AS INT) AS n_systems,
+         SUM(CAST(1 AS DOUBLE) / ({RRF_K} + rnk)) AS rrf_score
+  FROM u GROUP BY 1, 2
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY ROUND(rrf_score, 9) DESC,
+                                        o_orderkey) AS fused_rank
+  FROM f
+)
+SELECT o_custkey, o_orderkey, n_systems,
+       ROUND(rrf_score, 6) AS rrf_score, fused_rank
+FROM r WHERE fused_rank <= {RRF_TOP_N}
+"""
+
+
+FLEISS_RATERS = 5
+
+
+def q_fleiss_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (``profile.fleiss_kappa``) over a deterministic
+    5-rater panel labeling every order's priority class: each rater
+    votes the true class with probability 0.6 and an md5-derived
+    uniform class otherwise (the md5-bigint idiom shared with the
+    dedup family, so DuckDB replays the identical panel). Exact
+    integer moments; kappa lands ~0.3 — a realistically noisy crowd."""
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).alias("pc"),
+    )
+    votes = orders.select(
+        "o_orderkey",
+        "pc",
+        F.explode(
+            F.array(*[F.lit(t) for t in range(FLEISS_RATERS)])
+        ).alias("t"),
+    )
+    noise = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("t").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    votes = votes.select(
+        "o_orderkey",
+        F.when(noise % 10 < 6, F.col("pc"))
+        .otherwise((noise % 5 + 1).cast("string"))
+        .alias("cat"),
+    )
+    return profile.fleiss_kappa(votes, "o_orderkey", "cat")
+
+
+SQL_FLEISS_AGREEMENT = f"""
+WITH votes AS (
+  SELECT o_orderkey,
+         CASE WHEN h % 10 < 6 THEN substring(o_orderpriority, 1, 1)
+              ELSE CAST(h % 5 + 1 AS VARCHAR) END AS cat
+  FROM (
+    SELECT o_orderkey, o_orderpriority, t,
+           CAST(concat('0x', substring(md5(
+             concat(CAST(o_orderkey AS VARCHAR), ':',
+                    CAST(t AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+    FROM orders, (SELECT unnest(range({FLEISS_RATERS})) AS t)
+  )
+),
+nij AS (
+  SELECT o_orderkey AS i, cat AS j, COUNT(*) AS n
+  FROM votes GROUP BY 1, 2
+),
+item AS (SELECT i, SUM(n) AS r, SUM(n * n) AS s2i FROM nij GROUP BY 1),
+itot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(MAX(r) AS BIGINT) AS n_raters,
+         CAST(SUM(s2i) AS BIGINT) AS s2
+  FROM item
+),
+ctot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cats,
+         CAST(SUM(cj * cj) AS BIGINT) AS s2c
+  FROM (SELECT j, SUM(n) AS cj FROM nij GROUP BY 1)
+),
+k AS (
+  SELECT n_items, n_raters, n_cats,
+         CAST(s2 - n_items * n_raters AS DOUBLE)
+           / CAST(n_items * n_raters * (n_raters - 1) AS DOUBLE) AS p_bar,
+         CAST(s2c AS DOUBLE)
+           / CAST((n_items * n_raters) * (n_items * n_raters) AS DOUBLE)
+           AS p_e
+  FROM itot, ctot
+)
+SELECT n_items, n_raters, n_cats,
+       ROUND(p_bar, 6) AS p_bar, ROUND(p_e, 6) AS p_e,
+       ROUND(CASE WHEN p_e <> 1.0
+                  THEN (p_bar - p_e) / (1.0 - p_e) END, 6) AS kappa
+FROM k
+"""
+
+
 SEAS_PERIOD = 86_400_000.0  # one day in ms
 SEAS_BUCKET = 3_600_000.0  # one hour in ms
 SEAS_Z = 2.0
@@ -9619,18 +9786,20 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ranking_eval_orders": q_ranking_eval_orders,
     "retrieval_eval_ann": q_retrieval_eval_ann,
     "retrieval_eval_summary": q_retrieval_eval_summary,
+    "rrf_orders": q_rrf_orders,
+    "fleiss_agreement": q_fleiss_agreement,
 }
 
 # ---------------------------------------------------------------------------
 # Driver-graded window (the driver grades the FIRST 50 of queries()).
-# Round-13 rotation (VERDICT r12 #1/#4): slots 1-3 are the three
-# round-13 ranking-eval additions (never-graded gates enter the window
-# the same round they land); slot 4 is mmr_diverse, which got its exact
+# Round-13 rotation (VERDICT r12 #1/#4): slots 1-5 are the FIVE
+# round-13 additions (ranking-eval kit + RRF fusion + Fleiss kappa) (never-graded gates enter the window
+# the same round they land); slot 6 is mmr_diverse, which got its exact
 # recursive-CTE oracle this round and needs its first hash-graded row
 # (r12 recorded it `err: no_oracle`). Slots 5-50 backfill strictly
 # stalest-first by last-graded round over the exactly-oracled registry:
 # ALL gates last graded r5 (3), r6 (6), r8 (19), r9 (12, covering every
-# verdict-named backfill target), then the first six of the r10 cohort
+# verdict-named backfill target), then the first four of the r10 cohort
 # in name order. Everything displaced — the r11/r12 additions (two and
 # one consecutive green grades respectively) and the r12 backfill
 # families — returns to the oracle tail, where tests/test_oracle_parity
@@ -9640,24 +9809,26 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # md5/_fixed exact twins carry the hash evidence.
 # ---------------------------------------------------------------------------
 GRADED_WINDOW: list[str] = [
-    # 1-3: round-13 additions (never driver-graded)
+    # 1-5: round-13 additions (never driver-graded)
     "ranking_eval_orders",
     "retrieval_eval_ann",
     "retrieval_eval_summary",
-    # 4: oracled this round (r12 graded it rows-only)
+    "rrf_orders",
+    "fleiss_agreement",
+    # 6: oracled this round (r12 graded it rows-only)
     "mmr_diverse",
-    # 5-7: last graded r5
+    # 7-9: last graded r5
     "dedup_embedding_lsh",
     "resample_events",
     "winnowing_md5",
-    # 8-13: last graded r6
+    # 10-15: last graded r6
     "decontaminate",
     "hard_negatives",
     "mixture_sample",
     "tf_idf",
     "token_stats",
     "vocab",
-    # 14-32: last graded r8
+    # 16-34: last graded r8
     "bm25",
     "bm25_search",
     "classifier_score",
@@ -9677,7 +9848,7 @@ GRADED_WINDOW: list[str] = [
     "semdedup_fixed",
     "simhash_band_stats",
     "temperature_mixture",
-    # 33-44: last graded r9 (includes every verdict-named target)
+    # 35-46: last graded r9 (includes every verdict-named target)
     "chunk_documents",
     "clustering_coeff",
     "funnel_conversion",
@@ -9690,13 +9861,11 @@ GRADED_WINDOW: list[str] = [
     "train_split",
     "triangle_counts",
     "winsorize_stats",
-    # 45-50: r10 cohort, name order
+    # 47-50: r10 cohort, name order
     "basket_rules",
     "ccnet_buckets",
     "cms_estimates",
     "containment_md5",
-    "contamination_ratio",
-    "cusum_changepoint",
 ]
 
 assert len(GRADED_WINDOW) == 50, len(GRADED_WINDOW)
@@ -9897,6 +10066,8 @@ ORACLES: dict[str, str] = {
     "ranking_eval_orders": SQL_RANKING_EVAL_ORDERS,
     "retrieval_eval_ann": SQL_RETRIEVAL_EVAL_ANN,
     "retrieval_eval_summary": SQL_RETRIEVAL_EVAL_SUMMARY,
+    "rrf_orders": SQL_RRF_ORDERS,
+    "fleiss_agreement": SQL_FLEISS_AGREEMENT,
 }
 
 

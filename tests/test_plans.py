@@ -660,6 +660,8 @@ def test_round13_ranking_gates_plan_shapes(spark):
             "ranking_eval_orders",
             "retrieval_eval_ann",
             "retrieval_eval_summary",
+            "rrf_orders",
+            "fleiss_agreement",
         ]
     }
     for name, p in plans.items():
@@ -674,3 +676,21 @@ def test_round13_ranking_gates_plan_shapes(spark):
     ann = plans["retrieval_eval_ann"]
     assert "SortMergeJoin" not in ann, ann
     assert "BroadcastHashJoin" in ann, ann
+    # RRF: union of the two rank windows (each its own custkey
+    # exchange), ONE fuse groupBy + per-query rank window — no join
+    # anywhere, nothing beyond the custkey-keyed exchanges
+    rrf = plans["rrf_orders"]
+    assert "Join" not in rrf, rrf
+    assert len(re.findall(r"\(\d+\) Exchange hashpartitioning", rrf)) <= 4, rrf
+    # Fleiss: vote-grain explode -> (item,cat) count -> two bounded
+    # re-aggregates (item-grain and category-grain branches) -> scalar
+    # cross of two 1-row frames. The two branches share the (item,cat)
+    # exchange: statically the plan prints both subtrees, but AQE
+    # dedupes them at runtime — assert the executed plan reused the
+    # exchange so the vote-grain scan+explode+count runs ONCE.
+    fl = plans["fleiss_agreement"]
+    assert "SortMergeJoin" not in fl, fl
+    fl_df = Q.QUERIES["fleiss_agreement"](spark, SF)
+    fl_df.collect()
+    executed = _formatted_plan(fl_df)
+    assert "ReusedExchange" in executed, executed

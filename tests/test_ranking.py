@@ -104,3 +104,78 @@ def test_ranking_summary_macro_means(spark):
     # mean_recall skips the undefined q2 (NULL), averaging q1 and q3 only
     assert s["mean_recall"] == pytest.approx((0.5 + 1.0) / 2.0)
     assert s["mrr"] == pytest.approx((0.5 + 0.0 + 1.0) / 3.0)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from blueetl_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q1", "d1", 1), ("q1", "d2", 2), ("q1", "d3", 3)],
+        "q string, doc_id string, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q1", "d2", 1), ("q1", "d1", 2)],
+        "q string, doc_id string, rank int",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in rrf_fuse([a, b], ["q"], k=60).collect()
+    }
+    # d1 and d2 hold rank sets {1,2} in some order -> identical scores;
+    # the doc-id tiebreak puts d1 first
+    s12 = 1.0 / 61.0 + 1.0 / 62.0
+    assert out["d1"]["rrf_score"] == pytest.approx(s12, abs=1e-15)
+    assert out["d2"]["rrf_score"] == pytest.approx(s12, abs=1e-15)
+    assert out["d3"]["rrf_score"] == pytest.approx(1.0 / 63.0, abs=1e-15)
+    assert (out["d1"]["fused_rank"], out["d2"]["fused_rank"]) == (1, 2)
+    assert out["d3"]["fused_rank"] == 3
+    assert out["d1"]["n_systems"] == 2 and out["d3"]["n_systems"] == 1
+
+    top = rrf_fuse([a, b], ["q"], k=60, top_n=2).collect()
+    assert sorted(r["doc_id"] for r in top) == ["d1", "d2"]
+
+    with pytest.raises(ValueError, match=">= 2 ranked lists"):
+        rrf_fuse([a], ["q"])
+    with pytest.raises(ValueError, match="k must be"):
+        rrf_fuse([a, b], ["q"], k=0)
+
+
+def test_fleiss_kappa_hand_computed(spark):
+    from blueetl_spark.operators.profile import fleiss_kappa
+
+    # 3 items x 3 raters: [a,a,a], [a,b,b], [b,b,b]
+    # P_bar = 7/9, P_e = 41/81 -> kappa = 22/40 = 0.55 exactly
+    votes = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "a"),
+         (2, "a"), (2, "b"), (2, "b"),
+         (3, "b"), (3, "b"), (3, "b")],
+        "item int, cat string",
+    )
+    row = fleiss_kappa(votes, "item", "cat").collect()[0]
+    assert (row["n_items"], row["n_raters"], row["n_cats"]) == (3, 3, 2)
+    assert row["p_bar"] == pytest.approx(7.0 / 9.0, abs=1e-6)
+    assert row["p_e"] == pytest.approx(41.0 / 81.0, abs=1e-6)
+    assert row["kappa"] == pytest.approx(0.55, abs=1e-9)
+
+
+def test_fleiss_kappa_guards(spark):
+    from blueetl_spark.operators.profile import fleiss_kappa
+
+    ragged = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a")], "item int, cat string"
+    )
+    with pytest.raises(Exception, match="vote counts per item"):
+        fleiss_kappa(ragged, "item", "cat").collect()
+
+    solo = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "item int, cat string"
+    )
+    with pytest.raises(Exception, match="vote counts per item"):
+        fleiss_kappa(solo, "item", "cat").collect()
+
+    # unanimous single category: p_e = 1 -> kappa undefined (NULL)
+    unanimous = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "a")], "item int, cat string"
+    )
+    row = fleiss_kappa(unanimous, "item", "cat").collect()[0]
+    assert row["p_e"] == 1.0 and row["kappa"] is None

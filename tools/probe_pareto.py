@@ -49,10 +49,15 @@ def main():
     reps = []
     for i in range(5):
         load1 = os.getloadavg()[0]
+        rep_calib = calib(spark)  # per-rep load label (VERDICT r12 #2)
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = round(time.perf_counter() - t0, 3)
-        reps.append({"wall_s": dt, "loadavg_1m_at_start": round(load1, 1)})
+        reps.append({
+            "wall_s": dt,
+            "calib": rep_calib,
+            "loadavg_1m_at_start": round(load1, 1),
+        })
         barrier(spark)
     calib_after = min(calib(spark) for _ in range(2))
     print(json.dumps({
