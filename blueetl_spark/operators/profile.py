@@ -1351,6 +1351,97 @@ def fleiss_kappa(
     )
 
 
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    category_col: str,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) over a votes frame (one
+    row per rating, ``(unit, category)``) — the agreement coefficient
+    for RAGGED panels: unlike :func:`fleiss_kappa` it accepts a
+    varying number of ratings per unit (real crowd data always is —
+    raters skip items), silently EXCLUDING units with fewer than 2
+    ratings (no pairable disagreement to observe, Krippendorff 2011).
+    1 = perfect, 0 = chance, negative = systematic disagreement. One
+    row out: ``(n_units, n_ratings, n_cats, d_o, d_e, alpha)`` —
+    observed/expected disagreement and ``alpha = 1 − D_o/D_e``; alpha
+    NULL when ``D_e = 0`` (one category total, or < 2 ratings kept).
+
+    Engine-exact: with per-unit integers ``A_u = r_u² − Σ_c n_uc²``,
+    the observed disagreement is ``D_o = (Σ_r T_r/(r−1)) / n`` where
+    ``T_r = Σ_{u: r_u=r} A_u`` is an exact BIGINT per DISTINCT panel
+    size r — the cross-r sum is an ORDERED LEFT FOLD over the r-sorted
+    term list (the jsd/jackknife discipline; distinct r values number
+    at most the max panel size), so both engines add the same floats
+    in the same order. ``D_e = (n² − Σ_c n_c²)/(n(n−1))`` is a single
+    division of exact BIGINTs (valid for n < 3·10⁹ ratings). Scale
+    shape: one count per (unit, category), one unit-keyed window sum
+    (AQE reuses its exchange for the unit- and category-grain
+    branches), then r-grain and category-grain re-aggregates — nothing
+    downstream of the first aggregate sees rating-sized rows.
+    """
+    from pyspark.sql import Window
+
+    votes = df.filter(
+        F.col(unit_col).isNotNull() & F.col(category_col).isNotNull()
+    ).select(
+        F.col(unit_col).alias("__u"),
+        F.col(category_col).cast("string").alias("__j"),
+    )
+    nuc = votes.groupBy("__u", "__j").agg(F.count(F.lit(1)).alias("__n"))
+    kept = nuc.withColumn(
+        "__r", F.sum("__n").over(Window.partitionBy("__u"))
+    ).filter(F.col("__r") >= 2)
+    peru = kept.groupBy("__u").agg(
+        F.first("__r").alias("__r"),
+        F.sum(F.col("__n") * F.col("__n")).alias("__s2u"),
+    )
+    rgrain = peru.groupBy("__r").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(F.col("__r") * F.col("__r") - F.col("__s2u")).alias("__t"),
+    )
+    units = rgrain.agg(
+        F.coalesce(F.sum("__cnt"), F.lit(0)).alias("n_units"),
+        F.coalesce(F.sum(F.col("__r") * F.col("__cnt")), F.lit(0)).alias(
+            "n_ratings"
+        ),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("__r", "__t"))),
+            F.lit(0.0),
+            lambda acc, c: acc
+            + c["__t"].cast("double") / (c["__r"].cast("double") - 1.0),
+        ).alias("__do_num"),
+    )
+    cats = kept.groupBy("__j").agg(F.sum("__n").alias("__cj")).agg(
+        F.count(F.lit(1)).alias("n_cats"),
+        F.coalesce(
+            F.sum(F.col("__cj") * F.col("__cj")), F.lit(0)
+        ).alias("__s2c"),
+    )
+    j = units.crossJoin(F.broadcast(cats))
+    n = F.col("n_ratings")
+    d_o = F.when(n > 0, F.col("__do_num") / n.cast("double"))
+    d_e = F.when(
+        n >= 2,
+        (n * n - F.col("__s2c")).cast("double")
+        / (n * (n - 1)).cast("double"),
+    )
+
+    def rnd(c):
+        return (F.round(c, round_to) + 0.0) if round_to is not None else c
+
+    alpha = F.when(d_e != 0.0, 1.0 - d_o / d_e)
+    return j.select(
+        "n_units",
+        "n_ratings",
+        "n_cats",
+        rnd(d_o).alias("d_o"),
+        rnd(d_e).alias("d_e"),
+        rnd(alpha).alias("alpha"),
+    )
+
+
 def spearman(
     df: DataFrame,
     col_x: str,

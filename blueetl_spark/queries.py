@@ -7188,6 +7188,110 @@ FROM k
 """
 
 
+def q_krippendorff_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (``profile.krippendorff_alpha``) over the
+    RAGGED twin of the Fleiss panel: the same md5-derived 5 raters, but
+    each vote is skipped when its hash lands in a 1-in-7 bucket —
+    panels vary 2-5 votes (units thinning below 2 are excluded, the
+    coefficient's defining case). Exact BIGINT moments + the r-grain
+    ordered fold; DuckDB replays the identical panel."""
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).alias("pc"),
+    )
+    votes = orders.select(
+        "o_orderkey",
+        "pc",
+        F.explode(
+            F.array(*[F.lit(t) for t in range(FLEISS_RATERS)])
+        ).alias("t"),
+    )
+    noise = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("t").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    votes = votes.select(
+        "o_orderkey",
+        F.when(noise % 10 < 6, F.col("pc"))
+        .otherwise((noise % 5 + 1).cast("string"))
+        .alias("cat"),
+        (noise % 7).alias("skip"),
+    ).filter(F.col("skip") != 0)
+    return profile.krippendorff_alpha(votes, "o_orderkey", "cat")
+
+
+SQL_KRIPPENDORFF_AGREEMENT = f"""
+WITH votes AS (
+  SELECT o_orderkey,
+         CASE WHEN h % 10 < 6 THEN substring(o_orderpriority, 1, 1)
+              ELSE CAST(h % 5 + 1 AS VARCHAR) END AS cat
+  FROM (
+    SELECT o_orderkey, o_orderpriority, t,
+           CAST(concat('0x', substring(md5(
+             concat(CAST(o_orderkey AS VARCHAR), ':',
+                    CAST(t AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+    FROM orders, (SELECT unnest(range({FLEISS_RATERS})) AS t)
+  )
+  WHERE h % 7 <> 0
+),
+nuc AS (
+  SELECT o_orderkey AS u, cat AS c, COUNT(*) AS n
+  FROM votes GROUP BY 1, 2
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, SUM(n) OVER (PARTITION BY u) AS r FROM nuc
+  ) WHERE r >= 2
+),
+peru AS (
+  SELECT u, CAST(MAX(r) AS BIGINT) AS r, SUM(n * n) AS s2u
+  FROM kept GROUP BY 1
+),
+rg AS (
+  SELECT r, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(r * r - s2u) AS BIGINT) AS t
+  FROM peru GROUP BY 1
+),
+us AS (
+  SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_units,
+         CAST(COALESCE(SUM(r * cnt), 0) AS BIGINT) AS n_ratings,
+         list_reduce(list_prepend(0.0,
+           list(CAST(t AS DOUBLE) / CAST(r - 1 AS DOUBLE) ORDER BY r)),
+           (a, x) -> a + x) AS do_num
+  FROM rg
+),
+cs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cats,
+         CAST(COALESCE(SUM(nc * nc), 0) AS BIGINT) AS s2c
+  FROM (SELECT c, SUM(n) AS nc FROM kept GROUP BY 1)
+),
+fin AS (
+  SELECT n_units, n_ratings, n_cats,
+         CASE WHEN n_ratings > 0
+              THEN do_num / CAST(n_ratings AS DOUBLE) END AS d_o,
+         CASE WHEN n_ratings >= 2
+              THEN CAST(n_ratings * n_ratings - s2c AS DOUBLE)
+                   / CAST(n_ratings * (n_ratings - 1) AS DOUBLE) END AS d_e
+  FROM us, cs
+)
+SELECT n_units, n_ratings, n_cats,
+       ROUND(d_o, 6) AS d_o, ROUND(d_e, 6) AS d_e,
+       ROUND(CASE WHEN d_e <> 0.0 THEN 1.0 - d_o / d_e END, 6) AS alpha
+FROM fin
+"""
+
+
 SEAS_PERIOD = 86_400_000.0  # one day in ms
 SEAS_BUCKET = 3_600_000.0  # one hour in ms
 SEAS_Z = 2.0
@@ -9788,18 +9892,20 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retrieval_eval_summary": q_retrieval_eval_summary,
     "rrf_orders": q_rrf_orders,
     "fleiss_agreement": q_fleiss_agreement,
+    "krippendorff_agreement": q_krippendorff_agreement,
 }
 
 # ---------------------------------------------------------------------------
 # Driver-graded window (the driver grades the FIRST 50 of queries()).
-# Round-13 rotation (VERDICT r12 #1/#4): slots 1-5 are the FIVE
-# round-13 additions (ranking-eval kit + RRF fusion + Fleiss kappa) (never-graded gates enter the window
-# the same round they land); slot 6 is mmr_diverse, which got its exact
+# Round-13 rotation (VERDICT r12 #1/#4): slots 1-6 are the SIX
+# round-13 additions (ranking-eval kit + RRF fusion + Fleiss kappa +
+# Krippendorff alpha) (never-graded gates enter the window
+# the same round they land); slot 7 is mmr_diverse, which got its exact
 # recursive-CTE oracle this round and needs its first hash-graded row
 # (r12 recorded it `err: no_oracle`). Slots 5-50 backfill strictly
 # stalest-first by last-graded round over the exactly-oracled registry:
 # ALL gates last graded r5 (3), r6 (6), r8 (19), r9 (12, covering every
-# verdict-named backfill target), then the first four of the r10 cohort
+# verdict-named backfill target), then the first three of the r10 cohort
 # in name order. Everything displaced — the r11/r12 additions (two and
 # one consecutive green grades respectively) and the r12 backfill
 # families — returns to the oracle tail, where tests/test_oracle_parity
@@ -9809,26 +9915,27 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # md5/_fixed exact twins carry the hash evidence.
 # ---------------------------------------------------------------------------
 GRADED_WINDOW: list[str] = [
-    # 1-5: round-13 additions (never driver-graded)
+    # 1-6: round-13 additions (never driver-graded)
     "ranking_eval_orders",
     "retrieval_eval_ann",
     "retrieval_eval_summary",
     "rrf_orders",
     "fleiss_agreement",
-    # 6: oracled this round (r12 graded it rows-only)
+    "krippendorff_agreement",
+    # 7: oracled this round (r12 graded it rows-only)
     "mmr_diverse",
-    # 7-9: last graded r5
+    # 8-10: last graded r5
     "dedup_embedding_lsh",
     "resample_events",
     "winnowing_md5",
-    # 10-15: last graded r6
+    # 11-16: last graded r6
     "decontaminate",
     "hard_negatives",
     "mixture_sample",
     "tf_idf",
     "token_stats",
     "vocab",
-    # 16-34: last graded r8
+    # 17-35: last graded r8
     "bm25",
     "bm25_search",
     "classifier_score",
@@ -9848,7 +9955,7 @@ GRADED_WINDOW: list[str] = [
     "semdedup_fixed",
     "simhash_band_stats",
     "temperature_mixture",
-    # 35-46: last graded r9 (includes every verdict-named target)
+    # 36-47: last graded r9 (includes every verdict-named target)
     "chunk_documents",
     "clustering_coeff",
     "funnel_conversion",
@@ -9861,11 +9968,10 @@ GRADED_WINDOW: list[str] = [
     "train_split",
     "triangle_counts",
     "winsorize_stats",
-    # 47-50: r10 cohort, name order
+    # 48-50: r10 cohort, name order
     "basket_rules",
     "ccnet_buckets",
     "cms_estimates",
-    "containment_md5",
 ]
 
 assert len(GRADED_WINDOW) == 50, len(GRADED_WINDOW)
@@ -10068,6 +10174,7 @@ ORACLES: dict[str, str] = {
     "retrieval_eval_summary": SQL_RETRIEVAL_EVAL_SUMMARY,
     "rrf_orders": SQL_RRF_ORDERS,
     "fleiss_agreement": SQL_FLEISS_AGREEMENT,
+    "krippendorff_agreement": SQL_KRIPPENDORFF_AGREEMENT,
 }
 
 

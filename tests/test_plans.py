@@ -662,6 +662,7 @@ def test_round13_ranking_gates_plan_shapes(spark):
             "retrieval_eval_summary",
             "rrf_orders",
             "fleiss_agreement",
+            "krippendorff_agreement",
         ]
     }
     for name, p in plans.items():
@@ -694,3 +695,7 @@ def test_round13_ranking_gates_plan_shapes(spark):
     fl_df.collect()
     executed = _formatted_plan(fl_df)
     assert "ReusedExchange" in executed, executed
+    # Krippendorff: same two-branch shape over the unit-keyed window;
+    # no data-sized SMJ (the only joins are scalar crosses)
+    ka = plans["krippendorff_agreement"]
+    assert "SortMergeJoin" not in ka, ka

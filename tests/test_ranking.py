@@ -179,3 +179,60 @@ def test_fleiss_kappa_guards(spark):
     )
     row = fleiss_kappa(unanimous, "item", "cat").collect()[0]
     assert row["p_e"] == 1.0 and row["kappa"] is None
+
+
+def test_krippendorff_alpha_hand_computed(spark):
+    from blueetl_spark.operators.profile import krippendorff_alpha
+
+    # u1: [a,a] (r=2), u2: [a,b] (r=2), u3: [b,b,b] (r=3); n=7
+    # D_o = 2/7, D_e = 24/42 = 4/7 -> alpha = 1 - 1/2 = 0.5 exactly
+    votes = spark.createDataFrame(
+        [(1, "a"), (1, "a"),
+         (2, "a"), (2, "b"),
+         (3, "b"), (3, "b"), (3, "b")],
+        "u int, cat string",
+    )
+    row = krippendorff_alpha(votes, "u", "cat").collect()[0]
+    assert (row["n_units"], row["n_ratings"], row["n_cats"]) == (3, 7, 2)
+    assert row["d_o"] == pytest.approx(2.0 / 7.0, abs=1e-6)
+    assert row["d_e"] == pytest.approx(4.0 / 7.0, abs=1e-6)
+    assert row["alpha"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_krippendorff_alpha_ragged_and_degenerate(spark):
+    from blueetl_spark.operators.profile import krippendorff_alpha
+
+    # single-rating units are EXCLUDED: u9's lone vote contributes
+    # nothing, so the result equals the hand-computed frame above
+    votes = spark.createDataFrame(
+        [(1, "a"), (1, "a"),
+         (2, "a"), (2, "b"),
+         (3, "b"), (3, "b"), (3, "b"),
+         (9, "a")],
+        "u int, cat string",
+    )
+    row = krippendorff_alpha(votes, "u", "cat").collect()[0]
+    assert (row["n_units"], row["n_ratings"]) == (3, 7)
+    assert row["alpha"] == pytest.approx(0.5, abs=1e-9)
+
+    # perfect agreement across 2 categories: D_o = 0 -> alpha = 1
+    perfect = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (2, "b")], "u int, cat string"
+    )
+    prow = krippendorff_alpha(perfect, "u", "cat").collect()[0]
+    assert prow["d_o"] == 0.0 and prow["alpha"] == 1.0
+
+    # one category total: D_e = 0 -> alpha NULL (not a fake 1.0)
+    mono = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "a")], "u int, cat string"
+    )
+    mrow = krippendorff_alpha(mono, "u", "cat").collect()[0]
+    assert mrow["d_e"] == 0.0 and mrow["alpha"] is None
+
+    # everything excluded (all units single-rating): NULLs, no crash
+    sparse = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "u int, cat string"
+    )
+    srow = krippendorff_alpha(sparse, "u", "cat").collect()[0]
+    assert srow["n_units"] == 0 and srow["n_ratings"] == 0
+    assert srow["alpha"] is None
