@@ -175,6 +175,13 @@ HEADLINE = [
     "k_anonymity",
     "isotonic_curve",
     "mmr_diverse",
+    # round-13 additions
+    "ranking_eval_orders",
+    "retrieval_eval_ann",
+    "retrieval_eval_summary",
+    "rrf_orders",
+    "fleiss_agreement",
+    "krippendorff_agreement",
 ]
 
 
