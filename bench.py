@@ -182,6 +182,7 @@ HEADLINE = [
     "rrf_orders",
     "fleiss_agreement",
     "krippendorff_agreement",
+    "rbo_rankings",
 ]
 
 

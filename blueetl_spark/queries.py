@@ -7097,6 +7097,100 @@ FROM r WHERE fused_rank <= {RRF_TOP_N}
 """
 
 
+RBO_P = 0.9
+
+
+def q_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (``ranking.rbo``) between the same two
+    retrievers rrf_orders fuses — each customer's value ranking
+    (totalprice) vs recency ranking (orderdate), truncated at k=10
+    with p=0.9. The running p-power is carried by repeated
+    multiplication inside a d-ordered fold (no libm pow), term tree
+    mirrored in the oracle — bit-exact before the final round."""
+    from pyspark.sql import Window
+
+    from blueetl_spark.operators import ranking
+
+    orders = tables.load(spark, sf_dir, "orders")
+
+    def ranked(order_col):
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col(order_col).desc(), F.col("o_orderkey")
+        )
+        return orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rank"),
+        )
+
+    out = ranking.rbo(
+        ranked("o_totalprice"),
+        ranked("o_orderdate"),
+        ["o_custkey"],
+        doc_col="o_orderkey",
+        rank_col="rank",
+        k=RANKEVAL_K,
+        p=RBO_P,
+    )
+    return out.select(
+        "o_custkey",
+        "overlap_k",
+        F.round("rbo", 6).alias("rbo"),
+    )
+
+
+SQL_RBO_RANKINGS = f"""
+WITH a AS (
+  SELECT * FROM (
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+    FROM orders
+  ) WHERE rnk <= {RANKEVAL_K}
+),
+b AS (
+  SELECT * FROM (
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey) AS rnk
+    FROM orders
+  ) WHERE rnk <= {RANKEVAL_K}
+),
+pairs AS (
+  SELECT a.o_custkey, greatest(a.rnk, b.rnk) AS m
+  FROM a JOIN b USING (o_custkey, o_orderkey)
+),
+univ AS (SELECT DISTINCT o_custkey FROM orders),
+grid AS (
+  SELECT u.o_custkey, CAST(t.d AS BIGINT) AS d
+  FROM univ u, (SELECT unnest(range(1, {RANKEVAL_K} + 1)) AS d) t
+),
+x AS (
+  SELECT g.o_custkey, g.d, COUNT(p.m) AS xd
+  FROM grid g LEFT JOIN pairs p
+    ON p.o_custkey = g.o_custkey AND p.m <= g.d
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN d = {RANKEVAL_K} THEN xd END) AS overlap_k,
+         list_reduce(
+           list_prepend(
+             struct_pack(s := CAST(0 AS DOUBLE), pw := CAST(1 AS DOUBLE)),
+             list(struct_pack(s := CAST(xd AS DOUBLE) / CAST(d AS DOUBLE),
+                              pw := CAST(0 AS DOUBLE)) ORDER BY d)),
+           (acc, e) -> struct_pack(
+             s := acc.s + (CAST({1.0 - RBO_P!r} AS DOUBLE) * acc.pw) * e.s,
+             pw := acc.pw * CAST({RBO_P!r} AS DOUBLE))
+         ).s AS rbo0
+  FROM x GROUP BY 1
+)
+SELECT o_custkey, CAST(overlap_k AS BIGINT) AS overlap_k,
+       ROUND(rbo0, 6) AS rbo
+FROM r
+"""
+
+
 FLEISS_RATERS = 5
 
 
@@ -9893,19 +9987,20 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rrf_orders": q_rrf_orders,
     "fleiss_agreement": q_fleiss_agreement,
     "krippendorff_agreement": q_krippendorff_agreement,
+    "rbo_rankings": q_rbo_rankings,
 }
 
 # ---------------------------------------------------------------------------
 # Driver-graded window (the driver grades the FIRST 50 of queries()).
-# Round-13 rotation (VERDICT r12 #1/#4): slots 1-6 are the SIX
-# round-13 additions (ranking-eval kit + RRF fusion + Fleiss kappa +
-# Krippendorff alpha) (never-graded gates enter the window
-# the same round they land); slot 7 is mmr_diverse, which got its exact
+# Round-13 rotation (VERDICT r12 #1/#4): slots 1-7 are the SEVEN
+# round-13 additions (ranking-eval kit + RRF fusion + RBO + Fleiss
+# kappa + Krippendorff alpha) (never-graded gates enter the window
+# the same round they land); slot 8 is mmr_diverse, which got its exact
 # recursive-CTE oracle this round and needs its first hash-graded row
 # (r12 recorded it `err: no_oracle`). Slots 5-50 backfill strictly
 # stalest-first by last-graded round over the exactly-oracled registry:
 # ALL gates last graded r5 (3), r6 (6), r8 (19), r9 (12, covering every
-# verdict-named backfill target), then the first three of the r10 cohort
+# verdict-named backfill target), then the first two of the r10 cohort
 # in name order. Everything displaced — the r11/r12 additions (two and
 # one consecutive green grades respectively) and the r12 backfill
 # families — returns to the oracle tail, where tests/test_oracle_parity
@@ -9915,27 +10010,28 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # md5/_fixed exact twins carry the hash evidence.
 # ---------------------------------------------------------------------------
 GRADED_WINDOW: list[str] = [
-    # 1-6: round-13 additions (never driver-graded)
+    # 1-7: round-13 additions (never driver-graded)
     "ranking_eval_orders",
     "retrieval_eval_ann",
     "retrieval_eval_summary",
     "rrf_orders",
     "fleiss_agreement",
     "krippendorff_agreement",
-    # 7: oracled this round (r12 graded it rows-only)
+    "rbo_rankings",
+    # 8: oracled this round (r12 graded it rows-only)
     "mmr_diverse",
-    # 8-10: last graded r5
+    # 9-11: last graded r5
     "dedup_embedding_lsh",
     "resample_events",
     "winnowing_md5",
-    # 11-16: last graded r6
+    # 12-17: last graded r6
     "decontaminate",
     "hard_negatives",
     "mixture_sample",
     "tf_idf",
     "token_stats",
     "vocab",
-    # 17-35: last graded r8
+    # 18-36: last graded r8
     "bm25",
     "bm25_search",
     "classifier_score",
@@ -9955,7 +10051,7 @@ GRADED_WINDOW: list[str] = [
     "semdedup_fixed",
     "simhash_band_stats",
     "temperature_mixture",
-    # 36-47: last graded r9 (includes every verdict-named target)
+    # 37-48: last graded r9 (includes every verdict-named target)
     "chunk_documents",
     "clustering_coeff",
     "funnel_conversion",
@@ -9968,10 +10064,9 @@ GRADED_WINDOW: list[str] = [
     "train_split",
     "triangle_counts",
     "winsorize_stats",
-    # 48-50: r10 cohort, name order
+    # 49-50: r10 cohort, name order
     "basket_rules",
     "ccnet_buckets",
-    "cms_estimates",
 ]
 
 assert len(GRADED_WINDOW) == 50, len(GRADED_WINDOW)
@@ -10175,6 +10270,7 @@ ORACLES: dict[str, str] = {
     "rrf_orders": SQL_RRF_ORDERS,
     "fleiss_agreement": SQL_FLEISS_AGREEMENT,
     "krippendorff_agreement": SQL_KRIPPENDORFF_AGREEMENT,
+    "rbo_rankings": SQL_RBO_RANKINGS,
 }
 
 

@@ -663,6 +663,7 @@ def test_round13_ranking_gates_plan_shapes(spark):
             "rrf_orders",
             "fleiss_agreement",
             "krippendorff_agreement",
+            "rbo_rankings",
         ]
     }
     for name, p in plans.items():
@@ -699,3 +700,9 @@ def test_round13_ranking_gates_plan_shapes(spark):
     # no data-sized SMJ (the only joins are scalar crosses)
     ka = plans["krippendorff_agreement"]
     assert "SortMergeJoin" not in ka, ka
+    # RBO: both sides are k-bounded lists sharing the custkey
+    # partitioning — the (query, doc) equi-join and the universe
+    # left-join must not introduce a fresh data-sized exchange chain
+    rb = plans["rbo_rankings"]
+    assert "BatchEvalPython" not in rb, rb
+    assert len(re.findall(r"\(\d+\) Exchange hashpartitioning", rb)) <= 5, rb

@@ -236,3 +236,36 @@ def test_krippendorff_alpha_ragged_and_degenerate(spark):
     srow = krippendorff_alpha(sparse, "u", "cat").collect()[0]
     assert srow["n_units"] == 0 and srow["n_ratings"] == 0
     assert srow["alpha"] is None
+
+
+def test_rbo_hand_computed(spark):
+    from blueetl_spark.operators.ranking import rbo
+
+    a = spark.createDataFrame(
+        [("q", "d1", 1), ("q", "d2", 2), ("q", "d3", 3)],
+        "q string, doc_id string, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q", "d1", 1), ("q", "d3", 2), ("q", "d4", 3)],
+        "q string, doc_id string, rank int",
+    )
+    # shared docs enter at max-rank: d1 -> 1, d3 -> 3, so X = [1, 1, 2]
+    # rbo = 0.1*(1/1) + 0.1*0.9*(1/2) + 0.1*0.81*(2/3) = 0.199
+    row = rbo(a, b, ["q"], k=3, p=0.9).collect()[0]
+    assert row["overlap_k"] == 2
+    assert row["rbo"] == pytest.approx(0.199, abs=1e-12)
+
+    # identical lists -> rbo = (1-p) * sum p^(d-1) (X_d/d = 1 at all d)
+    same = rbo(a, a, ["q"], k=3, p=0.9).collect()[0]
+    assert same["rbo"] == pytest.approx(0.1 * (1 + 0.9 + 0.81), abs=1e-12)
+
+    # disjoint lists and either-side-only queries -> 0.0, still emitted
+    z = spark.createDataFrame([("z", "x", 1)], "q string, doc_id string, rank int")
+    rows = {r["q"]: r for r in rbo(a, z, ["q"], k=3).collect()}
+    assert rows["q"]["rbo"] == 0.0 and rows["z"]["rbo"] == 0.0
+    assert rows["q"]["overlap_k"] == 0
+
+    with pytest.raises(ValueError, match="p must be"):
+        rbo(a, b, ["q"], p=1.0)
+    with pytest.raises(ValueError, match="k must be"):
+        rbo(a, b, ["q"], k=0)
