@@ -434,7 +434,11 @@ def histogram_quantiles(
         hist.select(F.posexplode("counts").alias("b", "c"), "n_obs")
         .select("b", "c", "n_obs", F.sum("c").over(win).alias("cum"))
     )
-    pf = hist.sparkSession.createDataFrame([(float(p),) for p in ps], "p double")
+    from blueetl_spark.session import local_df
+
+    # Arrow local frame, not a pickled local RDD (costs a Python-worker
+    # round trip in every job that executes this plan; see local_df)
+    pf = local_df(hist.sparkSession, [(float(p),) for p in ps], "p double")
     r = F.col("p") * F.col("n_obs")
     hit = (
         bins.join(F.broadcast(pf))
@@ -1214,6 +1218,14 @@ def cohens_kappa(
         .select(a.cast("string").alias("__a"), b.cast("string").alias("__b"))
         .groupBy("__a", "__b")
         .agg(F.count(F.lit(1)).alias("__c"))
+        # Pin the category²-sized contingency table: it feeds FIVE
+        # aggregate branches (tot, ra, rb, the margin convolution, cats),
+        # and without the pin each branch re-executes the whole upstream
+        # plan — for lang_id_kappa that meant ~5 replays of the full
+        # n-gram classification pipeline (15 scans / 20 exchanges in the
+        # r13-opt before-plan). Eager localCheckpoint, repo convention:
+        # one computation, blocks reaped by ContextCleaner.
+        .localCheckpoint(eager=True)
     )
     tot = pairs.agg(
         F.sum("__c").alias("n_rows"),
@@ -1291,6 +1303,12 @@ def fleiss_kappa(
         F.col(item_col).alias("__i"),
         F.col(category_col).cast("string").alias("__j"),
     )
+    # NOTE (r13 opt): nij feeds two branches, so the votes subtree runs
+    # twice — an eager-localCheckpoint pin was tried and MEASURED SLOWER
+    # (2.91 s → 3.26 s floor on the fleiss_agreement gate): the cheap
+    # in-plan recompute beats materializing the (item, cat) frame.
+    # cohens_kappa pins because its upstream is a whole pipeline; here
+    # it is one scan + hash.
     nij = votes.groupBy("__i", "__j").agg(F.count(F.lit(1)).alias("__n"))
     per_item = nij.groupBy("__i").agg(
         F.sum("__n").alias("__r"),
@@ -1377,9 +1395,9 @@ def krippendorff_alpha(
     in the same order. ``D_e = (n² − Σ_c n_c²)/(n(n−1))`` is a single
     division of exact BIGINTs (valid for n < 3·10⁹ ratings). Scale
     shape: one count per (unit, category), one unit-keyed window sum
-    (AQE reuses its exchange for the unit- and category-grain
-    branches), then r-grain and category-grain re-aggregates — nothing
-    downstream of the first aggregate sees rating-sized rows.
+    (recomputed per consuming branch — a pin measured slower, see the
+    in-body note), then r-grain and category-grain re-aggregates —
+    nothing downstream of the first aggregate sees rating-sized rows.
     """
     from pyspark.sql import Window
 
@@ -1389,6 +1407,11 @@ def krippendorff_alpha(
         F.col(unit_col).alias("__u"),
         F.col(category_col).cast("string").alias("__j"),
     )
+    # NOTE (r13 opt): kept feeds two branches (exchange reuse does not
+    # cover them — column pruning differentiates the subtrees), but an
+    # eager-localCheckpoint pin MEASURED SLOWER (3.55 s → 3.95 s floor
+    # on the krippendorff_agreement gate): recomputing the one-scan
+    # votes subtree is cheaper than materializing the (unit, cat) frame.
     nuc = votes.groupBy("__u", "__j").agg(F.count(F.lit(1)).alias("__n"))
     kept = nuc.withColumn(
         "__r", F.sum("__n").over(Window.partitionBy("__u"))

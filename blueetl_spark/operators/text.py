@@ -280,7 +280,14 @@ def classify_language_ngram(
         return spark.createDataFrame(
             [], f"{id_col} {id_type}, lang_pred string, score double"
         )
-    local_profiles = spark.createDataFrame(
+    # Arrow-backed local frame (session.local_df), NOT the pickled-Python
+    # local RDD: every job whose plan embeds a pickled LocalRelation pays
+    # a Python-worker round trip at execution (guide §4 — measured ~0.3 s
+    # per job on this box); the Arrow path is a pure-JVM literal table.
+    from blueetl_spark.session import local_df
+
+    local_profiles = local_df(
+        spark,
         [(r["lang"], r["gram"], float(r["weight"])) for r in prof_rows],
         "lang string, gram string, weight double",
     )
@@ -1202,7 +1209,12 @@ def ngram_overlap_bloom(
 
     ev = hashed(eval_df.select(ng)).select("__h1", "__h2").distinct()
     arr = _build_bloom_array(ev, m_bits, k)
-    bloom_row = spark.createDataFrame([(arr,)], "__bloom: array<long>")
+    # Arrow local frame: a pickled one-row array<long> LocalRelation costs
+    # a Python round trip per executing job — worst for exactly this shape
+    # (large array cells; see session.local_df)
+    from blueetl_spark.session import local_df
+
+    bloom_row = local_df(spark, [(arr,)], "__bloom array<long>")
 
     tr = hashed(train.select(F.col(id_col), ng))
     probe = tr.crossJoin(F.broadcast(bloom_row))  # one-row: map-only

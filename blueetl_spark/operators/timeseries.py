@@ -1420,12 +1420,24 @@ def theil_sen(
         per_w = src.groupBy(*by, "__w").agg(
             F.array_sort(F.collect_list("__p")).alias("__pts")
         )
-        sl = _pairwise_slopes(F.col("__pts"))
+        # Materialize the O(k²) slope array ONCE per window: higher-order
+        # functions are interpreted (no codegen CSE), so putting the same
+        # `_pairwise_slopes` expression in three output columns evaluates
+        # the quadratic kernel three times. A dedicated projection holds
+        # it as an alias; CollapseProject keeps the two projections apart
+        # because the alias is non-cheap and referenced 3× above it —
+        # size, and twice inside the median's when/element_at. Values are
+        # bit-identical (same expressions, evaluated once).
         per_w = per_w.select(
             *by,
             F.size("__pts").cast("long").alias("__n"),
-            F.size(sl).cast("long").alias("__m"),
-            _lower_median(sl).alias("__s"),
+            _pairwise_slopes(F.col("__pts")).alias("__sl"),
+        )
+        per_w = per_w.select(
+            *by,
+            "__n",
+            F.size("__sl").cast("long").alias("__m"),
+            _lower_median(F.col("__sl")).alias("__s"),
         )
         # second level: window-count-sized — collect the per-window
         # slopes (collect_list skips NULL-slope windows) and take the
@@ -1471,15 +1483,23 @@ def theil_sen(
         ).cast("array<struct<t:double,v:double>>"),
     ).otherwise(F.col("__pts"))
     agg = agg.select(*by, guard.alias("__pts"))
-    sorted_slopes = _pairwise_slopes(F.col("__pts"))
-    m = F.size(sorted_slopes)
-    med = _lower_median(sorted_slopes)
-    if round_to is not None:
-        med = F.round(med, round_to)
-    return agg.select(
+    # Single evaluation of the O(n²) slope array (see the window path
+    # above for why): alias it in its own projection instead of
+    # repeating the interpreted HOF subtree in n_pairs AND both median
+    # references — this was 3-4 evaluations of the quadratic kernel per
+    # group. Bit-identical output, ~the same kernel now runs once.
+    slop = agg.select(
         *by,
         F.size("__pts").cast("long").alias("n"),
-        m.cast("long").alias("n_pairs"),
+        _pairwise_slopes(F.col("__pts")).alias("__sl"),
+    )
+    med = _lower_median(F.col("__sl"))
+    if round_to is not None:
+        med = F.round(med, round_to)
+    return slop.select(
+        *by,
+        "n",
+        F.size("__sl").cast("long").alias("n_pairs"),
         med.alias("slope"),
     )
 

@@ -311,6 +311,7 @@ def upsert_scd2(
     updates: DataFrame,
     key: str | list[str],
     effective_col: str = "effective_ts",
+    stats: bool = True,
 ) -> dict:
     """History-preserving (SCD Type 2) upsert: instead of overwriting,
     the current version of each updated key is CLOSED
@@ -335,6 +336,14 @@ def upsert_scd2(
     History never rewrites — at 100 TB, partition the table on a date
     of ``__valid_to`` so the hot current slice (NULL partition) stays
     small and snapshot reads prune closed history.
+
+    ``stats=False`` skips the applied/dropped_stale/closed counters —
+    three extra Spark jobs per upsert (one of which re-runs the whole
+    ``updates`` subtree) that exist only to fill the returned dict.
+    Callers that discard the dict (the scd2 bench gate; any bulk
+    backfill loop) avoid ~half the per-batch job count; the duplicate-
+    key guard always runs. The returned dict then carries ``None`` for
+    the skipped counters.
     """
     from pyspark.sql import functions as F
 
@@ -354,22 +363,29 @@ def upsert_scd2(
     atomic.recover_dir(spark, path)
     if not atomic.fs_exists(spark, path):
         new_rows.write.mode("overwrite").parquet(path)
-        return {"applied": new_rows.count(), "dropped_stale": 0, "closed": 0}
+        return {
+            "applied": new_rows.count() if stats else None,
+            "dropped_stale": 0 if stats else None,
+            "closed": 0 if stats else None,
+        }
 
     cur = spark.read.parquet(path)
     merged, live_upd = _scd2_merge_frames(cur, new_rows, updates, keys, eff)
-    n_live = live_upd.count()
-    n_total_upd = updates.count()
-    n_closed = live_upd.join(
-        cur.filter(F.col("__valid_to").isNull()), keys, "left_semi"
-    ).count()
+    if stats:
+        n_live = live_upd.count()
+        n_total_upd = updates.count()
+        n_closed = live_upd.join(
+            cur.filter(F.col("__valid_to").isNull()), keys, "left_semi"
+        ).count()
+    else:
+        n_live = n_total_upd = n_closed = None
 
     tmp = f"{path}.staging"
     merged.write.mode("overwrite").parquet(tmp)
     atomic.swap_dir(spark, path, tmp)
     return {
         "applied": n_live,
-        "dropped_stale": n_total_upd - n_live,
+        "dropped_stale": (n_total_upd - n_live) if stats else None,
         "closed": n_closed,
     }
 

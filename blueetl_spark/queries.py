@@ -3301,12 +3301,15 @@ def q_scd2_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(float(year)).alias("effective_ts"),
                 )
             )
-            upsert_scd2(spark, path, latest, "custkey")
+            # stats=False: the gate discards the returned counters; the
+            # three stat-count jobs per upsert (one re-running the whole
+            # per-year aggregate) were ~half the gate's job count
+            upsert_scd2(spark, path, latest, "custkey", stats=False)
         snap = scd2_snapshot(spark, path, at=SCD2_SNAPSHOT_AT)
-        # materialize before the temp dir vanishes
-        out = spark.createDataFrame(
-            snap.toPandas(), schema=snap.schema
-        )
+        # materialize before the temp dir vanishes — executor-side block
+        # pin (localCheckpoint), not the old toPandas→createDataFrame
+        # driver round-trip (guide §5: the driver should do no data work)
+        out = snap.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out.select("custkey", "orderkey", "totalprice")

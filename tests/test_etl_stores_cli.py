@@ -638,3 +638,39 @@ def test_apply_cdc_last_writer_wins_and_contract(spark):
 
     with _pytest.raises(ValueError, match="missing columns"):
         apply_cdc(base, changes.drop("op"), "k", "seq")
+
+
+def test_upsert_scd2_stats_false_skips_counters(spark, tmp_path):
+    """stats=False skips the applied/dropped_stale/closed counter jobs
+    (bulk-load fast path) while producing the identical table state;
+    the duplicate-key guard still fires."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.plans.stores import scd2_snapshot, upsert_scd2
+
+    path = str(tmp_path / "scd2_nostats")
+    b1 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 1.0)], "k int, v string, effective_ts double"
+    )
+    s = upsert_scd2(spark, path, b1, "k", stats=False)
+    assert s == {"applied": None, "dropped_stale": None, "closed": None}
+    b2 = spark.createDataFrame(
+        [(1, "a2", 2.0), (3, "c", 2.0)], "k int, v string, effective_ts double"
+    )
+    s = upsert_scd2(spark, path, b2, "k", stats=False)
+    assert s == {"applied": None, "dropped_stale": None, "closed": None}
+    cur = {(r.k, r.v) for r in scd2_snapshot(spark, path).collect()}
+    assert cur == {(1, "a2"), (2, "b"), (3, "c")}
+    # full history intact: the closed k=1 version is queryable as-of 1.5
+    asof = {(r.k, r.v) for r in scd2_snapshot(spark, path, at=1.5).collect()}
+    assert asof == {(1, "a"), (2, "b")}
+    # replayed batch still folds out without the stat jobs
+    s = upsert_scd2(spark, path, b2, "k", stats=False)
+    assert {(r.k, r.v) for r in scd2_snapshot(spark, path).collect()} == cur
+    # duplicate keys still raise
+    dup = spark.createDataFrame(
+        [(5, "x", 3.0), (5, "y", 3.0)], "k int, v string, effective_ts double"
+    )
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        upsert_scd2(spark, path, dup, "k", stats=False)

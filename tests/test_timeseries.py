@@ -1127,3 +1127,26 @@ def test_theil_sen_exact_path_group_bound(spark):
     assert theil_sen(
         df, "v", by=["g"], window=25.0, max_group_points=10
     ).count() == 2
+
+
+def test_theil_sen_slope_kernel_evaluated_once(spark):
+    """Optimization r13: the O(n²) pairwise-slope HOF is interpreted
+    (no codegen CSE), so it must appear exactly ONCE in the optimized
+    plan of each path — not repeated per output column (n_pairs + the
+    two median references used to re-evaluate the quadratic kernel
+    3-4× per group). `flatten(` is the kernel's unique marker."""
+    from pyspark.sql import functions as F
+
+    from blueetl_spark.operators.timeseries import theil_sen
+
+    df = spark.range(40).select(
+        (F.col("id") % 2).alias("g"),
+        F.col("id").cast("double").alias("time"),
+        (F.col("id") * 3).cast("double").alias("v"),
+    )
+    exact = theil_sen(df, "v", by=["g"])
+    plan = exact._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("flatten(") == 1, plan
+    windowed = theil_sen(df, "v", by=["g"], window=10.0)
+    wplan = windowed._jdf.queryExecution().optimizedPlan().toString()
+    assert wplan.count("flatten(") == 1, wplan
