@@ -1303,29 +1303,33 @@ def fleiss_kappa(
         F.col(item_col).alias("__i"),
         F.col(category_col).cast("string").alias("__j"),
     )
-    # NOTE (r13 opt): nij feeds two branches, so the votes subtree runs
-    # twice — an eager-localCheckpoint pin was tried and MEASURED SLOWER
-    # (2.91 s → 3.26 s floor on the fleiss_agreement gate): the cheap
-    # in-plan recompute beats materializing the (item, cat) frame.
-    # cohens_kappa pins because its upstream is a whole pipeline; here
-    # it is one scan + hash.
     nij = votes.groupBy("__i", "__j").agg(F.count(F.lit(1)).alias("__n"))
-    per_item = nij.groupBy("__i").agg(
-        F.sum("__n").alias("__r"),
-        F.sum(F.col("__n") * F.col("__n")).alias("__s2i"),
+    # ONE pass over nij for BOTH grains (r13 opt): the item-grain and
+    # category-grain moments used to live on two plan branches, each
+    # re-executing the votes subtree (for gate pipelines: the whole
+    # upstream label derivation) — an eager-localCheckpoint pin was
+    # tried first and MEASURED SLOWER (2.91 s → 3.26 s floor on the
+    # fleiss_agreement gate; materializing the (item, cat) frame costs
+    # more than the recompute). GROUPING SETS computes both grains in a
+    # single aggregate over an Expand (2× nij rows, tiny), so the base
+    # pipeline executes once and nothing is materialized. Every moment
+    # is an exact BIGINT — output bit-identical.
+    grains = nij.groupingSets([["__i"], ["__j"]], "__i", "__j").agg(
+        F.grouping_id().alias("__gid"),
+        F.sum("__n").alias("__t"),
+        F.sum(F.col("__n") * F.col("__n")).alias("__t2"),
     )
-    items = per_item.agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.min("__r").alias("__rmin"),
-        F.max("__r").alias("__rmax"),
-        F.sum("__s2i").alias("__s2"),
+    # grouping_id bits follow ("__i", "__j"): 1 = item grain, 2 = cat
+    item_row = F.col("__gid") == 1
+    cat_row = F.col("__gid") == 2
+    j = grains.agg(
+        F.count(F.when(item_row, F.lit(1))).alias("n_items"),
+        F.min(F.when(item_row, F.col("__t"))).alias("__rmin"),
+        F.max(F.when(item_row, F.col("__t"))).alias("__rmax"),
+        F.sum(F.when(item_row, F.col("__t2"))).alias("__s2"),
+        F.count(F.when(cat_row, F.lit(1))).alias("n_cats"),
+        F.sum(F.when(cat_row, F.col("__t") * F.col("__t"))).alias("__s2c"),
     )
-    per_cat = nij.groupBy("__j").agg(F.sum("__n").alias("__cj"))
-    cats = per_cat.agg(
-        F.count(F.lit(1)).alias("n_cats"),
-        F.sum(F.col("__cj") * F.col("__cj")).alias("__s2c"),
-    )
-    j = items.crossJoin(F.broadcast(cats))
     r = F.when(
         (F.col("__rmin") == F.col("__rmax")) & (F.col("__rmax") >= 2),
         F.col("__rmax"),
@@ -1407,42 +1411,70 @@ def krippendorff_alpha(
         F.col(unit_col).alias("__u"),
         F.col(category_col).cast("string").alias("__j"),
     )
-    # NOTE (r13 opt): kept feeds two branches (exchange reuse does not
-    # cover them — column pruning differentiates the subtrees), but an
-    # eager-localCheckpoint pin MEASURED SLOWER (3.55 s → 3.95 s floor
-    # on the krippendorff_agreement gate): recomputing the one-scan
-    # votes subtree is cheaper than materializing the (unit, cat) frame.
     nuc = votes.groupBy("__u", "__j").agg(F.count(F.lit(1)).alias("__n"))
     kept = nuc.withColumn(
         "__r", F.sum("__n").over(Window.partitionBy("__u"))
     ).filter(F.col("__r") >= 2)
-    peru = kept.groupBy("__u").agg(
-        F.first("__r").alias("__r"),
+    # ONE pass over kept for BOTH grains (r13 opt): the unit-grain and
+    # category-grain reductions used to live on two plan branches, each
+    # re-executing the scan + window subtree (exchange reuse does not
+    # cover them — column pruning differentiates the subtrees). An
+    # eager-localCheckpoint pin was tried first and MEASURED SLOWER
+    # (3.55 s → 3.95 s floor on the krippendorff_agreement gate);
+    # GROUPING SETS computes both grains in a single aggregate over an
+    # Expand (2× kept rows, tiny), then one mixed-key aggregate folds
+    # the r-grain and the category scalar, so the base pipeline
+    # executes once and nothing is materialized. All moments are exact
+    # BIGINTs and the D_o fold sees the same (r, T_r) set in the same
+    # sorted order — output bit-identical.
+    grains = kept.groupingSets([["__u"], ["__j"]], "__u", "__j").agg(
+        F.grouping_id().alias("__gid"),
+        F.sum("__n").alias("__t"),
         F.sum(F.col("__n") * F.col("__n")).alias("__s2u"),
     )
-    rgrain = peru.groupBy("__r").agg(
+    # grouping_id bits follow ("__u", "__j"): 1 = unit grain (__t =
+    # r_u, the unit's panel size), 2 = category grain (__t = c_j)
+    unit_row = F.col("__gid") == 1
+    lvl2 = grains.groupBy(
+        F.when(unit_row, F.col("__t")).alias("__rk"), "__gid"
+    ).agg(
         F.count(F.lit(1)).alias("__cnt"),
-        F.sum(F.col("__r") * F.col("__r") - F.col("__s2u")).alias("__t"),
+        F.sum(
+            F.col("__t") * F.col("__t") - F.col("__s2u")
+        ).alias("__a"),
+        F.sum(F.col("__t") * F.col("__t")).alias("__sq"),
     )
-    units = rgrain.agg(
-        F.coalesce(F.sum("__cnt"), F.lit(0)).alias("n_units"),
-        F.coalesce(F.sum(F.col("__r") * F.col("__cnt")), F.lit(0)).alias(
-            "n_ratings"
-        ),
+    u2 = F.col("__gid") == 1
+    j = lvl2.agg(
+        F.coalesce(
+            F.sum(F.when(u2, F.col("__cnt"))), F.lit(0)
+        ).alias("n_units"),
+        F.coalesce(
+            F.sum(F.when(u2, F.col("__rk") * F.col("__cnt"))), F.lit(0)
+        ).alias("n_ratings"),
         F.aggregate(
-            F.sort_array(F.collect_list(F.struct("__r", "__t"))),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        u2,
+                        F.struct(
+                            F.col("__rk").alias("__r"),
+                            F.col("__a").alias("__t"),
+                        ),
+                    )
+                )
+            ),
             F.lit(0.0),
             lambda acc, c: acc
             + c["__t"].cast("double") / (c["__r"].cast("double") - 1.0),
         ).alias("__do_num"),
-    )
-    cats = kept.groupBy("__j").agg(F.sum("__n").alias("__cj")).agg(
-        F.count(F.lit(1)).alias("n_cats"),
         F.coalesce(
-            F.sum(F.col("__cj") * F.col("__cj")), F.lit(0)
+            F.sum(F.when(~u2, F.col("__cnt"))), F.lit(0)
+        ).alias("n_cats"),
+        F.coalesce(
+            F.sum(F.when(~u2, F.col("__sq"))), F.lit(0)
         ).alias("__s2c"),
     )
-    j = units.crossJoin(F.broadcast(cats))
     n = F.col("n_ratings")
     d_o = F.when(n > 0, F.col("__do_num") / n.cast("double"))
     d_e = F.when(

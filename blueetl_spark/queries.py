@@ -7208,28 +7208,40 @@ def q_fleiss_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.substring("o_orderpriority", 1, 1).alias("pc"),
     )
+    # r13 opt: the md5 noise is derived INSIDE the Generate (explode of
+    # (t, h) structs, one md5 per vote) instead of in a later projection
+    # — downstream filters then reference a generated struct field, so
+    # predicate pushdown cannot re-substitute the md5 chain below the
+    # Generate (the operator's null-filter used to re-evaluate it per
+    # row: measured ~0.9 s of the 2.9 s gate). Same md5 per
+    # (o_orderkey, t) — values identical, oracle unchanged.
     votes = orders.select(
         "o_orderkey",
         "pc",
         F.explode(
-            F.array(*[F.lit(t) for t in range(FLEISS_RATERS)])
-        ).alias("t"),
-    )
-    noise = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("o_orderkey").cast("string"),
-                    F.lit(":"),
-                    F.col("t").cast("string"),
+            F.array(*[
+                F.struct(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("o_orderkey").cast("string"),
+                                    F.lit(":"),
+                                    F.lit(t).cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long").alias("h")
                 )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+                for t in range(FLEISS_RATERS)
+            ])
+        ).alias("v"),
+    )
+    noise = F.col("v.h")
     votes = votes.select(
         "o_orderkey",
         F.when(noise % 10 < 6, F.col("pc"))
@@ -7296,28 +7308,36 @@ def q_krippendorff_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.substring("o_orderpriority", 1, 1).alias("pc"),
     )
+    # r13 opt: md5 derived inside the Generate (see q_fleiss_agreement)
+    # — here it also keeps the skip-filter pushdown from re-evaluating
+    # the chain a third time. Same md5 per (o_orderkey, t).
     votes = orders.select(
         "o_orderkey",
         "pc",
         F.explode(
-            F.array(*[F.lit(t) for t in range(FLEISS_RATERS)])
-        ).alias("t"),
-    )
-    noise = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("o_orderkey").cast("string"),
-                    F.lit(":"),
-                    F.col("t").cast("string"),
+            F.array(*[
+                F.struct(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("o_orderkey").cast("string"),
+                                    F.lit(":"),
+                                    F.lit(t).cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long").alias("h")
                 )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+                for t in range(FLEISS_RATERS)
+            ])
+        ).alias("v"),
+    )
+    noise = F.col("v.h")
     votes = votes.select(
         "o_orderkey",
         F.when(noise % 10 < 6, F.col("pc"))
