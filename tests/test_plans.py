@@ -684,22 +684,24 @@ def test_round13_ranking_gates_plan_shapes(spark):
     rrf = plans["rrf_orders"]
     assert "Join" not in rrf, rrf
     assert len(re.findall(r"\(\d+\) Exchange hashpartitioning", rrf)) <= 4, rrf
-    # Fleiss: vote-grain explode -> (item,cat) count -> two bounded
-    # re-aggregates (item-grain and category-grain branches) -> scalar
-    # cross of two 1-row frames. The two branches share the (item,cat)
-    # exchange: statically the plan prints both subtrees, but AQE
-    # dedupes them at runtime — assert the executed plan reused the
-    # exchange so the vote-grain scan+explode+count runs ONCE.
+    # Fleiss: ONE linear chain — vote-grain explode -> (item,cat)
+    # count -> GROUPING SETS over an Expand folds the item-grain and
+    # category-grain moments in a single aggregate (the r13 rework:
+    # the old two-branch shape re-executed the vote pipeline per
+    # branch and needed AQE exchange reuse to dedup it; now there is
+    # nothing duplicated to reuse). Pin: one scan, an Expand, no join
+    # of any kind, and at most 3 data exchanges.
     fl = plans["fleiss_agreement"]
-    assert "SortMergeJoin" not in fl, fl
-    fl_df = Q.QUERIES["fleiss_agreement"](spark, SF)
-    fl_df.collect()
-    executed = _formatted_plan(fl_df)
-    assert "ReusedExchange" in executed, executed
-    # Krippendorff: same two-branch shape over the unit-keyed window;
-    # no data-sized SMJ (the only joins are scalar crosses)
+    assert len(re.findall(r"\(\d+\) Scan parquet", fl)) == 1, fl
+    assert "Expand" in fl, fl
+    assert "Join" not in fl, fl
+    assert len(re.findall(r"\(\d+\) Exchange hashpartitioning", fl)) <= 3, fl
+    # Krippendorff: same grouping-sets fold over the unit-keyed
+    # window; no data-sized SMJ (the only joins are scalar crosses)
     ka = plans["krippendorff_agreement"]
     assert "SortMergeJoin" not in ka, ka
+    assert len(re.findall(r"\(\d+\) Scan parquet", ka)) == 1, ka
+    assert "Expand" in ka, ka
     # RBO: both sides are k-bounded lists sharing the custkey
     # partitioning — the (query, doc) equi-join and the universe
     # left-join must not introduce a fresh data-sized exchange chain
