@@ -243,7 +243,6 @@ def jaccard_pairs_prefix(
     is acceptable.
     """
     s = shingle_sets(df, text_col, id_col, n).localCheckpoint(eager=True)
-    sizes = s.groupBy(id_col).agg(F.count("*").alias("set_size"))
     # document-frequency map: distinct-shingle-sized (a vocabulary, not
     # a corpus) — broadcast it so the ranking pass costs ONE shuffle
     # (the per-doc window) instead of two; for a vocabulary too big to
@@ -263,12 +262,36 @@ def jaccard_pairs_prefix(
         - F.floor(F.lit(float(threshold)) * F.col("__sz")).cast("long")
         + 1
     )
-    pref = ranked.filter(F.col("__rk") <= prefix_len).select(id_col, "shingle")
+    # The prefix frame is ~(1−t) of the corpus and feeds BOTH sides of
+    # the candidate self-join; pinned so the df-aggregate + rank-window
+    # pass executes ONCE — unpinned, each join side re-runs the whole
+    # sort+window subtree, the exact duplicate a cluster pays twice in
+    # shuffle. Locally the two shapes measure flat (r13 matched-calib
+    # floors 2.75 committed / 2.85 pinned / 2.89 unpinned+ride, medians
+    # 3.57 / 3.18 / 3.21) — kept for the structural 2-window-passes→1.
+    # ``__sz`` rides along (already computed by the rank window), so the
+    # candidate pairs carry both set sizes and the separate per-doc size
+    # aggregate + two verify-side joins disappear.
+    pref = (
+        ranked.filter(F.col("__rk") <= prefix_len)
+        .select(id_col, "shingle", "__sz")
+        .localCheckpoint(eager=True)
+    )
     cand = (
-        pref.select(F.col(id_col).alias("id_a"), "shingle")
-        .join(pref.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        pref.select(
+            F.col(id_col).alias("id_a"), "shingle",
+            F.col("__sz").alias("size_a"),
+        )
+        .join(
+            pref.select(
+                F.col(id_col).alias("id_b"), "shingle",
+                F.col("__sz").alias("size_b"),
+            ),
+            "shingle",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        # size_a/size_b are functions of id_a/id_b — same distinct set
+        .select("id_a", "id_b", "size_a", "size_b")
         .distinct()
     )
     a = s.select(F.col(id_col).alias("id_a"), "shingle")
@@ -276,21 +299,11 @@ def jaccard_pairs_prefix(
     inter = (
         cand.join(a, "id_a")
         .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count("*").alias("n_common"))
     )
     return (
-        inter.join(
-            sizes.withColumnRenamed(id_col, "id_a")
-            .withColumnRenamed("set_size", "size_a"),
-            "id_a",
-        )
-        .join(
-            sizes.withColumnRenamed(id_col, "id_b")
-            .withColumnRenamed("set_size", "size_b"),
-            "id_b",
-        )
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_common")
             / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
@@ -595,6 +608,10 @@ def cross_lsh_matches(
     # Train signatures feed both the band probe and the verify join —
     # pin once (same 3-consumer recompute evidence as the self-join LSH).
     sig_tr = mk_sig(train).localCheckpoint(eager=True)
+    # sig_ev feeds the band probe AND the verify join (plans twice), but
+    # the eval side is benchmark-sized by design — an eager pin measured
+    # dead flat at sf0.1 (2.33 -> 2.35 s matched-calib floor, r13) and
+    # the duplicate stays trivial at any scale, so it is left lazy.
     sig_ev = mk_sig(eval_df)
     band_tr = banded_buckets(sig_tr, id_col, bands, rows_per_band, hash_fn)
     band_ev = banded_buckets(sig_ev, id_col, bands, rows_per_band, hash_fn).select(
@@ -669,15 +686,16 @@ def simhash(
         )
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    # sum the RAW bit (0/1) per position instead of a ±1 vote: the vote
+    # sum is 2·s_i − n, so "vote > 0" ≡ "2·s_i > n" — integer-exact,
+    # and each per-row update drops the equality compare + conditional
+    # branch (bits × rows of them; the aggregate is the operator's
+    # dominant stage)
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"b{i}")
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
         for i in range(bits)
     ]
-    agg = s.groupBy(id_col).agg(*bit_sums)
+    agg = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *bit_sums)
     # Flat assembly of the output word: one n-ary concat_ws of '0'/'1'
     # chars (MSB first) + a signed base-2 conv. The obvious alternative —
     # folding ``bits`` bitwiseOR(shiftleft(...)) calls — builds a
@@ -686,7 +704,10 @@ def simhash(
     # ~0.5 s and executes identically).
     bin_str = F.concat_ws(
         "",
-        *[F.when(F.col(f"b{i}") > 0, "1").otherwise("0") for i in range(bits - 1, -1, -1)],
+        *[
+            F.when(F.col(f"b{i}") * 2 > F.col("__n"), "1").otherwise("0")
+            for i in range(bits - 1, -1, -1)
+        ],
     )
     sim = F.conv(bin_str, 2, -10).cast("long")
     return agg.select(F.col(id_col), sim.alias("simhash"))

@@ -303,10 +303,13 @@ def _triangles_per_node(und, deg):
     # smallest-degree corner
     closing = e.select(F.col("s").alias("t"), F.col("t").alias("t2"))
     tri = wedges.join(closing, ["t", "t2"], "left_semi")
-    corners = (
-        tri.select(F.col("s").alias("id"))
-        .unionAll(tri.select(F.col("t").alias("id")))
-        .unionAll(tri.select(F.col("t2").alias("id")))
+    # each triangle contributes its three corners; an explode of the
+    # corner array folds them in ONE evaluation of the wedge/semi-join
+    # subtree — a 3-branch union would re-execute that subtree per
+    # branch (Spark plans each union child independently; no subtree
+    # sharing), tripling the dominant join cost
+    corners = tri.select(
+        F.explode(F.array(F.col("s"), F.col("t"), F.col("t2"))).alias("id")
     )
     return corners.groupBy("id").agg(
         F.count(F.lit(1)).alias("triangles")

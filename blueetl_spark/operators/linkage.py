@@ -86,6 +86,12 @@ def edit_distance_pairs(
     )
 
     # -- main path: count-filtered gram join over non-vacuous pairs ----
+    # The gram-grain frame feeds BOTH sides of the count-filter
+    # self-join, so the explode + (value, gram) aggregate plans twice.
+    # An eager pin was measured r13 (matched-calib floors 2.64 -> 2.82 s
+    # at sf0.1): the materialization job costs more than the duplicated
+    # map-heavy subtree, which runs fully parallel inside the one lazy
+    # job — so the duplicate is kept deliberately.
     grams = (
         vals.select("__v", "__len", F.explode(_padded_grams(F.col("__v"), q)).alias("__g"))
         .groupBy("__v", "__len", "__g")

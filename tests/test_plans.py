@@ -708,3 +708,34 @@ def test_round13_ranking_gates_plan_shapes(spark):
     rb = plans["rbo_rankings"]
     assert "BatchEvalPython" not in rb, rb
     assert len(re.findall(r"\(\d+\) Exchange hashpartitioning", rb)) <= 5, rb
+
+
+def test_triangle_corner_fold_single_wedge_pass(spark):
+    """r13 optimization pin: the per-node corner fold is an explode of
+    the (s, t, t2) corner array — ONE evaluation of the wedge+closing
+    join subtree. The previous 3-branch union planned the subtree three
+    times (one wedge self-join + closing semi-join per branch)."""
+    from blueetl_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)], ["src", "dst"]
+    )
+    plan = _formatted_plan(graph.triangle_count(edges))
+    assert "Union" not in plan, plan
+    assert plan.count("Generate") == 2, plan  # tree + detail of ONE explode
+    assert len(re.findall(r"LeftSemi", plan)) <= 2, plan  # one semi-join
+
+
+def test_jaccard_prefix_single_rank_pass_no_size_joins(spark):
+    """r13 optimization pin: the rarest-first rank window runs once
+    (inside the pinned prefix frame — the final plan carries NO Window
+    nodes), and set sizes ride the candidate pairs instead of two
+    per-doc size aggregates + verify-side joins."""
+    from blueetl_spark import queries as Q
+
+    plan = _formatted_plan(Q.QUERIES["jaccard_prefix"](spark, SF))
+    assert "Window" not in plan, plan
+    # scans: pinned pref x2 (candidate self-join) + pinned shingles x2
+    # (verify) — the committed shape re-planned the window subtree per
+    # side and scanned the shingle frame 8 times
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) <= 4, plan
