@@ -273,6 +273,10 @@ def upsert_parquet(
 
     keys = [key] if isinstance(key, str) else list(key)
     path = str(path)
+    # the updates subtree feeds the dup guard, the broadcast key frame,
+    # the merged write and the stats count — pin once (batch-sized by
+    # contract) so an expensive upstream runs once per upsert, not 4x
+    updates = updates.localCheckpoint(eager=True)
     dup = (
         updates.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
     )
@@ -351,6 +355,11 @@ def upsert_scd2(
 
     keys = [key] if isinstance(key, str) else list(key)
     path = str(path)
+    # the updates subtree feeds the dup guard, BOTH broadcast key frames
+    # of the merge, and the appended rows — pin once (batch-sized by
+    # contract) so an expensive upstream (e.g. the bench gate's per-year
+    # max_by aggregate over orders) runs once per upsert instead of 4x
+    updates = updates.localCheckpoint(eager=True)
     if updates.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count():
         raise ValueError(f"updates contain duplicate keys on {keys}")
     eff = F.col(effective_col).cast("double")
