@@ -185,9 +185,13 @@ def complexity_pdf(
     )
     occupied = per_bin.groupBy(*GROUP_KEYS, "complexity").agg(
         F.count("*").alias("n_occurrences")
-    )
-    # occupied-bin total per group — derived from the (tiny) occupied
-    # aggregate, NOT from per_bin, so the per-bin subtree is scanned once
+    ).localCheckpoint(eager=True)
+    # occupied-bin total per group — derived from the (tiny, pinned)
+    # occupied aggregate, NOT from per_bin. The pin matters: occupied
+    # feeds BOTH the zero-mass branch and the final union, and without
+    # it the whole events pipeline plans twice (AQE reuses some of the
+    # duplicated exchanges at runtime but not the map stages — measured
+    # r13: cold floor 3.13 -> 2.28 s at sf0.1 with the pin).
     totals = occupied.groupBy(*GROUP_KEYS).agg(
         F.sum("n_occurrences").alias("n_nonzero")
     )
