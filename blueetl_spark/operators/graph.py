@@ -502,10 +502,15 @@ def bfs_hops(
     adjacency list + one anti-join against the settled set — all
     frontier-sized, never path-enumerating (the naive recursive walk
     explodes paths; settling each node once is what makes BFS linear
-    in edges). ``localCheckpoint`` pins each round so lineage stays
-    one round deep. At cluster scale, pre-partition the adjacency list
-    on ``src`` once (bucketing) so every round's join reuses the
-    layout instead of reshuffling the full edge set per level.
+    in edges). Only the per-hop FRONTIER is eagerly pinned; the
+    settled set stays a flat union of the already-pinned frontiers, so
+    lineage is still one round deep but the O(V) settled set is never
+    re-copied every round (r13: re-checkpointing the union cost one
+    extra eager job per hop and a full settled-set copy — at scale
+    that is O(V·hops) churn for zero recompute saved). At cluster
+    scale, pre-partition the adjacency list on ``src`` once
+    (bucketing) so every round's join reuses the layout instead of
+    reshuffling the full edge set per level.
     """
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
@@ -534,7 +539,7 @@ def bfs_hops(
             .select("id", F.lit(hop).cast("long").alias("dist"))
             .localCheckpoint(eager=True)
         )
-        dist = dist.unionAll(new).localCheckpoint(eager=True)
+        dist = dist.unionAll(new)
         frontier = new
     return dist
 

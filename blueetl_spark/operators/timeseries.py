@@ -1149,14 +1149,17 @@ def psi_drift(
     LEFT FOLD over bucket-ordered terms, not a commutative aggregate,
     so float summation order cannot differ between engines.
 
-    Scale shape: per-(group, value) count aggregates (ONE
-    map-side-combined exchange per side's tagged union), one ordered
-    window over the reference's DISTINCT values for the edges (same
-    per-group partition caveat as :func:`ks_drift` — distinct-value-
-    sized, not row-sized; pre-quantize or screen with
-    ``profile.key_skew`` for one giant continuous group), a broadcast
-    of the (groups × buckets)-sized edge arrays, then bucket-sized
-    everything.
+    Scale shape: each side is scanned EXACTLY once. Reference: one
+    map-side-combined per-(group, value) count aggregate + one ordered
+    window over the DISTINCT values (same per-group partition caveat
+    as :func:`ks_drift` — distinct-value-sized, not row-sized;
+    pre-quantize or screen with ``profile.key_skew`` for one giant
+    continuous group), pinned; both the edge arrays AND the reference
+    bucket counts derive from that pinned frame arithmetically (a
+    value's bucket is ``least(lo, b-1)`` — no edges join, no second
+    pass). New side: one pass against the broadcast
+    (groups × buckets)-sized edge arrays, pinned at bucket grain; the
+    per-group total derives from those counts.
     """
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
@@ -1175,21 +1178,28 @@ def psi_drift(
     w_all = Window.partitionBy(*by)
     cum = F.sum("__c").over(w_run)
     n_ref = F.sum("__c").over(w_all)
+    # Pinned: ranked feeds the edge explode AND the reference bucket
+    # counts below (pure arithmetic — no second pass over the raw
+    # reference), so without the pin the scan + count-aggregate +
+    # window would plan once per consumer (r13: the ref side of the
+    # psi_drift gate scanned events 2×, the new side 2× more).
     ranked = g.select(
         *by,
         "__v",
+        "__c",
         (cum - F.col("__c")).alias("__prev"),
         cum.alias("__cum"),
         n_ref.alias("__n_ref"),
     ).select(
         *by,
         "__v",
+        "__c",
         "__n_ref",
         # BIGINT `div`, never float division: an exact boundary like
         # cum*b == k*n must land on k in every engine
         F.expr(f"__prev * {int(buckets)} div __n_ref").alias("__lo"),
         F.expr(f"__cum * {int(buckets)} div __n_ref").alias("__hi"),
-    )
+    ).localCheckpoint(eager=True)
     i_from = F.greatest(F.col("__lo") + 1, F.lit(1).cast("long"))
     i_to = F.least(F.col("__hi"), F.lit(int(buckets) - 1).cast("long"))
     edges = (
@@ -1227,14 +1237,37 @@ def psi_drift(
             .agg(F.count(F.lit(1)).alias(f"__c_{tag}"))
         )
 
-    rc = bucketed(ref, "ref")
-    nc = bucketed(new, "new")
+    # Reference bucket counts need NO second pass and NO edges join:
+    # the edges with index i ≤ __lo(v) are exactly the edges whose
+    # value is strictly below v (the (lo, hi] index intervals tile
+    # (0, b] in value order, and values in g are distinct), so
+    # bucket(v) = count of edges < v = least(__lo, b-1) — the same
+    # ties-to-lower strict comparison as the fold below, in pure
+    # BIGINT arithmetic on the pinned ranked frame.
+    rc = (
+        ranked.select(
+            *by,
+            F.least(F.col("__lo"), F.lit(int(buckets) - 1))
+            .cast("int")
+            .alias("__b"),
+            "__c",
+        )
+        .groupBy(*by, "__b")
+        .agg(F.sum("__c").alias("__c_ref"))
+    )
+    # Pinned: bucket-sized (groups × buckets), and the total-count frame
+    # n_new below derives from it — the new side is scanned exactly once.
+    nc = bucketed(new, "new").localCheckpoint(eager=True)
 
     # --- 3) densify buckets 0..b-1, shares, eps floor, ordered fold ---
     grid = edges.select(*by, "n_ref").withColumn(
         "__b", F.explode(F.sequence(F.lit(0), F.lit(int(buckets) - 1)))
     )
-    n_new = new.groupBy(*by).agg(F.count(F.lit(1)).alias("n_new"))
+    # total new rows per group = Σ bucket counts (nc counts exactly the
+    # non-null rows) — derived from the PINNED nc, not a second scan of
+    # the new side; absent/NULL groups land on 0 via the fillna below,
+    # exactly as the old separate count did
+    n_new = nc.groupBy(*by).agg(F.sum("__c_new").alias("n_new"))
     full = by_join(
         grid.join(rc, on=by + ["__b"], how="left")
         .join(nc, on=by + ["__b"], how="left"),

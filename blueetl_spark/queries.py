@@ -2476,11 +2476,17 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     and excluded, per CCNet. Buckets cut on the ROUNDED score both
     sides, so engine ulps can't flip a boundary doc."""
     docs = tables.load(spark, sf_dir, "documents")
+    # Pin the scored frame: quantile_buckets consumes its input TWICE
+    # (per-lang boundary aggregate + bucket join), and without the pin
+    # the whole bigram-LM scoring pipeline (3 data-sized joins past the
+    # pinned doc_bg frame) plans and executes twice (r13: 12 scans /
+    # 13 exchanges → 3 scans; the pinned frame is one narrow row per doc)
     scored = (
         text.lm_bigram_score(docs, add_k=LM_ADD_K)
         .filter(F.col("n_bigrams") > 0)
         .select("doc_id", F.round("nll", 9).alias("nll"))
         .join(docs.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint(eager=True)
     )
     b = sampling.quantile_buckets(scored, "nll", 3, by="lang")
     part = (
