@@ -327,8 +327,14 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
     hash_fn: str = "xxhash64",
+    with_size: bool = False,
 ) -> DataFrame:
     """MinHash signatures as an array<bigint> of per-permutation minima.
+
+    ``with_size=True`` appends ``__sz`` — the document's DISTINCT
+    shingle count — computed inside the SAME per-doc aggregate (the
+    shingle explode is already distinct per row), so callers that need
+    set sizes (containment) get them without a second shingle pass.
 
     The variable-length shingle string is hashed ONCE per row; the i-th
     "random permutation" re-hashes that fixed-width fingerprint — far
@@ -376,12 +382,15 @@ def minhash_signatures(
         )
         .select(F.col(id_col), base.alias("__h"))
     )
+    size_aggs = [F.count(F.lit(1)).alias("__sz")] if with_size else []
     agg = hdf.groupBy(id_col).agg(
-        *[F.min(perm(i)).alias(f"__m{i}") for i in range(num_hashes)]
+        *[F.min(perm(i)).alias(f"__m{i}") for i in range(num_hashes)],
+        *size_aggs,
     )
     return agg.select(
         F.col(id_col),
         F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("signature"),
+        *(["__sz"] if with_size else []),
     )
 
 
@@ -531,18 +540,20 @@ def containment_candidates(
     sized, never corpus². ``hash_fn="md5"`` keeps every stage (and this
     arithmetic) DuckDB-replayable.
     """
-    sig = minhash_signatures(
-        df, text_col, id_col, n, num_hashes, hash_fn
+    # Signatures AND distinct-shingle sizes from ONE shingle pass
+    # (with_size rides the same per-doc aggregate) — the old separate
+    # `shingle_sets(...).groupBy(...)` sizes frame re-exploded the
+    # corpus and, consumed by both join sides, planned that pass twice
+    # (r13). The pinned frame is doc-count-sized either way.
+    sig_sz = minhash_signatures(
+        df, text_col, id_col, n, num_hashes, hash_fn, with_size=True
     ).localCheckpoint(eager=True)
+    sig = sig_sz.select(id_col, "signature")
     cand = minhash_lsh_candidates(
         df, text_col, id_col, n, num_hashes, bands, hash_fn,
         max_bucket_size=max_bucket_size, sig=sig,
     )
-    sizes = (
-        shingle_sets(df, text_col, id_col, n)
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("__sz"))
-    )
+    sizes = sig_sz.select(F.col(id_col), F.col("__sz"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("size_b"))
     ej = F.col("est_jaccard")

@@ -853,22 +853,24 @@ def topk_shard(
         raise ValueError("m must be >= 1")
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("c"))
     kept = counts.orderBy(F.col("c").desc(), F.col(key_col)).limit(m)
-    stats = kept.agg(
-        F.count(F.lit(1)).cast("int").alias("n_kept"),
-        F.min("c").alias("__kept_min"),
-    ).select(
-        "n_kept",
-        F.when(F.col("n_kept") == m, F.col("__kept_min"))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("bound"),
-    )
-    return kept.crossJoin(F.broadcast(stats)).select(
+    # n_kept / bound as WINDOW functions over the ≤m-row kept frame —
+    # a separate scalar aggregate + crossJoin would make kept (and the
+    # data-sized count + TakeOrdered subtree under it) plan and execute
+    # once per consumer (r13: the 3-shard heavy-hitters gate carried 12
+    # scans of its source through that duplication; 3 this way). The
+    # window is a single ≤m-row partition — free at every scale.
+    w_all = Window.partitionBy(F.lit(1))
+    n_kept = F.count(F.lit(1)).over(w_all).cast("int")
+    kept_min = F.min("c").over(w_all)
+    return kept.select(
         F.lit(batch_id).alias("batch_id"),
         key_col,
         "c",
-        "n_kept",
-        "bound",
+        n_kept.alias("n_kept"),
+        F.when(n_kept == m, kept_min)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("bound"),
     )
 
 
@@ -888,16 +890,26 @@ def merge_topk_shards(shards: DataFrame, key_col: str) -> DataFrame:
     All stages are summary-sized (shards × m rows), never data-sized;
     the one-row bound total broadcasts.
     """
+    # The stream-wide bound total rides a WINDOW over the deduped rows
+    # (bound is constant per batch by construction, so summing one
+    # marked row per batch over the whole frame is the per-batch-
+    # distinct sum) — a separate aggregate branch would consume, and
+    # therefore re-plan, the whole upstream shard subtree a second
+    # time (r13). Both windows span summary-sized frames only.
     dedup = shards.dropDuplicates(["batch_id", key_col])
-    total = (
-        shards.dropDuplicates(["batch_id"])
-        .agg(F.sum("bound").alias("__total_bound"))
+    first_in_batch = F.row_number().over(
+        Window.partitionBy("batch_id").orderBy(key_col)
     )
-    agg = dedup.groupBy(key_col).agg(
+    w_all = Window.partitionBy(F.lit(1))
+    marked = dedup.withColumn(
+        "__batch_bound", F.when(first_in_batch == 1, F.col("bound")).otherwise(F.lit(0))
+    ).withColumn("__total_bound", F.sum("__batch_bound").over(w_all))
+    agg = marked.groupBy(key_col).agg(
         F.sum("c").alias("count_lb"),
         F.sum("bound").alias("__present_bound"),
+        F.max("__total_bound").alias("__total_bound"),
     )
-    return agg.crossJoin(F.broadcast(total)).select(
+    return agg.select(
         key_col,
         "count_lb",
         (

@@ -739,3 +739,35 @@ def test_jaccard_prefix_single_rank_pass_no_size_joins(spark):
     # (verify) — the committed shape re-planned the window subtree per
     # side and scanned the shingle frame 8 times
     assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) <= 4, plan
+
+
+def test_heavy_hitters_single_subtree_per_shard(spark):
+    """r13 optimization pin: topk_shard derives n_kept/bound as window
+    functions over the ≤m-row kept frame and merge_topk_shards folds
+    the stream-wide bound total via a window over the deduped rows —
+    so each shard's data-sized count + top-m subtree appears EXACTLY
+    once in the plan. The previous aggregate-branch + crossJoin shape
+    planned every shard's source scan 4x (12 scans for the 3-shard
+    gate; 3 now)."""
+    from blueetl_spark import queries as Q
+
+    plan = _formatted_plan(Q.QUERIES["heavy_hitters_shards"](spark, SF))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == Q.HH_SHARDS, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_containment_sizes_ride_signature_pass(spark):
+    """r13 optimization pin: containment set sizes come out of the SAME
+    pinned per-doc aggregate as the MinHash signatures (with_size), so
+    the final plan reads only the pinned frame — no parquet re-scan, no
+    second shingle explode (the committed shape re-exploded the corpus
+    once per join side)."""
+    from blueetl_spark import queries as Q
+
+    plan = _formatted_plan(Q.QUERIES["containment_md5"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    # the only Generates are the two band explodes over the pinned
+    # signatures (one per candidate self-join side) — never the
+    # corpus-wide shingle explode (that runs once, inside the pin job)
+    assert len(re.findall(r"\(\d+\) Generate", plan)) <= 2, plan
