@@ -187,18 +187,22 @@ def bloom_prefilter(
     pruned = big.filter(key.isNotNull())
     for i in range(k):
         p = F.pmod(F.xxhash64(F.lit(i), key), F.lit(m_bits))
-        wt = F.broadcast(
-            words.select(
-                F.col("__w").alias(f"__w{i}"),
-                F.col("__bits").alias(f"__bits{i}"),
-            )
-        )
+        # The k probe joins broadcast the IDENTICAL words subtree (the
+        # probe's word/bit columns are dropped before the next probe,
+        # so no aliasing is needed) — identical subtrees let Spark plan
+        # ONE BroadcastExchange + k-1 ReusedExchange. The previous
+        # per-probe __w{i}/__bits{i} aliases made each broadcast a
+        # distinct plan, so the word-table build (a scan + aggregate of
+        # the whole dim side) executed k times (r13).
+        wt = F.broadcast(words.select("__w", "__bits"))
         pruned = (
             pruned.join(
-                wt, F.shiftrightunsigned(p, 5) == F.col(f"__w{i}"), "inner"
+                wt,
+                (F.shiftrightunsigned(p, 5) == wt["__w"])
+                & (wt["__bits"].bitwiseAND(_bloom_bit(p)) != 0),
+                "inner",
             )
-            .filter(F.col(f"__bits{i}").bitwiseAND(_bloom_bit(p)) != 0)
-            .drop(f"__w{i}", f"__bits{i}")
+            .drop("__w", "__bits")
         )
     return pruned
 
@@ -250,7 +254,15 @@ def bloom_prejoin(
             "cross-category keys (e.g. int vs double) would silently prune "
             "matches a plain type-coercing join keeps — cast one side first"
         )
-    words = bloom_words(small, on, m_bits=m_bits, k=k)
+    # Pin the word table: bloom_prefilter broadcasts it k times, and
+    # without the pin each broadcast re-plans (and re-executes) the
+    # whole dim-side scan + bit_or aggregate — neither plan-time
+    # exchange reuse nor AQE stage reuse collapses the copies
+    # (verified on the executed plan, r13). The pinned frame is
+    # word-count-sized (≤ m_bits/32 rows of two longs).
+    words = bloom_words(small, on, m_bits=m_bits, k=k).localCheckpoint(
+        eager=True
+    )
     return bloom_prefilter(big, words, on, m_bits=m_bits, k=k).join(
         small, on, how
     )

@@ -771,3 +771,15 @@ def test_containment_sizes_ride_signature_pass(spark):
     # signatures (one per candidate self-join side) — never the
     # corpus-wide shingle explode (that runs once, inside the pin job)
     assert len(re.findall(r"\(\d+\) Generate", plan)) <= 2, plan
+
+
+def test_bloom_prejoin_builds_word_table_once(spark):
+    """r13 optimization pin: the Bloom word table is pinned before the
+    k probe broadcasts, so the dim-side scan + bit_or aggregate runs
+    once — the final plan's only parquet scans are the fact side and
+    the real join's dim side (the committed shape re-planned the build
+    under every one of the k broadcasts: 7 scans, now 2)."""
+    from blueetl_spark import queries as Q
+
+    plan = _formatted_plan(Q.QUERIES["bloom_join_revenue"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
