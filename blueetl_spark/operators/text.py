@@ -629,20 +629,27 @@ def dsir_logweights(
             "bucket"
         ).agg(F.count("*").alias(cnt_name))
 
+    from pyspark.sql import Window
+
     t_counts = bucket_counts(target, "t_total", "t_c")
     r_counts = bucket_counts(df, "r_total", "r_c")
-    t_total = t_counts.agg(F.sum("t_c").alias("t_total"))
-    r_total = r_counts.agg(F.sum("r_c").alias("r_total"))
     # dense bucket table: every bucket gets the smoothed estimate even
     # when one side never hashed into it
     buckets = df.sparkSession.range(n_buckets).select(
         F.col("id").cast("int").alias("bucket")
     )
+    # side totals as WINDOW sums over the dense n_buckets-row frame
+    # (NULLs from the left joins drop out, so the window sum equals the
+    # side's token total) — a separate aggregate branch per side would
+    # consume each bucket-count frame twice, re-planning the full
+    # corpus token explode under it (r13); the window spans ≤ n_buckets
+    # rows inside an already-broadcast subtree
+    w_all = Window.partitionBy(F.lit(1))
     ratios = (
         buckets.join(F.broadcast(t_counts), "bucket", "left")
         .join(F.broadcast(r_counts), "bucket", "left")
-        .crossJoin(F.broadcast(t_total))
-        .crossJoin(F.broadcast(r_total))
+        .withColumn("t_total", F.sum("t_c").over(w_all))
+        .withColumn("r_total", F.sum("r_c").over(w_all))
         .select(
             "bucket",
             (
