@@ -354,7 +354,17 @@ def spike_train_distances(
     times_expr = F.sort_array(F.collect_list("time"))
     if max_spikes is not None:
         times_expr = F.slice(times_expr, 1, max_spikes)
-    trains = report.groupBy(*GROUP_KEYS, "gid").agg(times_expr.alias("times"))
+    # Pinned: trains feeds FOUR consumers (window universe, class
+    # membership — itself joined on both pair sides — and both train
+    # attach sides), so without the pin the report scan + sort-collect
+    # aggregate plans and executes ~6x (r13: 20 scans in the fixed
+    # gate's plan). (group, gid)-grain — the operator's natural
+    # materialization size.
+    trains = (
+        report.groupBy(*GROUP_KEYS, "gid")
+        .agg(times_expr.alias("times"))
+        .localCheckpoint(eager=True)
+    )
     class_keys = [k for k in GROUP_KEYS if k != "window"]
     member = trains.select(*class_keys, "gid").distinct()
     wins = trains.select(*GROUP_KEYS).distinct()
