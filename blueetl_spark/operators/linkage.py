@@ -82,6 +82,10 @@ def edit_distance_pairs(
         rows.select("__v")
         .distinct()
         .withColumn("__len", F.length("__v"))
+        # compact value id for the heavy gram path (guide §2.3: shuffle
+        # keys, not payloads) — nondeterministic per se, but the eager
+        # pin materializes it exactly once for every consumer
+        .withColumn("__vid", F.monotonically_increasing_id())
         .localCheckpoint(eager=True)  # feeds grams, short path, id maps
     )
 
@@ -92,32 +96,58 @@ def edit_distance_pairs(
     # at sf0.1): the materialization job costs more than the duplicated
     # map-heavy subtree, which runs fully parallel inside the one lazy
     # job — so the duplicate is kept deliberately.
+    # The heavy path carries LONGS only (r13, guide §2.3): the value id
+    # instead of the value string (strings re-attach candidate-sized,
+    # below) and xxhash64 of the gram instead of the gram. Hash-merged
+    # gram classes keep the count bound EXACT-recall:
+    # min(Σ c1, Σ c2) ≥ Σ min(c1, c2), so a true pair's common count
+    # only grows; false extras die in the levenshtein verify.
     grams = (
-        vals.select("__v", "__len", F.explode(_padded_grams(F.col("__v"), q)).alias("__g"))
-        .groupBy("__v", "__len", "__g")
+        vals.select(
+            "__vid", "__len",
+            F.explode(_padded_grams(F.col("__v"), q)).alias("__g"),
+        )
+        .select("__vid", "__len", F.xxhash64("__g").alias("__gh"))
+        .groupBy("__vid", "__len", "__gh")
         .agg(F.count("*").alias("__c"))
     )
     g1 = grams.select(
-        F.col("__v").alias("__v1"), F.col("__len").alias("__l1"),
-        F.col("__g"), F.col("__c").alias("__c1"),
+        F.col("__vid").alias("__i1"), F.col("__len").alias("__l1"),
+        F.col("__gh"), F.col("__c").alias("__c1"),
     )
     g2 = grams.select(
-        F.col("__v").alias("__v2"), F.col("__len").alias("__l2"),
-        F.col("__g"), F.col("__c").alias("__c2"),
+        F.col("__vid").alias("__i2"), F.col("__len").alias("__l2"),
+        F.col("__gh"), F.col("__c").alias("__c2"),
     )
     bound = F.greatest("__l1", "__l2") + F.lit(q - 1) - F.lit(d * q)
-    main = (
-        g1.join(g2, "__g")
+    main_ids = (
+        g1.join(g2, "__gh")
         .filter(
-            (F.col("__v1") < F.col("__v2"))
+            (F.col("__i1") < F.col("__i2"))
             & (F.abs(F.col("__l1") - F.col("__l2")) <= d)  # ed >= |len diff|
             # both-short pairs belong to the short path (bound vacuous)
             & ((F.col("__l1") > short_cap) | (F.col("__l2") > short_cap))
         )
-        .groupBy("__v1", "__v2", "__l1", "__l2")
+        .groupBy("__i1", "__i2", "__l1", "__l2")
         .agg(F.sum(F.least("__c1", "__c2")).alias("__common"))
         .filter(F.col("__common") >= bound)
-        .select("__v1", "__v2")
+        .select("__i1", "__i2")
+    )
+    # re-attach strings (candidate-sized joins against the pinned vals);
+    # vid order is not string order, so canonicalize for the union+distinct
+    main = (
+        main_ids.join(
+            vals.select(F.col("__vid").alias("__i1"), F.col("__v").alias("__va")),
+            "__i1",
+        )
+        .join(
+            vals.select(F.col("__vid").alias("__i2"), F.col("__v").alias("__vb")),
+            "__i2",
+        )
+        .select(
+            F.least("__va", "__vb").alias("__v1"),
+            F.greatest("__va", "__vb").alias("__v2"),
+        )
     )
 
     # -- short path: tiny strings can match while sharing zero grams --
