@@ -10,10 +10,11 @@ Scale design (the shape a 1000-executor run needs):
 
 - The edge list is the big input; it is cleaned ONCE (self-loops out,
   optional dedup), extended with per-source degree ONCE, and persisted —
-  every iteration re-reads that cached, already-partitioned frame, so
-  the per-round cost is one join (ranks are shuffled to the edges; the
-  edge side's exchange is reused from the cache) plus one map-side
-  combined ``groupBy(dst)``.
+  every iteration re-reads that cached frame. When the vertex set fits
+  a broadcast (node-count gated, ``broadcast_max_nodes``), the round is
+  MAP-ONLY on the edge side: ranks broadcast to the edges and the only
+  shuffle is the map-side-combined ``groupBy(dst)`` partials. Above the
+  bound, ranks are shuffled to the edges (the web-scale fallback).
 - Dangling mass (nodes with no out-links) is handled exactly: the
   dangling node SET is computed once (anti join); each round folds their
   current rank into a single scalar (one map-side-combined agg) and
@@ -53,6 +54,8 @@ def pagerank(
     personalization: DataFrame | None = None,
     weight_col: str = "weight",
     checkpoint_interval: int = 1,
+    broadcast_ranks: bool | None = None,
+    broadcast_max_nodes: int = 4_000_000,
 ) -> DataFrame:
     """Exact (matrix-free) PageRank over a directed edge list.
 
@@ -74,6 +77,24 @@ def pagerank(
     the plan triples per unpinned round; keep k ≤ 2-3. Ignored (pinned
     every round) when ``tol > 0``, whose delta job forces per-round
     materialization anyway.
+
+    ``broadcast_ranks`` picks the per-iteration join strategy.
+    ``None`` (default) decides from the measured vertex count ``n``
+    (already computed for the teleport base): when the node-sized rank
+    frame fits a broadcast (``n <= broadcast_max_nodes``, ~100 MB at
+    the default bound) every round becomes MAP-ONLY on the edge side —
+    the big weighted-edge frame is never exchanged or sorted; the only
+    shuffle left per round is the map-side-combined partial rows of
+    ``groupBy(dst)``, and the node-sized contribution/teleport joins
+    broadcast too. Above the bound (web-scale graphs whose vertex set
+    itself is too big to broadcast) the shuffled-join shape below is
+    kept — there the right cluster layout is the documented
+    persist+merge-hint edge cache (see trade-offs note). Float note:
+    the broadcast shape accumulates each dst's contributions in edge-
+    partition order rather than sorted-src order, so raw ranks move at
+    the ~1e-15 relative level — inside every consumer's contract (the
+    oracle gates round to 9 dp on ~1e-4-scale ranks; the test oracle
+    allows rel 1e-9), verified equal-after-rounding at both gate SFs.
 
     ``personalization`` makes it topic-sensitive (personalized)
     PageRank: a (id, ``weight_col``) frame of non-negative teleport
@@ -163,6 +184,9 @@ def pagerank(
     base = (1.0 - damping) / n
     init = F.col("__w") if personalization is not None else F.lit(1.0 / n)
     ranks = flagged.withColumn("rank", init).localCheckpoint()
+    bc = broadcast_ranks if broadcast_ranks is not None else (
+        n <= broadcast_max_nodes
+    )
     for it in range(max_iter):
         # dangling mass rides the round's own plan as a broadcast 1-row
         # aggregate — no per-round driver collect; the checkpointed rank
@@ -170,11 +194,19 @@ def pagerank(
         dmass = ranks.filter(~F.col("__out")).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dmass")
         )
+        # rank side of the edge join: broadcast when the vertex set
+        # fits (see docstring) — the edge frame then streams map-only,
+        # no per-round exchange/sort of the big side
+        rank_side = ranks.select("id", "rank")
+        if bc:
+            rank_side = F.broadcast(rank_side)
         contrib = (
-            ranks.join(we, ranks["id"] == we["src"])
+            rank_side.join(we, rank_side["id"] == we["src"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") * F.col("w")).alias("__in"))
         )
+        if bc:
+            contrib = F.broadcast(contrib)
         if personalization is None:
             teleport = F.lit(base) + F.lit(damping) * F.col(
                 "__dmass"
@@ -483,6 +515,8 @@ def bfs_hops(
     dst_col: str = "dst",
     id_col: str = "id",
     directed: bool = False,
+    broadcast_frontier: bool | None = None,
+    broadcast_max_nodes: int = 4_000_000,
 ) -> DataFrame:
     """Multi-source BFS: minimum hop distance from any source to every
     node reachable within ``max_hops`` — "blast radius" queries
@@ -507,10 +541,20 @@ def bfs_hops(
     lineage is still one round deep but the O(V) settled set is never
     re-copied every round (r13: re-checkpointing the union cost one
     extra eager job per hop and a full settled-set copy — at scale
-    that is O(V·hops) churn for zero recompute saved). At cluster
-    scale, pre-partition the adjacency list on ``src`` once
-    (bucketing) so every round's join reuses the layout instead of
-    reshuffling the full edge set per level.
+    that is O(V·hops) churn for zero recompute saved).
+
+    ``broadcast_frontier`` (default ``None`` = auto): when the current
+    frontier fits a broadcast (``<= broadcast_max_nodes`` rows — each
+    round's frontier is already eagerly pinned, so the count is a
+    cheap job on the materialized RDD), the hop join broadcasts the
+    frontier and the ADJACENCY LIST STREAMS MAP-ONLY — no per-round
+    exchange/sort of the edge set; the settled set broadcasts into the
+    anti join under the same bound. Hop distances are exact integers,
+    so join strategy cannot change the result. Past the bound (or
+    ``False``) the shuffled shape runs; at that scale pre-partition
+    the adjacency list on ``src`` once (bucketing) so every round's
+    join reuses the layout instead of reshuffling the full edge set
+    per level.
     """
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
@@ -527,20 +571,39 @@ def bfs_hops(
         .select("id", F.lit(0).cast("long").alias("dist"))
         .localCheckpoint(eager=True)
     )
+    auto = broadcast_frontier is None
+    f_rows = dist.count() if auto else 0
+    settled_rows = f_rows
     frontier = dist
     for hop in range(1, max_hops + 1):
+        bc_f = (
+            (f_rows <= broadcast_max_nodes)
+            if auto
+            else bool(broadcast_frontier)
+        )
+        f_side = frontier.select("id")
+        if bc_f:
+            f_side = F.broadcast(f_side)
         reached = (
-            frontier.join(adj, frontier["id"] == adj["src"])
+            f_side.join(adj, f_side["id"] == adj["src"])
             .select(F.col("dst").alias("id"))
             .distinct()
         )
+        settled_side = dist.select("id")
+        if (settled_rows <= broadcast_max_nodes) if auto else bool(
+            broadcast_frontier
+        ):
+            settled_side = F.broadcast(settled_side)
         new = (
-            reached.join(dist.select("id"), "id", "left_anti")
+            reached.join(settled_side, "id", "left_anti")
             .select("id", F.lit(hop).cast("long").alias("dist"))
             .localCheckpoint(eager=True)
         )
         dist = dist.unionAll(new)
         frontier = new
+        if auto:
+            f_rows = new.count()
+            settled_rows += f_rows
     return dist
 
 
@@ -553,6 +616,8 @@ def shortest_paths(
     weight_col: str = "weight",
     id_col: str = "id",
     directed: bool = False,
+    broadcast_dist: bool | None = None,
+    broadcast_max_nodes: int = 4_000_000,
 ) -> DataFrame:
     """Multi-source weighted shortest paths, Bellman–Ford unrolled to
     exactly ``rounds`` relaxation rounds — the cost-aware sibling of
@@ -572,9 +637,18 @@ def shortest_paths(
     exchange), both distance-frame-sized — never path-enumerating
     (the oracle's recursive CTE enumerates path costs and dedups;
     this keeps one row per node throughout). ``localCheckpoint`` pins
-    each round. At cluster scale, bucket the adjacency list on
-    ``src`` so every round's join reuses the layout; the min-agg
-    exchange is the inherent per-round cost of min-plus iteration.
+    each round.
+
+    ``broadcast_dist`` (default ``None`` = auto): while the distance
+    frame fits a broadcast (``<= broadcast_max_nodes`` rows, counted
+    on the round's already-pinned RDD), the relaxation join broadcasts
+    it and the adjacency list streams MAP-ONLY — the only per-round
+    exchange left is the min-aggregate, the inherent cost of min-plus
+    iteration. The per-node min over candidate costs is
+    order-independent (exact float comparison, no accumulation), so
+    join strategy cannot change the result. Past the bound (or
+    ``False``) the shuffled join runs; at that scale bucket the
+    adjacency list on ``src`` so every round's join reuses the layout.
     """
     if rounds < 0:
         raise ValueError("rounds must be >= 0")
@@ -597,9 +671,15 @@ def shortest_paths(
         .select("id", F.lit(0).cast("long").alias("cost"))
         .localCheckpoint(eager=True)
     )
+    auto = broadcast_dist is None
+    d_rows = dist.count() if auto else 0
     for _ in range(rounds):
+        bc = (
+            (d_rows <= broadcast_max_nodes) if auto else bool(broadcast_dist)
+        )
+        d_side = F.broadcast(dist) if bc else dist
         relaxed = (
-            dist.join(adj, dist["id"] == adj["src"])
+            d_side.join(adj, d_side["id"] == adj["src"])
             .select(F.col("dst").alias("id"), (F.col("cost") + F.col("w")).alias("cost"))
         )
         dist = (
@@ -608,6 +688,8 @@ def shortest_paths(
             .agg(F.min("cost").alias("cost"))
             .localCheckpoint(eager=True)
         )
+        if auto:
+            d_rows = dist.count()
     return dist
 
 
@@ -617,6 +699,8 @@ def k_core_fixed(
     rounds: int,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_alive: bool | None = None,
+    broadcast_max_nodes: int = 4_000_000,
 ) -> DataFrame:
     """Exactly ``rounds`` peel iterations of k-core decomposition —
     the SQL-replayable twin of :func:`k_core` (no data-dependent
@@ -632,6 +716,13 @@ def k_core_fixed(
     node-degree aggregate + two semi-joins over a strictly shrinking
     edge set, each round's frame pinned with ``localCheckpoint`` so
     lineage (and recompute on failure) stays one round deep.
+
+    ``broadcast_alive`` (default ``None`` = auto): when the surviving
+    vertex frame fits a broadcast (``<= broadcast_max_nodes`` rows,
+    counted on the round's already-pinned RDD), the two peel
+    semi-joins broadcast it and the edge set streams MAP-ONLY — the
+    only per-round exchange left is the degree aggregate (inherent).
+    Set membership is exact, so strategy cannot change the result.
     """
     if k < 1 or rounds < 1:
         raise ValueError("k and rounds must be >= 1")
@@ -642,6 +733,7 @@ def k_core_fixed(
         .distinct()
         .localCheckpoint()
     )
+    auto = broadcast_alive is None
     alive = None
     for i in range(rounds):
         deg = (
@@ -653,9 +745,18 @@ def k_core_fixed(
         alive = deg.filter(F.col("core_degree") >= k)
         if i < rounds - 1:
             alive = alive.localCheckpoint()
+            bc = (
+                (alive.count() <= broadcast_max_nodes)
+                if auto
+                else bool(broadcast_alive)
+            )
+            a_u = alive.select(F.col("id").alias("u"))
+            a_v = alive.select(F.col("id").alias("v"))
+            if bc:
+                a_u, a_v = F.broadcast(a_u), F.broadcast(a_v)
             und = (
-                und.join(alive.select(F.col("id").alias("u")), "u", "left_semi")
-                .join(alive.select(F.col("id").alias("v")), "v", "left_semi")
+                und.join(a_u, "u", "left_semi")
+                .join(a_v, "v", "left_semi")
                 .localCheckpoint()
             )
     return alive
@@ -667,6 +768,8 @@ def k_core(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 100,
+    broadcast_alive: bool | None = None,
+    broadcast_max_nodes: int = 4_000_000,
 ) -> DataFrame:
     """Vertices of the k-core: the maximal subgraph where every vertex
     keeps degree ≥ k (spam/link-farm subgraphs and dense communities
@@ -705,9 +808,22 @@ def k_core(
         if n == prev_n or n == 0:
             return alive
         prev_n = n
+        # broadcast the node-sized survivor frame into the peel
+        # semi-joins when it fits (the count above is already paid):
+        # the edge set then streams map-only — same contract as
+        # ``k_core_fixed``'s ``broadcast_alive``
+        bc = (
+            (n <= broadcast_max_nodes)
+            if broadcast_alive is None
+            else bool(broadcast_alive)
+        )
+        a_u = alive.select(F.col("id").alias("u"))
+        a_v = alive.select(F.col("id").alias("v"))
+        if bc:
+            a_u, a_v = F.broadcast(a_u), F.broadcast(a_v)
         und = (
-            und.join(alive.select(F.col("id").alias("u")), "u", "left_semi")
-            .join(alive.select(F.col("id").alias("v")), "v", "left_semi")
+            und.join(a_u, "u", "left_semi")
+            .join(a_v, "v", "left_semi")
             .localCheckpoint()
         )
     return alive

@@ -510,3 +510,53 @@ def test_shortest_paths_min_cost_and_bounds(spark):
         ).collect()
     }
     assert directed == {4: 0}   # node 4 has no out-edges
+
+
+def test_broadcast_strategy_flags_do_not_change_results(spark):
+    """r13 optimization contract: the broadcast-vs-shuffle join
+    strategy knobs on the iterative operators are pure plan-shape
+    choices — every output row must be identical under broadcast=True,
+    broadcast=False, and the node-count auto mode. PageRank is the
+    float case (per-dst accumulation order shifts ~1e-15; its gates
+    round to 9 dp, asserted at the operator grain here with exact
+    equality on the rounded value); BFS/shortest-paths/k-core are
+    exact integers/mins, where equality is bitwise."""
+    from blueetl_spark.operators.graph import (
+        bfs_hops,
+        k_core_fixed,
+        shortest_paths,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 3), (2, 4), (3, 1)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,), (8,)], "id long")
+    wedges = edges.select(
+        "src", "dst", (1 + (F.col("src") + F.col("dst")) % 3).alias("weight")
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for flag in (True, False):
+        assert rows(bfs_hops(edges, seeds, 3, broadcast_frontier=flag)) == (
+            rows(bfs_hops(edges, seeds, 3))
+        )
+        assert rows(
+            shortest_paths(wedges, seeds, 3, broadcast_dist=flag)
+        ) == rows(shortest_paths(wedges, seeds, 3))
+        assert rows(
+            k_core_fixed(edges, k=2, rounds=3, broadcast_alive=flag)
+        ) == rows(k_core_fixed(edges, k=2, rounds=3))
+        got = {
+            r["id"]: round(r["rank"], 9)
+            for r in pagerank(
+                edges, max_iter=5, tol=0.0, broadcast_ranks=flag
+            ).collect()
+        }
+        auto = {
+            r["id"]: round(r["rank"], 9)
+            for r in pagerank(edges, max_iter=5, tol=0.0).collect()
+        }
+        assert got == auto
