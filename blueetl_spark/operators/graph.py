@@ -718,10 +718,13 @@ def k_core_fixed(
     lineage (and recompute on failure) stays one round deep.
 
     ``broadcast_alive`` (default ``None`` = auto): when the surviving
-    vertex frame fits a broadcast (``<= broadcast_max_nodes`` rows,
-    counted on the round's already-pinned RDD), the two peel
-    semi-joins broadcast it and the edge set streams MAP-ONLY — the
-    only per-round exchange left is the degree aggregate (inherent).
+    vertex frame fits a broadcast, the two peel semi-joins broadcast
+    it and the edge set streams MAP-ONLY — the only per-round exchange
+    left is the degree aggregate (inherent). The auto decision is made
+    ONCE at entry from the pinned edge count (vertices ≤ 2·edges, and
+    the survivor set only shrinks, so a fitting round-0 frame fits
+    every round) — a per-round ``alive.count()`` variant measured
+    SLOWER (the extra job per peel cost more than it informed).
     Set membership is exact, so strategy cannot change the result.
     """
     if k < 1 or rounds < 1:
@@ -733,7 +736,11 @@ def k_core_fixed(
         .distinct()
         .localCheckpoint()
     )
-    auto = broadcast_alive is None
+    bc = (
+        (2 * und.count() <= broadcast_max_nodes)
+        if broadcast_alive is None
+        else bool(broadcast_alive)
+    )
     alive = None
     for i in range(rounds):
         deg = (
@@ -745,11 +752,6 @@ def k_core_fixed(
         alive = deg.filter(F.col("core_degree") >= k)
         if i < rounds - 1:
             alive = alive.localCheckpoint()
-            bc = (
-                (alive.count() <= broadcast_max_nodes)
-                if auto
-                else bool(broadcast_alive)
-            )
             a_u = alive.select(F.col("id").alias("u"))
             a_v = alive.select(F.col("id").alias("v"))
             if bc:
