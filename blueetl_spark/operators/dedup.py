@@ -1017,6 +1017,7 @@ def connected_components(
     max_iter: int = 25,
     assume_distinct_pairs: bool = False,
     max_driver_edges: int = 1_000_000,
+    broadcast_max_labels: int = 4_000_000,
 ) -> DataFrame:
     """Duplicate clusters from candidate pairs: (id, component) where the
     component label is the smallest id reachable through the pair graph.
@@ -1058,6 +1059,14 @@ def connected_components(
     (every generator in this package does); duplicate edges only cost
     redundant min-agg input, they never change the result, but the
     skipped ``distinct`` is one full shuffle of the edge list.
+
+    ``broadcast_max_labels`` (r13): when the node-sized label frame
+    fits a broadcast (row count ≤ this bound, decided once — labels
+    only re-point across rounds, they never appear or vanish), each
+    round's propagate join streams the symmetrized edge list MAP-ONLY
+    and the pointer-jump self-join loses both exchanges; only the
+    min-aggregate shuffles. ``min`` is order-exact, so the result is
+    bit-identical either way. Set 0 to force the shuffled shape.
     """
     import gc
 
@@ -1100,16 +1109,30 @@ def connected_components(
     summable = id_type in ("tinyint", "smallint", "int", "bigint") or (
         id_type.startswith("decimal")
     )
+    # join-strategy choice (r13, same contract as graph.pagerank's
+    # broadcast_ranks): the label frame is node-sized and its row count
+    # is CONSTANT across rounds (labels only re-point, never appear or
+    # vanish), so ONE count on the already-pinned frame decides every
+    # round. When it fits a broadcast, the propagate join streams the
+    # EDGE list map-only and the jump self-join loses both exchanges —
+    # the only per-round shuffle left is the min-aggregate. min() is
+    # order-exact, so the strategy cannot change a single label. Past
+    # the bound (corpus-scale vertex sets) the shuffled shape runs.
+    bc_labels = labels.count() <= max(0, broadcast_max_labels)
     prev_sum = None
     for i in range(max_iter):
-        propagated = edges.join(labels, edges.src == labels.id).select(
+        lab_side = F.broadcast(labels) if bc_labels else labels
+        propagated = edges.join(lab_side, edges.src == lab_side.id).select(
             F.col("dst").alias("id"), "component"
         )
+        jump_side = labels.select(
+            F.col("id").alias("component"),
+            F.col("component").alias("__cc_jump"),
+        )
+        if bc_labels:
+            jump_side = F.broadcast(jump_side)
         jumped = labels.join(
-            labels.select(
-                F.col("id").alias("component"),
-                F.col("component").alias("__cc_jump"),
-            ),
+            jump_side,
             "component",
         ).select("id", F.col("__cc_jump").alias("component"))
         # Eager localCheckpoint EVERY round: the round's plan references

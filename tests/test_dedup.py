@@ -1122,3 +1122,31 @@ def test_jaccard_prefix_matches_brute_with_fewer_candidates(spark):
     )
     assert pref_collisions < full_collisions / 3, (
         pref_collisions, full_collisions)
+
+
+def test_connected_components_broadcast_strategy_identical(spark):
+    """r13 optimization contract: broadcast_max_labels only picks the
+    propagate/jump join strategy — labels are exact mins, so the
+    distributed path must emit identical components with the label
+    broadcast on (default) and forced off (0)."""
+    from blueetl_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 20)],
+        "id_a long, id_b long",
+    )
+    bc = sorted(
+        map(tuple, dedup.connected_components(pairs, max_driver_edges=0).collect())
+    )
+    sh = sorted(
+        map(
+            tuple,
+            dedup.connected_components(
+                pairs, max_driver_edges=0, broadcast_max_labels=0
+            ).collect(),
+        )
+    )
+    assert bc == sh
+    comp = dict(bc)
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == comp[12] == 10
