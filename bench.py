@@ -201,16 +201,58 @@ def _calib_probe(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def _accepted_min(samples: list[dict], med_calib: float, band: float = 1.5):
+def _calib_probe_mc(spark) -> float:
+    """One wall-clock sample of a PARALLEL calibration workload: one task
+    per session core, each hashing a fixed 8M-row range (JVM-only, tiny
+    result). The single-core probe above cannot see multi-core host
+    contention (VERDICT r13 #1: two same-commit runs at identical
+    single-core calib differed 1.31x median across all queries); this one
+    can — external load steals task slots, so the wall rises with the
+    host's run-queue. ~0.3-0.4 s at idle on this box at 32 cores."""
+    from pyspark.sql import functions as F
+
+    cores = spark.sparkContext.defaultParallelism
+    t0 = time.perf_counter()
+    # bit_xor, not sum: summing 8M raw xxhash64 values overflows a long
+    # under the session's ANSI mode
+    spark.range(0, cores * 8_000_000, 1, cores).select(
+        F.expr("bit_xor(xxhash64(id))")
+    ).collect()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _loadavg() -> float:
+    """1-minute host load average (0.0 where unsupported)."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except (AttributeError, OSError):
+        return 0.0
+
+
+def _accepted_min(
+    samples: list[dict],
+    med_calib: float,
+    band: float = 1.5,
+    med_calib_mc: float | None = None,
+):
     """Min wall over samples taken OUTSIDE a load spike (per-sample
-    calib <= band x the run's median calib). Falls back to the min over
-    all samples when every sample was spiked — a value is always
-    produced, but `rejected` says how trustworthy it is."""
+    calib <= band x the run's median calib; when the sample also carries
+    a multi-core probe and a run-median for it is supplied, that probe
+    must sit inside the same band — VERDICT r13 #1: single-core calib is
+    blind to multi-core contention). Falls back to the min over all
+    samples when every sample was spiked — a value is always produced,
+    but `rejected` says how trustworthy it is."""
     ok = [
         s
         for s in samples
         if min(s["calib"], s.get("calib_fresh", float("inf")))
         <= band * med_calib
+        and (
+            med_calib_mc is None
+            or "calib_mc" not in s
+            or min(s["calib_mc"], s.get("calib_mc_fresh", float("inf")))
+            <= band * med_calib_mc
+        )
     ]
     pool = ok if ok else samples
     return (
@@ -270,18 +312,22 @@ def run_stress(
     detail: dict[str, dict] = {}
 
     def clock(name, thunk):
-        samples, calibs = [], []
+        samples, calibs, calibs_mc, loads = [], [], [], []
         for _ in range(reps):
             t0 = time.perf_counter()
             thunk()
             samples.append(round(time.perf_counter() - t0, 3))
             _stress_barrier(spark)
             calibs.append(_calib_probe(spark))
+            calibs_mc.append(_calib_probe_mc(spark))
+            loads.append(_loadavg())
         med = round(statistics.median(samples), 3)
         timings[name] = med
         detail[name] = {
             "samples": samples,
             "calib": calibs,  # per-rep host-load probe (VERDICT r11 #3)
+            "calib_mc": calibs_mc,  # per-rep parallel probe (VERDICT r13 #1)
+            "load": loads,
             "min": min(samples),
             "median": med,
             "spread": round((max(samples) - min(samples)) / med, 2) if med else 0.0,
@@ -866,14 +912,18 @@ def main() -> None:
     # poison a query's number; three straight rounds of
     # flagged-then-retracted "regressions" were this instrument gap.
     # `queries_cold` is the accepted-min over post-clearCache samples.
-    PROBE_EVERY = 8  # ~0.6 s probe per 8 queries (~1-2 s each): <5% overhead
+    PROBE_EVERY = 8  # ~1 s probe pair per 8 queries (~1-2 s each): <7% overhead
     samples: dict[str, list[dict]] = {n: [] for n in HEADLINE}
     best_wall: dict[str, float] = {}
     probe_age = 0  # queries measured since the tagged probe ran
+    mc_probes: list[float] = []
+    load_samples: list[float] = []
     for _pass in range(3):
         for qi, name in enumerate(HEADLINE):
             if qi % PROBE_EVERY == 0:
                 calib_probes.append(_calib_probe(spark))
+                mc_probes.append(_calib_probe_mc(spark))
+                load_samples.append(_loadavg())
                 probe_age = 0
             for _rep in range(2 if _pass == 0 else 1):
                 t0 = time.perf_counter()
@@ -882,6 +932,8 @@ def main() -> None:
                 sample = {
                     "wall": round(dt, 3),
                     "calib": calib_probes[-1],
+                    "calib_mc": mc_probes[-1],
+                    "load": load_samples[-1],
                     "probe_age": probe_age,
                     "warm": _pass == 0 and _rep == 1,
                 }
@@ -895,36 +947,53 @@ def main() -> None:
                 # re-probe NOW and let _accepted_min use the better of
                 # the two labels.
                 run_med = statistics.median(calib_probes)
+                run_med_mc = statistics.median(mc_probes)
                 if (
                     probe_age > 0
                     and dt <= best_wall.get(name, float("inf")) * 1.05
-                    and calib_probes[-1] > 1.35 * run_med
+                    and (
+                        calib_probes[-1] > 1.35 * run_med
+                        or mc_probes[-1] > 1.35 * run_med_mc
+                    )
                 ):
                     fresh = _calib_probe(spark)
+                    fresh_mc = _calib_probe_mc(spark)
                     calib_probes.append(fresh)
+                    mc_probes.append(fresh_mc)
+                    load_samples.append(_loadavg())
                     probe_age = 0
                     sample["calib_fresh"] = fresh
+                    sample["calib_mc_fresh"] = fresh_mc
                 best_wall[name] = min(best_wall.get(name, float("inf")), dt)
                 samples[name].append(sample)
             probe_age += 1
             spark.catalog.clearCache()
     calib_probes.append(_calib_probe(spark))
+    mc_probes.append(_calib_probe_mc(spark))
+    load_samples.append(_loadavg())
     host_calib_s = min(calib_probes)
     import statistics as _stats
 
     calib_median = round(_stats.median(calib_probes), 3)
+    calib_mc_median = round(_stats.median(mc_probes), 3)
+    loadavg_median = round(_stats.median(load_samples), 2)
     print(
         f"# host_calib_s: {host_calib_s} (median {calib_median} over "
-        f"{len(calib_probes)} interleaved probes)",
+        f"{len(calib_probes)} interleaved probes; parallel-calib median "
+        f"{calib_mc_median}, loadavg median {loadavg_median})",
         file=sys.stderr,
     )
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     rejected: dict[str, int] = {}
     for name in HEADLINE:
-        timings[name], rejected[name] = _accepted_min(samples[name], calib_median)
+        timings[name], rejected[name] = _accepted_min(
+            samples[name], calib_median, med_calib_mc=calib_mc_median
+        )
         cold[name], _ = _accepted_min(
-            [s for s in samples[name] if not s["warm"]], calib_median
+            [s for s in samples[name] if not s["warm"]],
+            calib_median,
+            med_calib_mc=calib_mc_median,
         )
     for name in HEADLINE:
         rej = f" [{rejected[name]} spiked]" if rejected[name] else ""
@@ -945,6 +1014,11 @@ def main() -> None:
         "host_calib_s": host_calib_s,
         "calib_median": calib_median,
         "calib_probes": calib_probes,
+        "calib_mc_s": min(mc_probes),
+        "calib_mc_median": calib_mc_median,
+        "calib_mc_probes": mc_probes,
+        "loadavg_median": loadavg_median,
+        "loadavg_samples": load_samples,
         "queries_rejected_samples": {
             q: r for q, r in rejected.items() if r
         },
@@ -1010,10 +1084,14 @@ def main() -> None:
     with open(local_path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"# full record -> {local_path}", file=sys.stderr)
-    # Compact printed line (<2 kB — the driver's capture window cuts
-    # longer lines, see above): full per-query map at 1 decimal; full
-    # precision plus the bulky fields (cold mins, stress samples, ratio
-    # maps) live in the BENCH_LOCAL file.
+    # Compact printed line (<2 kB — the driver's capture window is a hard
+    # 2000 chars of output tail: every BENCH_r*.json whose `tail` field
+    # hit exactly 2000 with the JSON head cut off has `parsed: null`,
+    # rounds 2+5-8; printing all 156+ queries (~3.5 kB) would therefore
+    # fail the driver's parse outright, NOT inform it better): full
+    # per-query map at 1 decimal; full precision plus the bulky fields
+    # (cold mins, stress samples, ratio maps) live in the BENCH_LOCAL
+    # file.
     q1 = {n: round(t, 1) for n, t in timings.items()}
 
     def _line(qmap, omitted):
@@ -1024,6 +1102,10 @@ def main() -> None:
             "sf": sf,
             "host_calib_s": host_calib_s,
             "calib_median": calib_median,
+            # short keys: the 2000-char window is tight (full names +
+            # per-sample detail live in the BENCH_LOCAL file)
+            "mc": round(calib_mc_median, 2),
+            "load": round(loadavg_median, 1),
             "rejected_samples": sum(rejected.values()),
             "queries": qmap,
         }
@@ -1031,18 +1113,68 @@ def main() -> None:
             d["omitted_fastest"] = omitted
         return json.dumps(d, separators=(",", ":"))
 
-    # if the full map doesn't fit the window, drop the FASTEST queries
-    # from the printed line (the total still covers them; per-query
-    # values live in the local file regardless)
+    # If the full map doesn't fit the window, omit queries — but
+    # CONTINUITY-PRESERVING (VERDICT r13 #2): any query the PREVIOUS
+    # driver record's printed line carried is kept in this one, so a
+    # cross-round diff of printed lines can never fabricate
+    # "dropped_from_bench" (r13's PERF flagged 14 phantom drops because
+    # the omission was purely speed-ordered and the omitted set shifted
+    # every round). Omission order: fastest NON-priority queries first;
+    # priority queries only if the priority set alone outgrows the
+    # window (then fastest-first among them, and `omitted_priority`
+    # says so).
+    priority = _prev_printed_queries(repo_dir, sf)
     by_speed = sorted(q1, key=lambda n: (q1[n], n))
+    omit_order = [n for n in by_speed if n not in priority] + [
+        n for n in by_speed if n in priority
+    ]
+    n_nonpriority = sum(1 for n in by_speed if n not in priority)
+    # Budget 1980: the driver's capture is the LAST 2000 chars of output
+    # (every stored `tail` is exactly 2000 chars and ends with the JSON
+    # line + newline), so a line of L chars parses iff L+1 <= 2000 and
+    # nothing prints after it. 1980 leaves a 19-char margin; the
+    # historical 1950 was tighter than needed and forced priority
+    # queries out.
     omitted = 0
     line = _line(q1, omitted)
-    while len(line) > 1950 and omitted < len(by_speed):
+    while len(line) > 1980 and omitted < len(omit_order):
         omitted += 1
-        keep = {n: q1[n] for n in q1 if n not in set(by_speed[:omitted])}
+        keep = {n: q1[n] for n in q1 if n not in set(omit_order[:omitted])}
         line = _line(keep, omitted)
+    if omitted > n_nonpriority:
+        print(
+            f"# WARNING: {omitted - n_nonpriority} queries from the previous "
+            "printed line no longer fit the 2000-char window",
+            file=sys.stderr,
+        )
     print(line)
     spark.stop()
+
+
+def _prev_printed_queries(repo_dir: str, sf: float | None) -> set[str]:
+    """Names in the newest prior DRIVER record's printed `queries` map
+    (BENCH_r*.json `parsed`), at the same SF. These get priority in this
+    round's printed line so the driver's round-over-round diff of printed
+    lines cannot see a query vanish. Empty set when no prior driver
+    record parsed (then omission is purely fastest-first, as before)."""
+    import glob
+
+    current = _current_round(repo_dir)
+    best_rnd, best = 0, set()
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r0*(\d+)\.json$", path)
+        if not m or int(m.group(1)) >= current:
+            continue
+        try:
+            rec = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        parsed = rec.get("parsed") or {}
+        if sf is not None and parsed.get("sf") not in (None, sf):
+            continue
+        if parsed.get("queries") and int(m.group(1)) > best_rnd:
+            best_rnd, best = int(m.group(1)), set(parsed["queries"])
+    return best
 
 
 def _current_round(repo_dir: str) -> int:

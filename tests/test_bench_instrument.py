@@ -42,3 +42,47 @@ def test_accepted_min_falls_back_when_all_spiked():
     ]
     val, rejected = bench._accepted_min(samples, med_calib=0.4)
     assert val == 1.8 and rejected == 2
+
+
+def test_accepted_min_rejects_multicore_spike_single_core_clean():
+    # VERDICT r13 #1: the single-core probe is blind to multi-core
+    # contention — a sample with clean single-core calib but spiked
+    # parallel calib must be rejected when the mc median is supplied.
+    samples = [
+        {"wall": 1.0, "calib": 0.4, "calib_mc": 1.2},  # mc spike
+        {"wall": 1.5, "calib": 0.4, "calib_mc": 0.42},
+    ]
+    val, rejected = bench._accepted_min(
+        samples, med_calib=0.4, med_calib_mc=0.4
+    )
+    assert val == 1.5 and rejected == 1
+    # without the mc median (legacy callers) behavior is unchanged
+    val, rejected = bench._accepted_min(samples, med_calib=0.4)
+    assert val == 1.0 and rejected == 0
+
+
+def test_accepted_min_mc_fresh_probe_rescues():
+    samples = [
+        {"wall": 1.0, "calib": 0.4, "calib_mc": 1.2, "calib_mc_fresh": 0.41},
+        {"wall": 1.5, "calib": 0.4, "calib_mc": 0.42},
+    ]
+    val, rejected = bench._accepted_min(
+        samples, med_calib=0.4, med_calib_mc=0.4
+    )
+    assert val == 1.0 and rejected == 0
+
+
+def test_prev_printed_queries_reads_newest_driver_record(tmp_path):
+    import json
+
+    (tmp_path / "BENCH_r03.json").write_text(
+        json.dumps({"parsed": {"sf": 0.1, "queries": {"a": 1.0, "b": 2.0}}})
+    )
+    (tmp_path / "BENCH_r04.json").write_text(
+        json.dumps({"parsed": {"sf": 0.1, "queries": {"b": 2.0, "c": 3.0}}})
+    )
+    (tmp_path / "BENCH_r05.json").write_text(
+        json.dumps({"parsed": None, "tail": "cut"})  # unparsed round ignored
+    )
+    names = bench._prev_printed_queries(str(tmp_path), 0.1)
+    assert names == {"b", "c"}
