@@ -1018,6 +1018,7 @@ def connected_components(
     assume_distinct_pairs: bool = False,
     max_driver_edges: int = 1_000_000,
     broadcast_max_labels: int = 4_000_000,
+    edge_cache: bool | None = None,
 ) -> DataFrame:
     """Duplicate clusters from candidate pairs: (id, component) where the
     component label is the smallest id reachable through the pair graph.
@@ -1119,6 +1120,24 @@ def connected_components(
     # order-exact, so the strategy cannot change a single label. Past
     # the bound (corpus-scale vertex sets) the shuffled shape runs.
     bc_labels = labels.count() <= max(0, broadcast_max_labels)
+    if not bc_labels and (edge_cache if edge_cache is not None else True):
+        # Shuffled regime (corpus-scale label frame): re-lay the
+        # symmetrized edge cache out ONCE — hash-partitioned on the
+        # propagate join key, sorted, persisted — so each round's
+        # propagate join exchanges/sorts only the node-sized label side
+        # instead of the edge list (VERDICT r13 #4; same contract as
+        # graph.pagerank's edge cache). One extra edge-sized exchange
+        # at build, amortized over up to ``max_iter`` rounds.
+        spark = pairs.sparkSession
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        edges_l = (
+            edges.repartition(nparts, "src")
+            .sortWithinPartitions("src")
+            .persist()
+        )
+        edges_l.count()  # materialize from the cached edges, one pass
+        edges.unpersist(blocking=False)
+        edges = edges_l
     prev_sum = None
     for i in range(max_iter):
         lab_side = F.broadcast(labels) if bc_labels else labels

@@ -25,7 +25,7 @@ def main() -> int:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
