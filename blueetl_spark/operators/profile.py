@@ -1542,6 +1542,14 @@ def spearman(
     """
     by = list(by)
     x, y = F.col(col_x), F.col(col_y)
+    # NOT pinned, measured (r14): `rows` is consumed three times (two
+    # rank maps + the join back), but a localCheckpoint here probed
+    # SLOWER (gated floors 2.415 unpinned vs 2.514 pinned at sf0.1) —
+    # the eager materialization job costs more than the two extra
+    # column-pruned parquet scans it saves; the three consumers each
+    # prune to (by, one value column) so the replayed upstream is
+    # narrow. Same verdict class as the fleiss/krippendorff pin
+    # rejection (r13 change 2 counter-measurement).
     rows = df.filter(x.isNotNull() & y.isNotNull()).select(
         *by, x.alias("__x"), y.alias("__y")
     )

@@ -8426,7 +8426,16 @@ def q_profile_shards_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from blueetl_spark.operators import profile as prof
 
-    orders = tables.load(spark, sf_dir, "orders").select(*PROFILE_SHARD_COLS)
+    # pinned once: the four shard writes below each re-scanned the
+    # parquet otherwise (the pmod batch filter can't push down) — the
+    # writes are the gate's dominant cost (merge is ~1/5th), and the
+    # pin won every interleaved A/B pair (11.9->8.2, 46.7->34.5,
+    # 11.3->3.7 s, r14)
+    orders = (
+        tables.load(spark, sf_dir, "orders")
+        .select(*PROFILE_SHARD_COLS)
+        .localCheckpoint(eager=True)
+    )
     tmp = tempfile.mkdtemp(prefix="profile_shards_")
     path = tmp + "/shards"
     try:

@@ -30,6 +30,18 @@ def calib(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def calib_mc(spark) -> float:
+    """Parallel probe (one task per core): the single-core probe is
+    blind to multi-core co-tenant load (VERDICT r13 #1). ~0.13-0.18 s
+    idle at 32 cores on this box."""
+    cores = spark.sparkContext.defaultParallelism
+    t0 = time.perf_counter()
+    spark.range(0, cores * 8_000_000, 1, cores).select(
+        F.expr("bit_xor(xxhash64(id))")
+    ).collect()
+    return round(time.perf_counter() - t0, 3)
+
+
 def barrier(spark) -> None:
     import gc
 
@@ -62,22 +74,27 @@ def main() -> None:
     QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     barrier(spark)
 
+    bar_mc = float(os.environ.get("PROBE_MC_BAR", 0.6))
     reps, skipped = [], 0
     t_start = time.perf_counter()
     while len(reps) < n_reps and time.perf_counter() - t_start < budget_s:
         c = calib(spark)
-        if c > bar:
+        cm = calib_mc(spark)
+        if c > bar or cm > bar_mc:
             skipped += 1
-            print(f"# calib {c} > {bar}, waiting", file=sys.stderr, flush=True)
+            print(
+                f"# calib {c} (bar {bar}) / mc {cm} (bar {bar_mc}), waiting",
+                file=sys.stderr, flush=True,
+            )
             time.sleep(3)
             continue
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = round(time.perf_counter() - t0, 3)
-        reps.append({"wall_s": dt, "calib": c,
+        reps.append({"wall_s": dt, "calib": c, "calib_mc": cm,
                      "loadavg_1m": round(os.getloadavg()[0], 1)})
-        print(f"# rep {len(reps)}: {dt}s at calib {c}", file=sys.stderr,
-              flush=True)
+        print(f"# rep {len(reps)}: {dt}s at calib {c} / mc {cm}",
+              file=sys.stderr, flush=True)
         barrier(spark)
     out = {
         "query": name,
