@@ -2844,12 +2844,15 @@ def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers — their teleport weight is 0."""
     orders = tables.load(spark, sf_dir, "orders")
     li = tables.load(spark, sf_dir, "lineitem")
+    # pinned: consumed by BOTH the seed-set distinct and pagerank's own
+    # edge pin — unpinned, the orders x lineitem join executed twice
+    # (r14 gated A/B in OPTIMIZATION_r14.md)
     edges = orders.join(
         li, orders["o_orderkey"] == li["l_orderkey"]
     ).select(
         F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    )
+    ).localCheckpoint(eager=True)
     seeds = (
         edges.select(F.col("dst").alias("id"))
         .distinct()
